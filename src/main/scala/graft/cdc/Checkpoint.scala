@@ -1,0 +1,82 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-window bookkeeping.
+  *
+  * The reference uses the changelog itself as the checkpoint store: resume
+  * point = MAX(commit_time) on the sink, else the feed's minimum LSN time on
+  * first run (usp_cdc_populate_changelog.sql:200-211). The infamous quirk:
+  * compat resume = max + 1 MINUTE (:203), permanently skipping changes
+  * committed within that minute; default mode is lossless (strictly-greater
+  * predicate on the exact max) — SURVEY §7.5.3.
+  */
+object Checkpoint {
+
+  final case class Window(
+      fromTime: Option[Timestamp], // None = first run (take everything from feed min)
+      toTime: Timestamp,
+      fromExclusive: Boolean) // true = lossless `>`; compat +1min uses `>=` of the shifted point
+
+  /** High-water mark + max assigned id from the sink, if it exists and is
+    * non-empty. One aggregate scan ≙ :200-211 + identity continuation. */
+  def sinkState(spark: SparkSession, changelogPath: String): Option[(Timestamp, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(changelogPath)
+    if (!fs.exists(p)) return None
+    val sink = spark.read.parquet(changelogPath)
+    if (sink.isEmpty) None
+    else {
+      val row = sink.agg(max("commit_time"), max("changelog_id")).head()
+      Some((row.getTimestamp(0), row.getLong(1)))
+    }
+  }
+
+  /** Compute the batch window ≙ :192-253.
+    * @param toDate  ≙ @to_date, default GETDATE() (:192)
+    * @param compatMode reproduce the +1-minute skip (:203) */
+  def computeWindow(
+      spark: SparkSession,
+      feed: DataFrame,
+      changelogPath: String,
+      toDate: Option[Timestamp],
+      compatMode: Boolean): Window = {
+    val to = toDate.getOrElse(new Timestamp(System.currentTimeMillis()))
+
+    val minLsnTime = Option(feed.agg(min("commit_time")).head().getTimestamp(0))
+      .getOrElse(throw CdcErrors.toDateBeforeMinLsn(to.toString, "<empty feed>"))
+    // :225-229 — @to_date before the first captured change is a hard error
+    if (to.before(minLsnTime))
+      throw CdcErrors.toDateBeforeMinLsn(to.toString, minLsnTime.toString)
+
+    sinkState(spark, changelogPath) match {
+      case Some((hwm, _)) =>
+        val from = if (compatMode) new Timestamp(hwm.getTime + 60000L) else hwm
+        // :217-223 — window must move forward
+        if (to.before(from)) throw CdcErrors.toDateBeforeCheckpoint(to.toString, from.toString)
+        Window(Some(from), to, fromExclusive = !compatMode)
+      case None =>
+        // first run: everything from the feed's min commit time (:207-209,
+        // 'smallest greater than or equal' boundary mode :248-251)
+        Window(None, to, fromExclusive = false)
+    }
+  }
+
+  /** Apply the window to the feed ≙ the TVF's (from_lsn, to_lsn] args
+    * (:319,:352,:373,:384). Upper bound inclusive of the mapped to-instant,
+    * mirroring 'largest less than or equal' (:241). */
+  def applyWindow(feed: DataFrame, w: Window): DataFrame = {
+    val upper = col("commit_time") <= lit(w.toTime)
+    w.fromTime match {
+      case None => feed.where(upper)
+      case Some(f) =>
+        val lower =
+          if (w.fromExclusive) col("commit_time") > lit(f)
+          else col("commit_time") >= lit(f)
+        feed.where(lower && upper)
+    }
+  }
+}
