@@ -22,26 +22,29 @@ object Checkpoint {
       fromExclusive: Boolean) // true = lossless `>`; compat +1min uses `>=` of the shifted point
 
   /** High-water mark + max assigned id from the sink, if it exists and is
-    * non-empty. One aggregate scan ≙ :200-211 + identity continuation. */
+    * non-empty. One aggregate scan ≙ :200-211 + identity continuation.
+    * The filesystem is resolved from the path's own scheme (s3a://, hdfs://)
+    * rather than the default FS, and emptiness is answered by the same
+    * aggregate job that reads the HWM (count=0 ⇒ empty) — one job, not two. */
   def sinkState(spark: SparkSession, changelogPath: String): Option[(Timestamp, Long)] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(changelogPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val sink = spark.read.parquet(changelogPath)
-    if (sink.isEmpty) None
-    else {
-      val row = sink.agg(max("commit_time"), max("changelog_id")).head()
-      Some((row.getTimestamp(0), row.getLong(1)))
-    }
+    val row = spark.read.parquet(changelogPath)
+      .agg(max("commit_time"), max("changelog_id"), count(lit(1))).head()
+    if (row.getLong(2) == 0L) None
+    else Some((row.getTimestamp(0), row.getLong(1)))
   }
 
   /** Compute the batch window ≙ :192-253.
+    * @param sink    the sink snapshot from ONE [[sinkState]] call — callers
+    *                reuse the same snapshot for the id offset so the HWM and
+    *                offset can never disagree
     * @param toDate  ≙ @to_date, default GETDATE() (:192)
     * @param compatMode reproduce the +1-minute skip (:203) */
   def computeWindow(
-      spark: SparkSession,
       feed: DataFrame,
-      changelogPath: String,
+      sink: Option[(Timestamp, Long)],
       toDate: Option[Timestamp],
       compatMode: Boolean): Window = {
     val to = toDate.getOrElse(new Timestamp(System.currentTimeMillis()))
@@ -52,7 +55,7 @@ object Checkpoint {
     if (to.before(minLsnTime))
       throw CdcErrors.toDateBeforeMinLsn(to.toString, minLsnTime.toString)
 
-    sinkState(spark, changelogPath) match {
+    sink match {
       case Some((hwm, _)) =>
         val from = if (compatMode) new Timestamp(hwm.getTime + 60000L) else hwm
         // :217-223 — window must move forward

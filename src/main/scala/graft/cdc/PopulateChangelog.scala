@@ -28,15 +28,29 @@ object PopulateChangelog {
   def run(
       spark: SparkSession,
       feed: DataFrame,
-      cfg: CdcTableConfig,
+      cfg0: CdcTableConfig,
       changelogPath: String,
       toDate: Option[Timestamp] = None,
       distributedIds: Boolean = false): PopulateResult = {
 
-    val window = Checkpoint.computeWindow(spark, feed, changelogPath, toDate, cfg.compatMode)
-    val offset = Checkpoint.sinkState(spark, changelogPath).map(_._2).getOrElse(0L)
-    val windowed = Checkpoint.applyWindow(feed, window)
+    // ≙ RTRIM(LTRIM(@tableName/@tablePK)) (:77-80) — P5 param normalization
+    val cfg = cfg0.copy(
+      tableName = cfg0.tableName.trim,
+      keyCols = cfg0.keyCols.map(_.trim))
 
+    // ONE sink snapshot drives both the window HWM and the id offset — they
+    // can never disagree, and the sink is aggregated once per batch.
+    val sink = Checkpoint.sinkState(spark, changelogPath)
+    val window = Checkpoint.computeWindow(feed, sink, toDate, cfg.compatMode)
+    val offset = sink.map(_._2).getOrElse(0L)
+    // The builder references the windowed feed from four sub-trees (before/
+    // after/delete/insert); caching evaluates the window scan once
+    // (SURVEY §7.5.8) instead of four times.
+    val windowed = Checkpoint.applyWindow(feed, window).cache()
+
+    // Batch row count rides on the write itself via `observe` — no
+    // re-evaluation and, critically, no O(history) rescan of the sink.
+    val obs = org.apache.spark.sql.Observation()
     val result = Try {
       val changelog = ChangelogBuilder.build(windowed, cfg)
       val withIds =
@@ -46,26 +60,28 @@ object PopulateChangelog {
         .withColumn("created_dt", current_timestamp())
         .withColumn("created_by", lit(spark.sparkContext.sparkUser))
         .withColumn("commit_date", to_date(col("commit_time")))
+        .observe(obs, count(lit(1)).as("n"))
       stamped.write
         .mode(SaveMode.Append)
         .partitionBy("commit_date")
         .parquet(changelogPath)
-      // count from the sink delta would re-scan; the batch plan is cheap to
-      // re-evaluate at fixture scale, and `observe` is the scale path.
-      spark.read.parquet(changelogPath)
-        .where(col("changelog_id") > offset).count()
+      obs.get("n").asInstanceOf[Long]
     }
+    windowed.unpersist()
 
     result match {
       case Success(n) =>
         PopulateResult(n, s"$n ${cfg.tableName} changes were inserted to the ${cfg.tableName}_changelog.")
       case Failure(e: CdcValidationException) => throw e
-      case Failure(e) =>
-        // ≙ the reference's CATCH block soft success (:401-409) — swallow,
-        // but (unlike the reference, a known pain point :235-239) log cause.
+      case Failure(e) if cfg.compatMode =>
+        // ≙ the reference's CATCH block soft success (:401-409). Swallowing a
+        // failed WRITE as "no changes" masks data loss, so it is compatMode-
+        // only; default mode rethrows. Unlike the reference (a known pain
+        // point, :235-239) the cause is logged.
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"populate ${cfg.tableName} failed", e)
         PopulateResult(0, s"No ${cfg.tableName} changes were detected between the date ranges provided!")
+      case Failure(e) => throw e
     }
   }
 }

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [query ...]
+
+Expects `runMain graft.Verify <sfDir> <verifyOutDir>` to have been run
+already (spark results as parquet + oracle_sql.json). Re-runs each oracle
+in DuckDB over the same parquet tables and compares row count, column
+names, and a canonicalized value hash (columns sorted by name, rows
+sorted), mirroring the driver's compare.
+"""
+import sys, json, glob, os, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark result")
+            failures += 1
+            continue
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet({spark_files!r})")
+            scols = [d[0] for d in sdf.description]
+            srows = sdf.fetchall()
+            odf = con.execute(sql)
+            ocols = [d[0] for d in odf.description]
+            orows = odf.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        ok_rows = len(srows) == len(orows)
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_hash = ok_schema and table_hash(scols, srows) == table_hash(ocols, orows)
+        if ok_rows and ok_schema and ok_hash:
+            print(f"PASS {name} ({len(srows)} rows)")
+        else:
+            failures += 1
+            print(f"FAIL {name}: rows {len(srows)}/{len(orows)} "
+                  f"schema {sorted(scols)} vs {sorted(ocols)} hash={ok_hash}")
+            if ok_schema and ok_rows:
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                ss = sorted("|".join(canon(r[i]) for i in order) for r in srows)
+                oo = sorted("|".join(canon(r[i]) for i in order) for r in orows)
+                for a, b in zip(ss, oo):
+                    if a != b:
+                        print(f"  spark : {a[:200]}\n  oracle: {b[:200]}")
+                        break
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
