@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcTableConfig, ChangeFeed, ChangelogBuilder}
-import graft.oracle.OrdersCdcOracle
+import graft.ext.{Dedup, DocFeed, MultiModal, Similarity, TextOps}
+import graft.oracle.{ExtOracle, OrdersCdcOracle}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-runnable oracle in `oracleSql`.
@@ -18,6 +19,19 @@ object SparkEntry {
 
   private def feed(s: SparkSession, dir: String): DataFrame =
     ChangeFeed.fromOrders(orders(s, dir))
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    DocFeed.withDups(s.read.parquet(s"$dir/documents.parquet"))
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 rejects;
+    // read it as raw long (the JSON/agg ops here don't consume ts).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Flagship: full CDC changelog pipeline on sf0.001 (rows>0 by construction). */
   def entry(spark: SparkSession): DataFrame =
@@ -79,7 +93,53 @@ object SparkEntry {
 
     // A3 — freshness watermark, reference's lexicographic mm/dd/yyyy quirk
     "cdc_freshness" -> ((s, dir) =>
-      feed(s, dir).agg(max(date_format(col("commit_time"), "MM/dd/yyyy")).as("freshness")))
+      feed(s, dir).agg(max(date_format(col("commit_time"), "MM/dd/yyyy")).as("freshness"))),
+
+    // E1a — exact dedup: content-hash groups with survivor id + copy count
+    "ext_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(corpus(s, dir)).orderBy("keep_id")),
+
+    // E1b — MinHash+LSH near-dup pairs, exact-Jaccard verified (ints only)
+    "ext_dedup_minhash" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(corpus(s, dir)).orderBy("id_a", "id_b")),
+
+    // E1c — 32-bit SimHash fingerprints
+    "ext_simhash" -> ((s, dir) =>
+      Dedup.simhash(corpus(s, dir)).orderBy("doc_id")),
+
+    // E3a — token/quality statistics
+    "ext_tokens" -> ((s, dir) =>
+      TextOps.tokenStats(corpus(s, dir)).orderBy("doc_id")),
+
+    // E3b — stopword-heuristic language ID
+    "ext_langid" -> ((s, dir) =>
+      TextOps.languageId(corpus(s, dir)).orderBy("doc_id")),
+
+    // E3c — JSON field extraction over the events stream
+    "ext_json" -> ((s, dir) =>
+      TextOps.jsonExtract(events(s, dir)).orderBy("event_id")),
+
+    // E3c' — grouped event/JSON analytics
+    "ext_events_agg" -> ((s, dir) =>
+      TextOps.eventStats(events(s, dir)).orderBy("event_type")),
+
+    // E3d — document fingerprints (whole-doc md5 + min-shingle)
+    "ext_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(corpus(s, dir)).orderBy("doc_id")),
+
+    // E2a — exact brute-force top-k cosine (bounded-heap aggregate)
+    "ext_topk_cosine" -> ((s, dir) =>
+      Similarity.topKCosine(embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
+        .orderBy("query_id", "rnk")),
+
+    // E2b — LSH-bucketed approximate top-k cosine (the 100 TB path)
+    "ext_ann_lsh" -> ((s, dir) =>
+      Similarity.topKCosineLsh(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
+        .orderBy("query_id", "rnk")),
+
+    // E4 — multimodal binary payload metadata
+    "ext_multimodal" -> ((s, dir) =>
+      MultiModal.metadata(corpus(s, dir)).orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -91,6 +151,17 @@ object SparkEntry {
     "cdc_sentinels" -> OrdersCdcOracle.sentinelsSql,
     "cdc_window_agg" -> OrdersCdcOracle.windowAggSql,
     "cdc_query_data" -> OrdersCdcOracle.queryDataSql,
-    "cdc_freshness" -> OrdersCdcOracle.freshnessSql
+    "cdc_freshness" -> OrdersCdcOracle.freshnessSql,
+    "ext_dedup_exact" -> ExtOracle.dedupExactSql,
+    "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
+    "ext_simhash" -> ExtOracle.simhashSql,
+    "ext_tokens" -> ExtOracle.tokenStatsSql,
+    "ext_langid" -> ExtOracle.languageIdSql,
+    "ext_json" -> ExtOracle.jsonExtractSql,
+    "ext_events_agg" -> ExtOracle.eventStatsSql,
+    "ext_fingerprint" -> ExtOracle.fingerprintSql,
+    "ext_topk_cosine" -> ExtOracle.topKCosineSql,
+    "ext_ann_lsh" -> ExtOracle.annLshSql,
+    "ext_multimodal" -> ExtOracle.multiModalSql
   )
 }

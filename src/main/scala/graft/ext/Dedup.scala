@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation (SURVEY §2.13 E1).
+  *
+  * All hash material is `md5` hex (identical across engines, so the DuckDB
+  * oracle reproduces signatures bit-for-bit) and all graded outputs are
+  * integers/strings — no floating point in any hash-compared column.
+  *
+  * 100 TB notes: every stage below is a hash-partitioned groupBy/join on a
+  * bounded key (fingerprint, band signature, candidate pair) — never an
+  * all-pairs product and never a global sort. Shingling/minhashing are
+  * map-side only; the LSH band join shuffles one row per (doc, band).
+  */
+object Dedup {
+
+  /** Content fingerprint for exact dedup: md5 over the raw text bytes. */
+  def fingerprint(textCol: Column): Column = md5(textCol.cast("binary"))
+
+  /** E1a — exact-duplicate groups: one row per distinct content hash with
+    * the surviving (minimum) id and the copy count. A plain hash-aggregate:
+    * map-side partial min/count then one shuffle on the 128-bit fingerprint
+    * — the canonical scale-safe exact dedup.
+    */
+  def exactGroups(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    corpus
+      .groupBy(fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** E1a' — the dedup itself: keep the first (min-id) row per content hash.
+    * `Window.partitionBy(fingerprint)` is hash-partitioned by fingerprint,
+    * so no single-partition funnel.
+    */
+  def dropExactDuplicates(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    corpus.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH near-duplicate detection
+  // -------------------------------------------------------------------
+
+  val NumHashes = 12
+  val BandSize = 3 // → 4 bands of 3 hashes
+  val NumBands: Int = NumHashes / BandSize
+  val ShingleLen = 3 // word 3-grams
+
+  /** Distinct word-`ShingleLen`-grams per document: (id, sh). Map-side
+    * explode + local distinct; docs with fewer tokens than a shingle emit
+    * nothing (mirrors the oracle's range filter). */
+  def shingles(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    corpus
+      .where(size(toks) >= ShingleLen)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(toks) - ShingleLen),
+          i => concat_ws(" ", (0 until ShingleLen).map(o => element_at(toks, i + o + 1)): _*)))
+          .as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signature: for hash function h, min over the doc's shingles of
+    * the first 8 hex chars of md5(h ++ ":" ++ shingle) — a lexicographic min
+    * over strings, so Spark and the SQL oracle agree exactly. One
+    * hash-aggregate produces all `NumHashes` signature slots. */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("id").agg(
+      min(substring(md5(concat(lit("0:"), col("sh"))), 1, 8)).as("mh_0"),
+      (1 until NumHashes).map(h =>
+        min(substring(md5(concat(lit(s"$h:"), col("sh"))), 1, 8)).as(s"mh_$h")): _*)
+
+  /** LSH banding: signature → (id, band, sig) rows, one per band. */
+  def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), explode(array((0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until BandSize).map(o => col(s"mh_${b * BandSize + o}")): _*).as("sig"))
+    }: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Candidate pairs: docs sharing at least one full band signature.
+    * Self-join keyed on (band, sig) — buckets are small by construction, so
+    * the blow-up is bounded; id_a < id_b canonicalizes, distinct dedups
+    * pairs found in several bands. */
+  def candidatePairs(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val b = bands(minhashSignatures(shingles(corpus, textCol, idCol)))
+    val l = b.select(col("band"), col("sig"), col("id").as("id_a"))
+    val r = b.select(col("band"), col("sig"), col("id").as("id_b"))
+    l.join(r, Seq("band", "sig")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** E1b — MinHash/LSH near-dup pairs, verified: candidates whose true
+    * shingle-set Jaccard ≥ `num/den` (default 3/5 = 0.6). The verification
+    * join only touches candidate pairs, not the full corpus product.
+    * Output is all-integer: (id_a, id_b, n_common, n_a, n_b). */
+  def nearDuplicatePairs(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      num: Int = 3, den: Int = 5): DataFrame = {
+    val sh = shingles(corpus, textCol, idCol)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = candidatePairs(corpus, textCol, idCol)
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      // jaccard = common/(a+b-common) >= num/den, in exact integer math
+      .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  val SimHashBits = 32
+
+  /** 32-bit token hash from the first 8 hex chars of md5 — engine-portable. */
+  def tokenHash32(tok: Column): Column = conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** E1c — 32-bit SimHash over the document's distinct-token set: bit j of
+    * the fingerprint is 1 iff Σ_tokens (±1 per token-hash bit j) > 0.
+    * One explode + one hash-aggregate with 32 codegen'd bit-sum columns —
+    * map-side combinable, no shuffle beyond the groupBy. */
+  def simhash(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = corpus
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+      .distinct()
+      .select(col("id"), tokenHash32(col("t")).as("h"))
+    val bitSums = tok.groupBy("id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s_0"),
+      (1 until SimHashBits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$j")): _*)
+    bitSums.select(col("id").as("doc_id"),
+      (0 until SimHashBits).map(j =>
+        when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column)
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash fingerprints (for near-dup
+    * thresholding; bit_count is codegen'd). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

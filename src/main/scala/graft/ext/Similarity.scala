@@ -1,0 +1,124 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKByScore.topKByScore
+
+/** Similarity search over an embedding column (SURVEY §2.13 E2).
+  *
+  * Two paths:
+  *   - [[topKCosine]] — exact brute-force: broadcast the (small) query set
+  *     against the corpus, score with codegen'd array expressions, reduce
+  *     with the bounded-heap [[graft.functions.TopKByScore]] aggregate
+  *     (partial aggregation keeps the shuffle at O(queries × k)).
+  *   - [[topKCosineLsh]] — the 100 TB path: random-hyperplane LSH buckets
+  *     (SimHash for vectors); candidates are joined per bucket so each
+  *     query only scores its bucket's corpus slice. Recall < 1 by design;
+  *     the bucket count (2^NumPlanes) tunes the recall/cost trade.
+  *
+  * Scoring is double-precision, computed by sequential fold over the array
+  * (`zip_with` + `aggregate`) — deterministic summation order.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param emb       (idCol, vecCol) table
+    * @param queryPred picks the query subset (must be small enough to
+    *                  broadcast — the usual ANN-benchmark shape)
+    * @return (query_id, neighbor_id, rnk) — rank 1..k by cosine desc,
+    *         neighbor_id asc on ties; self-matches excluded
+    */
+  def topKCosine(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"))
+    val corpus = emb.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  // -------------------------------------------------------------------
+  // Random-hyperplane LSH (bucketed ANN)
+  // -------------------------------------------------------------------
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** ±1 hyperplane weights, derived from md5 so the SQL oracle reproduces
+    * them exactly: weight(p, j) = +1 iff the first hex digit of
+    * md5("p_j") ≥ '8'. */
+  lazy val planeWeights: Array[Array[Int]] = {
+    Array.tabulate(NumPlanes, Dim) { (p, j) =>
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"${p}_$j".getBytes(StandardCharsets.UTF_8))
+      // first hex digit = high nibble of byte 0
+      if (((d(0) >> 4) & 0xf) >= 8) 1 else -1
+    }
+  }
+
+  /** LSH bucket id: bit p is set iff the projection onto hyperplane p is
+    * strictly positive. Pure codegen'd array math, map-side only. */
+  def bucket(vecCol: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val w = array(planeWeights(p).map(lit(_)): _*)
+      val proj = aggregate(
+        zip_with(vecCol, w, (x, wj) => x.cast("double") * wj.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L)): Column
+    }.reduce(_ + _)
+
+  /** Approximate top-k cosine: candidates restricted to the query's LSH
+    * bucket. The corpus is shuffled once on the bucket key (or the query
+    * side broadcast when small); within a bucket the bounded-heap aggregate
+    * reduces map-side. */
+  def topKCosineLsh(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withB = emb.select(col(idCol), col(vecCol), bucket(col(vecCol)).as("bucket"))
+    val queries = withB.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"), col("bucket"))
+    val corpus = withB.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** (query_id, score, neighbor_id) → (query_id, neighbor_id, rnk ≤ k) via
+    * the bounded-heap aggregate + posexplode. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos"), col("neighbor_id"), k).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rnk"))
+}

