@@ -30,10 +30,17 @@ object Checkpoint {
     val p = new org.apache.hadoop.fs.Path(changelogPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val row = spark.read.parquet(changelogPath)
-      .agg(max("commit_time"), max("changelog_id"), count(lit(1))).head()
-    if (row.getLong(2) == 0L) None
-    else Some((row.getTimestamp(0), row.getLong(1)))
+    try {
+      val row = spark.read.parquet(changelogPath)
+        .agg(max("commit_time"), max("changelog_id"), count(lit(1))).head()
+      if (row.getLong(2) == 0L) None
+      else Some((row.getTimestamp(0), row.getLong(1)))
+    } catch {
+      // A directory left behind by a failed/aborted first write contains no
+      // data files; treat it as a first run instead of wedging the table.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+    }
   }
 
   /** Compute the batch window ≙ :192-253.
@@ -49,21 +56,26 @@ object Checkpoint {
       compatMode: Boolean): Window = {
     val to = toDate.getOrElse(new Timestamp(System.currentTimeMillis()))
 
-    val minLsnTime = Option(feed.agg(min("commit_time")).head().getTimestamp(0))
-      .getOrElse(throw CdcErrors.toDateBeforeMinLsn(to.toString, "<empty feed>"))
-    // :225-229 — @to_date before the first captured change is a hard error
-    if (to.before(minLsnTime))
-      throw CdcErrors.toDateBeforeMinLsn(to.toString, minLsnTime.toString)
+    // :225-229 — @to_date before the first captured change is a hard error.
+    // Checked AFTER the checkpoint check below, in the reference's order.
+    def checkMinLsn(): Unit = {
+      val minLsnTime = Option(feed.agg(min("commit_time")).head().getTimestamp(0))
+        .getOrElse(throw CdcErrors.toDateBeforeMinLsn(to.toString, "<empty feed>"))
+      if (to.before(minLsnTime))
+        throw CdcErrors.toDateBeforeMinLsn(to.toString, minLsnTime.toString)
+    }
 
     sink match {
       case Some((hwm, _)) =>
         val from = if (compatMode) new Timestamp(hwm.getTime + 60000L) else hwm
-        // :217-223 — window must move forward
+        // :217-223 — window must move forward (this check precedes :225-229)
         if (to.before(from)) throw CdcErrors.toDateBeforeCheckpoint(to.toString, from.toString)
+        checkMinLsn()
         Window(Some(from), to, fromExclusive = !compatMode)
       case None =>
         // first run: everything from the feed's min commit time (:207-209,
         // 'smallest greater than or equal' boundary mode :248-251)
+        checkMinLsn()
         Window(None, to, fromExclusive = false)
     }
   }

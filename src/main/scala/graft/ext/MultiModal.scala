@@ -43,8 +43,8 @@ object MultiModal {
     * the video-keyframe access pattern, expressed as array-of-binary. */
   def frameSample(payload: Column, frameBytes: Int, stride: Int): Column =
     transform(
-      sequence(lit(0), greatest((octet_length(payload) - 1) / stride, lit(0))),
-      i => substring(payload, i * stride + 1, lit(frameBytes)))
+      sequence(lit(0L), greatest(floor((octet_length(payload) - 1) / stride).cast("long"), lit(0L))),
+      i => substring(payload, (i * stride + 1).cast("int"), lit(frameBytes)))
 
   /** DECODE STUB — deterministic fake feature vector (16 dims in [0,1])
     * derived from the payload's md5. A real deployment replaces this one

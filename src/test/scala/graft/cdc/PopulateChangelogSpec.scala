@@ -1,0 +1,127 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** End-to-end orchestration: the checkpoint-resume contract
+  * (usp_cdc_populate_changelog.sql:200-211) driven for real — initial
+  * populate, incremental resume, empty window, id continuation from the
+  * sink, partition layout, and usp_cdc_query_data over the result.
+  */
+class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
+
+  private val cfg = CdcTableConfig("orders", Seq("k"))
+
+  // day-1: one insert + one update pair; day-2: a delete + an update pair
+  private def fullFeed = feedKV(Seq(
+    (1L, 0L, 2, 3L, "1995-01-01 08:00:00", "a", "x"),
+    (2L, 0L, 3, 2L, "1995-01-01 09:00:00", "b", "v0"),
+    (2L, 0L, 4, 2L, "1995-01-01 09:00:00", "b", "v1"),
+    (3L, 0L, 1, 3L, "1995-01-02 08:00:00", "a", "x"),
+    (4L, 0L, 3, 2L, "1995-01-02 09:00:00", "c", "w0"),
+    (4L, 0L, 4, 2L, "1995-01-02 09:00:00", "c", "w1")))
+
+  test("populate twice: initial batch, then a resume window continuing ids") {
+    val path = Files.createTempDirectory("graft_e2e").resolve("orders_changelog").toString
+
+    // batch 1: everything committed on day 1
+    val r1 = PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 23:00:00")))
+    assert(r1.rowsInserted == 2, "insert sentinel + one update pair")
+    assert(r1.message == "2 orders changes were inserted to the orders_changelog.")
+    val after1 = spark.read.parquet(path)
+    assert(after1.count() == 2)
+    assert(after1.agg(max("changelog_id")).head().getLong(0) == 2L)
+
+    // batch 2: resume — only day-2 changes, ids continue from the sink
+    val r2 = PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
+    assert(r2.rowsInserted == 2, "delete sentinel + one update pair")
+    val after2 = spark.read.parquet(path)
+    assert(after2.count() == 4)
+    assert(after2.select("changelog_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L),
+      "contiguous ids across batches, no re-processing of batch 1")
+    // day-2 rows got the higher ids
+    val day2Ids = after2.where(col("commit_time") >= lit(ts("1995-01-02 00:00:00")))
+      .select("changelog_id").collect().map(_.getLong(0)).toSet
+    assert(day2Ids == Set(3L, 4L))
+
+    // batch 3: window already caught up -> zero rows, not an error
+    val r3 = PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
+    assert(r3.rowsInserted == 0)
+
+    // sink is partitioned by commit_date (the QueryData pruning contract)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("commit_date=1995-01-01", "commit_date=1995-01-02"))
+  }
+
+  test("distributedIds path writes the same rows as the window path") {
+    val base = Files.createTempDirectory("graft_e2e_dist")
+    val p1 = base.resolve("w").toString
+    val p2 = base.resolve("d").toString
+    PopulateChangelog.run(spark, fullFeed, cfg, p1, Some(ts("1995-01-03 00:00:00")))
+    PopulateChangelog.run(spark, fullFeed, cfg, p2, Some(ts("1995-01-03 00:00:00")),
+      distributedIds = true)
+    val cols = Seq("changelog_id", "commit_time", "table_name", "k",
+      "column_name", "old_value", "new_value")
+    val a = spark.read.parquet(p1).select(cols.map(col): _*).collect().toSet
+    val b = spark.read.parquet(p2).select(cols.map(col): _*).collect().toSet
+    assert(a == b)
+  }
+
+  test("queryData over a populated sink: day-granularity bounds + freshness warning") {
+    val path = Files.createTempDirectory("graft_e2e_qd").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-03 00:00:00")))
+
+    val catalog = new CdcCatalog
+    catalog.register(CdcTableEntry(cfg, feedPath = "unused", changelogPath = path))
+
+    // to_date truncates to MIDNIGHT of 01-02 (:54): day-2 09:00 rows excluded
+    val res = QueryData.run(spark, catalog, "orders",
+      ts("1995-01-01 00:00:00"), Some(ts("1995-01-02 10:00:00")))
+    assert(res.warning.startsWith("Data in this table was last refreshed on:"))
+    assert(res.warning.endsWith("If more recent data is needed contact the data engineering team."))
+    val times = res.data.select("commit_time").collect().map(_.getTimestamp(0)).toSet
+    assert(times == Set(ts("1995-01-01 08:00:00"), ts("1995-01-01 09:00:00")))
+
+    // fullDays=true extends the bound to the end of to_date's day
+    val full = QueryData.run(spark, catalog, "orders",
+      ts("1995-01-01 00:00:00"), Some(ts("1995-01-02 10:00:00")), fullDays = true)
+    assert(full.data.count() == 4)
+
+    // resolution quirks: _changelog / _ChangeLog suffixes resolve (:33-38)
+    assert(catalog.resolve("orders_changelog").changelogPath == path)
+    assert(catalog.resolve("Orders_ChangeLog").changelogPath == path)
+    val unknown = intercept[CdcValidationException] {
+      QueryData.run(spark, catalog, "nope", ts("1995-01-01 00:00:00"), Some(ts("1995-01-02 00:00:00")))
+    }
+    assert(unknown.getMessage == "The table: nope does not exist!")
+    val inverted = intercept[CdcValidationException] {
+      QueryData.run(spark, catalog, "orders", ts("1995-01-02 00:00:00"), Some(ts("1995-01-02 00:00:00")))
+    }
+    assert(inverted.getMessage ==
+      "The from date: 1995-01-02 00:00:00.0 must be less than the to date: 1995-01-02 00:00:00.0!")
+  }
+
+  test("compat +1-minute resume loses sub-minute changes end-to-end; default does not") {
+    def minuteFeed = feedKV(Seq(
+      (1L, 0L, 2, 3L, "1995-01-01 00:00:10", "a", "x"),
+      (2L, 0L, 2, 3L, "1995-01-01 00:00:40", "b", "y"),
+      (3L, 0L, 2, 3L, "1995-01-02 00:00:00", "c", "z")))
+    val base = Files.createTempDirectory("graft_e2e_compat")
+
+    val dflt = base.resolve("dflt").toString
+    PopulateChangelog.run(spark, minuteFeed, cfg, dflt, Some(ts("1995-01-01 00:00:20")))
+    PopulateChangelog.run(spark, minuteFeed, cfg, dflt, Some(ts("1995-01-03 00:00:00")))
+    assert(spark.read.parquet(dflt).count() == 3, "lossless resume catches the 00:00:40 insert")
+
+    val compat = base.resolve("compat").toString
+    val ccfg = cfg.copy(compatMode = true)
+    PopulateChangelog.run(spark, minuteFeed, ccfg, compat, Some(ts("1995-01-01 00:00:20")))
+    PopulateChangelog.run(spark, minuteFeed, ccfg, compat, Some(ts("1995-01-03 00:00:00")))
+    assert(spark.read.parquet(compat).count() == 2,
+      "the +1min skip (:203) permanently drops the same-minute insert")
+  }
+}

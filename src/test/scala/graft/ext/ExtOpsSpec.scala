@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.functions.TopKByScore.topKByScore
+
+/** Unit semantics of the E1–E4 operators on hand-built inputs (the graded
+  * fixture queries cover scale; these pin behavior and edge cases). */
+class ExtOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("topKByScore keeps the k best, ranks desc, breaks ties toward smaller id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("q", 0.9, 10L), ("q", 0.9, 3L), ("q", 0.5, 1L), ("q", 0.99, 7L), ("q", 0.1, 2L))
+      .toDF("q", "score", "id")
+      .repartition(8) // force partial-aggregate merges
+    val ids = df.groupBy("q").agg(topKByScore(col("score"), col("id"), 3).as("ids"))
+      .head().getAs[scala.collection.Seq[Long]]("ids").toSeq
+    assert(ids == Seq(7L, 3L, 10L), "0.99 first, then the 0.9 tie by smaller id")
+  }
+
+  test("topKByScore with fewer rows than k returns all, ordered") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("q", 0.2, 2L), ("q", 0.8, 1L)).toDF("q", "score", "id")
+    val ids = df.groupBy("q").agg(topKByScore(col("score"), col("id"), 5).as("ids"))
+      .head().getAs[scala.collection.Seq[Long]]("ids").toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
+  test("topKCosine finds the constructed nearest neighbors in order") {
+    val s = spark
+    import s.implicits._
+    // vec 0 is the query; 1 is nearly parallel, 2 is oblique, 3 is opposite
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(10.0f, 0.5f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.topKCosine(emb, col("vec_id") === 0, k = 2)
+      .orderBy("rnk").collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rnk")))
+    assert(got.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("dropExactDuplicates keeps the smallest id per content hash") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+
+  test("planted near-duplicates have small SimHash hamming distance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.simhash(DocFeed.withDups(docs))
+    val a = sh.withColumnRenamed("simhash", "h_a").withColumnRenamed("doc_id", "id_a")
+    val b = sh.withColumnRenamed("simhash", "h_b").withColumnRenamed("doc_id", "id_b")
+    val planted = a.join(b, col("id_b") === col("id_a") + DocFeed.NearDupOffset)
+      .select(Dedup.hammingDistance(col("h_a"), col("h_b")).as("d"))
+    val maxPlanted = planted.agg(max("d")).head().getInt(0)
+    assert(planted.count() == 50)
+    assert(maxPlanted <= 8, s"near-dups should be close in hamming space, max was $maxPlanted")
+  }
+
+  test("sniffFormat recognizes magic numbers") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("jpeg", Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)),
+      ("png", Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)),
+      ("riff", "RIFF1234".getBytes("UTF-8")),
+      ("raw", "hello world".getBytes("UTF-8")))
+      .toDF("expected", "payload")
+    val got = df.select(col("expected"), MultiModal.sniffFormat(col("payload")).as("fmt"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (exp, fmt) => assert(exp == fmt) }
+  }
+
+  test("frameSample slices fixed-width frames at the stride") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1("abcdefghij".getBytes("UTF-8"))).toDF("payload")
+    val frames = df.select(MultiModal.frameSample(col("payload"), frameBytes = 3, stride = 4).as("f"))
+      .head().getAs[scala.collection.Seq[Array[Byte]]]("f").toSeq.map(new String(_, "UTF-8"))
+    assert(frames == Seq("abc", "efg", "ij"))
+  }
+
+  test("fakeFeatures is a deterministic 16-dim vector in [0,1]") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1("some payload".getBytes("UTF-8"))).toDF("payload")
+    val f1 = df.select(MultiModal.fakeFeatures(col("payload")).as("f")).head().getAs[scala.collection.Seq[Double]]("f").toSeq
+    val f2 = df.select(MultiModal.fakeFeatures(col("payload")).as("f")).head().getAs[scala.collection.Seq[Double]]("f").toSeq
+    assert(f1 == f2)
+    assert(f1.length == 16)
+    assert(f1.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("languageId picks the list-order winner on ties and 'und' on no hits") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the el und zzz"), (2L, "zzz yyy")).toDF("doc_id", "text")
+    val got = TextOps.languageId(df).select("doc_id", "pred_lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "en", "en and es tie at 1 hit; earlier list entry wins")
+    assert(got(2L) == "und")
+  }
+}
