@@ -25,6 +25,36 @@ object PopulateChangelog {
 
   val AuditCols: Seq[String] = Seq("created_dt", "created_by")
 
+  /** Build + id-assign + stamp + append one batch of feed rows; returns the
+    * appended row count. Shared by the batch orchestrator and the streaming
+    * foreachBatch sink. The row count rides on the write itself via
+    * `observe` — no re-evaluation and, critically, no O(history) rescan of
+    * the sink (the reference re-counts the whole changelog, :397-399).
+    */
+  def stampAndAppend(
+      spark: SparkSession,
+      batch: DataFrame,
+      cfg: CdcTableConfig,
+      changelogPath: String,
+      offset: Long,
+      distributedIds: Boolean = false): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val changelog = ChangelogBuilder.build(batch, cfg)
+    val withIds =
+      if (distributedIds) ChangelogBuilder.withIdsDistributed(changelog, cfg, offset)
+      else ChangelogBuilder.withIds(changelog, cfg, offset)
+    val stamped = withIds
+      .withColumn("created_dt", current_timestamp())
+      .withColumn("created_by", lit(spark.sparkContext.sparkUser))
+      .withColumn("commit_date", to_date(col("commit_time")))
+      .observe(obs, count(lit(1)).as("n"))
+    stamped.write
+      .mode(SaveMode.Append)
+      .partitionBy("commit_date")
+      .parquet(changelogPath)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   def run(
       spark: SparkSession,
       feed: DataFrame,
@@ -48,25 +78,7 @@ object PopulateChangelog {
     // (SURVEY §7.5.8) instead of four times.
     val windowed = Checkpoint.applyWindow(feed, window).cache()
 
-    // Batch row count rides on the write itself via `observe` — no
-    // re-evaluation and, critically, no O(history) rescan of the sink.
-    val obs = org.apache.spark.sql.Observation()
-    val result = Try {
-      val changelog = ChangelogBuilder.build(windowed, cfg)
-      val withIds =
-        if (distributedIds) ChangelogBuilder.withIdsDistributed(changelog, cfg, offset)
-        else ChangelogBuilder.withIds(changelog, cfg, offset)
-      val stamped = withIds
-        .withColumn("created_dt", current_timestamp())
-        .withColumn("created_by", lit(spark.sparkContext.sparkUser))
-        .withColumn("commit_date", to_date(col("commit_time")))
-        .observe(obs, count(lit(1)).as("n"))
-      stamped.write
-        .mode(SaveMode.Append)
-        .partitionBy("commit_date")
-        .parquet(changelogPath)
-      obs.get("n").asInstanceOf[Long]
-    }
+    val result = Try(stampAndAppend(spark, windowed, cfg, changelogPath, offset, distributedIds))
     windowed.unpersist()
 
     result match {

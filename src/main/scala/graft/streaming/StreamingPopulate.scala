@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.{CdcTableConfig, Checkpoint, PopulateChangelog}
+
+/** Structured-Streaming populate mode (SURVEY §2.11, §7.2-6).
+  *
+  * The reference is an incremental pipeline run as repeated procedure
+  * invocations, each consuming one LSN window with the sink as its
+  * checkpoint (usp_cdc_populate_changelog.sql:200-211, :241-253). The
+  * streaming-native restatement: `readStream` discovers new feed files,
+  * `Trigger.AvailableNow` drains what exists and stops (≙ one procedure
+  * invocation), the stream's `checkpointLocation` replaces the LSN-window
+  * bookkeeping (exactly-once file discovery), and each micro-batch runs the
+  * same build→ids→append as the batch path, with the id offset continuing
+  * from the sink snapshot.
+  *
+  * At scale this is the preferred ingestion mode: micro-batches bound the
+  * id-assignment sort (SURVEY §7.5.4), file discovery is incremental
+  * (no re-scan of consumed input), and the sink stays append-only,
+  * partitioned by commit_date.
+  */
+object StreamingPopulate {
+
+  /** Drain all currently-available feed files into the changelog, then
+    * return. Re-invoke after new files land (≙ re-running the procedure);
+    * `checkpointLocation` guarantees each file is consumed exactly once.
+    *
+    * @param maxFilesPerTrigger bounds micro-batch size (id-sort memory);
+    *                           None = one batch for all available files
+    * @return total rows appended across this invocation's micro-batches
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      feedPath: String,
+      feedSchema: StructType,
+      cfg: CdcTableConfig,
+      changelogPath: String,
+      checkpointLocation: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      distributedIds: Boolean = false): Long = {
+
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    val reader = spark.readStream.schema(feedSchema)
+    val withOpts = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val feed = withOpts.parquet(feedPath)
+
+    val query = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appended.addAndGet(appendBatch(batch, cfg, changelogPath, distributedIds))
+        ()
+      }
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    appended.get()
+  }
+
+  /** One micro-batch: continue ids from the sink's max, then append via the
+    * shared batch path. Micro-batches within a query run sequentially, so
+    * the one-snapshot-per-batch id contract holds like the batch mode. */
+  def appendBatch(
+      batch: DataFrame,
+      cfg: CdcTableConfig,
+      changelogPath: String,
+      distributedIds: Boolean = false): Long = {
+    if (batch.isEmpty) return 0L
+    val spark = batch.sparkSession
+    val offset = Checkpoint.sinkState(spark, changelogPath).map(_._2).getOrElse(0L)
+    val cached = batch.cache()
+    try PopulateChangelog.stampAndAppend(spark, cached, cfg, changelogPath, offset, distributedIds)
+    finally cached.unpersist()
+  }
+}
