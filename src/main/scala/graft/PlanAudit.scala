@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit over the graded queries: per query, the counts that
+  * matter at 100 TB — parquet scans (scan reuse), Window operators
+  * (single-partition funnels show up here), and shuffles. Run with an
+  * optional query-name filter; add `-v` to dump the formatted plan.
+  *
+  * {{{ sbt "runMain graft.PlanAudit [-v] [query ...]" }}}
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val verbose = args.contains("-v")
+    val only = args.filterNot(_ == "-v").toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.isEmpty || only.contains(name)) {
+        val qe = fn(spark, dir).queryExecution
+        val plan = qe.executedPlan.toString
+        val scans = "Scan parquet".r.findAllIn(plan).length
+        val windows = plan.linesIterator.count(_.matches(".*\\bWindow\\b.*"))
+        val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+        println(f"$name%-28s scans=$scans%-3d windows=$windows%-3d exchanges=$exchanges")
+        if (verbose) println(qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -13,6 +13,11 @@ import graft.oracle.{ExtOracle, OrdersCdcOracle}
 object SparkEntry {
 
   private val ordersCfg = CdcTableConfig("orders", Seq("o_orderkey"))
+  private val ordersCompatCfg = ordersCfg.copy(compatMode = true)
+  private val lineitemCfg = CdcTableConfig("lineitem", Seq("l_orderkey", "l_linenumber"))
+
+  private val changelogCols = Seq("changelog_id", "commit_time", "table_name", "o_orderkey",
+    "column_name", "old_value", "new_value")
 
   private def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
@@ -63,7 +68,8 @@ object SparkEntry {
     "cdc_unpivot" -> ((s, dir) =>
       ChangelogBuilder.unpivoted(feed(s, dir), ordersCfg)
         .select(col("start_lsn"), col("seqval"), col("operation"),
-          col(ChangelogBuilder.keyId("o_orderkey")).as("pk"), col("column_name"), col("value"))
+          col(ChangelogBuilder.keyId("o_orderkey")).as("o_orderkey"),
+          col("column_name"), col("value"))
         .orderBy("start_lsn", "seqval", "operation", "column_name", "value")),
 
     // J1 — before⋈after equi-join on (lsn, seqval, column, pk)
@@ -83,17 +89,44 @@ object SparkEntry {
         max(col("commit_time")).as("max_time"),
         count(lit(1)).as("n_changes"))),
 
-    // S3/P3 — day-granularity time-range scan over the changelog
+    // S3/P3 — time-range scan over the changelog (commit_time is now
+    // monotone in start_lsn: base 1995-01-01 + lsn seconds)
     "cdc_query_data" -> ((s, dir) =>
       ChangelogBuilder.build(feed(s, dir), ordersCfg)
-        .where(col("commit_time") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("commit_time") <= lit("1997-06-01 00:00:00").cast("timestamp"))
+        .where(col("commit_time") >= lit("1995-01-01 00:10:00").cast("timestamp") &&
+          col("commit_time") <= lit("1995-01-01 02:00:00").cast("timestamp"))
         .orderBy(col("commit_time"), col("o_orderkey"), col("column_name").asc_nulls_first,
           col("old_value").asc_nulls_first, col("new_value").asc_nulls_first)),
 
     // A3 — freshness watermark, reference's lexicographic mm/dd/yyyy quirk
     "cdc_freshness" -> ((s, dir) =>
       feed(s, dir).agg(max(date_format(col("commit_time"), "MM/dd/yyyy")).as("freshness"))),
+
+    // §2.5 scale path — distributed id assignment (sort + zipWithIndex, no
+    // single-partition window); oracle identical to cdc_changelog
+    "cdc_changelog_dist" -> ((s, dir) =>
+      ChangelogBuilder.withIdsDistributed(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+        .select(changelogCols.map(col): _*)
+        .orderBy("changelog_id")),
+
+    // compat variant — seqval-less join fan-out (:361-364) + VARCHAR(128)
+    // truncation (:148-150), the reference's bug-for-bug mode
+    "cdc_changelog_compat" -> ((s, dir) =>
+      ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCompatCfg), ordersCompatCfg)
+        .select(changelogCols.map(col): _*)
+        .orderBy("changelog_id")),
+
+    // composite primary key (l_orderkey, l_linenumber), reference :82-133
+    "cdc_changelog_composite" -> ((s, dir) =>
+      ChangelogBuilder.withIds(
+        ChangelogBuilder.build(
+          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet")), lineitemCfg),
+        lineitemCfg)
+        .select(Seq("changelog_id", "commit_time", "table_name", "l_orderkey", "l_linenumber",
+          "column_name", "old_value", "new_value").map(col): _*)
+        .orderBy("changelog_id")),
 
     // E1a — exact dedup: content-hash groups with survivor id + copy count
     "ext_dedup_exact" -> ((s, dir) =>
@@ -152,6 +185,9 @@ object SparkEntry {
     "cdc_window_agg" -> OrdersCdcOracle.windowAggSql,
     "cdc_query_data" -> OrdersCdcOracle.queryDataSql,
     "cdc_freshness" -> OrdersCdcOracle.freshnessSql,
+    "cdc_changelog_dist" -> OrdersCdcOracle.changelogSql,
+    "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
+    "cdc_changelog_composite" -> OrdersCdcOracle.lineitem.changelogSql,
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
     "ext_simhash" -> ExtOracle.simhashSql,

@@ -53,7 +53,7 @@ object ChangeFeed {
   val BitPrio: Long = 1L << 5
   val AllBits: Long = 63L
 
-  /** Deterministic CDC feed derived from `orders` (m = o_orderkey % 10):
+  /** Deterministic CDC feed over `orders` (m = o_orderkey % 10):
     *   m=0      → insert (op 2)
     *   m=1      → delete (op 1)
     *   m∈{2,3}  → update of o_orderstatus + o_totalprice
@@ -61,36 +61,74 @@ object ChangeFeed {
     *   m=5      → same-txn double update, two seqvals      (pins SURVEY §7.5.2)
     *   m=7      → update with the PK mask bit set           (pins SURVEY §2.8)
     *   m∈{6,8,9}→ unchanged (no feed rows)
+    *
+    * start_lsn = o_orderkey; commit_time = base + lsn seconds (monotone in
+    * lsn, adjacent txns in the same minute — FeedSpec scaladoc).
     */
-  def fromOrders(orders: DataFrame): DataFrame = {
-    val m = col("o_orderkey") % 10
+  val ordersSpec: FeedSpec = FeedSpec(
+    table = "orders",
+    srcCols = OrdersCols,
+    lsn = "o_orderkey",
+    branches = Seq(
+      FeedBranch("o_orderkey % 10 = 0", OpInsert, AllBits, 0),
+      FeedBranch("o_orderkey % 10 = 1", OpDelete, AllBits, 0),
+      FeedBranch("o_orderkey % 10 IN (2, 3)", OpUpdateBefore, BitStatus | BitTotal, 0),
+      FeedBranch("o_orderkey % 10 IN (2, 3)", OpUpdateAfter, BitStatus | BitTotal, 0,
+        Map("o_orderstatus" -> "'X'", "o_totalprice" -> "o_totalprice + 1.0")),
+      FeedBranch("o_orderkey % 10 = 4", OpUpdateBefore, BitPrio, 0),
+      FeedBranch("o_orderkey % 10 = 4", OpUpdateAfter, BitPrio, 0,
+        Map("o_orderpriority" -> "NULL")),
+      FeedBranch("o_orderkey % 10 = 5", OpUpdateBefore, BitStatus, 0),
+      FeedBranch("o_orderkey % 10 = 5", OpUpdateAfter, BitStatus, 0, Map("o_orderstatus" -> "'A'")),
+      FeedBranch("o_orderkey % 10 = 5", OpUpdateBefore, BitStatus, 1, Map("o_orderstatus" -> "'A'")),
+      FeedBranch("o_orderkey % 10 = 5", OpUpdateAfter, BitStatus, 1, Map("o_orderstatus" -> "'B'")),
+      FeedBranch("o_orderkey % 10 = 7", OpUpdateBefore, BitPk | BitStatus, 0),
+      FeedBranch("o_orderkey % 10 = 7", OpUpdateAfter, BitPk | BitStatus, 0,
+        Map("o_orderstatus" -> "'Y'"))))
 
-    def branch(filter: Column, op: Int, mask: Long, seq: Long,
-               overrides: Map[String, Column] = Map.empty): DataFrame =
-      orders.where(filter).select(
-        (Seq(
-          col("o_orderkey").cast("long").as("start_lsn"),
-          lit(seq).as("seqval"),
-          lit(op).as("operation"),
-          lit(mask).as("update_mask"),
-          col("o_orderdate").as("commit_time")) ++
-          OrdersCols.map(c => overrides.getOrElse(c, col(c)).as(c))): _*)
+  def fromOrders(orders: DataFrame): DataFrame = ordersSpec.toFeed(orders)
 
-    Seq(
-      branch(m === 0, OpInsert, AllBits, 0),
-      branch(m === 1, OpDelete, AllBits, 0),
-      branch(m.isin(2, 3), OpUpdateBefore, BitStatus | BitTotal, 0),
-      branch(m.isin(2, 3), OpUpdateAfter, BitStatus | BitTotal, 0,
-        Map("o_orderstatus" -> lit("X"), "o_totalprice" -> (col("o_totalprice") + lit(1.0)))),
-      branch(m === 4, OpUpdateBefore, BitPrio, 0),
-      branch(m === 4, OpUpdateAfter, BitPrio, 0,
-        Map("o_orderpriority" -> lit(null).cast("string"))),
-      branch(m === 5, OpUpdateBefore, BitStatus, 0),
-      branch(m === 5, OpUpdateAfter, BitStatus, 0, Map("o_orderstatus" -> lit("A"))),
-      branch(m === 5, OpUpdateBefore, BitStatus, 1, Map("o_orderstatus" -> lit("A"))),
-      branch(m === 5, OpUpdateAfter, BitStatus, 1, Map("o_orderstatus" -> lit("B"))),
-      branch(m === 7, OpUpdateBefore, BitPk | BitStatus, 0),
-      branch(m === 7, OpUpdateAfter, BitPk | BitStatus, 0, Map("o_orderstatus" -> lit("Y")))
-    ).reduce(_ unionByName _)
-  }
+  // ---------------------------------------------------------------------
+  // Composite-PK twin over `lineitem` (FIXTURES.md B1; reference composite
+  // key split usp_cdc_populate_changelog.sql:82-133). Key =
+  // (l_orderkey, l_linenumber); start_lsn = l_orderkey*8 + l_linenumber
+  // (monotone per order, unique per line).
+  // ---------------------------------------------------------------------
+
+  val LineitemCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private def liBit(c: String): Long = 1L << LineitemCols.indexOf(c)
+  val LiAllBits: Long = (1L << LineitemCols.size) - 1
+
+  /** m = (l_orderkey * 7 + l_linenumber) % 10 spreads ops across lines of
+    * the same order; includes the same pinned edge cases as the orders
+    * feed (NULL transition, double update, PK-bit update). */
+  val lineitemSpec: FeedSpec = FeedSpec(
+    table = "lineitem",
+    srcCols = LineitemCols,
+    lsn = "l_orderkey * 8 + l_linenumber",
+    branches = {
+      def m(v: String) = s"(l_orderkey * 7 + l_linenumber) % 10 $v"
+      Seq(
+        FeedBranch(m("= 0"), OpInsert, LiAllBits, 0),
+        FeedBranch(m("= 1"), OpDelete, LiAllBits, 0),
+        FeedBranch(m("IN (2, 3)"), OpUpdateBefore, liBit("l_quantity") | liBit("l_extendedprice"), 0),
+        FeedBranch(m("IN (2, 3)"), OpUpdateAfter, liBit("l_quantity") | liBit("l_extendedprice"), 0,
+          Map("l_quantity" -> "l_quantity + 1.0", "l_extendedprice" -> "l_extendedprice + 2.0")),
+        FeedBranch(m("= 4"), OpUpdateBefore, liBit("l_returnflag"), 0),
+        FeedBranch(m("= 4"), OpUpdateAfter, liBit("l_returnflag"), 0,
+          Map("l_returnflag" -> "NULL")),
+        FeedBranch(m("= 5"), OpUpdateBefore, liBit("l_linestatus"), 0),
+        FeedBranch(m("= 5"), OpUpdateAfter, liBit("l_linestatus"), 0, Map("l_linestatus" -> "'A'")),
+        FeedBranch(m("= 5"), OpUpdateBefore, liBit("l_linestatus"), 1, Map("l_linestatus" -> "'A'")),
+        FeedBranch(m("= 5"), OpUpdateAfter, liBit("l_linestatus"), 1, Map("l_linestatus" -> "'B'")),
+        FeedBranch(m("= 7"), OpUpdateBefore, liBit("l_linenumber") | liBit("l_linestatus"), 0),
+        FeedBranch(m("= 7"), OpUpdateAfter, liBit("l_linenumber") | liBit("l_linestatus"), 0,
+          Map("l_linestatus" -> "'Y'")))
+    },
+    dedupKeys = Seq("l_orderkey", "l_linenumber"))
+
+  def fromLineitem(lineitem: DataFrame): DataFrame = lineitemSpec.toFeed(lineitem)
 }

@@ -97,43 +97,71 @@ object ChangelogBuilder {
       .where(col("value").isNotNull)
   }
 
-  /** Stage 3 — before⋈after equi-join (:340,:361-364), one row per
+  /** Stage 3 — before⋈after pairing (:340,:361-364), one row per
     * (transaction, key, changed column) carrying old_value + new_value.
-    * Default joins on seqval too (correct for same-txn multi-updates);
-    * compatMode drops it like the reference. Self-join on one filtered feed:
-    * Spark shuffles both sides on the same key — no broadcast (both sides
-    * are the same size by construction). */
+    *
+    * Default mode pairs per `(start_lsn, seqval, column, pk)` — and since
+    * CDC emits at most ONE before and ONE after image per such key, the
+    * equi-join collapses into a single-pass conditional AGGREGATION: one
+    * scan, one shuffle, map-side partial aggregation, instead of a
+    * self-join reading the feed twice. The inner-join semantics (a pair
+    * survives only when both sides survived the NULL-drop) become a
+    * post-aggregation filter; `strictNulls` keeps one-sided groups
+    * (≙ full-outer).
+    *
+    * compatMode drops seqval from the key like the reference (:361-364),
+    * whose POINT is the many-to-many fan-out across same-transaction
+    * updates — only expressible as a real join, so it keeps the shuffled
+    * self-join (both sides equal-size: correctly not broadcast). */
   def updatePairs(feed: DataFrame, cfg: CdcTableConfig): DataFrame = {
     val keyIds = cfg.keyCols.map(keyId)
-    val joinKeys = Seq("start_lsn", "column_name") ++ keyIds ++
-      (if (cfg.compatMode) Nil else Seq("seqval"))
     val long = unpivoted(feed, cfg)
-    val before = long.where(col("operation") === OpUpdateBefore)
-      .select(joinKeys.map(col) ++
-        Seq(col("commit_time").as("__b_ct"), col("value").as("old_value")): _*)
-    val after = long.where(col("operation") === OpUpdateAfter)
-      .select(joinKeys.map(col) ++
-        Seq(col("commit_time").as("__a_ct"), col("value").as("new_value")): _*)
-    val joinType = if (cfg.strictNulls) "full_outer" else "inner"
-    before.join(after, joinKeys, joinType).select(
-      (Seq(coalesce(col("__b_ct"), col("__a_ct")).as("commit_time"),
-        lit(cfg.tableName).as("table_name")) ++
-        cfg.keyCols.map(k => col(keyId(k)).as(k)) ++
-        ValueCols.map(col)): _*)
+    if (!cfg.compatMode) {
+      val groupKeys = Seq("start_lsn", "seqval", "column_name") ++ keyIds
+      val agged = long
+        .groupBy(groupKeys.map(col): _*)
+        .agg(
+          max(col("commit_time")).as("commit_time"),
+          max(when(col("operation") === OpUpdateBefore, col("value"))).as("old_value"),
+          max(when(col("operation") === OpUpdateAfter, col("value"))).as("new_value"))
+      val paired =
+        if (cfg.strictNulls) agged
+        else agged.where(col("old_value").isNotNull && col("new_value").isNotNull)
+      paired.select(
+        (Seq(col("commit_time"), lit(cfg.tableName).as("table_name")) ++
+          cfg.keyCols.map(k => col(keyId(k)).as(k)) ++
+          ValueCols.map(col)): _*)
+    } else {
+      val joinKeys = Seq("start_lsn", "column_name") ++ keyIds
+      val before = long.where(col("operation") === OpUpdateBefore)
+        .select(joinKeys.map(col) ++
+          Seq(col("commit_time").as("__b_ct"), col("value").as("old_value")): _*)
+      val after = long.where(col("operation") === OpUpdateAfter)
+        .select(joinKeys.map(col) ++
+          Seq(col("commit_time").as("__a_ct"), col("value").as("new_value")): _*)
+      val joinType = if (cfg.strictNulls) "full_outer" else "inner"
+      before.join(after, joinKeys, joinType).select(
+        (Seq(coalesce(col("__b_ct"), col("__a_ct")).as("commit_time"),
+          lit(cfg.tableName).as("table_name")) ++
+          cfg.keyCols.map(k => col(keyId(k)).as(k)) ++
+          ValueCols.map(col)): _*)
+    }
   }
 
   /** Stage 4 — DELETE/INSERT record-level sentinel rows (:365-386):
-    * column_name NULL, old_value='DELETED RECORD' / new_value='NEW RECORD'. */
-  def sentinels(feed: DataFrame, cfg: CdcTableConfig): DataFrame = {
-    def branch(op: Int, oldV: Column, newV: Column): DataFrame =
-      feed.where(col("operation") === op).select(
-        (Seq(col("commit_time"), lit(cfg.tableName).as("table_name")) ++
-          cfg.keyCols.map(k => erase(col(k), cfg).as(k)) ++
-          Seq(lit(null).cast("string").as("column_name"),
-            oldV.as("old_value"), newV.as("new_value"))): _*)
-    branch(OpDelete, lit("DELETED RECORD"), lit(null).cast("string"))
-      .unionByName(branch(OpInsert, lit(null).cast("string"), lit("NEW RECORD")))
-  }
+    * column_name NULL, old_value='DELETED RECORD' / new_value='NEW RECORD'.
+    * The reference generates two UNION'd SELECTs over the change table;
+    * one filtered scan with a conditional projection is equivalent and
+    * halves the feed reads. */
+  def sentinels(feed: DataFrame, cfg: CdcTableConfig): DataFrame =
+    feed.where(col("operation").isin(OpDelete, OpInsert)).select(
+      (Seq(col("commit_time"), lit(cfg.tableName).as("table_name")) ++
+        cfg.keyCols.map(k => erase(col(k), cfg).as(k)) ++
+        Seq(lit(null).cast("string").as("column_name"),
+          when(col("operation") === OpDelete, lit("DELETED RECORD"))
+            .otherwise(lit(null).cast("string")).as("old_value"),
+          when(col("operation") === OpInsert, lit("NEW RECORD"))
+            .otherwise(lit(null).cast("string")).as("new_value"))): _*)
 
   /** The full changelog transform: updates ∪ sentinels (:365,:376).
     * Output: commit_time, table_name, one string column per key,

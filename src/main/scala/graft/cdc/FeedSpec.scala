@@ -1,0 +1,105 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One branch of a synthetic CDC feed: which source rows participate
+  * (`cond`), the operation/mask/seqval stamped on them, and per-column
+  * value overrides. All SQL fragments are written in the dialect
+  * intersection parseable by BOTH Spark's `expr()` and DuckDB, so a single
+  * definition drives the Spark feed and its oracle mirror.
+  */
+final case class FeedBranch(
+    cond: String,
+    op: Int,
+    mask: Long,
+    seq: Long,
+    overrides: Map[String, String] = Map.empty)
+
+/** Declarative synthetic-CDC-feed spec over a driver fixture table
+  * (FIXTURES.md B1): the single source of truth for both the Spark feed
+  * ([[toFeed]] — ONE scan) and the DuckDB oracle ([[feedSql]]).
+  *
+  * `commit_time` is derived monotonically from `start_lsn` (base instant +
+  * lsn seconds), honoring the `fn_cdc_map_lsn_to_time` contract the
+  * checkpoint window math relies on (usp_cdc_populate_changelog.sql:278,
+  * :241-253): LSN order == commit-time order, same-transaction rows share
+  * one commit_time, and adjacent transactions land in the same minute
+  * (pinning the +1-minute compat gap).
+  */
+/** @param dedupKeys when non-empty, the source is first reduced to one row
+  *                   per key (min() of every other column) — a CDC feed
+  *                   requires unique row identity, which the driver's
+  *                   "TPC-H-ish" lineitem fixture does not have on
+  *                   (l_orderkey, l_linenumber).
+  */
+final case class FeedSpec(
+    table: String,
+    srcCols: Seq[String],
+    lsn: String,
+    branches: Seq[FeedBranch],
+    dedupKeys: Seq[String] = Nil) {
+
+  val commitBase = "1995-01-01 00:00:00"
+
+  def sparkCommitTime: Column =
+    expr(s"TIMESTAMP '$commitBase' + make_dt_interval(0, 0, 0, CAST($lsn AS BIGINT))")
+
+  def duckCommitTime: String =
+    s"TIMESTAMP '$commitBase' + to_seconds(CAST($lsn AS BIGINT))"
+
+  /** The Spark feed as a SINGLE scan of the source: each source row maps to
+    * an array of per-branch structs (null when the row isn't in the
+    * branch), filtered and exploded. The 100 TB shape: the reference's
+    * 12-branch UNION over the same table would scan it 12 times per
+    * consumer sub-tree; this scans once, total, per consumer.
+    */
+  def toFeed(src0: DataFrame): DataFrame = {
+    val src =
+      if (dedupKeys.isEmpty) src0
+      else {
+        val rest = srcCols.filterNot(dedupKeys.contains)
+        src0.groupBy(dedupKeys.map(col): _*)
+          .agg(min(col(rest.head)).as(rest.head),
+            rest.tail.map(c => min(col(c)).as(c)): _*)
+          .select(srcCols.map(col): _*)
+      }
+    val structs = branches.map { b =>
+      when(expr(b.cond), struct(
+        (Seq(
+          expr(lsn).cast("long").as("start_lsn"),
+          lit(b.seq).cast("long").as("seqval"),
+          lit(b.op).as("operation"),
+          lit(b.mask).as("update_mask"),
+          sparkCommitTime.as("commit_time")) ++
+          srcCols.map { c =>
+            b.overrides.get(c).map(expr).getOrElse(col(c))
+              .cast(src.schema(c).dataType).as(c)
+          }): _*))
+    }
+    src
+      .select(explode(filter(array(structs: _*), s => s.isNotNull)).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** DuckDB mirror of [[toFeed]] (one SELECT per branch; the oracle need
+    * not be single-scan — DuckDB only runs at test scale). */
+  def feedSql: String = {
+    val source =
+      if (dedupKeys.isEmpty) table
+      else {
+        val aggCols = srcCols
+          .map(c => if (dedupKeys.contains(c)) c else s"min($c) AS $c")
+          .mkString(", ")
+        s"(SELECT $aggCols FROM $table GROUP BY ${dedupKeys.mkString(", ")})"
+      }
+    branches.map { b =>
+      val proj = srcCols
+        .map(c => b.overrides.get(c).map(o => s"$o AS $c").getOrElse(c))
+        .mkString(", ")
+      s"SELECT CAST($lsn AS BIGINT) AS start_lsn, CAST(${b.seq} AS BIGINT) AS seqval, " +
+        s"${b.op} AS operation, CAST(${b.mask} AS BIGINT) AS update_mask, " +
+        s"$duckCommitTime AS commit_time, $proj FROM $source AS src WHERE ${b.cond}"
+    }.mkString("\n  UNION ALL\n  ")
+  }
+}

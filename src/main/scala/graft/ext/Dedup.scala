@@ -84,8 +84,11 @@ object Dedup {
     * Self-join keyed on (band, sig) — buckets are small by construction, so
     * the blow-up is bounded; id_a < id_b canonicalizes, distinct dedups
     * pairs found in several bands. */
-  def candidatePairs(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val b = bands(minhashSignatures(shingles(corpus, textCol, idCol)))
+  def candidatePairs(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bandedCandidates(shingles(corpus, textCol, idCol))
+
+  private def bandedCandidates(sh: DataFrame): DataFrame = {
+    val b = bands(minhashSignatures(sh))
     val l = b.select(col("band"), col("sig"), col("id").as("id_a"))
     val r = b.select(col("band"), col("sig"), col("id").as("id_b"))
     l.join(r, Seq("band", "sig")).where(col("id_a") < col("id_b"))
@@ -101,9 +104,13 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       num: Int = 3, den: Int = 5): DataFrame = {
-    val sh = shingles(corpus, textCol, idCol)
+    // The shingle set feeds five sub-trees (signatures, both sides of the
+    // verify join, both size lookups); cache it so the corpus is shingled
+    // once, not five times. At warehouse scale this intermediate would be
+    // materialized to storage instead — same shape.
+    val sh = shingles(corpus, textCol, idCol).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = candidatePairs(corpus, textCol, idCol)
+    val common = bandedCandidates(sh)
       .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))

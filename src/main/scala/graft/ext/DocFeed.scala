@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Derived document corpus for the dedup/text-analysis operators (E1/E3).
@@ -21,15 +21,20 @@ object DocFeed {
   val NearDupOffset = 2000000L
 
   def withDups(documents: DataFrame): DataFrame = {
-    val base = documents.select("doc_id", "text", "lang", "source", "n_chars")
-    val exact = documents.where(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + lit(ExactDupOffset)).as("doc_id"),
-      col("text"), col("lang"), lit("dup_exact").as("source"), col("n_chars"))
-    val near = documents.where(col("doc_id") % 10 === 1).select(
-      (col("doc_id") + lit(NearDupOffset)).as("doc_id"),
-      concat(col("text"), lit(" qq zz")).as("text"),
-      col("lang"), lit("dup_near").as("source"),
-      (col("n_chars") + lit(6L)).as("n_chars"))
-    base.unionByName(exact).unionByName(near)
+    // Single scan: each source row explodes into the 1-3 corpus rows it
+    // contributes (a UNION of filtered selects would scan documents three
+    // times per consumer sub-tree).
+    def row(id: Column, text: Column, source: Column, nChars: Column) =
+      struct(id.cast("long").as("doc_id"), text.as("text"), col("lang").as("lang"),
+        source.as("source"), nChars.cast("long").as("n_chars"))
+    documents.select(explode(filter(array(
+      row(col("doc_id"), col("text"), col("source"), col("n_chars")),
+      when(col("doc_id") % 10 === 0,
+        row(col("doc_id") + lit(ExactDupOffset), col("text"), lit("dup_exact"), col("n_chars"))),
+      when(col("doc_id") % 10 === 1,
+        row(col("doc_id") + lit(NearDupOffset), concat(col("text"), lit(" qq zz")),
+          lit("dup_near"), col("n_chars") + lit(6L)))),
+      r => r.isNotNull)).as("__r"))
+      .select(col("__r.*"))
   }
 }

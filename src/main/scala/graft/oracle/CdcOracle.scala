@@ -1,0 +1,167 @@
+package graft.oracle
+
+import graft.cdc.FeedSpec
+
+/** Generic DuckDB mirror of the changelog pipeline for any [[FeedSpec]] —
+  * one generator drives the orders feed, the composite-key lineitem twin,
+  * and the compat variants, so Spark and oracle cannot drift per-table.
+  *
+  * @param joinOnSeqval default true (exact same-txn pairing); false ≙ the
+  *                     reference's seqval-less join fan-out
+  *                     (usp_cdc_populate_changelog.sql:361-364)
+  * @param truncate128  ≙ compatMode VARCHAR(128) erasure (:148-150)
+  */
+final class CdcOracle(
+    spec: FeedSpec,
+    keyCols: Seq[String],
+    tableName: String,
+    joinOnSeqval: Boolean = true,
+    truncate128: Boolean = false) {
+
+  private val srcCols = spec.srcCols
+  require(keyCols.forall(srcCols.contains))
+
+  private def erase(e: String): String =
+    if (truncate128) s"substr(CAST($e AS VARCHAR), 1, 128)" else s"CAST($e AS VARCHAR)"
+
+  private def pk(k: String): String = s"pk_$k"
+  private val pkProj: String = keyCols.map(k => s"${erase(k)} AS ${pk(k)}").mkString(", ")
+  private val pkOut: String = keyCols.map(k => s"${pk(k)} AS $k").mkString(", ")
+  private val pkOrder: String = keyCols.mkString(", ")
+
+  val feedSql: String = spec.feedSql
+
+  /** Mask-gated wide→long unpivot of the update rows, one UNION branch per
+    * column (portable; DuckDB UNPIVOT NULL semantics not relied upon). */
+  private val unpivotSql: String = srcCols.zipWithIndex.map { case (c, i) =>
+    s"SELECT start_lsn, seqval, operation, commit_time, $pkProj, '$c' AS column_name, " +
+      s"CASE WHEN (update_mask >> $i) & 1 = 1 THEN ${erase(c)} END AS value FROM upd"
+  }.mkString("\n    UNION ALL\n    ")
+
+  private val pairJoin: String = {
+    val keys = Seq("start_lsn") ++ (if (joinOnSeqval) Seq("seqval") else Nil) ++
+      Seq("column_name") ++ keyCols.map(pk)
+    keys.map(k => s"b.$k = a.$k").mkString(" AND ")
+  }
+
+  /** Shared CTE prelude: feed → update-branch long form → pairs → sentinels. */
+  val changelogCtes: String = {
+    val pkB = keyCols.map(k => s"b.${pk(k)}").mkString(", ")
+    s"""WITH feed AS (
+       |  $feedSql
+       |), upd AS (
+       |  SELECT * FROM feed WHERE operation IN (3, 4)
+       |), longf AS (
+       |    $unpivotSql
+       |), nz AS (
+       |  SELECT * FROM longf WHERE value IS NOT NULL
+       |), pairs AS (
+       |  SELECT b.commit_time, $pkB, b.column_name, b.value AS old_value, a.value AS new_value
+       |  FROM nz b JOIN nz a
+       |    ON $pairJoin
+       |  WHERE b.operation = 3 AND a.operation = 4
+       |), sentinels AS (
+       |  SELECT commit_time, $pkProj,
+       |         CAST(NULL AS VARCHAR) AS column_name,
+       |         'DELETED RECORD' AS old_value, CAST(NULL AS VARCHAR) AS new_value
+       |  FROM feed WHERE operation = 1
+       |  UNION ALL
+       |  SELECT commit_time, $pkProj,
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'NEW RECORD'
+       |  FROM feed WHERE operation = 2
+       |), changelog AS (
+       |  SELECT * FROM pairs UNION ALL SELECT * FROM sentinels
+       |)""".stripMargin
+  }
+
+  private val idOrder: String =
+    (Seq("commit_time ASC") ++ keyCols.map(k => s"${pk(k)} ASC") ++
+      Seq("column_name ASC NULLS FIRST", "old_value ASC NULLS FIRST",
+        "new_value ASC NULLS FIRST")).mkString(", ")
+
+  /** Full-pipeline oracle ≙ the flagship cdc_changelog query. */
+  val changelogSql: String =
+    s"""$changelogCtes
+       |SELECT CAST(row_number() OVER (ORDER BY $idOrder) AS BIGINT) AS changelog_id,
+       |       commit_time, '$tableName' AS table_name, $pkOut,
+       |       column_name, old_value, new_value
+       |FROM changelog
+       |ORDER BY changelog_id""".stripMargin
+
+  /** S1 — bounded LSN-window scan of the change feed. */
+  val feedWindowSql: String =
+    s"""WITH feed AS (
+       |  $feedSql
+       |)
+       |SELECT start_lsn, seqval, operation, update_mask, commit_time
+       |FROM feed
+       |WHERE start_lsn > 100 AND start_lsn <= 800
+       |ORDER BY start_lsn, seqval, operation""".stripMargin
+
+  /** P1 — mask-gate projection (CASE WHEN fn_cdc_is_bit_set …). */
+  val maskGateSql: String = {
+    val gates = srcCols.zipWithIndex.map { case (c, i) =>
+      s"CASE WHEN (update_mask >> $i) & 1 = 1 THEN ${erase(c)} END AS $c"
+    }.mkString(", ")
+    s"""WITH feed AS (
+       |  $feedSql
+       |), upd AS (
+       |  SELECT * FROM feed WHERE operation IN (3, 4)
+       |)
+       |SELECT start_lsn, seqval, operation, $gates
+       |FROM upd
+       |ORDER BY start_lsn, seqval, operation""".stripMargin
+  }
+
+  /** R1 — unpivot wide→long with NULL drop. */
+  val unpivotStageSql: String =
+    s"""$changelogCtes
+       |SELECT start_lsn, seqval, operation, $pkOut, column_name, value
+       |FROM nz
+       |ORDER BY start_lsn, seqval, operation, column_name, value""".stripMargin
+
+  /** J1 — before⋈after pairing. */
+  val pairsSql: String =
+    s"""$changelogCtes
+       |SELECT commit_time, '$tableName' AS table_name, $pkOut,
+       |       column_name, old_value, new_value
+       |FROM pairs
+       |ORDER BY commit_time, $pkOrder, column_name, old_value, new_value""".stripMargin
+
+  /** U1-adjacent — delete/insert sentinel branches. */
+  val sentinelsSql: String =
+    s"""$changelogCtes
+       |SELECT commit_time, '$tableName' AS table_name, $pkOut,
+       |       column_name, old_value, new_value
+       |FROM sentinels
+       |ORDER BY commit_time, $pkOrder, old_value NULLS FIRST""".stripMargin
+
+  /** A1/A2/A4 — window scalar aggregates (checkpoint math). */
+  val windowAggSql: String =
+    s"""WITH feed AS (
+       |  $feedSql
+       |)
+       |SELECT min(commit_time) AS min_time, max(commit_time) AS max_time,
+       |       count(*) AS n_changes
+       |FROM feed""".stripMargin
+
+  /** S3/P3 — time-range changelog scan, both bounds inclusive. */
+  def queryDataSql(from: String, to: String): String =
+    s"""$changelogCtes
+       |SELECT commit_time, '$tableName' AS table_name, $pkOut,
+       |       column_name, old_value, new_value
+       |FROM changelog
+       |WHERE commit_time >= TIMESTAMP '$from'
+       |  AND commit_time <= TIMESTAMP '$to'
+       |ORDER BY commit_time, $pkOrder,
+       |         column_name NULLS FIRST, old_value NULLS FIRST, new_value NULLS FIRST""".stripMargin
+
+  /** A3 — lexicographic freshness watermark over mm/dd/yyyy strings (the
+    * reference's year-boundary bug, kept verbatim as the compat behavior). */
+  val freshnessSql: String =
+    s"""WITH feed AS (
+       |  $feedSql
+       |)
+       |SELECT max(strftime(commit_time, '%m/%d/%Y')) AS freshness
+       |FROM feed""".stripMargin
+}
