@@ -6,6 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.FloatVectorDot.floatVectorDot
 import graft.functions.TopKByScore.topKByScore
 
 /** Similarity search over an embedding column (SURVEY §2.13 E2).
@@ -25,11 +26,11 @@ import graft.functions.TopKByScore.topKByScore
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  /** Sequential-order double dot product of two float arrays — the native
+    * codegen'd expression (see [[graft.functions.FloatVectorDot]]; the
+    * `aggregate(zip_with(...))` formulation is bit-identical but
+    * interpreted per element). */
+  def dot(a: Column, b: Column): Column = floatVectorDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -82,10 +83,8 @@ object Similarity {
     * strictly positive. Pure codegen'd array math, map-side only. */
   def bucket(vecCol: Column): Column =
     (0 until NumPlanes).map { p =>
-      val w = array(planeWeights(p).map(lit(_)): _*)
-      val proj = aggregate(
-        zip_with(vecCol, w, (x, wj) => x.cast("double") * wj.cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
+      val w = array(planeWeights(p).map(x => lit(x.toFloat)): _*)
+      val proj = floatVectorDot(vecCol, w)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L)): Column
     }.reduce(_ + _)
 
