@@ -128,6 +128,16 @@ object ExtOracle {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** §2.11 ≙ streaming.EventStream.eventWindowCounts in batch mode
+    * (Spark's epoch-aligned window ≙ DuckDB's hour time_bucket). */
+  val eventWindowsSql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** E3c' ≙ TextOps.eventStats. */
   val eventStatsSql: String =
     """SELECT event_type, count(*) AS n_events,

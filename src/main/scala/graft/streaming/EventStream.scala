@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators (SURVEY §2.11 beyond the populate path): the
+  * standard Structured-Streaming shapes a training-data pipeline needs over
+  * an event firehose — watermarked windowed aggregation and stateful
+  * sessionization. Both run unchanged on batch DataFrames (watermarks are
+  * no-ops in batch), which is how the windowed aggregation is graded
+  * against the DuckDB oracle.
+  */
+object EventStream {
+
+  /** The driver fixture stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * engine reads as a nanos long (SparkEntry.events); derive a proper
+    * event-time column. */
+  def fromEventsFixture(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Watermarked tumbling-window aggregation: per (window, event_type)
+    * counts and integer JSON-field sums. In streaming mode late data beyond
+    * the watermark is dropped and windows finalize incrementally; in batch
+    * mode the same plan is a plain hash aggregate. Map-side partial
+    * aggregation; one shuffle on (window, event_type).
+    */
+  def eventWindowCounts(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_k"))
+
+  final case class UserEvent(user_id: Long, event_time: Timestamp, event_type: String)
+  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState (event-time
+    * timeout): a user's events within `gapMs` of each other form one
+    * session; a session closes when a later event arrives beyond the gap
+    * or when the watermark passes last-event + gap. State per user is one
+    * fixed-size record — the canonical bounded-state streaming shape.
+    */
+  def sessionize(
+      events: Dataset[UserEvent],
+      gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, evs: Iterator[UserEvent],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
+        state.remove()
+      } else {
+        var cur = state.getOption
+        evs.toSeq.sortBy(_.event_time.getTime).foreach { e =>
+          val t = e.event_time.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+            case Some(s) =>
+              out += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.streaming.EventStream.{Session, UserEvent}
+
+/** Streaming semantics of the event operators, driven through real
+  * micro-batches with a MemoryStream source. */
+class EventStreamSpec extends AnyFunSuite with SparkFixture {
+
+  private def ue(user: Long, t: String, typ: String = "click") =
+    UserEvent(user, ts(t), typ)
+
+  test("sessionize: gap closure on arrival and watermark-timeout closure") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val in = MemoryStream[UserEvent]
+    val sessions = EventStream.sessionize(in.toDS(), gapMs = 60000L, watermarkDelay = "10 minutes")
+    val query = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 — two events 30s apart (one session), then one
+      // 10 minutes later (crosses the gap -> closes session 1 on arrival)
+      in.addData(ue(1, "2024-01-01 10:00:00"), ue(1, "2024-01-01 10:00:30"),
+        ue(1, "2024-01-01 10:10:00"))
+      query.processAllAvailable()
+      // batch 2: unrelated user far in the future advances the watermark
+      in.addData(ue(2, "2024-01-01 12:00:00"))
+      query.processAllAvailable()
+      // batch 3: another event so the timeout (watermark 11:50 > 10:11)
+      // fires for user 1's dangling session; also closes user 2's first
+      // session by gap on arrival
+      in.addData(ue(2, "2024-01-01 12:30:00"))
+      query.processAllAvailable()
+
+      val got = spark.table("sess").as[Session].collect()
+        .map(x => (x.user_id, x.session_start.toString, x.session_end.toString, x.n_events)).toSet
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:30.0", 2)),
+        "gap-closure on arrival")
+      assert(got.contains((1L, "2024-01-01 10:10:00.0", "2024-01-01 10:10:00.0", 1)),
+        "watermark-timeout closure")
+      assert(got.contains((2L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1)))
+    } finally query.stop()
+  }
+
+  test("eventWindowCounts finalizes windows incrementally under a watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = in.toDF().toDF("event_time", "event_type", "props")
+    val agg = EventStream.eventWindowCounts(df, "1 hour", "10 minutes")
+    val query = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), "click", """{"k": 3}"""),
+        (ts("2024-01-01 10:20:00"), "click", """{"k": 4}"""))
+      query.processAllAvailable()
+      assert(spark.table("winagg").count() == 0, "window still open: nothing finalized")
+
+      // event at 12:00 -> watermark 11:50 -> the 10:00 window finalizes
+      in.addData((ts("2024-01-01 12:00:00"), "view", """{"k": 1}"""))
+      query.processAllAvailable()
+      in.addData((ts("2024-01-01 12:01:00"), "view", """{"k": 1}"""))
+      query.processAllAvailable()
+
+      val rows = spark.table("winagg")
+        .select("window_start", "event_type", "n_events", "sum_k").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 7L)))
+    } finally query.stop()
+  }
+}
