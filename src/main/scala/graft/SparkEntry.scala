@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcTableConfig, ChangeFeed, ChangelogBuilder}
-import graft.ext.{Dedup, DocFeed, MultiModal, Similarity, TextOps}
+import graft.ext.{Dedup, DocFeed, EmbFeed, MultiModal, Similarity, TextOps}
 import graft.oracle.{ExtOracle, OrdersCdcOracle}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -174,6 +174,15 @@ object SparkEntry {
     "ext_multimodal" -> ((s, dir) =>
       MultiModal.metadata(corpus(s, dir)).orderBy("doc_id")),
 
+    // E1d — embedding-cosine near-dup pairs, LSH-bucketed
+    "ext_dedup_embedding" -> ((s, dir) =>
+      Dedup.nearDuplicatesByEmbedding(EmbFeed.withDups(embeddings(s, dir)))
+        .orderBy("id_a", "id_b")),
+
+    // E3a' — BPE-ish regex pre-tokenization counts
+    "ext_bpe_tokens" -> ((s, dir) =>
+      TextOps.bpeTokenStats(corpus(s, dir)).orderBy("doc_id")),
+
     // §2.11 — watermarked tumbling-window aggregation (same plan runs
     // streaming; graded here in batch mode where the watermark is a no-op)
     "ext_event_windows" -> ((s, dir) =>
@@ -205,6 +214,8 @@ object SparkEntry {
     "ext_fingerprint" -> ExtOracle.fingerprintSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
+    "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
+    "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql
   )

@@ -153,4 +153,25 @@ object Dedup {
   /** Hamming distance between two SimHash fingerprints (for near-dup
     * thresholding; bit_count is codegen'd). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** E1d — embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
+    * are restricted to vectors sharing a random-hyperplane bucket
+    * (one shuffle on the bucket key — never the corpus cross product),
+    * then filtered by exact double-precision cosine ≥ threshold. Output is
+    * id pairs only. */
+  def nearDuplicatesByEmbedding(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withB = emb.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.l2Norm(col(vecCol)).as("nrm"),
+      Similarity.bucket(col(vecCol)).as("bucket"))
+    val l = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+  }
 }

@@ -72,6 +72,25 @@ object TextOps {
       sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
       countDistinct(col("user_id")).as("n_users"))
 
+  /** BPE-ish subword pattern: letter runs, digit runs, and single
+    * non-alphanumeric marks — the GPT-2-style pre-tokenization shape,
+    * simplified to the regex-dialect intersection of Java and RE2. */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** E3a' — BPE-ish token counting via regex pre-tokenization (whitespace
+    * tokenization's companion; both are map-only codegen'd column work).
+    * Integer counts per match class. */
+  def bpeTokenStats(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val low = lower(col(textCol))
+    def count(pattern: String): Column = size(regexp_extract_all(low, lit(pattern), lit(0)))
+    corpus.select(
+      col(idCol),
+      count(SubwordPattern).as("n_subwords"),
+      count("[a-z]+").as("n_alpha"),
+      count("[0-9]+").as("n_num"),
+      count("[^a-z0-9 ]").as("n_other"))
+  }
+
   /** E3d — document fingerprints: whole-document md5 plus a winnowing-style
     * min-shingle fingerprint (min over word-3-gram hashes — stable under
     * content reordering at the margins, unlike the whole-doc hash). */

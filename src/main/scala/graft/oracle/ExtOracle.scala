@@ -224,6 +224,57 @@ object ExtOracle {
        |FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** ≙ ext.EmbFeed.withDups — planted scaled-copy near-duplicates. */
+  private val embCorpusSql: String =
+    """embx AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 20 = 0
+      |)""".stripMargin
+
+  /** E1d ≙ Dedup.nearDuplicatesByEmbedding (LSH bucket join + exact cosine
+    * ≥ 0.9; planted pairs sit at cosine ≈ 1, random pairs ≤ ~0.5). */
+  val dedupEmbeddingSql: String =
+    s"""WITH $embCorpusSql, el AS (
+       |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embx
+       |), pw AS (
+       |  SELECT p, j,
+       |    CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
+       |              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS w
+       |  FROM range(${graft.ext.Similarity.NumPlanes}) pp(p), range(${graft.ext.Similarity.Dim}) jj(j)
+       |), proj AS (
+       |  SELECT e.vec_id, p.p, sum(e.x * p.w) AS dp
+       |  FROM el e JOIN pw p ON e.i = p.j + 1
+       |  GROUP BY e.vec_id, p.p
+       |), buck AS (
+       |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id
+       |), sides AS (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, b.bucket
+       |  FROM embx e JOIN buck b ON b.vec_id = e.vec_id
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM sides a JOIN sides b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.v", "b.v")} >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** E3a' ≙ TextOps.bpeTokenStats (regex pre-tokenization counts). */
+  val bpeTokensSql: String = {
+    def cnt(p: String, as: String) =
+      s"len(regexp_extract_all(lower(text), '$p')) AS $as"
+    s"""WITH $corpusSql
+       |SELECT doc_id,
+       |  ${cnt(graft.ext.TextOps.SubwordPattern, "n_subwords")},
+       |  ${cnt("[a-z]+", "n_alpha")},
+       |  ${cnt("[0-9]+", "n_num")},
+       |  ${cnt("[^a-z0-9 ]", "n_other")}
+       |FROM corpus
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
   val multiModalSql: String =
     s"""WITH $corpusSql

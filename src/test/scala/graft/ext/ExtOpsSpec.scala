@@ -67,6 +67,15 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(maxPlanted <= 8, s"near-dups should be close in hamming space, max was $maxPlanted")
   }
 
+  test("embedding near-dup finds exactly the planted scaled copies") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.nearDuplicatesByEmbedding(EmbFeed.withDups(emb))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = emb.where(col("vec_id") % 20 === 0)
+      .collect().map(r => { val v = r.getLong(0); (v, v + EmbFeed.DupOffset) }).toSet
+    assert(pairs == planted, "scaled copies share the bucket and sit at cosine 1")
+  }
+
   test("sniffFormat recognizes magic numbers") {
     val s = spark
     import s.implicits._
