@@ -1,0 +1,96 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.SparkFixture
+
+/** Property-based invariants of the changelog transform over ARBITRARY
+  * feeds (not just the CDC-shaped fixtures): structural identities that
+  * must hold whatever the mask/op/value mix is.
+  */
+object ChangelogProperties extends Properties("changelog") with SparkFixture {
+
+  // Each property runs real Spark jobs; keep the case count modest.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private val cfg = CdcTableConfig("t", Seq("k"))
+
+  private val genRow: Gen[(Long, Long, Int, Long, String, String, String)] = for {
+    lsn <- Gen.choose(1L, 20L)
+    seq <- Gen.choose(0L, 2L)
+    op <- Gen.choose(1, 4)
+    mask <- Gen.choose(0L, 3L)
+    day <- Gen.choose(1, 28)
+    k <- Gen.oneOf("a", "b", "c", "d")
+    v <- Gen.oneOf("x", "y", "zz", null)
+  } yield (lsn, seq, op, mask, f"1995-01-$day%02d 00:00:00", k, v)
+
+  private val genFeed: Gen[DataFrame] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, genRow)).map(rows => feedKV(rows))
+
+  property("build = updatePairs ∪ sentinels, exactly") =
+    Prop.forAll(genFeed) { feed =>
+      ChangelogBuilder.build(feed, cfg).count() ==
+        ChangelogBuilder.updatePairs(feed, cfg).count() +
+          ChangelogBuilder.sentinels(feed, cfg).count()
+    }
+
+  property("sentinel rows = one per delete/insert feed row") =
+    Prop.forAll(genFeed) { feed =>
+      ChangelogBuilder.sentinels(feed, cfg).count() ==
+        feed.where("operation IN (1, 2)").count()
+    }
+
+  property("unpivoted values are never NULL and name real columns") =
+    Prop.forAll(genFeed) { feed =>
+      val long = ChangelogBuilder.unpivoted(feed, cfg)
+      long.where("value IS NULL").count() == 0 &&
+        long.where("column_name NOT IN ('k', 'v')").count() == 0
+    }
+
+  property("ids are a contiguous 1..N sequence") =
+    Prop.forAll(genFeed) { feed =>
+      val ids = ChangelogBuilder.withIds(ChangelogBuilder.build(feed, cfg), cfg)
+        .select("changelog_id").collect().map(_.getLong(0)).sorted.toSeq
+      ids == (1L to ids.length).toSeq
+    }
+
+  property("window and distributed id paths agree row-for-row") =
+    Prop.forAll(genFeed) { feed =>
+      val built = ChangelogBuilder.build(feed, cfg)
+      ChangelogBuilder.withIds(built, cfg).collect().toSet ==
+        ChangelogBuilder.withIdsDistributed(built, cfg).collect().toSet
+    }
+
+  property("strictNulls output is a superset of default-mode pairs") =
+    Prop.forAll(genFeed) { feed =>
+      val dflt = ChangelogBuilder.updatePairs(feed, cfg).collect().toSet
+      val strict = ChangelogBuilder.updatePairs(feed, cfg.copy(strictNulls = true))
+        .collect().toSet
+      dflt.subsetOf(strict)
+    }
+
+  property("every output key value came from the feed") =
+    Prop.forAll(genFeed) { feed =>
+      val inKeys = feed.select("k").collect().map(_.getString(0)).toSet
+      val outKeys = ChangelogBuilder.build(feed, cfg)
+        .select("k").collect().map(_.getString(0)).toSet
+      outKeys.subsetOf(inKeys)
+    }
+
+  property("checkpoint split + reunion loses nothing in lossless mode") =
+    Prop.forAll(genFeed, Gen.choose(2, 27)) { (feed, splitDay) =>
+      feed.count() == 0L || {
+        val mid = Timestamp.valueOf(f"1995-01-$splitDay%02d 12:00:00")
+        val hi = Timestamp.valueOf("1995-02-01 00:00:00")
+        val w1 = Checkpoint.Window(None, mid, fromExclusive = false)
+        val w2 = Checkpoint.Window(Some(mid), hi, fromExclusive = true)
+        Checkpoint.applyWindow(feed, w1).count() +
+          Checkpoint.applyWindow(feed, w2).count() == feed.count()
+      }
+    }
+}
