@@ -174,6 +174,12 @@ object SparkEntry {
     "ext_multimodal" -> ((s, dir) =>
       MultiModal.metadata(corpus(s, dir)).orderBy("doc_id")),
 
+    // E2c — multi-table LSH ANN (coarser buckets × more tables = usable
+    // recall on random data, unlike a single fine-grained table)
+    "ext_ann_multiprobe" -> ((s, dir) =>
+      Similarity.topKCosineLshMulti(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
+        .orderBy("query_id", "rnk")),
+
     // E1d — embedding-cosine near-dup pairs, LSH-bucketed
     "ext_dedup_embedding" -> ((s, dir) =>
       Dedup.nearDuplicatesByEmbedding(EmbFeed.withDups(embeddings(s, dir)))
@@ -215,6 +221,7 @@ object SparkEntry {
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
+    "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql

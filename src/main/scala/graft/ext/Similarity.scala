@@ -67,17 +67,18 @@ object Similarity {
   val NumPlanes = 8
   val Dim = 64
 
-  /** ±1 hyperplane weights, derived from md5 so the SQL oracle reproduces
-    * them exactly: weight(p, j) = +1 iff the first hex digit of
+  /** ±1 hyperplane weight, derived from md5 so the SQL oracle reproduces
+    * it exactly: weight(p, j) = +1 iff the first hex digit of
     * md5("p_j") ≥ '8'. */
-  lazy val planeWeights: Array[Array[Int]] = {
-    Array.tabulate(NumPlanes, Dim) { (p, j) =>
-      val d = MessageDigest.getInstance("MD5")
-        .digest(s"${p}_$j".getBytes(StandardCharsets.UTF_8))
-      // first hex digit = high nibble of byte 0
-      if (((d(0) >> 4) & 0xf) >= 8) 1 else -1
-    }
+  def planeWeight(p: Int, j: Int): Int = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$j".getBytes(StandardCharsets.UTF_8))
+    // first hex digit = high nibble of byte 0
+    if (((d(0) >> 4) & 0xf) >= 8) 1 else -1
   }
+
+  lazy val planeWeights: Array[Array[Int]] =
+    Array.tabulate(NumPlanes, Dim)(planeWeight)
 
   /** LSH bucket id: bit p is set iff the projection onto hyperplane p is
     * strictly positive. Pure codegen'd array math, map-side only. */
@@ -110,6 +111,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** Multi-table LSH: `tables` independent hash tables of `planesPerTable`
+    * bits each. Coarser buckets + union-of-tables trades bucket size for
+    * recall — with random data a single fine-grained table's recall
+    * collapses (P[collide] = (1-θ/π)^bits per table), while L coarse
+    * tables give 1-(1-p)^L. The candidate set is the distinct union of
+    * per-table bucket joins; still never a cross product. */
+  def topKCosineLshMulti(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      tables: Int = 4,
+      planesPerTable: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    def tableBucket(t: Int): Column =
+      (0 until planesPerTable).map { b =>
+        val p = t * planesPerTable + b
+        val w = array((0 until Dim).map(j => lit(planeWeight(p, j).toFloat)): _*)
+        when(floatVectorDot(col(vecCol), w) > 0, lit(1L << b)).otherwise(lit(0L)): Column
+      }.reduce(_ + _)
+
+    // one row per (vector, table): explode the per-table bucket ids
+    val withB = emb.select(
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"),
+      posexplode(array((0 until tables).map(tableBucket): _*)).as(Seq("t", "bucket")))
+    val queries = withB.where(queryPred).select(
+      col("t"), col("bucket"), col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col("nrm").as("qn"))
+    val corpus = withB.select(
+      col("t"), col("bucket"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("nrm").as("cn"))
+    val cand = corpus.join(broadcast(queries), Seq("t", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .distinct() // a pair found in several tables scores once
+    rankTopK(cand, k)
   }
 
   /** (query_id, score, neighbor_id) → (query_id, neighbor_id, rnk ≤ k) via

@@ -275,6 +275,47 @@ object ExtOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** E2c ≙ Similarity.topKCosineLshMulti (4 tables × 4 bits, k = 3). */
+  val annMultiprobeSql: String = {
+    val tables = 4
+    val bits = 4
+    s"""WITH el AS (
+       |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), pw AS (
+       |  SELECT p, j,
+       |    CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
+       |              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS w
+       |  FROM range(${tables * bits}) pp(p), range(${graft.ext.Similarity.Dim}) jj(j)
+       |), proj AS (
+       |  SELECT e.vec_id, p.p, sum(e.x * p.w) AS dp
+       |  FROM el e JOIN pw p ON e.i = p.j + 1
+       |  GROUP BY e.vec_id, p.p
+       |), buck AS (
+       |  SELECT vec_id, p // $bits AS t,
+       |         sum(CASE WHEN dp > 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id, p // $bits
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+       |), s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         ${cosineSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS cos
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = cand.query_id
+       |  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
   val multiModalSql: String =
     s"""WITH $corpusSql

@@ -40,6 +40,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_k"))
 
+  /** Streaming exact dedup (E1's streaming shape): drop events whose key
+    * was already seen, with state bounded by the watermark — the standard
+    * at-least-once → effectively-once repair for an event firehose. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserEvent(user_id: Long, event_time: Timestamp, event_type: String)
   final case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
   final case class Session(

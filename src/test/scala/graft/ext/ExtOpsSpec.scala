@@ -46,6 +46,21 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("multi-table LSH recovers a usable fraction of exact top-k; single-table does not") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") % 100 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.topKCosine(emb, pred, k = 3))
+    val multi = pairs(Similarity.topKCosineLshMulti(emb, pred, k = 3))
+    val single = pairs(Similarity.topKCosineLsh(emb, pred, k = 3))
+    val recallMulti = multi.intersect(exact).size.toDouble / exact.size
+    val recallSingle = single.intersect(exact).size.toDouble / exact.size
+    assert(recallMulti >= 0.3, s"4x4-bit tables should catch a good slice, got $recallMulti")
+    assert(recallMulti > recallSingle,
+      s"multi-table ($recallMulti) must beat one fine-grained table ($recallSingle)")
+  }
+
   test("dropExactDuplicates keeps the smallest id per content hash") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,27 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("dedupStream drops duplicate keys across micro-batches within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF("event_id", "event_time")
+    val query = EventStream.dedupStream(df).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:01")),
+        (2L, ts("2024-01-01 10:00:02")))
+      query.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:01:00")), (3L, ts("2024-01-01 10:01:30")))
+      query.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L),
+        "the cross-batch duplicate of id 1 is dropped while its state is within the watermark")
+    } finally query.stop()
+  }
+
   test("eventWindowCounts finalizes windows incrementally under a watermark") {
     val s = spark
     import s.implicits._
