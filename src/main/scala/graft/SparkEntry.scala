@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{CdcTableConfig, ChangeFeed, ChangelogBuilder}
+import graft.cdc.{CdcTableConfig, ChangeFeed, ChangelogBuilder, PopulateChangelog}
 import graft.ext.{Dedup, DocFeed, EmbFeed, MultiModal, Similarity, TextOps}
 import graft.oracle.{ExtOracle, OrdersCdcOracle}
 
@@ -89,12 +89,17 @@ object SparkEntry {
         max(col("commit_time")).as("max_time"),
         count(lit(1)).as("n_changes"))),
 
-    // S3/P3 — time-range scan over the changelog (commit_time is now
-    // monotone in start_lsn: base 1995-01-01 + lsn seconds)
+    // S3/P3 — time-range scan over the changelog (commit_time monotone in
+    // start_lsn). The window is applied to the FEED, not the built output:
+    // every output row's commit_time equals its source rows', so the
+    // predicate distributes through the pipeline — the manual analog of
+    // pushing the filter below a blocking aggregation.
     "cdc_query_data" -> ((s, dir) =>
-      ChangelogBuilder.build(feed(s, dir), ordersCfg)
-        .where(col("commit_time") >= lit("1995-01-01 00:10:00").cast("timestamp") &&
-          col("commit_time") <= lit("1995-01-01 02:00:00").cast("timestamp"))
+      ChangelogBuilder.build(
+        feed(s, dir)
+          .where(col("commit_time") >= lit("1995-01-01 00:10:00").cast("timestamp") &&
+            col("commit_time") <= lit("1995-01-01 02:00:00").cast("timestamp")),
+        ordersCfg)
         .orderBy(col("commit_time"), col("o_orderkey"), col("column_name").asc_nulls_first,
           col("old_value").asc_nulls_first, col("new_value").asc_nulls_first)),
 
@@ -117,6 +122,31 @@ object SparkEntry {
         ChangelogBuilder.build(feed(s, dir), ordersCompatCfg), ordersCompatCfg)
         .select(changelogCols.map(col): _*)
         .orderBy("changelog_id")),
+
+    // S4/S6/S7/A4 — the WHOLE batch orchestration path graded end-to-end:
+    // populate a fresh sink (checkpoint read, window, build, ids, observe-
+    // counted partitioned append), read it back; must hash-match the same
+    // oracle as cdc_changelog
+    "cdc_populate_roundtrip" -> ((s, dir) => {
+      val sink = java.nio.file.Files.createTempDirectory("graft_rt")
+        .resolve("orders_changelog").toString
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
+    // §2.11 — the streaming populate path graded end-to-end: feed files →
+    // readStream → foreachBatch append → read back; same oracle again
+    "cdc_populate_streaming" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_st")
+      val feedDir = base.resolve("feed").toString
+      feed(s, dir).write.parquet(feedDir)
+      val sink = base.resolve("orders_changelog").toString
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, s.read.parquet(feedDir).schema, ordersCfg, sink,
+        base.resolve("ckpt").toString)
+      s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
 
     // composite primary key (l_orderkey, l_linenumber), reference :82-133
     "cdc_changelog_composite" -> ((s, dir) =>
@@ -208,6 +238,8 @@ object SparkEntry {
     "cdc_query_data" -> OrdersCdcOracle.queryDataSql,
     "cdc_freshness" -> OrdersCdcOracle.freshnessSql,
     "cdc_changelog_dist" -> OrdersCdcOracle.changelogSql,
+    "cdc_populate_roundtrip" -> OrdersCdcOracle.changelogSql,
+    "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_changelog_composite" -> OrdersCdcOracle.lineitem.changelogSql,
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,

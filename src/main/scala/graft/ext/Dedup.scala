@@ -48,10 +48,10 @@ object Dedup {
   val NumBands: Int = NumHashes / BandSize
   val ShingleLen = 3 // word 3-grams
 
-  /** Distinct word-`ShingleLen`-grams per document: (id, sh). Map-side
-    * explode + local distinct; docs with fewer tokens than a shingle emit
-    * nothing (mirrors the oracle's range filter). */
-  def shingles(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Word-`ShingleLen`-grams per document: (id, sh), duplicates included
+    * (map-side only). Docs with fewer tokens than a shingle emit nothing
+    * (mirrors the oracle's range filter). */
+  def rawShingles(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = split(col(textCol), " ")
     corpus
       .where(size(toks) >= ShingleLen)
@@ -59,8 +59,13 @@ object Dedup {
         explode(transform(sequence(lit(0), size(toks) - ShingleLen),
           i => concat_ws(" ", (0 until ShingleLen).map(o => element_at(toks, i + o + 1)): _*)))
           .as("sh"))
-      .distinct()
   }
+
+  /** Distinct shingle set per document (needed for Jaccard counting; the
+    * signature path works on the raw multiset — min is duplicate-blind —
+    * and skips this shuffle). */
+  def shingles(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    rawShingles(corpus, textCol, idCol).distinct()
 
   /** MinHash signature: for hash function h, min over the doc's shingles of
     * the first 8 hex chars of md5(h ++ ":" ++ shingle) — a lexicographic min
@@ -104,13 +109,15 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       num: Int = 3, den: Int = 5): DataFrame = {
-    // The shingle set feeds five sub-trees (signatures, both sides of the
+    // The distinct shingle set feeds four sub-trees (both sides of the
     // verify join, both size lookups); cache it so the corpus is shingled
-    // once, not five times. At warehouse scale this intermediate would be
-    // materialized to storage instead — same shape.
+    // once, not four times. At warehouse scale this intermediate would be
+    // materialized to storage instead — same shape. Signatures run off the
+    // raw multiset: min-hash is duplicate-blind and partial aggregation
+    // reduces map-side, so the distinct shuffle would be pure overhead.
     val sh = shingles(corpus, textCol, idCol).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = bandedCandidates(sh)
+    val common = bandedCandidates(rawShingles(corpus, textCol, idCol))
       .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))

@@ -34,6 +34,18 @@ class FloatVectorDotSpec extends AnyFunSuite with SparkFixture {
     assert(got("ok").contains(11.0d))
   }
 
+  test("registered for SQL via GraftExtensions") {
+    val dot = spark.sql(
+      "SELECT float_vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(dot == 11.0d)
+    val topk = spark.sql(
+      """SELECT top_k_by_score(s, id, 2) AS ids FROM VALUES
+        |  (0.1D, 1L), (0.9D, 2L), (0.5D, 3L) AS t(s, id)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]]("ids").toSeq
+    assert(topk == Seq(2L, 3L))
+  }
+
   test("participates in codegen evaluation without falling back") {
     val s = spark
     import s.implicits._
