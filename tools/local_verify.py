@@ -20,6 +20,9 @@ def canon(v):
     if v is None:
         return "\x00NULL"
     if isinstance(v, float):
+        # Exact float comparison is INTENTIONAL: graded outputs must not
+        # contain raw floats (ints/strings/md5 hex only — see CLAUDE.md);
+        # an exact mismatch here means a query violated that rule.
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
@@ -76,9 +79,12 @@ def main():
             print(f"FAIL {name}: rows {len(srows)}/{len(orows)} "
                   f"schema {sorted(scols)} vs {sorted(ocols)} hash={ok_hash}")
             if ok_schema and ok_rows:
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                ss = sorted("|".join(canon(r[i]) for i in order) for r in srows)
-                oo = sorted("|".join(canon(r[i]) for i in order) for r in orows)
+                # index each side by ITS OWN column order (they can differ
+                # physically even when the name sets match)
+                sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ss = sorted("|".join(canon(r[i]) for i in sorder) for r in srows)
+                oo = sorted("|".join(canon(r[i]) for i in oorder) for r in orows)
                 for a, b in zip(ss, oo):
                     if a != b:
                         print(f"  spark : {a[:200]}\n  oracle: {b[:200]}")
