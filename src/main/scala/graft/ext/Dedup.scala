@@ -109,17 +109,22 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       num: Int = 3, den: Int = 5): DataFrame = {
-    // The distinct shingle set feeds four sub-trees (both sides of the
-    // verify join, both size lookups); cache it so the corpus is shingled
-    // once, not four times. At warehouse scale this intermediate would be
-    // materialized to storage instead — same shape. Signatures run off the
-    // raw multiset: min-hash is duplicate-blind and partial aggregation
-    // reduces map-side, so the distinct shuffle would be pure overhead.
-    val sh = shingles(corpus, textCol, idCol).cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = bandedCandidates(rawShingles(corpus, textCol, idCol))
-      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+    // One shingling pass feeds everything (cached raw multiset). The
+    // signature aggregation is duplicate-blind (min), so no distinct
+    // shuffle before it; the distinct-set shuffle needed for Jaccard
+    // counting happens only AFTER pruning to candidate documents — the
+    // candidate id set is tiny relative to the corpus, so the heavy
+    // (id, shingle) join sees a fraction of the data (broadcast the ids,
+    // not the shingles).
+    val raw = rawShingles(corpus, textCol, idCol).cache()
+    val cand = bandedCandidates(raw).cache()
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shc = raw.join(broadcast(candIds), Seq("id"), "left_semi").distinct().cache()
+    val sizes = shc.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(shc.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(shc.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
