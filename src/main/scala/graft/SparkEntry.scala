@@ -210,6 +210,11 @@ object SparkEntry {
       Similarity.topKCosineLshMulti(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
+    // E1+E3 composition — the curation funnel (dedup → length →
+    // repetition → language), per-stage surviving counts
+    "ext_curation_funnel" -> ((s, dir) =>
+      graft.ext.Curate.funnel(corpus(s, dir)).orderBy("stage")),
+
     // E1d — embedding-cosine near-dup pairs, LSH-bucketed
     "ext_dedup_embedding" -> ((s, dir) =>
       Dedup.nearDuplicatesByEmbedding(EmbFeed.withDups(embeddings(s, dir)))
@@ -254,6 +259,7 @@ object SparkEntry {
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
+    "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql

@@ -41,18 +41,25 @@ object TextOps {
   private def stopCount(textCol: Column, words: Seq[String]): Column =
     size(filter(toks(textCol), t => array_contains(array(words.map(lit): _*), t)))
 
-  /** E3b — n-gram-heuristic language ID: per-language stopword hit counts
-    * (with multiplicity) + argmax prediction. Ties and all-zero rows resolve
-    * deterministically (list order wins; no hits → "und"). */
-  def languageId(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val counts = Stopwords.map { case (lang, words) => lang -> stopCount(col(textCol), words) }
-    val pred = counts.zipWithIndex.foldRight(lit("und"): Column) { case (((lang, c), i), els) =>
+  /** The argmax language prediction as a standalone column (ties and
+    * all-zero rows resolve deterministically: list order wins; no hits →
+    * "und"). */
+  def predLang(textCol: Column): Column = {
+    val counts = Stopwords.map { case (lang, words) => lang -> stopCount(textCol, words) }
+    counts.zipWithIndex.foldRight(lit("und"): Column) { case (((lang, c), i), els) =>
       val laterMax = counts.drop(i + 1).map(_._2)
       val beats = laterMax.foldLeft(c > 0: Column)((acc, o) => acc && c >= o)
       when(beats, lit(lang)).otherwise(els)
     }
+  }
+
+  /** E3b — n-gram-heuristic language ID: per-language stopword hit counts
+    * (with multiplicity) + argmax prediction. */
+  def languageId(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = Stopwords.map { case (lang, words) => lang -> stopCount(col(textCol), words) }
     corpus.select(
-      (col(idCol) +: counts.map { case (lang, c) => c.as(s"n_$lang") }) :+ pred.as("pred_lang"): _*)
+      (col(idCol) +: counts.map { case (lang, c) => c.as(s"n_$lang") }) :+
+        predLang(col(textCol)).as("pred_lang"): _*)
   }
 
   /** E3c — JSON field extraction over an events stream (`props` is a JSON

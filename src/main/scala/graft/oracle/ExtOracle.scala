@@ -99,27 +99,62 @@ object ExtOracle {
        |FROM corpus
        |ORDER BY doc_id""".stripMargin
 
-  /** E3b ≙ TextOps.languageId — same stopword lists, same argmax tie order. */
-  val languageIdSql: String = {
-    val countCols = TextOps.Stopwords.map { case (lang, words) =>
+  private def langCountCols(textRef: String): String =
+    TextOps.Stopwords.map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t))) AS n_$lang"
+      s"len(list_filter(string_split($textRef, ' '), t -> list_contains($list, t))) AS n_$lang"
     }.mkString(",\n    ")
+
+  /** Argmax CASE over the n_<lang> count aliases (≙ TextOps.predLang). */
+  private val langCaseSql: String = {
     val langs = TextOps.Stopwords.map(_._1)
     val cases = langs.zipWithIndex.map { case (lang, i) =>
       val geLater = langs.drop(i + 1).map(o => s"AND n_$lang >= n_$o ").mkString
       s"WHEN n_$lang > 0 $geLater" + s"THEN '$lang'"
     }.mkString("\n    ", "\n    ", "\n    ELSE 'und' END")
+    s"CASE $cases"
+  }
+
+  /** E3b ≙ TextOps.languageId — same stopword lists, same argmax tie order. */
+  val languageIdSql: String = {
+    val langs = TextOps.Stopwords.map(_._1)
     s"""WITH $corpusSql, counts AS (
        |  SELECT doc_id,
-       |    $countCols
+       |    ${langCountCols("text")}
        |  FROM corpus
        |)
        |SELECT doc_id, ${langs.map(l => s"n_$l").mkString(", ")},
-       |  CASE $cases AS pred_lang
+       |  $langCaseSql AS pred_lang
        |FROM counts
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** E1+E3 composition ≙ ext.Curate.funnel (dedup → length → repetition →
+    * language gates, integer thresholds). */
+  val curationFunnelSql: String =
+    s"""WITH $corpusSql, k AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS m FROM corpus GROUP BY md5(text)
+       |), d AS (
+       |  SELECT c.* FROM corpus c JOIN k ON md5(c.text) = k.h AND c.doc_id = k.m
+       |), l AS (
+       |  SELECT * FROM d WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200
+       |), q AS (
+       |  SELECT * FROM l
+       |  WHERE len(list_distinct(string_split(text, ' '))) * 2
+       |        >= len(string_split(text, ' ')) * 1
+       |), qc AS (
+       |  SELECT *,
+       |    ${langCountCols("text")}
+       |  FROM q
+       |), g AS (
+       |  SELECT * FROM qc WHERE ($langCaseSql) = 'en'
+       |)
+       |SELECT '0_input' AS stage, count(*) AS n_rows FROM corpus
+       |UNION ALL SELECT '1_dedup', count(*) FROM d
+       |UNION ALL SELECT '2_length', count(*) FROM l
+       |UNION ALL SELECT '3_quality', count(*) FROM q
+       |UNION ALL SELECT '4_language', count(*) FROM g
+       |ORDER BY stage""".stripMargin
 
   /** E3c ≙ TextOps.jsonExtract over events.props. */
   val jsonExtractSql: String =
