@@ -210,6 +210,11 @@ object SparkEntry {
       Similarity.topKCosineLshMulti(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
+    // E2d — IVF-flat ANN (Voronoi cells over fixed centroids, 2 probes)
+    "ext_ann_ivf" -> ((s, dir) =>
+      Similarity.topKCosineIvf(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
+        .orderBy("query_id", "rnk")),
+
     // E1+E3 composition — the curation funnel (dedup → length →
     // repetition → language), per-stage surviving counts
     "ext_curation_funnel" -> ((s, dir) =>
@@ -260,6 +265,7 @@ object SparkEntry {
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
+    "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql

@@ -153,6 +153,48 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** IVF-flat ANN: partition the corpus into `numCentroids` Voronoi cells
+    * (nearest centroid by cosine; centroids = the first `numCentroids`
+    * vectors — deterministic, oracle-mirrorable), then each query scores
+    * only the cells it probes (`probes` nearest). The inverted-file shape:
+    * assignment is one broadcast pass + bounded-heap argmax; search
+    * shuffles on the cell id, never the full corpus product. Recall/cost
+    * is tuned by probes × numCentroids.
+    */
+  def topKCosineIvf(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      numCentroids: Int = 16,
+      probes: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val centroids = base.where(col(idCol) < numCentroids).select(
+      col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
+
+    // nearest-`n` centroid cells per vector via the bounded-heap aggregate
+    // (ties toward the smaller centroid id, like everywhere else)
+    def cells(df: DataFrame, n: Int): DataFrame =
+      df.join(broadcast(centroids))
+        .select(col(idCol), col(vecCol), col("nrm"),
+          (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("cs"), col("cid"))
+        .groupBy(idCol, vecCol, "nrm")
+        .agg(topKByScore(col("cs"), col("cid"), n).as("cids"))
+        .select(col(idCol), col(vecCol), col("nrm"), explode(col("cids")).as("cell"))
+
+    val corpus = cells(base, 1).select(
+      col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val queries = cells(base.where(queryPred), probes).select(
+      col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** (query_id, score, neighbor_id) → (query_id, neighbor_id, rnk ≤ k) via
     * the bounded-heap aggregate + posexplode. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =

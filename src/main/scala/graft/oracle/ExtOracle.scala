@@ -129,6 +129,40 @@ object ExtOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** E2d ≙ Similarity.topKCosineIvf (16 fixed centroids, 2 probes, k=3). */
+  val annIvfSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
+       |), allv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), sc AS (
+       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cent c
+       |), ranked AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM sc
+       |), cell AS (
+       |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+       |), qcell AS (
+       |  SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
+       |), cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qcell q JOIN cell c ON q.cell = c.cell
+       |  WHERE q.vec_id <> c.vec_id
+       |), s2 AS (
+       |  SELECT cand.query_id, cand.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
+       |  FROM cand
+       |  JOIN allv a ON a.vec_id = cand.query_id
+       |  JOIN allv b ON b.vec_id = cand.neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s2
+       |)
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** E1+E3 composition ≙ ext.Curate.funnel (dedup → length → repetition →
     * language gates, integer thresholds). */
   val curationFunnelSql: String =

@@ -54,11 +54,15 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     val exact = pairs(Similarity.topKCosine(emb, pred, k = 3))
     val multi = pairs(Similarity.topKCosineLshMulti(emb, pred, k = 3))
     val single = pairs(Similarity.topKCosineLsh(emb, pred, k = 3))
+    val ivf = pairs(Similarity.topKCosineIvf(emb, pred, k = 3))
     val recallMulti = multi.intersect(exact).size.toDouble / exact.size
     val recallSingle = single.intersect(exact).size.toDouble / exact.size
+    val recallIvf = ivf.intersect(exact).size.toDouble / exact.size
     assert(recallMulti >= 0.3, s"4x4-bit tables should catch a good slice, got $recallMulti")
     assert(recallMulti > recallSingle,
       s"multi-table ($recallMulti) must beat one fine-grained table ($recallSingle)")
+    assert(recallIvf > recallSingle,
+      s"2-probe IVF ($recallIvf) must beat one fine-grained LSH table ($recallSingle)")
   }
 
   test("dropExactDuplicates keeps the smallest id per content hash") {
