@@ -91,6 +91,12 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
       ts("1995-01-01 00:00:00"), Some(ts("1995-01-02 10:00:00")), fullDays = true)
     assert(full.data.count() == 4)
 
+    // the time-range scan must prune sink partitions, not just filter rows
+    val plan = res.data.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("commit_date")),
+      "commit_date predicate should reach the scan as a partition filter")
+
     // resolution quirks: _changelog / _ChangeLog suffixes resolve (:33-38)
     assert(catalog.resolve("orders_changelog").changelogPath == path)
     assert(catalog.resolve("Orders_ChangeLog").changelogPath == path)
