@@ -77,8 +77,13 @@ final case class FeedSpec(
               .cast(src.schema(c).dataType).as(c)
           }): _*))
     }
+    // explode the raw array and drop null entries with a row-level filter:
+    // the higher-order filter() is CodegenFallback and would break the
+    // whole-stage-codegen span right at the scan; Generate + Filter stay
+    // inside it
     src
-      .select(explode(filter(array(structs: _*), s => s.isNotNull)).as("__r"))
+      .select(explode(array(structs: _*)).as("__r"))
+      .where(col("__r").isNotNull)
       .select(col("__r.*"))
   }
 

@@ -27,14 +27,14 @@ object DocFeed {
     def row(id: Column, text: Column, source: Column, nChars: Column) =
       struct(id.cast("long").as("doc_id"), text.as("text"), col("lang").as("lang"),
         source.as("source"), nChars.cast("long").as("n_chars"))
-    documents.select(explode(filter(array(
+    documents.select(explode(array(
       row(col("doc_id"), col("text"), col("source"), col("n_chars")),
       when(col("doc_id") % 10 === 0,
         row(col("doc_id") + lit(ExactDupOffset), col("text"), lit("dup_exact"), col("n_chars"))),
       when(col("doc_id") % 10 === 1,
         row(col("doc_id") + lit(NearDupOffset), concat(col("text"), lit(" qq zz")),
-          lit("dup_near"), col("n_chars") + lit(6L)))),
-      r => r.isNotNull)).as("__r"))
+          lit("dup_near"), col("n_chars") + lit(6L))))).as("__r"))
+      .where(col("__r").isNotNull) // codegen'd row filter, not the HOF filter()
       .select(col("__r.*"))
   }
 }

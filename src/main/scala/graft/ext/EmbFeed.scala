@@ -18,12 +18,12 @@ object EmbFeed {
   def withDups(embeddings: DataFrame): DataFrame = {
     def row(id: Column, vec: Column) =
       struct(id.cast("long").as("vec_id"), vec.as("embedding"))
-    embeddings.select(explode(filter(array(
+    embeddings.select(explode(array(
       row(col("vec_id"), col("embedding")),
       when(col("vec_id") % 20 === 0,
         row(col("vec_id") + lit(DupOffset),
-          transform(col("embedding"), x => x * lit(1.5f))))),
-      r => r.isNotNull)).as("__r"))
+          transform(col("embedding"), x => x * lit(1.5f)))))).as("__r"))
+      .where(col("__r").isNotNull) // codegen'd row filter, not the HOF filter()
       .select(col("__r.*"))
   }
 }

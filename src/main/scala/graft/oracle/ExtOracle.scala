@@ -44,7 +44,8 @@ object ExtOracle {
     * exact-Jaccard verify, threshold 3/5). */
   val dedupMinhashSql: String =
     s"""WITH $corpusSql, $shingleCtes, mh AS (
-       |  SELECT id, h, min(substr(md5(h::VARCHAR || ':' || sh), 1, 8)) AS mh
+       |  SELECT id, h,
+       |    min(substr(md5((h // 4)::VARCHAR || ':' || sh), (h % 4) * 8 + 1, 8)) AS mh
        |  FROM sh, range(${Dedup.NumHashes}) hh(h)
        |  GROUP BY id, h
        |), bands AS (
