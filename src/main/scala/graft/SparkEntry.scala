@@ -210,6 +210,15 @@ object SparkEntry {
       Similarity.topKCosineLshMulti(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
+    // star-schema rollup — fact ⋈ broadcast dims ⋈ … → low-cardinality agg
+    "ext_star_agg" -> ((s, dir) =>
+      graft.ops.Analytics.revenueByRegion(
+        orders(s, dir),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"))
+        .orderBy("r_name", "n_name")),
+
     // E2d — IVF-flat ANN (Voronoi cells over fixed centroids, 2 probes)
     "ext_ann_ivf" -> ((s, dir) =>
       Similarity.topKCosineIvf(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
@@ -266,6 +275,7 @@ object SparkEntry {
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
+    "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql

@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Star-schema analytics over the fixture warehouse: the canonical
+  * fact⋈dims rollup shape, with every dimension explicitly broadcast —
+  * at 100 TB the fact table streams through map-side hash joins with zero
+  * shuffle until the final low-cardinality aggregation.
+  *
+  * Money lands as integer cents (`floor(x*100)` — identical across
+  * engines; double SUM order is not) so the result is hash-exact.
+  */
+object Analytics {
+
+  def revenueByRegion(
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+}

@@ -386,6 +386,19 @@ object ExtOracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** ≙ ops.Analytics.revenueByRegion (star-schema rollup; money as
+    * floor-cents so the sum is integer-exact across engines). */
+  val starAggSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
   val multiModalSql: String =
     s"""WITH $corpusSql
