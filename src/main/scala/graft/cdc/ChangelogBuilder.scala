@@ -42,7 +42,8 @@ final case class CdcTableConfig(
   * Every stage is a pure `DataFrame => DataFrame`; Catalyst does predicate
   * placement, column pruning and join-strategy selection (SURVEY §4), so the
   * reference's manual text-level optimizations need no hand-rolling. The
-  * four scans of the same feed collapse via exchange reuse / scan sharing.
+  * whole tree touches the feed exactly twice (pairs via one aggregation
+  * pass, sentinels via one filtered scan) — see PlanAudit.
   */
 object ChangelogBuilder {
   import ChangeFeed._

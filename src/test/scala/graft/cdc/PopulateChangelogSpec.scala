@@ -55,6 +55,10 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     // sink is partitioned by commit_date (the QueryData pruning contract)
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("commit_date=1995-01-01", "commit_date=1995-01-02"))
+
+    // audit columns stamped at write time (DDL defaults, :151-152,:172-173)
+    PopulateChangelog.AuditCols.foreach(c => assert(after2.columns.contains(c)))
+    assert(after2.where(col("created_dt").isNull || col("created_by").isNull).count() == 0)
   }
 
   test("distributedIds path writes the same rows as the window path") {

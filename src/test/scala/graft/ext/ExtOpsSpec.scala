@@ -118,6 +118,19 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(frames == Seq("abc", "efg", "ij"))
   }
 
+  test("withPayload attaches the binary payload + metadata struct") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    val enriched = MultiModal.withPayload(docs)
+    val row = enriched.select("payload", "media_meta.n_bytes", "media_meta.format",
+      "text").head()
+    assert(row.getAs[Array[Byte]]("payload").length == row.getAs[Int]("n_bytes"))
+    assert(row.getAs[String]("format") == "raw")
+    // the decode stub consumes the payload column downstream
+    val feats = enriched.select(MultiModal.fakeFeatures(col("payload")).as("f"))
+      .head().getAs[scala.collection.Seq[Double]]("f")
+    assert(feats.length == 16)
+  }
+
   test("fakeFeatures is a deterministic 16-dim vector in [0,1]") {
     val s = spark
     import s.implicits._
