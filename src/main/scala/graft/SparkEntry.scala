@@ -148,6 +148,13 @@ object SparkEntry {
       s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // J1 with a composite join key (both key columns in the equi-join)
+    "cdc_pairs_composite" -> ((s, dir) =>
+      ChangelogBuilder.updatePairs(
+        ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet")), lineitemCfg)
+        .orderBy("commit_time", "l_orderkey", "l_linenumber", "column_name",
+          "old_value", "new_value")),
+
     // composite primary key (l_orderkey, l_linenumber), reference :82-133
     "cdc_changelog_composite" -> ((s, dir) =>
       ChangelogBuilder.withIds(
@@ -261,6 +268,7 @@ object SparkEntry {
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_changelog_composite" -> OrdersCdcOracle.lineitem.changelogSql,
+    "cdc_pairs_composite" -> OrdersCdcOracle.lineitem.pairsSql,
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
     "ext_simhash" -> ExtOracle.simhashSql,

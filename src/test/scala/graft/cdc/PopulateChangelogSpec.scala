@@ -115,6 +115,28 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
       "The from date: 1995-01-02 00:00:00.0 must be less than the to date: 1995-01-02 00:00:00.0!")
   }
 
+  test("write failure: default rethrows, compatMode soft-catches with the reference message") {
+    val base = Files.createTempDirectory("graft_e2e_fail")
+    // a feed whose configured key column doesn't exist -> failure inside the append
+    val badCfg = CdcTableConfig("orders", Seq("no_such_col"))
+    intercept[IllegalArgumentException] {
+      PopulateChangelog.run(spark, fullFeed, badCfg, base.resolve("a").toString,
+        Some(ts("1995-01-03 00:00:00")))
+    }
+    // the reference's CATCH block reports soft success (:401-409) — compat only
+    val r = PopulateChangelog.run(spark, fullFeed, badCfg.copy(compatMode = true),
+      base.resolve("b").toString, Some(ts("1995-01-03 00:00:00")))
+    assert(r.rowsInserted == 0)
+    assert(r.message == "No orders changes were detected between the date ranges provided!")
+    // validation errors are NEVER soft-caught, even in compat mode (:217-229)
+    PopulateChangelog.run(spark, fullFeed, cfg.copy(compatMode = true),
+      base.resolve("c").toString, Some(ts("1995-01-03 00:00:00")))
+    intercept[CdcValidationException] {
+      PopulateChangelog.run(spark, fullFeed, cfg.copy(compatMode = true),
+        base.resolve("c").toString, Some(ts("1994-01-01 00:00:00")))
+    }
+  }
+
   test("compat +1-minute resume loses sub-minute changes end-to-end; default does not") {
     def minuteFeed = feedKV(Seq(
       (1L, 0L, 2, 3L, "1995-01-01 00:00:10", "a", "x"),
