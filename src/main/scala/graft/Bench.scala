@@ -22,9 +22,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed warmup: JVM/codegen/parquet-reader spin-up otherwise lands
-    // entirely on whichever query happens to run first (~8s of noise).
-    SparkEntry.entry(spark).count()
+    // Untimed warmup ON THE TARGET DATASET: JVM/codegen/parquet-reader
+    // spin-up otherwise lands on whichever query runs first (~8s of
+    // noise). Guarded — a warmup failure must not prevent the per-query
+    // errors report below.
+    try SparkEntry.queries("cdc_changelog")(spark, sfDir).count()
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

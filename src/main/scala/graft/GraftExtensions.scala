@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.{FloatVectorDot, TopKByScore}
 
@@ -39,7 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"top_k_by_score k must be an integer literal, got $other")
         }
-        TopKByScore(children.head, children(1), k).toAggregateExpression()
+        // same input widening the Column API applies — without it a FLOAT
+        // score or INT id column would ClassCastException inside update()
+        TopKByScore(
+          Cast(children.head, DoubleType),
+          Cast(children(1), LongType), k).toAggregateExpression()
       }))
   }
 }

@@ -30,7 +30,10 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 rejects;
-    // read it as raw long (the JSON/agg ops here don't consume ts).
+    // read it as raw long. NOTE: this is a session-wide flag (it is
+    // consulted at execution as well as planning, so it cannot be scoped
+    // to this read) — any later TIMESTAMP(NANOS) parquet read in the same
+    // session will also surface as LongType.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
   }

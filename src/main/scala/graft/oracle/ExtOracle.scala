@@ -28,15 +28,18 @@ object ExtOracle {
        |GROUP BY md5(text)
        |ORDER BY keep_id""".stripMargin
 
-  /** Shared shingle CTEs (word 3-grams, distinct per doc). range(512) is a
-    * constant upper bound on tokens/doc (fixture max is ~102); the i-filter
-    * reproduces Spark's sequence(0, size-3). */
+  /** Shared shingle CTEs (word 3-grams, distinct per doc). range(2048) is a
+    * constant upper bound on tokens/doc (fixture max is ~102; DuckDB's
+    * range() cannot take a per-row bound) — A DOC LONGER THAN 2048 TOKENS
+    * WOULD SILENTLY LOSE TAIL SHINGLES HERE while Spark keeps them; bump
+    * this if the fixture ever grows. The i-filter reproduces Spark's
+    * sequence(0, size-3). */
   private val shingleCtes: String =
     s"""tok AS (
        |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM corpus
        |), sh AS (
        |  SELECT DISTINCT id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
-       |  FROM tok, range(512) t(i)
+       |  FROM tok, range(2048) t(i)
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |)""".stripMargin
 
@@ -258,29 +261,14 @@ object ExtOracle {
   /** E2b ≙ Similarity.topKCosineLsh (8 md5-derived hyperplanes, bucket join,
     * k = 3). */
   val annLshSql: String =
-    s"""WITH el AS (
-       |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-       |         generate_subscripts(embedding, 1) AS i
+    s"""WITH buck AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ${bucketExprSql("embedding", 0 until graft.ext.Similarity.NumPlanes, p => p)} AS bucket
        |  FROM embeddings
-       |), pw AS (
-       |  SELECT p, j,
-       |    CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
-       |              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS w
-       |  FROM range(${graft.ext.Similarity.NumPlanes}) pp(p), range(${graft.ext.Similarity.Dim}) jj(j)
-       |), proj AS (
-       |  SELECT e.vec_id, p.p, sum(e.x * p.w) AS dp
-       |  FROM el e JOIN pw p ON e.i = p.j + 1
-       |  GROUP BY e.vec_id, p.p
-       |), buck AS (
-       |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-       |  FROM proj GROUP BY vec_id
        |), q AS (
-       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
-       |  FROM embeddings e JOIN buck b ON b.vec_id = e.vec_id
-       |  WHERE e.vec_id % 100 = 0
+       |  SELECT vec_id AS query_id, v AS qv, bucket FROM buck WHERE vec_id % 100 = 0
        |), c AS (
-       |  SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, b.bucket
-       |  FROM embeddings e JOIN buck b ON b.vec_id = e.vec_id
+       |  SELECT vec_id AS neighbor_id, v AS cv, bucket FROM buck
        |), s AS (
        |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
        |  FROM q JOIN c ON q.bucket = c.bucket
@@ -303,28 +291,30 @@ object ExtOracle {
       |  FROM embeddings WHERE vec_id % 20 = 0
       |)""".stripMargin
 
+  /** Hyperplane p as a literal ±1 vector (generated from the same
+    * Similarity.planeWeight md5 derivation the Spark side uses). */
+  private def planeListSql(p: Int): String =
+    (0 until graft.ext.Similarity.Dim)
+      .map(j => graft.ext.Similarity.planeWeight(p, j))
+      .mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** LSH bucket id as a sum of sign tests — each projection is a
+    * `list_dot_product` against a literal plane (sequential summation,
+    * bit-identical to Spark's FloatVectorDot fold; a grouped SUM over
+    * unnested elements would have no ordering guarantee and could flip
+    * the sign of a near-zero projection between engines). */
+  private def bucketExprSql(vecRef: String, planes: Range, bitFor: Int => Int): String =
+    planes.map(p =>
+      s"(CASE WHEN list_dot_product($vecRef::DOUBLE[], ${planeListSql(p)}) > 0 " +
+        s"THEN ${1L << bitFor(p)}::BIGINT ELSE 0 END)").mkString("\n      + ")
+
   /** E1d ≙ Dedup.nearDuplicatesByEmbedding (LSH bucket join + exact cosine
     * ≥ 0.9; planted pairs sit at cosine ≈ 1, random pairs ≤ ~0.5). */
   val dedupEmbeddingSql: String =
-    s"""WITH $embCorpusSql, el AS (
-       |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-       |         generate_subscripts(embedding, 1) AS i
+    s"""WITH $embCorpusSql, sides AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ${bucketExprSql("embedding", 0 until graft.ext.Similarity.NumPlanes, p => p)} AS bucket
        |  FROM embx
-       |), pw AS (
-       |  SELECT p, j,
-       |    CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
-       |              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS w
-       |  FROM range(${graft.ext.Similarity.NumPlanes}) pp(p), range(${graft.ext.Similarity.Dim}) jj(j)
-       |), proj AS (
-       |  SELECT e.vec_id, p.p, sum(e.x * p.w) AS dp
-       |  FROM el e JOIN pw p ON e.i = p.j + 1
-       |  GROUP BY e.vec_id, p.p
-       |), buck AS (
-       |  SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-       |  FROM proj GROUP BY vec_id
-       |), sides AS (
-       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, b.bucket
-       |  FROM embx e JOIN buck b ON b.vec_id = e.vec_id
        |)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |FROM sides a JOIN sides b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -349,26 +339,17 @@ object ExtOracle {
   val annMultiprobeSql: String = {
     val tables = 4
     val bits = 4
-    s"""WITH el AS (
-       |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-       |         generate_subscripts(embedding, 1) AS i
+    val bucketList = (0 until tables).map { t =>
+      bucketExprSql("embedding", t * bits until (t + 1) * bits, p => p % bits)
+    }.mkString("[\n      ", ",\n      ", "\n    ]::BIGINT[]")
+    s"""WITH buck AS (
+       |  SELECT vec_id, $bucketList AS bl
        |  FROM embeddings
-       |), pw AS (
-       |  SELECT p, j,
-       |    CASE WHEN substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)
-       |              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS w
-       |  FROM range(${tables * bits}) pp(p), range(${graft.ext.Similarity.Dim}) jj(j)
-       |), proj AS (
-       |  SELECT e.vec_id, p.p, sum(e.x * p.w) AS dp
-       |  FROM el e JOIN pw p ON e.i = p.j + 1
-       |  GROUP BY e.vec_id, p.p
-       |), buck AS (
-       |  SELECT vec_id, p // $bits AS t,
-       |         sum(CASE WHEN dp > 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END) AS bucket
-       |  FROM proj GROUP BY vec_id, p // $bits
+       |), tb AS (
+       |  SELECT vec_id, generate_subscripts(bl, 1) AS t, unnest(bl) AS bucket FROM buck
        |), cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+       |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
        |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
        |), s AS (
        |  SELECT cand.query_id, cand.neighbor_id,

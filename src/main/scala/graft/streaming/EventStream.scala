@@ -19,7 +19,10 @@ object EventStream {
     * engine reads as a nanos long (SparkEntry.events); derive a proper
     * event-time column. */
   def fromEventsFixture(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer division: `/` would go through double, whose 53-bit mantissa
+    // can't hold 2024-epoch nanos — up to ~256ns of error, enough to flip
+    // an on-the-boundary event into the previous window
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Watermarked tumbling-window aggregation: per (window, event_type)
     * counts and integer JSON-field sums. In streaming mode late data beyond

@@ -50,8 +50,8 @@ object StreamingPopulate {
     val feed = withOpts.parquet(feedPath)
 
     val query = feed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appended.addAndGet(appendBatch(batch, cfg, changelogPath, distributedIds))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appended.addAndGet(appendBatch(batch, cfg, changelogPath, distributedIds, Some(batchId)))
         ()
       }
       .option("checkpointLocation", checkpointLocation)
@@ -63,17 +63,32 @@ object StreamingPopulate {
 
   /** One micro-batch: continue ids from the sink's max, then append via the
     * shared batch path. Micro-batches within a query run sequentially, so
-    * the one-snapshot-per-batch id contract holds like the batch mode. */
+    * the one-snapshot-per-batch id contract holds like the batch mode.
+    *
+    * Parquet append is not transactional with the stream's offset commit:
+    * a crash between the append and the checkpoint commit would replay the
+    * batch. A marker file per applied batchId (written AFTER the append,
+    * checked before) makes the replay a no-op, restoring effectively-once.
+    */
   def appendBatch(
       batch: DataFrame,
       cfg: CdcTableConfig,
       changelogPath: String,
-      distributedIds: Boolean = false): Long = {
+      distributedIds: Boolean = false,
+      batchId: Option[Long] = None): Long = {
     if (batch.isEmpty) return 0L
     val spark = batch.sparkSession
+    val marker = batchId.map { id =>
+      new org.apache.hadoop.fs.Path(changelogPath, s"_applied_batches/$id")
+    }
+    val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    if (marker.exists(m => fs.get.exists(m))) return 0L // replayed batch: already applied
     val offset = Checkpoint.sinkState(spark, changelogPath).map(_._2).getOrElse(0L)
     val cached = batch.cache()
-    try PopulateChangelog.stampAndAppend(spark, cached, cfg, changelogPath, offset, distributedIds)
-    finally cached.unpersist()
+    try {
+      val n = PopulateChangelog.stampAndAppend(spark, cached, cfg, changelogPath, offset, distributedIds)
+      marker.foreach(m => fs.get.create(m, true).close())
+      n
+    } finally cached.unpersist()
   }
 }

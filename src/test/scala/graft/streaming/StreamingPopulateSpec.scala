@@ -63,9 +63,18 @@ class StreamingPopulateSpec extends AnyFunSuite with SparkFixture {
     assert(fromStream == fromBatch, "streaming and batch modes agree byte-for-byte on content + ids")
     assert(fromStream.map(_.getLong(0)) == Set(1L, 2L, 3L, 4L))
 
-    // sink layout contract holds in streaming mode too
-    val dirs = new java.io.File(streamSink).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // sink layout contract holds in streaming mode too (the _applied_batches
+    // marker dir is underscore-prefixed, so parquet readers ignore it)
+    val dirs = new java.io.File(streamSink).listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")).sorted
     assert(dirs.toSeq == Seq("commit_date=1995-01-01", "commit_date=1995-01-02"))
+
+    // replaying an already-applied micro-batch (crash between parquet
+    // append and offset commit) must be a no-op, not a duplicate append
+    val replayed = StreamingPopulate.appendBatch(
+      day1, cfg, streamSink, batchId = Some(0L))
+    assert(replayed == 0L)
+    assert(spark.read.parquet(streamSink).count() == 4)
   }
 
   test("maxFilesPerTrigger splits one invocation into multiple ordered micro-batches") {
