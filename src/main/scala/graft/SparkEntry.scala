@@ -248,6 +248,10 @@ object SparkEntry {
     "ext_bpe_tokens" -> ((s, dir) =>
       TextOps.bpeTokenStats(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3e — PII scrubbing (emails/URLs/long numbers → placeholders)
+    "ext_pii_scrub" -> ((s, dir) =>
+      TextOps.scrubPii(corpus(s, dir)).orderBy("doc_id")),
+
     // §2.11 — watermarked tumbling-window aggregation (same plan runs
     // streaming; graded here in batch mode where the watermark is a no-op)
     "ext_event_windows" -> ((s, dir) =>
@@ -288,6 +292,7 @@ object SparkEntry {
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
+    "ext_pii_scrub" -> ExtOracle.piiScrubSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql
   )

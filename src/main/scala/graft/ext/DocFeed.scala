@@ -19,6 +19,11 @@ object DocFeed {
 
   val ExactDupOffset = 1000000L
   val NearDupOffset = 2000000L
+  val PiiDupOffset = 3000000L
+
+  /** Deterministic PII suffix appended to the `doc_id % 10 == 2` copies so
+    * the scrubbing operator (TextOps.scrubPii) has real matches. */
+  val PiiSuffix = " contact user42@example.com or http://ex.example.org/p?q=1 id 12345"
 
   def withDups(documents: DataFrame): DataFrame = {
     // Single scan: each source row explodes into the 1-3 corpus rows it
@@ -33,7 +38,10 @@ object DocFeed {
         row(col("doc_id") + lit(ExactDupOffset), col("text"), lit("dup_exact"), col("n_chars"))),
       when(col("doc_id") % 10 === 1,
         row(col("doc_id") + lit(NearDupOffset), concat(col("text"), lit(" qq zz")),
-          lit("dup_near"), col("n_chars") + lit(6L))))).as("__r"))
+          lit("dup_near"), col("n_chars") + lit(6L))),
+      when(col("doc_id") % 10 === 2,
+        row(col("doc_id") + lit(PiiDupOffset), concat(col("text"), lit(PiiSuffix)),
+          lit("dup_pii"), col("n_chars") + lit(PiiSuffix.length.toLong))))).as("__r"))
       .where(col("__r").isNotNull) // codegen'd row filter, not the HOF filter()
       .select(col("__r.*"))
   }

@@ -98,6 +98,32 @@ object TextOps {
       count("[^a-z0-9 ]").as("n_other"))
   }
 
+  /** PII patterns, in the regex-dialect intersection of Java and RE2 (no
+    * backrefs, no lookaround): emails, URLs, long digit runs. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val UrlPattern = "https?://[^ ]+"
+  val LongNumberPattern = "[0-9][0-9][0-9][0-9]+"
+
+  /** E3e — PII scrubbing: replace emails, URLs and long digit runs with
+    * placeholder tokens and report match counts. Map-only codegen'd
+    * regexp work — the standard pre-training redaction pass. */
+  def scrubPii(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val low = lower(col(textCol))
+    def cnt(p: String): Column = size(regexp_extract_all(low, lit(p), lit(0)))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(low, EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>"),
+        LongNumberPattern, "<NUM>")
+    corpus.select(
+      col(idCol),
+      cnt(EmailPattern).as("n_emails"),
+      cnt(UrlPattern).as("n_urls"),
+      cnt(LongNumberPattern).as("n_numbers"),
+      md5(scrubbed.cast("binary")).as("fp_scrubbed"))
+  }
+
   /** E3d — document fingerprints: whole-document md5 plus a winnowing-style
     * min-shingle fingerprint (min over word-3-gram hashes — stable under
     * content reordering at the margins, unlike the whole-doc hash). */

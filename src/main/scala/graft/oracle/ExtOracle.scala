@@ -10,15 +10,19 @@ object ExtOracle {
 
   /** ≙ ext.DocFeed.withDups — keep branch-for-branch in sync. */
   val corpusSql: String =
-    """corpus AS (
-      |  SELECT doc_id, text, lang, source, n_chars FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text, lang, 'dup_exact', n_chars
-      |  FROM documents WHERE doc_id % 10 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 2000000, text || ' qq zz', lang, 'dup_near', n_chars + 6
-      |  FROM documents WHERE doc_id % 10 = 1
-      |)""".stripMargin
+    s"""corpus AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, lang, 'dup_exact', n_chars
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' qq zz', lang, 'dup_near', n_chars + 6
+       |  FROM documents WHERE doc_id % 10 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text || '${graft.ext.DocFeed.PiiSuffix}', lang, 'dup_pii',
+       |         n_chars + ${graft.ext.DocFeed.PiiSuffix.length}
+       |  FROM documents WHERE doc_id % 10 = 2
+       |)""".stripMargin
 
   /** E1a ≙ Dedup.exactGroups. */
   val dedupExactSql: String =
@@ -219,6 +223,24 @@ object ExtOracle {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** E3e ≙ TextOps.scrubPii (same patterns, same replacement order; DuckDB
+    * needs the 'g' flag to match Spark's replace-all). */
+  val piiScrubSql: String = {
+    val email = TextOps.EmailPattern
+    val url = TextOps.UrlPattern
+    val num = TextOps.LongNumberPattern
+    s"""WITH $corpusSql
+       |SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$email')) AS n_emails,
+       |  len(regexp_extract_all(lower(text), '$url')) AS n_urls,
+       |  len(regexp_extract_all(lower(text), '$num')) AS n_numbers,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+       |      '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$num', '<NUM>', 'g'))
+       |    AS fp_scrubbed
+       |FROM corpus
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** E3d ≙ TextOps.fingerprints. (min over the shingle multiset equals min
     * over the distinct set, so the shared distinct-shingle CTE serves.) */

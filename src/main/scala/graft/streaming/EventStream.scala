@@ -88,7 +88,10 @@ object EventStream {
           val t = e.event_time.getTime
           cur match {
             case Some(s) if t - s.lastMs <= gapMs =>
-              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+              // a late-but-in-watermark event can precede the current
+              // session start; the session extends backward too
+              cur = Some(SessionState(
+                math.min(s.startMs, t), math.max(s.lastMs, t), s.nEvents + 1))
             case Some(s) =>
               out += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
               cur = Some(SessionState(t, t, 1))
