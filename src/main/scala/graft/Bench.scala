@@ -27,7 +27,7 @@ object Bench {
     // noise). Guarded — a warmup failure must not prevent the per-query
     // errors report below.
     try SparkEntry.queries("cdc_changelog")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -84,18 +84,22 @@ object TextOps {
     * simplified to the regex-dialect intersection of Java and RE2. */
   val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** Number of matches of `pattern` in `in` (shared by the regex-counting
+    * operators so their semantics can't drift apart). */
+  private def matchCount(in: Column, pattern: String): Column =
+    size(regexp_extract_all(in, lit(pattern), lit(0)))
+
   /** E3a' — BPE-ish token counting via regex pre-tokenization (whitespace
     * tokenization's companion; both are map-only codegen'd column work).
     * Integer counts per match class. */
   def bpeTokenStats(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val low = lower(col(textCol))
-    def count(pattern: String): Column = size(regexp_extract_all(low, lit(pattern), lit(0)))
     corpus.select(
       col(idCol),
-      count(SubwordPattern).as("n_subwords"),
-      count("[a-z]+").as("n_alpha"),
-      count("[0-9]+").as("n_num"),
-      count("[^a-z0-9 ]").as("n_other"))
+      matchCount(low, SubwordPattern).as("n_subwords"),
+      matchCount(low, "[a-z]+").as("n_alpha"),
+      matchCount(low, "[0-9]+").as("n_num"),
+      matchCount(low, "[^a-z0-9 ]").as("n_other"))
   }
 
   /** PII patterns, in the regex-dialect intersection of Java and RE2 (no
@@ -109,7 +113,7 @@ object TextOps {
     * regexp work — the standard pre-training redaction pass. */
   def scrubPii(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val low = lower(col(textCol))
-    def cnt(p: String): Column = size(regexp_extract_all(low, lit(p), lit(0)))
+    def cnt(p: String): Column = matchCount(low, p)
     val scrubbed =
       regexp_replace(
         regexp_replace(

@@ -87,11 +87,18 @@ object EventStream {
         evs.toSeq.sortBy(_.event_time.getTime).foreach { e =>
           val t = e.event_time.getTime
           cur match {
-            case Some(s) if t - s.lastMs <= gapMs =>
-              // a late-but-in-watermark event can precede the current
-              // session start; the session extends backward too
+            // in-gap on either side: events sort ascending within a batch,
+            // so t < startMs only for a late event restored-state case —
+            // it merges only if within the gap of the session START
+            // (t - lastMs would be vacuously <= gap for ANY earlier t)
+            case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
               cur = Some(SessionState(
                 math.min(s.startMs, t), math.max(s.lastMs, t), s.nEvents + 1))
+            // a late event beyond the gap BEFORE the session: its own
+            // (already-complete) session — nothing later can extend it
+            case Some(s) if t < s.startMs - gapMs =>
+              out += Session(userId, new Timestamp(t), new Timestamp(t), 1)
+            // beyond the gap after: close the session, start a new one
             case Some(s) =>
               out += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
               cur = Some(SessionState(t, t, 1))

@@ -49,9 +49,17 @@ object StreamingPopulate {
     val withOpts = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     val feed = withOpts.parquet(feedPath)
 
+    // Marker keys are scoped to the CHECKPOINT identity, not the bare
+    // batchId: a different checkpoint writing into the same sink restarts
+    // batchIds at 0, and a bare-id marker from an earlier run would make
+    // its batches silently no-op (data loss).
+    val ckptKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointLocation.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
     val query = feed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appended.addAndGet(appendBatch(batch, cfg, changelogPath, distributedIds, Some(batchId)))
+        appended.addAndGet(
+          appendBatch(batch, cfg, changelogPath, distributedIds, Some(s"${ckptKey}_$batchId")))
         ()
       }
       .option("checkpointLocation", checkpointLocation)
@@ -66,19 +74,21 @@ object StreamingPopulate {
     * the one-snapshot-per-batch id contract holds like the batch mode.
     *
     * Parquet append is not transactional with the stream's offset commit:
-    * a crash between the append and the checkpoint commit would replay the
-    * batch. A marker file per applied batchId (written AFTER the append,
-    * checked before) makes the replay a no-op, restoring effectively-once.
+    * a crash between the append and the checkpoint commit replays the
+    * batch. A marker file per applied (checkpoint, batch) — written AFTER
+    * the append, checked before — makes the common replay a no-op. This
+    * NARROWS the duplicate window to a crash between append and marker
+    * write; closing it entirely needs a transactional table format.
     */
   def appendBatch(
       batch: DataFrame,
       cfg: CdcTableConfig,
       changelogPath: String,
       distributedIds: Boolean = false,
-      batchId: Option[Long] = None): Long = {
+      batchKey: Option[String] = None): Long = {
     if (batch.isEmpty) return 0L
     val spark = batch.sparkSession
-    val marker = batchId.map { id =>
+    val marker = batchKey.map { id =>
       new org.apache.hadoop.fs.Path(changelogPath, s"_applied_batches/$id")
     }
     val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))

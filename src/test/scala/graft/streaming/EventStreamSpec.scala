@@ -47,6 +47,34 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("sessionize: a late event far BEFORE the open session becomes its own session") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val in = MemoryStream[UserEvent]
+    val sessions = EventStream.sessionize(in.toDS(), gapMs = 60000L, watermarkDelay = "30 minutes")
+    val query = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      in.addData(ue(1, "2024-01-01 10:00:00"))
+      query.processAllAvailable()
+      // 5 minutes before the open session's start, within the watermark,
+      // far beyond the 60s gap: must NOT stretch the session backward
+      in.addData(ue(1, "2024-01-01 09:55:00"))
+      query.processAllAvailable()
+      in.addData(ue(2, "2024-01-01 12:00:00"), ue(2, "2024-01-01 12:30:00"))
+      query.processAllAvailable()
+
+      val got = spark.table("sess_late").as[Session].collect()
+        .map(x => (x.user_id, x.session_start.toString, x.n_events)).toSet
+      assert(got.contains((1L, "2024-01-01 09:55:00.0", 1)),
+        "the late event is emitted as its own complete session")
+      assert(!got.exists { case (u, _, n) => u == 1L && n > 1 },
+        "the open 10:00 session must not absorb the far-earlier event")
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate keys across micro-batches within the watermark") {
     val s = spark
     import s.implicits._

@@ -70,11 +70,19 @@ class StreamingPopulateSpec extends AnyFunSuite with SparkFixture {
     assert(dirs.toSeq == Seq("commit_date=1995-01-01", "commit_date=1995-01-02"))
 
     // replaying an already-applied micro-batch (crash between parquet
-    // append and offset commit) must be a no-op, not a duplicate append
+    // append and offset commit) must be a no-op, not a duplicate append —
+    // markers are keyed by (checkpoint, batchId)
+    val ckptKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val replayed = StreamingPopulate.appendBatch(
-      day1, cfg, streamSink, batchId = Some(0L))
+      day1, cfg, streamSink, batchKey = Some(s"${ckptKey}_0"))
     assert(replayed == 0L)
     assert(spark.read.parquet(streamSink).count() == 4)
+
+    // ...but the same batchId under a DIFFERENT checkpoint is real new work
+    val otherKey = "deadbeef_0"
+    assert(StreamingPopulate.appendBatch(day1, cfg, streamSink,
+      batchKey = Some(otherKey)) == 2L)
   }
 
   test("maxFilesPerTrigger splits one invocation into multiple ordered micro-batches") {
