@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties PlanAudit reports,
+  * locked as assertions so a refactor can't silently reintroduce a
+  * scale-killer (extra scans, a lost broadcast, a single-partition window
+  * in the distributed path, or the map-side top-k reduction).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("flagship changelog reads the feed source at most twice") {
+    val scans = "Scan parquet".r.findAllIn(plan("cdc_changelog")).length
+    assert(scans <= 2, s"pairs (1 agg pass) + sentinels (1 filtered scan), got $scans scans")
+  }
+
+  test("distributed-id changelog has no Window operator at all") {
+    assert(!plan("cdc_changelog_dist").contains("Window"),
+      "the scale path must not funnel the batch through a single-partition window")
+  }
+
+  test("star rollup broadcasts all three dimensions") {
+    val b = "BroadcastHashJoin".r.findAllIn(plan("ext_star_agg")).length
+    assert(b >= 3, s"expected 3 broadcast joins, got $b")
+  }
+
+  test("top-k similarity reduces map-side via partial bounded-heap aggregation") {
+    assert(plan("ext_topk_cosine").contains("partial_top_k_by_score"),
+      "the exchange must carry O(queries x k), not every scored pair")
+  }
+
+  test("update pairing is an aggregation, not a self-join, in default mode") {
+    val p = plan("cdc_update_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "default-mode pairing is a single-pass conditional aggregation")
+  }
+}
