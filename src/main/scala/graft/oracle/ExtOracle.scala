@@ -92,7 +92,7 @@ object ExtOracle {
        |  FROM hh, range(${Dedup.SimHashBits}) r(j)
        |  GROUP BY id, j
        |)
-       |SELECT id AS doc_id, sum(b * (1::BIGINT << j)) AS simhash
+       |SELECT id AS doc_id, CAST(sum(b * (1::BIGINT << j)) AS BIGINT) AS simhash
        |FROM bits GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
@@ -210,7 +210,7 @@ object ExtOracle {
   val eventWindowsSql: String =
     """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
       |  count(*) AS n_events,
-      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k
+      |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -218,7 +218,7 @@ object ExtOracle {
   /** E3c' ≙ TextOps.eventStats. */
   val eventStatsSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
       |  count(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY event_type
@@ -393,7 +393,7 @@ object ExtOracle {
     * floor-cents so the sum is integer-exact across engines). */
   val starAggSql: String =
     """SELECT r_name, n_name, count(*) AS n_orders,
-      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
       |  count(DISTINCT c_custkey) AS n_customers
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey

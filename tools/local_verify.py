@@ -49,6 +49,12 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # Types whose rendering is engine/driver-dependent: DuckDB sum(BIGINT)
+    # yields HUGEINT, which the DRIVER's hasher renders differently from a
+    # plain int even though our str(int) comparison would pass (the exact
+    # cause of the r03 ext_simhash/events_agg/star_agg/event_windows hash
+    # misses). Ban them outright on BOTH sides of the compare.
+    BAD = ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL", "DECIMAL")
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -58,6 +64,18 @@ def main():
             failures += 1
             continue
         try:
+            bad_cols = [
+                (side, r[0], r[1])
+                for side, q in (
+                    ("spark", f"SELECT * FROM read_parquet({spark_files!r})"),
+                    ("oracle", sql))
+                for r in con.execute(f"DESCRIBE {q}").fetchall()
+                if any(b in r[1] for b in BAD)]
+            if bad_cols:
+                print(f"FAIL {name}: driver-unstable column types {bad_cols} "
+                      f"(cast to BIGINT/VARCHAR — see CLAUDE.md)")
+                failures += 1
+                continue
             sdf = con.execute(
                 f"SELECT * FROM read_parquet({spark_files!r})")
             scols = [d[0] for d in sdf.description]
