@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-import graft.functions.{FloatVectorDot, TopKByScore}
+import graft.functions.{FloatVectorDot, TopKByScore, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst functions with the session's function registry so they're
@@ -45,6 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKByScore(
           Cast(children.head, DoubleType),
           Cast(children(1), LongType), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_shingles(text, n) takes two args")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(children.head, n)
       }))
   }
 }

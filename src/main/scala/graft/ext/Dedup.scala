@@ -49,17 +49,14 @@ object Dedup {
   val ShingleLen = 3 // word 3-grams
 
   /** Word-`ShingleLen`-grams per document: (id, sh), duplicates included
-    * (map-side only). Docs with fewer tokens than a shingle emit nothing
-    * (mirrors the oracle's range filter). */
-  def rawShingles(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    corpus
-      .where(size(toks) >= ShingleLen)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(toks) - ShingleLen),
-          i => concat_ws(" ", (0 until ShingleLen).map(o => element_at(toks, i + o + 1)): _*)))
-          .as("sh"))
-  }
+    * (map-side only). Docs with fewer tokens than a shingle emit an empty
+    * array, which `explode` drops (mirrors the oracle's range filter).
+    * Shingling is a codegen'd [[graft.functions.WordShingles]] pass — the
+    * equivalent transform/sequence/element_at HOF chain evaluated its
+    * lambda interpreted per shingle and dominated the pipeline's runtime. */
+  def rawShingles(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      explode(graft.functions.WordShingles.wordShingles(col(textCol), ShingleLen)).as("sh"))
 
   /** Distinct shingle set per document (needed for Jaccard counting; the
     * signature path works on the raw multiset — min is duplicate-blind —
@@ -128,12 +125,22 @@ object Dedup {
       .join(shc.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(shc.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
+    val out = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       // jaccard = common/(a+b-common) >= num/den, in exact integer math
       .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
       .select("id_a", "id_b", "n_common", "n_a", "n_b")
+      .cache()
+    // Materialize the (one row per verified pair — tiny relative to the
+    // corpus) result while the intermediates are live, then release the
+    // three O(shingles) caches: without this, every invocation in a long
+    // session leaked ~the whole shingle multiset into the block store.
+    out.count()
+    raw.unpersist()
+    cand.unpersist()
+    shc.unpersist()
+    out
   }
 
   // -------------------------------------------------------------------
