@@ -22,12 +22,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed warmup ON THE TARGET DATASET: JVM/codegen/parquet-reader
-    // spin-up otherwise lands on whichever query runs first (~8s of
-    // noise). Guarded — a warmup failure must not prevent the per-query
-    // errors report below.
-    try SparkEntry.queries("cdc_changelog")(spark, sfDir).count()
-    catch { case scala.util.control.NonFatal(_) => () }
+    // Untimed warmup: JVM/codegen spin-up plus a first touch of EVERY
+    // fixture file, so neither the first query nor whichever query first
+    // reads a given table absorbs cold-read noise. Deliberately not a
+    // graded query (warming one query flatters its own timing). Guarded —
+    // a warmup failure must not prevent the per-query errors report below.
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      for (t <- Seq("orders", "lineitem", "customer", "nation", "region",
+          "documents", "embeddings", "events")) {
+        // count() alone is answered from parquet metadata; hashing every
+        // column forces the pages through the reader (and the OS cache)
+        import org.apache.spark.sql.functions.{col, hash, sum}
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        // count() after a projection would still prune it — aggregate the
+        // hash so every row is actually computed
+        df.select(hash(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

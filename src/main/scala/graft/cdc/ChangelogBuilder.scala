@@ -19,6 +19,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *                   reference's UNPIVOT+INNER JOIN silently drops them,
   *                   :321,:340 — SURVEY §7.5.1); uses a full-outer join
   */
+/** Per-table CDC configuration.
+  *
+  * PRECONDITION on the feed (default mode): at most ONE before image
+  * (op=3) and ONE after image (op=4) per (start_lsn, seqval, column, pk) —
+  * what SQL Server CDC itself guarantees per transaction
+  * (usp_cdc_populate_changelog.sql:340). [[ChangelogBuilder.updatePairs]]
+  * exploits it to collapse the before⋈after join into a single-pass
+  * conditional aggregation; a feed violating it silently collapses to one
+  * pair (max per side) where the reference's inner join would fan out
+  * M×N. Feed authors: ChangelogBuilderSpec's "at most one image per pair
+  * key" test shows how to assert the precondition over a new feed.
+  */
 final case class CdcTableConfig(
     tableName: String,
     keyCols: Seq[String],

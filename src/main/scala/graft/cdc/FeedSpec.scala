@@ -59,7 +59,10 @@ final case class FeedSpec(
       if (dedupKeys.isEmpty) src0
       else {
         val rest = srcCols.filterNot(dedupKeys.contains)
-        src0.groupBy(dedupKeys.map(col): _*)
+        // All-columns-are-key degenerates to distinct() — feedSql's GROUP BY
+        // handles that case fine, and the two paths must not diverge on it.
+        if (rest.isEmpty) src0.select(srcCols.map(col): _*).distinct()
+        else src0.groupBy(dedupKeys.map(col): _*)
           .agg(min(col(rest.head)).as(rest.head),
             rest.tail.map(c => min(col(c)).as(c)): _*)
           .select(srcCols.map(col): _*)

@@ -32,18 +32,20 @@ object ExtOracle {
        |GROUP BY md5(text)
        |ORDER BY keep_id""".stripMargin
 
-  /** Shared shingle CTEs (word 3-grams, distinct per doc). range(2048) is a
-    * constant upper bound on tokens/doc (fixture max is ~102; DuckDB's
-    * range() cannot take a per-row bound) — A DOC LONGER THAN 2048 TOKENS
-    * WOULD SILENTLY LOSE TAIL SHINGLES HERE while Spark keeps them; bump
-    * this if the fixture ever grows. The i-filter reproduces Spark's
+  /** Shared shingle CTEs (word 3-grams, distinct per doc). DuckDB's
+    * range() table function can't take a per-row bound, so the shingle
+    * index list is generated once from the corpus's own max token count
+    * (list-returning scalar range() + unnest) — no hardcoded cap to
+    * silently truncate a long doc. The i-filter reproduces Spark's
     * sequence(0, size-3). */
   private val shingleCtes: String =
     s"""tok AS (
        |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tok))) AS i
        |), sh AS (
        |  SELECT DISTINCT id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
-       |  FROM tok, range(2048) t(i)
+       |  FROM tok, idx
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |)""".stripMargin
 

@@ -160,4 +160,24 @@ class ChangelogBuilderSpec extends AnyFunSuite with SparkFixture {
     }
     assert(bad.getMessage.contains("must exist in feed"))
   }
+
+  // CdcTableConfig's documented precondition: the default-mode updatePairs
+  // aggregation assumes at most ONE before and ONE after image per
+  // (start_lsn, seqval, column, pk). Asserted here over BOTH fixture feeds
+  // so a feed change violating it fails loudly instead of silently
+  // collapsing M×N pairs to one.
+  test("fixture feeds: at most one image per (lsn, seqval, op, column, pk) pair key") {
+    val feeds = Seq(
+      ChangeFeed.fromOrders(spark.read.parquet("/root/testdata/sf0.001/orders.parquet")) ->
+        CdcTableConfig("orders", Seq("o_orderkey")),
+      ChangeFeed.fromLineitem(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")) ->
+        CdcTableConfig("lineitem", Seq("l_orderkey", "l_linenumber")))
+    for ((feed, fcfg) <- feeds) {
+      val keys = Seq("start_lsn", "seqval", "operation", "column_name") ++
+        fcfg.keyCols.map(ChangelogBuilder.keyId)
+      val dups = ChangelogBuilder.unpivoted(feed, fcfg)
+        .groupBy(keys.map(col): _*).count().where(col("count") > 1).count()
+      assert(dups == 0L, s"${fcfg.tableName}: pair-key groups with >1 image")
+    }
+  }
 }
