@@ -257,7 +257,79 @@ object SparkEntry {
     "ext_event_windows" -> ((s, dir) =>
       graft.streaming.EventStream.eventWindowCounts(
         graft.streaming.EventStream.fromEventsFixture(events(s, dir)))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // S1' — composite-key twin of the LSN-window feed scan
+    "cdc_feed_window_composite" -> ((s, dir) =>
+      ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"))
+        .where(col("start_lsn") > 100 && col("start_lsn") <= 800)
+        .select("start_lsn", "seqval", "operation", "update_mask", "commit_time")
+        .orderBy("start_lsn", "seqval", "operation")),
+
+    // S3' — composite-key twin of the time-range changelog scan
+    "cdc_query_data_composite" -> ((s, dir) =>
+      ChangelogBuilder.build(
+        ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"))
+          .where(col("commit_time") >= lit("1995-01-01 00:10:00").cast("timestamp") &&
+            col("commit_time") <= lit("1995-01-01 02:00:00").cast("timestamp")),
+        lineitemCfg)
+        .orderBy(col("commit_time"), col("l_orderkey"), col("l_linenumber"),
+          col("column_name").asc_nulls_first,
+          col("old_value").asc_nulls_first, col("new_value").asc_nulls_first)),
+
+    // E3f — quality scoring (basis-point signals + bucketed verdict)
+    "ext_quality" -> ((s, dir) =>
+      TextOps.qualityScore(corpus(s, dir)).orderBy("doc_id")),
+
+    // batch sessionization (gaps-and-islands; the batch companion of the
+    // streaming flatMapGroupsWithState sessionizer)
+    "ext_sessionize" -> ((s, dir) =>
+      graft.ops.Sessions.sessionize(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t_s")),
+        "user_id", "t_s", "event_id", gapS = 1800L)
+        .orderBy("user_id", "session_seq")),
+
+    // backward as-of join — each event annotated with the user's most
+    // recent purchase at-or-before it (attribution join). Marks are a
+    // subset of the probe stream, so the self variant emits both roles
+    // from ONE events scan.
+    "ext_asof" -> ((s, dir) =>
+      graft.ops.AsOfJoin.selfBackward(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t_s"), col("event_type")),
+        on = Seq("user_id"), timeCol = "t_s",
+        markCond = col("event_type") === "purchase",
+        payload = Seq("event_id" -> "ref_event_id", "t_s" -> "ref_t_s"),
+        tieBreak = "ref_event_id")
+        .withColumn("lag_s", col("t_s") - col("ref_t_s"))
+        .drop("ref_t_s", "event_type")
+        .orderBy("event_id")),
+
+    // ROLLUP grouping sets over the star join: detail + per-region +
+    // grand-total rows in one Expand+aggregate pass
+    "ext_rollup" -> ((s, dir) =>
+      graft.ops.Analytics.revenueRollup(
+        orders(s, dir),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"))
+        .orderBy(col("gid"), col("r_name"), col("n_name"))),
+
+    // salted skew join — must be bit-identical to the plain inner join
+    // (the oracle), with the hot keys spread across salt sub-partitions
+    "ext_skew_join" -> ((s, dir) =>
+      graft.ops.SkewJoin.saltedInnerJoin(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")),
+        orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        keys = Seq("o_orderkey"), salt = 8, saltSource = col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+        .orderBy("o_orderpriority"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,6 +366,13 @@ object SparkEntry {
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
-    "ext_multimodal" -> ExtOracle.multiModalSql
+    "ext_multimodal" -> ExtOracle.multiModalSql,
+    "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
+    "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,
+    "ext_quality" -> ExtOracle.qualitySql,
+    "ext_sessionize" -> ExtOracle.sessionizeSql,
+    "ext_asof" -> ExtOracle.asofSql,
+    "ext_rollup" -> ExtOracle.rollupSql,
+    "ext_skew_join" -> ExtOracle.skewJoinSql
   )
 }

@@ -128,6 +128,43 @@ object TextOps {
       md5(scrubbed.cast("binary")).as("fp_scrubbed"))
   }
 
+  /** E3f — per-document quality scoring, the standard pre-training corpus
+    * filter signals: alphabetic-character ratio, punctuation ratio,
+    * stopword ratio, mean token length — all as INTEGER basis points /
+    * centi-units (integer division, identical across engines; consumers
+    * wanting floats divide themselves) plus a bucketed verdict. Map-only
+    * codegen'd column work. */
+  def qualityScore(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val low = lower(col(textCol))
+    val t = toks(col(textCol))
+    val enStops = Stopwords.toMap.apply("en")
+    val base = corpus.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      matchCount(low, "[a-z]").as("__n_alpha"),
+      matchCount(low, "[^a-z0-9 ]").as("__n_punct"),
+      stopCount(col(textCol), enStops).as("__n_stop"),
+      length(col(textCol)).as("__n_chars"),
+      length(regexp_replace(col(textCol), " ", "")).as("__n_nospace"))
+    // integer `div`, not `/`: the quotient must be exact integer math on
+    // both engines (DuckDB `//`), never a rounded double
+    def bp(num: String, den: String): Column =
+      expr(s"CASE WHEN $den > 0 THEN CAST($num AS BIGINT) * 10000 div $den ELSE 0 END")
+    base.select(
+      col(idCol),
+      col("n_tokens"),
+      bp("__n_alpha", "__n_chars").as("alpha_bp"),
+      bp("__n_punct", "__n_chars").as("punct_bp"),
+      bp("__n_stop", "n_tokens").as("stop_bp"),
+      expr("CASE WHEN n_tokens > 0 THEN CAST(__n_nospace AS BIGINT) * 100 div n_tokens ELSE 0 END")
+        .as("mean_tok_len_x100"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20, lit("short"))
+          .when(col("stop_bp") >= 500, lit("good"))
+          .when(col("stop_bp") >= 200, lit("mid"))
+          .otherwise(lit("low")))
+  }
+
   /** E3d — document fingerprints: whole-document md5 plus a winnowing-style
     * min-shingle fingerprint (min over word-3-gram hashes — stable under
     * content reordering at the margins, unlike the whole-doc hash). */

@@ -27,4 +27,27 @@ object Analytics {
         count(lit(1)).as("n_orders"),
         sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
         countDistinct(col("c_custkey")).as("n_customers"))
+
+  /** The same star join under ROLLUP grouping sets: per-(region, nation)
+    * rows plus per-region and grand-total super-aggregates in ONE pass —
+    * Catalyst expands the rollup into a single Expand + hash aggregate, so
+    * the fact table is still read and shuffled once (vs three separate
+    * aggregations). `gid` is the standard grouping-id bitmask
+    * (r_name bit 1, n_name bit 0) distinguishing detail from subtotal
+    * rows, 0/1/3 for a two-column rollup. */
+  def revenueRollup(
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+        countDistinct(col("c_custkey")).as("n_customers"))
 }

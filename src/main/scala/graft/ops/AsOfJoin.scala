@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: attach to each left row the payload of the most
+  * recent right row with the same partition key and `rightTime <= leftTime`
+  * (the attribution / point-in-time-lookup join every event pipeline
+  * needs; ≙ DuckDB/kdb ASOF JOIN, pandas merge_asof).
+  *
+  * Spark-first formulation: neither a per-row subquery (the naive O(n·m)
+  * range join) nor a driver-side loop — the two sides are UNIONED, hash-
+  * partitioned once on the key, and resolved with a partitioned running
+  * `last(payload, ignoreNulls)` window. One shuffle, no global funnel,
+  * partition-local sort: the plan scales with the key cardinality exactly
+  * like any windowed aggregation.
+  *
+  * Tie semantics: a right row AT the left row's time matches (>=, like
+  * DuckDB's default). Right rows tied on (key, time) resolve by
+  * `tieBreak` (ascending, later wins) so the result is total-order
+  * deterministic.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; all its columns pass through
+    * @param right     build side: `on` ++ `rightTime` ++ `payload` columns
+    * @param on        equi partition keys (present on both sides)
+    * @param leftTime  left event-time column (numeric or timestamp)
+    * @param rightTime right event-time column (same type)
+    * @param payload   right columns carried onto left rows (names must not
+    *                  collide with left's)
+    * @param tieBreak  right column ordering rights tied on (key, time) —
+    *                  the greatest wins
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tieBreak: String): DataFrame = {
+    require(payload.nonEmpty, "payload must name at least one right column")
+    require(payload.forall(p => !left.columns.contains(p)),
+      s"payload ${payload.mkString(",")} collides with a left column")
+
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftFields = left.schema.fields
+
+    // Union by explicit projection: left rows carry null payload (typed
+    // from the right schema), right rows carry null left-only columns.
+    val lPrep = left.select(
+      leftFields.map(f => col(f.name)) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        payload.map(p => lit(null).cast(rightTypes(p)).as(p)): _*)
+    val rPrep = right.select(
+      leftFields.map { f =>
+        if (on.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
+        payload.map(col): _*)
+
+    resolve(lPrep.unionByName(rPrep), on, leftFields.map(_.name), payload, tieBreak)
+  }
+
+  /** Self as-of: the marks are the subset of `df` satisfying `markCond` —
+    * the common case (attribute each event to the latest prior event of a
+    * designated kind). Where [[backward]] over two projections of the same
+    * source would scan it twice, this emits BOTH roles from ONE scan: each
+    * row explodes into its probe struct plus (conditionally) its mark
+    * struct — the same single-scan multi-branch shape as the CDC feed
+    * (FeedSpec.toFeed).
+    *
+    * @param payload (source column, output name) pairs taken from the mark
+    *                row; output names must not collide with df's columns
+    */
+  def selfBackward(
+      df: DataFrame,
+      on: Seq[String],
+      timeCol: String,
+      markCond: org.apache.spark.sql.Column,
+      payload: Seq[(String, String)],
+      tieBreak: String): DataFrame = {
+    require(payload.nonEmpty, "payload must name at least one column")
+    require(payload.forall(p => !df.columns.contains(p._2)),
+      s"payload names ${payload.map(_._2).mkString(",")} collide with a source column")
+    val fields = df.schema.fields
+    val types = fields.map(f => f.name -> f.dataType).toMap
+
+    def role(tag: Int) = struct(
+      fields.map { f =>
+        (if (tag == 1 || on.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      } ++
+        Seq(col(timeCol).as("__t"), lit(tag).as("__tag")) ++
+        payload.map { case (src, out) =>
+          (if (tag == 0) col(src) else lit(null).cast(types(src))).as(out)
+        }: _*)
+
+    val unioned = df
+      .select(explode(array(role(1), when(markCond, role(0)))).as("__r"))
+      .where(col("__r").isNotNull)
+      .select(col("__r.*"))
+    resolve(unioned, on, fields.map(_.name), payload.map(_._2), tieBreak)
+  }
+
+  /** Shared window resolution over the tagged union (see [[backward]]). */
+  private def resolve(
+      unioned: DataFrame,
+      on: Seq[String],
+      leftCols: Seq[String],
+      payload: Seq[String],
+      tieBreak: String): DataFrame = {
+    // Marks sort BEFORE probes at equal time (tag 0 < 1) -> >= semantics;
+    // tieBreak totalizes the order among same-instant marks.
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc, col(tieBreak).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .select(
+        leftCols.map(col) ++
+          Seq(col("__tag")) ++
+          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .where(col("__tag") === 1)
+      .drop("__tag")
+  }
+}

@@ -404,6 +404,107 @@ object ExtOracle {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** E3f ≙ TextOps.qualityScore (integer basis points; `//` ≙ Spark `div`,
+    * both (num*10000) // den on BIGINT). */
+  val qualitySql: String = {
+    val stops = TextOps.Stopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH $corpusSql, base AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+       |    len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($stops, t))) AS n_stop,
+       |    length(text) AS n_chars,
+       |    length(replace(text, ' ', '')) AS n_nospace
+       |  FROM corpus
+       |), scored AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_chars > 0 THEN n_alpha * 10000 // n_chars ELSE 0 END AS alpha_bp,
+       |    CASE WHEN n_chars > 0 THEN n_punct * 10000 // n_chars ELSE 0 END AS punct_bp,
+       |    CASE WHEN n_tokens > 0 THEN n_stop * 10000 // n_tokens ELSE 0 END AS stop_bp,
+       |    CASE WHEN n_tokens > 0 THEN n_nospace * 100 // n_tokens ELSE 0 END AS mean_tok_len_x100
+       |  FROM base
+       |)
+       |SELECT doc_id, n_tokens, alpha_bp, punct_bp, stop_bp, mean_tok_len_x100,
+       |  CASE WHEN n_tokens < 20 THEN 'short'
+       |       WHEN stop_bp >= 500 THEN 'good'
+       |       WHEN stop_bp >= 200 THEN 'mid'
+       |       ELSE 'low' END AS verdict
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** ≙ ops.Sessions.sessionize over events (30-min gap, seconds
+    * granularity). First event per user: lag is NULL → NULL condition →
+    * ELSE 1, same as Spark's when().otherwise. */
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, t_s,
+      |    CASE WHEN t_s - lag(t_s) OVER w <= 1800 THEN 0 ELSE 1 END AS newf
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+      |), s AS (
+      |  SELECT user_id, t_s,
+      |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY t_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f
+      |)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(t_s) AS session_start_s, max(t_s) AS session_end_s,
+      |  max(t_s) - min(t_s) AS duration_s
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** ≙ ops.AsOfJoin.backward(events, purchase marks): the union+window
+    * formulation written out — semantically DuckDB's `ASOF JOIN` with
+    * `ON a.user_id = b.user_id AND a.t_s >= b.t_s` plus a deterministic
+    * max-event_id tie-break among same-instant marks. */
+  val asofSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |), u AS (
+      |  SELECT user_id, t_s, event_id, 1 AS tag, NULL::BIGINT AS pid FROM e
+      |  UNION ALL
+      |  SELECT user_id, t_s, NULL::BIGINT, 0 AS tag, event_id AS pid
+      |  FROM e WHERE event_type = 'purchase'
+      |), w AS (
+      |  SELECT user_id, t_s, event_id, tag,
+      |    last_value(pid IGNORE NULLS) OVER win AS ref_event_id,
+      |    last_value(CASE WHEN tag = 0 THEN t_s END IGNORE NULLS) OVER win AS ref_t_s
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t_s, tag, pid ASC NULLS FIRST
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, t_s, ref_event_id, t_s - ref_t_s AS lag_s
+      |FROM w WHERE tag = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** ≙ ops.Analytics.revenueRollup (GROUPING_ID bit order: first arg is the
+    * most significant bit in BOTH engines — verified 0/1/3 here). */
+  val rollupSql: String =
+    """SELECT r_name, n_name, CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, r_name, n_name""".stripMargin
+
+  /** ≙ the salted skew join graded query: salting must be RESULT-INVISIBLE,
+    * so the oracle is the plain inner join + aggregation. */
+  val skewJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
   val multiModalSql: String =
     s"""WITH $corpusSql

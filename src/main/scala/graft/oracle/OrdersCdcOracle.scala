@@ -29,4 +29,10 @@ object OrdersCdcOracle {
   val queryDataSql: String =
     default.queryDataSql("1995-01-01 00:10:00", "1995-01-01 02:00:00")
   val freshnessSql: String = default.freshnessSql
+
+  /** Composite-key twins of the scan-shaped queries (same LSN window /
+    * time range as the orders variants, over the lineitem feed). */
+  val lineitemFeedWindowSql: String = lineitem.feedWindowSql
+  val lineitemQueryDataSql: String =
+    lineitem.queryDataSql("1995-01-01 00:10:00", "1995-01-01 02:00:00")
 }

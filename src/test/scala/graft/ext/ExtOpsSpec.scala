@@ -151,4 +151,25 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(1L) == "en", "en and es tie at 1 hit; earlier list entry wins")
     assert(got(2L) == "und")
   }
+
+  test("qualityScore: integer basis points and verdict buckets") {
+    val s = spark
+    import s.implicits._
+    val longText = "the cat the dog the fox jumps over the lazy dog and runs to the old barn near a big tree now"
+    val df = Seq((1L, longText), (2L, "tiny doc")).toDF("doc_id", "text")
+    val got = TextOps.qualityScore(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val r1 = got(1L)
+    val nTokens = longText.split(" ").length // 22
+    assert(r1.getAs[Int]("n_tokens") == nTokens)
+    // 5×the + and + to + a = 8 stopword tokens
+    assert(r1.getAs[Long]("stop_bp") == 8L * 10000 / nTokens)
+    val nChars = longText.length.toLong
+    val nAlpha = longText.count(_.isLetter).toLong
+    assert(r1.getAs[Long]("alpha_bp") == nAlpha * 10000 / nChars)
+    assert(r1.getAs[Long]("punct_bp") == 0L)
+    assert(r1.getAs[String]("verdict") == "good")
+    assert(got(2L).getAs[String]("verdict") == "short")
+  }
 }
