@@ -67,14 +67,20 @@ final case class FeedSpec(
             rest.tail.map(c => min(col(c)).as(c)): _*)
           .select(srcCols.map(col): _*)
       }
+    // start_lsn and commit_time are BRANCH-INVARIANT (functions of the key
+    // columns only), so they stay OUTSIDE the exploded struct: a feed-level
+    // predicate on either (LSN windows, commit-time ranges — every scan
+    // query has one) then references a non-generated column and Catalyst
+    // pushes it through the Generate AND the dedup aggregate (whose
+    // grouping columns the lsn expression uses) down to the scan — at
+    // scale, the difference between shuffling the whole table and
+    // shuffling the window.
     val structs = branches.map { b =>
       when(expr(b.cond), struct(
         (Seq(
-          expr(lsn).cast("long").as("start_lsn"),
           lit(b.seq).cast("long").as("seqval"),
           lit(b.op).as("operation"),
-          lit(b.mask).as("update_mask"),
-          sparkCommitTime.as("commit_time")) ++
+          lit(b.mask).as("update_mask")) ++
           srcCols.map { c =>
             b.overrides.get(c).map(expr).getOrElse(col(c))
               .cast(src.schema(c).dataType).as(c)
@@ -85,9 +91,15 @@ final case class FeedSpec(
     // whole-stage-codegen span right at the scan; Generate + Filter stay
     // inside it
     src
-      .select(explode(array(structs: _*)).as("__r"))
+      .select(
+        expr(lsn).cast("long").as("start_lsn"),
+        sparkCommitTime.as("commit_time"),
+        explode(array(structs: _*)).as("__r"))
       .where(col("__r").isNotNull)
-      .select(col("__r.*"))
+      .select(
+        Seq(col("start_lsn"), col("__r.seqval"), col("__r.operation"),
+          col("__r.update_mask"), col("commit_time")) ++
+          srcCols.map(c => col(s"__r.$c")): _*)
   }
 
   /** DuckDB mirror of [[toFeed]] (one SELECT per branch; the oracle need
