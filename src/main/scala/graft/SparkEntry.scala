@@ -316,6 +316,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/region.parquet"))
         .orderBy(col("gid"), col("r_name"), col("n_name"))),
 
+    // int8 embedding quantization — summary stats + fingerprint per vector
+    "ext_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(embeddings(s, dir)).orderBy("vec_id")),
+
+    // E3g — TF-IDF-shaped per-doc top-k terms with corpus df filter
+    "ext_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(corpus(s, dir)).orderBy("doc_id", "rnk")),
+
+    // E3h — per-language token-count deciles (partitioned ntile)
+    "ext_deciles" -> ((s, dir) =>
+      TextOps.tokenDeciles(corpus(s, dir)).orderBy("lang", "decile")),
+
     // salted skew join — must be bit-identical to the plain inner join
     // (the oracle), with the hot keys spread across salt sub-partitions
     "ext_skew_join" -> ((s, dir) =>
@@ -373,6 +385,9 @@ object SparkEntry {
     "ext_sessionize" -> ExtOracle.sessionizeSql,
     "ext_asof" -> ExtOracle.asofSql,
     "ext_rollup" -> ExtOracle.rollupSql,
-    "ext_skew_join" -> ExtOracle.skewJoinSql
+    "ext_skew_join" -> ExtOracle.skewJoinSql,
+    "ext_quantize" -> ExtOracle.quantizeSql,
+    "ext_top_terms" -> ExtOracle.topTermsSql,
+    "ext_deciles" -> ExtOracle.tokenDecilesSql
   )
 }

@@ -203,4 +203,25 @@ object Similarity {
       .agg(topKByScore(col("cos"), col("neighbor_id"), k).as("ids"))
       .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rnk"))
+
+  /** Symmetric per-vector int8 quantization — the standard embedding
+    * compression step before an ANN index or a storage tier: each vector
+    * scales by 127/max|x| and floors to [-127, 127] (a zero vector maps to
+    * all zeros). Map-only column work; emitted as integer summary stats +
+    * an md5 fingerprint of the quantized array, so the graded output
+    * carries no raw floats. Float math is explicit-double on both engines
+    * (`floor(CAST(x AS DOUBLE) * 127.0 / maxabs)`) — bit-identical. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
+    val q = transform(v, x =>
+      when(maxabs > 0, floor(x.cast("double") * 127.0 / maxabs)).otherwise(0L).cast("int"))
+    embeddings.select(
+      col("vec_id"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      size(filter(q, _ =!= 0)).as("n_nonzero"),
+      md5(concat_ws(",", transform(q, _.cast("string"))).cast("binary")).as("fp_q"))
+  }
 }

@@ -165,6 +165,50 @@ object TextOps {
           .otherwise(lit("low")))
   }
 
+  /** E3g — per-document top-k terms by term frequency, rare-term filtered:
+    * the TF-IDF keyword-extraction shape. Document frequency is computed
+    * once over the corpus and joined back; terms present in more than
+    * `maxDfPct`% of documents are dropped as corpus-wide stopwords before
+    * ranking. One explode + two hash aggregations + one join + a
+    * PARTITIONED rank window — no global funnel; the doc-count scalar is a
+    * broadcast cross join, not a collect. */
+  def topTerms(
+      corpus: DataFrame,
+      k: Int = 3,
+      maxDfPct: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = corpus
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = corpus.agg(count(lit(1)).as("__n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * 100 <= col("__n_docs") * maxDfPct)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"))
+  }
+
+  /** E3h — per-language token-count deciles: ntile(10) over a PARTITIONED
+    * order (ties totalized by doc id, so the assignment is deterministic
+    * and engine-portable), aggregated to per-decile doc counts and token
+    * bounds. The distribution-sketch shape for corpus length profiling. */
+  def tokenDeciles(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_tokens").asc, col(idCol).asc)
+    corpus
+      .select(col(idCol), col("lang"), size(toks(col(textCol))).as("n_tokens"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
   /** E3d — document fingerprints: whole-document md5 plus a winnowing-style
     * min-shingle fingerprint (min over word-3-gram hashes — stable under
     * content reordering at the margins, unlike the whole-doc hash). */

@@ -505,6 +505,63 @@ object ExtOracle {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** ≙ Similarity.quantizeInt8. Explicit CAST-to-DOUBLE at every float
+    * step so both engines run the identical double-precision expression. */
+  val quantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+      |      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS INTEGER)) AS qv
+      |  FROM embeddings
+      |  WHERE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+      |  UNION ALL
+      |  SELECT vec_id, list_transform(embedding, x -> 0)
+      |  FROM embeddings
+      |  WHERE NOT (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0)
+      |)
+      |SELECT vec_id,
+      |  list_min(qv) AS q_min,
+      |  list_max(qv) AS q_max,
+      |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      |  len(list_filter(qv, x -> x != 0)) AS n_nonzero,
+      |  md5(array_to_string(qv, ',')) AS fp_q
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
+  /** E3g ≙ TextOps.topTerms (k=3, maxDfPct=50). */
+  val topTermsSql: String =
+    s"""WITH $corpusSql, tf AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+       |), tfc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+       |), dfc AS (
+       |  SELECT term, count(*) AS df FROM tfc GROUP BY term
+       |), ranked AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, t.term ASC) AS rnk
+       |  FROM tfc t JOIN dfc d ON d.term = t.term
+       |  WHERE d.df * 100 <= (SELECT count(*) FROM corpus) * 50
+       |)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** E3h ≙ TextOps.tokenDeciles (standard ntile distribution, ties
+    * totalized by doc_id on both engines). */
+  val tokenDecilesSql: String =
+    s"""WITH $corpusSql, base AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM corpus
+       |), d AS (
+       |  SELECT lang, n_tokens,
+       |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_tokens ASC, doc_id ASC) AS INTEGER)
+       |      AS decile
+       |  FROM base
+       |)
+       |SELECT lang, decile, count(*) AS n_docs,
+       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |FROM d GROUP BY lang, decile
+       |ORDER BY lang, decile""".stripMargin
+
   /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
   val multiModalSql: String =
     s"""WITH $corpusSql

@@ -172,4 +172,57 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r1.getAs[String]("verdict") == "good")
     assert(got(2L).getAs[String]("verdict") == "short")
   }
+
+  test("quantizeInt8: extreme elements hit ±127, zero vector maps to zeros") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // floor: 1.0 -> 127, -1.0 -> -127, 0.5*127 = 63.5 -> 63, 0 -> 0
+    assert(r1.getAs[Int]("q_max") == 127 && r1.getAs[Int]("q_min") == -127)
+    assert(r1.getAs[Long]("q_sum") == 127L - 127L + 63L)
+    assert(r1.getAs[Int]("n_nonzero") == 3)
+    val r2 = got(2L)
+    assert(r2.getAs[Int]("q_min") == 0 && r2.getAs[Int]("q_max") == 0 &&
+      r2.getAs[Long]("q_sum") == 0L && r2.getAs[Int]("n_nonzero") == 0)
+  }
+
+  test("topTerms ranks by tf desc then term asc and drops corpus-wide terms") {
+    val s = spark
+    import s.implicits._
+    // 'common' is in 3/4 docs (75% > 50% cap) -> excluded everywhere
+    val df = Seq(
+      (1L, "common aa aa bb"),
+      (2L, "common aa bb bb cc"),
+      (3L, "common cc"),
+      (4L, "dd")).toDF("doc_id", "text")
+    val got = TextOps.topTerms(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1, "aa", 2L), (1L, 2, "bb", 1L),
+      (2L, 1, "bb", 2L), (2L, 2, "aa", 1L),
+      (3L, 1, "cc", 1L),
+      (4L, 1, "dd", 1L)))
+  }
+
+  test("tokenDeciles covers every doc exactly once with ordered bounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.tokenDeciles(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // within a language, decile token bounds are non-decreasing
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("decile"))
+      val bounds = sorted.map(r => (r.getAs[Int]("min_tokens"), r.getAs[Int]("max_tokens")))
+      assert(bounds.forall { case (lo, hi) => lo <= hi })
+      assert(bounds.sliding(2).forall {
+        case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+        case _ => true
+      })
+    }
+  }
 }
