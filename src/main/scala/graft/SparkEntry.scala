@@ -259,6 +259,20 @@ object SparkEntry {
         graft.streaming.EventStream.fromEventsFixture(events(s, dir)))
         .orderBy("window_start", "event_type")),
 
+    // changelog → current-state materialization (long form): per (pk,
+    // column) the latest new_value by changelog_id — the downstream
+    // consumer query every CDC changelog exists to serve. One hash
+    // aggregation over the changelog; max_by ≙ DuckDB arg_max.
+    "cdc_state" -> ((s, dir) =>
+      ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+        .where(col("column_name").isNotNull)
+        .groupBy(col("o_orderkey"), col("column_name"))
+        .agg(
+          max_by(col("new_value"), col("changelog_id")).as("last_value"),
+          max(col("changelog_id")).as("last_change_id"),
+          count(lit(1)).as("n_changes"))
+        .orderBy("o_orderkey", "column_name")),
+
     // S1' — composite-key twin of the LSN-window feed scan
     "cdc_feed_window_composite" -> ((s, dir) =>
       ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -379,6 +393,7 @@ object SparkEntry {
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql,
+    "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
     "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,
     "ext_quality" -> ExtOracle.qualitySql,

@@ -88,6 +88,20 @@ final class CdcOracle(
        |FROM changelog
        |ORDER BY changelog_id""".stripMargin
 
+  /** Changelog → current-state materialization (long form): latest
+    * new_value per (pk, column) by changelog_id; arg_max ≙ Spark max_by. */
+  val stateSql: String =
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT $pkOrder, column_name,
+       |  arg_max(new_value, changelog_id) AS last_value,
+       |  max(changelog_id) AS last_change_id,
+       |  count(*) AS n_changes
+       |FROM cl WHERE column_name IS NOT NULL
+       |GROUP BY $pkOrder, column_name
+       |ORDER BY $pkOrder, column_name""".stripMargin
+
   /** S1 — bounded LSN-window scan of the change feed. */
   val feedWindowSql: String =
     s"""WITH feed AS (

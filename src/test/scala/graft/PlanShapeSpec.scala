@@ -39,4 +39,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "default-mode pairing is a single-pass conditional aggregation")
   }
+
+  test("self as-of join reads its source exactly once") {
+    val scans = "Scan parquet".r.findAllIn(plan("ext_asof")).length
+    assert(scans == 1, s"probe and mark roles must come from one scan, got $scans")
+  }
+
+  test("curation funnel is one scan / one window pass") {
+    val p = plan("ext_curation_funnel")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    val windows = p.linesIterator.count(_.matches(".*\\bWindow\\b.*"))
+    assert(scans == 1 && windows == 1,
+      s"cumulative-flag funnel: got $scans scans, $windows windows")
+  }
+
+  test("feed LSN-window predicate reaches below the dedup aggregate") {
+    // the composite feed dedups on the key; the lsn window is a function of
+    // the key, so its filter must evaluate on the scan side of the dedup
+    // exchange. Plan text prints children below parents: the deepest
+    // Filter line must come after the deepest Exchange line.
+    val lines = SparkEntry.queries("cdc_feed_window_composite")(spark, dir)
+      .queryExecution.executedPlan.toString.linesIterator.toSeq
+    val lastExchange = lines.lastIndexWhere(_.contains("Exchange"))
+    val lastFilter = lines.lastIndexWhere(_.contains("Filter"))
+    assert(lastExchange >= 0 && lastFilter > lastExchange,
+      "lsn-window filter must evaluate before the dedup shuffle")
+  }
 }
