@@ -259,6 +259,19 @@ object SparkEntry {
         graft.streaming.EventStream.fromEventsFixture(events(s, dir)))
         .orderBy("window_start", "event_type")),
 
+    // §2.11 — the SAME windowed aggregation as ext_event_windows, but
+    // executed by the incremental streaming engine (file source →
+    // watermark → stateful agg → AvailableNow); must produce identical
+    // rows to the batch plan, hash-checked against the same oracle
+    "ext_event_windows_stream" -> ((s, dir) => {
+      val ev = events(s, dir) // sets nanosAsLong before any streaming read
+      // the fixture is a single FILE and the file stream source requires a
+      // directory basePath — a glob over the parent keeps it zero-copy
+      graft.streaming.EventStream.eventWindowCountsStreamed(
+        s, s"$dir/events.parque*", ev.schema)
+        .orderBy("window_start", "event_type")
+    }),
+
     // changelog → current-state materialization (long form): per (pk,
     // column) the latest new_value by changelog_id — the downstream
     // consumer query every CDC changelog exists to serve. One hash
@@ -394,6 +407,7 @@ object SparkEntry {
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql,
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
+    "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,
     "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
     "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,
     "ext_quality" -> ExtOracle.qualitySql,
