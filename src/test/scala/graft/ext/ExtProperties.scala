@@ -71,4 +71,47 @@ object ExtProperties extends Properties("ext") with SparkFixture {
         .head().getAs[scala.collection.Seq[Array[Byte]]]("f")
       frames.toArray.flatten.toSeq == payload.toSeq
     }
+
+  // (user, time, isMark) streams with heavy time collisions to stress ties
+  private val genEvents: Gen[List[(Long, Long, Boolean)]] = for {
+    n <- Gen.choose(0, 40)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 12L)
+      m <- Gen.oneOf(true, false)
+    } yield (u, t, m))
+  } yield rows
+
+  property("as-of join equals the per-row brute-force maximum") =
+    Prop.forAll(genEvents) { rows =>
+      val s = spark
+      import s.implicits._
+      val withIds = rows.zipWithIndex.map { case ((u, t, m), i) => (i.toLong, u, t, m) }
+      val df = withIds.toDF("event_id", "user_id", "t_s", "is_mark")
+      val got = graft.ops.AsOfJoin.selfBackward(df, Seq("user_id"), "t_s",
+          col("is_mark"), Seq("event_id" -> "ref_id"), "ref_id")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+      val want = withIds.map { case (id, u, t, _) =>
+        // latest mark at-or-before t for the same user; ties -> max ref id
+        val cands = withIds.filter { case (_, u2, t2, m2) => m2 && u2 == u && t2 <= t }
+        id -> cands.sortBy { case (mid, _, mt, _) => (mt, mid) }
+          .lastOption.map(_._1).getOrElse(-1L)
+      }.toMap
+      got == want
+    }
+
+  property("int8 quantization stays in [-127,127] with extremes hit") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_ / 10.0f))) { xs =>
+      val s = spark
+      import s.implicits._
+      val row = Similarity.quantizeInt8(Seq((1L, xs.toArray)).toDF("vec_id", "embedding"))
+        .head()
+      val (qMin, qMax) = (row.getAs[Int]("q_min"), row.getAs[Int]("q_max"))
+      val inRange = qMin >= -127 && qMax <= 127
+      val maxAbs = xs.map(math.abs).max
+      // the max-|x| element floors to exactly ±127
+      val extremeHit = maxAbs == 0.0f || qMax == 127 || qMin == -127
+      inRange && extremeHit
+    }
 }
