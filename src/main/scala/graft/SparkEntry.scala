@@ -355,6 +355,22 @@ object SparkEntry {
     "ext_deciles" -> ((s, dir) =>
       TextOps.tokenDeciles(corpus(s, dir)).orderBy("lang", "decile")),
 
+    // bucketed co-located join — both sides written bucketed on the join
+    // key, joined with ZERO exchange (same oracle as the salted variant:
+    // co-location, like salting, must be result-invisible)
+    "ext_bucketed_join" -> ((s, dir) =>
+      graft.ops.CoLocate.bucketedEquiJoin(s,
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+            col("l_extendedprice")),
+        orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        key = "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+        .orderBy("o_orderpriority")),
+
     // salted skew join — must be bit-identical to the plain inner join
     // (the oracle), with the hot keys spread across salt sub-partitions
     "ext_skew_join" -> ((s, dir) =>
@@ -415,6 +431,7 @@ object SparkEntry {
     "ext_asof" -> ExtOracle.asofSql,
     "ext_rollup" -> ExtOracle.rollupSql,
     "ext_skew_join" -> ExtOracle.skewJoinSql,
+    "ext_bucketed_join" -> ExtOracle.skewJoinSql,
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql

@@ -53,6 +53,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"cumulative-flag funnel: got $scans scans, $windows windows")
   }
 
+  test("bucketed co-located join merges without shuffling the join key") {
+    val p = plan("ext_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "merge strategy must be in effect")
+    assert(!p.contains("hashpartitioning(o_orderkey"),
+      "bucket alignment must eliminate the join-key exchange")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
