@@ -355,6 +355,22 @@ object SparkEntry {
     "ext_deciles" -> ((s, dir) =>
       TextOps.tokenDeciles(corpus(s, dir)).orderBy("lang", "decile")),
 
+    // interval join — view→purchase conversion pairs within one hour per
+    // user: equi-join on the key with the time range as join filter
+    "ext_interval_join" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("t_s").as("v_t"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("t_s").as("p_t"))
+      graft.ops.IntervalJoin.withinAfter(views, purchases, Seq("user_id"),
+        leftTime = "v_t", rightTime = "p_t", maxGapS = 3600L)
+        .select(col("view_id"), col("purchase_id"), col("user_id"),
+          (col("p_t") - col("v_t")).as("gap_s"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // bucketed co-located join — both sides written bucketed on the join
     // key, joined with ZERO exchange (same oracle as the salted variant:
     // co-location, like salting, must be result-invisible)
@@ -432,6 +448,7 @@ object SparkEntry {
     "ext_rollup" -> ExtOracle.rollupSql,
     "ext_skew_join" -> ExtOracle.skewJoinSql,
     "ext_bucketed_join" -> ExtOracle.skewJoinSql,
+    "ext_interval_join" -> ExtOracle.intervalJoinSql,
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql

@@ -562,6 +562,19 @@ object ExtOracle {
        |FROM d GROUP BY lang, decile
        |ORDER BY lang, decile""".stripMargin
 
+  /** ≙ ops.IntervalJoin.withinAfter over view→purchase conversions. */
+  val intervalJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |)
+      |SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |  p.t_s - v.t_s AS gap_s
+      |FROM e v JOIN e p
+      |  ON p.user_id = v.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.t_s >= v.t_s AND p.t_s <= v.t_s + 3600
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
   val multiModalSql: String =
     s"""WITH $corpusSql

@@ -96,6 +96,35 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("interval join runs as a watermarked stream-stream join with the same code") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val v = views.toDF().toDF("user_id", "view_id", "v_t")
+      .withWatermark("v_t", "10 minutes")
+    val p = purchases.toDF().toDF("user_id", "purchase_id", "p_t")
+      .withWatermark("p_t", "10 minutes")
+    val joined = graft.ops.IntervalJoin.withinAfter(
+      v, p, Seq("user_id"), "v_t", "p_t", maxGapS = 3600L)
+      .select("view_id", "purchase_id")
+    val query = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, 10L, ts("2024-01-01 10:00:00")), (2L, 11L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, 20L, ts("2024-01-01 10:30:00")), // in window -> pair
+        (1L, 21L, ts("2024-01-01 12:00:00")), // beyond 1h -> no pair
+        (2L, 22L, ts("2024-01-01 09:30:00"))) // before the view -> no pair
+      query.processAllAvailable()
+      val got = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 20L)))
+    } finally query.stop()
+  }
+
   test("eventWindowCounts finalizes windows incrementally under a watermark") {
     val s = spark
     import s.implicits._
