@@ -286,6 +286,15 @@ object SparkEntry {
           count(lit(1)).as("n_changes"))
         .orderBy("o_orderkey", "column_name")),
 
+    // wide current state — the INVERSE reshaping of the unpivot: one
+    // last_<col> per payload column via conditional argmax
+    "cdc_state_wide" -> ((s, dir) =>
+      ChangelogBuilder.stateWide(
+        ChangelogBuilder.withIds(
+          ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg),
+        ordersCfg, ChangeFeed.OrdersCols)
+        .orderBy("o_orderkey")),
+
     // S1' — composite-key twin of the LSN-window feed scan
     "cdc_feed_window_composite" -> ((s, dir) =>
       ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -439,6 +448,7 @@ object SparkEntry {
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql,
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
+    "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,
     "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
     "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,

@@ -194,6 +194,24 @@ object ChangelogBuilder {
         col("old_value").asc_nulls_first,
         col("new_value").asc_nulls_first)
 
+  /** Changelog → WIDE current state: one row per key, one `last_<col>`
+    * column per payload column holding its latest new_value by
+    * changelog_id — the inverse reshaping of [[unpivoted]] (EAV long →
+    * wide), i.e. what a consumer materializes to mirror the source table.
+    * One hash aggregation; `max_by(...) FILTER (WHERE ...)` is the
+    * engine-portable conditional argmax (DuckDB: `arg_max` + FILTER). */
+  def stateWide(changelogWithIds: DataFrame, cfg: CdcTableConfig, srcCols: Seq[String]): DataFrame = {
+    val lastCols = srcCols.map(c =>
+      expr(s"max_by(new_value, changelog_id) FILTER (WHERE column_name = '$c')")
+        .as(s"last_$c"))
+    changelogWithIds
+      .where(col("column_name").isNotNull)
+      .groupBy(cfg.keyCols.map(col): _*)
+      .agg(lastCols.head, (lastCols.tail :+
+        max(col("changelog_id")).as("last_change_id") :+
+        count(lit(1)).as("n_changes")): _*)
+  }
+
   /** Surrogate id ≙ BIGINT IDENTITY(1,1) + insert ORDER BY (:144,:390-394):
     * row_number over the batch sort + a persisted per-table running offset.
     * The single-partition window is bounded by MICRO-BATCH size, not table

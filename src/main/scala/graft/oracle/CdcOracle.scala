@@ -102,6 +102,24 @@ final class CdcOracle(
        |GROUP BY $pkOrder, column_name
        |ORDER BY $pkOrder, column_name""".stripMargin
 
+  /** Wide current state ≙ ChangelogBuilder.stateWide: the inverse
+    * reshaping of the unpivot, one `last_<col>` per payload column. */
+  val stateWideSql: String = {
+    val lastCols = srcCols.map(c =>
+      s"arg_max(new_value, changelog_id) FILTER (WHERE column_name = '$c') AS last_$c")
+      .mkString(",\n       |  ")
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT $pkOrder,
+       |  $lastCols,
+       |  max(changelog_id) AS last_change_id,
+       |  count(*) AS n_changes
+       |FROM cl WHERE column_name IS NOT NULL
+       |GROUP BY $pkOrder
+       |ORDER BY $pkOrder""".stripMargin
+  }
+
   /** S1 — bounded LSN-window scan of the change feed. */
   val feedWindowSql: String =
     s"""WITH feed AS (
