@@ -364,6 +364,37 @@ object SparkEntry {
     "ext_deciles" -> ((s, dir) =>
       TextOps.tokenDeciles(corpus(s, dir)).orderBy("lang", "decile")),
 
+    // sequence packing — contiguous-fill 512-token bins per source shard
+    "ext_pack" -> ((s, dir) =>
+      graft.ext.Packing.packBins(corpus(s, dir)).orderBy("source", "bin")),
+
+    // deterministic content-hash train/val/test split (98/1/1)
+    "ext_split" -> ((s, dir) =>
+      graft.ext.Packing.hashSplit(corpus(s, dir)).orderBy("split")),
+
+    // left-anti join — customers with no URGENT orders, per nation (the
+    // unfiltered variant is vacuously empty: every customer has orders)
+    "ext_anti_join" -> ((s, dir) =>
+      s.read.parquet(s"$dir/customer.parquet")
+        .join(orders(s, dir).where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_custs_no_urgent"))
+        .orderBy("c_nationkey")),
+
+    // EXCEPT / INTERSECT — user segments by event participation
+    "ext_set_ops" -> ((s, dir) => {
+      val e = events(s, dir)
+      val v = e.where(col("event_type") === "view").select("user_id").distinct()
+      val p = e.where(col("event_type") === "purchase").select("user_id").distinct()
+      def seg(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("segment"), col("n_users"))
+      seg("both", v.intersect(p))
+        .unionByName(seg("purchase_only", p.except(v)))
+        .unionByName(seg("view_only", v.except(p)))
+        .orderBy("segment")
+    }),
+
     // interval join — view→purchase conversion pairs within one hour per
     // user: equi-join on the key with the time range as join filter
     "ext_interval_join" -> ((s, dir) => {
@@ -459,6 +490,10 @@ object SparkEntry {
     "ext_skew_join" -> ExtOracle.skewJoinSql,
     "ext_bucketed_join" -> ExtOracle.skewJoinSql,
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
+    "ext_pack" -> ExtOracle.packBinsSql,
+    "ext_split" -> ExtOracle.hashSplitSql,
+    "ext_anti_join" -> ExtOracle.antiJoinSql,
+    "ext_set_ops" -> ExtOracle.setOpsSql,
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql

@@ -575,6 +575,60 @@ object ExtOracle {
       | AND p.t_s >= v.t_s AND p.t_s <= v.t_s + 3600
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** ≙ Packing.packBins (contiguous-fill, 512-token bins, per source). */
+  val packBinsSql: String =
+    s"""WITH $corpusSql, base AS (
+       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM corpus
+       |), cum AS (
+       |  SELECT source, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM base
+       |), binned AS (
+       |  SELECT source, CAST(bef AS BIGINT) // 512 AS bin, n_tokens FROM cum
+       |)
+       |SELECT source, bin, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed,
+       |  CAST(sum(n_tokens) AS BIGINT) * 10000 // 512 AS fill_bp
+       |FROM binned GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
+  /** ≙ Packing.hashSplit (98/1/1 by content-hash bucket). */
+  val hashSplitSql: String =
+    s"""WITH $corpusSql, b AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 AS bucket
+       |  FROM corpus
+       |)
+       |SELECT CASE WHEN bucket < 98 THEN 'train'
+       |            WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM b GROUP BY 1
+       |ORDER BY split""".stripMargin
+
+  /** ≙ the left-anti-join graded query (customers with no urgent orders —
+    * every fixture customer has SOME order, so the unfiltered anti join
+    * would be vacuously empty). */
+  val antiJoinSql: String =
+    """SELECT c_nationkey, count(*) AS n_custs_no_urgent
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** ≙ the EXCEPT/INTERSECT graded query (user segments by event type). */
+  val setOpsSql: String =
+    """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT 'both' AS segment, count(*) AS n_users FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
+      |UNION ALL
+      |SELECT 'purchase_only', count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM v)
+      |UNION ALL
+      |SELECT 'view_only', count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+      |ORDER BY segment""".stripMargin
+
   /** E4 ≙ MultiModal.metadata (payload bytes derived from text). */
   val multiModalSql: String =
     s"""WITH $corpusSql

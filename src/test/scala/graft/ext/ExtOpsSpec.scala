@@ -210,6 +210,23 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
       (4L, 1, "dd", 1L)))
   }
 
+  test("packBins conserves tokens and keeps bins near-full") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Packing.packBins(docs, binTokens = 512).collect()
+    val packed = out.map(_.getAs[Long]("n_tokens_packed")).sum
+    val total = TextOps.tokenStats(docs).agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0)
+    assert(packed == total, "every token lands in exactly one bin")
+    // contiguous fill: bin ids are bounded by the source's token total —
+    // a source spanning T tokens can open at most (T div 512) + 1 bins
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val srcTotal = rows.map(_.getAs[Long]("n_tokens_packed")).sum
+      val maxBin = rows.map(_.getAs[Long]("bin")).max
+      assert(maxBin <= srcTotal / 512,
+        s"$src: bin $maxBin beyond the token span ($srcTotal tokens)")
+    }
+  }
+
   test("tokenDeciles covers every doc exactly once with ordered bounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.tokenDeciles(docs).collect()
