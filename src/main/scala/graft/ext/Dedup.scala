@@ -65,15 +65,24 @@ object Dedup {
     rawShingles(corpus, textCol, idCol).distinct()
 
   /** MinHash signature: hash function h is the (h mod 4)-th 8-hex-char lane
-    * of md5((h div 4) ++ ":" ++ shingle) — four lanes per digest, so the 12
-    * signature slots cost 3 md5 evaluations per shingle instead of 12
-    * (subexpression elimination shares each digest across its lanes).
+    * of md5((h div 4) ++ ":" ++ shingle) — four lanes per digest.
     * Lexicographic min over hex strings, so Spark and the SQL oracle agree
-    * exactly. One hash-aggregate produces all `NumHashes` slots. */
+    * exactly. All lanes for a shingle come from ONE native
+    * [[graft.functions.Md5Lanes]] pass (the per-slot md5/concat/substring
+    * expression chain paid 4 full digest+hex round-trips per row and
+    * dominated the signature stage); one hash-aggregate then takes all
+    * `NumHashes` mins. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    def slot(h: Int) =
-      min(substring(md5(concat(lit(s"${h / 4}:"), col("sh"))), (h % 4) * 8 + 1, 8)).as(s"mh_$h")
-    sh.groupBy("id").agg(slot(0), (1 until NumHashes).map(slot): _*)
+    val withLanes = sh.select(col("id"),
+      graft.functions.Md5Lanes.md5Lanes(col("sh"), NumHashes).as("__lanes"))
+    // min over numeric lanes (HashAggregate — string mins would force a
+    // SortAggregate over the whole shingle multiset), hex-formatted AFTER
+    // the aggregation: identical strings to the oracle's min-over-hex.
+    def slot(h: Int) = min(element_at(col("__lanes"), h + 1)).as(s"__m_$h")
+    val agged = withLanes.groupBy("id").agg(slot(0), (1 until NumHashes).map(slot): _*)
+    agged.select(col("id") +:
+      (0 until NumHashes).map(h =>
+        format_string("%08x", col(s"__m_$h")).as(s"mh_$h")): _*)
   }
 
   /** LSH banding: signature → (id, band, sig) rows, one per band. */
