@@ -37,7 +37,9 @@ object PopulateChangelog {
       cfg: CdcTableConfig,
       changelogPath: String,
       offset: Long,
-      distributedIds: Boolean = false): Long = {
+      distributedIds: Boolean = false,
+      clusterByKey: Boolean = false,
+      clusterPartitions: Option[Int] = None): Long = {
     val obs = org.apache.spark.sql.Observation()
     val changelog = ChangelogBuilder.build(batch, cfg)
     val withIds =
@@ -48,7 +50,25 @@ object PopulateChangelog {
       .withColumn("created_by", lit(spark.sparkContext.sparkUser))
       .withColumn("commit_date", to_date(col("commit_time")))
       .observe(obs, count(lit(1)).as("n"))
-    stamped.write
+    // clusterByKey: range-shuffle on (partition col, pk) + sort within
+    // tasks, so each parquet file inside a commit_date partition covers a
+    // DISJOINT pk range — point/range lookups on the key then prune to one
+    // file via parquet min/max stats instead of reading the whole
+    // partition. Costs one extra exchange per batch; worth it for sinks
+    // that serve key-targeted reads at scale.
+    val arranged =
+      if (!clusterByKey) stamped
+      else {
+        val cluster = col("commit_date") +: cfg.keyCols.map(col)
+        // an explicit partition count pins the file count (AQE would
+        // coalesce a small batch's range shuffle to one file); None lets
+        // the planner size it from the data
+        val ranged = clusterPartitions
+          .map(n => stamped.repartitionByRange(n, cluster: _*))
+          .getOrElse(stamped.repartitionByRange(cluster: _*))
+        ranged.sortWithinPartitions(cluster: _*)
+      }
+    arranged.write
       .mode(SaveMode.Append)
       .partitionBy("commit_date")
       .parquet(changelogPath)
@@ -61,7 +81,9 @@ object PopulateChangelog {
       cfg0: CdcTableConfig,
       changelogPath: String,
       toDate: Option[Timestamp] = None,
-      distributedIds: Boolean = false): PopulateResult = {
+      distributedIds: Boolean = false,
+      clusterByKey: Boolean = false,
+      clusterPartitions: Option[Int] = None): PopulateResult = {
 
     // ≙ RTRIM(LTRIM(@tableName/@tablePK)) (:77-80) — P5 param normalization
     val cfg = cfg0.copy(
@@ -78,7 +100,7 @@ object PopulateChangelog {
     // (SURVEY §7.5.8) instead of four times.
     val windowed = Checkpoint.applyWindow(feed, window).cache()
 
-    val result = Try(stampAndAppend(spark, windowed, cfg, changelogPath, offset, distributedIds))
+    val result = Try(stampAndAppend(spark, windowed, cfg, changelogPath, offset, distributedIds, clusterByKey, clusterPartitions))
     windowed.unpersist()
 
     result match {

@@ -137,6 +137,45 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("clusterByKey write yields disjoint per-file key ranges, same data") {
+    val base = Files.createTempDirectory("graft_cluster")
+    // real fixture feed for enough rows to spread across range partitions
+    val feed = ChangeFeed.fromOrders(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"))
+    val ocfg = CdcTableConfig("orders", Seq("o_orderkey"))
+
+    val plain = base.resolve("plain").toString
+    val clustered = base.resolve("clustered").toString
+    PopulateChangelog.run(spark, feed, ocfg, plain)
+    PopulateChangelog.run(spark, feed, ocfg, clustered, clusterByKey = true,
+      clusterPartitions = Some(4))
+
+    val a = spark.read.parquet(plain).drop("created_dt").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(clustered).drop("created_dt").collect().map(_.toSeq).toSet
+    assert(a == b, "clustering must be result-invisible")
+
+    // within each commit_date partition, per-file [min,max] key ranges are
+    // pairwise disjoint — what makes parquet min/max stats prune to 1 file
+    // key is string-erased in the changelog, so the clustering (and the
+    // min/max stats) order lexicographically — assert in that order
+    val ranges = spark.read.parquet(clustered)
+      .groupBy(col("commit_date"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect()
+      .groupBy(_.getAs[java.sql.Date]("commit_date"))
+    var overlappable = 0
+    ranges.foreach { case (_, files) =>
+      val sorted = files.map(r => (r.getAs[String]("lo"), r.getAs[String]("hi"))).sortBy(_._1)
+      if (sorted.length > 1) overlappable += 1
+      sorted.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping files: $sorted")
+        case _ => ()
+      }
+    }
+    assert(overlappable > 0, "fixture too small to exercise multi-file partitions")
+  }
+
   test("compat +1-minute resume loses sub-minute changes end-to-end; default does not") {
     def minuteFeed = feedKV(Seq(
       (1L, 0L, 2, 3L, "1995-01-01 00:00:10", "a", "x"),
