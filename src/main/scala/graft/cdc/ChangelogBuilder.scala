@@ -18,8 +18,6 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * @param strictNulls keep updates that set a column TO/FROM NULL (the
   *                   reference's UNPIVOT+INNER JOIN silently drops them,
   *                   :321,:340 — SURVEY §7.5.1); uses a full-outer join
-  */
-/** Per-table CDC configuration.
   *
   * PRECONDITION on the feed (default mode): at most ONE before image
   * (op=3) and ONE after image (op=4) per (start_lsn, seqval, column, pk) —
@@ -199,7 +197,11 @@ object ChangelogBuilder {
     * changelog_id — the inverse reshaping of [[unpivoted]] (EAV long →
     * wide), i.e. what a consumer materializes to mirror the source table.
     * One hash aggregation; `max_by(...) FILTER (WHERE ...)` is the
-    * engine-portable conditional argmax (DuckDB: `arg_max` + FILTER). */
+    * engine-portable conditional argmax (DuckDB: `arg_max` + FILTER).
+    *
+    * Input contract: default-mode changelogs only (new_value non-null on
+    * column rows) — max_by and DuckDB's arg_max disagree on NULL values,
+    * see the oracle-side note in CdcOracle.stateSql. */
   def stateWide(changelogWithIds: DataFrame, cfg: CdcTableConfig, srcCols: Seq[String]): DataFrame = {
     val lastCols = srcCols.map(c =>
       expr(s"max_by(new_value, changelog_id) FILTER (WHERE column_name = '$c')")

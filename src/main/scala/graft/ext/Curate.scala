@@ -24,6 +24,19 @@ object Curate {
       distinctRatioDen: Int = 2,
       lang: String = "en")
 
+  /** The three row-local gate predicates after dedup, in funnel order —
+    * the SINGLE definition both [[stages]] (and therefore [[curate]]) and
+    * [[funnel]] evaluate, so the graded funnel counts always describe the
+    * pipeline curate() actually runs. */
+  private def gates(t: Thresholds, textCol: String): Seq[(String, org.apache.spark.sql.Column)] = {
+    val toks = split(col(textCol), " ")
+    Seq(
+      "2_length" -> size(toks).between(t.minTokens, t.maxTokens),
+      "3_quality" ->
+        (size(array_distinct(toks)) * t.distinctRatioDen >= size(toks) * t.distinctRatioNum),
+      "4_language" -> (TextOps.predLang(col(textCol)) === t.lang))
+  }
+
   /** The surviving corpus after all gates. */
   def curate(corpus: DataFrame, t: Thresholds = Thresholds(),
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -32,18 +45,11 @@ object Curate {
   /** (stage-name, DataFrame-after-stage) in funnel order. */
   def stages(corpus: DataFrame, t: Thresholds = Thresholds(),
       textCol: String = "text", idCol: String = "doc_id"): Seq[(String, DataFrame)] = {
-    val toks = split(col(textCol), " ")
     val deduped = Dedup.dropExactDuplicates(corpus, textCol, idCol)
-    val lengthOk = deduped.where(size(toks).between(t.minTokens, t.maxTokens))
-    val qualityOk = lengthOk.where(
-      size(array_distinct(toks)) * t.distinctRatioDen >= size(toks) * t.distinctRatioNum)
-    val langOk = qualityOk.where(TextOps.predLang(col(textCol)) === t.lang)
-    Seq(
-      "0_input" -> corpus,
-      "1_dedup" -> deduped,
-      "2_length" -> lengthOk,
-      "3_quality" -> qualityOk,
-      "4_language" -> langOk)
+    gates(t, textCol).foldLeft(
+      Seq("0_input" -> corpus, "1_dedup" -> deduped)) {
+      case (acc, (name, cond)) => acc :+ (name -> acc.last._2.where(cond))
+    }
   }
 
   /** The graded funnel report: one row per stage with its surviving count
@@ -58,16 +64,16 @@ object Curate {
   def funnel(corpus: DataFrame, t: Thresholds = Thresholds(),
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = split(col(textCol), " ")
-    // survival flags mirror stages() exactly, as cumulative conjunctions
+    // survival flags = the SAME gate predicates stages() filters on
+    // (dedup survival is representative-independent: all gates are
+    // functions of the text, identical across a fingerprint group)
     val w = Window.partitionBy(Dedup.fingerprint(col(textCol))).orderBy(col(idCol))
+    val conds = gates(t, textCol).map(_._2)
     val flagged = corpus
       .withColumn("__keep1", row_number().over(w) === 1)
-      .withColumn("__keep2", col("__keep1") &&
-        size(toks).between(t.minTokens, t.maxTokens))
-      .withColumn("__keep3", col("__keep2") &&
-        size(array_distinct(toks)) * t.distinctRatioDen >= size(toks) * t.distinctRatioNum)
-      .withColumn("__keep4", col("__keep3") && TextOps.predLang(col(textCol)) === t.lang)
+      .withColumn("__keep2", col("__keep1") && conds(0))
+      .withColumn("__keep3", col("__keep2") && conds(1))
+      .withColumn("__keep4", col("__keep3") && conds(2))
     val counts = flagged.agg(
       count(lit(1)).as("n0"),
       count(when(col("__keep1"), 1)).as("n1"),

@@ -145,6 +145,9 @@ object Dedup {
     // corpus) result while the intermediates are live, then release the
     // three O(shingles) caches: without this, every invocation in a long
     // session leaked ~the whole shingle multiset into the block store.
+    // NOTE this makes the call EAGER (runs the pipeline now), and the
+    // small result cache itself is intentionally left live — callers
+    // re-aggregate it and it is O(pairs), not O(corpus).
     out.count()
     raw.unpersist()
     cand.unpersist()

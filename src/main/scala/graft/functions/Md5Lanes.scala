@@ -52,18 +52,24 @@ case class Md5Lanes(child: Expression, numLanes: Int)
 
 object Md5Lanes {
 
+  // per-row JCA lookups and prefix re-encoding would sit in the exact hot
+  // loop this expression exists to remove
+  private val LocalMd = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val GroupPrefix: Array[Array[Byte]] =
+    Array.tabulate(64)(g => s"$g:".getBytes("UTF-8"))
+
   /** All `n` lanes for `s` as unsigned-32-bit longs (big-endian digest
     * bytes, matching the hex string's lexicographic order). Called from
     * generated code. */
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = LocalMd.get()
     val payload = s.getBytes
     val out = new Array[Any](n)
     var g = 0
     while (g * 4 < n) {
       md.reset()
-      md.update(String.valueOf(g).getBytes("UTF-8"))
-      md.update(':'.toByte)
+      md.update(if (g < GroupPrefix.length) GroupPrefix(g) else s"$g:".getBytes("UTF-8"))
       md.update(payload)
       val digest = md.digest() // 16 bytes -> 4 lanes of 4 bytes
       var o = 0

@@ -106,7 +106,14 @@ object AsOfJoin {
     resolve(unioned, on, fields.map(_.name), payload.map(_._2), tieBreak)
   }
 
-  /** Shared window resolution over the tagged union (see [[backward]]). */
+  /** Shared window resolution over the tagged union (see [[backward]]).
+    *
+    * The payload is resolved ATOMICALLY: one `last(struct(payload...),
+    * ignoreNulls)` — the struct is non-null exactly on mark rows, so the
+    * probe always carries ALL values from the single latest mark. A
+    * per-column `last(p, ignoreNulls)` would instead skip a NULL field on
+    * the latest mark and resurrect a STALE mark's value for just that
+    * column, stitching two marks into one output row. */
   private def resolve(
       unioned: DataFrame,
       on: Seq[String],
@@ -119,11 +126,14 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__tag").asc, col(tieBreak).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
+      .withColumn("__p",
+        when(col("__tag") === 0, struct(payload.map(col): _*)))
       .select(
         leftCols.map(col) ++
-          Seq(col("__tag")) ++
-          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+          Seq(col("__tag"),
+            last(col("__p"), ignoreNulls = true).over(w).as("__last")): _*)
       .where(col("__tag") === 1)
-      .drop("__tag")
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__last.$p").as(p)): _*)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import java.nio.file.Files
-import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -18,7 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CoLocate {
 
-  private val seq = new AtomicInteger(0)
+  // ONE temp warehouse and FIXED table names per JVM: repeated invocations
+  // overwrite in place, so a long session (bench loops, property tests)
+  // holds at most one bucketed copy of each side on disk and two catalog
+  // entries — not an unbounded accumulation. Caveat: a DataFrame returned
+  // by a PREVIOUS invocation must be consumed before the next one
+  // overwrites its files (the normal use is write→join→aggregate→done).
+  private lazy val base = Files.createTempDirectory("graft_buckets")
 
   /** Write both sides bucketed on `key` (external tables under a temp
     * warehouse path) and return their shuffle-free equi-join. */
@@ -28,8 +33,6 @@ object CoLocate {
       right: DataFrame,
       key: String,
       buckets: Int = 8): DataFrame = {
-    val n = seq.incrementAndGet()
-    val base = Files.createTempDirectory("graft_buckets")
     def save(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite")
         .option("path", base.resolve(name).toString)
@@ -41,7 +44,7 @@ object CoLocate {
     // side (also shuffle-free, but it doesn't exercise co-location); the
     // hint pins the sort-merge strategy this operator exists to feed —
     // with both sides bucket-aligned it plans with zero Exchange.
-    save(left, s"graft_bkt_l_$n").hint("merge")
-      .join(save(right, s"graft_bkt_r_$n"), Seq(key))
+    save(left, "graft_bkt_l").hint("merge")
+      .join(save(right, "graft_bkt_r"), Seq(key))
   }
 }

@@ -34,6 +34,7 @@ object IntervalJoin {
       leftTime: String,
       rightTime: String,
       maxGapS: Long): DataFrame = {
+    require(on.nonEmpty, "interval join needs at least one equi key (see scaladoc)")
     require(leftTime != rightTime, "time columns must be distinctly named")
     val keyEq = on.map(k => left(k) === right(k)).reduce(_ && _)
     val upper = left.schema(leftTime).dataType match {

@@ -89,7 +89,14 @@ final class CdcOracle(
        |ORDER BY changelog_id""".stripMargin
 
   /** Changelog → current-state materialization (long form): latest
-    * new_value per (pk, column) by changelog_id; arg_max ≙ Spark max_by. */
+    * new_value per (pk, column) by changelog_id; arg_max ≙ Spark max_by.
+    *
+    * CONTRACT: new_value must be NON-NULL on every column-level row —
+    * true of every default-mode changelog (updatePairs filters both sides
+    * non-null). With NULLs (a strictNulls changelog) the engines diverge:
+    * DuckDB's arg_max SKIPS rows whose value is NULL while Spark's max_by
+    * returns the NULL — grade a strictNulls state query only after
+    * encoding NULL as a sentinel on both sides. */
   val stateSql: String =
     s"""WITH cl AS (
        |$changelogSql

@@ -33,6 +33,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       6L -> -1L))  // user never marked
   }
 
+  test("a NULL payload field on the latest mark is carried, not resurrected") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq((1L, "A", 30L)).toDF("event_id", "user", "t")
+    val marks = Seq(
+      ("A", 10L, Option(5L), Option(100L)),   // older mark, both fields set
+      ("A", 20L, None: Option[Long], Option(200L))) // latest mark: a is NULL
+      .toDF("user", "mt", "a", "b")
+    val row = AsOfJoin.backward(probes, marks, Seq("user"),
+        "t", "mt", payload = Seq("a", "b"), tieBreak = "b")
+      .head()
+    // the probe must take the ENTIRE latest mark: a=NULL (not 5 from t=10)
+    assert(row.isNullAt(row.fieldIndex("a")),
+      "stale mark's value must not fill the latest mark's NULL field")
+    assert(row.getAs[Long]("b") == 200L)
+  }
+
   test("selfBackward (single-scan) matches backward over the split sides") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
