@@ -31,7 +31,12 @@ object PlanAudit {
         val scans = "Scan parquet".r.findAllIn(plan).length
         val windows = plan.linesIterator.count(_.matches(".*\\bWindow\\b.*"))
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-        println(f"$name%-28s scans=$scans%-3d windows=$windows%-3d exchanges=$exchanges")
+        // cached results print their WHOLE build lineage under the
+        // InMemoryTableScan — those "Scan parquet" lines describe how the
+        // cache was built once, not what re-executes
+        val imts = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+        val cacheNote = if (imts > 0) s" (cached: $imts InMemoryTableScan — lineage counts above are build-once)" else ""
+        println(f"$name%-28s scans=$scans%-3d windows=$windows%-3d exchanges=$exchanges$cacheNote")
         if (verbose) println(qe.explainString(org.apache.spark.sql.execution.FormattedMode))
       }
     }

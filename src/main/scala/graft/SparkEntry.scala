@@ -382,18 +382,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_custs_no_urgent"))
         .orderBy("c_nationkey")),
 
-    // EXCEPT / INTERSECT — user segments by event participation
-    "ext_set_ops" -> ((s, dir) => {
-      val e = events(s, dir)
-      val v = e.where(col("event_type") === "view").select("user_id").distinct()
-      val p = e.where(col("event_type") === "purchase").select("user_id").distinct()
-      def seg(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("segment"), col("n_users"))
-      seg("both", v.intersect(p))
-        .unionByName(seg("purchase_only", p.except(v)))
-        .unionByName(seg("view_only", v.except(p)))
-        .orderBy("segment")
-    }),
+    // set semantics (EXCEPT / INTERSECT segments), computed the 100 TB
+    // way: ONE scan + per-user participation flags + one aggregation —
+    // the literal v.except(p) / v.intersect(p) formulation re-scans the
+    // source per segment (6 scans for 3 segments); SetOpsSpec pins the
+    // two formulations equal, the oracle is the literal one
+    "ext_set_ops" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .agg(
+          count(when(col("v") === 1 && col("p") === 1, 1)).as("n_both"),
+          count(when(col("p") === 1 && col("v") === 0, 1)).as("n_ponly"),
+          count(when(col("v") === 1 && col("p") === 0, 1)).as("n_vonly"))
+        // one row per segment INCLUDING empty ones — the literal
+        // except/intersect oracle emits a 0-count row per segment
+        .select(explode(array(
+          struct(lit("both").as("segment"), col("n_both").as("n_users")),
+          struct(lit("purchase_only").as("segment"), col("n_ponly").as("n_users")),
+          struct(lit("view_only").as("segment"), col("n_vonly").as("n_users")))).as("s"))
+        .select(col("s.segment"), col("s.n_users"))
+        .orderBy("segment")),
 
     // interval join — view→purchase conversion pairs within one hour per
     // user: equi-join on the key with the time range as join filter
