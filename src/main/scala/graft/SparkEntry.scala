@@ -364,6 +364,26 @@ object SparkEntry {
     "ext_deciles" -> ((s, dir) =>
       TextOps.tokenDeciles(corpus(s, dir)).orderBy("lang", "decile")),
 
+    // KMV distinct-count sketch — deterministic mergeable approx-distinct
+    // (bounded-heap partial aggregation; O(groups × k) shuffle)
+    "ext_kmv" -> ((s, dir) =>
+      Similarity.kmvDistinct(events(s, dir), "event_type", "user_id", k = 16)
+        .orderBy("event_type")),
+
+    // composite-key twin of the long-form state materialization
+    "cdc_state_composite" -> ((s, dir) =>
+      ChangelogBuilder.withIds(
+        ChangelogBuilder.build(
+          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet")), lineitemCfg),
+        lineitemCfg)
+        .where(col("column_name").isNotNull)
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("column_name"))
+        .agg(
+          max_by(col("new_value"), col("changelog_id")).as("last_value"),
+          max(col("changelog_id")).as("last_change_id"),
+          count(lit(1)).as("n_changes"))
+        .orderBy("l_orderkey", "l_linenumber", "column_name")),
+
     // sequence packing — contiguous-fill 512-token bins per source shard
     "ext_pack" -> ((s, dir) =>
       graft.ext.Packing.packBins(corpus(s, dir)).orderBy("source", "bin")),
@@ -505,6 +525,8 @@ object SparkEntry {
     "ext_split" -> ExtOracle.hashSplitSql,
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,
+    "ext_kmv" -> ExtOracle.kmvSql,
+    "cdc_state_composite" -> OrdersCdcOracle.lineitem.stateSql,
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql

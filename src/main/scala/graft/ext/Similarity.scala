@@ -204,6 +204,34 @@ object Similarity {
       .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), (col("pos") + 1).cast("int").as("rnk"))
 
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * mergeable approximate-distinct shape (≙ what HLL does, but with
+    * engine-portable DETERMINISTIC math, so the sketch itself is
+    * oracle-checkable): keep the k smallest 32-bit hash values per group
+    * via the bounded-heap [[graft.functions.TopKByScore]] aggregate
+    * (map-side partial keeps the shuffle at O(groups × k)), estimate
+    * distinct = (k-1) * 2^32 div kthMin; exact count when fewer than k
+    * values exist. Estimation error ~1/sqrt(k-1).
+    *
+    * @param keyCol   grouping column
+    * @param valueCol column whose distinct count is sketched
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, valueCol: String, k: Int = 16): DataFrame = {
+    val hv = conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.select(col(keyCol), col(valueCol)).distinct()
+      .select(col(keyCol), hv.as("hv"))
+      .groupBy(keyCol)
+      .agg(topKByScore((-col("hv")).cast("double"), col("hv"), k).as("mins"))
+      .select(
+        col(keyCol),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * 4294967296 div kth_hash")))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard embedding
     * compression step before an ANN index or a storage tier: each vector
     * scales by 127/max|x| and floors to [-127, 127] (a zero vector maps to

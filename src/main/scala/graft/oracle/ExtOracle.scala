@@ -562,6 +562,28 @@ object ExtOracle {
        |FROM d GROUP BY lang, decile
        |ORDER BY lang, decile""".stripMargin
 
+  /** ≙ Similarity.kmvDistinct over (event_type, user_id), k=16. */
+  val kmvSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM d
+      |), r AS (
+      |  SELECT event_type, hv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |  FROM h
+      |), kept AS (
+      |  SELECT event_type, count(*) AS n_kept, CAST(max(hv) AS BIGINT) AS kth_hash
+      |  FROM r WHERE rn <= 16 GROUP BY event_type
+      |)
+      |SELECT event_type, n_kept, kth_hash,
+      |  CASE WHEN n_kept < 16 THEN n_kept
+      |       ELSE CAST(15::BIGINT * 4294967296 // kth_hash AS BIGINT) END AS est_distinct
+      |FROM kept
+      |ORDER BY event_type""".stripMargin
+
   /** ≙ ops.IntervalJoin.withinAfter over view→purchase conversions. */
   val intervalJoinSql: String =
     """WITH e AS (
