@@ -64,8 +64,10 @@ object Bench {
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(m)) => k -> m }
     val total = ok.map(_._2).sum
+    // n_queries: the graded set GROWS round over round, so the total alone
+    // is not comparable across rounds — per-query values are
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${
         ok.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
       },"errors":${
         errs.map { case (k, m) => s"${q(k)}:${q(m)}" }.mkString("{", ",", "}")
