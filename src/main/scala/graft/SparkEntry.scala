@@ -14,7 +14,25 @@ object SparkEntry {
 
   private val ordersCfg = CdcTableConfig("orders", Seq("o_orderkey"))
   private val ordersCompatCfg = ordersCfg.copy(compatMode = true)
+  private val ordersStrictCfg = ordersCfg.copy(strictNulls = true)
   private val lineitemCfg = CdcTableConfig("lineitem", Seq("l_orderkey", "l_linenumber"))
+
+  /** Two-batch incremental-resume drive (usp_cdc_populate_changelog
+    * .sql:200-211, :241-253): populate a fresh sink up to `mid`, then run
+    * AGAIN with a later @to_date — the second run resumes from the sink's
+    * own MAX(commit_time) (+1 min in compat mode, :203) and continues ids
+    * from the sink's max id, all from ONE sink snapshot. */
+  private def populateTwice(
+      s: SparkSession, dir: String, cfg: CdcTableConfig, prefix: String): DataFrame = {
+    val sink = java.nio.file.Files.createTempDirectory(prefix)
+      .resolve("orders_changelog").toString
+    val f = feed(s, dir)
+    PopulateChangelog.run(s, f, cfg, sink,
+      Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)))
+    PopulateChangelog.run(s, f, cfg, sink,
+      Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+    s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
+  }
 
   private val changelogCols = Seq("changelog_id", "commit_time", "table_name", "o_orderkey",
     "column_name", "old_value", "new_value")
@@ -150,6 +168,28 @@ object SparkEntry {
         base.resolve("ckpt").toString)
       s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
+
+    // S4 resume path — the reference's DEFINING incremental behavior
+    // (:200-211): second run windows from the sink's MAX(commit_time)
+    // (lossless strictly-greater) and continues ids; the two batches must
+    // reassemble the exact one-batch changelog
+    "cdc_populate_resume" -> ((s, dir) => populateTwice(s, dir, ordersCfg, "graft_rs")),
+
+    // S4 resume, compat mode — the +1-MINUTE checkpoint gap (:203): rows
+    // committed within one minute after the HWM are permanently skipped;
+    // the oracle encodes exactly that loss
+    "cdc_populate_resume_compat" -> ((s, dir) =>
+      populateTwice(s, dir, ordersCompatCfg, "graft_rsc")),
+
+    // strictNulls mode — keep updates that set a column TO/FROM NULL
+    // (full-outer pairing; the reference's inner join silently drops them,
+    // :340 — SURVEY §7.5.1). The m=4 feed branch (o_orderpriority → NULL)
+    // guarantees rows the default-mode oracle would not have.
+    "cdc_changelog_strictnulls" -> ((s, dir) =>
+      ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersStrictCfg), ordersStrictCfg)
+        .select(changelogCols.map(col): _*)
+        .orderBy("changelog_id")),
 
     // J1 with a composite join key (both key columns in the equi-join)
     "cdc_pairs_composite" -> ((s, dir) =>
@@ -488,6 +528,9 @@ object SparkEntry {
     "cdc_populate_roundtrip" -> OrdersCdcOracle.changelogSql,
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
+    "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
+    "cdc_populate_resume_compat" -> OrdersCdcOracle.resumeCompatChangelogSql,
+    "cdc_changelog_strictnulls" -> OrdersCdcOracle.strict.changelogSql,
     "cdc_changelog_composite" -> OrdersCdcOracle.lineitem.changelogSql,
     "cdc_pairs_composite" -> OrdersCdcOracle.lineitem.pairsSql,
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,

@@ -10,13 +10,19 @@ import graft.cdc.FeedSpec
   *                     reference's seqval-less join fan-out
   *                     (usp_cdc_populate_changelog.sql:361-364)
   * @param truncate128  ≙ compatMode VARCHAR(128) erasure (:148-150)
+  * @param fullOuterPairs ≙ strictNulls: keep updates that set a column
+  *                     TO/FROM NULL — the before⋈after pairing becomes a
+  *                     FULL OUTER join, so one-sided groups survive with a
+  *                     NULL old_value or new_value (the reference's inner
+  *                     join drops them, :340 — SURVEY §7.5.1)
   */
 final class CdcOracle(
     spec: FeedSpec,
     keyCols: Seq[String],
     tableName: String,
     joinOnSeqval: Boolean = true,
-    truncate128: Boolean = false) {
+    truncate128: Boolean = false,
+    fullOuterPairs: Boolean = false) {
 
   private val srcCols = spec.srcCols
   require(keyCols.forall(srcCols.contains))
@@ -44,23 +50,41 @@ final class CdcOracle(
     keys.map(k => s"b.$k = a.$k").mkString(" AND ")
   }
 
-  /** Shared CTE prelude: feed → update-branch long form → pairs → sentinels. */
-  val changelogCtes: String = {
-    val pkB = keyCols.map(k => s"b.${pk(k)}").mkString(", ")
-    s"""WITH feed AS (
-       |  $feedSql
-       |), upd AS (
+  /** The pairs CTE: inner join (default — both images survived the NULL
+    * drop) or FULL OUTER (strictNulls — one-sided groups kept with a NULL
+    * value on the missing side, key columns coalesced across sides). */
+  private val pairsCte: String =
+    if (!fullOuterPairs) {
+      val pkB = keyCols.map(k => s"b.${pk(k)}").mkString(", ")
+      s"""pairs AS (
+         |  SELECT b.commit_time, $pkB, b.column_name, b.value AS old_value, a.value AS new_value
+         |  FROM nz b JOIN nz a
+         |    ON $pairJoin
+         |  WHERE b.operation = 3 AND a.operation = 4
+         |)""".stripMargin
+    } else {
+      val pkC = keyCols.map(k => s"coalesce(b.${pk(k)}, a.${pk(k)}) AS ${pk(k)}").mkString(", ")
+      s"""pairs AS (
+         |  SELECT coalesce(b.commit_time, a.commit_time) AS commit_time, $pkC,
+         |         coalesce(b.column_name, a.column_name) AS column_name,
+         |         b.value AS old_value, a.value AS new_value
+         |  FROM (SELECT * FROM nz WHERE operation = 3) b
+         |  FULL OUTER JOIN (SELECT * FROM nz WHERE operation = 4) a
+         |    ON $pairJoin
+         |)""".stripMargin
+    }
+
+  /** CTE chain from a given feed prelude: update-branch long form → pairs →
+    * sentinels → changelog. The prelude must open the WITH and define
+    * `feed`. */
+  private def ctesFrom(feedPrelude: String): String =
+    s"""$feedPrelude, upd AS (
        |  SELECT * FROM feed WHERE operation IN (3, 4)
        |), longf AS (
        |    $unpivotSql
        |), nz AS (
        |  SELECT * FROM longf WHERE value IS NOT NULL
-       |), pairs AS (
-       |  SELECT b.commit_time, $pkB, b.column_name, b.value AS old_value, a.value AS new_value
-       |  FROM nz b JOIN nz a
-       |    ON $pairJoin
-       |  WHERE b.operation = 3 AND a.operation = 4
-       |), sentinels AS (
+       |), $pairsCte, sentinels AS (
        |  SELECT commit_time, $pkProj,
        |         CAST(NULL AS VARCHAR) AS column_name,
        |         'DELETED RECORD' AS old_value, CAST(NULL AS VARCHAR) AS new_value
@@ -72,21 +96,58 @@ final class CdcOracle(
        |), changelog AS (
        |  SELECT * FROM pairs UNION ALL SELECT * FROM sentinels
        |)""".stripMargin
-  }
+
+  /** Shared CTE prelude: feed → update-branch long form → pairs → sentinels. */
+  val changelogCtes: String = ctesFrom(
+    s"""WITH feed AS (
+       |  $feedSql
+       |)""".stripMargin)
+
+  /** CTE prelude for the two-batch incremental-resume drive: the feed a
+    * resumed populate ACTUALLY consumes. Batch 1 takes everything up to
+    * `mid`; batch 2 resumes from the sink HWM — in compat mode from
+    * HWM + `gapMinutes` inclusive (usp_cdc_populate_changelog.sql:203),
+    * permanently losing rows committed inside the gap; gapMinutes=0 is
+    * the lossless default (strictly-greater resume, :200-211 — nothing
+    * lost, the union is the whole feed). The HWM is computed from the
+    * feed itself (max commit_time ≤ mid), exactly what batch 1 wrote. */
+  def resumeCtes(mid: String, gapMinutes: Int): String = ctesFrom(
+    if (gapMinutes == 0)
+      s"""WITH feed AS (
+         |  $feedSql
+         |)""".stripMargin
+    else
+      s"""WITH rawfeed AS (
+         |  $feedSql
+         |), feed AS (
+         |  SELECT * FROM rawfeed
+         |  WHERE commit_time <= TIMESTAMP '$mid'
+         |     OR commit_time >= (SELECT max(commit_time) FROM rawfeed
+         |                        WHERE commit_time <= TIMESTAMP '$mid') + to_minutes($gapMinutes)
+         |)""".stripMargin)
 
   private val idOrder: String =
     (Seq("commit_time ASC") ++ keyCols.map(k => s"${pk(k)} ASC") ++
       Seq("column_name ASC NULLS FIRST", "old_value ASC NULLS FIRST",
         "new_value ASC NULLS FIRST")).mkString(", ")
 
-  /** Full-pipeline oracle ≙ the flagship cdc_changelog query. */
-  val changelogSql: String =
-    s"""$changelogCtes
+  private def changelogSelect(ctes: String): String =
+    s"""$ctes
        |SELECT CAST(row_number() OVER (ORDER BY $idOrder) AS BIGINT) AS changelog_id,
        |       commit_time, '$tableName' AS table_name, $pkOut,
        |       column_name, old_value, new_value
        |FROM changelog
        |ORDER BY changelog_id""".stripMargin
+
+  /** Full-pipeline oracle ≙ the flagship cdc_changelog query. */
+  val changelogSql: String = changelogSelect(changelogCtes)
+
+  /** Oracle for the two-batch resume drive (see [[resumeCtes]]). The global
+    * row_number over the union IS the concatenated per-batch id sequence:
+    * batch 1's commit times all precede batch 2's (the HWM separates them),
+    * so per-batch sort + id-offset continuation equals one global sort. */
+  def resumeChangelogSql(mid: String, gapMinutes: Int): String =
+    changelogSelect(resumeCtes(mid, gapMinutes))
 
   /** Changelog → current-state materialization (long form): latest
     * new_value per (pk, column) by changelog_id; arg_max ≙ Spark max_by.

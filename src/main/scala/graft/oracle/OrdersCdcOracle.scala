@@ -15,6 +15,10 @@ object OrdersCdcOracle {
   val compat = new CdcOracle(ChangeFeed.ordersSpec, Seq("o_orderkey"), "orders",
     joinOnSeqval = false, truncate128 = true)
 
+  /** ≙ strictNulls: NULL-transition updates kept via full-outer pairing. */
+  val strict = new CdcOracle(ChangeFeed.ordersSpec, Seq("o_orderkey"), "orders",
+    fullOuterPairs = true)
+
   /** Composite primary key (l_orderkey, l_linenumber). */
   val lineitem = new CdcOracle(ChangeFeed.lineitemSpec,
     Seq("l_orderkey", "l_linenumber"), "lineitem")
@@ -35,4 +39,14 @@ object OrdersCdcOracle {
   val lineitemFeedWindowSql: String = lineitem.feedWindowSql
   val lineitemQueryDataSql: String =
     lineitem.queryDataSql("1995-01-01 00:10:00", "1995-01-01 02:00:00")
+
+  /** Two-batch incremental-resume oracles. The split point must fall
+    * INSIDE the commit-time range at every SF or batch 2 is empty and the
+    * drive degenerates to first-run-only: orderkeys are dense from 1, so
+    * sf0.001's ~1500 orders span only ~25 minutes of commit time — 00:12
+    * splits (and the +1-min compat gap loses rows) at every SF. Lossless
+    * default resume loses nothing: its oracle IS the one-batch changelog. */
+  val ResumeMid = "1995-01-01 00:12:00"
+  val resumeChangelogSql: String = default.changelogSql
+  val resumeCompatChangelogSql: String = compat.resumeChangelogSql(ResumeMid, gapMinutes = 1)
 }
