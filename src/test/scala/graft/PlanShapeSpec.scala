@@ -60,6 +60,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "bucket alignment must eliminate the join-key exchange")
   }
 
+  test("interval join carries a real key condition, not a trivially-true one") {
+    // both graded inputs derive from one events frame; the aliased-refs
+    // construction must keep user_id = user_id as a genuine cross-side
+    // equality (optimizer: a join key, not an eliminated tautology)
+    val joined = SparkEntry.queries("ext_interval_join")(spark, dir)
+    val conds = joined.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition
+    }.flatten
+    assert(conds.nonEmpty, "expected a Join node with a condition")
+    val cond = conds.head.toString
+    // the key equality survives as user_id#X = user_id#Y with DISTINCT expr ids
+    val ids = "user_id#(\\d+)".r.findAllMatchIn(cond).map(_.group(1)).toSet
+    assert(ids.size >= 2, s"key condition must reference both sides' user_id, got: $cond")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
