@@ -73,9 +73,17 @@ object ChangelogBuilder {
 
   /** ≙ fn_cdc_is_bit_set(fn_cdc_get_column_ordinal(inst, col), __$update_mask)
     * (:304-305). Ordinal resolves at plan-build time from the feed schema;
-    * the bit test is plain codegen'd integer ops (no UDF needed). */
-  def maskBitSet(ordinal: Int): Column =
-    shiftright(col("update_mask"), ordinal).bitwiseAND(lit(1L)) === lit(1L)
+    * the bit test dispatches on the mask's type: LongType masks (≤64
+    * payload columns) are plain codegen'd integer ops; BinaryType masks
+    * (≙ the reference's width-unlimited VARBINARY, :305) go through the
+    * codegen [[graft.functions.BinaryMaskBit]] expression — big-endian, so
+    * the two encodings agree bit-for-bit (BinaryMaskSpec property). */
+  def maskBitSet(ordinal: Int, maskType: org.apache.spark.sql.types.DataType = LongType): Column =
+    maskType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        graft.functions.BinaryMaskBit.binaryMaskBit(col("update_mask"), ordinal)
+      case _ => shiftright(col("update_mask"), ordinal).bitwiseAND(lit(1L)) === lit(1L)
+    }
 
   /** Stage 1 — mask-gate projection over the update rows (:302-310): null
     * out columns whose mask bit is unset, erase survivors to string (one
@@ -84,13 +92,15 @@ object ChangelogBuilder {
   def maskGated(feed: DataFrame, cfg: CdcTableConfig): DataFrame = {
     val srcCols = sourceCols(feed)
     val ordinal = srcCols.zipWithIndex.toMap
-    require(srcCols.size <= 64,
-      s"LongType update_mask supports <=64 payload columns, got ${srcCols.size}")
+    val maskType = feed.schema("update_mask").dataType
+    require(maskType == org.apache.spark.sql.types.BinaryType || srcCols.size <= 64,
+      s"a LongType update_mask supports <=64 payload columns, got ${srcCols.size}; " +
+        "use a BinaryType mask for wider tables")
     require(cfg.keyCols.forall(srcCols.contains), s"key columns ${cfg.keyCols} must exist in feed")
     feed.where(col("operation").isin(OpUpdateBefore, OpUpdateAfter)).select(
       (MetaCols.map(col) ++
         cfg.keyCols.map(k => erase(col(k), cfg).as(keyId(k))) ++
-        srcCols.map(c => when(maskBitSet(ordinal(c)), erase(col(c), cfg)).as(c))): _*)
+        srcCols.map(c => when(maskBitSet(ordinal(c), maskType), erase(col(c), cfg)).as(c))): _*)
   }
 
   /** Stage 2 — wide → long (:321,:354). Spark's unpivot keeps NULLs; the

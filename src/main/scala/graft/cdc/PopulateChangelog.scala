@@ -25,11 +25,28 @@ object PopulateChangelog {
 
   val AuditCols: Seq[String] = Seq("created_dt", "created_by")
 
+  /** Above this ESTIMATED batch size the single-window id path
+    * ([[ChangelogBuilder.withIds]], one task sorts the whole batch) is
+    * auto-upgraded to [[ChangelogBuilder.withIdsDistributed]]. 2 GiB of
+    * input comfortably bounds one task's sort; a 100 TB first-run backfill
+    * (one giant "batch") upgrades automatically instead of funnelling
+    * through a single window partition. */
+  val AutoDistributeBytes: Long = 2L << 30
+
+  /** Id-path chooser: forced, or the optimizer's size estimate exceeds the
+    * threshold. `optimizedPlan.stats` is a plan-time bound (file sizes ×
+    * selectivity; exact for a materialized cache) — no extra Spark job. */
+  private[cdc] def shouldDistribute(batch: DataFrame, forced: Boolean, thresholdBytes: Long): Boolean =
+    forced || batch.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(thresholdBytes)
+
   /** Build + id-assign + stamp + append one batch of feed rows; returns the
     * appended row count. Shared by the batch orchestrator and the streaming
     * foreachBatch sink. The row count rides on the write itself via
     * `observe` — no re-evaluation and, critically, no O(history) rescan of
     * the sink (the reference re-counts the whole changelog, :397-399).
+    *
+    * @param distributedIds force the distributed id path; when false the
+    *        path still auto-upgrades above `autoDistributeBytes`
     */
   def stampAndAppend(
       spark: SparkSession,
@@ -39,11 +56,13 @@ object PopulateChangelog {
       offset: Long,
       distributedIds: Boolean = false,
       clusterByKey: Boolean = false,
-      clusterPartitions: Option[Int] = None): Long = {
+      clusterPartitions: Option[Int] = None,
+      autoDistributeBytes: Long = AutoDistributeBytes): Long = {
     val obs = org.apache.spark.sql.Observation()
     val changelog = ChangelogBuilder.build(batch, cfg)
     val withIds =
-      if (distributedIds) ChangelogBuilder.withIdsDistributed(changelog, cfg, offset)
+      if (shouldDistribute(batch, distributedIds, autoDistributeBytes))
+        ChangelogBuilder.withIdsDistributed(changelog, cfg, offset)
       else ChangelogBuilder.withIds(changelog, cfg, offset)
     val stamped = withIds
       .withColumn("created_dt", current_timestamp())
@@ -83,7 +102,8 @@ object PopulateChangelog {
       toDate: Option[Timestamp] = None,
       distributedIds: Boolean = false,
       clusterByKey: Boolean = false,
-      clusterPartitions: Option[Int] = None): PopulateResult = {
+      clusterPartitions: Option[Int] = None,
+      autoDistributeBytes: Long = AutoDistributeBytes): PopulateResult = {
 
     // ≙ RTRIM(LTRIM(@tableName/@tablePK)) (:77-80) — P5 param normalization
     val cfg = cfg0.copy(
@@ -100,7 +120,8 @@ object PopulateChangelog {
     // (SURVEY §7.5.8) instead of four times.
     val windowed = Checkpoint.applyWindow(feed, window).cache()
 
-    val result = Try(stampAndAppend(spark, windowed, cfg, changelogPath, offset, distributedIds, clusterByKey, clusterPartitions))
+    val result = Try(stampAndAppend(spark, windowed, cfg, changelogPath, offset,
+      distributedIds, clusterByKey, clusterPartitions, autoDistributeBytes))
     windowed.unpersist()
 
     result match {

@@ -75,6 +75,30 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("oversized batches auto-upgrade to the distributed id path, same rows") {
+    // chooser: plan-size estimate vs threshold, no job run
+    val feed = ChangeFeed.fromOrders(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"))
+    assert(PopulateChangelog.shouldDistribute(feed, forced = false, thresholdBytes = 1L))
+    assert(!PopulateChangelog.shouldDistribute(feed, forced = false, thresholdBytes = Long.MaxValue))
+    assert(PopulateChangelog.shouldDistribute(feed, forced = true, thresholdBytes = Long.MaxValue))
+
+    // end-to-end: a populate whose batch trips the threshold must produce
+    // EXACTLY the window path's rows (the id-parity contract), while never
+    // funnelling through a single-partition Window
+    val base = Files.createTempDirectory("graft_e2e_auto")
+    val ocfg = CdcTableConfig("orders", Seq("o_orderkey"))
+    val w = base.resolve("w").toString
+    val d = base.resolve("d").toString
+    PopulateChangelog.run(spark, feed, ocfg, w)
+    PopulateChangelog.run(spark, feed, ocfg, d, autoDistributeBytes = 1L)
+    val cols = Seq("changelog_id", "commit_time", "table_name", "o_orderkey",
+      "column_name", "old_value", "new_value")
+    val a = spark.read.parquet(w).select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(d).select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("queryData over a populated sink: day-granularity bounds + freshness warning") {
     val path = Files.createTempDirectory("graft_e2e_qd").resolve("orders_changelog").toString
     PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-03 00:00:00")))
@@ -174,6 +198,40 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
       }
     }
     assert(overlappable > 0, "fixture too small to exercise multi-file partitions")
+  }
+
+  test("schema evolution: a payload column added between batches unpivots from batch 2 on") {
+    // ≙ the reference re-reading sys.columns per invocation (:295): the
+    // engine derives columns from df.schema per call, so a feed that GAINS
+    // a column between runs just starts emitting rows for it — the sink's
+    // long-form (EAV) schema never changes, no migration.
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft_evo").resolve("orders_changelog").toString
+
+    // batch 1: (k, v) feed, one update pair on v
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 23:00:00")))
+
+    // batch 2: the source grew a column v2 (ordinal 2); day-2 update
+    // changes only v2 (mask bit 2)
+    val wide = Seq(
+      (4L, 0L, 3, 4L, ts("1995-01-02 09:00:00"), "c", "w0", "z0"),
+      (4L, 0L, 4, 4L, ts("1995-01-02 09:00:00"), "c", "w1", "z1"))
+      .toDF("start_lsn", "seqval", "operation", "update_mask", "commit_time", "k", "v", "v2")
+    PopulateChangelog.run(spark, wide, cfg, path, Some(ts("1995-01-02 23:00:00")))
+
+    val sink = spark.read.parquet(path)
+    // sink schema is batch-invariant: same columns after the wide batch
+    assert(sink.columns.toSet ==
+      Set("changelog_id", "commit_time", "table_name", "k", "column_name",
+        "old_value", "new_value", "created_dt", "created_by", "commit_date"))
+    val byCol = sink.where(col("column_name").isNotNull)
+      .select("column_name", "old_value", "new_value", "commit_time").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getTimestamp(3)))).toMap
+    assert(byCol("v") == (("v0", "v1", ts("1995-01-01 09:00:00"))), "batch-1 column still there")
+    assert(byCol("v2") == (("z0", "z1", ts("1995-01-02 09:00:00"))), "new column from batch 2 on")
+    // ids keep continuing across the schema change
+    assert(sink.agg(max("changelog_id")).head().getLong(0) == sink.count())
   }
 
   test("compat +1-minute resume loses sub-minute changes end-to-end; default does not") {
