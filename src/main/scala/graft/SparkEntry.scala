@@ -312,6 +312,21 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // §2.11 production shape — the same windowed aggregation streamed to
+    // an APPEND-mode parquet file sink: each window written exactly once
+    // when the watermark finalizes it (nothing driver-side), sentinel-
+    // flushed so the offline drain closes every real window; same oracle
+    "ext_event_windows_files" -> ((s, dir) =>
+      graft.streaming.EventStream.eventWindowCountsStreamedToFiles(s, events(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    // §2.11 stateful sessionization under the real streaming engine
+    // (flatMapGroupsWithState, event-time timeout, append file sink) —
+    // closed sessions must equal the batch gaps-and-islands output
+    "ext_sessionize_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeStreamedToFiles(s, events(s, dir))
+        .orderBy("user_id", "session_seq")),
+
     // changelog → current-state materialization (long form): per (pk,
     // column) the latest new_value by changelog_id — the downstream
     // consumer query every CDC changelog exists to serve. One hash
@@ -555,6 +570,8 @@ object SparkEntry {
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,
+    "ext_event_windows_files" -> ExtOracle.eventWindowsSql,
+    "ext_sessionize_stream" -> ExtOracle.sessionizeSql,
     "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
     "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,
     "ext_quality" -> ExtOracle.qualitySql,

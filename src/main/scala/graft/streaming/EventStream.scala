@@ -50,7 +50,13 @@ object EventStream {
     * sink, drained with `Trigger.AvailableNow`. Complete mode (not append)
     * because the graded comparison covers every window, including those
     * the final watermark hasn't passed yet — identical rows to the batch
-    * plan, produced by the incremental stateful engine. */
+    * plan, produced by the incremental stateful engine.
+    *
+    * GRADING-HARNESS ONLY: a complete-mode memory sink re-materializes the
+    * ENTIRE result on the driver every trigger — it cannot be the
+    * production shape at scale. The production shape is
+    * [[eventWindowCountsStreamedToFiles]]: append mode to a file sink,
+    * emitting each window once, when the watermark finalizes it. */
   def eventWindowCountsStreamed(
       spark: SparkSession,
       eventsPath: String,
@@ -64,6 +70,102 @@ object EventStream {
       .start()
     query.awaitTermination()
     spark.table(name)
+  }
+
+  /** Stage a batch of rows plus a single far-future SENTINEL row as parquet
+    * files in a fresh temp dir, for file-stream consumption. The sentinel
+    * (second file) drives the final watermark past every real row's
+    * event-time horizon, so the AvailableNow drain's closing no-data batch
+    * finalizes all real windows/sessions — the offline-grading analog of
+    * "the next day's data closes yesterday's windows" in a live stream.
+    * Returns the input dir. */
+  private def stageWithSentinel(
+      rows: DataFrame, sentinel: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    rows.write.mode("append").parquet(dir)
+    sentinel.write.mode("append").parquet(dir)
+    dir
+  }
+
+  /** [[eventWindowCounts]] under the real streaming engine in its
+    * PRODUCTION shape: file source → watermarked window aggregate →
+    * APPEND-mode parquet file sink (each window written exactly once, when
+    * the watermark passes its end — nothing driver-side, nothing
+    * recomputed), drained with AvailableNow. A `__flush` sentinel event
+    * (filtered from the result) advances the final watermark so every real
+    * window finalizes; the sentinel's own window never does, and is never
+    * emitted. Output rows are identical to the batch plan's. */
+  def eventWindowCountsStreamedToFiles(
+      spark: SparkSession, events: DataFrame): DataFrame = {
+    val typed = fromEventsFixture(events)
+      .select(col("event_time"), col("event_type"), col("props"))
+    val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    val sentinel = typed.sparkSession.range(1).select(
+      timestamp_millis(lit(maxT.getTime + 2L * 24 * 3600 * 1000)).as("event_time"),
+      lit("__flush").as("event_type"),
+      lit(null).cast("string").as("props"))
+    val inDir = stageWithSentinel(typed, sentinel)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val query = eventWindowCounts(
+      spark.readStream.schema(typed.schema).parquet(inDir))
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outDir.resolve("result").toString)
+      .where(col("event_type") =!= "__flush")
+  }
+
+  /** [[sessionize]] under the real streaming engine, graded against the
+    * batch sessionizer's oracle: file source (second-truncated event
+    * times, so gap math matches the batch query's epoch-seconds exactly) →
+    * flatMapGroupsWithState → APPEND-mode parquet sink, AvailableNow. A
+    * sentinel user's far-future event (filtered out; its own session never
+    * closes, so it is never emitted) pushes the final watermark past
+    * last-real-event + gap, closing every real session. Closed sessions
+    * arrive unordered; the deterministic re-shape to the batch output
+    * (session_seq by start time, epoch-second bounds) is batch work over
+    * the already-final result. */
+  def sessionizeStreamedToFiles(
+      spark: SparkSession, events: DataFrame, gapS: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      timestamp_seconds(expr("ts div 1000000000")).as("event_time"),
+      col("event_type"))
+    val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    val sentinel = typed.sparkSession.range(1).select(
+      lit(-1L).as("user_id"),
+      timestamp_millis(lit(maxT.getTime + 2L * 24 * 3600 * 1000)).as("event_time"),
+      lit("__flush").as("event_type"))
+    val inDir = stageWithSentinel(typed, sentinel)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out")
+    val query = sessionize(
+      spark.readStream.schema(typed.schema).parquet(inDir).as[UserEvent],
+      gapMs = gapS * 1000L)
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start_s")
+    spark.read.parquet(outDir.resolve("result").toString)
+      .where(col("user_id") >= 0)
+      .select(
+        col("user_id"),
+        col("session_start").cast("long").as("session_start_s"),
+        col("session_end").cast("long").as("session_end_s"),
+        col("n_events").cast("long").as("n_events"))
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .withColumn("duration_s", col("session_end_s") - col("session_start_s"))
+      .select("user_id", "session_seq", "n_events", "session_start_s",
+        "session_end_s", "duration_s")
   }
 
   /** Streaming exact dedup (E1's streaming shape): drop events whose key
