@@ -41,13 +41,28 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+    // Median of 3 passes per query (plus min, reported separately): a
+    // single noisy pass — GC pause, first-touch page fault, competing
+    // driver work — inflated round-4's driver bench 2× and masqueraded as
+    // a regression. The median is robust to one bad pass; the min shows
+    // the best the plan can do. An error on any pass reports the query as
+    // failed (never a fake cheap timing).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable => name -> Left(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300))
+      val timings = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300))
+        }
+      }
+      timings.collectFirst { case Left(m) => m } match {
+        case Some(m) => name -> Left(m)
+        case None =>
+          val ts = timings.collect { case Right(v) => v }.sorted
+          name -> Right((ts(ts.size / 2), ts.head))
       }
     }
 
@@ -63,12 +78,16 @@ object Bench {
 
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(m)) => k -> m }
-    val total = ok.map(_._2).sum
+    val total = ok.map(_._2._1).sum
     // n_queries: the graded set GROWS round over round, so the total alone
-    // is not comparable across rounds — per-query values are
+    // is not comparable across rounds — per-query values are.
+    // "queries" carries the MEDIAN (the round-over-round comparable);
+    // "queries_min" the per-query best pass.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${
-        ok.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${
+        ok.map { case (k, v) => s"${q(k)}:${v._1}" }.mkString("{", ",", "}")
+      },"queries_min":${
+        ok.map { case (k, v) => s"${q(k)}:${v._2}" }.mkString("{", ",", "}")
       },"errors":${
         errs.map { case (k, m) => s"${q(k)}:${q(m)}" }.mkString("{", ",", "}")
       },"sf":${q(sfDir)}}"""

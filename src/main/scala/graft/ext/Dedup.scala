@@ -134,21 +134,20 @@ object Dedup {
       .join(shc.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(shc.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    val out = common
+    val pairs = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       // jaccard = common/(a+b-common) >= num/den, in exact integer math
       .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
       .select("id_a", "id_b", "n_common", "n_a", "n_b")
-      .cache()
-    // Materialize the (one row per verified pair — tiny relative to the
-    // corpus) result while the intermediates are live, then release the
-    // three O(shingles) caches: without this, every invocation in a long
-    // session leaked ~the whole shingle multiset into the block store.
-    // NOTE this makes the call EAGER (runs the pipeline now), and the
-    // small result cache itself is intentionally left live — callers
-    // re-aggregate it and it is O(pairs), not O(corpus).
-    out.count()
+    // EAGER: localCheckpoint materializes the (one row per verified pair —
+    // tiny relative to the corpus) result while the intermediates are live,
+    // so the three O(shingles) caches can be released immediately. Unlike a
+    // named cache, checkpoint blocks are reclaimed by the ContextCleaner
+    // once the returned frame is unreferenced — repeated calls in a
+    // long-lived session (bench loops, property tests) no longer accumulate
+    // permanent block-store entries.
+    val out = pairs.localCheckpoint(true)
     raw.unpersist()
     cand.unpersist()
     shc.unpersist()

@@ -229,6 +229,11 @@ object Similarity {
         element_at(col("mins"), size(col("mins"))).as("kth_hash"))
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept"))
+          // kth_hash = 0 (all-zero leading md5 lane, p≈2^-32 per group) must
+          // render identically on both engines: explicit NULL here, CASE
+          // WHEN kth_hash = 0 THEN NULL in the oracle — DuckDB's bare //
+          // would raise instead, and Spark's ANSI div would too.
+          .when(col("kth_hash") === 0, lit(null).cast("long"))
           .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * 4294967296 div kth_hash")))
   }
 
@@ -244,7 +249,13 @@ object Similarity {
     val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
     val q = transform(v, x =>
       when(maxabs > 0, floor(x.cast("double") * 127.0 / maxabs)).otherwise(0L).cast("int"))
-    embeddings.select(
+    embeddings
+      // NULL/empty vectors are excluded IDENTICALLY on both engines (the
+      // oracle's two UNION branches would silently drop them while Spark
+      // emitted NULL-stat rows — a row-count mismatch waiting on a fixture
+      // change). An empty quantization is meaningless either way.
+      .where(v.isNotNull && size(v) > 0)
+      .select(
       col("vec_id"),
       array_min(q).as("q_min"),
       array_max(q).as("q_max"),

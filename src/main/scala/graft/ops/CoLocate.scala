@@ -17,13 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CoLocate {
 
-  // ONE temp warehouse and FIXED table names per JVM: repeated invocations
-  // overwrite in place, so a long session (bench loops, property tests)
-  // holds at most one bucketed copy of each side on disk and two catalog
-  // entries — not an unbounded accumulation. Caveat: a DataFrame returned
-  // by a PREVIOUS invocation must be consumed before the next one
-  // overwrites its files (the normal use is write→join→aggregate→done).
-  private lazy val base = Files.createTempDirectory("graft_buckets")
+  // ONE temp warehouse per JVM, removed on exit; table names are suffixed
+  // per invocation so a DataFrame returned by an earlier call stays valid
+  // (and concurrent callers can't clobber each other's files). Disk use is
+  // bounded by session length, not unbounded across JVMs — the shutdown
+  // hook reclaims everything.
+  private lazy val base = {
+    val dir = Files.createTempDirectory("graft_buckets")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+        Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case scala.util.control.NonFatal(_) => () }
+    }))
+    dir
+  }
+  private val invocation = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Write both sides bucketed on `key` (external tables under a temp
     * warehouse path) and return their shuffle-free equi-join. */
@@ -33,6 +43,7 @@ object CoLocate {
       right: DataFrame,
       key: String,
       buckets: Int = 8): DataFrame = {
+    val n = invocation.incrementAndGet()
     def save(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite")
         .option("path", base.resolve(name).toString)
@@ -44,7 +55,7 @@ object CoLocate {
     // side (also shuffle-free, but it doesn't exercise co-location); the
     // hint pins the sort-merge strategy this operator exists to feed —
     // with both sides bucket-aligned it plans with zero Exchange.
-    save(left, "graft_bkt_l").hint("merge")
-      .join(save(right, "graft_bkt_r"), Seq(key))
+    save(left, s"graft_bkt_l_$n").hint("merge")
+      .join(save(right, s"graft_bkt_r_$n"), Seq(key))
   }
 }

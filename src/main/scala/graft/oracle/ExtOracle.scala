@@ -508,15 +508,19 @@ object ExtOracle {
   /** ≙ Similarity.quantizeInt8. Explicit CAST-to-DOUBLE at every float
     * step so both engines run the identical double-precision expression. */
   val quantizeSql: String =
-    """WITH q AS (
+    """WITH src AS (
+      |  -- NULL/empty vectors excluded identically to the Spark side
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |), q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
       |      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS INTEGER)) AS qv
-      |  FROM embeddings
+      |  FROM src
       |  WHERE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
       |  UNION ALL
       |  SELECT vec_id, list_transform(embedding, x -> 0)
-      |  FROM embeddings
+      |  FROM src
       |  WHERE NOT (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0)
       |)
       |SELECT vec_id,
@@ -580,6 +584,7 @@ object ExtOracle {
       |)
       |SELECT event_type, n_kept, kth_hash,
       |  CASE WHEN n_kept < 16 THEN n_kept
+      |       WHEN kth_hash = 0 THEN NULL
       |       ELSE CAST(15::BIGINT * 4294967296 // kth_hash AS BIGINT) END AS est_distinct
       |FROM kept
       |ORDER BY event_type""".stripMargin
