@@ -191,18 +191,23 @@ object SparkEntry {
         .select(changelogCols.map(col): _*)
         .orderBy("changelog_id")),
 
-    // J1 with a composite join key (both key columns in the equi-join)
+    // J1 with a composite join key (both key columns in the equi-join).
+    // materializeDedup: the whole feed is consumed (no window predicate to
+    // push below the dedup), so the key-dedup shuffle materializes once.
     "cdc_pairs_composite" -> ((s, dir) =>
       ChangelogBuilder.updatePairs(
-        ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet")), lineitemCfg)
+        ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+          materializeDedup = true), lineitemCfg)
         .orderBy("commit_time", "l_orderkey", "l_linenumber", "column_name",
           "old_value", "new_value")),
 
-    // composite primary key (l_orderkey, l_linenumber), reference :82-133
+    // composite primary key (l_orderkey, l_linenumber), reference :82-133;
+    // build() references the feed from two sub-trees → dedup materialized
     "cdc_changelog_composite" -> ((s, dir) =>
       ChangelogBuilder.withIds(
         ChangelogBuilder.build(
-          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet")), lineitemCfg),
+          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+            materializeDedup = true), lineitemCfg),
         lineitemCfg)
         .select(Seq("changelog_id", "commit_time", "table_name", "l_orderkey", "l_linenumber",
           "column_name", "old_value", "new_value").map(col): _*)
@@ -425,11 +430,13 @@ object SparkEntry {
       Similarity.kmvDistinct(events(s, dir), "event_type", "user_id", k = 16)
         .orderBy("event_type")),
 
-    // composite-key twin of the long-form state materialization
+    // composite-key twin of the long-form state materialization (two
+    // consumer sub-trees → dedup materialized, as above)
     "cdc_state_composite" -> ((s, dir) =>
       ChangelogBuilder.withIds(
         ChangelogBuilder.build(
-          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet")), lineitemCfg),
+          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+            materializeDedup = true), lineitemCfg),
         lineitemCfg)
         .where(col("column_name").isNotNull)
         .groupBy(col("l_orderkey"), col("l_linenumber"), col("column_name"))

@@ -130,5 +130,6 @@ object ChangeFeed {
     },
     dedupKeys = Seq("l_orderkey", "l_linenumber"))
 
-  def fromLineitem(lineitem: DataFrame): DataFrame = lineitemSpec.toFeed(lineitem)
+  def fromLineitem(lineitem: DataFrame, materializeDedup: Boolean = false): DataFrame =
+    lineitemSpec.toFeed(lineitem, materializeDedup)
 }

@@ -53,9 +53,20 @@ final case class FeedSpec(
     * branch), filtered and exploded. The 100 TB shape: the reference's
     * 12-branch UNION over the same table would scan it 12 times per
     * consumer sub-tree; this scans once, total, per consumer.
+    *
+    * @param materializeDedup eagerly localCheckpoint the deduped source so
+    *        consumers that reference the feed from SEVERAL sub-trees
+    *        (ChangelogBuilder.build: pairs + sentinels) pay the dedup
+    *        shuffle once instead of once per sub-tree. The explode stays
+    *        lazy (map-only, cheap to recompute). Checkpoint blocks are
+    *        reclaimed by the ContextCleaner when the frame is dropped —
+    *        no permanent cache entry per call. Leave FALSE for windowed
+    *        scans: a checkpoint is a materialization barrier, and their
+    *        lsn/commit-time predicates must keep pushing THROUGH the dedup
+    *        aggregate to the parquet scan (plan-locked by PlanShapeSpec).
     */
-  def toFeed(src0: DataFrame): DataFrame = {
-    val src =
+  def toFeed(src0: DataFrame, materializeDedup: Boolean = false): DataFrame = {
+    val deduped =
       if (dedupKeys.isEmpty) src0
       else {
         val rest = srcCols.filterNot(dedupKeys.contains)
@@ -67,6 +78,9 @@ final case class FeedSpec(
             rest.tail.map(c => min(col(c)).as(c)): _*)
           .select(srcCols.map(col): _*)
       }
+    val src =
+      if (materializeDedup && dedupKeys.nonEmpty) deduped.localCheckpoint(true)
+      else deduped
     // start_lsn and commit_time are BRANCH-INVARIANT (functions of the key
     // columns only), so they stay OUTSIDE the exploded struct: a feed-level
     // predicate on either (LSN windows, commit-time ranges — every scan

@@ -75,6 +75,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(ids.size >= 2, s"key condition must reference both sides' user_id, got: $cond")
   }
 
+  test("composite changelog computes the key dedup once, not per sub-tree") {
+    // build() consumes the feed from two sub-trees (pairs + sentinels);
+    // with materializeDedup the dedup aggregate runs once at checkpoint
+    // time, so the executed plan shows NO dedup shuffle at all — both
+    // sub-trees read the checkpointed RDD.
+    val p = plan("cdc_changelog_composite")
+    assert(!p.contains("Scan parquet"),
+      "both sub-trees must read the materialized dedup, not re-scan lineitem")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2,
+      "pairs + sentinels should each read the checkpointed dedup")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
