@@ -454,6 +454,24 @@ object SparkEntry {
     "ext_split" -> ((s, dir) =>
       graft.ext.Packing.hashSplit(corpus(s, dir)).orderBy("split")),
 
+    // E1e — near-dup clusters: connected components over the verified
+    // LSH pair graph (min-label propagation; singletons keep their id)
+    "ext_dedup_clusters" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.Cluster.clusters(c, Dedup.nearDuplicatePairs(c)).orderBy("doc_id")
+    }),
+
+    // leakage-safe split: the 98/1/1 hash bucket keys on the CLUSTER id,
+    // so near-duplicates can never land on both sides of train/test
+    "ext_split_safe" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.Cluster.leakageSafeSplit(c, Dedup.nearDuplicatePairs(c)).orderBy("split")
+    }),
+
+    // deterministic per-language 10% stratified sample (training mix)
+    "ext_sample_stratified" -> ((s, dir) =>
+      graft.ext.Packing.stratifiedSample(corpus(s, dir)).orderBy("lang")),
+
     // left-anti join — customers with no URGENT orders, per nation (the
     // unfiltered variant is vacuously empty: every customer has orders)
     "ext_anti_join" -> ((s, dir) =>
@@ -590,6 +608,9 @@ object SparkEntry {
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
     "ext_pack" -> ExtOracle.packBinsSql,
     "ext_split" -> ExtOracle.hashSplitSql,
+    "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,
+    "ext_split_safe" -> ExtOracle.splitSafeSql,
+    "ext_sample_stratified" -> ExtOracle.sampleStratifiedSql,
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,
     "ext_kmv" -> ExtOracle.kmvSql,

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster operators: turning PAIRWISE near-dup evidence
+  * ([[Dedup.nearDuplicatePairs]]) into per-document cluster assignments —
+  * the step an actual 100 TB dedup needs between "these two match" and
+  * "keep one representative per group" — plus the cluster-aware
+  * train/val/test split that stops near-duplicates from leaking across
+  * split boundaries (the classic eval-contamination bug: doc in train,
+  * its near-copy in test).
+  *
+  * Clustering is min-label propagation over the undirected pair graph:
+  * every node starts labeled with its own id and repeatedly takes the min
+  * of its own and its neighbors' labels until fixpoint. Each round is one
+  * hash join + one hash aggregate (both key-partitioned — no driver-side
+  * graph state), and `localCheckpoint` truncates the plan between rounds
+  * so lineage cannot snowball. Rounds needed = graph diameter: dup
+  * clusters are near-cliques (LSH bands fire on every close pair), so in
+  * practice this is 2–3 rounds; a pathological long-chain graph would
+  * need the O(log n)-round large-star/small-star variant (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond") — maxIter guards
+  * against silently mislabeling if such a graph ever shows up.
+  */
+object Cluster {
+
+  /** Connected components of an undirected edge list: (id, cluster_id)
+    * with cluster_id = min node id reachable. Only nodes that appear in
+    * at least one edge are returned (callers union singletons back in —
+    * see [[clusters]]).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nl").as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .where(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    require(done, s"connectedComponents did not converge within $maxIter rounds " +
+      "(graph diameter too large — switch to the large-star/small-star variant)")
+    labels
+  }
+
+  /** Cluster assignment for EVERY document: members of a near-dup
+    * component get its min doc_id, singletons get their own id. One left
+    * join against the (tiny) component labels — the corpus itself is
+    * touched once. */
+  def clusters(corpus: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    corpus.select(col(idCol).cast("long").as("doc_id"))
+      .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+
+  /** Leakage-safe deterministic split: the hash bucket is computed from the
+    * CLUSTER id, not the document, so a whole near-dup cluster always lands
+    * in one split — near-copies can never straddle train/test. Same 98/1/1
+    * geometry and engine-portable hex→int math as [[Packing.hashSplit]].
+    * Output is per-split counts: docs and distinct clusters. */
+  def leakageSafeSplit(corpus: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bucket = (conv(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100)
+    clusters(corpus, pairs, idCol)
+      .withColumn("split",
+        when(bucket < 98, lit("train"))
+          .when(bucket < 99, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+  }
+}

@@ -38,6 +38,37 @@ object Packing {
       .withColumn("fill_bp", expr(s"n_tokens_packed * 10000 div $binTokens"))
   }
 
+  /** Deterministic stratified sample — the training-mix step: per stratum
+    * (language), keep the `num/den` fraction of documents that rank first
+    * by content hash (md5, engine-portable) with doc_id tiebreak. Keep
+    * rule `r * den <= n * num` is exact integer math (kept = floor(n *
+    * num/den), no float rate anywhere). Both windows are PARTITIONED by
+    * the stratum — per-stratum shuffles, no global funnel. Output is the
+    * per-stratum audit row: totals, kept count, and the kept-id checksum.
+    */
+  def stratifiedSample(
+      corpus: DataFrame,
+      num: Int = 1,
+      den: Int = 10,
+      strataCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rankW = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h"), col(idCol))
+    val nW = Window.partitionBy(col(strataCol))
+    corpus
+      .select(col(strataCol), col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol).cast("binary")).as("__h"))
+      .withColumn("__r", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(nW))
+      .where(col("__r") * den <= col("__n") * num)
+      .groupBy(strataCol)
+      .agg(
+        max(col("__n")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"))
+  }
+
   /** Deterministic hash split (train/val/test by content hash, the
     * standard leakage-proof split): bucket = first 4 md5 hex chars mod
     * 100 → 98/1/1. Engine-portable: Spark `conv(h,16,10)` ≙ DuckDB

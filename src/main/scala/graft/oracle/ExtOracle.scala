@@ -49,10 +49,12 @@ object ExtOracle {
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |)""".stripMargin
 
-  /** E1b ≙ Dedup.nearDuplicatePairs (MinHash → LSH bands → candidate join →
-    * exact-Jaccard verify, threshold 3/5). */
-  val dedupMinhashSql: String =
-    s"""WITH $corpusSql, $shingleCtes, mh AS (
+  /** Shared CTE chain ending in `pairs` = the verified near-dup pairs
+    * (MinHash → LSH bands → candidate join → exact-Jaccard ≥ 3/5) —
+    * consumed by the pair listing, the cluster assignment, and the
+    * leakage-safe split. */
+  private val pairCtes: String =
+    s"""$corpusSql, $shingleCtes, mh AS (
        |  SELECT id, h,
        |    min(substr(md5((h // 4)::VARCHAR || ':' || sh), (h % 4) * 8 + 1, 8)) AS mh
        |  FROM sh, range(${Dedup.NumHashes}) hh(h)
@@ -71,13 +73,84 @@ object ExtOracle {
        |  GROUP BY c.id_a, c.id_b
        |), sizes AS (
        |  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
-       |)
-       |SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
-       |FROM common c
-       |JOIN sizes sa ON sa.id = c.id_a
-       |JOIN sizes sb ON sb.id = c.id_b
-       |WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+       |  FROM common c
+       |  JOIN sizes sa ON sa.id = c.id_a
+       |  JOIN sizes sb ON sb.id = c.id_b
+       |  WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
+       |)""".stripMargin
+
+  /** E1b ≙ Dedup.nearDuplicatePairs (MinHash → LSH bands → candidate join →
+    * exact-Jaccard verify, threshold 3/5). */
+  val dedupMinhashSql: String =
+    s"""WITH $pairCtes
+       |SELECT id_a, id_b, n_common, n_a, n_b
+       |FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** ≙ ext.Cluster.clusters over Dedup.nearDuplicatePairs: connected
+    * components (min reachable id) via a recursive transitive-closure CTE
+    * — tractable because dup components are tiny; the Spark side uses
+    * distributed min-label propagation instead. Singletons keep their own
+    * id. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $pairCtes, und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM und
+       |  UNION
+       |  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON u.src = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT c.doc_id, CAST(coalesce(comp.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+       |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** ≙ ext.Cluster.leakageSafeSplit: 98/1/1 hash split keyed on the
+    * CLUSTER id, so a near-dup cluster can never straddle splits. */
+  val splitSafeSql: String =
+    s"""WITH RECURSIVE $pairCtes, und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM und
+       |  UNION
+       |  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON u.src = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |), assigned AS (
+       |  SELECT c.doc_id, CAST(coalesce(comp.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+       |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+       |), s AS (
+       |  SELECT cluster_id,
+       |    CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT cluster_id,
+       |          ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+       |        FROM assigned) t
+       |)
+       |SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+       |FROM s GROUP BY split
+       |ORDER BY split""".stripMargin
+
+  /** ≙ ext.Packing.stratifiedSample (1/10 per lang, md5-ordered, integer
+    * keep rule r*den <= n*num). */
+  val sampleStratifiedSql: String =
+    s"""WITH $corpusSql, b AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM corpus
+       |)
+       |SELECT lang, max(n) AS n_total, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+       |FROM b WHERE r * 10 <= n * 1
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   /** E1c ≙ Dedup.simhash (32-bit, distinct-token set, md5-derived hashes). */
   val simhashSql: String =

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Semantics of duplicate clustering and the cluster-keyed split/sample:
+  * component labeling on hand-built graphs (chains force multiple
+  * propagation rounds), planted-dup behavior on the fixture corpus, the
+  * no-straddle invariant of the leakage-safe split, and the exact integer
+  * quota of the stratified sample. */
+class ClusterSpec extends AnyFunSuite with SparkFixture {
+
+  private def pairsDf(ps: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    ps.toDF("id_a", "id_b")
+  }
+
+  test("a chain converges to the min id (multiple propagation rounds)") {
+    // 1-2-3-4-5 has diameter 4: labels must travel, not just hop once
+    val labels = Cluster.connectedComponents(pairsDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct min labels") {
+    val labels = Cluster.connectedComponents(pairsDf((10L, 7L), (20L, 21L), (21L, 22L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(7L -> 7L, 10L -> 7L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("planted fixture duplicates cluster with their source document") {
+    val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val assigned = Cluster.clusters(c, Dedup.nearDuplicatePairs(c))
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exact dup (doc_id % 10 == 0, planted at +1000000) must join its
+    // source's cluster, and the source (smaller id) is the representative
+    val exactDups = byId.keys.filter(id => id >= 1000000L && id < 2000000L)
+    assert(exactDups.nonEmpty)
+    exactDups.foreach { d =>
+      assert(byId(d) == byId(d - 1000000L) && byId(d) <= d - 1000000L,
+        s"exact dup $d must share its source's cluster")
+    }
+    // singletons label themselves
+    val inPairs = Dedup.nearDuplicatePairs(c)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    byId.filterNot { case (id, _) => inPairs(id) }.foreach { case (id, cl) =>
+      assert(cl == id, s"singleton $id must keep its own id")
+    }
+  }
+
+  test("leakage-safe split never places one cluster in two splits") {
+    val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val pairs = Dedup.nearDuplicatePairs(c)
+    val split = Cluster.leakageSafeSplit(c, pairs)
+    val rows = split.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = Cluster.clusters(c, pairs)
+    assert(rows.values.map(_._1).sum == total.count(), "every doc lands in exactly one split")
+    // n_clusters summed across splits == distinct clusters overall — a
+    // straddling cluster would be counted twice and break the equality
+    assert(rows.values.map(_._2).sum ==
+      total.select("cluster_id").distinct().count(),
+      "no cluster may straddle two splits")
+  }
+
+  test("stratified sample keeps exactly floor(n/10) per stratum") {
+    val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val totals = c.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Packing.stratifiedSample(c).collect().foreach { r =>
+      val (lang, nTotal, nKept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nTotal == totals(lang))
+      assert(nKept == nTotal / 10, s"$lang: integer keep rule is floor(n * 1/10)")
+    }
+  }
+}
