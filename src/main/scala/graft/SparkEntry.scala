@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{CdcTableConfig, ChangeFeed, ChangelogBuilder, PopulateChangelog}
+import graft.cdc.{CdcTableConfig, ChangeFeed, ChangelogBuilder, Compact, PopulateChangelog}
 import graft.ext.{Dedup, DocFeed, EmbFeed, MultiModal, Similarity, TextOps}
 import graft.oracle.{ExtOracle, OrdersCdcOracle}
 
@@ -23,7 +23,8 @@ object SparkEntry {
     * own MAX(commit_time) (+1 min in compat mode, :203) and continues ids
     * from the sink's max id, all from ONE sink snapshot. */
   private def populateTwice(
-      s: SparkSession, dir: String, cfg: CdcTableConfig, prefix: String): DataFrame = {
+      s: SparkSession, dir: String, cfg: CdcTableConfig, prefix: String,
+      compact: Boolean = false): DataFrame = {
     val sink = java.nio.file.Files.createTempDirectory(prefix)
       .resolve("orders_changelog").toString
     val f = feed(s, dir)
@@ -31,6 +32,11 @@ object SparkEntry {
       Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)))
     PopulateChangelog.run(s, f, cfg, sink,
       Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+    if (compact) {
+      val stats = Compact.compactSink(s, sink)
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction must shrink the file count, got $stats")
+    }
     s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
   }
 
@@ -174,6 +180,13 @@ object SparkEntry {
     // (lossless strictly-greater) and continues ids; the two batches must
     // reassemble the exact one-batch changelog
     "cdc_populate_resume" -> ((s, dir) => populateTwice(s, dir, ordersCfg, "graft_rs")),
+
+    // sink maintenance: the same two-batch populate, then small-file
+    // compaction (range-packed on (commit_date, changelog_id)) — rows must
+    // survive the rewrite EXACTLY (same oracle as the resume), file count
+    // must shrink (asserted inside)
+    "cdc_populate_compacted" -> ((s, dir) =>
+      populateTwice(s, dir, ordersCfg, "graft_cp", compact = true)),
 
     // S4 resume, compat mode — the +1-MINUTE checkpoint gap (:203): rows
     // committed within one minute after the HWM are permanently skipped;
@@ -569,6 +582,7 @@ object SparkEntry {
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
+    "cdc_populate_compacted" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_resume_compat" -> OrdersCdcOracle.resumeCompatChangelogSql,
     "cdc_changelog_strictnulls" -> OrdersCdcOracle.strict.changelogSql,
     "cdc_changelog_composite" -> OrdersCdcOracle.lineitem.changelogSql,

@@ -234,6 +234,23 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     assert(sink.agg(max("changelog_id")).head().getLong(0) == sink.count())
   }
 
+  test("compaction shrinks the file count and preserves rows exactly") {
+    val path = Files.createTempDirectory("graft_e2e_cp").resolve("orders_changelog").toString
+    // both batches land rows in the 1995-01-01 partition (the second also
+    // opens 1995-01-02) — the shared date accumulates one file per append
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 08:30:00")))
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
+    val before = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val stats = Compact.compactSink(spark, path)
+    assert(stats.filesBefore > stats.filesAfter,
+      s"two appends must pack into fewer files, got $stats")
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change a single row")
+    // partition layout survives the rewrite (QueryData's pruning contract)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("commit_date=1995-01-01", "commit_date=1995-01-02"))
+  }
+
   test("compat +1-minute resume loses sub-minute changes end-to-end; default does not") {
     def minuteFeed = feedKV(Seq(
       (1L, 0L, 2, 3L, "1995-01-01 00:00:10", "a", "x"),
