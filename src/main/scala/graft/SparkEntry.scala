@@ -272,6 +272,22 @@ object SparkEntry {
     "ext_multimodal" -> ((s, dir) =>
       MultiModal.metadata(corpus(s, dir)).orderBy("doc_id")),
 
+    // E4' — the batched decode slot driven end-to-end: features come out
+    // of the mapPartitions decoder (stub, md5-derived), graded as exact
+    // integer byte values + a vector fingerprint (no floats hashed)
+    "ext_multimodal_decode" -> ((s, dir) => {
+      val byteVals = transform(col("features"),
+        x => round(x * 255.0d).cast("long"))
+      MultiModal.decodeFeatures(corpus(s, dir))
+        .select(
+          col("doc_id"),
+          aggregate(byteVals, lit(0L), (a, x) => a + x).as("f_sum"),
+          element_at(byteVals, 1).as("f_first"),
+          md5(concat_ws(",", transform(byteVals, _.cast("string"))).cast("binary"))
+            .as("fp_features"))
+        .orderBy("doc_id")
+    }),
+
     // E2c — multi-table LSH ANN (coarser buckets × more tables = usable
     // recall on random data, unlike a single fine-grained table)
     "ext_ann_multiprobe" -> ((s, dir) =>
@@ -606,6 +622,7 @@ object SparkEntry {
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql,
+    "ext_multimodal_decode" -> ExtOracle.multiModalDecodeSql,
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,

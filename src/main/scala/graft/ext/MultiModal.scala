@@ -65,4 +65,51 @@ object MultiModal {
       octet_length(col(textCol)).as("n_bytes"),
       lower(hex(encode(substring(col(textCol), 1, 8), "UTF-8"))).as("head_hex"),
       sniffFormat(encode(col(textCol), "UTF-8")).as("fmt"))
+
+  /** Batch decoder signature: a BATCH of payloads in, one fixed-width
+    * feature vector per payload out (order-aligned). */
+  type BatchDecoder = Seq[Array[Byte]] => Seq[Array[Double]]
+
+  /** Deterministic stub decoder — byte-identical to [[fakeFeatures]]
+    * (pinned by ExtOpsSpec): 16 dims from the payload's md5, each hex
+    * byte / 255. The `MessageDigest` is allocated once per BATCH — the
+    * amortize-expensive-init-per-batch pattern a real codec/model needs. */
+  val stubDecoder: BatchDecoder = { payloads =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    payloads.map { p =>
+      md.reset()
+      val h = md.digest(p)
+      Array.tabulate(16)(i => (h(i) & 0xff) / 255.0)
+    }
+  }
+
+  /** The DECODE SLOT — the Scala analogue of a vectorized (Arrow/Pandas)
+    * UDF: payload rows stream through `mapPartitions` in fixed-size
+    * batches, the decoder sees whole batches (codec/model init amortized
+    * per batch, not per row), and emits one `array<double>` per row. This
+    * is the repo's single deliberate `mapPartitions` — genuine per-batch
+    * imperative work that no Column expression can express; everything
+    * around it (payload derivation, downstream aggregation) stays in the
+    * declarative plan. Map-only: no shuffle, scales embarrassingly.
+    *
+    * @param batchSize rows per decoder call (a real decoder picks this to
+    *        fit device memory); the last batch of a partition is short
+    */
+  def decodeFeatures(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      batchSize: Int = 64,
+      decoder: BatchDecoder = stubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map(_._1).zip(decoder(batch.map(_._2)))
+        }
+      }
+      .toDF("doc_id", "features")
+  }
 }

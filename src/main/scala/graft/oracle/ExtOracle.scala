@@ -741,4 +741,20 @@ object ExtOracle {
        |       ELSE 'raw' END AS fmt
        |FROM corpus
        |ORDER BY doc_id""".stripMargin
+
+  /** E4' ≙ MultiModal.decodeFeatures (stub decoder): 16 feature bytes from
+    * md5(payload), graded as exact integers + the vector fingerprint. */
+  val multiModalDecodeSql: String =
+    s"""WITH $corpusSql, f AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, 17),
+       |      i -> ('0x' || substr(md5(text), (i - 1) * 2 + 1, 2))::BIGINT) AS fv
+       |  FROM corpus
+       |)
+       |SELECT doc_id,
+       |  CAST(list_aggregate(fv, 'sum') AS BIGINT) AS f_sum,
+       |  fv[1] AS f_first,
+       |  md5(array_to_string(fv, ',')) AS fp_features
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
 }

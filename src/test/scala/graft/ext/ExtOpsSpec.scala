@@ -10,6 +10,40 @@ import graft.functions.TopKByScore.topKByScore
   * fixture queries cover scale; these pin behavior and edge cases). */
 class ExtOpsSpec extends AnyFunSuite with SparkFixture {
 
+  test("batched decode slot matches the expression-side fakeFeatures bit-for-bit") {
+    val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .limit(200)
+    val viaExpr = c.select(col("doc_id").cast("long").as("doc_id"),
+      MultiModal.fakeFeatures(encode(col("text"), "UTF-8")).as("features"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+    val viaBatch = MultiModal.decodeFeatures(c, batchSize = 7)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+    assert(viaBatch == viaExpr, "the stub decoder must reproduce fakeFeatures exactly")
+  }
+
+  test("decode slot hands the decoder full batches (short only at partition end)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 23).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .repartition(2)
+    // a static collector: the decoder closure is SERIALIZED per task even
+    // in local mode, so a captured queue would be a task-local copy —
+    // executor threads share this JVM, so an object field is visible
+    ExtOpsSpec.batchSizes.clear()
+    val counting: MultiModal.BatchDecoder = { batch =>
+      ExtOpsSpec.batchSizes.add(batch.size)
+      MultiModal.stubDecoder(batch)
+    }
+    val n = MultiModal.decodeFeatures(df, batchSize = 5, decoder = counting).count()
+    assert(n == 23)
+    val observed = ExtOpsSpec.batchSizes.toArray(Array.empty[Integer]).map(_.toInt).toSeq
+    assert(observed.sum == 23)
+    assert(observed.count(_ < 5) <= 2, "at most one short batch per partition")
+    assert(observed.forall(_ <= 5), "batches never exceed batchSize")
+  }
+
   test("topKByScore keeps the k best, ranks desc, breaks ties toward smaller id") {
     val s = spark
     import s.implicits._
@@ -242,4 +276,8 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
       })
     }
   }
+}
+
+object ExtOpsSpec {
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
 }
