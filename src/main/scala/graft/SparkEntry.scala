@@ -501,6 +501,15 @@ object SparkEntry {
     "ext_sample_stratified" -> ((s, dir) =>
       graft.ext.Packing.stratifiedSample(corpus(s, dir)).orderBy("lang")),
 
+    // benchmark decontamination: train docs sharing an n-gram with the
+    // held-out eval subset (shingle hash join, never doc×doc)
+    "ext_decontaminate" -> ((s, dir) =>
+      graft.ext.Curate.decontaminate(corpus(s, dir)).orderBy("doc_id")),
+
+    // boilerplate shingles: recurring across >= 5 per-mille of documents
+    "ext_boilerplate" -> ((s, dir) =>
+      graft.ext.Curate.boilerplate(corpus(s, dir)).orderBy(col("n_docs").desc, col("sh"))),
+
     // left-anti join — customers with no URGENT orders, per nation (the
     // unfiltered variant is vacuously empty: every customer has orders)
     "ext_anti_join" -> ((s, dir) =>
@@ -642,6 +651,8 @@ object SparkEntry {
     "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,
     "ext_split_safe" -> ExtOracle.splitSafeSql,
     "ext_sample_stratified" -> ExtOracle.sampleStratifiedSql,
+    "ext_decontaminate" -> ExtOracle.decontaminateSql,
+    "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,
     "ext_kmv" -> ExtOracle.kmvSql,

@@ -88,4 +88,53 @@ object Curate {
       struct(lit("4_language").as("stage"), col("n4").as("n_rows")))).as("s"))
       .select(col("s.stage"), col("s.n_rows"))
   }
+
+  /** Benchmark decontamination — flag training documents that share any
+    * word shingle with the held-out eval set (doc_id ≡ `evalResidue` mod
+    * `evalMod` stands in for a benchmark table): the standard n-gram
+    * overlap check run before any training job, so eval answers cannot
+    * leak into the training mix. In production the shingle is 10–13
+    * tokens; the fixture's [[Dedup.ShingleLen]]-gram keeps the oracle
+    * shared with the dedup family.
+    *
+    * Scale shape: a hash join keyed on the shingle — the eval side is
+    * pre-reduced to DISTINCT shingles (tiny vs the corpus), never an
+    * all-pairs document comparison. Output: one row per contaminated
+    * train doc with its count of distinct shared shingles.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalMod: Int = 97,
+      evalResidue: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = Dedup.shingles(corpus, textCol, idCol)
+    val isEval = col("id") % evalMod === evalResidue
+    val evalSh = sh.where(isEval).select("sh").distinct()
+    sh.where(!isEval)
+      // sh is distinct per (id, shingle) and evalSh per shingle, so the
+      // join fans out at most 1:1 and count(*) = distinct shared shingles
+      .join(evalSh, Seq("sh"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Boilerplate detection — shingles recurring across an outsized share
+    * of DISTINCT documents (headers, footers, license blurbs). Threshold
+    * is relative (`n_docs * 1000 >= total_docs * permille`) so it means
+    * the same thing at any corpus size; total_docs rides in via a
+    * broadcast scalar join, not a collect. One explode + two aggregates:
+    * the C4-style cleanup that precedes token counting at 100 TB. */
+  def boilerplate(
+      corpus: DataFrame,
+      permille: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val docFreq = Dedup.shingles(corpus, textCol, idCol)
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+    val total = corpus.agg(count(lit(1)).as("__total"))
+    docFreq.crossJoin(broadcast(total))
+      .where(col("n_docs") * 1000 >= col("__total") * permille)
+      .select(col("sh"), col("n_docs"))
+  }
 }

@@ -742,6 +742,27 @@ object ExtOracle {
        |FROM corpus
        |ORDER BY doc_id""".stripMargin
 
+  /** ≙ Curate.decontaminate (eval set = doc_id ≡ 3 mod 97, shared word
+    * 3-grams). */
+  val decontaminateSql: String =
+    s"""WITH $corpusSql, $shingleCtes
+       |SELECT t.id AS doc_id, count(*) AS n_shared
+       |FROM sh t
+       |JOIN (SELECT DISTINCT sh FROM sh WHERE id % 97 = 3) e ON e.sh = t.sh
+       |WHERE t.id % 97 <> 3
+       |GROUP BY t.id
+       |ORDER BY doc_id""".stripMargin
+
+  /** ≙ Curate.boilerplate (shingles in ≥ 5‰ of docs). */
+  val boilerplateSql: String =
+    s"""WITH $corpusSql, $shingleCtes, df AS (
+       |  SELECT sh, count(*) AS n_docs FROM sh GROUP BY sh
+       |)
+       |SELECT sh, n_docs
+       |FROM df
+       |WHERE n_docs * 1000 >= (SELECT count(*) FROM corpus) * 5
+       |ORDER BY n_docs DESC, sh""".stripMargin
+
   /** E4' ≙ MultiModal.decodeFeatures (stub decoder): 16 feature bytes from
     * md5(payload), graded as exact integers + the vector fingerprint. */
   val multiModalDecodeSql: String =

@@ -44,6 +44,33 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(observed.forall(_ <= 5), "batches never exceed batchSize")
   }
 
+  test("decontaminate flags exactly the train docs overlapping the eval set") {
+    val s = spark
+    import s.implicits._
+    // id 3 is the eval doc (3 % 97 == 3; NOT 100 — 100 % 97 == 3 too!);
+    // train doc 101 shares one distinct shingle, 200 shares nothing
+    val df = Seq(
+      (3L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma epsilon"),
+      (200L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val got = Curate.decontaminate(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(101L -> 1L), s"only doc 101 overlaps, got $got")
+  }
+
+  test("boilerplate finds shingles above the per-mille document share") {
+    val s = spark
+    import s.implicits._
+    val common = "terms of service"
+    val df = (1L to 10L).map(i => (i, s"$common doc number $i unique tail"))
+      .toDF("doc_id", "text")
+    val got = Curate.boilerplate(df, permille = 500) // >= 50% of docs
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains(common) && got(common) == 10L)
+    assert(got.keys.forall(sh => got(sh) >= 5L))
+  }
+
   test("topKByScore keeps the k best, ranks desc, breaks ties toward smaller id") {
     val s = spark
     import s.implicits._
