@@ -47,22 +47,28 @@ object Bench {
     // a regression. The median is robust to one bad pass; the min shows
     // the best the plan can do. An error on any pass reports the query as
     // failed (never a fake cheap timing).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timings = (1 to passes).map { _ =>
+      // stop at the first failing pass — a deterministic failure shouldn't
+      // pay its latency `passes` times
+      val timings = scala.collection.mutable.ArrayBuffer.empty[Either[String, Double]]
+      while (timings.size < passes && !timings.lastOption.exists(_.isLeft)) {
         val t0 = System.nanoTime()
-        try {
+        timings += (try {
           fn(spark, sfDir).count()
           Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300))
-        }
+        })
       }
       timings.collectFirst { case Left(m) => m } match {
         case Some(m) => name -> Left(m)
         case None =>
+          // lower median for even pass counts — never reports a value
+          // higher than both middle passes
           val ts = timings.collect { case Right(v) => v }.sorted
-          name -> Right((ts(ts.size / 2), ts.head))
+          name -> Right((ts((ts.size - 1) / 2), ts.head))
       }
     }
 

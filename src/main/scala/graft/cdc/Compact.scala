@@ -64,9 +64,18 @@ object Compact {
       .sortWithinPartitions(col("commit_date"), col("changelog_id"))
       .write.partitionBy("commit_date").parquet(tmp.toString)
 
-    // swap: the tmp write above has fully materialized before the delete
-    fs.delete(dir, true)
-    require(fs.rename(tmp, dir), s"rename $tmp -> $dir failed")
+    // swap via backup so no step ever leaves the sink path as the ONLY
+    // copy destroyed: live -> .bak, tmp -> live, then drop .bak. A crash
+    // between the renames leaves the data intact in .bak (manual restore),
+    // never gone.
+    val bak = new Path(dir.getParent, dir.getName + ".compact.bak")
+    fs.delete(bak, true)
+    require(fs.rename(dir, bak), s"rename $dir -> $bak failed")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(bak, dir) // roll back; the original sink is untouched
+      throw new IllegalStateException(s"rename $tmp -> $dir failed; sink restored")
+    }
+    fs.delete(bak, true)
     CompactStats(before.size.toLong, dataFiles(spark, dir).size.toLong, bytes)
   }
 }

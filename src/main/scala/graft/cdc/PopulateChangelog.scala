@@ -34,8 +34,12 @@ object PopulateChangelog {
   val AutoDistributeBytes: Long = 2L << 30
 
   /** Id-path chooser: forced, or the optimizer's size estimate exceeds the
-    * threshold. `optimizedPlan.stats` is a plan-time bound (file sizes ×
-    * selectivity; exact for a materialized cache) — no extra Spark job. */
+    * threshold. `optimizedPlan.stats` is a plan-time UPPER bound — without
+    * CBO a Filter passes its child's sizeInBytes through, so a small
+    * windowed batch over a huge source still reads as huge and
+    * auto-distributes. That errs in the SAFE direction (the distributed
+    * path costs one extra pass; the single-window path risks one task
+    * sorting an unbounded batch), and needs no extra Spark job. */
   private[cdc] def shouldDistribute(batch: DataFrame, forced: Boolean, thresholdBytes: Long): Boolean =
     forced || batch.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(thresholdBytes)
 

@@ -107,7 +107,11 @@ object MultiModal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.map(_._1).zip(decoder(batch.map(_._2)))
+          val feats = decoder(batch.map(_._2))
+          // a zip would SILENTLY drop/misalign rows on a buggy decoder
+          require(feats.size == batch.size,
+            s"decoder returned ${feats.size} vectors for a batch of ${batch.size}")
+          batch.map(_._1).zip(feats)
         }
       }
       .toDF("doc_id", "features")

@@ -53,8 +53,10 @@ object Packing {
       strataCol: String = "lang",
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // windows reference the PROJECTED name ("doc_id"), not idCol — the
+    // select below has already renamed the id column
     val rankW = Window.partitionBy(col(strataCol))
-      .orderBy(col("__h"), col(idCol))
+      .orderBy(col("__h"), col("doc_id"))
     val nW = Window.partitionBy(col(strataCol))
     corpus
       .select(col(strataCol), col(idCol).cast("long").as("doc_id"),

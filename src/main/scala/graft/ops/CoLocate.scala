@@ -26,7 +26,10 @@ object CoLocate {
     val dir = Files.createTempDirectory("graft_buckets")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm) finally s.close() // unclosed streams hold FDs
+        }
         Files.deleteIfExists(p)
       }
       try rm(dir) catch { case scala.util.control.NonFatal(_) => () }

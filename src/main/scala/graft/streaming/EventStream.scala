@@ -81,10 +81,33 @@ object EventStream {
     * Returns the input dir. */
   private def stageWithSentinel(
       rows: DataFrame, sentinel: DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val dir = tempDir("graft_stream_in").toString
     rows.write.mode("append").parquet(dir)
     sentinel.write.mode("append").parquet(dir)
     dir
+  }
+
+  // streamed-to-files drives copy the dataset into temp input/output dirs
+  // per invocation (3× per query under median-of-3 Bench) — reclaim them
+  // all at JVM exit so repeated runs don't fill /tmp
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      tempDirs.forEach(d =>
+        try rm(d) catch { case scala.util.control.NonFatal(_) => () })
+    }))
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    cleanupHook
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(d)
+    d
   }
 
   /** [[eventWindowCounts]] under the real streaming engine in its
@@ -100,12 +123,15 @@ object EventStream {
     val typed = fromEventsFixture(events)
       .select(col("event_time"), col("event_type"), col("props"))
     val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    // empty input: no horizon to flush past — return the batch plan's
+    // (equally empty) result instead of NPEing on the null max
+    if (maxT == null) return eventWindowCounts(typed).limit(0)
     val sentinel = typed.sparkSession.range(1).select(
       timestamp_millis(lit(maxT.getTime + 2L * 24 * 3600 * 1000)).as("event_time"),
       lit("__flush").as("event_type"),
       lit(null).cast("string").as("props"))
     val inDir = stageWithSentinel(typed, sentinel)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val outDir = tempDir("graft_stream_out")
     val query = eventWindowCounts(
       spark.readStream.schema(typed.schema).parquet(inDir))
       .writeStream.format("parquet")
@@ -137,12 +163,21 @@ object EventStream {
       timestamp_seconds(expr("ts div 1000000000")).as("event_time"),
       col("event_type"))
     val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    if (maxT == null)
+      return spark.emptyDataset[Session].toDF()
+        .select(
+          col("user_id"), lit(0L).as("session_seq"),
+          col("n_events").cast("long").as("n_events"),
+          col("session_start").cast("long").as("session_start_s"),
+          col("session_end").cast("long").as("session_end_s"),
+          lit(0L).as("duration_s"))
+        .limit(0)
     val sentinel = typed.sparkSession.range(1).select(
       lit(-1L).as("user_id"),
       timestamp_millis(lit(maxT.getTime + 2L * 24 * 3600 * 1000)).as("event_time"),
       lit("__flush").as("event_type"))
     val inDir = stageWithSentinel(typed, sentinel)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out")
+    val outDir = tempDir("graft_sess_out")
     val query = sessionize(
       spark.readStream.schema(typed.schema).parquet(inDir).as[UserEvent],
       gapMs = gapS * 1000L)
