@@ -510,6 +510,10 @@ object SparkEntry {
     "ext_boilerplate" -> ((s, dir) =>
       graft.ext.Curate.boilerplate(corpus(s, dir)).orderBy(col("n_docs").desc, col("sh"))),
 
+    // per-source 5000-token mixture cap (contiguous fill in hash order)
+    "ext_token_budget" -> ((s, dir) =>
+      graft.ext.Packing.tokenBudget(corpus(s, dir), budgetTokens = 5000L).orderBy("source")),
+
     // left-anti join — customers with no URGENT orders, per nation (the
     // unfiltered variant is vacuously empty: every customer has orders)
     "ext_anti_join" -> ((s, dir) =>
@@ -653,6 +657,7 @@ object SparkEntry {
     "ext_sample_stratified" -> ExtOracle.sampleStratifiedSql,
     "ext_decontaminate" -> ExtOracle.decontaminateSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
+    "ext_token_budget" -> ExtOracle.tokenBudgetSql,
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,
     "ext_kmv" -> ExtOracle.kmvSql,

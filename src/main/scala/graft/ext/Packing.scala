@@ -71,6 +71,35 @@ object Packing {
         sum(col("doc_id")).as("sum_kept_ids"))
   }
 
+  /** Token-budget mixture capping — fill each source's token quota: docs
+    * rank deterministically per source (content hash, doc_id tiebreak) and
+    * a doc is kept while the cumulative tokens BEFORE it are inside the
+    * budget (contiguous-fill semantics, like [[packBins]]: the last kept
+    * doc may overflow by its own length — how a streaming mixer behaves).
+    * One partitioned running sum, no sequential state. Output is the
+    * per-source audit row (all integers). */
+  def tokenBudget(
+      corpus: DataFrame,
+      budgetTokens: Long,
+      strataCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    corpus
+      .select(col(strataCol), col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        md5(col(textCol).cast("binary")).as("__h"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("__before") < budgetTokens)
+      .groupBy(strataCol)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"))
+  }
+
   /** Deterministic hash split (train/val/test by content hash, the
     * standard leakage-proof split): bucket = first 4 md5 hex chars mod
     * 100 → 98/1/1. Engine-portable: Spark `conv(h,16,10)` ≙ DuckDB

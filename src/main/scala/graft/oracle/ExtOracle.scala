@@ -742,6 +742,26 @@ object ExtOracle {
        |FROM corpus
        |ORDER BY doc_id""".stripMargin
 
+  /** ≙ Packing.tokenBudget (5000 tokens per source, contiguous fill in
+    * md5-hash order). */
+  val tokenBudgetSql: String =
+    s"""WITH $corpusSql, b AS (
+       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    md5(text) AS h
+       |  FROM corpus
+       |), r AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tokens
+       |  FROM b
+       |)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+       |FROM r WHERE before_tokens < 5000
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** ≙ Curate.decontaminate (eval set = doc_id ≡ 3 mod 97, shared word
     * 3-grams). */
   val decontaminateSql: String =

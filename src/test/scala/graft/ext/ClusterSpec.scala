@@ -66,6 +66,21 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
       "no cluster may straddle two splits")
   }
 
+  test("token budget keeps a contiguous prefix, overflowing by at most one doc") {
+    val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val rows = Packing.tokenBudget(c, budgetTokens = 500L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    // per-doc token counts in this fixture are bounded; kept tokens may
+    // exceed the budget only by the final doc's own length
+    val maxDocTokens = c.select(max(size(split(col("text"), " ")))).head().getInt(0)
+    rows.foreach { case (source, (nKept, tokensKept)) =>
+      assert(nKept >= 1, s"$source keeps at least the first doc")
+      assert(tokensKept < 500L + maxDocTokens,
+        s"$source: contiguous fill may overflow by one doc only, got $tokensKept")
+    }
+  }
+
   test("stratified sample keeps exactly floor(n/10) per stratum") {
     val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     val totals = c.groupBy("lang").agg(count(lit(1)).as("n"))
