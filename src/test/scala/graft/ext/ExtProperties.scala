@@ -101,6 +101,36 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       got == want
     }
 
+  // sparse random graphs over a small id space: multi-edge components,
+  // self-loops, singleton edges — everything the propagation must survive
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    edges <- Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+  } yield edges
+
+  property("connectedComponents equals brute-force union-find") =
+    Prop.forAll(genEdges) { edges =>
+      val s = spark
+      import s.implicits._
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else Cluster.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+
   property("int8 quantization stays in [-127,127] with extremes hit") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_ / 10.0f))) { xs =>
       val s = spark
