@@ -50,16 +50,19 @@ object Cluster {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("nl").as("nl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // the changed-count rides the checkpoint job via observe — one Spark
+      // job per round, not a second pass over the labels
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("prev"), coalesce(col("nl"), col("prev"))).as("label"),
+          col("prev"))
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .select("id", "label")
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .where(col("label") =!= col("prev"))
-        .count()
       labels = next
-      done = changed == 0
+      done = obs.get("changed").asInstanceOf[Long] == 0
       iter += 1
     }
     require(done, s"connectedComponents did not converge within $maxIter rounds " +
