@@ -361,6 +361,13 @@ object SparkEntry {
       graft.streaming.EventStream.sessionizeStreamedToFiles(s, events(s, dir))
         .orderBy("user_id", "session_seq")),
 
+    // §2.11 stream-stream interval join (per-side watermarks; the range
+    // condition bounds join state) — same IntervalJoin code and oracle as
+    // the batch ext_interval_join
+    "ext_interval_join_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinStreamedToFiles(s, events(s, dir))
+        .orderBy("view_id", "purchase_id")),
+
     // changelog → current-state materialization (long form): per (pk,
     // column) the latest new_value by changelog_id — the downstream
     // consumer query every CDC changelog exists to serve. One hash
@@ -650,6 +657,7 @@ object SparkEntry {
     "ext_skew_join" -> ExtOracle.skewJoinSql,
     "ext_bucketed_join" -> ExtOracle.skewJoinSql,
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
+    "ext_interval_join_stream" -> ExtOracle.intervalJoinSql,
     "ext_pack" -> ExtOracle.packBinsSql,
     "ext_split" -> ExtOracle.hashSplitSql,
     "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,

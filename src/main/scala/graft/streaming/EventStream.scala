@@ -203,6 +203,52 @@ object EventStream {
         "session_end_s", "duration_s")
   }
 
+  /** The conversion interval join under the real streaming engine as a
+    * STREAM-STREAM join: both sides read from one staged file stream, each
+    * with its own watermark (the range condition doubles as the state
+    * expiry bound), joined by the SAME [[graft.ops.IntervalJoin]] code the
+    * batch query plans, append-mode file sink, AvailableNow. Inner-join
+    * matches emit as soon as both sides arrive — no flush sentinel needed;
+    * the watermarks only bound state. Event times are second-truncated
+    * timestamps so the gap math equals the batch query's epoch-seconds
+    * exactly. */
+  def intervalJoinStreamedToFiles(
+      spark: SparkSession, events: DataFrame, maxGapS: Long = 3600L): DataFrame = {
+    val typed = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      timestamp_seconds(expr("ts div 1000000000")).as("event_time"),
+      col("event_type"))
+    if (typed.isEmpty)
+      return spark.range(0).select(
+        col("id").as("view_id"), col("id").as("purchase_id"),
+        col("id").as("user_id"), col("id").as("gap_s"))
+    val inDir = tempDir("graft_ssj_in").toString
+    typed.write.mode("append").parquet(inDir)
+    val src = spark.readStream.schema(typed.schema).parquet(inDir)
+    val views = src.withColumnRenamed("event_time", "v_t")
+      .withWatermark("v_t", "10 minutes")
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("v_t"))
+    val purchases = src.withColumnRenamed("event_time", "p_t")
+      .withWatermark("p_t", "10 minutes")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("p_t"))
+    val outDir = tempDir("graft_ssj_out")
+    val query = graft.ops.IntervalJoin.withinAfter(
+      views, purchases, Seq("user_id"), "v_t", "p_t", maxGapS)
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outDir.resolve("result").toString)
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("p_t").cast("long") - col("v_t").cast("long")).as("gap_s"))
+  }
+
   /** Streaming exact dedup (E1's streaming shape): drop events whose key
     * was already seen, with state bounded by the watermark — the standard
     * at-least-once → effectively-once repair for an event firehose. */
