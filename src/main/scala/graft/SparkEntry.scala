@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{CdcTableConfig, ChangeFeed, ChangelogBuilder, Compact, PopulateChangelog}
+import graft.cdc.{CdcCatalog, CdcTableConfig, CdcTableEntry, ChangeFeed, ChangelogBuilder,
+  Compact, PopulateChangelog, QueryData}
 import graft.ext.{Dedup, DocFeed, EmbFeed, MultiModal, Similarity, TextOps}
 import graft.oracle.{ExtOracle, OrdersCdcOracle}
 
@@ -133,6 +134,26 @@ object SparkEntry {
     // A3 — freshness watermark, reference's lexicographic mm/dd/yyyy quirk
     "cdc_freshness" -> ((s, dir) =>
       feed(s, dir).agg(max(date_format(col("commit_time"), "MM/dd/yyyy")).as("freshness"))),
+
+    // S5+P3 end-to-end — the REAL usp_cdc_query_data drive: populate a
+    // sink, resolve it through the catalog by its _ChangeLog-suffixed name
+    // (:33-38), scan with day-TRUNCATED bounds (:52-57; the oracle encodes
+    // the truncation: 00:10 in, midnight out)
+    "cdc_query_data_sink" -> ((s, dir) => {
+      val sink = java.nio.file.Files.createTempDirectory("graft_qd")
+        .resolve("orders_changelog").toString
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
+      val cat = new CdcCatalog
+      cat.register(CdcTableEntry(ordersCfg, dir, sink))
+      QueryData.run(s, cat, "orders_ChangeLog",
+        java.sql.Timestamp.valueOf("1995-01-01 00:10:00"),
+        Some(java.sql.Timestamp.valueOf("1995-01-02 00:00:00"))).data
+        .select(col("commit_time"), col("table_name"), col("o_orderkey"),
+          col("column_name"), col("old_value"), col("new_value"))
+        .orderBy(col("commit_time"), col("o_orderkey"), col("column_name").asc_nulls_first,
+          col("old_value").asc_nulls_first, col("new_value").asc_nulls_first)
+    }),
 
     // §2.5 scale path — distributed id assignment (sort + zipWithIndex, no
     // single-partition window); oracle identical to cdc_changelog
@@ -612,6 +633,7 @@ object SparkEntry {
     "cdc_sentinels" -> OrdersCdcOracle.sentinelsSql,
     "cdc_window_agg" -> OrdersCdcOracle.windowAggSql,
     "cdc_query_data" -> OrdersCdcOracle.queryDataSql,
+    "cdc_query_data_sink" -> OrdersCdcOracle.queryDataSinkSql,
     "cdc_freshness" -> OrdersCdcOracle.freshnessSql,
     "cdc_changelog_dist" -> OrdersCdcOracle.changelogSql,
     "cdc_populate_roundtrip" -> OrdersCdcOracle.changelogSql,

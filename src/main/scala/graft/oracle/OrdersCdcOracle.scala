@@ -32,6 +32,13 @@ object OrdersCdcOracle {
   val windowAggSql: String = default.windowAggSql
   val queryDataSql: String =
     default.queryDataSql("1995-01-01 00:10:00", "1995-01-01 02:00:00")
+
+  /** The sink-backed QueryData.run drive: the engine receives from=00:10 /
+    * to=Jan-2 00:00 but the reference truncates BOTH bounds to midnight
+    * (usp_cdc_query_data.sql:52-57) — the oracle encodes the truncated
+    * range, so the graded row proves the day-granularity semantics. */
+  val queryDataSinkSql: String =
+    default.queryDataSql("1995-01-01 00:00:00", "1995-01-02 00:00:00")
   val freshnessSql: String = default.freshnessSql
 
   /** Composite-key twins of the scan-shaped queries (same LSN window /
