@@ -37,7 +37,7 @@ object Bench {
         val df = spark.read.parquet(s"$sfDir/$t.parquet")
         // count() after a projection would still prune it — aggregate the
         // hash so every row is actually computed
-        df.select(hash(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+        df.select(hash(df.columns.toSeq.map(col): _*).as("h")).agg(sum("h")).collect()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 

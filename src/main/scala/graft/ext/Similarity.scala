@@ -84,7 +84,7 @@ object Similarity {
     * strictly positive. Pure codegen'd array math, map-side only. */
   def bucket(vecCol: Column): Column =
     (0 until NumPlanes).map { p =>
-      val w = array(planeWeights(p).map(x => lit(x.toFloat)): _*)
+      val w = array(planeWeights(p).toSeq.map(x => lit(x.toFloat)): _*)
       val proj = floatVectorDot(vecCol, w)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L)): Column
     }.reduce(_ + _)

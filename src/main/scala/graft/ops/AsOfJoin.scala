@@ -51,18 +51,18 @@ object AsOfJoin {
     // Union by explicit projection: left rows carry null payload (typed
     // from the right schema), right rows carry null left-only columns.
     val lPrep = left.select(
-      leftFields.map(f => col(f.name)) ++
+      leftFields.toSeq.map(f => col(f.name)) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
         payload.map(p => lit(null).cast(rightTypes(p)).as(p)): _*)
     val rPrep = right.select(
-      leftFields.map { f =>
+      leftFields.toSeq.map { f =>
         if (on.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       } ++
         Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
         payload.map(col): _*)
 
-    resolve(lPrep.unionByName(rPrep), on, leftFields.map(_.name), payload, tieBreak)
+    resolve(lPrep.unionByName(rPrep), on, leftFields.map(_.name).toSeq, payload, tieBreak)
   }
 
   /** Self as-of: the marks are the subset of `df` satisfying `markCond` —
@@ -90,7 +90,7 @@ object AsOfJoin {
     val types = fields.map(f => f.name -> f.dataType).toMap
 
     def role(tag: Int) = struct(
-      fields.map { f =>
+      fields.toSeq.map { f =>
         (if (tag == 1 || on.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)
       } ++
@@ -103,7 +103,7 @@ object AsOfJoin {
       .select(explode(array(role(1), when(markCond, role(0)))).as("__r"))
       .where(col("__r").isNotNull)
       .select(col("__r.*"))
-    resolve(unioned, on, fields.map(_.name), payload.map(_._2), tieBreak)
+    resolve(unioned, on, fields.map(_.name).toSeq, payload.map(_._2), tieBreak)
   }
 
   /** Shared window resolution over the tagged union (see [[backward]]).
