@@ -26,7 +26,7 @@ object SparkEntry {
   private def populateTwice(
       s: SparkSession, dir: String, cfg: CdcTableConfig, prefix: String,
       compact: Boolean = false): DataFrame = {
-    val sink = java.nio.file.Files.createTempDirectory(prefix)
+    val sink = TempDirs.create(prefix)
       .resolve("orders_changelog").toString
     val f = feed(s, dir)
     PopulateChangelog.run(s, f, cfg, sink,
@@ -140,7 +140,7 @@ object SparkEntry {
     // (:33-38), scan with day-TRUNCATED bounds (:52-57; the oracle encodes
     // the truncation: 00:10 in, midnight out)
     "cdc_query_data_sink" -> ((s, dir) => {
-      val sink = java.nio.file.Files.createTempDirectory("graft_qd")
+      val sink = TempDirs.create("graft_qd")
         .resolve("orders_changelog").toString
       PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
         Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
@@ -176,7 +176,7 @@ object SparkEntry {
     // counted partitioned append), read it back; must hash-match the same
     // oracle as cdc_changelog
     "cdc_populate_roundtrip" -> ((s, dir) => {
-      val sink = java.nio.file.Files.createTempDirectory("graft_rt")
+      val sink = TempDirs.create("graft_rt")
         .resolve("orders_changelog").toString
       PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
         Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
@@ -186,7 +186,7 @@ object SparkEntry {
     // §2.11 — the streaming populate path graded end-to-end: feed files →
     // readStream → foreachBatch append → read back; same oracle again
     "cdc_populate_streaming" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_st")
+      val base = TempDirs.create("graft_st")
       val feedDir = base.resolve("feed").toString
       feed(s, dir).write.parquet(feedDir)
       val sink = base.resolve("orders_changelog").toString

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** The shared per-doc projection every stratified operator starts from:
+    * (strata, doc_id as long, n_tokens as long, __h = engine-portable
+    * content md5). ONE definition so the hash recipe and casts cannot
+    * drift between sample/budget/packing semantics. */
+  private def docStats(
+      corpus: DataFrame, strataCol: String, textCol: String, idCol: String): DataFrame =
+    corpus.select(col(strataCol), col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      md5(col(textCol).cast("binary")).as("__h"))
+
+  /** Cumulative tokens BEFORE each row under `order`, per stratum — the
+    * contiguous-fill running sum [[packBins]] and [[tokenBudget]] share. */
+  private def withTokensBefore(
+      df: DataFrame, strataCol: String, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  }
+
   /** Per-(source, bin) packing summary: docs, packed tokens, fill in
     * basis points of `binTokens`. */
   def packBins(
@@ -25,11 +44,8 @@ object Packing {
       binTokens: Int = 512,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    corpus
-      .select(col("source"), col(idCol), size(split(col(textCol), " ")).as("n_tokens"))
-      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    withTokensBefore(
+      docStats(corpus, "source", textCol, idCol), "source", Seq(col("doc_id").asc))
       .withColumn("bin", expr(s"__before div $binTokens"))
       .groupBy("source", "bin")
       .agg(
@@ -54,13 +70,11 @@ object Packing {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     // windows reference the PROJECTED name ("doc_id"), not idCol — the
-    // select below has already renamed the id column
+    // docStats projection has already renamed the id column
     val rankW = Window.partitionBy(col(strataCol))
       .orderBy(col("__h"), col("doc_id"))
     val nW = Window.partitionBy(col(strataCol))
-    corpus
-      .select(col(strataCol), col(idCol).cast("long").as("doc_id"),
-        md5(col(textCol).cast("binary")).as("__h"))
+    docStats(corpus, strataCol, textCol, idCol)
       .withColumn("__r", row_number().over(rankW))
       .withColumn("__n", count(lit(1)).over(nW))
       .where(col("__r") * den <= col("__n") * num)
@@ -84,14 +98,9 @@ object Packing {
       strataCol: String = "source",
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col("__h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    corpus
-      .select(col(strataCol), col(idCol).cast("long").as("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-        md5(col(textCol).cast("binary")).as("__h"))
-      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    withTokensBefore(
+      docStats(corpus, strataCol, textCol, idCol), strataCol,
+      Seq(col("__h"), col("doc_id")))
       .where(col("__before") < budgetTokens)
       .groupBy(strataCol)
       .agg(

@@ -88,27 +88,9 @@ object EventStream {
   }
 
   // streamed-to-files drives copy the dataset into temp input/output dirs
-  // per invocation (3× per query under median-of-3 Bench) — reclaim them
-  // all at JVM exit so repeated runs don't fill /tmp
-  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          try s.forEach(rm) finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      tempDirs.forEach(d =>
-        try rm(d) catch { case scala.util.control.NonFatal(_) => () })
-    }))
-  private def tempDir(prefix: String): java.nio.file.Path = {
-    cleanupHook
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    tempDirs.add(d)
-    d
-  }
+  // per invocation (3× per query under median-of-3 Bench) — all reclaimed
+  // at JVM exit via the shared registry
+  private def tempDir(prefix: String): java.nio.file.Path = graft.TempDirs.create(prefix)
 
   /** [[eventWindowCounts]] under the real streaming engine in its
     * PRODUCTION shape: file source → watermarked window aggregate →
@@ -132,8 +114,9 @@ object EventStream {
       lit(null).cast("string").as("props"))
     val inDir = stageWithSentinel(typed, sentinel)
     val outDir = tempDir("graft_stream_out")
-    val query = eventWindowCounts(
+    val agged = eventWindowCounts(
       spark.readStream.schema(typed.schema).parquet(inDir))
+    val query = agged
       .writeStream.format("parquet")
       .option("path", outDir.resolve("result").toString)
       .option("checkpointLocation", outDir.resolve("ckpt").toString)
@@ -141,7 +124,9 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.read.parquet(outDir.resolve("result").toString)
+    // explicit schema: zero finalized windows leave an inference-breaking
+    // empty sink (see intervalJoinStreamedToFiles)
+    spark.read.schema(agged.schema).parquet(outDir.resolve("result").toString)
       .where(col("event_type") =!= "__flush")
   }
 
@@ -178,9 +163,10 @@ object EventStream {
       lit("__flush").as("event_type"))
     val inDir = stageWithSentinel(typed, sentinel)
     val outDir = tempDir("graft_sess_out")
-    val query = sessionize(
+    val sessions = sessionize(
       spark.readStream.schema(typed.schema).parquet(inDir).as[UserEvent],
       gapMs = gapS * 1000L)
+    val query = sessions
       .writeStream.format("parquet")
       .option("path", outDir.resolve("result").toString)
       .option("checkpointLocation", outDir.resolve("ckpt").toString)
@@ -190,7 +176,9 @@ object EventStream {
     query.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("session_start_s")
-    spark.read.parquet(outDir.resolve("result").toString)
+    // explicit schema: zero closed sessions leave an inference-breaking
+    // empty sink (see intervalJoinStreamedToFiles)
+    spark.read.schema(sessions.schema).parquet(outDir.resolve("result").toString)
       .where(col("user_id") >= 0)
       .select(
         col("user_id"),
@@ -235,8 +223,9 @@ object EventStream {
       .where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("p_t"))
     val outDir = tempDir("graft_ssj_out")
-    val query = graft.ops.IntervalJoin.withinAfter(
+    val joined = graft.ops.IntervalJoin.withinAfter(
       views, purchases, Seq("user_id"), "v_t", "p_t", maxGapS)
+    val query = joined
       .writeStream.format("parquet")
       .option("path", outDir.resolve("result").toString)
       .option("checkpointLocation", outDir.resolve("ckpt").toString)
@@ -244,7 +233,10 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.read.parquet(outDir.resolve("result").toString)
+    // explicit schema: a zero-match run leaves only _spark_metadata in the
+    // sink, and schema INFERENCE would throw instead of returning the
+    // empty frame the batch query produces
+    spark.read.schema(joined.schema).parquet(outDir.resolve("result").toString)
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         (col("p_t").cast("long") - col("v_t").cast("long")).as("gap_s"))
   }
