@@ -259,6 +259,13 @@ object SparkEntry {
     "ext_simhash" -> ((s, dir) =>
       Dedup.simhash(corpus(s, dir)).orderBy("doc_id")),
 
+    // E1a'' — incremental ingest dedup: within-batch collapse + anti join
+    // against the existing corpus fingerprint index
+    "ext_dedup_ingest" -> ((s, dir) =>
+      Dedup.incrementalNew(
+        s.read.parquet(s"$dir/documents.parquet"), corpus(s, dir))
+        .orderBy("doc_id")),
+
     // E3a — token/quality statistics
     "ext_tokens" -> ((s, dir) =>
       TextOps.tokenStats(corpus(s, dir)).orderBy("doc_id")),
@@ -647,6 +654,7 @@ object SparkEntry {
     "cdc_pairs_composite" -> OrdersCdcOracle.lineitem.pairsSql,
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
+    "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
     "ext_simhash" -> ExtOracle.simhashSql,
     "ext_tokens" -> ExtOracle.tokenStatsSql,
     "ext_langid" -> ExtOracle.languageIdSql,

@@ -39,6 +39,26 @@ object Dedup {
     corpus.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** E1a'' — incremental ingest dedup: of an INCOMING batch, keep one
+    * representative per content hash (min id — the within-batch collapse)
+    * and drop everything already present in the EXISTING corpus index
+    * (anti join on the fingerprint). The shape a continuously-ingesting
+    * pipeline runs per batch: the existing side is only its fingerprint
+    * column (at 100 TB, a compact index table — never the full corpus),
+    * and both the collapse and the anti join are hash-partitioned on the
+    * 128-bit fingerprint. */
+  def incrementalNew(
+      existing: DataFrame,
+      incoming: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val inc = incoming
+      .groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_in_batch"))
+    val index = existing.select(fingerprint(col(textCol)).as("fp")).distinct()
+    inc.join(index, Seq("fp"), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH near-duplicate detection
   // -------------------------------------------------------------------

@@ -49,6 +49,19 @@ object ExtOracle {
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |)""".stripMargin
 
+  /** ≙ Dedup.incrementalNew (existing = base documents, incoming = the
+    * dup-planted corpus): survivors are the fingerprints the base table
+    * has never seen — the modified-dup branches, never the exact copies. */
+  val dedupIngestSql: String =
+    s"""WITH $corpusSql, inc AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_in_batch
+       |  FROM corpus GROUP BY md5(text)
+       |)
+       |SELECT fp, doc_id, n_in_batch
+       |FROM inc
+       |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = inc.fp)
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared CTE chain ending in `pairs` = the verified near-dup pairs
     * (MinHash → LSH bands → candidate join → exact-Jaccard ≥ 3/5) —
     * consumed by the pair listing, the cluster assignment, and the

@@ -44,6 +44,20 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(observed.forall(_ <= 5), "batches never exceed batchSize")
   }
 
+  test("incremental ingest dedup drops exact copies of the index, keeps modified docs") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val incoming = DocFeed.withDups(base)
+    val kept = Dedup.incrementalNew(base, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact-dup branch (+1000000) reuses base text verbatim -> all dropped;
+    // base docs themselves are in the index -> dropped
+    assert(kept.forall(id => id >= 2000000L),
+      s"only modified-text branches may survive, got ${kept.filter(_ < 2000000L)}")
+    // the near-dup branch appends ' qq zz' -> genuinely new content, kept
+    assert(kept.exists(id => id >= 2000000L && id < 3000000L), "near-dup branch must survive")
+    assert(kept.exists(_ >= 3000000L), "PII branch must survive")
+  }
+
   test("decontaminate flags exactly the train docs overlapping the eval set") {
     val s = spark
     import s.implicits._
