@@ -247,6 +247,18 @@ object SparkEntry {
           "column_name", "old_value", "new_value").map(col): _*)
         .orderBy("changelog_id")),
 
+    // P1 at >64 columns — the reference's width-unlimited VARBINARY mask
+    // (:305): a 72-column feed whose masks set bits on both sides of the
+    // 64-bit boundary, the whole build gated through the codegen
+    // BinaryMaskBit expression (BinaryType dispatch in maskBitSet)
+    "cdc_changelog_wide_mask" -> ((s, dir) =>
+      ChangelogBuilder.withIds(
+        ChangelogBuilder.build(
+          graft.cdc.WideFeed.fromOrders(orders(s, dir)), graft.cdc.WideFeed.cfg),
+        graft.cdc.WideFeed.cfg)
+        .select(changelogCols.map(col): _*)
+        .orderBy("changelog_id")),
+
     // E1a — exact dedup: content-hash groups with survivor id + copy count
     "ext_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(corpus(s, dir)).orderBy("keep_id")),
@@ -652,6 +664,7 @@ object SparkEntry {
     "cdc_changelog_strictnulls" -> OrdersCdcOracle.strict.changelogSql,
     "cdc_changelog_composite" -> OrdersCdcOracle.lineitem.changelogSql,
     "cdc_pairs_composite" -> OrdersCdcOracle.lineitem.pairsSql,
+    "cdc_changelog_wide_mask" -> OrdersCdcOracle.wide.changelogSql,
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,

@@ -14,7 +14,8 @@ final case class FeedBranch(
     op: Int,
     mask: Long,
     seq: Long,
-    overrides: Map[String, String] = Map.empty)
+    overrides: Map[String, String] = Map.empty,
+    maskHex: Option[String] = None)
 
 /** Declarative synthetic-CDC-feed spec over a driver fixture table
   * (FIXTURES.md B1): the single source of truth for both the Spark feed
@@ -39,6 +40,18 @@ final case class FeedSpec(
     lsn: String,
     branches: Seq[FeedBranch],
     dedupKeys: Seq[String] = Nil) {
+
+  /** True ⇔ this feed carries a variable-width BINARY update mask (≙ the
+    * reference's width-unlimited VARBINARY `__$update_mask`,
+    * usp_cdc_populate_changelog.sql:305) instead of the ≤64-column LongType
+    * fast path. All branches must agree — the exploded struct has ONE mask
+    * type — and every hex string must be the same width so high ordinals
+    * always resolve to a real byte. */
+  val binaryMask: Boolean = branches.exists(_.maskHex.isDefined)
+  require(!binaryMask || branches.forall(_.maskHex.isDefined),
+    "mixed mask encodings: either every branch has maskHex or none does")
+  require(!binaryMask || branches.map(_.maskHex.get.length).distinct.size == 1,
+    "all binary masks must have the same hex width")
 
   val commitBase = "1995-01-01 00:00:00"
 
@@ -90,11 +103,18 @@ final case class FeedSpec(
     // scale, the difference between shuffling the whole table and
     // shuffling the window.
     val structs = branches.map { b =>
+      // binary masks ride as unhex'd literals (BinaryType), exercising the
+      // BinaryMaskBit gate downstream; long masks stay the codegen'd
+      // integer fast path
+      val maskLit = b.maskHex match {
+        case Some(h) => unhex(lit(h))
+        case None => lit(b.mask)
+      }
       when(expr(b.cond), struct(
         (Seq(
           lit(b.seq).cast("long").as("seqval"),
           lit(b.op).as("operation"),
-          lit(b.mask).as("update_mask")) ++
+          maskLit.as("update_mask")) ++
           srcCols.map { c =>
             b.overrides.get(c).map(expr).getOrElse(col(c))
               .cast(src.schema(c).dataType).as(c)
@@ -131,8 +151,15 @@ final case class FeedSpec(
       val proj = srcCols
         .map(c => b.overrides.get(c).map(o => s"$o AS $c").getOrElse(c))
         .mkString(", ")
+      // a binary mask renders as its fixed-width hex string (VARCHAR) —
+      // the oracle's bit test addresses hex char pairs from the end, the
+      // same big-endian convention BinaryMaskBit uses on the byte array
+      val maskSql = b.maskHex match {
+        case Some(h) => s"'$h'"
+        case None => s"CAST(${b.mask} AS BIGINT)"
+      }
       s"SELECT CAST($lsn AS BIGINT) AS start_lsn, CAST(${b.seq} AS BIGINT) AS seqval, " +
-        s"${b.op} AS operation, CAST(${b.mask} AS BIGINT) AS update_mask, " +
+        s"${b.op} AS operation, $maskSql AS update_mask, " +
         s"$duckCommitTime AS commit_time, $proj FROM $source AS src WHERE ${b.cond}"
     }.mkString("\n  UNION ALL\n  ")
   }

@@ -30,6 +30,19 @@ final class CdcOracle(
   private def erase(e: String): String =
     if (truncate128) s"substr(CAST($e AS VARCHAR), 1, 128)" else s"CAST($e AS VARCHAR)"
 
+  /** Bit test for ordinal `i` of the update mask. LongType masks shift a
+    * BIGINT; binary masks (spec.binaryMask — the >64-column path) ride as
+    * fixed-width hex strings, and the test addresses the hex char pair
+    * `i/8` bytes from the END (big-endian, ≙ graft.functions.BinaryMaskBit:
+    * bit i lives in byte length-1-i/8 at in-byte position i%8). */
+  private def maskTest(i: Int): String =
+    if (!spec.binaryMask) s"(update_mask >> $i) & 1 = 1"
+    else {
+      val byteFromEnd = i / 8
+      s"(('0x' || substr(update_mask, len(update_mask) - ${2 * byteFromEnd + 1}, 2))::BIGINT " +
+        s">> ${i % 8}) & 1 = 1"
+    }
+
   private def pk(k: String): String = s"pk_$k"
   private val pkProj: String = keyCols.map(k => s"${erase(k)} AS ${pk(k)}").mkString(", ")
   private val pkOut: String = keyCols.map(k => s"${pk(k)} AS $k").mkString(", ")
@@ -41,7 +54,7 @@ final class CdcOracle(
     * column (portable; DuckDB UNPIVOT NULL semantics not relied upon). */
   private val unpivotSql: String = srcCols.zipWithIndex.map { case (c, i) =>
     s"SELECT start_lsn, seqval, operation, commit_time, $pkProj, '$c' AS column_name, " +
-      s"CASE WHEN (update_mask >> $i) & 1 = 1 THEN ${erase(c)} END AS value FROM upd"
+      s"CASE WHEN ${maskTest(i)} THEN ${erase(c)} END AS value FROM upd"
   }.mkString("\n    UNION ALL\n    ")
 
   private val pairJoin: String = {
@@ -201,7 +214,7 @@ final class CdcOracle(
   /** P1 — mask-gate projection (CASE WHEN fn_cdc_is_bit_set …). */
   val maskGateSql: String = {
     val gates = srcCols.zipWithIndex.map { case (c, i) =>
-      s"CASE WHEN (update_mask >> $i) & 1 = 1 THEN ${erase(c)} END AS $c"
+      s"CASE WHEN ${maskTest(i)} THEN ${erase(c)} END AS $c"
     }.mkString(", ")
     s"""WITH feed AS (
        |  $feedSql

@@ -23,6 +23,10 @@ object OrdersCdcOracle {
   val lineitem = new CdcOracle(ChangeFeed.lineitemSpec,
     Seq("l_orderkey", "l_linenumber"), "lineitem")
 
+  /** 72-column BINARY-mask twin (hex-string mask in the oracle, BinaryType
+    * + BinaryMaskBit on the Spark side — same big-endian bit addressing). */
+  val wide = new CdcOracle(graft.cdc.WideFeed.spec, Seq("o_orderkey"), "orders_wide")
+
   val changelogSql: String = default.changelogSql
   val feedWindowSql: String = default.feedWindowSql
   val maskGateSql: String = default.maskGateSql

@@ -24,6 +24,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "the scale path must not funnel the batch through a single-partition window")
   }
 
+  test("wide-mask changelog gates through the codegen binary_mask_bit expression") {
+    val p = plan("cdc_changelog_wide_mask")
+    assert(p.contains("binary_mask_bit"),
+      "the >64-column mask must dispatch to the BinaryType codegen path")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"same two-pass shape as the flagship changelog, got $scans scans")
+  }
+
   test("star rollup broadcasts all three dimensions") {
     val b = "BroadcastHashJoin".r.findAllIn(plan("ext_star_agg")).length
     assert(b >= 3, s"expected 3 broadcast joins, got $b")
