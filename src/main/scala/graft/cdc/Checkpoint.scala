@@ -31,7 +31,9 @@ object Checkpoint {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     try {
-      val row = spark.read.parquet(changelogPath)
+      // resolve through the version pointer: after a compaction the HWM
+      // and id offset must come from the CURRENT data copy
+      val row = SinkLayout.read(spark, changelogPath)
         .agg(max("commit_time"), max("changelog_id"), count(lit(1))).head()
       if (row.getLong(2) == 0L) None
       else Some((row.getTimestamp(0), row.getLong(1)))

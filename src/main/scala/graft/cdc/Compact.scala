@@ -21,10 +21,14 @@ final case class CompactStats(filesBefore: Long, filesAfter: Long, bytesBefore: 
   * range inside one date partition, so per-date file counts stay
   * proportional to per-date data (no single-task-per-date funnel) and the
   * id-ordered layout gives parquet min/max stats that prune id- and
-  * time-range reads to single files. The rewrite lands in a sibling temp
-  * dir first; the swap (delete + rename) is NOT transactional — run it in
-  * the populate maintenance window, like any parquet-table rewrite without
-  * a transaction log.
+  * time-range reads to single files.
+  *
+  * The swap is READER-SAFE via [[SinkLayout]]'s version pointer: the
+  * repacked copy lands in a fresh `data_v<N+1>` dir and becomes current by
+  * one atomic marker creation — the live directory is never renamed or
+  * deleted out from under a planned query, and the superseded version is
+  * retained for one further compaction cycle as the in-flight readers'
+  * grace copy. No maintenance window needed.
   */
 object Compact {
 
@@ -44,38 +48,37 @@ object Compact {
     out.result()
   }
 
-  /** Re-pack `path` (a commit_date-partitioned changelog sink) into
-    * ~`targetBytes` files, preserving rows exactly. Returns before/after
-    * file counts for observability. */
+  /** Re-pack the sink at `path` into ~`targetBytes` files, preserving rows
+    * exactly, and publish the repacked copy as the sink's new current
+    * version (see [[SinkLayout]]). Returns before/after file counts for
+    * observability. A crash at ANY step leaves the current version — and
+    * therefore every reader and the next populate — untouched: an
+    * unpublished `data_v<N+1>` dir is invisible garbage, cleaned up by the
+    * next successful compaction's overwrite. */
   def compactSink(
       spark: SparkSession,
       path: String,
       targetBytes: Long = DefaultTargetBytes): CompactStats = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = dataFiles(spark, dir)
+    val fs = SinkLayout.fs(spark, path)
+    val cur = SinkLayout.currentVersion(fs, path)
+    val liveDir = new Path(SinkLayout.dataDir(spark, path))
+    val before = dataFiles(spark, liveDir)
     val bytes = before.map(_._2).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
-    val tmp = new Path(dir.getParent, dir.getName + ".compact.tmp")
-    fs.delete(tmp, true)
-    spark.read.parquet(path)
+    val next = cur.getOrElse(0) + 1
+    val nextDir = new Path(SinkLayout.versionDir(path, next))
+    fs.delete(nextDir, true) // a failed earlier attempt's leftovers
+    spark.read.parquet(liveDir.toString)
       .repartitionByRange(n, col("commit_date"), col("changelog_id"))
       .sortWithinPartitions(col("commit_date"), col("changelog_id"))
-      .write.partitionBy("commit_date").parquet(tmp.toString)
+      .write.partitionBy("commit_date").parquet(nextDir.toString)
 
-    // swap via backup so no step ever leaves the sink path as the ONLY
-    // copy destroyed: live -> .bak, tmp -> live, then drop .bak. A crash
-    // between the renames leaves the data intact in .bak (manual restore),
-    // never gone.
-    val bak = new Path(dir.getParent, dir.getName + ".compact.bak")
-    fs.delete(bak, true)
-    require(fs.rename(dir, bak), s"rename $dir -> $bak failed")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(bak, dir) // roll back; the original sink is untouched
-      throw new IllegalStateException(s"rename $tmp -> $dir failed; sink restored")
-    }
-    fs.delete(bak, true)
-    CompactStats(before.size.toLong, dataFiles(spark, dir).size.toLong, bytes)
+    // the publish point: one atomic marker creation flips every subsequent
+    // resolve to the repacked copy; the old current stays on disk for one
+    // more cycle (in-flight readers' grace), older versions retire
+    SinkLayout.publish(fs, path, next)
+    SinkLayout.retire(fs, path, next)
+    CompactStats(before.size.toLong, dataFiles(spark, nextDir).size.toLong, bytes)
   }
 }

@@ -94,7 +94,9 @@ object PopulateChangelog {
     arranged.write
       .mode(SaveMode.Append)
       .partitionBy("commit_date")
-      .parquet(changelogPath)
+      // append into the CURRENT version dir (sink root until the first
+      // compaction) — the same copy sinkState read the HWM/offset from
+      .parquet(SinkLayout.dataDir(spark, changelogPath))
     obs.get("n").asInstanceOf[Long]
   }
 

@@ -31,7 +31,9 @@ object QueryData {
     if (!fromDate.before(to)) throw CdcErrors.fromNotBeforeTo(fromDate.toString, to.toString)
     val entry = catalog.resolve(table) // :33-38, throws unknownTable
 
-    val log = spark.read.parquet(entry.changelogPath)
+    // resolve through the version pointer — safe against a concurrent
+    // compaction swapping the data copy under this query
+    val log = SinkLayout.read(spark, entry.changelogPath)
 
     // freshness watermark (:40-46). Reference quirk: lexicographic MAX over
     // mm/dd/yyyy strings (wrong across year boundaries) — compatMode only.

@@ -1,0 +1,93 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned sink layout — the reader-safe indirection under compaction.
+  *
+  * A plain parquet-dir rewrite (delete + rename, or even a backup-ordered
+  * swap) is crash-safe for the DATA but not for READERS: a query planned
+  * between the two renames lists a missing directory and fails, and on
+  * object stores rename is not atomic at all. At 100 TB with a
+  * continuously-serving sink there is no maintenance window to hide in, so
+  * the sink resolves through a POINTER instead:
+  *
+  * {{{
+  *   <sink>/                       (sink root = the table's stable address)
+  *     commit_date=.../<parquet>   flat layout: every sink starts this way
+  *     data_v2/commit_date=.../    versioned data dirs (compaction output)
+  *     _v2.ok                      version markers; current = max N marked
+  * }}}
+  *
+  * Everything that touches the sink resolves [[dataDir]] first: appends land
+  * in the current version, reads plan against it. Compaction writes the
+  * repacked copy to `data_v<N+1>` and PUBLISHES it by creating the
+  * `_v<N+1>.ok` marker — a single atomic file creation, never a rename of
+  * the live directory — then deletes versions older than the PREVIOUS one.
+  * Keeping one superseded version means a reader that resolved (and even
+  * planned) against the old current keeps working through the swap; only a
+  * reader holding a plan across TWO full compaction cycles can lose its
+  * files, which is the documented grace window.
+  *
+  * The flat layout (no markers) is version 1 in spirit: a sink that was
+  * never compacted reads and appends at its root, bit-identical to the
+  * pre-versioning behavior. Writer coordination is unchanged (single
+  * populate job owns the sink — the reference's assumption too).
+  */
+object SinkLayout {
+
+  private val MarkerRe = "_v(\\d+)\\.ok".r
+
+  private[cdc] def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current version number: the max N with both an `_vN.ok` marker and an
+    * existing `data_vN` dir; None = flat (never-compacted) layout. */
+  def currentVersion(fs: FileSystem, root: String): Option[Int] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return None
+    val versions = fs.listStatus(rootPath).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case MarkerRe(n) if fs.exists(new Path(rootPath, s"data_v$n")) => Some(n.toInt)
+        case _ => None
+      }
+    }
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  private[cdc] def versionDir(root: String, n: Int): String = s"$root/data_v$n"
+
+  /** The directory reads plan against and appends land in: the current
+    * version dir, or the sink root itself for a flat sink. */
+  def dataDir(spark: SparkSession, root: String): String =
+    currentVersion(fs(spark, root), root).map(versionDir(root, _)).getOrElse(root)
+
+  /** Publish version `n`: one atomic marker-file creation (no overwrite —
+    * a version is published at most once). */
+  private[cdc] def publish(fs: FileSystem, root: String, n: Int): Unit =
+    fs.create(new Path(root, s"_v$n.ok"), false).close()
+
+  /** Drop superseded versions older than `current - 1` (and, once the sink
+    * is at version ≥ 2, the migrated flat files at the root): the previous
+    * version is RETAINED as the in-flight readers' grace copy. */
+  private[cdc] def retire(fs: FileSystem, root: String, current: Int): Unit = {
+    val rootPath = new Path(root)
+    fs.listStatus(rootPath).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      name match {
+        case MarkerRe(n) if n.toInt < current - 1 =>
+          fs.delete(new Path(rootPath, s"data_v$n"), true)
+          fs.delete(st.getPath, false)
+        case _ if current >= 2 && !name.startsWith("data_v") && !name.startsWith("_v") =>
+          // flat-layout leftovers (commit_date=* dirs, loose files) were the
+          // pre-compaction "version 0": out of grace once v2 publishes
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Read the sink through the pointer. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(dataDir(spark, root))
+}

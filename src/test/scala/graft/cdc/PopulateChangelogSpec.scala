@@ -240,15 +240,56 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     // opens 1995-01-02) — the shared date accumulates one file per append
     PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 08:30:00")))
     PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
-    val before = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val before = SinkLayout.read(spark, path).collect().map(_.toString).sorted.toSeq
     val stats = Compact.compactSink(spark, path)
     assert(stats.filesBefore > stats.filesAfter,
       s"two appends must pack into fewer files, got $stats")
-    val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val after = SinkLayout.read(spark, path).collect().map(_.toString).sorted.toSeq
     assert(after == before, "compaction must not change a single row")
     // partition layout survives the rewrite (QueryData's pruning contract)
-    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    val cur = new java.io.File(SinkLayout.dataDir(spark, path))
+    val dirs = cur.listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("commit_date=1995-01-01", "commit_date=1995-01-02"))
+  }
+
+  test("a reader planned before compaction survives the swap (grace version)") {
+    val path = Files.createTempDirectory("graft_e2e_rs").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 08:30:00")))
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
+    // plan (and partially bind) a read against the CURRENT resolve...
+    val planned = SinkLayout.read(spark, path)
+    val expected = planned.count()
+    // ...then swap the sink under it — twice: flat→v1, v1→v2. The flat
+    // files (the planned read's target) are within grace after the first
+    // compaction; the planned frame must still execute after each swap.
+    Compact.compactSink(spark, path)
+    assert(planned.count() == expected, "reader planned on flat layout survives swap to v1")
+    val plannedV1 = SinkLayout.read(spark, path)
+    Compact.compactSink(spark, path)
+    assert(plannedV1.count() == expected, "reader planned on v1 survives swap to v2")
+    // fresh resolves always see the current version with identical rows
+    assert(SinkLayout.read(spark, path).count() == expected)
+    // a third compaction retires v1 (two generations old) but keeps v2
+    Compact.compactSink(spark, path)
+    val root = new java.io.File(path)
+    val names = root.listFiles().map(_.getName).toSet
+    assert(!names.contains("data_v1") && names.contains("data_v2") && names.contains("data_v3"),
+      s"retention must keep current + previous only, got $names")
+    assert(!names.exists(_.startsWith("commit_date=")),
+      "migrated flat files retire once the sink is versioned past grace")
+    assert(SinkLayout.read(spark, path).count() == expected)
+  }
+
+  test("populate resumes correctly onto a compacted sink (HWM + ids through the pointer)") {
+    val path = Files.createTempDirectory("graft_e2e_rc").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 08:30:00")))
+    Compact.compactSink(spark, path)
+    val r2 = PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
+    assert(r2.rowsInserted > 0, "the resumed batch must see the pre-compaction HWM, not restart")
+    val sink = SinkLayout.read(spark, path)
+    // ids continue seamlessly across the rewrite: dense 1..N
+    assert(sink.agg(max("changelog_id")).head().getLong(0) == sink.count())
+    assert(sink.select("changelog_id").distinct().count() == sink.count())
   }
 
   test("compat +1-minute resume loses sub-minute changes end-to-end; default does not") {
