@@ -25,12 +25,16 @@ object SparkEntry {
     * from the sink's max id, all from ONE sink snapshot. */
   private def populateTwice(
       s: SparkSession, dir: String, cfg: CdcTableConfig, prefix: String,
-      compact: Boolean = false): DataFrame = {
+      compact: Boolean = false, compactBetween: Boolean = false): DataFrame = {
     val sink = TempDirs.create(prefix)
       .resolve("orders_changelog").toString
     val f = feed(s, dir)
     PopulateChangelog.run(s, f, cfg, sink,
       Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)))
+    // compactBetween: rewrite the sink into a fresh published version MID-
+    // STREAM — the second populate must find the HWM and id offset through
+    // the version pointer and append to the repacked copy
+    if (compactBetween) Compact.compactSink(s, sink)
     PopulateChangelog.run(s, f, cfg, sink,
       Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
     if (compact) {
@@ -38,7 +42,8 @@ object SparkEntry {
       require(stats.filesAfter < stats.filesBefore,
         s"compaction must shrink the file count, got $stats")
     }
-    s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
+    graft.cdc.SinkLayout.read(s, sink)
+      .select(changelogCols.map(col): _*).orderBy("changelog_id")
   }
 
   private val changelogCols = Seq("changelog_id", "commit_time", "table_name", "o_orderkey",
@@ -180,7 +185,8 @@ object SparkEntry {
         .resolve("orders_changelog").toString
       PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
         Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
-      s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
     // §2.11 — the streaming populate path graded end-to-end: feed files →
@@ -193,7 +199,8 @@ object SparkEntry {
       graft.streaming.StreamingPopulate.runAvailableNow(
         s, feedDir, s.read.parquet(feedDir).schema, ordersCfg, sink,
         base.resolve("ckpt").toString)
-      s.read.parquet(sink).select(changelogCols.map(col): _*).orderBy("changelog_id")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
     // S4 resume path — the reference's DEFINING incremental behavior
@@ -208,6 +215,13 @@ object SparkEntry {
     // must shrink (asserted inside)
     "cdc_populate_compacted" -> ((s, dir) =>
       populateTwice(s, dir, ordersCfg, "graft_cp", compact = true)),
+
+    // S4+S6 — populate → COMPACT → populate: the repacked sink must carry
+    // the HWM and id offset through the version pointer so the resumed
+    // batch continues seamlessly on the rewritten copy; same oracle as the
+    // plain resume (the rewrite is invisible to the data)
+    "cdc_populate_resume_compacted" -> ((s, dir) =>
+      populateTwice(s, dir, ordersCfg, "graft_rcp", compactBetween = true)),
 
     // S4 resume, compat mode — the +1-MINUTE checkpoint gap (:203): rows
     // committed within one minute after the HWM are permanently skipped;
@@ -358,6 +372,17 @@ object SparkEntry {
       Dedup.nearDuplicatesByEmbedding(EmbFeed.withDups(embeddings(s, dir)))
         .orderBy("id_a", "id_b")),
 
+    // E1e' — the embedding family closed through the SAME connected-
+    // components operator as the shingle family: cosine near-dup pairs →
+    // min-label propagation → per-vector cluster (representative = min id)
+    "ext_dedup_clusters_emb" -> ((s, dir) => {
+      val e = EmbFeed.withDups(embeddings(s, dir))
+      graft.ext.Cluster.clusters(
+        e.select(col("vec_id").as("doc_id")), Dedup.nearDuplicatesByEmbedding(e))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // E3a' — BPE-ish regex pre-tokenization counts
     "ext_bpe_tokens" -> ((s, dir) =>
       TextOps.bpeTokenStats(corpus(s, dir)).orderBy("doc_id")),
@@ -452,6 +477,14 @@ object SparkEntry {
     // E3f — quality scoring (basis-point signals + bucketed verdict)
     "ext_quality" -> ((s, dir) =>
       TextOps.qualityScore(corpus(s, dir)).orderBy("doc_id")),
+
+    // E3i — Gopher/C4 repetition-quality metrics (duplicate lines /
+    // trigrams, top-bigram share, symbol-to-word ratio) over the
+    // line-planted corpus (fixture text is single-line)
+    "ext_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(
+        DocFeed.withDups(s.read.parquet(s"$dir/documents.parquet"), plantLines = true))
+        .orderBy("doc_id")),
 
     // batch sessionization (gaps-and-islands; the batch companion of the
     // streaming flatMapGroupsWithState sessionizer)
@@ -561,6 +594,21 @@ object SparkEntry {
     "ext_token_budget" -> ((s, dir) =>
       graft.ext.Packing.tokenBudget(corpus(s, dir), budgetTokens = 5000L).orderBy("source")),
 
+    // per-DOMAIN dedup audit: URL host from the docs' JSON metadata
+    // (get_json_object + regexp), then which hosts dump duplicates
+    "ext_domain_dedup" -> ((s, dir) =>
+      graft.ext.Curate.domainDedupStats(DocFeed.withUrlMeta(corpus(s, dir)))
+        .orderBy("domain")),
+
+    // per-DOMAIN token-budget mixing — the standard web-corpus mixture cap,
+    // stratified on the extracted host instead of the source shard
+    "ext_domain_budget" -> ((s, dir) =>
+      graft.ext.Packing.tokenBudget(
+        DocFeed.withUrlMeta(corpus(s, dir))
+          .withColumn("domain", graft.ext.Curate.domainOf(col("meta"))),
+        budgetTokens = 3000L, strataCol = "domain")
+        .orderBy("domain")),
+
     // left-anti join — customers with no URGENT orders, per nation (the
     // unfiltered variant is vacuously empty: every customer has orders)
     "ext_anti_join" -> ((s, dir) =>
@@ -660,6 +708,7 @@ object SparkEntry {
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_compacted" -> OrdersCdcOracle.resumeChangelogSql,
+    "cdc_populate_resume_compacted" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_resume_compat" -> OrdersCdcOracle.resumeCompatChangelogSql,
     "cdc_changelog_strictnulls" -> OrdersCdcOracle.strict.changelogSql,
     "cdc_changelog_composite" -> OrdersCdcOracle.lineitem.changelogSql,
@@ -677,6 +726,7 @@ object SparkEntry {
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
+    "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
@@ -694,6 +744,7 @@ object SparkEntry {
     "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
     "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,
     "ext_quality" -> ExtOracle.qualitySql,
+    "ext_repetition" -> ExtOracle.repetitionSql,
     "ext_sessionize" -> ExtOracle.sessionizeSql,
     "ext_asof" -> ExtOracle.asofSql,
     "ext_rollup" -> ExtOracle.rollupSql,
@@ -709,6 +760,8 @@ object SparkEntry {
     "ext_decontaminate" -> ExtOracle.decontaminateSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_token_budget" -> ExtOracle.tokenBudgetSql,
+    "ext_domain_dedup" -> ExtOracle.domainDedupSql,
+    "ext_domain_budget" -> ExtOracle.domainBudgetSql,
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,
     "ext_kmv" -> ExtOracle.kmvSql,

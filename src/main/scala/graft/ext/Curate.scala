@@ -22,6 +22,9 @@ object Curate {
       // keep docs with n_distinct_tokens / n_tokens >= num/den
       distinctRatioNum: Int = 1,
       distinctRatioDen: Int = 2,
+      // Gopher-style intra-doc repetition gate: keep docs whose duplicate
+      // word-trigram share is at most this many basis points
+      maxDupTrigramBp: Int = 200,
       lang: String = "en")
 
   /** The three row-local gate predicates after dedup, in funnel order —
@@ -34,7 +37,8 @@ object Curate {
       "2_length" -> size(toks).between(t.minTokens, t.maxTokens),
       "3_quality" ->
         (size(array_distinct(toks)) * t.distinctRatioDen >= size(toks) * t.distinctRatioNum),
-      "4_language" -> (TextOps.predLang(col(textCol)) === t.lang))
+      "4_repetition" -> (TextOps.dupTrigramBp(col(textCol)) <= t.maxDupTrigramBp),
+      "5_language" -> (TextOps.predLang(col(textCol)) === t.lang))
   }
 
   /** The surviving corpus after all gates. */
@@ -68,24 +72,18 @@ object Curate {
     // (dedup survival is representative-independent: all gates are
     // functions of the text, identical across a fingerprint group)
     val w = Window.partitionBy(Dedup.fingerprint(col(textCol))).orderBy(col(idCol))
-    val conds = gates(t, textCol).map(_._2)
-    val flagged = corpus
-      .withColumn("__keep1", row_number().over(w) === 1)
-      .withColumn("__keep2", col("__keep1") && conds(0))
-      .withColumn("__keep3", col("__keep2") && conds(1))
-      .withColumn("__keep4", col("__keep3") && conds(2))
+    val named = gates(t, textCol)
+    val flagged = named.map(_._2).zipWithIndex.foldLeft(
+      corpus.withColumn("__keep1", row_number().over(w) === 1)) {
+      case (df, (cond, i)) => df.withColumn(s"__keep${i + 2}", col(s"__keep${i + 1}") && cond)
+    }
+    val nFlags = named.size + 1 // dedup + one per gate
     val counts = flagged.agg(
       count(lit(1)).as("n0"),
-      count(when(col("__keep1"), 1)).as("n1"),
-      count(when(col("__keep2"), 1)).as("n2"),
-      count(when(col("__keep3"), 1)).as("n3"),
-      count(when(col("__keep4"), 1)).as("n4"))
-    counts.select(explode(array(
-      struct(lit("0_input").as("stage"), col("n0").as("n_rows")),
-      struct(lit("1_dedup").as("stage"), col("n1").as("n_rows")),
-      struct(lit("2_length").as("stage"), col("n2").as("n_rows")),
-      struct(lit("3_quality").as("stage"), col("n3").as("n_rows")),
-      struct(lit("4_language").as("stage"), col("n4").as("n_rows")))).as("s"))
+      (1 to nFlags).map(i => count(when(col(s"__keep$i"), 1)).as(s"n$i")): _*)
+    val stageNames = Seq("0_input", "1_dedup") ++ named.map(_._1)
+    counts.select(explode(array(stageNames.zipWithIndex.map { case (nm, i) =>
+      struct(lit(nm).as("stage"), col(s"n$i").as("n_rows")) }: _*)).as("s"))
       .select(col("s.stage"), col("s.n_rows"))
   }
 
@@ -118,6 +116,29 @@ object Curate {
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** URL host of a document's JSON metadata — `get_json_object` (codegen)
+    * + regexp host extraction, the standard provenance key a web-corpus
+    * pipeline groups by. */
+  def domainOf(metaCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(get_json_object(metaCol, "$.url"), "^https?://([^/]+)", 1)
+
+  /** Per-domain exact-dedup audit — the first question a crawl-curation run
+    * answers ("which hosts are dumping duplicates on us"): per URL host,
+    * total docs, distinct contents, and the duplicate overhang. Two hash
+    * aggregations, both partitioned on bounded keys ((domain, fingerprint)
+    * then domain) — map-side combinable at any corpus size. */
+  def domainDedupStats(corpusWithMeta: DataFrame,
+      textCol: String = "text", metaCol: String = "meta"): DataFrame =
+    corpusWithMeta
+      .groupBy(domainOf(col(metaCol)).as("domain"),
+        Dedup.fingerprint(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("domain")
+      .agg(
+        sum(col("__n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        (sum(col("__n")) - count(lit(1))).cast("long").as("n_dup_docs"))
 
   /** Boilerplate detection — shingles recurring across an outsized share
     * of DISTINCT documents (headers, footers, license blurbs). Threshold

@@ -20,14 +20,35 @@ object DocFeed {
   val ExactDupOffset = 1000000L
   val NearDupOffset = 2000000L
   val PiiDupOffset = 3000000L
+  val LineDupOffset = 4000000L
 
   /** Deterministic PII suffix appended to the `doc_id % 10 == 2` copies so
     * the scrubbing operator (TextOps.scrubPii) has real matches. */
   val PiiSuffix = " contact user42@example.com or http://ex.example.org/p?q=1 id 12345"
 
-  def withDups(documents: DataFrame): DataFrame = {
-    // Single scan: each source row explodes into the 1-3 corpus rows it
-    // contributes (a UNION of filtered selects would scan documents three
+  /** Deterministic JSON metadata with a synthetic source URL per document
+    * (the fixture has no provenance column; the events fixture's `props`
+    * JSON carries no URL either). Hosts hash the doc to one of 7 domains —
+    * and a planted dup copy resolves to its ORIGINAL's host
+    * (`(doc_id % 1000000) % 7`: every plant offset is a multiple of 1e6),
+    * so within-domain dedup over the planted copies is non-vacuous. The
+    * extraction machinery the graded queries exercise (get_json_object →
+    * regexp host) is exactly what a real crawl corpus needs. */
+  def withUrlMeta(corpus: DataFrame): DataFrame =
+    corpus.withColumn("meta",
+      concat(lit("{\"url\": \"https://w"),
+        ((col("doc_id") % ExactDupOffset) % 7).cast("string"),
+        lit(".example.com/d/"), col("doc_id").cast("string"), lit("\"}")))
+
+  /** @param plantLines also plant `doc_id % 10 == 3` copies whose text is
+    *        the original repeated across a newline — the fixture text is
+    *        single-line, so the Gopher-style duplicate-LINE metric would be
+    *        vacuously zero without them. Off by default: only the
+    *        repetition query consumes this branch, and the shared corpus
+    *        (every other E1/E3 oracle) must not shift under it. */
+  def withDups(documents: DataFrame, plantLines: Boolean = false): DataFrame = {
+    // Single scan: each source row explodes into the 1-4 corpus rows it
+    // contributes (a UNION of filtered selects would scan documents several
     // times per consumer sub-tree).
     def row(id: Column, text: Column, source: Column, nChars: Column) =
       struct(id.cast("long").as("doc_id"), text.as("text"), col("lang").as("lang"),
@@ -41,7 +62,10 @@ object DocFeed {
           lit("dup_near"), col("n_chars") + lit(6L))),
       when(col("doc_id") % 10 === 2,
         row(col("doc_id") + lit(PiiDupOffset), concat(col("text"), lit(PiiSuffix)),
-          lit("dup_pii"), col("n_chars") + lit(PiiSuffix.length.toLong))))).as("__r"))
+          lit("dup_pii"), col("n_chars") + lit(PiiSuffix.length.toLong))),
+      when(lit(plantLines) && col("doc_id") % 10 === 3,
+        row(col("doc_id") + lit(LineDupOffset), concat(col("text"), lit("\n"), col("text")),
+          lit("dup_lines"), col("n_chars") * 2 + lit(1L))))).as("__r"))
       .where(col("__r").isNotNull) // codegen'd row filter, not the HOF filter()
       .select(col("__r.*"))
   }

@@ -154,13 +154,22 @@ object Similarity {
   }
 
   /** IVF-flat ANN: partition the corpus into `numCentroids` Voronoi cells
-    * (nearest centroid by cosine; centroids = the first `numCentroids`
-    * vectors — deterministic, oracle-mirrorable), then each query scores
-    * only the cells it probes (`probes` nearest). The inverted-file shape:
-    * assignment is one broadcast pass + bounded-heap argmax; search
-    * shuffles on the cell id, never the full corpus product. Recall/cost
-    * is tuned by probes × numCentroids.
-    */
+    * (nearest centroid by cosine), then each query scores only the cells
+    * it probes (`probes` nearest). The inverted-file shape: assignment is
+    * one broadcast pass + bounded-heap argmax; search shuffles on the cell
+    * id, never the full corpus product. Recall/cost is tuned by
+    * probes × numCentroids.
+    *
+    * Centroids: seeded from the first `numCentroids` vectors, then ONE
+    * deterministic k-means round — assign every vector to its nearest
+    * seed, replace each cell's centroid by the member mean. First-k seeds
+    * alone give arbitrarily skewed Voronoi cells at scale (one hot cell
+    * re-creates the skew problem IVF exists to avoid); a refinement round
+    * pulls centroids toward the data's actual modes and evens the cells.
+    * The mean is computed in EXACT integer math (elements scaled by 1000
+    * and floored, per-cell long sums, integer-div mean) so it is
+    * order-independent and bit-identical in the oracle — cosine is
+    * scale-invariant, so the un-rescaled integer mean works as-is. */
   def topKCosineIvf(
       emb: DataFrame,
       queryPred: Column,
@@ -171,22 +180,38 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(
       col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
-    val centroids = base.where(col(idCol) < numCentroids).select(
+    val seeds = base.where(col(idCol) < numCentroids).select(
       col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
 
     // nearest-`n` centroid cells per vector via the bounded-heap aggregate
     // (ties toward the smaller centroid id, like everywhere else)
-    def cells(df: DataFrame, n: Int): DataFrame =
-      df.join(broadcast(centroids))
+    def cells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
+      df.join(broadcast(cents))
         .select(col(idCol), col(vecCol), col("nrm"),
           (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("cs"), col("cid"))
         .groupBy(idCol, vecCol, "nrm")
         .agg(topKByScore(col("cs"), col("cid"), n).as("cids"))
         .select(col(idCol), col(vecCol), col("nrm"), explode(col("cids")).as("cell"))
 
-    val corpus = cells(base, 1).select(
+    // the refinement round: per-cell element-wise integer mean (exact,
+    // mergeable long sums — one explode + one hash aggregate per cell×dim,
+    // then one small per-cell list rebuild; cells themselves stay few
+    // enough to broadcast, which is IVF's premise)
+    val refined = cells(base, seeds, 1)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(floor(col("x").cast("double") * 1000.0).cast("long")).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"), expr("qs div n").as("qm"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("pos"), col("qm")))).as("pq"))
+      .select(col("cell").as("cid"),
+        transform(col("pq"), p => p.getField("qm").cast("float")).as("centv"))
+      .withColumn("centn", l2Norm(col("centv")))
+
+    val corpus = cells(base, refined, 1).select(
       col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
-    val queries = cells(base.where(queryPred), probes).select(
+    val queries = cells(base.where(queryPred), refined, probes).select(
       col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val scored = corpus.join(broadcast(queries), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))

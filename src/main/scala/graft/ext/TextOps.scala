@@ -165,6 +165,69 @@ object TextOps {
           .otherwise(lit("low")))
   }
 
+  /** The row-local duplicate-trigram share in basis points — the
+    * Gopher-style intra-document repetition signal ("fraction of duplicate
+    * n-grams"), shared by [[repetitionStats]] and the curation funnel's
+    * repetition gate so the graded funnel counts describe the same
+    * predicate the per-doc report carries. Codegen'd WordShingles + array
+    * ops: map-only at any scale. */
+  /** Integer division as a composable Column (Catalyst IntegralDivide —
+    * what `expr("a div b")` parses to): exact quotient ≙ DuckDB `//`,
+    * usable where the operands are computed columns with no name to
+    * reference from a SQL string. Never float `/` in graded outputs. */
+  def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
+  }
+
+  def dupTrigramBp(textCol: Column): Column = {
+    val sh = graft.functions.WordShingles.wordShingles(textCol, 3)
+    val n = size(sh).cast("long")
+    val dups = (n - size(array_distinct(sh)).cast("long")) * 10000L
+    when(n > 0, intDiv(dups, n)).otherwise(0L)
+  }
+
+  /** E3i — Gopher/C4-style repetition-quality metrics, per document:
+    * duplicate-line share, duplicate-trigram share, top-bigram token
+    * share (+ the bigram itself), and symbol-to-word ratio — all integer
+    * basis points. The line/trigram/symbol signals are map-only array
+    * work; the top-bigram needs one explode + hash aggregate + a
+    * PARTITIONED rank window (no global funnel). The most commonly run
+    * text-quality family in real pre-training pipelines.
+    *
+    * Feed this the line-planted corpus (DocFeed.withDups(plantLines=true))
+    * — the fixture text is single-line, so dup_line_bp is only
+    * non-vacuous over planted multi-line docs. */
+  def repetitionStats(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = toks(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val base = corpus.select(
+      col(idCol),
+      nLines.cast("long").as("n_lines"),
+      intDiv((nLines - size(array_distinct(lines))).cast("long") * 10000L, nLines)
+        .as("dup_line_bp"),
+      dupTrigramBp(col(textCol)).as("dup_tri_bp"),
+      intDiv(matchCount(lower(col(textCol)), "[^a-z0-9 ]").cast("long") * 10000L, size(t))
+        .as("sym_word_bp"),
+      (size(t) - 1).cast("long").as("__n_bigrams"))
+    val counts = corpus
+      .select(col(idCol),
+        explode(graft.functions.WordShingles.wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__cnt").desc, col("bg").asc)
+    val top = counts
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("bg").as("top_bigram"), col("__cnt"))
+    base.join(top, Seq(idCol))
+      .select(col(idCol), col("n_lines"), col("dup_line_bp"), col("dup_tri_bp"),
+        col("sym_word_bp"), col("top_bigram"),
+        intDiv(col("__cnt") * 10000L, col("__n_bigrams")).as("top_bigram_bp"))
+  }
+
   /** E3g — per-document top-k terms by term frequency, rare-term filtered:
     * the TF-IDF keyword-extraction shape. Document frequency is computed
     * once over the corpus and joined back; terms present in more than

@@ -24,6 +24,59 @@ object ExtOracle {
        |  FROM documents WHERE doc_id % 10 = 2
        |)""".stripMargin
 
+  /** ≙ DocFeed.withDups(plantLines = true): the shared corpus plus
+    * line-duplicated copies (`doc_id % 10 = 3` → +4000000, text repeated
+    * across a newline) — only the repetition query consumes this branch;
+    * the shared corpusSql must not shift under it. */
+  val repCorpusSql: String = corpusSql.stripSuffix(")") +
+    s"""  UNION ALL
+       |  SELECT doc_id + ${graft.ext.DocFeed.LineDupOffset}, text || chr(10) || text, lang,
+       |         'dup_lines', n_chars * 2 + 1
+       |  FROM documents WHERE doc_id % 10 = 3
+       |)""".stripMargin
+
+  /** Row-local duplicate-word-trigram count expression over a `toks` list
+    * ref — shared by the repetition report and the funnel's repetition
+    * gate (≙ TextOps.dupTrigramBp's WordShingles + array_distinct). */
+  private def triDupsSql(toks: String): String =
+    s"(len($toks) - 2 - len(list_distinct(list_transform(range(len($toks) - 2), " +
+      s"i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]))))"
+
+  /** E3i ≙ TextOps.repetitionStats over the line-planted corpus: Gopher/C4
+    * repetition signals as integer basis points. */
+  val repetitionSql: String =
+    s"""WITH $repCorpusSql, t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM corpus
+       |), base AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST((len(lines) - len(list_distinct(lines))) * 10000 // len(lines) AS BIGINT)
+       |      AS dup_line_bp,
+       |    CAST(CASE WHEN len(toks) >= 3
+       |      THEN ${triDupsSql("toks")} * 10000 // (len(toks) - 2)
+       |      ELSE 0 END AS BIGINT) AS dup_tri_bp,
+       |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) * 10000 // len(toks)
+       |      AS BIGINT) AS sym_word_bp,
+       |    len(toks) - 1 AS n_bigrams
+       |  FROM t
+       |), big AS (
+       |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bg
+       |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) ix
+       |  WHERE i <= len(toks) - 2
+       |), c AS (
+       |  SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg
+       |), top AS (
+       |  SELECT doc_id, bg AS top_bigram, cnt,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn
+       |  FROM c
+       |)
+       |SELECT b.doc_id, b.n_lines, b.dup_line_bp, b.dup_tri_bp, b.sym_word_bp,
+       |  tp.top_bigram, CAST(tp.cnt * 10000 // b.n_bigrams AS BIGINT) AS top_bigram_bp
+       |FROM base b JOIN top tp ON tp.doc_id = b.doc_id AND tp.rn = 1
+       |ORDER BY b.doc_id""".stripMargin
+
   /** E1a ≙ Dedup.exactGroups. */
   val dedupExactSql: String =
     s"""WITH $corpusSql
@@ -231,8 +284,25 @@ object ExtOracle {
        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
        |), allv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), sc AS (
+       |), sc0 AS (
        |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cent c
+       |), r0 AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM sc0
+       |), cell0 AS (
+       |  SELECT vec_id, cid AS cell FROM r0 WHERE rn = 1
+       |), qx AS (
+       |  SELECT c0.cell, i AS pos, CAST(floor(a.v[i+1] * 1000.0) AS BIGINT) AS q
+       |  FROM cell0 c0 JOIN allv a ON a.vec_id = c0.vec_id, range(${graft.ext.Similarity.Dim}) ri(i)
+       |), qmeans AS (
+       |  SELECT cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
+       |  FROM qx GROUP BY cell, pos
+       |), cent2 AS (
+       |  SELECT cell AS cid, (list(qm ORDER BY pos))::DOUBLE[] AS cv
+       |  FROM qmeans GROUP BY cell
+       |), sc AS (
+       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cent2 c
        |), ranked AS (
        |  SELECT vec_id, cid,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
@@ -272,10 +342,16 @@ object ExtOracle {
        |  SELECT * FROM l
        |  WHERE len(list_distinct(string_split(text, ' '))) * 2
        |        >= len(string_split(text, ' ')) * 1
+       |), rep AS (
+       |  SELECT * FROM q
+       |  WHERE CASE WHEN len(string_split(text, ' ')) >= 3
+       |    THEN ${triDupsSql("string_split(text, ' ')")} * 10000
+       |         // (len(string_split(text, ' ')) - 2) <= 200
+       |    ELSE true END
        |), qc AS (
        |  SELECT *,
        |    ${langCountCols("text")}
-       |  FROM q
+       |  FROM rep
        |), g AS (
        |  SELECT * FROM qc WHERE ($langCaseSql) = 'en'
        |)
@@ -283,7 +359,8 @@ object ExtOracle {
        |UNION ALL SELECT '1_dedup', count(*) FROM d
        |UNION ALL SELECT '2_length', count(*) FROM l
        |UNION ALL SELECT '3_quality', count(*) FROM q
-       |UNION ALL SELECT '4_language', count(*) FROM g
+       |UNION ALL SELECT '4_repetition', count(*) FROM rep
+       |UNION ALL SELECT '5_language', count(*) FROM g
        |ORDER BY stage""".stripMargin
 
   /** E3c ≙ TextOps.jsonExtract over events.props. */
@@ -418,18 +495,46 @@ object ExtOracle {
       s"(CASE WHEN list_dot_product($vecRef::DOUBLE[], ${planeListSql(p)}) > 0 " +
         s"THEN ${1L << bitFor(p)}::BIGINT ELSE 0 END)").mkString("\n      + ")
 
-  /** E1d ≙ Dedup.nearDuplicatesByEmbedding (LSH bucket join + exact cosine
-    * ≥ 0.9; planted pairs sit at cosine ≈ 1, random pairs ≤ ~0.5). */
-  val dedupEmbeddingSql: String =
-    s"""WITH $embCorpusSql, sides AS (
+  /** Shared CTE chain ending in `epairs` = the embedding-cosine near-dup
+    * pairs (LSH bucket join + exact cosine ≥ 0.9) — consumed by the pair
+    * listing and the embedding-cluster assignment. */
+  private val embPairCtes: String =
+    s"""$embCorpusSql, sides AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    ${bucketExprSql("embedding", 0 until graft.ext.Similarity.NumPlanes, p => p)} AS bucket
        |  FROM embx
-       |)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |FROM sides a JOIN sides b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.v", "b.v")} >= 0.9
+       |), epairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sides a JOIN sides b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.v", "b.v")} >= 0.9
+       |)""".stripMargin
+
+  /** E1d ≙ Dedup.nearDuplicatesByEmbedding (planted pairs sit at cosine
+    * ≈ 1, random pairs ≤ ~0.5). */
+  val dedupEmbeddingSql: String =
+    s"""WITH $embPairCtes
+       |SELECT id_a, id_b FROM epairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** ≙ ext.Cluster.clusters over Dedup.nearDuplicatesByEmbedding: the
+    * embedding family closed through the same connected-components
+    * operator as the shingle family (recursive-closure oracle, min
+    * reachable id; singletons keep their own id). */
+  val dedupClustersEmbSql: String =
+    s"""WITH RECURSIVE $embPairCtes, und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM epairs
+       |  UNION
+       |  SELECT id_b, id_a FROM epairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM und
+       |  UNION
+       |  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON u.src = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT e.vec_id, CAST(coalesce(comp.cluster_id, e.vec_id) AS BIGINT) AS cluster_id
+       |FROM embx e LEFT JOIN comp ON comp.id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   /** E3a' ≙ TextOps.bpeTokenStats (regex pre-tokenization counts). */
   val bpeTokensSql: String = {
@@ -774,6 +879,49 @@ object ExtOracle {
        |FROM r WHERE before_tokens < 5000
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** ≙ DocFeed.withUrlMeta + Curate.domainOf: the corpus with synthetic
+    * URL JSON metadata and the regexp-extracted host. */
+  private val domainCorpusSql: String =
+    s"""$corpusSql, domc AS (
+       |  SELECT *, regexp_extract(json_extract_string(
+       |      '{"url": "https://w' || ((doc_id % 1000000) % 7)::VARCHAR ||
+       |        '.example.com/d/' || doc_id::VARCHAR || '"}', '$$.url'),
+       |    '^https?://([^/]+)', 1) AS domain
+       |  FROM corpus
+       |)""".stripMargin
+
+  /** ≙ Curate.domainDedupStats: per-host totals, distinct contents, dup
+    * overhang. */
+  val domainDedupSql: String =
+    s"""WITH $domainCorpusSql, g AS (
+       |  SELECT domain, md5(text) AS fp, count(*) AS n
+       |  FROM domc GROUP BY domain, md5(text)
+       |)
+       |SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_groups,
+       |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
+       |FROM g GROUP BY domain
+       |ORDER BY domain""".stripMargin
+
+  /** ≙ Packing.tokenBudget with the URL host as the stratum (budget 3000):
+    * the per-domain mixture cap of a web-corpus training mix. */
+  val domainBudgetSql: String =
+    s"""WITH $domainCorpusSql, b AS (
+       |  SELECT domain, doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    md5(text) AS h
+       |  FROM domc
+       |), r AS (
+       |  SELECT domain, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY domain ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tokens
+       |  FROM b
+       |)
+       |SELECT domain, count(*) AS n_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+       |FROM r WHERE before_tokens < 3000
+       |GROUP BY domain
+       |ORDER BY domain""".stripMargin
 
   /** ≙ Curate.decontaminate (eval set = doc_id ≡ 3 mod 97, shared word
     * 3-grams). */

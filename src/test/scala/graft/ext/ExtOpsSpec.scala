@@ -266,6 +266,46 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
       r2.getAs[Long]("q_sum") == 0L && r2.getAs[Int]("n_nonzero") == 0)
   }
 
+  test("repetitionStats: line/trigram/bigram repetition as exact basis points") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // 2 identical lines → dup_line_bp 5000; "a b c a b c a b" has
+      // 6 trigrams, 3 distinct → dup_tri_bp 5000; top bigram "a b" ×3 of 7
+      (1L, "a b c a b c a b\na b c a b c a b"),
+      // no repetition at all, one line
+      (2L, "one two three four five!")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_lines") == 2L)
+    assert(r1.getAs[Long]("dup_line_bp") == 5000L)
+    // 16 tokens (the newline glues "b\na" into one token), 14 trigrams of
+    // which 4 distinct survive... compute directly instead:
+    val toks = "a b c a b c a b\na b c a b c a b".split(" ")
+    val tris = toks.sliding(3).map(_.mkString(" ")).toSeq
+    assert(r1.getAs[Long]("dup_tri_bp") ==
+      (tris.size - tris.distinct.size).toLong * 10000 / tris.size)
+    val bigs = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val topCnt = bigs.groupBy(identity).values.map(_.size).max
+    assert(r1.getAs[Long]("top_bigram_bp") == topCnt.toLong * 10000 / bigs.size)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_lines") == 1L)
+    assert(r2.getAs[Long]("dup_line_bp") == 0L)
+    assert(r2.getAs[Long]("dup_tri_bp") == 0L)
+    assert(r2.getAs[Long]("sym_word_bp") == 10000L / 5) // one '!' over 5 words
+  }
+
+  test("planted line-dups drive the duplicate-line metric; base corpus is single-line") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = TextOps.repetitionStats(DocFeed.withDups(docs, plantLines = true))
+    val planted = rep.where(col("doc_id") >= DocFeed.LineDupOffset)
+    assert(planted.count() > 0)
+    assert(planted.where(col("dup_line_bp") =!= 5000L || col("n_lines") =!= 2L).count() == 0,
+      "every planted doc is its text twice across one newline")
+    assert(rep.where(col("doc_id") < DocFeed.LineDupOffset)
+      .where(col("n_lines") =!= 1L).count() == 0)
+  }
+
   test("topTerms ranks by tf desc then term asc and drops corpus-wide terms") {
     val s = spark
     import s.implicits._
