@@ -426,6 +426,21 @@ object SparkEntry {
       graft.streaming.EventStream.sessionizeStreamedToFiles(s, events(s, dir))
         .orderBy("user_id", "session_seq")),
 
+    // §2.11 E1-streaming — streaming exact dedup in production shape:
+    // planted duplicate deliveries (at-least-once replay) collapsed by
+    // dropDuplicatesWithinWatermark, append file sink; the result must be
+    // exactly the duplicate-free fixture
+    "ext_dedup_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.dedupStreamedToFiles(s, events(s, dir))
+        .orderBy("event_id")),
+
+    // §2.11 scale backend — the SAME stateful sessionization under the
+    // RocksDB state store (off-heap keyed state + changelog checkpoints,
+    // the 100 TB backend); must be result-invisible vs the same oracle
+    "ext_sessionize_rocksdb" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeStreamedRocksDb(s, events(s, dir))
+        .orderBy("user_id", "session_seq")),
+
     // §2.11 stream-stream interval join (per-side watermarks; the range
     // condition bounds join state) — same IntervalJoin code and oracle as
     // the batch ext_interval_join
@@ -538,6 +553,11 @@ object SparkEntry {
     "ext_kmv" -> ((s, dir) =>
       Similarity.kmvDistinct(events(s, dir), "event_type", "user_id", k = 16)
         .orderBy("event_type")),
+
+    // KMV MERGE — per-group sketches unioned into one global estimate
+    // without revisiting the data (the property a sketch exists for)
+    "ext_kmv_merged" -> ((s, dir) =>
+      Similarity.kmvMergedDistinct(events(s, dir), "event_type", "user_id", k = 16)),
 
     // composite-key twin of the long-form state materialization (two
     // consumer sub-trees → dedup materialized, as above)
@@ -765,6 +785,9 @@ object SparkEntry {
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,
     "ext_kmv" -> ExtOracle.kmvSql,
+    "ext_kmv_merged" -> ExtOracle.kmvMergedSql,
+    "ext_dedup_stream" -> ExtOracle.dedupStreamSql,
+    "ext_sessionize_rocksdb" -> ExtOracle.sessionizeSql,
     "cdc_state_composite" -> OrdersCdcOracle.lineitem.stateSql,
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,

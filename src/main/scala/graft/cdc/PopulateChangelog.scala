@@ -71,6 +71,12 @@ object PopulateChangelog {
     val stamped = withIds
       .withColumn("created_dt", current_timestamp())
       .withColumn("created_by", lit(spark.sparkContext.sparkUser))
+      // the reference DECLARES modified_dt/modified_by and never writes
+      // them (usp_cdc_populate_changelog.sql:153-154 — rows are append-only,
+      // nothing updates); carried as typed NULLs for schema fidelity so a
+      // consumer migrating off the reference sees the same column set
+      .withColumn("modified_dt", lit(null).cast("timestamp"))
+      .withColumn("modified_by", lit(null).cast("string"))
       .withColumn("commit_date", to_date(col("commit_time")))
       .observe(obs, count(lit(1)).as("n"))
     // clusterByKey: range-shuffle on (partition col, pk) + sort within

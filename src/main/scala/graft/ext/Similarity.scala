@@ -241,17 +241,26 @@ object Similarity {
     * @param keyCol   grouping column
     * @param valueCol column whose distinct count is sketched
     */
-  def kmvDistinct(df: DataFrame, keyCol: String, valueCol: String, k: Int = 16): DataFrame = {
+  /** Per-group KMV sketch: the k smallest 32-bit value hashes, ascending —
+    * the raw mergeable state [[kmvDistinct]] estimates from and
+    * [[kmvMergedDistinct]] unions. */
+  def kmvSketches(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
     val hv = conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     df.select(col(keyCol), col(valueCol)).distinct()
       .select(col(keyCol), hv.as("hv"))
       .groupBy(keyCol)
       .agg(topKByScore((-col("hv")).cast("double"), col("hv"), k).as("mins"))
+  }
+
+  /** Estimate columns from a `mins` sketch: kept count, kth value, and the
+    * (k-1)·2^32/kth estimator (exact when fewer than k values exist). */
+  private def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch
       .select(
-        col(keyCol),
-        size(col("mins")).cast("long").as("n_kept"),
-        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+        sketch.columns.filter(_ != "mins").map(col) :+
+          size(col("mins")).cast("long").as("n_kept") :+
+          element_at(col("mins"), size(col("mins"))).as("kth_hash"): _*)
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept"))
           // kth_hash = 0 (all-zero leading md5 lane, p≈2^-32 per group) must
@@ -260,7 +269,24 @@ object Similarity {
           // would raise instead, and Spark's ANSI div would too.
           .when(col("kth_hash") === 0, lit(null).cast("long"))
           .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * 4294967296 div kth_hash")))
-  }
+
+  def kmvDistinct(df: DataFrame, keyCol: String, valueCol: String, k: Int = 16): DataFrame =
+    kmvEstimate(kmvSketches(df, keyCol, valueCol, k), k)
+
+  /** KMV MERGE — the property the sketch exists for: per-group sketches
+    * union into a global one WITHOUT revisiting the data (at 100 TB the
+    * per-shard sketches are bytes; re-scanning for a global distinct is
+    * the thing you avoid). Merge = distinct union of the groups' kept
+    * hashes, keep the k smallest, estimate as usual. One explode over
+    * O(groups × k) rows — driver never touches the data. */
+  def kmvMergedDistinct(df: DataFrame, keyCol: String, valueCol: String, k: Int = 16): DataFrame =
+    kmvEstimate(
+      kmvSketches(df, keyCol, valueCol, k)
+        .select(explode(col("mins")).as("hv"))
+        .distinct() // the same value hashed in several groups counts once
+        .agg(topKByScore((-col("hv")).cast("double"), col("hv"), k).as("mins"))
+        .select(lit("all").as("scope"), col("mins")),
+      k)
 
   /** Symmetric per-vector int8 quantization — the standard embedding
     * compression step before an ANN index or a storage tier: each vector

@@ -780,6 +780,41 @@ object ExtOracle {
       |FROM kept
       |ORDER BY event_type""".stripMargin
 
+  /** ≙ Similarity.kmvMergedDistinct: per-group sketches unioned (distinct
+    * kept hashes, k smallest survive) into one global estimate — the merge
+    * path exercised end-to-end. */
+  val kmvMergedSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM d
+      |), r AS (
+      |  SELECT event_type, hv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |  FROM h
+      |), merged AS (
+      |  SELECT DISTINCT hv FROM r WHERE rn <= 16
+      |), mr AS (
+      |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM merged
+      |), kept AS (
+      |  SELECT count(*) AS n_kept, CAST(max(hv) AS BIGINT) AS kth_hash
+      |  FROM mr WHERE rn <= 16
+      |)
+      |SELECT 'all' AS scope, n_kept, kth_hash,
+      |  CASE WHEN n_kept < 16 THEN n_kept
+      |       WHEN kth_hash = 0 THEN NULL
+      |       ELSE CAST(15::BIGINT * 4294967296 // kth_hash AS BIGINT) END AS est_distinct
+      |FROM kept""".stripMargin
+
+  /** ≙ streaming.EventStream.dedupStreamedToFiles: the planted duplicate
+    * deliveries collapse to exactly the original fixture rows. */
+  val dedupStreamSql: String =
+    """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** ≙ ops.IntervalJoin.withinAfter over view→purchase conversions. */
   val intervalJoinSql: String =
     """WITH e AS (

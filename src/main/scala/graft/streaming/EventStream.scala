@@ -252,6 +252,60 @@ object EventStream {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** [[dedupStream]] driven end-to-end in production shape: the event
+    * stream with PLANTED duplicate deliveries (every `event_id % 10 == 0`
+    * row staged twice — the at-least-once replay a real firehose produces)
+    * → `dropDuplicatesWithinWatermark` on the event id → APPEND-mode
+    * parquet file sink, AvailableNow. The planted copies are bit-identical
+    * rows, so the surviving row is the same whichever delivery wins and
+    * the result must equal the original duplicate-free fixture — which is
+    * exactly what the oracle selects. Event times are second-truncated so
+    * the graded columns are integers. */
+  def dedupStreamedToFiles(spark: SparkSession, events: DataFrame): DataFrame = {
+    val typed = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      timestamp_seconds(expr("ts div 1000000000")).as("event_time"),
+      col("event_type"))
+    val inDir = tempDir("graft_dd_in").toString
+    typed.write.mode("append").parquet(inDir)
+    typed.where(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+    val outDir = tempDir("graft_dd_out")
+    val deduped = dedupStream(spark.readStream.schema(typed.schema).parquet(inDir))
+    val query = deduped
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.schema(deduped.schema).parquet(outDir.resolve("result").toString)
+      .select(col("event_id"), col("user_id"),
+        col("event_time").cast("long").as("t_s"), col("event_type"))
+  }
+
+  /** [[sessionizeStreamedToFiles]] with the RocksDB state store — the
+    * production state backend at 100 TB scale: per-user session state
+    * lives off-heap/on-disk with changelog checkpointing instead of in
+    * executor heap (the default HDFSBackedStateStoreProvider holds every
+    * key in memory, which caps state at heap size). Same operator, same
+    * oracle — the backend must be result-invisible. The provider conf is
+    * read at query START, so scoping it around the drive and restoring
+    * the previous value keeps the session's other streams on their
+    * configured backend. */
+  def sessionizeStreamedRocksDb(spark: SparkSession, events: DataFrame): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try sessionizeStreamedToFiles(spark, events)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   final case class UserEvent(user_id: Long, event_time: Timestamp, event_type: String)
   final case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
   final case class Session(

@@ -224,7 +224,8 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     // sink schema is batch-invariant: same columns after the wide batch
     assert(sink.columns.toSet ==
       Set("changelog_id", "commit_time", "table_name", "k", "column_name",
-        "old_value", "new_value", "created_dt", "created_by", "commit_date"))
+        "old_value", "new_value", "created_dt", "created_by",
+        "modified_dt", "modified_by", "commit_date"))
     val byCol = sink.where(col("column_name").isNotNull)
       .select("column_name", "old_value", "new_value", "commit_time").collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getTimestamp(3)))).toMap
