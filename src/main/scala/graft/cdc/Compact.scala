@@ -51,32 +51,44 @@ object Compact {
   /** Re-pack the sink at `path` into ~`targetBytes` files, preserving rows
     * exactly, and publish the repacked copy as the sink's new current
     * version (see [[SinkLayout]]). Returns before/after file counts for
-    * observability. A crash at ANY step leaves the current version — and
-    * therefore every reader and the next populate — untouched: an
-    * unpublished `data_v<N+1>` dir is invisible garbage, cleaned up by the
-    * next successful compaction's overwrite. */
+    * observability. A crash at ANY step leaves the current resolve — and
+    * therefore every reader and the next populate — untouched: the repack
+    * stages in an underscore dir Spark's listing ignores, the marker alone
+    * (no data dir yet) is ignored by the resolver, and only the final
+    * stage→data rename flips visibility; a re-run cleans the leftovers and
+    * re-stages. */
   def compactSink(
       spark: SparkSession,
       path: String,
       targetBytes: Long = DefaultTargetBytes): CompactStats = {
     val fs = SinkLayout.fs(spark, path)
     val cur = SinkLayout.currentVersion(fs, path)
+    val next = cur.getOrElse(0) + 1
+    val stage = new Path(SinkLayout.stageDir(path, next))
+    val nextDir = new Path(SinkLayout.versionDir(path, next))
+    // a failed earlier attempt's leftovers go FIRST — in the flat case
+    // they live under the live root and would otherwise inflate the
+    // before-stats (and therefore the repack's target file count)
+    fs.delete(stage, true)
+    fs.delete(nextDir, true)
+
     val liveDir = new Path(SinkLayout.dataDir(spark, path))
     val before = dataFiles(spark, liveDir)
     val bytes = before.map(_._2).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
-    val next = cur.getOrElse(0) + 1
-    val nextDir = new Path(SinkLayout.versionDir(path, next))
-    fs.delete(nextDir, true) // a failed earlier attempt's leftovers
+    // repack into the UNDERSCORE staging dir: invisible to every reader
+    // (Spark listing skips _-prefixed paths) even when it sits inside a
+    // flat sink's live root
     spark.read.parquet(liveDir.toString)
       .repartitionByRange(n, col("commit_date"), col("changelog_id"))
       .sortWithinPartitions(col("commit_date"), col("changelog_id"))
-      .write.partitionBy("commit_date").parquet(nextDir.toString)
+      .write.partitionBy("commit_date").parquet(stage.toString)
 
-    // the publish point: one atomic marker creation flips every subsequent
-    // resolve to the repacked copy; the old current stays on disk for one
-    // more cycle (in-flight readers' grace), older versions retire
+    // the publish point: marker + stage→data_v<N> rename flips every
+    // subsequent resolve to the repacked copy; the old current stays on
+    // disk for one more cycle (in-flight readers' grace), older versions
+    // retire
     SinkLayout.publish(fs, path, next)
     SinkLayout.retire(fs, path, next)
     CompactStats(before.size.toLong, dataFiles(spark, nextDir).size.toLong, bytes)

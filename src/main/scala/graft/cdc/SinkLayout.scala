@@ -62,14 +62,39 @@ object SinkLayout {
   def dataDir(spark: SparkSession, root: String): String =
     currentVersion(fs(spark, root), root).map(versionDir(root, _)).getOrElse(root)
 
-  /** Publish version `n`: one atomic marker-file creation (no overwrite —
-    * a version is published at most once). */
-  private[cdc] def publish(fs: FileSystem, root: String, n: Int): Unit =
-    fs.create(new Path(root, s"_v$n.ok"), false).close()
+  /** Staging dir for an in-flight repack of version `n`. The underscore
+    * prefix matters: Spark's file listing skips `_`/`.`-prefixed paths, so
+    * a half-written (or written-but-unpublished) repack inside a FLAT
+    * sink's root is invisible to every reader — a bare `data_v<n>` dir
+    * there would instead join the root's partition discovery and throw
+    * "conflicting directory structures". */
+  private[cdc] def stageDir(root: String, n: Int): String = s"$root/_stage_v$n"
+
+  /** Publish a fully-staged version `n`: create the `_vn.ok` marker FIRST
+    * (idempotent — a marker alone, with no data dir, is ignored by
+    * [[currentVersion]]), then rename the staged dir to `data_vn`. The
+    * rename is the visibility flip and the only non-idempotent step; on a
+    * crash before it, the sink still resolves to the old version and a
+    * re-run re-stages version n from scratch. (Directory rename is atomic
+    * on local/HDFS filesystems; an object-store deployment needs a
+    * manifest committer here, like any non-transactional parquet table.) */
+  private[cdc] def publish(fs: FileSystem, root: String, n: Int): Unit = {
+    val marker = new Path(root, s"_v$n.ok")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+    require(fs.rename(new Path(stageDir(root, n)), new Path(versionDir(root, n))),
+      s"publish rename ${stageDir(root, n)} -> ${versionDir(root, n)} failed")
+  }
+
+  private val FlatDataRe = "commit_date=.*".r
 
   /** Drop superseded versions older than `current - 1` (and, once the sink
-    * is at version ≥ 2, the migrated flat files at the root): the previous
-    * version is RETAINED as the in-flight readers' grace copy. */
+    * is at version ≥ 2, the migrated flat data files at the root): the
+    * previous version is RETAINED as the in-flight readers' grace copy.
+    * Only RECOGNIZED flat-data leftovers (`commit_date=*` partition dirs,
+    * `_SUCCESS`, loose parquet files) are swept — auxiliary state other
+    * components keep at the sink root (e.g. the streaming populate's
+    * `_applied_batches` exactly-once markers) must survive every
+    * compaction. */
   private[cdc] def retire(fs: FileSystem, root: String, current: Int): Unit = {
     val rootPath = new Path(root)
     fs.listStatus(rootPath).toSeq.foreach { st =>
@@ -78,10 +103,10 @@ object SinkLayout {
         case MarkerRe(n) if n.toInt < current - 1 =>
           fs.delete(new Path(rootPath, s"data_v$n"), true)
           fs.delete(st.getPath, false)
-        case _ if current >= 2 && !name.startsWith("data_v") && !name.startsWith("_v") =>
-          // flat-layout leftovers (commit_date=* dirs, loose files) were the
-          // pre-compaction "version 0": out of grace once v2 publishes
-          fs.delete(st.getPath, true)
+        case FlatDataRe() if current >= 2 => fs.delete(st.getPath, true)
+        case "_SUCCESS" if current >= 2 => fs.delete(st.getPath, false)
+        case _ if current >= 2 && st.isFile && name.endsWith(".parquet") =>
+          fs.delete(st.getPath, false)
         case _ => ()
       }
     }

@@ -165,12 +165,6 @@ object TextOps {
           .otherwise(lit("low")))
   }
 
-  /** The row-local duplicate-trigram share in basis points — the
-    * Gopher-style intra-document repetition signal ("fraction of duplicate
-    * n-grams"), shared by [[repetitionStats]] and the curation funnel's
-    * repetition gate so the graded funnel counts describe the same
-    * predicate the per-doc report carries. Codegen'd WordShingles + array
-    * ops: map-only at any scale. */
   /** Integer division as a composable Column (Catalyst IntegralDivide —
     * what `expr("a div b")` parses to): exact quotient ≙ DuckDB `//`,
     * usable where the operands are computed columns with no name to
@@ -181,6 +175,12 @@ object TextOps {
       ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
   }
 
+  /** The row-local duplicate-trigram share in basis points — the
+    * Gopher-style intra-document repetition signal ("fraction of duplicate
+    * n-grams"), shared by [[repetitionStats]] and the curation funnel's
+    * repetition gate so the graded funnel counts describe the same
+    * predicate the per-doc report carries. Codegen'd WordShingles + array
+    * ops: map-only at any scale. */
   def dupTrigramBp(textCol: Column): Column = {
     val sh = graft.functions.WordShingles.wordShingles(textCol, 3)
     val n = size(sh).cast("long")

@@ -281,6 +281,31 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     assert(SinkLayout.read(spark, path).count() == expected)
   }
 
+  test("compaction preserves foreign root state and shrugs off crash leftovers") {
+    val path = Files.createTempDirectory("graft_e2e_cl").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 08:30:00")))
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
+    val expected = SinkLayout.read(spark, path).count()
+    val root = new java.io.File(path)
+    // auxiliary state other components keep at the sink root (the
+    // streaming populate's exactly-once markers) must survive compactions
+    val aux = new java.io.File(root, "_applied_batches/abc_0")
+    aux.getParentFile.mkdirs(); aux.createNewFile()
+    // crash leftovers from a failed earlier publish: a fully-staged repack
+    // and a marker WITHOUT its data dir — both must be invisible to reads
+    new java.io.File(root, "_stage_v1/junk").mkdirs()
+    new java.io.File(root, "_v1.ok").createNewFile()
+    assert(SinkLayout.read(spark, path).count() == expected,
+      "orphan stage dir + orphan marker must not affect the flat resolve")
+    val s1 = Compact.compactSink(spark, path) // re-stages v1 from scratch
+    assert(SinkLayout.read(spark, path).count() == expected)
+    assert(s1.filesBefore > 0 && s1.bytesBefore > 0)
+    Compact.compactSink(spark, path) // v2: retires the flat leftovers
+    Compact.compactSink(spark, path) // v3: retires v1
+    assert(aux.exists, "_applied_batches must survive every compaction")
+    assert(SinkLayout.read(spark, path).count() == expected)
+  }
+
   test("populate resumes correctly onto a compacted sink (HWM + ids through the pointer)") {
     val path = Files.createTempDirectory("graft_e2e_rc").resolve("orders_changelog").toString
     PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-01 08:30:00")))
