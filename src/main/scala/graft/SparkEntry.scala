@@ -462,6 +462,20 @@ object SparkEntry {
           count(lit(1)).as("n_changes"))
         .orderBy("o_orderkey", "column_name")),
 
+    // incremental state MAINTENANCE — the CDC consumer pattern: bootstrap
+    // the state from batch 1, fold batch 2 in via the aggregate's merge
+    // (one shuffle per batch, never a history rescan); must equal the
+    // whole-feed state oracle bit-for-bit
+    "cdc_state_incremental" -> ((s, dir) => {
+      val sink = populateTwice(s, dir, ordersCfg, "graft_si")
+      val mid = lit(graft.oracle.OrdersCdcOracle.ResumeMid).cast("timestamp")
+      val state1 = graft.cdc.StateMaintain.stateLong(
+        sink.where(col("commit_time") <= mid), Seq("o_orderkey"))
+      graft.cdc.StateMaintain.applyBatch(
+        state1, sink.where(col("commit_time") > mid), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column_name")
+    }),
+
     // wide current state — the INVERSE reshaping of the unpivot: one
     // last_<col> per payload column via conditional argmax
     "cdc_state_wide" -> ((s, dir) =>
@@ -758,6 +772,7 @@ object SparkEntry {
     "ext_multimodal_decode" -> ExtOracle.multiModalDecodeSql,
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
+    "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,
     "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,
     "ext_event_windows_files" -> ExtOracle.eventWindowsSql,
     "ext_sessionize_stream" -> ExtOracle.sessionizeSql,

@@ -95,6 +95,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "pairs + sentinels should each read the checkpointed dedup")
   }
 
+  test("sink time-range scan prunes commit_date partitions at the source") {
+    // QueryData's day-granularity bounds must surface as PARTITION filters
+    // on the commit_date-partitioned sink (the index-range-scan analog at
+    // scale), not as post-scan row filters alone
+    val plan = SparkEntry.queries("cdc_query_data_sink")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*commit_date".r.findFirstIn(plan).isDefined,
+      s"expected commit_date partition pruning in the sink scan")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
