@@ -462,6 +462,23 @@ object SparkEntry {
           count(lit(1)).as("n_changes"))
         .orderBy("o_orderkey", "column_name")),
 
+    // changelog → SCD-type-2 column history: one row per value episode of
+    // a (pk, column), half-open id bounds via lead() over a PARTITIONED
+    // total order — the warehouse dimension-history consumer shape
+    "cdc_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey"), col("column_name"))
+        .orderBy(col("valid_from_id"))
+      ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+        .where(col("column_name").isNotNull)
+        .select(col("o_orderkey"), col("column_name"), col("new_value").as("value"),
+          col("changelog_id").as("valid_from_id"))
+        .withColumn("valid_to_id", lead(col("valid_from_id"), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to_id").isNull, lit(1L)).otherwise(lit(0L)))
+        .orderBy("o_orderkey", "column_name", "valid_from_id")
+    }),
+
     // incremental state MAINTENANCE — the CDC consumer pattern: bootstrap
     // the state from batch 1, fold batch 2 in via the aggregate's merge
     // (one shuffle per batch, never a history rescan); must equal the
@@ -709,6 +726,24 @@ object SparkEntry {
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
         .orderBy("o_orderpriority")),
 
+    // Z-order clustered write — multi-dim file skipping layout (Morton
+    // interleave + range partition): must be result-INVISIBLE, so the
+    // read-back aggregate hash-matches the plain-table oracle; the
+    // per-file rectangle localization is pinned by ZOrderSpec
+    "ext_zorder" -> ((s, dir) => {
+      val out = TempDirs.create("graft_zo").resolve("lineitem_z").toString
+      graft.ops.ZOrder.zOrderedWrite(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag")),
+        "l_orderkey", "l_partkey", out, numFiles = 16)
+      s.read.parquet(out).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // salted skew join — must be bit-identical to the plain inner join
     // (the oracle), with the hot keys spread across salt sub-partitions
     "ext_skew_join" -> ((s, dir) =>
@@ -773,6 +808,7 @@ object SparkEntry {
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,
+    "cdc_scd2" -> OrdersCdcOracle.default.scd2Sql,
     "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,
     "ext_event_windows_files" -> ExtOracle.eventWindowsSql,
     "ext_sessionize_stream" -> ExtOracle.sessionizeSql,
@@ -784,6 +820,7 @@ object SparkEntry {
     "ext_asof" -> ExtOracle.asofSql,
     "ext_rollup" -> ExtOracle.rollupSql,
     "ext_skew_join" -> ExtOracle.skewJoinSql,
+    "ext_zorder" -> ExtOracle.zorderSql,
     "ext_bucketed_join" -> ExtOracle.skewJoinSql,
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_stream" -> ExtOracle.intervalJoinSql,

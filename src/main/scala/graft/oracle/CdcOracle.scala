@@ -201,6 +201,25 @@ final class CdcOracle(
        |ORDER BY $pkOrder""".stripMargin
   }
 
+  /** Changelog → SCD-type-2 column history: one row per value EPISODE of
+    * a (pk, column), bounded by [valid_from_id, valid_to_id) with an open
+    * end (and is_current flag) on the latest — the dimension-history
+    * materialization a warehouse consumer builds from exactly this
+    * changelog. Window is partitioned per (pk, column) and ordered by the
+    * unique changelog_id, so lead() is total and engine-portable. */
+  val scd2Sql: String = {
+    val lead = s"lead(changelog_id) OVER (PARTITION BY $pkOrder, column_name ORDER BY changelog_id)"
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT $pkOrder, column_name, new_value AS value,
+       |  changelog_id AS valid_from_id,
+       |  $lead AS valid_to_id,
+       |  CAST(CASE WHEN $lead IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+       |FROM cl WHERE column_name IS NOT NULL
+       |ORDER BY $pkOrder, column_name, valid_from_id""".stripMargin
+  }
+
   /** S1 — bounded LSN-window scan of the change feed. */
   val feedWindowSql: String =
     s"""WITH feed AS (

@@ -780,6 +780,16 @@ object ExtOracle {
       |FROM kept
       |ORDER BY event_type""".stripMargin
 
+  /** ≙ ext_zorder: the z-clustered layout must be result-invisible — the
+    * oracle aggregates the plain table. */
+  val zorderSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** ≙ Similarity.kmvMergedDistinct: per-group sketches unioned (distinct
     * kept hashes, k smallest survive) into one global estimate — the merge
     * path exercised end-to-end. */
