@@ -426,6 +426,20 @@ object SparkEntry {
       graft.streaming.EventStream.sessionizeStreamedToFiles(s, events(s, dir))
         .orderBy("user_id", "session_seq")),
 
+    // windowed leaderboard as CHAINED aggregations (window count →
+    // per-window argmax) — the batch twin of the multi-stateful pipeline
+    "ext_window_topk" -> ((s, dir) =>
+      graft.streaming.EventStream.eventWindowTopType(
+        graft.streaming.EventStream.fromEventsFixture(events(s, dir)))
+        .orderBy("window_start")),
+
+    // §2.11 — the SAME chained aggregations under the streaming engine:
+    // TWO stateful operators in one append-mode pipeline (watermark
+    // propagation through the first window agg drives the second)
+    "ext_window_topk_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.eventWindowTopTypeStreamedToFiles(s, events(s, dir))
+        .orderBy("window_start")),
+
     // §2.11 E1-streaming — streaming exact dedup in production shape:
     // planted duplicate deliveries (at-least-once replay) collapsed by
     // dropDuplicatesWithinWatermark, append file sink; the result must be
@@ -570,6 +584,11 @@ object SparkEntry {
     // int8 embedding quantization — summary stats + fingerprint per vector
     "ext_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir)).orderBy("vec_id")),
+
+    // E3j — token-rarity scoring (unigram-LM proxy): mean/min document
+    // frequency + hapax count per doc over its distinct tokens
+    "ext_token_rarity" -> ((s, dir) =>
+      TextOps.tokenRarity(corpus(s, dir)).orderBy("doc_id")),
 
     // E3g — TF-IDF-shaped per-doc top-k terms with corpus df filter
     "ext_top_terms" -> ((s, dir) =>
@@ -839,10 +858,13 @@ object SparkEntry {
     "ext_kmv" -> ExtOracle.kmvSql,
     "ext_kmv_merged" -> ExtOracle.kmvMergedSql,
     "ext_dedup_stream" -> ExtOracle.dedupStreamSql,
+    "ext_window_topk" -> ExtOracle.eventWindowTopSql,
+    "ext_window_topk_stream" -> ExtOracle.eventWindowTopSql,
     "ext_sessionize_rocksdb" -> ExtOracle.sessionizeSql,
     "cdc_state_composite" -> OrdersCdcOracle.lineitem.stateSql,
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
+    "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql
   )
 }

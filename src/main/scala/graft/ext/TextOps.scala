@@ -228,6 +228,30 @@ object TextOps {
         intDiv(col("__cnt") * 10000L, col("__n_bigrams")).as("top_bigram_bp"))
   }
 
+  /** E3j — token-rarity scoring, the unigram-LM proxy every corpus filter
+    * runs in some form: a document made of ultra-RARE tokens is usually
+    * noise (OCR garbage, hashes), one made only of ultra-COMMON tokens is
+    * boilerplate. Per document, over its DISTINCT tokens: mean document
+    * frequency (×100, integer), rarest token's df, and hapax count
+    * (tokens appearing in exactly one document). Two hash aggregates +
+    * one join keyed on the token — vocabulary-sized sides, Zipf-skewed
+    * but bounded; never a doc×doc comparison. */
+  def tokenRarity(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = corpus
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("t"))
+      .distinct()
+    val dft = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    tok.join(dft, "t")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        intDiv(sum(col("df")) * 100L, count(lit(1))).as("mean_df_x100"),
+        min(col("df")).as("min_df"),
+        count(when(col("df") === 1, 1)).as("n_hapax"))
+      .select(col("id").as(idCol), col("n_distinct_tokens"),
+        col("mean_df_x100"), col("min_df"), col("n_hapax"))
+  }
+
   /** E3g — per-document top-k terms by term frequency, rare-term filtered:
     * the TF-IDF keyword-extraction shape. Document frequency is computed
     * once over the corpus and joined back; terms present in more than

@@ -380,6 +380,21 @@ object ExtOracle {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** ≙ EventStream.eventWindowTopType: per-window argmax with the
+    * (count desc, type desc) total order — Spark's max(struct(n, type)). */
+  val eventWindowTopSql: String =
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+      |    count(*) AS n FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT window_start, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type DESC) AS rn
+      |  FROM w
+      |)
+      |SELECT window_start, event_type AS top_type, CAST(n AS BIGINT) AS top_n
+      |FROM r WHERE rn = 1
+      |ORDER BY window_start""".stripMargin
+
   /** E3c' ≙ TextOps.eventStats. */
   val eventStatsSql: String =
     """SELECT event_type, count(*) AS n_events,
@@ -924,6 +939,23 @@ object ExtOracle {
        |FROM r WHERE before_tokens < 5000
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** E3j ≙ TextOps.tokenRarity (distinct tokens per doc, document
+    * frequency join, integer mean/min/hapax stats). */
+  val tokenRaritySql: String =
+    s"""WITH $corpusSql, tok AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM corpus
+       |), dft AS (
+       |  SELECT t, count(*) AS df FROM tok GROUP BY t
+       |), j AS (
+       |  SELECT tok.id, dft.df FROM tok JOIN dft ON dft.t = tok.t
+       |)
+       |SELECT id AS doc_id, count(*) AS n_distinct_tokens,
+       |  CAST(CAST(sum(df) AS BIGINT) * 100 // count(*) AS BIGINT) AS mean_df_x100,
+       |  CAST(min(df) AS BIGINT) AS min_df,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |FROM j GROUP BY id
+       |ORDER BY doc_id""".stripMargin
 
   /** ≙ DocFeed.withUrlMeta + Curate.domainOf: the corpus with synthetic
     * URL JSON metadata and the regexp-extracted host. */

@@ -130,6 +130,52 @@ object EventStream {
       .where(col("event_type") =!= "__flush")
   }
 
+  /** Per-window TOP event type — the windowed-leaderboard shape, built as
+    * CHAINED aggregations so the same plan runs under the streaming
+    * engine's multi-stateful-operator support: window counts, then an
+    * argmax per window. The argmax is `max(struct(n, type))` — greatest
+    * count, ties to the lexicographically greatest type — so the winner
+    * is total-order deterministic and oracle-portable. */
+  def eventWindowTopType(events: DataFrame, windowDuration: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(window_time(col("window")), windowDuration).as("w2"))
+      .agg(max(struct(col("n_events"), col("event_type"))).as("top"))
+      .select(col("w2.start").as("window_start"),
+        col("top.event_type").as("top_type"), col("top.n_events").as("top_n"))
+
+  /** [[eventWindowTopType]] under the real streaming engine: TWO chained
+    * stateful aggregations (windowed count → per-window argmax) in append
+    * mode to a file sink — the multi-stateful-operator pipeline Spark's
+    * streaming engine supports since event-time watermark propagation
+    * landed. Sentinel-flushed like the other file drives; the sentinel is
+    * alone in its own far-future window, tops it, and is filtered out. */
+  def eventWindowTopTypeStreamedToFiles(spark: SparkSession, events: DataFrame): DataFrame = {
+    val typed = fromEventsFixture(events)
+      .select(col("event_time"), col("event_type"))
+    val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    if (maxT == null) return eventWindowTopType(typed).limit(0)
+    val sentinel = typed.sparkSession.range(1).select(
+      timestamp_millis(lit(maxT.getTime + 2L * 24 * 3600 * 1000)).as("event_time"),
+      lit("__flush").as("event_type"))
+    val inDir = stageWithSentinel(typed, sentinel)
+    val outDir = tempDir("graft_topk_out")
+    val top = eventWindowTopType(
+      spark.readStream.schema(typed.schema).parquet(inDir))
+    val query = top
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.schema(top.schema).parquet(outDir.resolve("result").toString)
+      .where(col("top_type") =!= "__flush")
+  }
+
   /** [[sessionize]] under the real streaming engine, graded against the
     * batch sessionizer's oracle: file source (second-truncated event
     * times, so gap math matches the batch query's epoch-seconds exactly) →
