@@ -285,6 +285,11 @@ object SparkEntry {
     "ext_simhash" -> ((s, dir) =>
       Dedup.simhash(corpus(s, dir)).orderBy("doc_id")),
 
+    // E1c' — SimHash near-dup pairs: 8-bit bands → candidates → exact
+    // hamming ≤ 3 (lossless by pigeonhole at this threshold)
+    "ext_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(corpus(s, dir)).orderBy("id_a", "id_b")),
+
     // E1a'' — incremental ingest dedup: within-batch collapse + anti join
     // against the existing corpus fingerprint index
     "ext_dedup_ingest" -> ((s, dir) =>
@@ -806,6 +811,7 @@ object SparkEntry {
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
     "ext_simhash" -> ExtOracle.simhashSql,
+    "ext_simhash_pairs" -> ExtOracle.simhashPairsSql,
     "ext_tokens" -> ExtOracle.tokenStatsSql,
     "ext_langid" -> ExtOracle.languageIdSql,
     "ext_json" -> ExtOracle.jsonExtractSql,

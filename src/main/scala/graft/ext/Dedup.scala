@@ -206,6 +206,33 @@ object Dedup {
     * thresholding; bit_count is codegen'd). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  val SimHashBands = 4
+  val SimHashMaxHamming = 3
+
+  /** E1c' — SimHash near-duplicate pairs: band the 32-bit fingerprint into
+    * [[SimHashBands]] 8-bit buckets, join candidates per (band, value),
+    * verify by exact hamming ≤ [[SimHashMaxHamming]]. The banding is
+    * LOSSLESS for this threshold by pigeonhole: ≤3 differing bits cannot
+    * touch all 4 bands, so every qualifying pair shares at least one
+    * exact band — recall 1.0, never a doc×doc product (the MinHash/LSH
+    * structure over a 32-bit signature instead of shingle sets). */
+  def simhashNearDupPairs(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(corpus, textCol, idCol)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimHashBands).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
+    val l = bands.select(col("band"), col("bv"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val r = bands.select(col("band"), col("bv"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "bv")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .where(hammingDistance(col("sh_a"), col("sh_b")) <= SimHashMaxHamming)
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+  }
+
   /** E1d — embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
     * are restricted to vectors sharing a random-hyperplane bucket
     * (one shuffle on the bucket key — never the corpus cross product),

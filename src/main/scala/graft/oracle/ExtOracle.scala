@@ -219,8 +219,10 @@ object ExtOracle {
        |ORDER BY lang""".stripMargin
 
   /** E1c ≙ Dedup.simhash (32-bit, distinct-token set, md5-derived hashes). */
-  val simhashSql: String =
-    s"""WITH $corpusSql, tok0 AS (
+  /** Shared CTE chain ending in `sims(id, simhash)` — consumed by the
+    * fingerprint listing and the banded near-dup pair search. */
+  private val simhashCtes: String =
+    s"""$corpusSql, tok0 AS (
        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM corpus
        |), tokd AS (
        |  SELECT DISTINCT id, t FROM tok0
@@ -232,10 +234,33 @@ object ExtOracle {
        |         THEN 1 ELSE 0 END AS b
        |  FROM hh, range(${Dedup.SimHashBits}) r(j)
        |  GROUP BY id, j
-       |)
-       |SELECT id AS doc_id, CAST(sum(b * (1::BIGINT << j)) AS BIGINT) AS simhash
-       |FROM bits GROUP BY id
+       |), sims AS (
+       |  SELECT id, CAST(sum(b * (1::BIGINT << j)) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY id
+       |)""".stripMargin
+
+  val simhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT id AS doc_id, simhash FROM sims
        |ORDER BY doc_id""".stripMargin
+
+  /** ≙ Dedup.simhashNearDupPairs: 4×8-bit bands generate candidates, exact
+    * hamming ≤ 3 verifies (lossless by pigeonhole — see the Spark side). */
+  val simhashPairsSql: String =
+    s"""WITH $simhashCtes, sbands AS (
+       |  SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sims, range(${Dedup.SimHashBands}) r(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM sbands l JOIN sbands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sims a ON a.id = c.id_a
+       |JOIN sims b ON b.id = c.id_b
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimHashMaxHamming}
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** E3a ≙ TextOps.tokenStats. */
   val tokenStatsSql: String =

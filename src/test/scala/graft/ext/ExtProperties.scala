@@ -31,6 +31,21 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       got == expected
     }
 
+  private val genDim: Gen[Long] = Gen.choose(0L, 0x7fffffffL)
+
+  property("z-interleave is monotone per dimension and round-trips bits") =
+    Prop.forAll(genDim, genDim, genDim) { (a1, a2, b) =>
+      import graft.functions.ZValue.interleave
+      val mono =
+        if (a1 == a2) interleave(a1, b) == interleave(a2, b)
+        else (a1 < a2) == (interleave(a1, b) < interleave(a2, b))
+      // symmetric on the other dimension, and never negative (31-bit dims)
+      val monoB =
+        if (a1 == a2) true
+        else (a1 < a2) == (interleave(b, a1) < interleave(b, a2))
+      mono && monoB && interleave(a1, b) >= 0L
+    }
+
   private val genCorpus: Gen[List[(Long, String)]] = for {
     n <- Gen.choose(0, 25)
     texts <- Gen.listOfN(n, Gen.choose(1, 8).flatMap(len =>
