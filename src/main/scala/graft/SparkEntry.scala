@@ -498,6 +498,36 @@ object SparkEntry {
         .orderBy("o_orderkey", "column_name", "valid_from_id")
     }),
 
+    // wide current state over the 72-column BINARY-mask feed — the state
+    // pivot and the BinaryMaskBit gate composing (72 conditional argmaxes)
+    "cdc_state_wide_mask" -> ((s, dir) =>
+      ChangelogBuilder.stateWide(
+        ChangelogBuilder.withIds(
+          ChangelogBuilder.build(
+            graft.cdc.WideFeed.fromOrders(orders(s, dir)), graft.cdc.WideFeed.cfg),
+          graft.cdc.WideFeed.cfg),
+        graft.cdc.WideFeed.cfg, graft.cdc.WideFeed.WideCols)
+        .orderBy("o_orderkey")),
+
+    // SCD2 with a COMPOSITE key — the same episode windows partitioned on
+    // both key columns
+    "cdc_scd2_composite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"), col("l_linenumber"), col("column_name"))
+        .orderBy(col("valid_from_id"))
+      ChangelogBuilder.withIds(
+        ChangelogBuilder.build(
+          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+            materializeDedup = true), lineitemCfg), lineitemCfg)
+        .where(col("column_name").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("column_name"),
+          col("new_value").as("value"), col("changelog_id").as("valid_from_id"))
+        .withColumn("valid_to_id", lead(col("valid_from_id"), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to_id").isNull, lit(1L)).otherwise(lit(0L)))
+        .orderBy("l_orderkey", "l_linenumber", "column_name", "valid_from_id")
+    }),
+
     // incremental state MAINTENANCE — the CDC consumer pattern: bootstrap
     // the state from batch 1, fold batch 2 in via the aggregate's merge
     // (one shuffle per batch, never a history rescan); must equal the
@@ -834,6 +864,8 @@ object SparkEntry {
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,
     "cdc_scd2" -> OrdersCdcOracle.default.scd2Sql,
+    "cdc_scd2_composite" -> OrdersCdcOracle.lineitem.scd2Sql,
+    "cdc_state_wide_mask" -> OrdersCdcOracle.wide.stateWideSql,
     "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,
     "ext_event_windows_files" -> ExtOracle.eventWindowsSql,
     "ext_sessionize_stream" -> ExtOracle.sessionizeSql,
