@@ -472,31 +472,19 @@ object SparkEntry {
     // consumer query every CDC changelog exists to serve. One hash
     // aggregation over the changelog; max_by ≙ DuckDB arg_max.
     "cdc_state" -> ((s, dir) =>
-      ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
-        .where(col("column_name").isNotNull)
-        .groupBy(col("o_orderkey"), col("column_name"))
-        .agg(
-          max_by(col("new_value"), col("changelog_id")).as("last_value"),
-          max(col("changelog_id")).as("last_change_id"),
-          count(lit(1)).as("n_changes"))
+      graft.cdc.StateMaintain.stateLong(
+        ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg),
+        Seq("o_orderkey"))
         .orderBy("o_orderkey", "column_name")),
 
     // changelog → SCD-type-2 column history: one row per value episode of
     // a (pk, column), half-open id bounds via lead() over a PARTITIONED
     // total order — the warehouse dimension-history consumer shape
-    "cdc_scd2" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderkey"), col("column_name"))
-        .orderBy(col("valid_from_id"))
-      ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
-        .where(col("column_name").isNotNull)
-        .select(col("o_orderkey"), col("column_name"), col("new_value").as("value"),
-          col("changelog_id").as("valid_from_id"))
-        .withColumn("valid_to_id", lead(col("valid_from_id"), 1).over(w))
-        .withColumn("is_current",
-          when(col("valid_to_id").isNull, lit(1L)).otherwise(lit(0L)))
-        .orderBy("o_orderkey", "column_name", "valid_from_id")
-    }),
+    "cdc_scd2" -> ((s, dir) =>
+      graft.cdc.StateMaintain.columnHistory(
+        ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg),
+        Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column_name", "valid_from_id")),
 
     // wide current state over the 72-column BINARY-mask feed — the state
     // pivot and the BinaryMaskBit gate composing (72 conditional argmaxes)
@@ -511,22 +499,14 @@ object SparkEntry {
 
     // SCD2 with a COMPOSITE key — the same episode windows partitioned on
     // both key columns
-    "cdc_scd2_composite" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_orderkey"), col("l_linenumber"), col("column_name"))
-        .orderBy(col("valid_from_id"))
-      ChangelogBuilder.withIds(
-        ChangelogBuilder.build(
-          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
-            materializeDedup = true), lineitemCfg), lineitemCfg)
-        .where(col("column_name").isNotNull)
-        .select(col("l_orderkey"), col("l_linenumber"), col("column_name"),
-          col("new_value").as("value"), col("changelog_id").as("valid_from_id"))
-        .withColumn("valid_to_id", lead(col("valid_from_id"), 1).over(w))
-        .withColumn("is_current",
-          when(col("valid_to_id").isNull, lit(1L)).otherwise(lit(0L)))
-        .orderBy("l_orderkey", "l_linenumber", "column_name", "valid_from_id")
-    }),
+    "cdc_scd2_composite" -> ((s, dir) =>
+      graft.cdc.StateMaintain.columnHistory(
+        ChangelogBuilder.withIds(
+          ChangelogBuilder.build(
+            ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+              materializeDedup = true), lineitemCfg), lineitemCfg),
+        Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "column_name", "valid_from_id")),
 
     // incremental state MAINTENANCE — the CDC consumer pattern: bootstrap
     // the state from batch 1, fold batch 2 in via the aggregate's merge
@@ -647,17 +627,13 @@ object SparkEntry {
     // composite-key twin of the long-form state materialization (two
     // consumer sub-trees → dedup materialized, as above)
     "cdc_state_composite" -> ((s, dir) =>
-      ChangelogBuilder.withIds(
-        ChangelogBuilder.build(
-          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
-            materializeDedup = true), lineitemCfg),
-        lineitemCfg)
-        .where(col("column_name").isNotNull)
-        .groupBy(col("l_orderkey"), col("l_linenumber"), col("column_name"))
-        .agg(
-          max_by(col("new_value"), col("changelog_id")).as("last_value"),
-          max(col("changelog_id")).as("last_change_id"),
-          count(lit(1)).as("n_changes"))
+      graft.cdc.StateMaintain.stateLong(
+        ChangelogBuilder.withIds(
+          ChangelogBuilder.build(
+            ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+              materializeDedup = true), lineitemCfg),
+          lineitemCfg),
+        Seq("l_orderkey", "l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber", "column_name")),
 
     // sequence packing — contiguous-fill 512-token bins per source shard

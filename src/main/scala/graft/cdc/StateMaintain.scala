@@ -34,6 +34,25 @@ object StateMaintain {
         max(col("changelog_id")).as("last_change_id"),
         count(lit(1)).as("n_changes"))
 
+  /** Changelog → SCD-type-2 column history: one row per value EPISODE of
+    * a (pk, column), bounded by [valid_from_id, valid_to_id) with an open
+    * end (and is_current flag) on the latest — the dimension-history
+    * consumer next to the current-state fold. The episode window is
+    * PARTITIONED per (pk, column) and ordered by the unique changelog_id,
+    * so lead() is total, deterministic, and scale-safe. */
+  def columnHistory(changelogWithIds: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ "column_name").map(col): _*)
+      .orderBy(col("valid_from_id"))
+    changelogWithIds
+      .where(col("column_name").isNotNull)
+      .select((keyCols :+ "column_name").map(col) ++ Seq(
+        col("new_value").as("value"), col("changelog_id").as("valid_from_id")): _*)
+      .withColumn("valid_to_id", lead(col("valid_from_id"), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to_id").isNull, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Fold one new changelog batch into an existing state table. The state
     * side re-enters the aggregation as a single pseudo-row per key
     * carrying its accumulated weight; the result is bit-identical to

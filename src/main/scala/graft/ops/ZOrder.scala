@@ -29,16 +29,29 @@ object ZOrder {
   /** Write `df` into `outDir` clustered on the Morton interleave of the
     * two dimension columns, each min-max normalized to [[DimBits]] bits.
     * The min/max pass is one tiny aggregate job (at scale: table stats or
-    * a sketch); the normalization itself is exact integer math. */
+    * a sketch); the normalization itself is exact integer math. Wide
+    * domains (e.g. epoch-nano timestamps) are pre-shifted so the
+    * `(x - lo) * maxScaled` product can never overflow a long — an
+    * overflow would wrap negative and silently destroy the clustering
+    * while every result-level check stayed green (layout is
+    * result-invisible). An empty input just writes the empty schema. */
   def zOrderedWrite(
       df: DataFrame, dimA: String, dimB: String, outDir: String, numFiles: Int): Unit = {
     val stats = df.agg(
       min(col(dimA).cast("long")), max(col(dimA).cast("long")),
       min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) { // empty (or all-null dims)
+      df.write.parquet(outDir)
+      return
+    }
     val maxScaled = (1L << DimBits) - 1
     def scaled(c: String, lo: Long, hi: Long) = {
       val span = math.max(1L, hi - lo)
-      expr(s"(CAST($c AS BIGINT) - $lo) * $maxScaled div $span")
+      // drop low bits until span * maxScaled fits in a long (span ≤ 2^45);
+      // shifting preserves order, only coarsens the normalization
+      val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val k = math.max(0, spanBits - 45)
+      expr(s"shiftright(CAST($c AS BIGINT) - $lo, $k) * $maxScaled div ${math.max(1L, span >> k)}")
     }
     df.withColumn("__z", ZValue.zValue(
         scaled(dimA, stats.getLong(0), stats.getLong(1)),

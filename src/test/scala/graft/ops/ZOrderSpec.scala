@@ -28,6 +28,32 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(ZValue.interleave(1L << 40, 0L) == 0L)
   }
 
+  test("wide (epoch-nano-scale) domains normalize without overflow; empty input writes") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_zwide")
+    // spans ~1.7e18: the naive (x-lo)*32767 would wrap a long
+    val wide = (0 until 64).map(i => (i.toLong * 27_000_000_000_000_000L, i.toLong))
+      .toDF("t", "k")
+    val wideDir = base.resolve("wide").toString
+    ZOrder.zOrderedWrite(wide, "t", "k", wideDir, numFiles = 4)
+    val back = spark.read.parquet(wideDir)
+    assert(back.count() == 64)
+    // files must still partition the wide dimension into ordered slices —
+    // overflow would shuffle rows into arbitrary files
+    val spans = back.withColumn("f", input_file_name())
+      .groupBy("f").agg(min("t").as("lo"), max("t").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, "per-file wide-dim ranges must stay disjoint and ordered")
+    case _ => ()
+    }
+    val emptyDir = base.resolve("empty").toString
+    ZOrder.zOrderedWrite(wide.where(lit(false)), "t", "k", emptyDir, numFiles = 4)
+    assert(spark.read.parquet(emptyDir).count() == 0)
+  }
+
   test("z-ordered files localize BOTH dimensions; a 1-d sort smears the second") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey").cast("long").as("a"), col("l_partkey").cast("long").as("b"))
