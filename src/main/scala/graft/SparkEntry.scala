@@ -651,6 +651,14 @@ object SparkEntry {
       graft.ext.Cluster.clusters(c, Dedup.nearDuplicatePairs(c)).orderBy("doc_id")
     }),
 
+    // E1e'' — representative selection: per near-dup cluster keep the
+    // FULLEST member (most tokens, id tiebreak), what a real dedup ships
+    "ext_dedup_representatives" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.Cluster.representatives(c, Dedup.nearDuplicatePairs(c))
+        .orderBy("cluster_id")
+    }),
+
     // leakage-safe split: the 98/1/1 hash bucket keys on the CLUSTER id,
     // so near-duplicates can never land on both sides of train/test
     "ext_split_safe" -> ((s, dir) => {
@@ -860,6 +868,7 @@ object SparkEntry {
     "ext_pack" -> ExtOracle.packBinsSql,
     "ext_split" -> ExtOracle.hashSplitSql,
     "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,
+    "ext_dedup_representatives" -> ExtOracle.dedupRepresentativesSql,
     "ext_split_safe" -> ExtOracle.splitSafeSql,
     "ext_sample_stratified" -> ExtOracle.sampleStratifiedSql,
     "ext_decontaminate" -> ExtOracle.decontaminateSql,

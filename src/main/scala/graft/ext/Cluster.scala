@@ -79,6 +79,32 @@ object Cluster {
       .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
 
+  /** Representative selection — the step after clustering in a real dedup:
+    * per near-dup cluster keep the BEST member, not an arbitrary one.
+    * "Best" here is most tokens (keep the fullest copy), doc_id as the
+    * total-order tiebreak; engine-portable via max(struct(score, -id))
+    * semantics expressed as max_by with a composite ordering. One join
+    * against the (small) cluster labels + one hash aggregate per cluster.
+    * Output: cluster_id, representative doc, member count, kept tokens. */
+  def representatives(
+      corpus: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = corpus.select(col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    scored
+      .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(
+        // composite argmax: most tokens, then SMALLEST id — (n_tokens, -id)
+        // is a total order, so the winner is deterministic on both engines
+        max_by(col("doc_id"), struct(col("n_tokens"), (-col("doc_id")).as("neg")))
+          .as("keep_id"),
+        max(col("n_tokens")).as("keep_tokens"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Leakage-safe deterministic split: the hash bucket is computed from the
     * CLUSTER id, not the document, so a whole near-dup cluster always lands
     * in one split — near-copies can never straddle train/test. Same 98/1/1

@@ -176,6 +176,35 @@ object ExtOracle {
        |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** ≙ ext.Cluster.representatives: per cluster keep the fullest member
+    * (most tokens, doc_id tiebreak — a total order both engines rank
+    * identically). */
+  val dedupRepresentativesSql: String =
+    s"""WITH RECURSIVE $pairCtes, und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM und
+       |  UNION
+       |  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON u.src = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |), assigned AS (
+       |  SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(coalesce(comp.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+       |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+       |), r AS (
+       |  SELECT cluster_id, doc_id, n_tokens,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |    CAST(max(n_tokens) OVER (PARTITION BY cluster_id) AS BIGINT) AS keep_tokens
+       |  FROM assigned
+       |)
+       |SELECT cluster_id, doc_id AS keep_id, keep_tokens, n_members
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   /** ≙ ext.Cluster.leakageSafeSplit: 98/1/1 hash split keyed on the
     * CLUSTER id, so a near-dup cluster can never straddle splits. */
   val splitSafeSql: String =
