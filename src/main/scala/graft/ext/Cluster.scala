@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * graph state), and `localCheckpoint` truncates the plan between rounds
   * so lineage cannot snowball. Rounds needed = graph diameter: dup
   * clusters are near-cliques (LSH bands fire on every close pair), so in
-  * practice this is 2–3 rounds; a pathological long-chain graph would
-  * need the O(log n)-round large-star/small-star variant (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond") — maxIter guards
-  * against silently mislabeling if such a graph ever shows up.
+  * practice this is 2–3 rounds; a pathological long-chain graph that
+  * exhausts maxIter ESCALATES automatically to the O(log n)-round
+  * large-star/small-star alternating algorithm
+  * ([[connectedComponentsAlternating]], Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") instead of failing.
   */
 object Cluster {
 
@@ -65,9 +66,72 @@ object Cluster {
       done = obs.get("changed").asInstanceOf[Long] == 0
       iter += 1
     }
-    require(done, s"connectedComponents did not converge within $maxIter rounds " +
-      "(graph diameter too large — switch to the large-star/small-star variant)")
-    labels
+    if (done) labels
+    else {
+      // diameter exceeded the round budget (a long-chain graph): escalate
+      // to the O(log n)-round alternating algorithm instead of failing
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"min-label propagation did not converge in $maxIter rounds; " +
+          "escalating to large-star/small-star")
+      connectedComponentsAlternating(edges)
+    }
+  }
+
+  /** Connected components via the ALTERNATING algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): interleave
+    * large-star (every node's larger neighbors re-point to its minimum)
+    * and small-star (every node and its smaller neighbors collapse onto
+    * the minimum) until the edge set stabilizes as stars — O(log n)
+    * rounds on ANY graph, vs diameter rounds for label propagation. Each
+    * round is two hash aggregations + joins, localCheckpoint-truncated.
+    * Used as [[connectedComponents]]'s escalation path for long-chain
+    * graphs; takes the BIDIRECTED distinct edge list. */
+  private[ext] def connectedComponentsAlternating(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+    // edges ride CANONICALLY as (hi, lo) with hi > lo; both steps return
+    // that form (their emissions always point bigger → smaller)
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct()
+    // large-star: for every node u (over the BIDIRECTED view) each
+    // strictly-larger neighbor re-points to m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.select(col("hi").as("src"), col("lo").as("dst"))
+        .union(e.select(col("lo").as("src"), col("hi").as("dst"))) // distinct by construction
+      val m = bi.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      canon(bi.join(m, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+    // small-star: per node u, its ≤-neighbors and u itself all collapse
+    // onto m(u) = min of the smaller neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val j = e.join(m, Seq("hi"))
+      canon(
+        j.select(col("lo").as("src"), col("m").as("dst"))
+          .union(j.select(col("hi").as("src"), col("m").as("dst"))))
+    }
+    var e = canon(edges0).localCheckpoint(true)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // stable ⇔ identical edge sets (both sides are distinct)
+      stable = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      iter += 1
+    }
+    require(stable, s"alternating CC did not stabilize within $maxIter rounds")
+    // stars: every non-root points directly at its component min; every
+    // OTHER node that appeared in the input (roots, and nodes whose only
+    // edges were self-loops, which canon() drops) labels itself
+    val members = e.select(col("hi").as("id"), col("lo").as("label"))
+    val nodes = edges0.select(col("src").as("id"))
+      .union(edges0.select(col("dst").as("id"))).distinct()
+    val selves = nodes
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    members.union(selves).distinct()
   }
 
   /** Cluster assignment for EVERY document: members of a near-dup

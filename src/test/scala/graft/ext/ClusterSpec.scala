@@ -25,6 +25,15 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("a chain deeper than maxIter escalates to the alternating algorithm") {
+    // diameter 79 exceeds the default 20-round label-propagation budget:
+    // the escalation must label the whole chain with its min, not fail
+    val chain = pairsDf((1L until 80L).map(i => (i, i + 1)): _*)
+    val labels = Cluster.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 80 && labels.values.forall(_ == 1L))
+  }
+
   test("disjoint components keep distinct min labels") {
     val labels = Cluster.connectedComponents(pairsDf((10L, 7L), (20L, 21L), (21L, 22L)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -146,6 +146,29 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       got == want
     }
 
+  property("alternating large-star/small-star CC equals union-find too") =
+    Prop.forAll(genEdges) { edges =>
+      val s = spark
+      import s.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else Cluster.connectedComponentsAlternating(
+          edges.toDF("id_a", "id_b")
+            .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+
   property("int8 quantization stays in [-127,127] with extremes hit") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_ / 10.0f))) { xs =>
       val s = spark
