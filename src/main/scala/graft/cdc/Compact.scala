@@ -85,6 +85,12 @@ object Compact {
       .sortWithinPartitions(col("commit_date"), col("changelog_id"))
       .write.partitionBy("commit_date").parquet(stage.toString)
 
+    // migrating a FLAT sink: record which root entries the repack just
+    // consumed, so retire() later sweeps exactly those (provenance, not
+    // pattern-matching — written BEFORE publish; a crash here leaves a
+    // manifest for an unpublished version, overwritten by the re-run)
+    if (cur.isEmpty) SinkLayout.recordFlatMigration(fs, path, next)
+
     // the publish point: marker + stage→data_v<N> rename flips every
     // subsequent resolve to the repacked copy; the old current stays on
     // disk for one more cycle (in-flight readers' grace), older versions

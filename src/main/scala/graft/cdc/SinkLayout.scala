@@ -86,15 +86,49 @@ object SinkLayout {
   }
 
   private val FlatDataRe = "commit_date=.*".r
+  private val ManifestRe = "_flat_v(\\d+)\\.manifest".r
 
-  /** Drop superseded versions older than `current - 1` (and, once the sink
-    * is at version ≥ 2, the migrated flat data files at the root): the
-    * previous version is RETAINED as the in-flight readers' grace copy.
-    * Only RECOGNIZED flat-data leftovers (`commit_date=*` partition dirs,
-    * `_SUCCESS`, loose parquet files) are swept — auxiliary state other
-    * components keep at the sink root (e.g. the streaming populate's
-    * `_applied_batches` exactly-once markers) must survive every
-    * compaction. */
+  private[cdc] def manifestPath(root: String, n: Int): Path =
+    new Path(root, s"_flat_v$n.manifest")
+
+  /** Root-level entries that constitute a FLAT sink's data plane — exactly
+    * what `spark.read.parquet(root)` consumes and the repack migrates. */
+  private def isFlatData(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    st.getPath.getName match {
+      case FlatDataRe() => true
+      case "_SUCCESS" => true
+      case n => st.isFile && n.endsWith(".parquet")
+    }
+
+  /** Record, at migration time, WHICH root entries the flat→`data_v<n>`
+    * repack consumed (one root-relative name per line, underscore-prefixed
+    * so readers never list it). [[retire]] later deletes exactly these —
+    * provenance-based sweeping, so a foreign parquet file some other
+    * component parks at the sink root AFTER migration is never touched.
+    * Written before publish: a crash leaves a manifest for an unpublished
+    * version, which the re-run simply overwrites. */
+  private[cdc] def recordFlatMigration(fs: FileSystem, root: String, n: Int): Unit = {
+    val entries = fs.listStatus(new Path(root)).toSeq.filter(isFlatData)
+      .map(_.getPath.getName).sorted
+    val out = fs.create(manifestPath(root, n), true)
+    try out.write(entries.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Drop superseded versions older than `current - 1`: the previous
+    * version is RETAINED as the in-flight readers' grace copy. The
+    * migrated FLAT data (pseudo-version 0) retires on the same schedule,
+    * but by PROVENANCE, not pattern: only the root entries named in the
+    * migration manifest [[recordFlatMigration]] wrote are deleted, so both
+    * auxiliary state other components keep at the sink root (e.g. the
+    * streaming populate's `_applied_batches` exactly-once markers) AND any
+    * foreign file parked there after migration survive every compaction. */
   private[cdc] def retire(fs: FileSystem, root: String, current: Int): Unit = {
     val rootPath = new Path(root)
     fs.listStatus(rootPath).toSeq.foreach { st =>
@@ -103,9 +137,11 @@ object SinkLayout {
         case MarkerRe(n) if n.toInt < current - 1 =>
           fs.delete(new Path(rootPath, s"data_v$n"), true)
           fs.delete(st.getPath, false)
-        case FlatDataRe() if current >= 2 => fs.delete(st.getPath, true)
-        case "_SUCCESS" if current >= 2 => fs.delete(st.getPath, false)
-        case _ if current >= 2 && st.isFile && name.endsWith(".parquet") =>
+        case ManifestRe(n) if n.toInt < current =>
+          // the flat layout this manifest migrated is now past grace:
+          // sweep exactly the recorded entries, then the manifest itself
+          readManifest(fs, st.getPath)
+            .foreach(e => fs.delete(new Path(rootPath, e), true))
           fs.delete(st.getPath, false)
         case _ => ()
       }

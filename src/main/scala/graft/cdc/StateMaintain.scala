@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * key per batch, sized by |state ∪ batch|, never by history length —
   * at 100 TB the difference between a bounded nightly job and an
   * ever-growing rescan. Argmax-by-changelog_id makes the fold
-  * order-insensitive and idempotent-per-id, so replayed rows with already
-  * -applied ids cannot move the result backwards.
+  * order-insensitive, and the VALUE columns (last_value, last_change_id)
+  * are idempotent-per-id — a replayed batch cannot move them backwards.
+  * n_changes, however, is an at-least-once COUNT: sum(__w) counts a
+  * replayed row again. When exact counts under replay matter, use
+  * [[applyBatchIdempotent]], which drops already-applied rows (changelog
+  * ids at or below the state's high-water mark) before merging.
   *
   * Default-mode changelogs only (new_value non-null on column rows) — the
   * same contract as [[ChangelogBuilder.stateWide]] and the state oracle.
@@ -71,5 +75,24 @@ object StateMaintain {
         max_by(col("new_value"), col("changelog_id")).as("last_value"),
         max(col("changelog_id")).as("last_change_id"),
         sum(col("__w")).cast("long").as("n_changes"))
+  }
+
+  /** [[applyBatch]] with an exactly-once guard: rows whose changelog_id is
+    * at or below the key's already-applied high-water mark are dropped
+    * BEFORE the merge, so a replayed (or overlapping) batch leaves the
+    * state bit-identical — n_changes included. Costs one extra left join
+    * of the batch against the state on the same key the merge shuffles on,
+    * so the guard rides the merge's partitioning; batch-sized, never
+    * history-sized. Ids are globally monotone (§2.5), which is what makes
+    * "id ≤ HWM" ⇔ "already applied". */
+  def applyBatchIdempotent(state: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keyAndCol = keyCols :+ "column_name"
+    val hwm = state.select(
+      (keyAndCol.map(col) :+ col("last_change_id").as("__applied_hwm")): _*)
+    val fresh = batch.where(col("column_name").isNotNull)
+      .join(hwm, keyAndCol, "left")
+      .where(col("__applied_hwm").isNull || col("changelog_id") > col("__applied_hwm"))
+      .drop("__applied_hwm")
+    applyBatch(state, fresh, keyCols)
   }
 }

@@ -41,8 +41,13 @@ object Cluster {
       .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed = the FIRST propagation round, fused into initialization: from
+    // identity labels, round 1 would compute min(id, min N(id)) — which is
+    // one aggregate over the bidirected edges, no join needed. Near-clique
+    // dup graphs converge at the seed itself and pay only the confirm round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nl"))
+      .select(col("id"), least(col("id"), col("nl")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var done = false
@@ -69,11 +74,29 @@ object Cluster {
     if (done) labels
     else {
       // diameter exceeded the round budget (a long-chain graph): escalate
-      // to the O(log n)-round alternating algorithm instead of failing
+      // to the O(log n)-round alternating algorithm instead of failing —
+      // SEEDED from the partially-converged labels: contract every edge to
+      // its endpoints' current labels (a valid quotient — each node is
+      // already connected to its label), solve the much smaller contracted
+      // graph, then compose the two label maps. The propagation rounds
+      // already paid for are not thrown away.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"min-label propagation did not converge in $maxIter rounds; " +
-          "escalating to large-star/small-star")
-      connectedComponentsAlternating(edges)
+          "escalating to large-star/small-star on the label-contracted graph")
+      val contracted = edges
+        .join(labels.select(col("id").as("src"), col("label").as("csrc")), Seq("src"))
+        .join(labels.select(col("id").as("dst"), col("label").as("cdst")), Seq("dst"))
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .where(col("src") =!= col("dst"))
+      val contractedCc = connectedComponentsAlternating(contracted)
+      // final(id) = cc(label(id)); a label absent from the contracted graph
+      // (its whole partial cluster had only internal edges) keeps itself.
+      // Labels are partial MINIMA, so the composed label is still the
+      // component-wide min id.
+      labels.join(
+          contractedCc.select(col("id").as("label"), col("label").as("__root")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("__root"), col("label")).as("label"))
     }
   }
 
@@ -93,20 +116,28 @@ object Cluster {
       .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
       .where(col("hi") =!= col("lo")).distinct()
     // large-star: for every node u (over the BIDIRECTED view) each
-    // strictly-larger neighbor re-points to m(u) = min(N(u) ∪ {u})
-    def largeStar(e: DataFrame): DataFrame = {
+    // strictly-larger neighbor re-points to m(u) = min(N(u) ∪ {u}).
+    // An emission is a CHANGE iff it re-points dst away from its original
+    // partner (m ≠ src) — counted via observe, so convergence detection
+    // rides the round's own checkpoint job instead of a count+exceptAll
+    // second pass.
+    def largeStar(e: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame = {
       val bi = e.select(col("hi").as("src"), col("lo").as("dst"))
         .union(e.select(col("lo").as("src"), col("hi").as("dst"))) // distinct by construction
       val m = bi.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
       canon(bi.join(m, Seq("src"))
         .where(col("dst") > col("src"))
+        .observe(obs, coalesce(sum(when(col("m") =!= col("src"), 1L).otherwise(0L)), lit(0L)).as("changed"))
         .select(col("dst").as("src"), col("m").as("dst")))
     }
     // small-star: per node u, its ≤-neighbors and u itself all collapse
-    // onto m(u) = min of the smaller neighbors
-    def smallStar(e: DataFrame): DataFrame = {
+    // onto m(u) = min of the smaller neighbors. A row is a CHANGE iff its
+    // lo re-points (lo ≠ m); the (hi → m) emission is always an existing
+    // edge (m is one of hi's los), so only the lo side is counted.
+    def smallStar(e: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame = {
       val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
       val j = e.join(m, Seq("hi"))
+        .observe(obs, coalesce(sum(when(col("lo") =!= col("m"), 1L).otherwise(0L)), lit(0L)).as("changed"))
       canon(
         j.select(col("lo").as("src"), col("m").as("dst"))
           .union(j.select(col("hi").as("src"), col("m").as("dst"))))
@@ -115,10 +146,15 @@ object Cluster {
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // stable ⇔ identical edge sets (both sides are distinct)
-      stable = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val largeObs = org.apache.spark.sql.Observation()
+      val smallObs = org.apache.spark.sql.Observation()
+      val next = smallStar(largeStar(e, largeObs), smallObs).localCheckpoint(true)
       e = next
+      // both steps emission-stable ⇔ the edge set is a fixed star forest
+      // (each step then reproduces its input exactly); read AFTER the
+      // checkpoint job that both observations rode
+      stable = largeObs.get("changed").asInstanceOf[Long] == 0L &&
+        smallObs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     require(stable, s"alternating CC did not stabilize within $maxIter rounds")

@@ -313,9 +313,14 @@ object EventStream {
       col("user_id").cast("long").as("user_id"),
       timestamp_seconds(expr("ts div 1000000000")).as("event_time"),
       col("event_type"))
+    // originals and planted duplicates staged in ONE write: a two-write
+    // staging could land the duplicate file in an earlier microbatch than
+    // the originals, whose watermark (10 min delay vs a multi-day fixture)
+    // would then drop non-duplicate originals as late rows — union first,
+    // so no AvailableNow batch split can order duplicates before originals
     val inDir = tempDir("graft_dd_in").toString
-    typed.write.mode("append").parquet(inDir)
-    typed.where(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+    typed.unionByName(typed.where(col("event_id") % 10 === 0))
+      .write.mode("append").parquet(inDir)
     val outDir = tempDir("graft_dd_out")
     val deduped = dedupStream(spark.readStream.schema(typed.schema).parquet(inDir))
     val query = deduped

@@ -300,9 +300,17 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     val s1 = Compact.compactSink(spark, path) // re-stages v1 from scratch
     assert(SinkLayout.read(spark, path).count() == expected)
     assert(s1.filesBefore > 0 && s1.bytesBefore > 0)
+    // a foreign non-underscore file parked at the root AFTER migration:
+    // retire() sweeps by the migration manifest (provenance), never by
+    // name pattern, so this survives even though it looks like flat data
+    val foreign = new java.io.File(root, "foreign.parquet")
+    foreign.createNewFile()
     Compact.compactSink(spark, path) // v2: retires the flat leftovers
     Compact.compactSink(spark, path) // v3: retires v1
     assert(aux.exists, "_applied_batches must survive every compaction")
+    assert(foreign.exists, "a post-migration foreign parquet file must survive retire()")
+    assert(!root.listFiles().map(_.getName).exists(_.startsWith("commit_date=")),
+      "the manifest-listed flat data itself must still retire")
     assert(SinkLayout.read(spark, path).count() == expected)
   }
 

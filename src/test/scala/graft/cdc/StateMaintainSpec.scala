@@ -47,4 +47,22 @@ class StateMaintainSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[String]("last_value") == "b")
     assert(r.getAs[Long]("last_change_id") == 2L)
   }
+
+  test("applyBatchIdempotent: replayed and overlapping batches leave counts exact") {
+    val all = changelog(
+      (1L, 1L, "v", "a"), (2L, 1L, "v", "b"), (3L, 2L, "v", "x"), (4L, 1L, "w", "p"))
+    val b1 = all.where(col("changelog_id") <= 2)
+    val b2 = all.where(col("changelog_id") > 2)
+    val state = StateMaintain.stateLong(b1, Seq("k"))
+    // full replay of b1 is a NO-OP, n_changes included
+    assert(stateRows(byName(StateMaintain.applyBatchIdempotent(state, b1, Seq("k"))))
+      == stateRows(byName(state)))
+    // an OVERLAPPING redelivery (b1 ∪ b2) folds to the one-shot result
+    val overlapped = StateMaintain.applyBatchIdempotent(state, all, Seq("k"))
+    assert(stateRows(byName(overlapped))
+      == stateRows(byName(StateMaintain.stateLong(all, Seq("k")))))
+    // and so does the clean path
+    assert(stateRows(byName(StateMaintain.applyBatchIdempotent(state, b2, Seq("k"))))
+      == stateRows(byName(StateMaintain.stateLong(all, Seq("k")))))
+  }
 }
