@@ -522,6 +522,61 @@ object SparkEntry {
         .orderBy("o_orderkey", "column_name")
     }),
 
+    // the state fold under the REAL streaming engine: changelog files →
+    // one micro-batch per file → foreachBatch merge; any batch split must
+    // reassemble the whole-history state
+    "cdc_state_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_ss")
+      val clDir = base.resolve("cl").toString
+      ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+        .repartition(4).write.parquet(clDir)
+      // plain associative merge: AvailableNow + fresh checkpoint delivers
+      // each row exactly once, and the fold is split-invariant; the
+      // idempotent HWM variant instead requires id-MONOTONE batch order
+      // (redelivery of a real stream), which a random file split is not
+      graft.streaming.StateStream.maintainAvailableNow(
+        s, clDir, Seq("o_orderkey"), base.resolve("ckpt").toString)
+        .orderBy("o_orderkey", "column_name")
+    }),
+
+    // snapshot-to-snapshot CDC derivation — the changelog source for
+    // tables that only arrive as periodic full snapshots: full outer join
+    // on the PK, per-column EAV rows on null-safe inequality, the
+    // reference's record-level insert/delete sentinels (:365-386)
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val before = orders(s, dir)
+      graft.cdc.SnapshotDiff.diff(
+        before, ChangeFeed.ordersSnapshotAfter(before), Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy(col("o_orderkey").cast("long"), col("column_name").asc_nulls_first)
+    }),
+
+    // retention ≙ sys.sp_cdc_cleanup_change_table: populate a sink whose
+    // commit times span several days (×64 LSN spacing), drop every
+    // commit_date partition before the cutoff — a pure partition-level
+    // sweep (directory deletes, no rewrite); surviving ids untouched
+    "cdc_retention" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_ret").resolve("orders_changelog").toString
+      PopulateChangelog.run(s, ChangeFeed.fromOrdersRetention(orders(s, dir)), ordersCfg,
+        sink, Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      graft.cdc.Retention.expire(s, sink,
+        java.time.LocalDate.parse(graft.oracle.OrdersCdcOracle.RetentionCutoff))
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
+    // per-column change-frequency audit from the update masks — one scan
+    // of the update rows, bounded explode of SET bits, two hash aggregates
+    "cdc_mask_stats" -> ((s, dir) =>
+      graft.cdc.MaskStats.perColumn(feed(s, dir), ordersCfg).orderBy("column_name")),
+
+    // the same audit over the 72-column BINARY-mask feed — the codegen
+    // BinaryMaskBit gate driving an aggregate instead of the changelog
+    "cdc_mask_stats_wide" -> ((s, dir) =>
+      graft.cdc.MaskStats.perColumn(
+        graft.cdc.WideFeed.fromOrders(orders(s, dir)), graft.cdc.WideFeed.cfg)
+        .orderBy("column_name")),
+
     // wide current state — the INVERSE reshaping of the unpivot: one
     // last_<col> per payload column via conditional argmax
     "cdc_state_wide" -> ((s, dir) =>
@@ -847,6 +902,11 @@ object SparkEntry {
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,
+    "cdc_state_stream" -> OrdersCdcOracle.default.stateSql,
+    "cdc_snapshot_diff" -> OrdersCdcOracle.snapshotDiffSql,
+    "cdc_retention" -> OrdersCdcOracle.retentionSql,
+    "cdc_mask_stats" -> OrdersCdcOracle.default.maskStatsSql,
+    "cdc_mask_stats_wide" -> OrdersCdcOracle.wide.maskStatsSql,
     "cdc_scd2" -> OrdersCdcOracle.default.scd2Sql,
     "cdc_scd2_composite" -> OrdersCdcOracle.lineitem.scd2Sql,
     "cdc_state_wide_mask" -> OrdersCdcOracle.wide.stateWideSql,

@@ -88,6 +88,37 @@ object ChangeFeed {
 
   def fromOrders(orders: DataFrame): DataFrame = ordersSpec.toFeed(orders)
 
+  /** Retention fixture: same branches, LSNs spaced ×256 so commit_time
+    * (base + lsn seconds) crosses DAY boundaries at every SF — a
+    * partition-level retention sweep needs multiple `commit_date`
+    * partitions to exist before it can drop any. Orderkeys are dense from
+    * 1, so sf0.001's ~1500 orders span ~4.4 days; the Jan-3 cutoff drops
+    * two days and keeps the rest at every SF. */
+  val ordersRetentionSpec: FeedSpec = ordersSpec.copy(lsn = "o_orderkey * 256")
+
+  def fromOrdersRetention(orders: DataFrame): DataFrame = ordersRetentionSpec.toFeed(orders)
+
+  /** Deterministic LATER SNAPSHOT of `orders` for [[SnapshotDiff]] — the
+    * snapshot-shaped restatement of [[ordersSpec]]'s m-conventions
+    * (m = o_orderkey % 10): m=1 rows are gone (deletes), m∈{2,3} carry
+    * o_orderstatus='X' and o_totalprice+1.0, m=4 has o_orderpriority
+    * NULLed (the NULL-transition case the batch pipeline only sees under
+    * strictNulls), and one NEW row per m=0 keyed `-o_orderkey` (inserts;
+    * negation cannot collide with real keys). Mirrored 1:1 by
+    * OrdersCdcOracle.snapshotDiffSql. */
+  def ordersSnapshotAfter(orders: DataFrame): DataFrame =
+    orders.where(expr("o_orderkey % 10 <> 1"))
+      .withColumn("o_orderstatus",
+        when(expr("o_orderkey % 10 IN (2, 3)"), lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(expr("o_orderkey % 10 IN (2, 3)"), col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(expr("o_orderkey % 10 = 4"), lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(orders.where(expr("o_orderkey % 10 = 0"))
+        .withColumn("o_orderkey", -col("o_orderkey")))
+
   // ---------------------------------------------------------------------
   // Composite-PK twin over `lineitem` (FIXTURES.md B1; reference composite
   // key split usp_cdc_populate_changelog.sql:82-133). Key =

@@ -83,8 +83,15 @@ object StateMaintain {
     * state bit-identical — n_changes included. Costs one extra left join
     * of the batch against the state on the same key the merge shuffles on,
     * so the guard rides the merge's partitioning; batch-sized, never
-    * history-sized. Ids are globally monotone (§2.5), which is what makes
-    * "id ≤ HWM" ⇔ "already applied". */
+    * history-sized.
+    *
+    * REQUIRES id-monotone delivery: "id ≤ HWM ⇔ already applied" only
+    * holds when batches arrive in changelog_id order (which the populate
+    * pipeline's micro-batches do — ids are assigned monotonically at
+    * append, §2.5). Under an ARBITRARY split of history into batches, the
+    * guard would misread lower-id rows arriving after higher-id ones as
+    * replays; use the plain [[applyBatch]] there (it is split-invariant,
+    * just not replay-exact in n_changes). */
   def applyBatchIdempotent(state: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keyAndCol = keyCols :+ "column_name"
     val hwm = state.select(

@@ -288,6 +288,37 @@ final class CdcOracle(
        |ORDER BY commit_time, $pkOrder,
        |         column_name NULLS FIRST, old_value NULLS FIRST, new_value NULLS FIRST""".stripMargin
 
+  /** Per-column change-frequency audit over the update masks ≙
+    * graft.cdc.MaskStats.perColumn: per payload column, how many update
+    * transactions set its mask bit and over how many distinct keys.
+    * Never-touched columns report zeros. */
+  val maskStatsSql: String = {
+    val key = keyCols.map(k => s"CAST($k AS VARCHAR)").mkString(" || '|' || ")
+    val branches = srcCols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count(*) FILTER (WHERE ${maskTest(i)}) AS BIGINT) AS n_updates,
+         |  CAST(count(DISTINCT CASE WHEN ${maskTest(i)} THEN $key END) AS BIGINT) AS n_keys
+         |FROM upd4""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH feed AS (
+       |  $feedSql
+       |), upd4 AS (
+       |  SELECT * FROM feed WHERE operation = 4
+       |)
+       |$branches
+       |ORDER BY column_name""".stripMargin
+  }
+
+  /** Post-retention changelog ≙ graft.cdc.Retention.expire: ids assigned
+    * over the FULL history (retention never reassigns), then the
+    * partition-level sweep keeps only days at/after the cutoff. */
+  def retentionSql(cutoffDate: String): String =
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT * FROM cl WHERE CAST(commit_time AS DATE) >= DATE '$cutoffDate'
+       |ORDER BY changelog_id""".stripMargin
+
   /** A3 — lexicographic freshness watermark over mm/dd/yyyy strings (the
     * reference's year-boundary bug, kept verbatim as the compat behavior). */
   val freshnessSql: String =

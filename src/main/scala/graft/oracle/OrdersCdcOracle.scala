@@ -60,4 +60,53 @@ object OrdersCdcOracle {
   val ResumeMid = "1995-01-01 00:12:00"
   val resumeChangelogSql: String = default.changelogSql
   val resumeCompatChangelogSql: String = compat.resumeChangelogSql(ResumeMid, gapMinutes = 1)
+
+  /** Retention fixture (×64 LSN spacing crosses day boundaries at every
+    * SF) with the partition-level sweep at Jan 3 midnight. */
+  val retention = new CdcOracle(ChangeFeed.ordersRetentionSpec, Seq("o_orderkey"), "orders")
+  val RetentionCutoff = "1995-01-03"
+  val retentionSql: String = retention.retentionSql(RetentionCutoff)
+
+  /** Snapshot-to-snapshot diff ≙ graft.cdc.SnapshotDiff.diff(orders,
+    * ChangeFeed.ordersSnapshotAfter(orders)) — full outer join on the PK,
+    * per-column EAV rows on NULL-SAFE inequality of the erased values,
+    * record-level sentinels for inserts/deletes (the reference's
+    * 'NEW RECORD'/'DELETED RECORD' convention,
+    * usp_cdc_populate_changelog.sql:365-386). */
+  val snapshotDiffSql: String = {
+    val changed = Seq("o_orderstatus", "o_totalprice", "o_orderpriority").map { c =>
+      s"""SELECT kb, ka, '$c' AS column_name, b_$c AS old_value, a_$c AS new_value
+         |  FROM j WHERE kb IS NOT NULL AND ka IS NOT NULL AND b_$c IS DISTINCT FROM a_$c""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH snapb AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 10 IN (2, 3) THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN o_orderkey % 10 IN (2, 3) THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       |    CASE WHEN o_orderkey % 10 = 4 THEN CAST(NULL AS VARCHAR) ELSE o_orderpriority END AS o_orderpriority
+       |  FROM orders WHERE o_orderkey % 10 <> 1
+       |  UNION ALL
+       |  SELECT -o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |), j AS (
+       |  SELECT b.o_orderkey AS kb, a.o_orderkey AS ka,
+       |    CAST(b.o_orderstatus AS VARCHAR) AS b_o_orderstatus,
+       |    CAST(a.o_orderstatus AS VARCHAR) AS a_o_orderstatus,
+       |    CAST(b.o_totalprice AS VARCHAR) AS b_o_totalprice,
+       |    CAST(a.o_totalprice AS VARCHAR) AS a_o_totalprice,
+       |    CAST(b.o_orderpriority AS VARCHAR) AS b_o_orderpriority,
+       |    CAST(a.o_orderpriority AS VARCHAR) AS a_o_orderpriority
+       |  FROM orders b FULL OUTER JOIN snapb a ON b.o_orderkey = a.o_orderkey
+       |)
+       |SELECT CAST(coalesce(kb, ka) AS VARCHAR) AS o_orderkey, column_name, old_value, new_value
+       |FROM (
+       |  $changed
+       |  UNION ALL
+       |  SELECT kb, ka, CAST(NULL AS VARCHAR), 'DELETED RECORD', CAST(NULL AS VARCHAR)
+       |  FROM j WHERE ka IS NULL
+       |  UNION ALL
+       |  SELECT kb, ka, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'NEW RECORD'
+       |  FROM j WHERE kb IS NULL
+       |)
+       |ORDER BY coalesce(kb, ka), column_name NULLS FIRST""".stripMargin
+  }
 }

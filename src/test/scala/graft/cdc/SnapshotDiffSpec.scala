@@ -1,0 +1,87 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Snapshot-diff semantics (per-column EAV rows + record sentinels) and
+  * the retention sweep's partition-level contract. */
+class SnapshotDiffSpec extends AnyFunSuite with SparkFixture {
+
+  private def snap(rows: Seq[(Long, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "a", "b")
+  }
+
+  test("diff classifies updates per column, inserts and deletes as sentinels") {
+    val before = snap(Seq((1L, "x", "y"), (2L, "p", "q"), (3L, "gone", "gone")))
+    val after = snap(Seq((1L, "x", "Y2"), (2L, "p", "q"), (4L, "new", "new")))
+    val d = SnapshotDiff.diff(before, after, Seq("k"), Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(d == Set(
+      ("1", "b", "y", "Y2"),                       // changed column only
+      ("3", null, "DELETED RECORD", null),         // delete sentinel
+      ("4", null, null, "NEW RECORD")))            // insert sentinel
+  }
+
+  test("NULL transitions are changes; NULL→NULL is not") {
+    val before = snap(Seq((1L, null, "v"), (2L, null, null)))
+    val after = snap(Seq((1L, "now", null), (2L, null, "set")))
+    val d = SnapshotDiff.diff(before, after, Seq("k"), Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(d == Set(
+      ("1", "a", null, "now"),
+      ("1", "b", "v", null),
+      ("2", "b", null, "set")))
+  }
+
+  private val cfg = CdcTableConfig("orders", Seq("k"))
+
+  private def multiDayFeed = feedKV(Seq(
+    (1L, 0L, 2, 3L, "1995-01-01 08:00:00", "a", "x"),
+    (2L, 0L, 2, 3L, "1995-01-02 08:00:00", "b", "y"),
+    (3L, 0L, 2, 3L, "1995-01-03 08:00:00", "c", "z"),
+    (4L, 0L, 1, 3L, "1995-01-04 08:00:00", "a", "x")))
+
+  test("retention drops only partitions strictly before the cutoff day") {
+    val path = Files.createTempDirectory("graft_ret").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, multiDayFeed, cfg, path, Some(ts("1995-01-05 00:00:00")))
+    val dropped = Retention.expire(spark, path, java.time.LocalDate.parse("1995-01-03"))
+    assert(dropped == Seq(java.time.LocalDate.parse("1995-01-01"),
+      java.time.LocalDate.parse("1995-01-02")))
+    val left = SinkLayout.read(spark, path)
+    // boundary day (Jan 3) retained whole; ids untouched (3, 4 survive)
+    assert(left.select("changelog_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // idempotent: nothing more to drop
+    assert(Retention.expire(spark, path, java.time.LocalDate.parse("1995-01-03")).isEmpty)
+  }
+
+  test("retention resolves through the version pointer on a compacted sink") {
+    val path = Files.createTempDirectory("graft_retv").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, multiDayFeed, cfg, path, Some(ts("1995-01-05 00:00:00")))
+    Compact.compactSink(spark, path)
+    val dropped = Retention.expire(spark, path, java.time.LocalDate.parse("1995-01-04"))
+    assert(dropped.size == 3)
+    assert(SinkLayout.read(spark, path).select("changelog_id")
+      .collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
+  test("mask stats count updates and distinct keys per column, zeros included") {
+    // two update txns on k=a touching v (bit 1), one touching k (bit 0)
+    val feed = feedKV(Seq(
+      (1L, 0L, 3, 2L, "1995-01-01 08:00:00", "a", "v0"),
+      (1L, 0L, 4, 2L, "1995-01-01 08:00:00", "a", "v1"),
+      (2L, 0L, 3, 2L, "1995-01-01 09:00:00", "a", "v1"),
+      (2L, 0L, 4, 2L, "1995-01-01 09:00:00", "a", "v2"),
+      (3L, 0L, 3, 1L, "1995-01-01 10:00:00", "b", "w"),
+      (3L, 0L, 4, 1L, "1995-01-01 10:00:00", "b", "w")))
+    val stats = MaskStats.perColumn(feed, cfg)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats("v") == ((2L, 1L)), "two update txns, one distinct key")
+    assert(stats("k") == ((1L, 1L)), "the PK-bit update")
+  }
+}
