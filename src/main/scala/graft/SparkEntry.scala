@@ -730,6 +730,23 @@ object SparkEntry {
     "ext_decontaminate" -> ((s, dir) =>
       graft.ext.Curate.decontaminate(corpus(s, dir)).orderBy("doc_id")),
 
+    // the decontamination DUAL: per-EVAL-doc contamination score in basis
+    // points (how much of each benchmark doc the training corpus contains)
+    "ext_contamination" -> ((s, dir) =>
+      graft.ext.Curate.contaminationScores(corpus(s, dir)).orderBy("doc_id")),
+
+    // E1b'' — LOSSLESS Jaccard similarity join via prefix filtering
+    // (AllPairs/PPJoin family); graded against the exact all-pairs ground
+    // truth, so this row proves recall 1.0 where MinHash+LSH is
+    // probabilistic at the candidate stage
+    "ext_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(corpus(s, dir)).orderBy("id_a", "id_b")),
+
+    // E2e — deterministic k-means assignment over the embedding corpus
+    // (SemDeDup's clustering step; integer-mean re-centering, 2 rounds)
+    "ext_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(embeddings(s, dir)).orderBy("vec_id")),
+
     // boilerplate shingles: recurring across >= 5 per-mille of documents
     "ext_boilerplate" -> ((s, dir) =>
       graft.ext.Curate.boilerplate(corpus(s, dir)).orderBy(col("n_docs").desc, col("sh"))),
@@ -932,6 +949,9 @@ object SparkEntry {
     "ext_split_safe" -> ExtOracle.splitSafeSql,
     "ext_sample_stratified" -> ExtOracle.sampleStratifiedSql,
     "ext_decontaminate" -> ExtOracle.decontaminateSql,
+    "ext_contamination" -> ExtOracle.contaminationSql,
+    "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
+    "ext_kmeans" -> ExtOracle.kmeansSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_token_budget" -> ExtOracle.tokenBudgetSql,
     "ext_domain_dedup" -> ExtOracle.domainDedupSql,

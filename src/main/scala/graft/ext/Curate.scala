@@ -117,6 +117,36 @@ object Curate {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-EVAL-DOC contamination score — [[decontaminate]] answers "which
+    * TRAIN docs are tainted"; this answers the benchmark owner's dual:
+    * how much of each eval document's content already appears in the
+    * training corpus. For every eval doc: its distinct-shingle count, how
+    * many of those shingles occur in ANY train doc, and the contaminated
+    * share in basis points (exact integer division, engine-portable).
+    * A 10000-bp eval doc is fully memorizable from train; the standard
+    * report before trusting a benchmark number.
+    *
+    * Scale shape: one shingle-keyed left join of the (small) eval shingle
+    * set against the DISTINCT train shingle index — the corpus is never
+    * self-joined and the output is one row per eval doc. */
+  def contaminationScores(
+      corpus: DataFrame,
+      evalMod: Int = 97,
+      evalResidue: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = Dedup.shingles(corpus, textCol, idCol)
+    val isEval = col("id") % evalMod === evalResidue
+    val trainSh = sh.where(!isEval).select("sh").distinct()
+      .withColumn("__hit", lit(1))
+    sh.where(isEval)
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination_bp",
+        TextOps.intDiv(col("n_contaminated") * 10000, col("n_shingles")))
+  }
+
   /** URL host of a document's JSON metadata — `get_json_object` (codegen)
     * + regexp host extraction, the standard provenance key a web-corpus
     * pipeline groups by. */

@@ -174,6 +174,59 @@ object Dedup {
     out
   }
 
+  /** E1b' — LOSSLESS n-gram Jaccard similarity join via PREFIX FILTERING
+    * (the AllPairs/PPJoin family: Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07). Where the MinHash/LSH path is
+    * probabilistic at the CANDIDATE stage (a near-dup pair whose bands all
+    * split is never seen), the prefix filter is exact: order every
+    * document's distinct shingles by global rarity (document frequency
+    * asc, shingle asc — a total order), and any two sets with Jaccard ≥
+    * num/den must share a shingle inside BOTH of their first
+    * `n − ⌈n·num/den⌉ + 1` shingles (pigeonhole on the required overlap
+    * ⌈t·n⌉, witnessed by the globally-smallest common shingle). So
+    * indexing only prefixes loses nothing, and the output is exactly
+    * "all pairs with Jaccard ≥ num/den".
+    *
+    * Scale shape: the inverted index is built over PREFIX shingles only —
+    * and rarity ordering puts precisely the low-df shingles in prefixes,
+    * so the per-key join fan-out (Σ prefix-df²) stays small where a naive
+    * share-any-shingle join explodes on stopword shingles. Two partitioned
+    * windows (rank, size) per doc, one self-join on the prefix key, then
+    * the exact-Jaccard verify touches candidates only. Same output shape
+    * as [[nearDuplicatePairs]]: (id_a, id_b, n_common, n_a, n_b). */
+  def jaccardPairsPrefix(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      num: Int = 3, den: Int = 5): DataFrame = {
+    // distinct (id, shingle) feeds the ranking, the prefixes, and the
+    // verify; materialized once (tiny vs the raw multiset)
+    val sh = shingles(corpus, textCol, idCol).localCheckpoint(true)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("__df"), col("sh"))
+    val perDoc = Window.partitionBy("id")
+    val prefix = sh.join(dfreq, Seq("sh"))
+      .withColumn("__r", row_number().over(byRarity))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      // prefix length = n − ⌈n·num/den⌉ + 1, all-integer ceiling
+      .where(col("__r") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
+      .select(col("id"), col("sh"))
+    val cand = prefix.select(col("sh"), col("id").as("id_a"))
+      .join(prefix.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b")
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

@@ -183,21 +183,44 @@ object Similarity {
     val seeds = base.where(col(idCol) < numCentroids).select(
       col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
 
-    // nearest-`n` centroid cells per vector via the bounded-heap aggregate
-    // (ties toward the smaller centroid id, like everywhere else)
     def cells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
-      df.join(broadcast(cents))
-        .select(col(idCol), col(vecCol), col("nrm"),
-          (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("cs"), col("cid"))
-        .groupBy(idCol, vecCol, "nrm")
-        .agg(topKByScore(col("cs"), col("cid"), n).as("cids"))
-        .select(col(idCol), col(vecCol), col("nrm"), explode(col("cids")).as("cell"))
+      nearestCells(df, cents, n, idCol, vecCol)
 
-    // the refinement round: per-cell element-wise integer mean (exact,
-    // mergeable long sums — one explode + one hash aggregate per cell×dim,
-    // then one small per-cell list rebuild; cells themselves stay few
-    // enough to broadcast, which is IVF's premise)
-    val refined = cells(base, seeds, 1)
+    // ONE refinement round pulls the first-k seeds toward the data's modes
+    val refined = integerMeanCentroids(cells(base, seeds, 1), vecCol)
+
+    val corpus = cells(base, refined, 1).select(
+      col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val queries = cells(base.where(queryPred), refined, probes).select(
+      col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Nearest-`n` centroid cells per vector via the bounded-heap aggregate
+    * (ties toward the smaller centroid id, like everywhere else). Output:
+    * (idCol, vecCol, nrm, cell), one row per (vector, probed cell). The
+    * centroid set broadcasts — IVF/k-means' premise is that k is small. */
+  private def nearestCells(
+      df: DataFrame, cents: DataFrame, n: Int, idCol: String, vecCol: String): DataFrame =
+    df.join(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("cs"), col("cid"))
+      .groupBy(idCol, vecCol, "nrm")
+      .agg(topKByScore(col("cs"), col("cid"), n).as("cids"))
+      .select(col(idCol), col(vecCol), col("nrm"), explode(col("cids")).as("cell"))
+
+  /** Re-center: per-cell element-wise INTEGER mean of the member vectors
+    * (elements scaled ×1000 and floored, per-cell long sums, integer-div
+    * mean) — exact, order-independent, bit-identical in the oracle; cosine
+    * is scale-invariant so the un-rescaled mean works as-is. One explode +
+    * one hash aggregate per cell×dim, then one small per-cell list
+    * rebuild. A cell that lost every member simply disappears. */
+  private def integerMeanCentroids(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
       .agg(sum(floor(col("x").cast("double") * 1000.0).cast("long")).as("qs"),
@@ -209,15 +232,34 @@ object Similarity {
         transform(col("pq"), p => p.getField("qm").cast("float")).as("centv"))
       .withColumn("centn", l2Norm(col("centv")))
 
-    val corpus = cells(base, refined, 1).select(
-      col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
-    val queries = cells(base.where(queryPred), refined, probes).select(
-      col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
-    val scored = corpus.join(broadcast(queries), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    rankTopK(scored, k)
+  /** E2e — deterministic k-means over the embedding column: the SemDeDup
+    * shape (cluster the corpus semantically, then curate/dedup within
+    * cells). Seeds = the first `k` vectors by id; `rounds` alternations of
+    * assign-to-nearest-cosine-centroid → exact-integer-mean re-center
+    * (the same two primitives IVF refines with); output = the final
+    * assignment (idCol, cid).
+    *
+    * Scale shape per round: one broadcast of ≤k centroids against the
+    * corpus + one bounded-heap argmax (map-side partial) + one hash
+    * aggregate over (cell, dim) for the means — never a cross product,
+    * never driver-side centroid math, O(rounds) fixed passes. All mean
+    * math is integer (order-independent), so the DuckDB oracle replays
+    * every round bit-for-bit; cosine floats only ever drive the argmax
+    * ordering. */
+  def kmeansAssign(
+      emb: DataFrame,
+      k: Int = 8,
+      rounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val seeds = base.where(col(idCol) < k).select(
+      col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
+    val cents = (1 to rounds).foldLeft(seeds) { (c, _) =>
+      integerMeanCentroids(nearestCells(base, c, 1, idCol, vecCol), vecCol)
+    }
+    nearestCells(base, cents, 1, idCol, vecCol)
+      .select(col(idCol), col("cell").cast("long").as("cid"))
   }
 
   /** (query_id, score, neighbor_id) → (query_id, neighbor_id, rnk ≤ k) via

@@ -155,6 +155,27 @@ object ExtOracle {
        |FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** E1b'' ≙ Dedup.jaccardPairsPrefix — the oracle is the EXACT all-pairs
+    * ground truth (naive share-a-shingle join, Jaccard ≥ 3/5). A green row
+    * therefore proves the prefix filter LOSSLESS — it finds every
+    * qualifying pair while only ever indexing rarity-ordered prefixes —
+    * not merely self-consistent (contrast `dedupMinhashSql`, whose oracle
+    * replays the probabilistic banding). */
+  val jaccardPrefixSql: String =
+    s"""WITH $corpusSql, $shingleCtes, common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |), sizes AS (
+       |  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+       |)
+       |SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+       |FROM common c
+       |JOIN sizes sa ON sa.id = c.id_a
+       |JOIN sizes sb ON sb.id = c.id_b
+       |WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** ≙ ext.Cluster.clusters over Dedup.nearDuplicatePairs: connected
     * components (min reachable id) via a recursive transitive-closure CTE
     * — tractable because dup components are tiny; the Spark side uses
@@ -382,6 +403,50 @@ object ExtOracle {
        |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
        |FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** E2e ≙ Similarity.kmeansAssign (k = 8, 2 rounds) — replays every
+    * assign→re-center alternation bit-for-bit: cosine argmax with the
+    * (score desc, cid asc) total order, then exact INTEGER element means
+    * (floor(x·1000) long sums, integer division) so centroid drift is
+    * impossible between engines. Same two primitives `annIvfSql` refines
+    * with, iterated. */
+  val kmeansSql: String = {
+    val k = 8
+    // one assignment round: argmax cosine against `cents`, ties to the
+    // smaller centroid id (≙ Similarity.nearestCells via TopKByScore)
+    def assign(tag: Int, cents: String): String =
+      s"""sc$tag AS (
+         |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, $cents c
+         |), r$tag AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc$tag
+         |), cell$tag AS (
+         |  SELECT vec_id, cid AS cell FROM r$tag WHERE rn = 1
+         |)""".stripMargin
+    // one re-center round (≙ Similarity.integerMeanCentroids)
+    def recenter(tag: Int, outCents: String): String =
+      s"""qx$tag AS (
+         |  SELECT c0.cell, i AS pos, CAST(floor(a.v[i+1] * 1000.0) AS BIGINT) AS q
+         |  FROM cell$tag c0 JOIN allv a ON a.vec_id = c0.vec_id,
+         |       range(${graft.ext.Similarity.Dim}) ri$tag(i)
+         |), qm$tag AS (
+         |  SELECT cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
+         |  FROM qx$tag GROUP BY cell, pos
+         |), $outCents AS (
+         |  SELECT cell AS cid, (list(qm ORDER BY pos))::DOUBLE[] AS cv
+         |  FROM qm$tag GROUP BY cell
+         |)""".stripMargin
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent0 AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $k
+       |), ${assign(0, "cent0")}, ${recenter(0, "cent1")},
+       |${assign(1, "cent1")}, ${recenter(1, "cent2")},
+       |${assign(2, "cent2")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cid FROM cell2
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** E1+E3 composition ≙ ext.Curate.funnel (dedup → length → repetition →
     * language gates, integer thresholds). */
@@ -1063,6 +1128,21 @@ object ExtOracle {
        |JOIN (SELECT DISTINCT sh FROM sh WHERE id % 97 = 3) e ON e.sh = t.sh
        |WHERE t.id % 97 <> 3
        |GROUP BY t.id
+       |ORDER BY doc_id""".stripMargin
+
+  /** ≙ Curate.contaminationScores (eval = doc_id ≡ 3 mod 97): per-EVAL-doc
+    * share of its distinct shingles already present in ANY train doc, in
+    * exact integer basis points. The train side is pre-reduced to a
+    * DISTINCT shingle index so the left join fans out at most 1:1. */
+  val contaminationSql: String =
+    s"""WITH $corpusSql, $shingleCtes, tr AS (
+       |  SELECT DISTINCT sh FROM sh WHERE id % 97 <> 3
+       |)
+       |SELECT e.id AS doc_id, count(*) AS n_shingles, count(tr.sh) AS n_contaminated,
+       |  CAST(count(tr.sh) * 10000 // count(*) AS BIGINT) AS contamination_bp
+       |FROM sh e LEFT JOIN tr ON tr.sh = e.sh
+       |WHERE e.id % 97 = 3
+       |GROUP BY e.id
        |ORDER BY doc_id""".stripMargin
 
   /** ≙ Curate.boilerplate (shingles in ≥ 5‰ of docs). */

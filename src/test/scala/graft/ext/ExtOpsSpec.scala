@@ -149,6 +149,59 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(kept == Set(2L, 9L))
   }
 
+  test("jaccardPairsPrefix equals the exact all-pairs ground truth (lossless)") {
+    val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val sh = Dedup.shingles(c)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // ground truth: naive share-a-shingle join (fine at test scale only)
+    val naive = sh.select(col("id").as("id_a"), col("sh"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .where(col("c") * 5 >= (col("na") + col("nb") - col("c")) * 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPrefix = Dedup.jaccardPairsPrefix(c).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix == naive, "prefix filtering must find EVERY qualifying pair")
+    // ... which makes it a superset of the LSH-probabilistic path
+    val viaMinhash = Dedup.nearDuplicatePairs(c).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMinhash.subsetOf(viaPrefix))
+  }
+
+  test("kmeansAssign: total assignment, seed-rooted cids, copy-stable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // exact duplicate vectors under fresh non-seed ids: identical cosines
+    // to every centroid, so the (score desc, cid) argmax must agree
+    val dups = emb.where(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000L)
+    val asg = Similarity.kmeansAssign(emb.unionByName(dups), k = 8, rounds = 2)
+    assert(asg.count() == emb.count() + dups.count(), "every vector assigned once")
+    assert(asg.where(col("cid") >= 8 || col("cid") < 0).isEmpty,
+      "cells descend from the k seed ids")
+    val byId = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dups.select("vec_id").collect().map(_.getLong(0)).foreach { d =>
+      assert(byId(d) == byId(d - 10000L), s"copy $d strayed from its original")
+    }
+  }
+
+  test("contaminationScores: full-copy eval doc scores 10000 bp") {
+    val s = spark
+    import s.implicits._
+    // eval residue class: ids ≡ 3 (mod 97) → 3 and 100 are eval docs
+    val docs = Seq(
+      (3L, "a b c d e f"),   // exact copy of train doc 10 → fully contaminated
+      (100L, "a b c x y z"), // shares 1 of its 4 shingles ("a b c") → 2500 bp
+      (10L, "a b c d e f"),
+      (11L, "p q r s t")).toDF("doc_id", "text")
+    val got = Curate.contaminationScores(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((3L, 4L, 4L, 10000L), (100L, 4L, 1L, 2500L)))
+  }
+
   test("planted near-duplicates have small SimHash hamming distance") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sh = Dedup.simhash(DocFeed.withDups(docs))
