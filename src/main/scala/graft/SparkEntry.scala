@@ -551,6 +551,28 @@ object SparkEntry {
         .orderBy(col("o_orderkey").cast("long"), col("column_name").asc_nulls_first)
     }),
 
+    // point-in-time ("AS OF") state: reconstruct the historical version of
+    // the source at a past instant from the same changelog — the bound
+    // pushes to the scan, the aggregate is the state fold unchanged
+    "cdc_state_asof" -> ((s, dir) =>
+      graft.cdc.StateMaintain.stateAsOf(
+        ChangelogBuilder.withIds(ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg),
+        Seq("o_orderkey"),
+        java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.StateAsOf))
+        .orderBy("o_orderkey", "column_name")),
+
+    // additive schema drift: o_clerk's mask bit is only set after
+    // DriftLsn, so a NEW column_name appears mid-stream with zero sink
+    // DDL — the EAV schema-evolution contract (the reference re-reads
+    // sys.columns per run, usp_cdc_populate_changelog.sql:295)
+    "cdc_schema_drift" -> ((s, dir) =>
+      ChangelogBuilder.withIds(
+        ChangelogBuilder.build(ChangeFeed.fromOrdersDrift(orders(s, dir)), ordersCfg),
+        ordersCfg)
+        .select("changelog_id", "commit_time", "table_name", "o_orderkey",
+          "column_name", "old_value", "new_value")
+        .orderBy("changelog_id")),
+
     // retention ≙ sys.sp_cdc_cleanup_change_table: populate a sink whose
     // commit times span several days (×64 LSN spacing), drop every
     // commit_date partition before the cutoff — a pure partition-level
@@ -921,6 +943,8 @@ object SparkEntry {
     "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_stream" -> OrdersCdcOracle.default.stateSql,
     "cdc_snapshot_diff" -> OrdersCdcOracle.snapshotDiffSql,
+    "cdc_state_asof" -> OrdersCdcOracle.stateAsOfSql,
+    "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_mask_stats" -> OrdersCdcOracle.default.maskStatsSql,
     "cdc_mask_stats_wide" -> OrdersCdcOracle.wide.maskStatsSql,

@@ -120,6 +120,58 @@ object ChangeFeed {
         .withColumn("o_orderkey", -col("o_orderkey")))
 
   // ---------------------------------------------------------------------
+  // Additive schema drift: a column that starts existing mid-stream.
+  // ---------------------------------------------------------------------
+
+  /** The EAV changelog's schema-evolution story (SURVEY §1.2): because the
+    * output is (column_name, old_value, new_value) rows, ADDING a source
+    * column needs no DDL on the sink — a new `column_name` simply starts
+    * appearing. The reference would re-generate its dynamic SQL from
+    * sys.columns on the next run (usp_cdc_populate_changelog.sql:295) and
+    * its changelog table likewise absorbs the column with zero ALTERs.
+    *
+    * This spec models the drift INSIDE one feed: `o_clerk` (a derived
+    * 7th column, ordinal 6) exists in the schema throughout, but its mask
+    * bit is only ever SET for transactions after [[DriftLsn]] — before
+    * that LSN the column is never emitted, exactly what a CDC stream whose
+    * source gained a column mid-history looks like to consumers. */
+  val DriftLsn = 700L
+  val BitClerk: Long = 1L << 6
+  val DriftCols: Seq[String] = OrdersCols :+ "o_clerk"
+
+  /** Derived clerk value, shared VERBATIM between the Spark projection and
+    * the oracle's derived-table source (the WideFeed pattern) — `||` with
+    * an integer operand coerces to string in both dialects. */
+  val ClerkProjection = "'C' || (o_orderkey % 97) AS o_clerk"
+
+  val ordersDriftSpec: FeedSpec = FeedSpec(
+    table = s"(SELECT orders.*, $ClerkProjection FROM orders)",
+    srcCols = DriftCols,
+    lsn = "o_orderkey",
+    branches = Seq(
+      FeedBranch("o_orderkey % 10 = 0", OpInsert, AllBits | BitClerk, 0),
+      FeedBranch("o_orderkey % 10 = 1", OpDelete, AllBits | BitClerk, 0),
+      // pre-drift updates: identical to ordersSpec — bit 6 never set
+      FeedBranch(s"o_orderkey % 10 IN (2, 3) AND o_orderkey <= $DriftLsn",
+        OpUpdateBefore, BitStatus | BitTotal, 0),
+      FeedBranch(s"o_orderkey % 10 IN (2, 3) AND o_orderkey <= $DriftLsn",
+        OpUpdateAfter, BitStatus | BitTotal, 0,
+        Map("o_orderstatus" -> "'X'", "o_totalprice" -> "o_totalprice + 1.0")),
+      // post-drift updates additionally change the NEW column
+      FeedBranch(s"o_orderkey % 10 IN (2, 3) AND o_orderkey > $DriftLsn",
+        OpUpdateBefore, BitStatus | BitTotal | BitClerk, 0),
+      FeedBranch(s"o_orderkey % 10 IN (2, 3) AND o_orderkey > $DriftLsn",
+        OpUpdateAfter, BitStatus | BitTotal | BitClerk, 0,
+        Map("o_orderstatus" -> "'X'", "o_totalprice" -> "o_totalprice + 1.0",
+          "o_clerk" -> "'C' || ((o_orderkey + 1) % 97)")),
+      FeedBranch("o_orderkey % 10 = 4", OpUpdateBefore, BitPrio, 0),
+      FeedBranch("o_orderkey % 10 = 4", OpUpdateAfter, BitPrio, 0,
+        Map("o_orderpriority" -> "NULL"))))
+
+  def fromOrdersDrift(orders: DataFrame): DataFrame =
+    ordersDriftSpec.toFeed(orders.selectExpr("*", ClerkProjection))
+
+  // ---------------------------------------------------------------------
   // Composite-PK twin over `lineitem` (FIXTURES.md B1; reference composite
   // key split usp_cdc_populate_changelog.sql:82-133). Key =
   // (l_orderkey, l_linenumber); start_lsn = l_orderkey*8 + l_linenumber

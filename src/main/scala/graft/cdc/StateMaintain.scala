@@ -38,6 +38,19 @@ object StateMaintain {
         max(col("changelog_id")).as("last_change_id"),
         count(lit(1)).as("n_changes"))
 
+  /** Point-in-time ("time travel") state: the long-form state table as it
+    * stood at `asOf` — reconstruct any historical version of the source
+    * from the same changelog, the query the audit-grid EAV layout exists
+    * to answer (the reference exposes only the raw time-range scan,
+    * usp_cdc_query_data.sql:49-57; the AS-OF reconstruction is its natural
+    * consumer). The bound rides the aggregation's input filter, so
+    * Catalyst pushes it to the changelog scan (commit_date partition
+    * pruning on a populated sink); the aggregate itself is [[stateLong]]
+    * unchanged — one shuffle on (pk, column). */
+  def stateAsOf(changelog: DataFrame, keyCols: Seq[String],
+      asOf: java.sql.Timestamp): DataFrame =
+    stateLong(changelog.where(col("commit_time") <= lit(asOf)), keyCols)
+
   /** Changelog → SCD-type-2 column history: one row per value EPISODE of
     * a (pk, column), bounded by [valid_from_id, valid_to_id) with an open
     * end (and is_current flag) on the latest — the dimension-history

@@ -183,6 +183,22 @@ final class CdcOracle(
        |GROUP BY $pkOrder, column_name
        |ORDER BY $pkOrder, column_name""".stripMargin
 
+  /** Point-in-time state ≙ StateMaintain.stateAsOf: [[stateSql]] with the
+    * changelog truncated at the AS-OF commit time — the historical-version
+    * reconstruction the EAV changelog exists to answer. */
+  def stateAsOfSql(asOf: String): String =
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT $pkOrder, column_name,
+       |  arg_max(new_value, changelog_id) AS last_value,
+       |  max(changelog_id) AS last_change_id,
+       |  count(*) AS n_changes
+       |FROM cl
+       |WHERE column_name IS NOT NULL AND commit_time <= TIMESTAMP '$asOf'
+       |GROUP BY $pkOrder, column_name
+       |ORDER BY $pkOrder, column_name""".stripMargin
+
   /** Wide current state ≙ ChangelogBuilder.stateWide: the inverse
     * reshaping of the unpivot, one `last_<col>` per payload column. */
   val stateWideSql: String = {

@@ -61,6 +61,19 @@ object OrdersCdcOracle {
   val resumeChangelogSql: String = default.changelogSql
   val resumeCompatChangelogSql: String = compat.resumeChangelogSql(ResumeMid, gapMinutes = 1)
 
+  /** Point-in-time state reconstruction: the AS-OF bound must fall inside
+    * the commit-time range at every SF (same constraint as [[ResumeMid]],
+    * and the same instant — ~half the sf0.001 feed precedes it). */
+  val StateAsOf = ResumeMid
+  val stateAsOfSql: String = default.stateAsOfSql(StateAsOf)
+
+  /** Additive schema drift (ChangeFeed.ordersDriftSpec): o_clerk's mask
+    * bit is only set for post-[[graft.cdc.ChangeFeed.DriftLsn]]
+    * transactions, so the new column_name appears mid-stream with zero
+    * sink DDL — the EAV schema-evolution contract. */
+  val drift = new CdcOracle(ChangeFeed.ordersDriftSpec, Seq("o_orderkey"), "orders")
+  val driftChangelogSql: String = drift.changelogSql
+
   /** Retention fixture (×64 LSN spacing crosses day boundaries at every
     * SF) with the partition-level sweep at Jan 3 midnight. */
   val retention = new CdcOracle(ChangeFeed.ordersRetentionSpec, Seq("o_orderkey"), "orders")

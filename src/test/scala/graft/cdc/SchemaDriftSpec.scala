@@ -1,0 +1,81 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Pins the additive schema-drift contract (ChangeFeed.ordersDriftSpec) and
+  * the point-in-time state reconstruction (StateMaintain.stateAsOf): a new
+  * column_name appears mid-stream with ZERO sink DDL, and any historical
+  * state version is recoverable from the same changelog.
+  */
+class SchemaDriftSpec extends AnyFunSuite with SparkFixture {
+
+  private val cfg = CdcTableConfig("orders", Seq("o_orderkey"))
+
+  /** Synthetic orders spanning both sides of DriftLsn (=700), with
+    * m ∈ {2,3} update keys on each side. */
+  private def ordersDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val keys = Seq(2L, 3L, 4L, 12L, 13L) ++ Seq(702L, 703L, 712L, 713L, 704L)
+    keys.map(k => (k, k * 10, "O", 100.0 + k, ts("1994-06-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+
+  private def driftChangelog: DataFrame =
+    ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromOrdersDrift(ordersDf), cfg), cfg)
+
+  test("o_clerk rows appear ONLY for post-drift transactions") {
+    val clerk = driftChangelog.where(col("column_name") === "o_clerk")
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(clerk.nonEmpty, "post-drift updates must emit the new column")
+    assert(clerk.forall(_ > ChangeFeed.DriftLsn),
+      s"no o_clerk row may precede the drift LSN, got $clerk")
+    // every post-drift m∈{2,3} key emits one
+    assert(clerk == Set(702L, 703L, 712L, 713L))
+  }
+
+  test("drift changelog schema is identical to the non-drift changelog (no DDL)") {
+    val plain = ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromOrders(ordersDf), cfg), cfg)
+    assert(driftChangelog.schema == plain.schema,
+      "EAV absorbs the new column without any schema change")
+  }
+
+  test("pre-drift keys produce exactly the ordersSpec rows") {
+    val pre = driftChangelog.where(col("o_orderkey").cast("long") <= ChangeFeed.DriftLsn)
+    val cols = pre.select("column_name").where(col("column_name").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    // m=4's update sets o_orderpriority to NULL — dropped by the default
+    // inner pairing (UNPIVOT NULL-drop, SURVEY §7.5.1), so only the
+    // m∈{2,3} columns surface pre-drift
+    assert(cols == Set("o_orderstatus", "o_totalprice"))
+  }
+
+  test("stateAsOf at the feed's max commit time equals the full state fold") {
+    val cl = driftChangelog
+    val maxT = cl.agg(max("commit_time")).head().getTimestamp(0)
+    val full = StateMaintain.stateLong(cl, Seq("o_orderkey"))
+      .orderBy("o_orderkey", "column_name").collect()
+    val asOf = StateMaintain.stateAsOf(cl, Seq("o_orderkey"), maxT)
+      .orderBy("o_orderkey", "column_name").collect()
+    assert(asOf.sameElements(full))
+  }
+
+  test("stateAsOf at an early bound excludes all later transactions") {
+    val cl = driftChangelog
+    // bound between the two key groups: lsn seconds => key 704 commits at
+    // base + 704s; pick the instant just after the pre-drift group
+    val bound = ts("1995-01-01 00:01:00") // 60s: covers keys <= 60 only
+    val st = StateMaintain.stateAsOf(cl, Seq("o_orderkey"), bound)
+    val keys = st.select(col("o_orderkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.forall(_ <= 60L), s"unexpected post-bound keys: $keys")
+    assert(keys.nonEmpty)
+  }
+}
