@@ -551,6 +551,20 @@ object SparkEntry {
         .orderBy(col("o_orderkey").cast("long"), col("column_name").asc_nulls_first)
     }),
 
+    // the INVERSE of the snapshot diff — apply the EAV rows back onto the
+    // base snapshot (updates overwrite, sentinels add/remove keys) and
+    // recover the after-snapshot; inserted keys carry NULL payloads (the
+    // NEW RECORD sentinel has no values, reference :377-386)
+    "cdc_apply_diff" -> ((s, dir) => {
+      val before = orders(s, dir)
+      val diff = graft.cdc.SnapshotDiff.diff(
+        before, ChangeFeed.ordersSnapshotAfter(before), Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+      graft.cdc.ApplyChanges.applyDiff(before, diff, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy(col("o_orderkey").cast("long"))
+    }),
+
     // point-in-time ("AS OF") state: reconstruct the historical version of
     // the source at a past instant from the same changelog — the bound
     // pushes to the scan, the aggregate is the state fold unchanged
@@ -944,6 +958,7 @@ object SparkEntry {
     "cdc_state_stream" -> OrdersCdcOracle.default.stateSql,
     "cdc_snapshot_diff" -> OrdersCdcOracle.snapshotDiffSql,
     "cdc_state_asof" -> OrdersCdcOracle.stateAsOfSql,
+    "cdc_apply_diff" -> OrdersCdcOracle.applyDiffSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_mask_stats" -> OrdersCdcOracle.default.maskStatsSql,

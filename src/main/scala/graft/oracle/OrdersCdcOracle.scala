@@ -86,12 +86,17 @@ object OrdersCdcOracle {
     * record-level sentinels for inserts/deletes (the reference's
     * 'NEW RECORD'/'DELETED RECORD' convention,
     * usp_cdc_populate_changelog.sql:365-386). */
-  val snapshotDiffSql: String = {
-    val changed = Seq("o_orderstatus", "o_totalprice", "o_orderpriority").map { c =>
-      s"""SELECT kb, ka, '$c' AS column_name, b_$c AS old_value, a_$c AS new_value
+  private val SnapCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  /** Shared CTE chain ending in `d` = the snapshot-diff EAV rows with the
+    * NUMERIC coalesced key (`okey`) — consumed by the diff listing AND the
+    * apply-diff reconstruction. */
+  private val diffCtes: String = {
+    val changed = SnapCols.map { c =>
+      s"""SELECT coalesce(kb, ka) AS okey, '$c' AS column_name, b_$c AS old_value, a_$c AS new_value
          |  FROM j WHERE kb IS NOT NULL AND ka IS NOT NULL AND b_$c IS DISTINCT FROM a_$c""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH snapb AS (
+    s"""snapb AS (
        |  SELECT o_orderkey,
        |    CASE WHEN o_orderkey % 10 IN (2, 3) THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
        |    CASE WHEN o_orderkey % 10 IN (2, 3) THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
@@ -109,17 +114,57 @@ object OrdersCdcOracle {
        |    CAST(b.o_orderpriority AS VARCHAR) AS b_o_orderpriority,
        |    CAST(a.o_orderpriority AS VARCHAR) AS a_o_orderpriority
        |  FROM orders b FULL OUTER JOIN snapb a ON b.o_orderkey = a.o_orderkey
-       |)
-       |SELECT CAST(coalesce(kb, ka) AS VARCHAR) AS o_orderkey, column_name, old_value, new_value
-       |FROM (
+       |), d AS (
        |  $changed
        |  UNION ALL
-       |  SELECT kb, ka, CAST(NULL AS VARCHAR), 'DELETED RECORD', CAST(NULL AS VARCHAR)
+       |  SELECT kb AS okey, CAST(NULL AS VARCHAR), 'DELETED RECORD', CAST(NULL AS VARCHAR)
        |  FROM j WHERE ka IS NULL
        |  UNION ALL
-       |  SELECT kb, ka, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'NEW RECORD'
+       |  SELECT ka AS okey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'NEW RECORD'
        |  FROM j WHERE kb IS NULL
+       |)""".stripMargin
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH $diffCtes
+       |SELECT CAST(okey AS VARCHAR) AS o_orderkey, column_name, old_value, new_value
+       |FROM d
+       |ORDER BY okey, column_name NULLS FIRST""".stripMargin
+
+  /** ≙ graft.cdc.ApplyChanges.applyDiff(orders, diff): the inverse of the
+    * diff — updates overwrite, DELETED RECORD removes the key, NEW RECORD
+    * adds it with NULL payloads (the insert sentinel carries no values,
+    * usp_cdc_populate_changelog.sql:377-386). */
+  val applyDiffSql: String = {
+    val pivots = SnapCols.map { c =>
+      s"""max(CASE WHEN column_name = '$c' THEN 1 ELSE 0 END) AS f_$c,
+         |    max(CASE WHEN column_name = '$c' THEN new_value END) AS v_$c""".stripMargin
+    }.mkString(",\n    ")
+    val baseErased = SnapCols.map(c => s"CAST($c AS VARCHAR) AS $c").mkString(", ")
+    val survCols = SnapCols.map(c =>
+      s"CASE WHEN p.f_$c = 1 THEN p.v_$c ELSE b.$c END AS $c").mkString(",\n    ")
+    val insCols = SnapCols.map(c =>
+      s"CASE WHEN p.f_$c = 1 THEN p.v_$c END AS $c").mkString(",\n    ")
+    s"""WITH $diffCtes, p AS (
+       |  SELECT okey,
+       |    $pivots
+       |  FROM d WHERE column_name IS NOT NULL
+       |  GROUP BY okey
+       |), be AS (
+       |  SELECT o_orderkey AS okey, $baseErased FROM orders
+       |), surv AS (
+       |  SELECT b.okey,
+       |    $survCols
+       |  FROM be b LEFT JOIN p ON p.okey = b.okey
+       |  WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.old_value = 'DELETED RECORD' AND d.okey = b.okey)
+       |), insr AS (
+       |  SELECT i.okey,
+       |    $insCols
+       |  FROM (SELECT okey FROM d WHERE new_value = 'NEW RECORD') i
+       |  LEFT JOIN p ON p.okey = i.okey
        |)
-       |ORDER BY coalesce(kb, ka), column_name NULLS FIRST""".stripMargin
+       |SELECT CAST(okey AS VARCHAR) AS o_orderkey, ${SnapCols.mkString(", ")}
+       |FROM (SELECT * FROM surv UNION ALL SELECT * FROM insr)
+       |ORDER BY okey""".stripMargin
   }
 }

@@ -47,6 +47,31 @@ class SnapshotDiffSpec extends AnyFunSuite with SparkFixture {
     (3L, 0L, 2, 3L, "1995-01-03 08:00:00", "c", "z"),
     (4L, 0L, 1, 3L, "1995-01-04 08:00:00", "a", "x")))
 
+  test("applyDiff round-trips: diff(before, after) applied to before = after") {
+    val before = snap(Seq((1L, "x", "y"), (2L, "p", "q"), (3L, "gone", "gone"),
+      (5L, null, "n")))
+    val after = snap(Seq((1L, "x", "Y2"), (2L, "p", null), (4L, "new", "new"),
+      (5L, "set", "n")))
+    val d = SnapshotDiff.diff(before, after, Seq("k"), Seq("a", "b"))
+    val rebuilt = ApplyChanges.applyDiff(before, d, Seq("k"), Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // inserted key 4 reconstructs with NULL payloads (the NEW RECORD
+    // sentinel carries no values); everything else matches `after` exactly
+    assert(rebuilt == Set(
+      ("1", "x", "Y2"),
+      ("2", "p", null),
+      ("5", "set", "n"),
+      ("4", null, null)))
+  }
+
+  test("applyDiff of an empty diff is the identity on the erased base") {
+    val before = snap(Seq((1L, "x", "y"), (2L, "p", null)))
+    val d = SnapshotDiff.diff(before, before, Seq("k"), Seq("a", "b"))
+    val rebuilt = ApplyChanges.applyDiff(before, d, Seq("k"), Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rebuilt == Set(("1", "x", "y"), ("2", "p", null)))
+  }
+
   test("retention drops only partitions strictly before the cutoff day") {
     val path = Files.createTempDirectory("graft_ret").resolve("orders_changelog").toString
     PopulateChangelog.run(spark, multiDayFeed, cfg, path, Some(ts("1995-01-05 00:00:00")))
