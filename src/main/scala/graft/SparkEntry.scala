@@ -778,6 +778,17 @@ object SparkEntry {
     "ext_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPairsPrefix(corpus(s, dir)).orderBy("id_a", "id_b")),
 
+    // E1e — duplicated-span share (shingle-granular substring-dedup
+    // evidence, Lee et al.): per doc, the basis-point share of shingles
+    // that also occur in another document; planted copies score 10000
+    "ext_substring_dedup" -> ((s, dir) =>
+      Dedup.duplicatedShingleShare(corpus(s, dir)).orderBy("doc_id")),
+
+    // E3j — count-min-sketch heavy hitters: 4×64 mergeable counter cells,
+    // estimate = min over the token's cells, exact count graded alongside
+    "ext_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(corpus(s, dir))),
+
     // E2e — deterministic k-means assignment over the embedding corpus
     // (SemDeDup's clustering step; integer-mean re-centering, 2 rounds)
     "ext_kmeans" -> ((s, dir) =>
@@ -990,6 +1001,8 @@ object SparkEntry {
     "ext_decontaminate" -> ExtOracle.decontaminateSql,
     "ext_contamination" -> ExtOracle.contaminationSql,
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
+    "ext_substring_dedup" -> ExtOracle.substringDedupSql,
+    "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_kmeans" -> ExtOracle.kmeansSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_token_budget" -> ExtOracle.tokenBudgetSql,

@@ -174,6 +174,35 @@ object Dedup {
     out
   }
 
+  /** E1e — duplicated-span share: the per-document summary an
+    * exact-substring dedup pass acts on (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — their suffix-array
+    * substring matches, approximated here at shingle granularity): a
+    * doc's shingle is DUPLICATED iff it also occurs in ANOTHER document;
+    * the duplicated share (basis points of the doc's distinct shingles)
+    * is the removal/weighting signal. Planted exact copies score 10000 by
+    * construction.
+    *
+    * Scale shape: two hash aggregates + one join, all partitioned on the
+    * shingle hash — the document-frequency side is the same inverted
+    * index every shingle family here builds, never an all-pairs product.
+    * Output is all-integer: (doc_id, n_shingles, n_dup_shingles,
+    * dup_span_bp). */
+  def duplicatedShingleShare(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(corpus, textCol, idCol)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+        graft.ext.TextOps.intDiv(col("n_dup_shingles") * 10000, col("n_shingles"))
+          .as("dup_span_bp"))
+  }
+
   /** E1b' — LOSSLESS n-gram Jaccard similarity join via PREFIX FILTERING
     * (the AllPairs/PPJoin family: Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW'07). Where the MinHash/LSH path is

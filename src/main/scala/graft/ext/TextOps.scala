@@ -296,6 +296,47 @@ object TextOps {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  val CmLanes = 4
+  val CmWidth = 64
+
+  /** E3j — count-min-sketch heavy hitters over the corpus token stream
+    * (Cormode & Muthukrishnan, "An Improved Data Stream Summary: the
+    * Count-Min Sketch and its Applications"): [[CmLanes]]×[[CmWidth]]
+    * counter cells, token t adds its occurrence count to cell
+    * (h, hash_h(t) mod width) per lane; a token's estimate is the MIN over
+    * its lanes' cells — an overestimate bounded by the collision mass.
+    * Output: the top-`k` tokens by estimate, with the exact count
+    * alongside so the overestimate is visible (and graded).
+    *
+    * Scale shape: occurrences are pre-reduced per token (one hash
+    * aggregate — algebraically identical to streaming every occurrence
+    * into the cells, since addition commutes), the 256-cell sketch is the
+    * MERGEABLE per-shard state (bytes per executor, sum to combine), and
+    * the estimate join touches the token dictionary, never the stream.
+    * All four lane hashes come from ONE codegen [[graft.functions.Md5Lanes]]
+    * digest pass. Top-k is orderBy+limit = a bounded TakeOrdered, no
+    * global sort. */
+  def heavyHitters(
+      corpus: DataFrame,
+      k: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = corpus
+      .select(explode(toks(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val lanes = counts.select(col("t"), col("c"),
+      posexplode(graft.functions.Md5Lanes.md5Lanes(col("t"), CmLanes))
+        .as(Seq("lane", "hv")))
+      .select(col("t"), col("c"), col("lane"), (col("hv") % CmWidth).as("bucket"))
+    val cm = lanes.groupBy("lane", "bucket").agg(sum(col("c")).cast("long").as("cell"))
+    lanes.join(cm, Seq("lane", "bucket"))
+      .groupBy("t")
+      .agg(min(col("cell")).as("est_count"), min(col("c")).as("true_count"))
+      .select(col("t").as("token"), col("est_count"), col("true_count"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(k)
+  }
+
   /** E3d — document fingerprints: whole-document md5 plus a winnowing-style
     * min-shingle fingerprint (min over word-3-gram hashes — stable under
     * content reordering at the margins, unlike the whole-doc hash). */

@@ -176,6 +176,46 @@ object ExtOracle {
        |WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** E1e ≙ Dedup.duplicatedShingleShare — duplicated-span share per doc
+    * (shingle-granular substring-dedup evidence): a shingle is duplicated
+    * iff its corpus document frequency ≥ 2. */
+  val substringDedupSql: String =
+    s"""WITH $corpusSql, $shingleCtes, dfreq AS (
+       |  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+       |)
+       |SELECT s.id AS doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       |  CAST(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*)
+       |    AS BIGINT) AS dup_span_bp
+       |FROM sh s JOIN dfreq d ON d.sh = s.sh
+       |GROUP BY s.id
+       |ORDER BY doc_id""".stripMargin
+
+  /** E3j ≙ TextOps.heavyHitters — count-min sketch (4 lanes × 64 cells)
+    * over the token stream; estimate = min over the token's cells, exact
+    * count alongside so the overestimate is graded too. Lane hashes are
+    * the same '0:'-salted md5 lanes the Spark side's Md5Lanes computes. */
+  val heavyHittersSql: String =
+    s"""WITH $corpusSql, tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS t FROM corpus
+       |), cnt AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+       |), lanes AS (
+       |  SELECT t, c, h AS lane,
+       |    ('0x' || substr(md5('0:' || t), h * 8 + 1, 8))::BIGINT % ${TextOps.CmWidth} AS bucket
+       |  FROM cnt, range(${TextOps.CmLanes}) hh(h)
+       |), cm AS (
+       |  SELECT lane, bucket, CAST(sum(c) AS BIGINT) AS cell
+       |  FROM lanes GROUP BY lane, bucket
+       |), est AS (
+       |  SELECT l.t, min(cm.cell) AS est_count, min(l.c) AS true_count
+       |  FROM lanes l JOIN cm ON cm.lane = l.lane AND cm.bucket = l.bucket
+       |  GROUP BY l.t
+       |)
+       |SELECT t AS token, est_count, true_count FROM est
+       |ORDER BY est_count DESC, token
+       |LIMIT 20""".stripMargin
+
   /** ≙ ext.Cluster.clusters over Dedup.nearDuplicatePairs: connected
     * components (min reachable id) via a recursive transitive-closure CTE
     * — tractable because dup components are tiny; the Spark side uses

@@ -395,6 +395,38 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("duplicated-span share: exact copies score 10000, unique docs 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),        // copied by 2 → all shingles duplicated
+      (2L, "a b c d e f"),
+      (3L, "x y z w v u"),        // unique → 0
+      (4L, "a b c q r s t"))      // shares shingle "a b c" with 1/2 only
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedShingleShare(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_dup_shingles"), r.getAs[Long]("dup_span_bp"))).toMap
+    assert(out(1L) == ((4L, 4L, 10000L)))
+    assert(out(2L) == ((4L, 4L, 10000L)))
+    assert(out(3L) == ((4L, 0L, 0L)))
+    assert(out(4L) == ((5L, 1L, 2000L)))
+  }
+
+  test("count-min estimates never undercount and rank the true heavy hitter first") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hot hot hot hot hot cold warm"),
+      (2L, "hot hot hot mild cold"),
+      (3L, "warm mild cool")).toDF("doc_id", "text")
+    val rows = TextOps.heavyHitters(df, k = 10).collect()
+    assert(rows.forall(r => r.getAs[Long]("est_count") >= r.getAs[Long]("true_count")),
+      "count-min is an overestimate, never an undercount")
+    assert(rows.head.getAs[String]("token") == "hot")
+    assert(rows.head.getAs[Long]("true_count") == 8L)
+  }
+
   test("tokenDeciles covers every doc exactly once with ordered bounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.tokenDeciles(docs).collect()
