@@ -794,6 +794,13 @@ object SparkEntry {
     "ext_kmeans" -> ((s, dir) =>
       Similarity.kmeansAssign(embeddings(s, dir)).orderBy("vec_id")),
 
+    // E2f — SemDeDup: k-means cells over the dup-planted embedding corpus,
+    // prune any vector with a lower-id cell-mate at cosine >= 0.99 — the
+    // quadratic term confined to cells, the semantic-dedup scale shape
+    "ext_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(EmbFeed.withDups(embeddings(s, dir)))
+        .orderBy("vec_id")),
+
     // boilerplate shingles: recurring across >= 5 per-mille of documents
     "ext_boilerplate" -> ((s, dir) =>
       graft.ext.Curate.boilerplate(corpus(s, dir)).orderBy(col("n_docs").desc, col("sh"))),
@@ -1004,6 +1011,7 @@ object SparkEntry {
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_kmeans" -> ExtOracle.kmeansSql,
+    "ext_semdedup" -> ExtOracle.semdedupSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_token_budget" -> ExtOracle.tokenBudgetSql,
     "ext_domain_dedup" -> ExtOracle.domainDedupSql,

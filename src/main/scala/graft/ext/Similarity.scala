@@ -262,6 +262,46 @@ object Similarity {
       .select(col(idCol), col("cell").cast("long").as("cid"))
   }
 
+  /** E2f — SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web scale through semantic deduplication"): k-means-cluster the
+    * embedding corpus ([[kmeansAssign]]), then within each cell prune
+    * every vector that has a LOWER-id cell-mate above the cosine
+    * threshold — semantic near-duplicates collapse to their first
+    * representative without any cross-cell comparison. Output: one row
+    * per vector, (vec_id, cid, is_kept).
+    *
+    * Scale shape: the pairwise comparison is confined to k-means cells
+    * (the join key is the cell id — the whole point of SemDeDup is that
+    * cells bound the quadratic term), the cluster step is the fixed
+    * O(rounds) k-means above, and the prune is one self-join + one
+    * left-anti join. At real scale k grows with the corpus so cells stay
+    * bounded; the threshold keeps float math strictly on the comparison
+    * side (both engines compute the identical double expression). */
+  def semanticDedup(
+      emb: DataFrame,
+      k: Int = 8,
+      rounds: Int = 2,
+      threshold: Double = 0.99,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = kmeansAssign(emb, k, rounds, idCol, vecCol)
+    val withCell = emb
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .join(cells, Seq(idCol))
+    val l = withCell.select(col("cid"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val r = withCell.select(col("cid"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    val pruned = l.join(r, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    withCell.select(col(idCol), col("cid"))
+      .join(pruned.withColumn("__p", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        when(col("__p").isNull, 1L).otherwise(0L).as("is_kept"))
+  }
+
   /** (query_id, score, neighbor_id) → (query_id, neighbor_id, rnk ≤ k) via
     * the bounded-heap aggregate + posexplode. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =

@@ -450,8 +450,12 @@ object ExtOracle {
     * (floor(x·1000) long sums, integer division) so centroid drift is
     * impossible between engines. Same two primitives `annIvfSql` refines
     * with, iterated. */
-  val kmeansSql: String = {
-    val k = 8
+  /** k-means CTE chain over an existing `allv(vec_id, v)` CTE: seeds =
+    * vec_id < k, two assign→re-center alternations + the final assign;
+    * ends in `cell2(vec_id, cell)`. Shared by [[kmeansSql]] and
+    * [[semdedupSql]] so the replayed clustering cannot drift between the
+    * two graded rows. */
+  private def kmeansCellCtes(k: Int): String = {
     // one assignment round: argmax cosine against `cents`, ties to the
     // smaller centroid id (≙ Similarity.nearestCells via TopKByScore)
     def assign(tag: Int, cents: String): String =
@@ -477,16 +481,19 @@ object ExtOracle {
          |  SELECT cell AS cid, (list(qm ORDER BY pos))::DOUBLE[] AS cv
          |  FROM qm$tag GROUP BY cell
          |)""".stripMargin
-    s"""WITH allv AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), cent0 AS (
-       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $k
+    s"""cent0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM allv WHERE vec_id < $k
        |), ${assign(0, "cent0")}, ${recenter(0, "cent1")},
        |${assign(1, "cent1")}, ${recenter(1, "cent2")},
-       |${assign(2, "cent2")}
+       |${assign(2, "cent2")}""".stripMargin
+  }
+
+  val kmeansSql: String =
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), ${kmeansCellCtes(8)}
        |SELECT vec_id, CAST(cell AS BIGINT) AS cid FROM cell2
        |ORDER BY vec_id""".stripMargin
-  }
 
   /** E1+E3 composition ≙ ext.Curate.funnel (dedup → length → repetition →
     * language gates, integer thresholds). */
@@ -709,6 +716,26 @@ object ExtOracle {
        |SELECT e.vec_id, CAST(coalesce(comp.cluster_id, e.vec_id) AS BIGINT) AS cluster_id
        |FROM embx e LEFT JOIN comp ON comp.id = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
+
+  /** E2f ≙ Similarity.semanticDedup — SemDeDup: k-means cells over the
+    * dup-planted embedding corpus, then prune any vector with a lower-id
+    * cell-mate at cosine ≥ 0.99 (planted scaled copies; random 16-dim
+    * pairs never reach the threshold). Declared AFTER embCorpusSql — vals
+    * here initialize in file order. */
+  val semdedupSql: String =
+    s"""WITH $embCorpusSql, allv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embx
+       |), ${kmeansCellCtes(8)}, wc AS (
+       |  SELECT c.vec_id, c.cell, a.v FROM cell2 c JOIN allv a ON a.vec_id = c.vec_id
+       |), pruned AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.v", "b.v")} >= 0.99
+       |)
+       |SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cid,
+       |  CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM wc w LEFT JOIN pruned p ON p.vec_id = w.vec_id
+       |ORDER BY w.vec_id""".stripMargin
 
   /** E3a' ≙ TextOps.bpeTokenStats (regex pre-tokenization counts). */
   val bpeTokensSql: String = {

@@ -427,6 +427,23 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.head.getAs[Long]("true_count") == 8L)
   }
 
+  test("semanticDedup prunes scaled copies within their cell, keeps originals") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Float*) = xs.toArray
+    val df = Seq(
+      (0L, v(1f, 0f, 0f, 0f)), (1L, v(0f, 1f, 0f, 0f)),
+      (2L, v(0f, 0f, 1f, 0f)), (3L, v(0f, 0f, 0f, 1f)),
+      (4L, v(1f, 1f, 0f, 0f)), // cos 0.707 to seeds — never pruned
+      (100L, v(1.5f, 0f, 0f, 0f)),  // scaled copy of 0 → pruned
+      (101L, v(0f, 0f, 0f, 2f)))    // scaled copy of 3 → pruned
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, k = 4, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("is_kept")).toMap
+    assert(out(100L) == 0L && out(101L) == 0L, "scaled copies must be pruned")
+    assert(Seq(0L, 1L, 2L, 3L, 4L).forall(out(_) == 1L), "originals survive")
+  }
+
   test("tokenDeciles covers every doc exactly once with ordered bounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.tokenDeciles(docs).collect()
