@@ -789,6 +789,19 @@ object SparkEntry {
     "ext_heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(corpus(s, dir))),
 
+    // E2g — HyperLogLog distinct sketch per language over the SHINGLE
+    // stream (thousands of distinct values per group — the sketch's real
+    // regime; the token vocabulary is a fixture-tiny 39): max-only
+    // register aggregation, no distinct shuffle, integer-rendered
+    // estimate with the exact count alongside
+    "ext_hll" -> ((s, dir) =>
+      Similarity.hllDistinct(
+        corpus(s, dir).select(col("lang"),
+          explode(graft.functions.WordShingles.wordShingles(col("text"),
+            Dedup.ShingleLen)).as("t")),
+        "lang", "t")
+        .orderBy("lang")),
+
     // E2e — deterministic k-means assignment over the embedding corpus
     // (SemDeDup's clustering step; integer-mean re-centering, 2 rounds)
     "ext_kmeans" -> ((s, dir) =>
@@ -1010,6 +1023,7 @@ object SparkEntry {
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
+    "ext_hll" -> ExtOracle.hllSql,
     "ext_kmeans" -> ExtOracle.kmeansSql,
     "ext_semdedup" -> ExtOracle.semdedupSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,

