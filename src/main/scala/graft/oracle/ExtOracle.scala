@@ -737,6 +737,32 @@ object ExtOracle {
        |FROM wc w LEFT JOIN pruned p ON p.vec_id = w.vec_id
        |ORDER BY w.vec_id""".stripMargin
 
+  /** E3k ≙ Curate.lineDedup over the line-planted corpus — cross-document
+    * line dedup with ordered surviving-text reconstruction (string_agg
+    * ORDER BY pos ≙ Spark's sort_array(collect_list(struct(pos, line)))).
+    * A doc whose every line is removed fingerprints the empty string on
+    * both sides (coalesce(...,'')). */
+  val lineDedupSql: String =
+    s"""WITH $repCorpusSql, lnl AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(lines)) FROM lnl))) AS i
+       |), ln AS (
+       |  SELECT doc_id, i + 1 AS pos, lines[i+1] AS line
+       |  FROM lnl, idx WHERE i < len(lines)
+       |), dfq AS (
+       |  SELECT line, count(DISTINCT doc_id) AS ndocs FROM ln GROUP BY line
+       |), j AS (
+       |  SELECT l.doc_id, l.pos, l.line, d.ndocs FROM ln l JOIN dfq d ON d.line = l.line
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN ndocs < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE ndocs < 2), ''))
+       |    AS kept_fp
+       |FROM j GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** E3a' ≙ TextOps.bpeTokenStats (regex pre-tokenization counts). */
   val bpeTokensSql: String = {
     def cnt(p: String, as: String) =

@@ -444,6 +444,25 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(Seq(0L, 1L, 2L, 3L, 4L).forall(out(_) == 1L), "originals survive")
   }
 
+  test("lineDedup removes cross-doc lines, keeps order, fingerprints survivors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "unique one\nshared footer\nunique two"),
+      (2L, "other text\nshared footer"),
+      (3L, "solo document")).toDF("doc_id", "text")
+    val out = graft.ext.Curate.lineDedup(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") == 1 && out(1L).getAs[Long]("n_kept") == 2)
+    assert(out(2L).getAs[Long]("n_removed") == 1 && out(2L).getAs[Long]("n_kept") == 1)
+    assert(out(3L).getAs[Long]("n_removed") == 0)
+    // surviving text preserves original line order
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest("unique one\nunique two".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(out(1L).getAs[String]("kept_fp") == fp)
+  }
+
   test("HLL estimate lands within the m=16 error envelope; exact count exact") {
     val s = spark
     import s.implicits._
