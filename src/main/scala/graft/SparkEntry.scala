@@ -25,10 +25,11 @@ object SparkEntry {
     * from the sink's max id, all from ONE sink snapshot. */
   private def populateTwice(
       s: SparkSession, dir: String, cfg: CdcTableConfig, prefix: String,
-      compact: Boolean = false, compactBetween: Boolean = false): DataFrame = {
+      compact: Boolean = false, compactBetween: Boolean = false,
+      feedFn: (SparkSession, String) => DataFrame = feed): DataFrame = {
     val sink = TempDirs.create(prefix)
       .resolve("orders_changelog").toString
-    val f = feed(s, dir)
+    val f = feedFn(s, dir)
     PopulateChangelog.run(s, f, cfg, sink,
       Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)))
     // compactBetween: rewrite the sink into a fresh published version MID-
@@ -587,6 +588,31 @@ object SparkEntry {
           "column_name", "old_value", "new_value")
         .orderBy("changelog_id")),
 
+    // the incremental fold under REPLAY: batch 2 applied TWICE through the
+    // idempotent guard — already-applied changelog ids are dropped before
+    // the merge, so the doubled delivery leaves the state bit-identical to
+    // the whole-history fold (n_changes included; the at-least-once
+    // applyBatch would inflate it)
+    "cdc_state_replay" -> ((s, dir) => {
+      val sink = populateTwice(s, dir, ordersCfg, "graft_sr")
+      val mid = lit(graft.oracle.OrdersCdcOracle.ResumeMid).cast("timestamp")
+      val batch2 = sink.where(col("commit_time") > mid)
+      val state1 = graft.cdc.StateMaintain.stateLong(
+        sink.where(col("commit_time") <= mid), Seq("o_orderkey"))
+      val once = graft.cdc.StateMaintain.applyBatchIdempotent(state1, batch2, Seq("o_orderkey"))
+        .localCheckpoint(true)
+      graft.cdc.StateMaintain.applyBatchIdempotent(once, batch2, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column_name")
+    }),
+
+    // schema drift ACROSS a sink resume: batch 1 ends just past DriftLsn,
+    // batch 2 appends the post-drift rows (new column_name) to the same
+    // sink with id continuation — the EAV sink needs zero DDL for the
+    // migration, which is the whole schema-evolution story end-to-end
+    "cdc_populate_drift_resume" -> ((s, dir) =>
+      populateTwice(s, dir, ordersCfg, "graft_dr",
+        feedFn = (ss, d) => ChangeFeed.fromOrdersDrift(orders(ss, d)))),
+
     // retention ≙ sys.sp_cdc_cleanup_change_table: populate a sink whose
     // commit times span several days (×64 LSN spacing), drop every
     // commit_date partition before the cutoff — a pure partition-level
@@ -998,6 +1024,8 @@ object SparkEntry {
     "cdc_snapshot_diff" -> OrdersCdcOracle.snapshotDiffSql,
     "cdc_state_asof" -> OrdersCdcOracle.stateAsOfSql,
     "cdc_apply_diff" -> OrdersCdcOracle.applyDiffSql,
+    "cdc_state_replay" -> OrdersCdcOracle.default.stateSql,
+    "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_mask_stats" -> OrdersCdcOracle.default.maskStatsSql,
