@@ -34,6 +34,13 @@ object ApplyChanges {
       valueCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty)
     val keys = keyCols.map(col)
+    // the diff is consumed by THREE sub-trees (pivot, delete keys, insert
+    // keys); as a lazy plan each reference would re-derive it — for a
+    // snapshot-diff input that is three full outer joins of the source.
+    // Changelog-sized diffs are small relative to the base, so eager
+    // localCheckpoint materializes once and the ContextCleaner reclaims
+    // the blocks when the result is dropped (the repo-wide pattern).
+    val d = diff.localCheckpoint(true)
 
     val eb = base.select(
       keyCols.map(k => col(k).cast("string").as(k)) ++
@@ -44,12 +51,12 @@ object ApplyChanges {
     val aggs = valueCols.flatMap(c => Seq(
       max(when(col("column_name") === c, 1L).otherwise(0L)).as(s"__f_$c"),
       max(when(col("column_name") === c, col("new_value"))).as(s"__v_$c")))
-    val pivot = diff.where(col("column_name").isNotNull)
+    val pivot = d.where(col("column_name").isNotNull)
       .groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
-    val deleted = diff.where(col("old_value") === "DELETED RECORD").select(keys: _*)
-    val inserted = diff.where(col("new_value") === "NEW RECORD").select(keys: _*)
+    val deleted = d.where(col("old_value") === "DELETED RECORD").select(keys: _*)
+    val inserted = d.where(col("new_value") === "NEW RECORD").select(keys: _*)
 
     val survivors = eb
       .join(deleted, keyCols, "left_anti")

@@ -255,8 +255,15 @@ object Similarity {
     val base = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
     val seeds = base.where(col(idCol) < k).select(
       col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
+    // each round's centroid table is k rows — eagerly materialize it so
+    // round r+1's plan references a tiny checkpoint instead of replanting
+    // the WHOLE previous round's lineage (the lazy foldLeft otherwise
+    // re-derives every earlier assign+re-center per round: plan size and
+    // corpus scans grow with rounds²; with the checkpoint each round is
+    // exactly one corpus scan, which is k-means' inherent cost)
     val cents = (1 to rounds).foldLeft(seeds) { (c, _) =>
       integerMeanCentroids(nearestCells(base, c, 1, idCol, vecCol), vecCol)
+        .localCheckpoint(true)
     }
     nearestCells(base, cents, 1, idCol, vecCol)
       .select(col(idCol), col("cell").cast("long").as("cid"))
@@ -285,9 +292,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cells = kmeansAssign(emb, k, rounds, idCol, vecCol)
+    // consumed by BOTH self-join sides and the output — one eager
+    // materialization instead of three assign-join recomputations
     val withCell = emb
       .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
       .join(cells, Seq(idCol))
+      .localCheckpoint(true)
     val l = withCell.select(col("cid"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val r = withCell.select(col("cid"), col(idCol).as("id_b"),
