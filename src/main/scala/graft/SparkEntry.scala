@@ -323,6 +323,14 @@ object SparkEntry {
       Similarity.topKCosine(embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("query_id", "rnk")),
 
+    // E2h — contrastive hard-negative mining over the dup-planted corpus:
+    // top-5 most-similar EXCLUDING near-duplicates (every query has a
+    // planted cos~1 copy that must be filtered before ranking)
+    "ext_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(
+        EmbFeed.withDups(embeddings(s, dir)), col("vec_id") % 100 === 0, k = 5)
+        .orderBy("query_id", "rnk")),
+
     // E2b — LSH-bucketed approximate top-k cosine (the 100 TB path)
     "ext_ann_lsh" -> ((s, dir) =>
       Similarity.topKCosineLsh(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
@@ -1005,6 +1013,7 @@ object SparkEntry {
     "ext_events_agg" -> ExtOracle.eventStatsSql,
     "ext_fingerprint" -> ExtOracle.fingerprintSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
+    "ext_hard_negatives" -> ExtOracle.hardNegativesSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
     "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,

@@ -86,7 +86,15 @@ object PopulateChangelog {
     // partition. Costs one extra exchange per batch; worth it for sinks
     // that serve key-targeted reads at scale.
     val arranged =
-      if (!clusterByKey) stamped
+      // default: repartition on the PARTITION column so each task owns
+      // whole commit_date partitions — the id stage's single-partition
+      // window would otherwise hand the writer ONE task serially creating
+      // every date directory (a day-spanning backfill writes hundreds),
+      // and a distributed-id batch would instead scatter every date
+      // across every task (dates × tasks small files). One hash exchange
+      // per batch buys a parallel write with one file per partition per
+      // batch; AQE coalesces when the batch only spans a few dates.
+      if (!clusterByKey) stamped.repartition(col("commit_date"))
       else {
         val cluster = col("commit_date") +: cfg.keyCols.map(col)
         // an explicit partition count pins the file count (AQE would

@@ -60,6 +60,31 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** E2h — contrastive HARD-NEGATIVE mining: for each query, the top-k
+    * most-similar corpus vectors EXCLUDING near-duplicates (cosine ≥
+    * `dupThreshold`) — the pairs a contrastive/embedding trainer wants:
+    * close, but not copies (a planted duplicate in the top-k would be a
+    * false negative that collapses the loss). Same broadcast +
+    * bounded-heap shape as [[topKCosine]] with the duplicate band
+    * filtered before ranking. */
+  def hardNegatives(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      dupThreshold: Double = 0.99,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"))
+    val corpus = emb.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .where(col("cos") < dupThreshold)
+    rankTopK(scored, k)
+  }
+
   // -------------------------------------------------------------------
   // Random-hyperplane LSH (bucketed ANN)
   // -------------------------------------------------------------------

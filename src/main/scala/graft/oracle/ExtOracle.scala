@@ -690,6 +690,28 @@ object ExtOracle {
        |  WHERE ${cosineSql("a.v", "b.v")} >= 0.9
        |)""".stripMargin
 
+  /** E2h ≙ Similarity.hardNegatives over the dup-planted corpus (queries =
+    * vec_id % 100 = 0 — every one of which, being % 20 = 0, HAS a planted
+    * scaled copy at cosine ~1 that must be excluded): top-5 most-similar
+    * non-duplicates, cos < 0.99 filtered before ranking. */
+  val hardNegativesSql: String =
+    s"""WITH $embCorpusSql, q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embx WHERE vec_id % 100 = 0
+       |), c AS (
+       |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embx
+       |), s AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+       |  FROM q, c WHERE query_id <> neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s WHERE cos < 0.99
+       |)
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** E1d ≙ Dedup.nearDuplicatesByEmbedding (planted pairs sit at cosine
     * ≈ 1, random pairs ≤ ~0.5). */
   val dedupEmbeddingSql: String =

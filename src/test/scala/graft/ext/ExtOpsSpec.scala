@@ -463,6 +463,21 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L).getAs[String]("kept_fp") == fp)
   }
 
+  test("hardNegatives excludes the near-duplicate band from the ranking") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Float*) = xs.toArray
+    val df = Seq(
+      (0L, v(1f, 0f)), (50L, v(1.5f, 0f)), // 50 = scaled copy of the query
+      (2L, v(1f, 0.5f)), (3L, v(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(df, col("vec_id") === 0, k = 3).collect()
+    val ids = out.map(_.getAs[Long]("neighbor_id"))
+    assert(!ids.contains(50L), "the cos~1 duplicate must be filtered")
+    assert(ids.toSet == Set(2L, 3L))
+    assert(out.find(_.getAs[Long]("neighbor_id") == 2L).get.getAs[Int]("rnk") == 1)
+  }
+
   test("HLL estimate lands within the m=16 error envelope; exact count exact") {
     val s = spark
     import s.implicits._
