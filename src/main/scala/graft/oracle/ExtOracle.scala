@@ -176,6 +176,27 @@ object ExtOracle {
        |WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** E1b''' ≙ Dedup.containmentPairs — the oracle is the EXACT all-pairs
+    * ground truth (naive share-a-shingle join, containment of the smaller
+    * set ≥ 9/10), so a green row proves the asymmetric prefix probe
+    * LOSSLESS — it finds every subset pair MinHash banding would miss
+    * (the larger doc's band minima come from its own non-shared
+    * shingles). */
+  val containmentPairsSql: String =
+    s"""WITH $corpusSql, $shingleCtes, common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |), sizes AS (
+       |  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+       |)
+       |SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+       |FROM common c
+       |JOIN sizes sa ON sa.id = c.id_a
+       |JOIN sizes sb ON sb.id = c.id_b
+       |WHERE c.n_common * 10 >= least(sa.n_sh, sb.n_sh) * 9
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** E1e ≙ Dedup.duplicatedShingleShare — duplicated-span share per doc
     * (shingle-granular substring-dedup evidence): a shingle is duplicated
     * iff its corpus document frequency ≥ 2. */

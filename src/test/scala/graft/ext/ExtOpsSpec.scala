@@ -395,6 +395,19 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("containment pairs catch a short doc quoted whole inside a long one") {
+    val s = spark
+    import s.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val host = s"intro words here $quote closing words follow after that tail"
+    val df = Seq((1L, quote), (2L, host), (3L, "unrelated text entirely different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)),
+      s"the quoted doc is fully contained (Jaccard would dilute it), got $out")
+  }
+
   test("duplicated-span share: exact copies score 10000, unique docs 0") {
     val s = spark
     import s.implicits._
