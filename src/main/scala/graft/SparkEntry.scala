@@ -596,6 +596,49 @@ object SparkEntry {
           "column_name", "old_value", "new_value")
         .orderBy("changelog_id")),
 
+    // ONE catalog serving BOTH registered changelogs — the reference's
+    // deployment shape (one changelog per source table, resolved by name
+    // pattern :33-38): populate orders AND lineitem sinks, query the same
+    // day-truncated window from each through the catalog, union with a
+    // uniform key projection
+    "cdc_query_multi" -> ((s, dir) => {
+      val base = TempDirs.create("graft_qm")
+      val sinkO = base.resolve("orders_changelog").toString
+      val sinkL = base.resolve("lineitem_changelog").toString
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sinkO,
+        Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
+      PopulateChangelog.run(s,
+        ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+          materializeDedup = true), lineitemCfg, sinkL,
+        Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
+      val cat = new CdcCatalog
+      cat.register(CdcTableEntry(ordersCfg, dir, sinkO))
+      cat.register(CdcTableEntry(lineitemCfg, dir, sinkL))
+      val from = java.sql.Timestamp.valueOf("1995-01-01 00:10:00")
+      val to = Some(java.sql.Timestamp.valueOf("1995-01-02 00:00:00"))
+      def slice(table: String, keyRepr: org.apache.spark.sql.Column) =
+        QueryData.run(s, cat, table, from, to).data
+          .select(col("commit_time"), col("table_name"), col("column_name"),
+            col("old_value"), col("new_value"), keyRepr.as("key_repr"))
+      slice("orders_ChangeLog", col("o_orderkey"))
+        .unionByName(slice("lineitem_ChangeLog",
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"))))
+        .orderBy(col("table_name"), col("commit_time"), col("key_repr"),
+          col("column_name").asc_nulls_first, col("old_value").asc_nulls_first,
+          col("new_value").asc_nulls_first)
+    }),
+
+    // strictNulls state: value→NULL transitions survive into the state
+    // with the NULL sentinel-encoded before the argmax — the one place
+    // the engines' aggregate semantics diverge (DuckDB arg_max skips
+    // NULLs, Spark max_by returns them), made portable by construction
+    "cdc_state_strictnulls" -> ((s, dir) =>
+      graft.cdc.StateMaintain.stateLongStrict(
+        ChangelogBuilder.withIds(
+          ChangelogBuilder.build(feed(s, dir), ordersStrictCfg), ordersStrictCfg),
+        Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column_name")),
+
     // the incremental fold under REPLAY: batch 2 applied TWICE through the
     // idempotent guard — already-applied changelog ids are dropped before
     // the merge, so the doubled delivery leaves the state bit-identical to
@@ -1040,6 +1083,8 @@ object SparkEntry {
     "cdc_state_asof" -> OrdersCdcOracle.stateAsOfSql,
     "cdc_apply_diff" -> OrdersCdcOracle.applyDiffSql,
     "cdc_state_replay" -> OrdersCdcOracle.default.stateSql,
+    "cdc_state_strictnulls" -> OrdersCdcOracle.strict.stateStrictSql("<NULL>"),
+    "cdc_query_multi" -> OrdersCdcOracle.queryMultiSql,
     "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,

@@ -38,6 +38,23 @@ object StateMaintain {
         max(col("changelog_id")).as("last_change_id"),
         count(lit(1)).as("n_changes"))
 
+  /** [[stateLong]] for STRICT-NULLS changelogs, where column rows may
+    * carry NULL new_value (a value→NULL transition — SURVEY §7.5.1): the
+    * NULL is encoded as an explicit `sentinel` BEFORE the argmax, because
+    * the engines genuinely diverge on NULL argmax values (DuckDB's
+    * arg_max skips rows whose value is NULL; Spark's max_by returns the
+    * NULL) — the sentinel makes "currently NULL" a first-class, portable
+    * state value instead of an engine accident. */
+  def stateLongStrict(changelog: DataFrame, keyCols: Seq[String],
+      sentinel: String = "<NULL>"): DataFrame =
+    changelog.where(col("column_name").isNotNull)
+      .groupBy((keyCols :+ "column_name").map(col): _*)
+      .agg(
+        max_by(coalesce(col("new_value"), lit(sentinel)), col("changelog_id"))
+          .as("last_value"),
+        max(col("changelog_id")).as("last_change_id"),
+        count(lit(1)).as("n_changes"))
+
   /** Point-in-time ("time travel") state: the long-form state table as it
     * stood at `asOf` — reconstruct any historical version of the source
     * from the same changelog, the query the audit-grid EAV layout exists

@@ -183,6 +183,22 @@ final class CdcOracle(
        |GROUP BY $pkOrder, column_name
        |ORDER BY $pkOrder, column_name""".stripMargin
 
+  /** ≙ StateMaintain.stateLongStrict: the state fold over a strictNulls
+    * changelog with NULLs sentinel-encoded BEFORE the argmax (DuckDB's
+    * arg_max skips NULL values where Spark's max_by returns them — the
+    * one place the engines' aggregate semantics genuinely diverge). */
+  def stateStrictSql(sentinel: String): String =
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT $pkOrder, column_name,
+       |  arg_max(coalesce(new_value, '$sentinel'), changelog_id) AS last_value,
+       |  max(changelog_id) AS last_change_id,
+       |  count(*) AS n_changes
+       |FROM cl WHERE column_name IS NOT NULL
+       |GROUP BY $pkOrder, column_name
+       |ORDER BY $pkOrder, column_name""".stripMargin
+
   /** Point-in-time state ≙ StateMaintain.stateAsOf: [[stateSql]] with the
     * changelog truncated at the AS-OF commit time — the historical-version
     * reconstruction the EAV changelog exists to answer. */

@@ -74,6 +74,28 @@ object OrdersCdcOracle {
   val drift = new CdcOracle(ChangeFeed.ordersDriftSpec, Seq("o_orderkey"), "orders")
   val driftChangelogSql: String = drift.changelogSql
 
+  /** Multi-table catalog drive ≙ one CdcCatalog serving BOTH registered
+    * changelogs (the reference's deployment shape: one changelog table
+    * per source table, resolved by name pattern — usp_cdc_query_data
+    * .sql:33-38): the same day-truncated window queried from each, keys
+    * projected to a uniform `key_repr` so the two tables union into one
+    * report. */
+  val queryMultiSql: String = {
+    val o = default.queryDataSql("1995-01-01 00:00:00", "1995-01-02 00:00:00")
+    val l = lineitem.queryDataSql("1995-01-01 00:00:00", "1995-01-02 00:00:00")
+    s"""SELECT * FROM (
+       |  SELECT commit_time, table_name, column_name, old_value, new_value,
+       |         o_orderkey AS key_repr
+       |  FROM ($o)
+       |  UNION ALL
+       |  SELECT commit_time, table_name, column_name, old_value, new_value,
+       |         l_orderkey || '|' || l_linenumber AS key_repr
+       |  FROM ($l)
+       |)
+       |ORDER BY table_name, commit_time, key_repr, column_name NULLS FIRST,
+       |         old_value NULLS FIRST, new_value NULLS FIRST""".stripMargin
+  }
+
   /** Retention fixture (×64 LSN spacing crosses day boundaries at every
     * SF) with the partition-level sweep at Jan 3 midnight. */
   val retention = new CdcOracle(ChangeFeed.ordersRetentionSpec, Seq("o_orderkey"), "orders")
