@@ -82,6 +82,33 @@ object ChangelogProperties extends Properties("changelog") with SparkFixture {
       outKeys.subsetOf(inKeys)
     }
 
+  property("applyDiff(diff(before, after)) reconstructs after (inserts NULL-payload)") =
+    Prop.forAll(genSnapshot, genSnapshot) { (beforeRows, afterRows) =>
+      val s = spark
+      import s.implicits._
+      val before = beforeRows.toDF("k", "a", "b")
+      val after = afterRows.toDF("k", "a", "b")
+      val d = SnapshotDiff.diff(before, after, Seq("k"), Seq("a", "b"))
+      val rebuilt = ApplyChanges.applyDiff(before, d, Seq("k"), Seq("a", "b"))
+        .collect().map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+        .toSet
+      val beforeKeys = beforeRows.map(_._1).toSet
+      val want = afterRows.map { case (k, a, b) =>
+        // inserted keys reconstruct with NULL payloads — the NEW RECORD
+        // sentinel carries no values (reference :377-386)
+        if (beforeKeys.contains(k)) (k.toString, a, b)
+        else (k.toString, None, None)
+      }.toSet
+      rebuilt == want
+    }
+
+  private val genSnapshot: Gen[List[(Long, Option[String], Option[String])]] = for {
+    n <- Gen.choose(0, 12)
+    keys <- Gen.pick(n, 0L until 20L)
+    vals <- Gen.listOfN(n, Gen.zip(
+      Gen.option(Gen.oneOf("x", "y", "z")), Gen.option(Gen.oneOf("p", "q"))))
+  } yield keys.toList.zip(vals).map { case (k, (a, b)) => (k, a, b) }
+
   property("checkpoint split + reunion loses nothing in lossless mode") =
     Prop.forAll(genFeed, Gen.choose(2, 27)) { (feed, splitDay) =>
       feed.count() == 0L || {

@@ -169,6 +169,33 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       got == want
     }
 
+  property("jaccard pairs are a subset of containment pairs at the same threshold") =
+    Prop.forAll(genCorpus) { rows =>
+      val s = spark
+      import s.implicits._
+      // containment of the smaller set >= Jaccard always, so every
+      // Jaccard-qualifying pair must appear in the containment join —
+      // links the two lossless prefix-filter operators
+      val df = rows.toDF("doc_id", "text")
+      def pairSet(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val jac = pairSet(Dedup.jaccardPairsPrefix(df, num = 3, den = 5))
+      val cont = pairSet(Dedup.containmentPairs(df, num = 3, den = 5))
+      jac.subsetOf(cont)
+    }
+
+  property("HLL sketch is duplication-blind (union with itself changes nothing)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { vs =>
+      val s = spark
+      import s.implicits._
+      val df = vs.map(("g", _)).toDF("k", "v")
+      val once = Similarity.hllDistinct(df, "k", "v").head()
+      val twice = Similarity.hllDistinct(df.union(df), "k", "v").head()
+      once.getAs[Long]("hll_est") == twice.getAs[Long]("hll_est") &&
+        once.getAs[Long]("exact_distinct") == twice.getAs[Long]("exact_distinct") &&
+        once.getAs[Long]("n_zero_buckets") == twice.getAs[Long]("n_zero_buckets")
+    }
+
   property("int8 quantization stays in [-127,127] with extremes hit") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_ / 10.0f))) { xs =>
       val s = spark
