@@ -855,6 +855,35 @@ object SparkEntry {
     "ext_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPairsPrefix(corpus(s, dir)).orderBy("id_a", "id_b")),
 
+    // THE PIPELINE — the full curation flow a training-data run executes,
+    // composed end-to-end from the graded pieces: MinHash near-dup pairs
+    // → connected components → representative selection (fullest member)
+    // → curation gates (dedup/length/quality/repetition/language) →
+    // cluster-keyed leakage-safe 98/1/1 split with per-split token sums
+    "ext_pipeline" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val pairs = Dedup.nearDuplicatePairs(c)
+      val reps = graft.ext.Cluster.representatives(c, pairs)
+      val kept = c.join(reps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      // all gates through repetition; the language gate stays out — this
+      // pipeline is the MULTILINGUAL shape (per-language handling is the
+      // stratified-sample / token-budget operators' job)
+      val curated = graft.ext.Curate.stages(kept)
+        .find(_._1 == "4_repetition").get._2
+      val assigned = graft.ext.Cluster.clusters(c, pairs)
+      val bucket = (conv(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long") % 100)
+      curated.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(assigned, Seq("doc_id"))
+        .withColumn("split",
+          when(bucket < 98, lit("train")).when(bucket < 99, lit("val")).otherwise(lit("test")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .orderBy("split")
+    }),
+
     // E1b''' — shingle containment pairs: same banded candidates, verify
     // predicate = containment of the smaller set (sub-document dup
     // detector; the appended-token plants score containment 1.0)
@@ -1119,6 +1148,7 @@ object SparkEntry {
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
     "ext_containment" -> ExtOracle.containmentPairsSql,
+    "ext_pipeline" -> ExtOracle.pipelineSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     "ext_line_dedup" -> ExtOracle.lineDedupSql,

@@ -550,6 +550,59 @@ object ExtOracle {
        |UNION ALL SELECT '5_language', count(*) FROM g
        |ORDER BY stage""".stripMargin
 
+  /** ≙ the ext_pipeline composition: near-dup pairs → recursive-closure
+    * components → fullest-member representatives → the funnel's gate
+    * chain over the kept corpus → cluster-keyed 98/1/1 split with
+    * per-split token sums. Every fragment is the one its standalone
+    * graded row uses, so the composition cannot drift from the pieces. */
+  val pipelineSql: String =
+    s"""WITH RECURSIVE $pairCtes, und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM und
+       |  UNION
+       |  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON u.src = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |), assigned AS (
+       |  SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(coalesce(comp.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+       |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+       |), rr AS (
+       |  SELECT doc_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM assigned
+       |), kc AS (
+       |  SELECT c.* FROM corpus c JOIN rr ON rr.doc_id = c.doc_id AND rr.rn = 1
+       |), k2 AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS m FROM kc GROUP BY md5(text)
+       |), d2 AS (
+       |  SELECT kc.* FROM kc JOIN k2 ON md5(kc.text) = k2.h AND kc.doc_id = k2.m
+       |), l2 AS (
+       |  SELECT * FROM d2 WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200
+       |), q2 AS (
+       |  SELECT * FROM l2
+       |  WHERE len(list_distinct(string_split(text, ' '))) * 2
+       |        >= len(string_split(text, ' ')) * 1
+       |), rep2 AS (
+       |  SELECT * FROM q2
+       |  WHERE CASE WHEN len(string_split(text, ' ')) >= 3
+       |    THEN ${triDupsSql("string_split(text, ' ')")} * 10000
+       |         // (len(string_split(text, ' ')) - 2) <= 200
+       |    ELSE true END
+       |), sp AS (
+       |  SELECT a.cluster_id, a.doc_id, a.n_tokens,
+       |    CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT a.*, ('0x' || substr(md5(a.cluster_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+       |        FROM assigned a JOIN rep2 ON rep2.doc_id = a.doc_id) a
+       |)
+       |SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM sp GROUP BY split
+       |ORDER BY split""".stripMargin
+
   /** E3c ≙ TextOps.jsonExtract over events.props. */
   val jsonExtractSql: String =
     """SELECT event_id, event_type,
