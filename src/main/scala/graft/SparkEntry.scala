@@ -896,6 +896,12 @@ object SparkEntry {
     "ext_substring_dedup" -> ((s, dir) =>
       Dedup.duplicatedShingleShare(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3l — sliding-window chunking (32-token windows, stride 16, tail
+    // window ending at the last token): the context-window prep step
+    // before tokenized training / passage indexing, graded per chunk
+    "ext_chunk_windows" -> ((s, dir) =>
+      TextOps.chunkWindows(corpus(s, dir)).orderBy("doc_id", "chunk_idx")),
+
     // E3k — cross-document LINE-level dedup (the C4/CCNet sweep) over the
     // line-planted corpus: repeated lines removed from every doc, graded
     // with the md5 of each doc's ordered surviving text
@@ -947,6 +953,21 @@ object SparkEntry {
     "ext_domain_dedup" -> ((s, dir) =>
       graft.ext.Curate.domainDedupStats(DocFeed.withUrlMeta(corpus(s, dir)))
         .orderBy("domain")),
+
+    // per-domain quality top-k: the "best docs per source" review export —
+    // stop_bp ranked inside each URL host (PARTITIONED window), top 3
+    "ext_domain_topk" -> ((s, dir) => {
+      val c = DocFeed.withUrlMeta(corpus(s, dir))
+      val dom = c.select(col("doc_id"), graft.ext.Curate.domainOf(col("meta")).as("domain"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy(col("stop_bp").desc, col("doc_id"))
+      TextOps.qualityScore(c).select("doc_id", "stop_bp")
+        .join(dom, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("domain"), col("doc_id"), col("stop_bp"), col("rnk"))
+        .orderBy("domain", "rnk")
+    }),
 
     // per-DOMAIN token-budget mixing — the standard web-corpus mixture cap,
     // stratified on the extracted host instead of the source shard
@@ -1152,11 +1173,13 @@ object SparkEntry {
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     "ext_line_dedup" -> ExtOracle.lineDedupSql,
+    "ext_chunk_windows" -> ExtOracle.chunkWindowsSql,
     "ext_kmeans" -> ExtOracle.kmeansSql,
     "ext_semdedup" -> ExtOracle.semdedupSql,
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_token_budget" -> ExtOracle.tokenBudgetSql,
     "ext_domain_dedup" -> ExtOracle.domainDedupSql,
+    "ext_domain_topk" -> ExtOracle.domainTopKSql,
     "ext_domain_budget" -> ExtOracle.domainBudgetSql,
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,

@@ -296,6 +296,40 @@ object TextOps {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  val ChunkWindow = 32
+  val ChunkStride = 16
+
+  /** E3l — sliding-window CHUNKING: split each document into
+    * [[ChunkWindow]]-token windows at [[ChunkStride]] stride — the
+    * context-window preparation step before tokenized training (and the
+    * passage-window step of retrieval indexing). Full windows plus one
+    * TAIL window ending exactly at the last token when the stride does
+    * not land there (so coverage is total and every chunk except a
+    * shorter-than-window doc's single chunk is exactly `ChunkWindow`
+    * tokens). Output: one row per chunk with its ordinal, 0-based start
+    * token, and an md5 fingerprint of the chunk text — map-only column
+    * work, embarrassingly parallel at any scale. */
+  def chunkWindows(corpus: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = ChunkWindow
+    val st = ChunkStride
+    val t = toks(col(textCol))
+    val n = size(t)
+    val kmax = intDiv(n - lit(w), lit(st))
+    val fullStarts = transform(sequence(lit(0), greatest(kmax, lit(0))), k => k * st)
+    val tailStart = n - lit(w)
+    val needTail = ((n - lit(w)) % st) =!= 0
+    val starts = when(n <= w, array(lit(0)))
+      .otherwise(when(needTail, concat(fullStarts, array(tailStart))).otherwise(fullStarts))
+    corpus.select(col(idCol).as("doc_id"), t.as("__t"), starts.as("__s"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__s")).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        md5(concat_ws(" ", slice(col("__t"), col("start_tok") + 1, lit(w))).cast("binary"))
+          .as("chunk_fp"))
+  }
+
   val CmLanes = 4
   val CmWidth = 64
 

@@ -859,6 +859,38 @@ object ExtOracle {
        |FROM j GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** E3l ≙ TextOps.chunkWindows — sliding 32-token windows at stride 16
+    * with a tail window ending at the last token; full chunks, the tail,
+    * and shorter-than-window docs rendered as three UNION branches. */
+  val chunkWindowsSql: String = {
+    val w = TextOps.ChunkWindow
+    val st = TextOps.ChunkStride
+    s"""WITH $corpusSql, tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(greatest((n - $w) // $st, 0)) + 1 FROM tk))) AS i
+       |), full_chunks AS (
+       |  SELECT doc_id, i AS chunk_idx, i * $st AS start_tok,
+       |         md5(array_to_string(toks[i*$st+1 : i*$st+$w], ' ')) AS chunk_fp
+       |  FROM tk, idx WHERE n > $w AND i <= (n - $w) // $st
+       |), tail_chunks AS (
+       |  SELECT doc_id, (n - $w) // $st + 1 AS chunk_idx, n - $w AS start_tok,
+       |         md5(array_to_string(toks[n-$w+1 : n], ' ')) AS chunk_fp
+       |  FROM tk WHERE n > $w AND (n - $w) % $st <> 0
+       |), short_chunks AS (
+       |  SELECT doc_id, 0 AS chunk_idx, 0 AS start_tok,
+       |         md5(array_to_string(toks, ' ')) AS chunk_fp
+       |  FROM tk WHERE n <= $w
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(start_tok AS BIGINT) AS start_tok, chunk_fp
+       |FROM (SELECT * FROM full_chunks UNION ALL SELECT * FROM tail_chunks
+       |      UNION ALL SELECT * FROM short_chunks)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** E3a' ≙ TextOps.bpeTokenStats (regex pre-tokenization counts). */
   val bpeTokensSql: String = {
     def cnt(p: String, as: String) =
@@ -1327,6 +1359,30 @@ object ExtOracle {
        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
        |FROM g GROUP BY domain
        |ORDER BY domain""".stripMargin
+
+  /** ≙ the ext_domain_topk composition (qualityScore's stop_bp ranked per
+    * URL host, top 3, id tiebreak): the "best docs per source" export a
+    * curation run ships to review. */
+  val domainTopKSql: String = {
+    val stops = TextOps.Stopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH $domainCorpusSql, q AS (
+       |  SELECT doc_id, domain,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($stops, t))) AS n_stop
+       |  FROM domc
+       |), scored AS (
+       |  SELECT doc_id, domain,
+       |    CASE WHEN n_tokens > 0 THEN n_stop * 10000 // n_tokens ELSE 0 END AS stop_bp
+       |  FROM q
+       |), r AS (
+       |  SELECT domain, doc_id, CAST(stop_bp AS BIGINT) AS stop_bp,
+       |    row_number() OVER (PARTITION BY domain ORDER BY stop_bp DESC, doc_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT domain, doc_id, stop_bp, rnk::INTEGER AS rnk
+       |FROM r WHERE rnk <= 3
+       |ORDER BY domain, rnk""".stripMargin
+  }
 
   /** ≙ Packing.tokenBudget with the URL host as the stratum (budget 3000):
     * the per-domain mixture cap of a web-corpus training mix. */

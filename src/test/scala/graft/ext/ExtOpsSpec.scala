@@ -457,6 +457,22 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(Seq(0L, 1L, 2L, 3L, 4L).forall(out(_) == 1L), "originals survive")
   }
 
+  test("chunkWindows: full stride windows + tail alignment + short-doc chunk") {
+    val s = spark
+    import s.implicits._
+    // 40 tokens: starts 0 (full), tail at 8 (40-32, since (40-32)%16 != 0);
+    // 48 tokens: starts 0, 16 ((48-32)%16 == 0 → no tail); 5 tokens: 1 chunk
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words(40)), (2L, words(48)), (3L, words(5)))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkWindows(df).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_tok"))).sorted.toList).toMap
+    assert(out(1L) == List((0L, 0L), (1L, 8L)))
+    assert(out(2L) == List((0L, 0L), (1L, 16L)))
+    assert(out(3L) == List((0L, 0L)))
+  }
+
   test("lineDedup removes cross-doc lines, keeps order, fingerprints survivors") {
     val s = spark
     import s.implicits._
