@@ -596,6 +596,39 @@ object SparkEntry {
           "column_name", "old_value", "new_value")
         .orderBy("changelog_id")),
 
+    // the range-clustered populate option end-to-end: each parquet file
+    // inside a commit_date partition covers a DISJOINT pk range (point
+    // lookups prune to one file via parquet min/max), result-invisible
+    // vs the same changelog oracle
+    "cdc_populate_clustered" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_pc").resolve("orders_changelog").toString
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+        clusterByKey = true, clusterPartitions = Some(4))
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
+    // the fullDays read fix: the reference truncates the upper bound to
+    // MIDNIGHT of to_date, silently dropping that whole day (:54);
+    // fullDays=true extends it to end-of-day — graded against an oracle
+    // whose bound is 23:59:59.999999, proving the day is included
+    "cdc_query_data_fullday" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_qf").resolve("orders_changelog").toString
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
+      val cat = new CdcCatalog
+      cat.register(CdcTableEntry(ordersCfg, dir, sink))
+      QueryData.run(s, cat, "orders_ChangeLog",
+        java.sql.Timestamp.valueOf("1995-01-01 00:10:00"),
+        Some(java.sql.Timestamp.valueOf("1995-01-01 12:00:00")),
+        fullDays = true).data
+        .select(col("commit_time"), col("table_name"), col("o_orderkey"),
+          col("column_name"), col("old_value"), col("new_value"))
+        .orderBy(col("commit_time"), col("o_orderkey"), col("column_name").asc_nulls_first,
+          col("old_value").asc_nulls_first, col("new_value").asc_nulls_first)
+    }),
+
     // ONE catalog serving BOTH registered changelogs — the reference's
     // deployment shape (one changelog per source table, resolved by name
     // pattern :33-38): populate orders AND lineitem sinks, query the same
@@ -1135,6 +1168,9 @@ object SparkEntry {
     "cdc_state_replay" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_strictnulls" -> OrdersCdcOracle.strict.stateStrictSql("<NULL>"),
     "cdc_query_multi" -> OrdersCdcOracle.queryMultiSql,
+    "cdc_populate_clustered" -> OrdersCdcOracle.changelogSql,
+    "cdc_query_data_fullday" ->
+      OrdersCdcOracle.default.queryDataSql("1995-01-01 00:00:00", "1995-01-01 23:59:59.999999"),
     "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
