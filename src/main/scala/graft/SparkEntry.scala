@@ -596,6 +596,30 @@ object SparkEntry {
           "column_name", "old_value", "new_value")
         .orderBy("changelog_id")),
 
+    // changelog integrity audit — totals, id contiguity (row_number ids
+    // make max == count an invariant), per-branch counts, distinct keys:
+    // the ops dashboard a changelog owner watches
+    "cdc_audit" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      cl.agg(
+        count(lit(1)).as("n_rows"),
+        max(col("changelog_id")).as("max_id"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(when(col("column_name").isNotNull, 1L).otherwise(0L)).cast("long").as("n_updates"),
+        sum(when(col("old_value") === "DELETED RECORD", 1L).otherwise(0L)).cast("long")
+          .as("n_deletes"),
+        sum(when(col("new_value") === "NEW RECORD", 1L).otherwise(0L)).cast("long")
+          .as("n_inserts"))
+        .withColumn("ids_contiguous",
+          when(col("n_rows") === col("max_id"), 1L).otherwise(0L))
+    }),
+
+    // E3m — deterministic quality-weighted downsampling: good 100% /
+    // mid 50% / low 10% / short 0%, md5-bucket keep rule (no RNG)
+    "ext_quality_sample" -> ((s, dir) =>
+      TextOps.qualitySample(corpus(s, dir)).orderBy("verdict")),
+
     // the range-clustered populate option end-to-end: each parquet file
     // inside a commit_date partition covers a DISJOINT pk range (point
     // lookups prune to one file via parquet min/max), result-invisible
@@ -1169,6 +1193,8 @@ object SparkEntry {
     "cdc_state_strictnulls" -> OrdersCdcOracle.strict.stateStrictSql("<NULL>"),
     "cdc_query_multi" -> OrdersCdcOracle.queryMultiSql,
     "cdc_populate_clustered" -> OrdersCdcOracle.changelogSql,
+    "cdc_audit" -> OrdersCdcOracle.default.auditSql,
+    "ext_quality_sample" -> ExtOracle.qualitySampleSql,
     "cdc_query_data_fullday" ->
       OrdersCdcOracle.default.queryDataSql("1995-01-01 00:00:00", "1995-01-01 23:59:59.999999"),
     "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,

@@ -371,6 +371,26 @@ object TextOps {
       .limit(k)
   }
 
+  /** E3m — quality-weighted DOWNSAMPLING: each quality verdict keeps a
+    * deterministic hash share of its docs (good 100%, mid 50%, low 10%,
+    * short 0%) — the standard "keep the best, thin the rest" corpus
+    * rebalancing step, as a pure column predicate (md5 bucket per doc, no
+    * RNG, reproducible across runs and engines). Output per verdict:
+    * docs seen / kept — map-only + one hash aggregate. */
+  def qualitySample(corpus: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rate = when(col("verdict") === "good", 100L)
+      .when(col("verdict") === "mid", 50L)
+      .when(col("verdict") === "low", 10L)
+      .otherwise(0L)
+    val bucket = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
+    qualityScore(corpus, textCol, idCol)
+      .select(col("verdict"), when(bucket < rate, 1L).otherwise(0L).as("__keep"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__keep")).cast("long").as("n_kept"))
+  }
+
   /** E3d — document fingerprints: whole-document md5 plus a winnowing-style
     * min-shingle fingerprint (min over word-3-gram hashes — stable under
     * content reordering at the margins, unlike the whole-doc hash). */

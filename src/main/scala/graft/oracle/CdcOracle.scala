@@ -183,6 +183,26 @@ final class CdcOracle(
        |GROUP BY $pkOrder, column_name
        |ORDER BY $pkOrder, column_name""".stripMargin
 
+  /** Changelog integrity audit ≙ the ops dashboard a changelog owner
+    * watches: totals, id contiguity (ids are row_number-assigned, so
+    * max == count unless something was lost), per-branch row counts,
+    * distinct keys. */
+  val auditSql: String = {
+    val keyRepr = keyCols.map(k => s"CAST($k AS VARCHAR)").mkString(" || '|' || ")
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(max(changelog_id) AS BIGINT) AS max_id,
+       |  CAST(count(DISTINCT $keyRepr) AS BIGINT) AS n_keys,
+       |  CAST(count(*) FILTER (WHERE column_name IS NOT NULL) AS BIGINT) AS n_updates,
+       |  CAST(count(*) FILTER (WHERE old_value = 'DELETED RECORD') AS BIGINT) AS n_deletes,
+       |  CAST(count(*) FILTER (WHERE new_value = 'NEW RECORD') AS BIGINT) AS n_inserts,
+       |  CAST(CASE WHEN count(*) = max(changelog_id) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS ids_contiguous
+       |FROM cl""".stripMargin
+  }
+
   /** ≙ StateMaintain.stateLongStrict: the state fold over a strictNulls
     * changelog with NULLs sentinel-encoded BEFORE the argmax (DuckDB's
     * arg_max skips NULL values where Spark's max_by returns them — the

@@ -980,6 +980,36 @@ object ExtOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** E3m ≙ TextOps.qualitySample — deterministic quality-weighted
+    * downsampling (good 100% / mid 50% / low 10% / short 0%, md5-bucket
+    * keep rule). */
+  val qualitySampleSql: String = {
+    val stops = TextOps.Stopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH $corpusSql, base AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($stops, t))) AS n_stop
+       |  FROM corpus
+       |), scored AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN n_stop * 10000 // n_tokens ELSE 0 END AS stop_bp
+       |  FROM base
+       |), v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 20 THEN 'short'
+       |         WHEN stop_bp >= 500 THEN 'good'
+       |         WHEN stop_bp >= 200 THEN 'mid'
+       |         ELSE 'low' END AS verdict,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+       |  FROM scored
+       |)
+       |SELECT verdict, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN b < (CASE verdict WHEN 'good' THEN 100 WHEN 'mid' THEN 50
+       |    WHEN 'low' THEN 10 ELSE 0 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM v GROUP BY verdict
+       |ORDER BY verdict""".stripMargin
+  }
+
   /** ≙ ops.Sessions.sessionize over events (30-min gap, seconds
     * granularity). First event per user: lag is NULL → NULL condition →
     * ELSE 1, same as Spark's when().otherwise. */
