@@ -105,6 +105,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"expected commit_date partition pruning in the sink scan")
   }
 
+  test("containment join never degenerates into a nested-loop product") {
+    val p = plan("ext_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix-probe candidates must join on the shingle key, never all-pairs")
+    // the ranking windows are PARTITIONED per doc — no global funnel
+    // (an empty partition spec prints as "windowspecdefinition(" with the
+    // order expression first; partitioned ones lead with the doc id)
+    assert("windowspecdefinition\\(__df".r.findFirstIn(p).isEmpty,
+      "rarity ranking must partition by doc id, not run globally")
+  }
+
+  test("chunking is map-only: no exchange below the graded sort") {
+    // the operator itself (before the presentation orderBy) must not
+    // shuffle — chunk extraction is per-row column work
+    val p = graft.ext.TextOps.chunkWindows(
+      graft.ext.DocFeed.withDups(spark.read.parquet(s"$dir/documents.parquet")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunkWindows must be map-only, got:\n$p")
+  }
+
+  test("k-means assignment scans the corpus once per round, not per round squared") {
+    // 2 rounds + final assign = 3 corpus passes; the checkpointed
+    // centroids keep earlier rounds out of later plans (the InMemory /
+    // checkpoint scan replaces the replanted lineage)
+    val p = graft.ext.Similarity.kmeansAssign(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"the final assign must reference checkpointed centroids, got $scans scans")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
