@@ -662,12 +662,20 @@ object SparkEntry {
       val base = TempDirs.create("graft_qm")
       val sinkO = base.resolve("orders_changelog").toString
       val sinkL = base.resolve("lineitem_changelog").toString
-      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sinkO,
-        Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
-      PopulateChangelog.run(s,
+      // the two table loads are INDEPENDENT pipelines over different
+      // sinks — run them as concurrent Spark jobs (one session schedules
+      // both; executors interleave stages), the shape a real multi-table
+      // ingest uses instead of serializing per-table wall time
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val toDate = Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00"))
+      val fo = Future(PopulateChangelog.run(s, feed(s, dir), ordersCfg, sinkO, toDate))
+      val fl = Future(PopulateChangelog.run(s,
         ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
-          materializeDedup = true), lineitemCfg, sinkL,
-        Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
+          materializeDedup = true), lineitemCfg, sinkL, toDate))
+      Await.result(fo, Duration.Inf)
+      Await.result(fl, Duration.Inf)
       val cat = new CdcCatalog
       cat.register(CdcTableEntry(ordersCfg, dir, sinkO))
       cat.register(CdcTableEntry(lineitemCfg, dir, sinkL))
