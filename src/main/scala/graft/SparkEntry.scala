@@ -928,14 +928,17 @@ object SparkEntry {
     "ext_pipeline" -> ((s, dir) => {
       val c = corpus(s, dir)
       val pairs = Dedup.nearDuplicatePairs(c)
-      val reps = graft.ext.Cluster.representatives(c, pairs)
+      // ONE iterative CC pass feeds both representative selection and the
+      // split assignment (the label table is tiny and checkpointed)
+      val labels = graft.ext.Cluster.connectedComponents(pairs)
+      val reps = graft.ext.Cluster.representativesFromLabels(c, labels)
       val kept = c.join(reps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
       // all gates through repetition; the language gate stays out — this
       // pipeline is the MULTILINGUAL shape (per-language handling is the
       // stratified-sample / token-budget operators' job)
       val curated = graft.ext.Curate.stages(kept)
         .find(_._1 == "4_repetition").get._2
-      val assigned = graft.ext.Cluster.clusters(c, pairs)
+      val assigned = graft.ext.Cluster.assignFromLabels(c, labels)
       val bucket = (conv(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4),
         16, 10).cast("long") % 100)
       curated.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))

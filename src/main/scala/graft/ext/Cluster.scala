@@ -175,8 +175,14 @@ object Cluster {
     * join against the (tiny) component labels — the corpus itself is
     * touched once. */
   def clusters(corpus: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    assignFromLabels(corpus, connectedComponents(pairs), idCol)
+
+  /** [[clusters]] from PRECOMPUTED component labels — so a pipeline that
+    * also selects representatives runs the iterative CC once and shares
+    * the (tiny, already-checkpointed) label table. */
+  def assignFromLabels(corpus: DataFrame, labels: DataFrame, idCol: String = "doc_id"): DataFrame =
     corpus.select(col(idCol).cast("long").as("doc_id"))
-      .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
 
   /** Representative selection — the step after clustering in a real dedup:
@@ -188,11 +194,17 @@ object Cluster {
     * Output: cluster_id, representative doc, member count, kept tokens. */
   def representatives(
       corpus: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    representativesFromLabels(corpus, connectedComponents(pairs), textCol, idCol)
+
+  /** [[representatives]] from precomputed labels (shared-CC pipelines). */
+  def representativesFromLabels(
+      corpus: DataFrame, labels: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val scored = corpus.select(col(idCol).cast("long").as("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"))
     scored
-      .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .groupBy("cluster_id")
