@@ -433,6 +433,15 @@ object SparkEntry {
       graft.streaming.EventStream.eventWindowCountsStreamedToFiles(s, events(s, dir))
         .orderBy("window_start", "event_type")),
 
+    // the watermark LATE-DATA contract in isolation: a planted late row
+    // targeting the earliest window arrives in its own micro-batch after
+    // the watermark has passed — it MUST be dropped, so the output equals
+    // the batch plan over the original fixture (same oracle); an admitted
+    // late row would surface as a __late row and fail the hash
+    "ext_event_windows_late" -> ((s, dir) =>
+      graft.streaming.EventStream.eventWindowCountsLateDrop(s, events(s, dir))
+        .orderBy("window_start", "event_type")),
+
     // §2.11 stateful sessionization under the real streaming engine
     // (flatMapGroupsWithState, event-time timeout, append file sink) —
     // closed sessions must equal the batch gaps-and-islands output
@@ -1218,6 +1227,7 @@ object SparkEntry {
     "cdc_state_wide_mask" -> OrdersCdcOracle.wide.stateWideSql,
     "ext_event_windows_stream" -> ExtOracle.eventWindowsSql,
     "ext_event_windows_files" -> ExtOracle.eventWindowsSql,
+    "ext_event_windows_late" -> ExtOracle.eventWindowsSql,
     "ext_sessionize_stream" -> ExtOracle.sessionizeSql,
     "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
     "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,
