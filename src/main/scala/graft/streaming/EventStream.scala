@@ -130,20 +130,19 @@ object EventStream {
       .where(col("event_type") =!= "__flush")
   }
 
-  /** The WATERMARK LATE-DATA CONTRACT graded in isolation: the event
-    * fixture streams through the windowed aggregate one file per
-    * micro-batch (maxFilesPerTrigger=1; FileStreamSource processes files
-    * in modification-time order, and the three stages are written
-    * sequentially), then a planted LATE row targeting the EARLIEST window
-    * arrives in its own batch — by then the watermark sits at the
-    * fixture's max event time minus the delay, days past that window's
-    * end, so the aggregation MUST drop it — then the far-future sentinel
-    * finalizes every real window. The graded output therefore equals the
-    * batch plan over the original fixture: if the engine ever admitted
-    * the late row, its `__late` type would surface as a new output row
-    * and the hash would fail. This is the one streaming semantics no
-    * other graded row isolates: correct DISCARD, not just correct
-    * delivery. */
+  /** The WATERMARK LATE-DATA CONTRACT graded in isolation, across a
+    * RESTART: drain 1 processes the whole event fixture and persists its
+    * final watermark (max event time − delay) in the checkpoint; the
+    * query then restarts for drain 2, whose input is ONE planted late row
+    * targeting the earliest window — days behind the recovered watermark,
+    * so the aggregation MUST drop it on admission no matter how the
+    * batches pack — plus the far-future sentinel that finalizes every
+    * real window. The graded output therefore equals the batch plan over
+    * the original fixture: an admitted late row would surface as a
+    * `__late` output row and fail the hash. Two contracts no other
+    * graded row isolates: correct DISCARD of late data, and the
+    * watermark SURVIVING a restart (a first-run-only watermark would
+    * admit the row). */
   def eventWindowCountsLateDrop(spark: SparkSession, events: DataFrame): DataFrame = {
     val typed = fromEventsFixture(events)
       .select(col("event_time"), col("event_type"), col("props"))
@@ -155,44 +154,28 @@ object EventStream {
       lit(tpe).as("event_type"),
       lit(null).cast("string").as("props"))
     val dir = tempDir("graft_stream_in").toString
-    // FileStreamSource orders by modification time — sequential writes can
-    // land inside one mtime tick on a fast disk (observed at sf0.001, where
-    // the late file then rode an EARLY batch and was legitimately admitted),
-    // so each stage's files get an explicitly increasing mtime
-    def stampAll(seen: java.util.Set[java.nio.file.Path], t: Long): java.util.Set[java.nio.file.Path] = {
-      val p = java.nio.file.Paths.get(dir)
-      val all = new java.util.HashSet[java.nio.file.Path]()
-      java.nio.file.Files.list(p).forEach { f =>
-        all.add(f)
-        if (!seen.contains(f) && f.getFileName.toString.endsWith(".parquet"))
-          java.nio.file.Files.setLastModifiedTime(
-            f, java.nio.file.attribute.FileTime.fromMillis(t))
-      }
-      all
-    }
-    val t0 = System.currentTimeMillis()
-    typed.write.mode("append").parquet(dir)
-    val s1 = stampAll(new java.util.HashSet(), t0)
-    oneRow(minT.getTime, "__late").write.mode("append").parquet(dir)
-    val s2 = stampAll(s1, t0 + 60000)
-    oneRow(maxT.getTime + 2L * 24 * 3600 * 1000, "__flush").write.mode("append").parquet(dir)
-    stampAll(s2, t0 + 120000)
     val outDir = tempDir("graft_stream_out")
-    val agged = eventWindowCounts(
-      spark.readStream.schema(typed.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir))
-    val query = agged
-      .writeStream.format("parquet")
-      .option("path", outDir.resolve("result").toString)
-      .option("checkpointLocation", outDir.resolve("ckpt").toString)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    def drain(): Unit = {
+      val agged = eventWindowCounts(
+        spark.readStream.schema(typed.schema).parquet(dir))
+      val query = agged
+        .writeStream.format("parquet")
+        .option("path", outDir.resolve("result").toString)
+        .option("checkpointLocation", outDir.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    typed.write.mode("append").parquet(dir)
+    drain() // persists watermark = maxT - delay in the checkpoint
+    oneRow(minT.getTime, "__late").write.mode("append").parquet(dir)
+    oneRow(maxT.getTime + 2L * 24 * 3600 * 1000, "__flush").write.mode("append").parquet(dir)
+    drain() // recovered watermark rejects __late; __flush finalizes all
     // only the flush sentinel is filtered — __late must be ABSENT because
     // the watermark dropped it, not because we hid it
-    spark.read.schema(agged.schema).parquet(outDir.resolve("result").toString)
+    val schema = eventWindowCounts(typed).schema
+    spark.read.schema(schema).parquet(outDir.resolve("result").toString)
       .where(col("event_type") =!= "__flush")
   }
 
