@@ -979,6 +979,16 @@ object SparkEntry {
     "ext_chunk_windows" -> ((s, dir) =>
       TextOps.chunkWindows(corpus(s, dir)).orderBy("doc_id", "chunk_idx")),
 
+    // HLL MERGE: per-language register tables max-merged into one global
+    // estimate — bytes per shard, the data never re-read (the same
+    // mergeability story as ext_kmv_merged, for the other sketch)
+    "ext_hll_merged" -> ((s, dir) =>
+      Similarity.hllMergedDistinct(
+        corpus(s, dir).select(col("lang"),
+          explode(graft.functions.WordShingles.wordShingles(col("text"),
+            Dedup.ShingleLen)).as("t")),
+        "lang", "t")),
+
     // E3k — cross-document LINE-level dedup (the C4/CCNet sweep) over the
     // line-planted corpus: repeated lines removed from every doc, graded
     // with the md5 of each doc's ordered surviving text
@@ -1255,6 +1265,7 @@ object SparkEntry {
     "ext_pipeline" -> ExtOracle.pipelineSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
+    "ext_hll_merged" -> ExtOracle.hllMergedSql,
     "ext_line_dedup" -> ExtOracle.lineDedupSql,
     "ext_chunk_windows" -> ExtOracle.chunkWindowsSql,
     "ext_kmeans" -> ExtOracle.kmeansSql,

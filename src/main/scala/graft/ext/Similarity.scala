@@ -454,6 +454,37 @@ object Similarity {
       .select(keyCol, "exact_distinct", "hll_est", "n_zero_buckets")
   }
 
+  /** HLL MERGE — the property the sketch exists for (same story as
+    * [[kmvMergedDistinct]]): per-group register tables union into a
+    * GLOBAL estimate by `max` per bucket — bytes per shard, no rescan of
+    * the data. The estimate is identical to sketching the union directly
+    * (max is associative), pinned by the merge property test. */
+  def hllMergedDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val h = md5(col(valueCol).cast("string").cast("binary"))
+    val hashed = df.select(col(keyCol),
+      conv(substring(h, 1, 1), 16, 10).cast("long").as("bucket"),
+      conv(substring(h, 2, 8), 16, 10).cast("long").as("v"))
+    // the stored per-shard sketches (what hllDistinct keeps per group)
+    val perGroup = hashed.select(col(keyCol), col("bucket"),
+        when(col("v") === 0, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("v"))).cast("long")).as("rho"))
+      .groupBy(keyCol, "bucket").agg(max("rho").as("register"))
+    // merge = max per bucket over O(groups × m) rows — data never re-read
+    val merged = perGroup.groupBy("bucket").agg(max("register").as("register"))
+    val full = df.sparkSession.range(HllBuckets).select(col("id").as("bucket"))
+      .join(merged, Seq("bucket"), "left")
+      .select(coalesce(col("register"), lit(0L)).as("register"))
+    val exact = df.select(countDistinct(col(valueCol)).as("exact_distinct"))
+    full.agg(
+        sum(expr("CAST(1 AS BIGINT) << CAST(33 - register AS INT)")).cast("long").as("__denom"),
+        sum(when(col("register") === 0, 1L).otherwise(0L)).cast("long").as("n_zero_buckets"))
+      .select(lit("all").as("scope"),
+        expr(s"CAST($HllNumerator AS BIGINT) div (__denom * 1000)").as("hll_est"),
+        col("n_zero_buckets"))
+      .crossJoin(exact)
+      .select("scope", "exact_distinct", "hll_est", "n_zero_buckets")
+  }
+
   /** Symmetric per-vector int8 quantization — the standard embedding
     * compression step before an ANN index or a storage tier: each vector
     * scales by 127/max|x| and floors to [-127, 127] (a zero vector maps to

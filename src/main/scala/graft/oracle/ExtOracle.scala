@@ -1207,6 +1207,44 @@ object ExtOracle {
        |FROM agg a JOIN ex ON ex.lang = a.lang
        |ORDER BY a.lang""".stripMargin
 
+  /** ≙ Similarity.hllMergedDistinct — per-language register tables merged
+    * by max per bucket into one global estimate, data never re-read. */
+  val hllMergedSql: String =
+    s"""WITH $corpusSql, tokl AS (
+       |  SELECT lang, string_split(text, ' ') AS toks FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tokl))) AS i
+       |), tok AS (
+       |  SELECT lang, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS t
+       |  FROM tokl, idx
+       |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
+       |), hashed AS (
+       |  SELECT lang, ('0x' || substr(md5(t), 1, 1))::BIGINT AS bucket,
+       |         ('0x' || substr(md5(t), 2, 8))::BIGINT AS v
+       |  FROM tok
+       |), pergroup AS (
+       |  SELECT lang, bucket,
+       |    max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS register
+       |  FROM hashed GROUP BY lang, bucket
+       |), merged AS (
+       |  SELECT bucket, max(register) AS register FROM pergroup GROUP BY bucket
+       |), filled AS (
+       |  SELECT b.bucket, coalesce(m.register, 0) AS register
+       |  FROM (SELECT unnest(range(${graft.ext.Similarity.HllBuckets})) AS bucket) b
+       |  LEFT JOIN merged m ON m.bucket = b.bucket
+       |), agg AS (
+       |  SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(33 - register AS INTEGER)) AS BIGINT) AS denom,
+       |    CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_buckets
+       |  FROM filled
+       |), ex AS (
+       |  SELECT count(DISTINCT t) AS exact_distinct FROM tok
+       |)
+       |SELECT 'all' AS scope, ex.exact_distinct,
+       |  CAST(CAST(${graft.ext.Similarity.HllNumerator} AS BIGINT) // (agg.denom * 1000)
+       |    AS BIGINT) AS hll_est,
+       |  agg.n_zero_buckets
+       |FROM agg, ex""".stripMargin
+
   val zorderSql: String =
     """SELECT l_returnflag, count(*) AS n_rows,
       |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

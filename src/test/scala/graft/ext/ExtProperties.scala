@@ -196,6 +196,18 @@ object ExtProperties extends Properties("ext") with SparkFixture {
         once.getAs[Long]("n_zero_buckets") == twice.getAs[Long]("n_zero_buckets")
     }
 
+  property("HLL merge of per-group sketches equals sketching the union directly") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.alphaNumStr.suchThat(_.nonEmpty)))) { rows =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("k", "v")
+      val merged = Similarity.hllMergedDistinct(df, "k", "v").head()
+      val direct = Similarity.hllDistinct(df.select(lit("all").as("k"), col("v")), "k", "v").head()
+      merged.getAs[Long]("hll_est") == direct.getAs[Long]("hll_est") &&
+        merged.getAs[Long]("exact_distinct") == direct.getAs[Long]("exact_distinct")
+    }
+
   property("int8 quantization stays in [-127,127] with extremes hit") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_ / 10.0f))) { xs =>
       val s = spark
