@@ -49,25 +49,28 @@ object SnapshotDiff {
     val j = b.join(a, keyCols, "full_outer")
     val keys = keyCols.map(col)
 
-    val deleted = j.where(col("__in_a").isNull).select(
-      keys :+ lit(null).cast("string").as("column_name") :+
-        lit("DELETED RECORD").as("old_value") :+
-        lit(null).cast("string").as("new_value"): _*)
-    val inserted = j.where(col("__in_b").isNull).select(
-      keys :+ lit(null).cast("string").as("column_name") :+
-        lit(null).cast("string").as("old_value") :+
-        lit("NEW RECORD").as("new_value"): _*)
-    // per changed column one EAV row; <=> is null-safe, so NULL→value and
-    // value→NULL transitions are changes (and NULL→NULL is not)
-    val changed = j.where(col("__in_a").isNotNull && col("__in_b").isNotNull)
-      .select(keys :+ explode(array(compareCols.map(c =>
+    // ONE pass over the join: every output kind (per-column change rows,
+    // delete sentinel, insert sentinel) rides the same guarded-struct
+    // array, exploded once — a three-branch UNION would recompute the
+    // full outer join per branch (this plan read the source 9 times as a
+    // union; it reads it 3 times as one explode)
+    val inBoth = col("__in_a").isNotNull && col("__in_b").isNotNull
+    val changeStructs = compareCols.map(c =>
+      when(inBoth && !(col(s"__b_$c") <=> col(s"__a_$c")),
         struct(lit(c).as("column_name"),
           col(s"__b_$c").as("old_value"),
-          col(s"__a_$c").as("new_value"))): _*)).as("__d"): _*)
-      .where(!(col("__d.old_value") <=> col("__d.new_value")))
+          col(s"__a_$c").as("new_value"))))
+    val delStruct = when(col("__in_a").isNull,
+      struct(lit(null).cast("string").as("column_name"),
+        lit("DELETED RECORD").as("old_value"),
+        lit(null).cast("string").as("new_value")))
+    val insStruct = when(col("__in_b").isNull,
+      struct(lit(null).cast("string").as("column_name"),
+        lit(null).cast("string").as("old_value"),
+        lit("NEW RECORD").as("new_value")))
+    j.select(keys :+ explode(array(changeStructs :+ delStruct :+ insStruct: _*)).as("__d"): _*)
+      .where(col("__d").isNotNull)
       .select(keys :+ col("__d.column_name") :+
         col("__d.old_value") :+ col("__d.new_value"): _*)
-
-    changed.unionByName(deleted).unionByName(inserted)
   }
 }

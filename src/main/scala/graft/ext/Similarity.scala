@@ -211,8 +211,12 @@ object Similarity {
     def cells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
       nearestCells(df, cents, n, idCol, vecCol)
 
-    // ONE refinement round pulls the first-k seeds toward the data's modes
+    // ONE refinement round pulls the first-k seeds toward the data's modes;
+    // the k-row result is eagerly materialized so the corpus AND query
+    // assignment plans reference a tiny checkpoint instead of each
+    // replanting the whole refinement (the kmeansAssign lesson)
     val refined = integerMeanCentroids(cells(base, seeds, 1), vecCol)
+      .localCheckpoint(true)
 
     val corpus = cells(base, refined, 1).select(
       col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
