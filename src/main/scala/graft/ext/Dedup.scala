@@ -289,6 +289,9 @@ object Dedup {
       // prefix length = n − ⌈n·num/den⌉ + 1, all-integer ceiling
       .where(col("__r") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
       .select(col("id"), col("sh"))
+      // BOTH self-join sides reference the prefix table — materialize it
+      // once or the two ranking windows (rarity sort included) run twice
+      .localCheckpoint(true)
     val cand = prefix.select(col("sh"), col("id").as("id_a"))
       .join(prefix.select(col("sh"), col("id").as("id_b")), Seq("sh"))
       .where(col("id_a") < col("id_b"))
