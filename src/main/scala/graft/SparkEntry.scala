@@ -847,6 +847,14 @@ object SparkEntry {
     "ext_token_rarity" -> ((s, dir) =>
       TextOps.tokenRarity(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3m — DSIR-style integer importance score vs the lang='en' target
+    "ext_dsir" -> ((s, dir) =>
+      TextOps.importanceScore(corpus(s, dir)).orderBy("doc_id")),
+
+    // E3n — mergeable histogram sketch with approx p50/p90 per language
+    "ext_hist_quantile" -> ((s, dir) =>
+      TextOps.histQuantiles(corpus(s, dir)).orderBy("lang")),
+
     // E3g — TF-IDF-shaped per-doc top-k terms with corpus df filter
     "ext_top_terms" -> ((s, dir) =>
       TextOps.topTerms(corpus(s, dir)).orderBy("doc_id", "rnk")),
@@ -1287,6 +1295,8 @@ object SparkEntry {
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
+    "ext_dsir" -> ExtOracle.importanceSql,
+    "ext_hist_quantile" -> ExtOracle.histQuantilesSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql
   )
 }

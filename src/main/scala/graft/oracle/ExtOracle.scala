@@ -1405,6 +1405,50 @@ object ExtOracle {
        |FROM j GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** E3m ≙ TextOps.importanceScore — DSIR-style integer importance score:
+    * per-token weight = target_df·10000 // corpus_df over the distinct
+    * (doc, token) relation; per-doc sum + integer mean. */
+  val importanceSql: String =
+    s"""WITH $corpusSql, tok AS (
+       |  SELECT DISTINCT doc_id AS id, lang, unnest(string_split(text, ' ')) AS t FROM corpus
+       |), dft AS (
+       |  SELECT t, count(*) AS df,
+       |         count(CASE WHEN lang = 'en' THEN 1 END) AS tdf
+       |  FROM tok GROUP BY t
+       |), j AS (
+       |  SELECT tok.id, dft.tdf * 10000 // dft.df AS w
+       |  FROM tok JOIN dft ON dft.t = tok.t
+       |)
+       |SELECT id AS doc_id, count(*) AS n_distinct_tokens,
+       |  CAST(sum(w) AS BIGINT) AS score_bp,
+       |  CAST(CAST(sum(w) AS BIGINT) // count(*) AS BIGINT) AS mean_w_bp
+       |FROM j GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
+  /** E3n ≙ TextOps.histQuantiles — mergeable fixed-bin histogram sketch:
+    * per-(lang, source) partials summed into per-lang sketches, approx
+    * p50/p90 read off the merged cumulative counts as bin lower bounds. */
+  val histQuantilesSql: String = {
+    val b = TextOps.HistBin
+    s"""WITH $corpusSql, partial AS (
+       |  SELECT lang, source, len(string_split(text, ' ')) // $b AS bin, count(*) AS n
+       |  FROM corpus GROUP BY lang, source, bin
+       |), merged AS (
+       |  SELECT lang, bin, CAST(sum(n) AS BIGINT) AS n FROM partial GROUP BY lang, bin
+       |), cum AS (
+       |  SELECT lang, bin, n,
+       |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+       |  FROM merged
+       |)
+       |SELECT lang, max(total) AS n_docs, count(*) AS n_bins,
+       |  CAST(min(CASE WHEN cum * 2 >= total THEN bin END) * $b AS BIGINT) AS p50_lo,
+       |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN bin END) * $b AS BIGINT) AS p90_lo,
+       |  CAST(max(bin) * $b AS BIGINT) AS max_bin_lo
+       |FROM cum GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   /** ≙ DocFeed.withUrlMeta + Curate.domainOf: the corpus with synthetic
     * URL JSON metadata and the regexp-extracted host. */
   private val domainCorpusSql: String =

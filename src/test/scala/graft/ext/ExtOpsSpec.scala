@@ -473,6 +473,45 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == List((0L, 0L)))
   }
 
+  test("importanceScore: target-overrepresented tokens score high, disjoint vocab scores 0") {
+    val s = spark
+    import s.implicits._
+    // token a: df=2 docs, 1 in-target  -> 5000 bp
+    // token b: df=1, in-target         -> 10000 bp
+    // token c: df=2, none in-target    -> 0 bp
+    val df = Seq(
+      (1L, "a b", "en"), (2L, "a c", "fr"), (3L, "c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.importanceScore(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("score_bp") == 15000 && out(1L).getAs[Long]("mean_w_bp") == 7500)
+    assert(out(2L).getAs[Long]("score_bp") == 5000 && out(2L).getAs[Long]("mean_w_bp") == 2500)
+    assert(out(3L).getAs[Long]("score_bp") == 0 && out(3L).getAs[Long]("n_distinct_tokens") == 1)
+  }
+
+  test("histQuantiles: per-source partials merge; p50/p90 land on the right bins") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 10 docs: 4×3 tokens (bin 0), 4×10 (bin 1, split across sources so the
+    // merge actually combines partials), 2×20 (bin 2).
+    // cum: 4, 8, 10 → p50 = bin 1 (8·2 ≥ 10 first there) → lo 8;
+    // p90 = bin 2 (8·10 < 90, 10·10 ≥ 90) → lo 16.
+    val rows =
+      (1 to 4).map(i => (i.toLong, words(3), "en", "s1")) ++
+      Seq((5L, words(10), "en", "s1"), (6L, words(10), "en", "s1"),
+        (7L, words(10), "en", "s2"), (8L, words(10), "en", "s2")) ++
+      Seq((9L, words(20), "en", "s2"), (10L, words(20), "en", "s2"))
+    val out = TextOps.histQuantiles(rows.toDF("doc_id", "text", "lang", "source"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 10 && r.getAs[Long]("n_bins") == 3)
+    assert(r.getAs[Long]("p50_lo") == 8)
+    assert(r.getAs[Long]("p90_lo") == 16)
+    assert(r.getAs[Long]("max_bin_lo") == 16)
+  }
+
   test("lineDedup removes cross-doc lines, keeps order, fingerprints survivors") {
     val s = spark
     import s.implicits._
