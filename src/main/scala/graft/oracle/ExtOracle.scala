@@ -212,6 +212,39 @@ object ExtOracle {
        |GROUP BY s.id
        |ORDER BY doc_id""".stripMargin
 
+  /** E1e' ≙ Dedup.removeDuplicatedSpans — token removed iff covered by a
+    * trigram occurring in ≥2 distinct docs; survivors reassembled in
+    * original order and fingerprinted. */
+  val spanRemovalSql: String =
+    s"""WITH $corpusSql, tk AS (
+       |  SELECT doc_id AS id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(n) FROM tk))) AS i
+       |), tok AS (
+       |  SELECT id, i AS pos, toks[i+1] AS tok FROM tk, idx WHERE i < n
+       |), st AS (
+       |  SELECT id, i AS s, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+       |  FROM tk, idx WHERE i <= n - ${Dedup.ShingleLen}
+       |), dfq AS (
+       |  SELECT sh, count(DISTINCT id) AS nd FROM st GROUP BY sh
+       |), dup AS (
+       |  SELECT st.id, st.s FROM st JOIN dfq ON dfq.sh = st.sh WHERE dfq.nd >= 2
+       |), cov AS (
+       |  SELECT DISTINCT id, s + o AS pos FROM dup, range(${Dedup.ShingleLen}) t(o)
+       |), j AS (
+       |  SELECT t.id, t.pos, t.tok, c.pos IS NOT NULL AS covered
+       |  FROM tok t LEFT JOIN cov c ON c.id = t.id AND c.pos = t.pos
+       |)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT covered), ''))
+       |    AS kept_fp
+       |FROM j GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   /** E3j ≙ TextOps.heavyHitters — count-min sketch (4 lanes × 64 cells)
     * over the token stream; estimate = min over the token's cells, exact
     * count alongside so the overestimate is graded too. Lane hashes are

@@ -473,6 +473,40 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == List((0L, 0L)))
   }
 
+  test("removeDuplicatedSpans sweeps covered tokens from every copy, keeps order") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share the trigram "x y z"; its 3 tokens go from BOTH,
+    // the flanks stay; doc 3 is untouched; doc 4 is too short to shingle
+    val df = Seq(
+      (1L, "a b x y z c"),
+      (2L, "p x y z q r"),
+      (3L, "u v w t s"),
+      (4L, "hi")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(1L).getAs[Long]("n_removed") == 3 && out(1L).getAs[Long]("n_kept") == 3)
+    assert(out(1L).getAs[String]("kept_fp") == md5("a b c"), "order must survive the sweep")
+    assert(out(2L).getAs[Long]("n_removed") == 3)
+    assert(out(2L).getAs[String]("kept_fp") == md5("p q r"))
+    assert(out(3L).getAs[Long]("n_removed") == 0 && out(3L).getAs[String]("kept_fp") == md5("u v w t s"))
+    assert(out(4L).getAs[Long]("n_tokens") == 1 && out(4L).getAs[Long]("n_kept") == 1,
+      "sub-shingle docs keep everything")
+  }
+
+  test("removeDuplicatedSpans: overlapping dup shingles cover the union of their spans") {
+    val s = spark
+    import s.implicits._
+    // "x y z w" in both docs → dup starts at x and y; covered union = 4 tokens
+    val df = Seq((1L, "a x y z w b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") == 4 && out(1L).getAs[Long]("n_kept") == 2)
+    assert(out(2L).getAs[Long]("n_removed") == 4 && out(2L).getAs[Long]("n_kept") == 0)
+  }
+
   test("importanceScore: target-overrepresented tokens score high, disjoint vocab scores 0") {
     val s = spark
     import s.implicits._
