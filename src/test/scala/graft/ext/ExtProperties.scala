@@ -184,6 +184,29 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       jac.subsetOf(cont)
     }
 
+  property("span removal agrees with the duplicated-span share signal") =
+    Prop.forAll(genCorpus.suchThat(_.nonEmpty)) { rows =>
+      val s = spark
+      import s.implicits._
+      // a doc has a >=2-doc shingle (share's n_dup_shingles > 0) iff the
+      // removal sweeps tokens from it; a sweep covers at least one whole
+      // shingle; kept + removed always conserves the token count
+      val df = rows.toDF("doc_id", "text")
+      val share = Dedup.duplicatedShingleShare(df).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_shingles")).toMap
+      val rem = Dedup.removeDuplicatedSpans(df).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      rows.forall { case (id, _) =>
+        val r = rem(id)
+        val removed = r.getAs[Long]("n_removed")
+        val conserved =
+          r.getAs[Long]("n_kept") + removed == r.getAs[Long]("n_tokens")
+        conserved &&
+          share.get(id).exists(_ > 0) == (removed > 0) &&
+          (removed == 0 || removed >= Dedup.ShingleLen)
+      }
+    }
+
   property("HLL sketch is duplication-blind (union with itself changes nothing)") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { vs =>
       val s = spark
