@@ -136,6 +136,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans <= 1, s"the final assign must reference checkpointed centroids, got $scans scans")
   }
 
+  test("span removal joins on keys only and never windows globally") {
+    val p = plan("ext_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "coverage must flow dup-start -> bounded explode -> equi-join, never all-pairs")
+    assert(!p.contains("windowspecdefinition"),
+      "ordered reassembly is a per-doc sort_array, not a window")
+  }
+
+  test("histogram sketch windows run over the merged sketch, partitioned by lang") {
+    val p = plan("ext_hist_quantile")
+    // both cumulative windows must lead with the lang partition key — a
+    // global (single-partition) window would print the order expression
+    // first inside windowspecdefinition(
+    assert("windowspecdefinition\\((bin|__)".r.findFirstIn(p).isEmpty,
+      "cumulative counts must partition by lang, not funnel globally")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"one corpus pass builds the partials, got $scans scans")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
