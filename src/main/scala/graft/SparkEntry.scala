@@ -1029,6 +1029,30 @@ object SparkEntry {
         "lang", "t")
         .orderBy("lang")),
 
+    // E2h'' — INCREMENTAL sketch maintenance: the per-language registers
+    // for most of the corpus are persisted to parquet (the stored nightly
+    // state), then a new doc batch is folded in by sketching ONLY the
+    // batch and max-merging — history is never re-read. Max-merge is
+    // associative, so the result must equal sketching the whole stream:
+    // the oracle is ext_hll's, verbatim.
+    "ext_hll_incremental" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("lang"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"),
+          Dedup.ShingleLen)).as("t"))
+      val full = sh(c)
+      val state0 = Similarity.hllState(sh(c.where(col("doc_id") % 10 =!= 7)), "lang", "t")
+      // a REAL persistence round-trip: the state the batch folds into has
+      // been through parquet, not a lineage handoff
+      val stateDir = TempDirs.create("graft_hs").resolve("hll_state").toString
+      state0.write.mode("overwrite").parquet(stateDir)
+      val stored = s.read.parquet(stateDir)
+      val updated = Similarity.hllApplyBatch(
+        stored, sh(c.where(col("doc_id") % 10 === 7)), "lang", "t")
+      val exact = full.groupBy("lang").agg(countDistinct(col("t")).as("exact_distinct"))
+      Similarity.hllEstimate(updated, exact, "lang").orderBy("lang")
+    }),
+
     // E2e — deterministic k-means assignment over the embedding corpus
     // (SemDeDup's clustering step; integer-mean re-centering, 2 rounds)
     "ext_kmeans" -> ((s, dir) =>
@@ -1280,6 +1304,9 @@ object SparkEntry {
     "ext_pipeline" -> ExtOracle.pipelineSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
+    // identical to ext_hll BY DESIGN: incremental max-merge must reproduce
+    // the direct sketch exactly (associativity is the graded claim)
+    "ext_hll_incremental" -> ExtOracle.hllSql,
     "ext_hll_merged" -> ExtOracle.hllMergedSql,
     "ext_line_dedup" -> ExtOracle.lineDedupSql,
     "ext_chunk_windows" -> ExtOracle.chunkWindowsSql,

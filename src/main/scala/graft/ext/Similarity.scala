@@ -433,21 +433,45 @@ object Similarity {
     * The exact count (for the comparison column) is the only distinct in
     * the plan. */
   def hllDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val exact = df.groupBy(keyCol).agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    hllEstimate(hllState(df, keyCol, valueCol), exact, keyCol)
+  }
+
+  /** The persistable per-group HLL sketch STATE: (key, bucket, register)
+    * with register = max rho seen — m longs per group, what a nightly
+    * distinct-count job stores between runs. Sparse: untouched buckets are
+    * absent (densified to register 0 at estimate time). */
+  def hllState(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val h = md5(col(valueCol).cast("string").cast("binary"))
-    val hashed = df.select(col(keyCol),
-      conv(substring(h, 1, 1), 16, 10).cast("long").as("bucket"),
-      conv(substring(h, 2, 8), 16, 10).cast("long").as("v"))
-    val regs = hashed.select(col(keyCol), col("bucket"),
+    df.select(col(keyCol),
+        conv(substring(h, 1, 1), 16, 10).cast("long").as("bucket"),
+        conv(substring(h, 2, 8), 16, 10).cast("long").as("v"))
+      .select(col(keyCol), col("bucket"),
         when(col("v") === 0, lit(33L))
           .otherwise(lit(33L) - length(bin(col("v"))).cast("long")).as("rho"))
       .groupBy(keyCol, "bucket").agg(max("rho").as("register"))
-    // all m buckets per key — an empty bucket is register 0 (and feeds the
-    // linear-counting small-range signal n_zero_buckets)
-    val full = df.select(col(keyCol)).distinct()
+  }
+
+  /** Incremental sketch maintenance — the [[graft.cdc.StateMaintain]]
+    * contract for distinct counts: fold a NEW batch into stored state by
+    * sketching only the batch and max-merging registers. History is never
+    * re-read (the state is m longs per group), the result is IDENTICAL to
+    * sketching the whole stream (max is associative and duplicate-blind),
+    * and a replayed batch cannot move any register backwards — HLL update
+    * is idempotent, unlike a stored exact count. */
+  def hllApplyBatch(state: DataFrame, batch: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    state.unionByName(hllState(batch, keyCol, valueCol))
+      .groupBy(keyCol, "bucket").agg(max("register").as("register"))
+
+  /** Estimate from sketch state: densify to all m buckets per key (empty
+    * bucket = register 0, feeding the n_zero_buckets linear-counting
+    * signal), then the single-BIGINT-division estimator. `exact` supplies
+    * the comparison column the graded rows carry. */
+  def hllEstimate(state: DataFrame, exact: DataFrame, keyCol: String): DataFrame = {
+    val full = state.select(col(keyCol)).distinct()
       .select(col(keyCol), explode(sequence(lit(0L), lit(HllBuckets - 1L))).as("bucket"))
-      .join(regs, Seq(keyCol, "bucket"), "left")
+      .join(state, Seq(keyCol, "bucket"), "left")
       .select(col(keyCol), coalesce(col("register"), lit(0L)).as("register"))
-    val exact = df.groupBy(keyCol).agg(countDistinct(col(valueCol)).as("exact_distinct"))
     full.groupBy(keyCol).agg(
         sum(expr("CAST(1 AS BIGINT) << CAST(33 - register AS INT)")).cast("long").as("__denom"),
         sum(when(col("register") === 0, 1L).otherwise(0L)).cast("long").as("n_zero_buckets"))

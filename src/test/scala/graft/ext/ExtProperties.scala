@@ -231,6 +231,23 @@ object ExtProperties extends Properties("ext") with SparkFixture {
         merged.getAs[Long]("exact_distinct") == direct.getAs[Long]("exact_distinct")
     }
 
+  property("HLL batch apply equals the direct sketch and replays idempotently") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.oneOf("a", "b"), Gen.alphaNumStr.suchThat(_.nonEmpty))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"), Gen.alphaNumStr.suchThat(_.nonEmpty)))) {
+      (hist, batch) =>
+        val s = spark
+        import s.implicits._
+        def regs(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val hd = hist.toDF("k", "v")
+        val bd = batch.toDF("k", "v")
+        val once = Similarity.hllApplyBatch(Similarity.hllState(hd, "k", "v"), bd, "k", "v")
+        val twice = Similarity.hllApplyBatch(once, bd, "k", "v")
+        val direct = Similarity.hllState(hd.unionByName(bd), "k", "v")
+        regs(once) == regs(direct) && regs(twice) == regs(direct)
+    }
+
   property("int8 quantization stays in [-127,127] with extremes hit") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_ / 10.0f))) { xs =>
       val s = spark
