@@ -851,6 +851,11 @@ object SparkEntry {
     "ext_dsir" -> ((s, dir) =>
       TextOps.importanceScore(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3m' — DSIR resampling: keep probability = mean token weight,
+    // md5-bucket keep rule, kept-id sum pins the exact keep set
+    "ext_dsir_sample" -> ((s, dir) =>
+      TextOps.importanceSample(corpus(s, dir)).orderBy("lang")),
+
     // E3n — mergeable histogram sketch with approx p50/p90 per language
     "ext_hist_quantile" -> ((s, dir) =>
       TextOps.histQuantiles(corpus(s, dir)).orderBy("lang")),
@@ -1330,6 +1335,7 @@ object SparkEntry {
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_dsir" -> ExtOracle.importanceSql,
+    "ext_dsir_sample" -> ExtOracle.importanceSampleSql,
     "ext_hist_quantile" -> ExtOracle.histQuantilesSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql
   )

@@ -430,6 +430,36 @@ object TextOps {
         intDiv(col("score_bp"), col("n_distinct_tokens")).as("mean_w_bp"))
   }
 
+  /** E3m' — the RESAMPLING half of DSIR: deterministic importance-weighted
+    * downsampling where a document's keep probability IS its mean token
+    * weight — keep iff md5-bucket(id) mod 10000 < mean_w_bp, so a doc
+    * perfectly aligned with the target distribution (mean 10000) is always
+    * kept and one sharing no target vocabulary (mean 0) never is. No RNG:
+    * the same content-hash-bucket rule as [[qualitySample]] /
+    * [[Packing.hashSplit]], reproducible across engines and runs. Output
+    * aggregates per language, with the sum of kept ids proving the exact
+    * keep SET, not just its size. */
+  def importanceSample(
+      corpus: DataFrame,
+      targetLang: String = "en",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    importanceScore(corpus, targetLang, textCol, idCol)
+      .join(corpus.select(col(idCol), col("lang")), Seq(idCol))
+      .select(col("lang"), col(idCol), col("n_distinct_tokens"),
+        when(bucket < col("mean_w_bp"), 1L).otherwise(0L).as("__keep"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__keep")).cast("long").as("n_kept"),
+        coalesce(sum(when(col("__keep") === 1, col(idCol))), lit(0L))
+          .cast("long").as("sum_kept_ids"),
+        coalesce(sum(when(col("__keep") === 1, col("n_distinct_tokens"))), lit(0L))
+          .cast("long").as("kept_distinct_tokens"))
+  }
+
   /** Histogram-sketch bin width (token counts per bin). */
   val HistBin = 8
 

@@ -1438,25 +1438,51 @@ object ExtOracle {
        |FROM j GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
-  /** E3m ≙ TextOps.importanceScore — DSIR-style integer importance score:
-    * per-token weight = target_df·10000 // corpus_df over the distinct
-    * (doc, token) relation; per-doc sum + integer mean. */
-  val importanceSql: String =
-    s"""WITH $corpusSql, tok AS (
+  /** Shared DSIR fragment: distinct (doc, token) relation, vocabulary df
+    * with the target count riding the same aggregate, per-doc integer
+    * score/mean — `dsir` ends as the per-doc scored relation. */
+  private val importanceCtes: String =
+    s"""$corpusSql, tok AS (
        |  SELECT DISTINCT doc_id AS id, lang, unnest(string_split(text, ' ')) AS t FROM corpus
        |), dft AS (
        |  SELECT t, count(*) AS df,
        |         count(CASE WHEN lang = 'en' THEN 1 END) AS tdf
        |  FROM tok GROUP BY t
-       |), j AS (
+       |), jw AS (
        |  SELECT tok.id, dft.tdf * 10000 // dft.df AS w
        |  FROM tok JOIN dft ON dft.t = tok.t
-       |)
-       |SELECT id AS doc_id, count(*) AS n_distinct_tokens,
-       |  CAST(sum(w) AS BIGINT) AS score_bp,
-       |  CAST(CAST(sum(w) AS BIGINT) // count(*) AS BIGINT) AS mean_w_bp
-       |FROM j GROUP BY id
+       |), dsir AS (
+       |  SELECT id AS doc_id, count(*) AS n_distinct_tokens,
+       |    CAST(sum(w) AS BIGINT) AS score_bp,
+       |    CAST(CAST(sum(w) AS BIGINT) // count(*) AS BIGINT) AS mean_w_bp
+       |  FROM jw GROUP BY id
+       |)""".stripMargin
+
+  /** E3m ≙ TextOps.importanceScore — DSIR-style integer importance score:
+    * per-token weight = target_df·10000 // corpus_df over the distinct
+    * (doc, token) relation; per-doc sum + integer mean. */
+  val importanceSql: String =
+    s"""WITH $importanceCtes
+       |SELECT doc_id, n_distinct_tokens, score_bp, mean_w_bp
+       |FROM dsir
        |ORDER BY doc_id""".stripMargin
+
+  /** E3m' ≙ TextOps.importanceSample — importance RESAMPLING: keep iff
+    * md5-bucket(id) % 10000 < mean_w_bp; per-lang counts with the kept-id
+    * sum pinning the exact keep set. */
+  val importanceSampleSql: String =
+    s"""WITH $importanceCtes, sel AS (
+       |  SELECT s.doc_id, c.lang, s.n_distinct_tokens,
+       |    CASE WHEN ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 4))::BIGINT % 10000
+       |              < s.mean_w_bp THEN 1 ELSE 0 END AS keep
+       |  FROM dsir s JOIN corpus c ON c.doc_id = s.doc_id
+       |)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN keep = 1 THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids,
+       |  CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_distinct_tokens END), 0) AS BIGINT)
+       |    AS kept_distinct_tokens
+       |FROM sel GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   /** E3n ≙ TextOps.histQuantiles — mergeable fixed-bin histogram sketch:
     * per-(lang, source) partials summed into per-lang sketches, approx

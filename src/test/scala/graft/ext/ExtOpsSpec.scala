@@ -523,6 +523,23 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L).getAs[Long]("score_bp") == 0 && out(3L).getAs[Long]("n_distinct_tokens") == 1)
   }
 
+  test("importanceSample: mean 10000 always kept, mean 0 never, regardless of bucket") {
+    val s = spark
+    import s.implicits._
+    // doc 1's vocab lives only in the target slice (mean 10000 — bucket
+    // can never reach it); doc 2's vocab has zero target df (mean 0 —
+    // no bucket is below it)
+    val df = Seq(
+      (1L, "aa bb", "en"), (2L, "cc dd", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.importanceSample(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("n_kept") == 1 &&
+      out("en").getAs[Long]("sum_kept_ids") == 1L)
+    assert(out("fr").getAs[Long]("n_kept") == 0 &&
+      out("fr").getAs[Long]("sum_kept_ids") == 0L)
+  }
+
   test("histQuantiles: per-source partials merge; p50/p90 land on the right bins") {
     val s = spark
     import s.implicits._
