@@ -980,6 +980,14 @@ object SparkEntry {
     "ext_containment" -> ((s, dir) =>
       Dedup.containmentPairs(corpus(s, dir)).orderBy("id_a", "id_b")),
 
+    // E1b''' under ACTIVE hot-key caps: maxDf = 2 routes every shingle
+    // shared by 3+ docs through the rep-collapsed hot path; graded against
+    // the SAME all-pairs ground truth, so the green row proves the capped
+    // join is still lossless (the 100 TB skew guard changes cost, not
+    // answers, until the audited maxHotReps backstop engages)
+    "ext_containment_capped" -> ((s, dir) =>
+      Dedup.containmentPairs(corpus(s, dir), maxDf = 2L).orderBy("id_a", "id_b")),
+
     // E1e — duplicated-span share (shingle-granular substring-dedup
     // evidence, Lee et al.): per doc, the basis-point share of shingles
     // that also occur in another document; planted copies score 10000
@@ -1306,6 +1314,8 @@ object SparkEntry {
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
     "ext_span_removal" -> ExtOracle.spanRemovalSql,
     "ext_containment" -> ExtOracle.containmentPairsSql,
+    // same ground-truth oracle: active caps must not change the answer
+    "ext_containment_capped" -> ExtOracle.containmentPairsSql,
     "ext_pipeline" -> ExtOracle.pipelineSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,

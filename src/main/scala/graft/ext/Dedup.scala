@@ -68,6 +68,117 @@ object Dedup {
   val NumBands: Int = NumHashes / BandSize
   val ShingleLen = 3 // word 3-grams
 
+  // -------------------------------------------------------------------
+  // Hot-key guards (the 100 TB skew story)
+  //
+  // Every candidate join below is keyed on a content-derived key (band
+  // signature, shingle, SimHash band byte). At corpus scale a single
+  // boilerplate key (one license header shingle, one all-zero band) can
+  // carry df ~10⁸ — an uncapped self-join on that key is a quadratic
+  // blow-up on one shuffle partition. The guard is two-tier and NEVER
+  // silent:
+  //  1. REP-COLLAPSE — candidates are generated between distinct CONTENT
+  //     values (shingle-set fingerprints / signature fingerprints /
+  //     SimHash values), not between documents. A bucket of 10⁸ exact
+  //     copies collapses to ONE representative; member pairs are expanded
+  //     from the verified representative pairs, so the quadratic work is
+  //     sized by distinct content and the expansion by TRUE output.
+  //  2. CAPS — keys whose post-collapse breadth still exceeds the cap
+  //     (df > maxDf routes a shingle to the rep path; > maxHotReps /
+  //     maxBucket skips it) are dropped from candidate generation and
+  //     REPORTED by the companion audit ([[hotShingleAudit]],
+  //     [[minhashBucketAudit]], [[simhashBucketAudit]]) — the repo's
+  //     "no silent caps" rule. Identical-content pairs are still emitted
+  //     for skipped keys (the exact route), so exact duplicates are never
+  //     lost no matter how hot their keys are.
+  // Defaults are inert at fixture scale and deployment-tunable; the
+  // GUARD STRUCTURE (collapse → cap → audit) is the scale contract.
+  // -------------------------------------------------------------------
+
+  /** Shingles hotter than this df are routed through the rep-collapsed hot
+    * path in [[containmentPairs]]/[[jaccardPairsPrefix]]. */
+  val DefaultHotDf = 100000L
+
+  /** Backstop on the rep-collapsed breadth of a hot shingle: hot keys with
+    * more DISTINCT shingle-sets than this are skipped (audited). */
+  val DefaultMaxHotReps = 100000L
+
+  /** Cap on DISTINCT signatures/values per LSH band bucket
+    * ([[candidatePairs]], [[simhashNearDupPairs]]); larger buckets are
+    * skipped (audited), identical-content pairs still emitted. */
+  val DefaultMaxBucket = 100000L
+
+  /** One row per document carrying the md5 fingerprint of its DISTINCT
+    * shingle SET (`sort_array` makes it order-canonical), the set-group
+    * representative (minimum doc id among identical sets) and the group
+    * size. Identical-set docs are interchangeable in any set-overlap
+    * predicate, which is what lets the hot paths work at rep granularity. */
+  private def setGroups(sh: DataFrame): DataFrame = {
+    val byDoc = sh.groupBy("id").agg(
+      md5(concat_ws("", sort_array(collect_list(col("sh")))).cast("binary")).as("setfp"))
+    val reps = byDoc.groupBy("setfp")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n_members"))
+    byDoc.join(reps, Seq("setfp"))
+  }
+
+  /** All within-group pairs (id_a < id_b) of identical-set docs — the
+    * exact route: these pairs satisfy any overlap threshold ≤ 1 by
+    * construction and are emitted regardless of key heat, so capping can
+    * never lose an exact-duplicate pair. */
+  private def withinGroupPairs(groups: DataFrame): DataFrame =
+    groups.where(col("n_members") >= 2).select(col("setfp"), col("id").as("id_a"))
+      .join(groups.select(col("setfp"), col("id").as("id_b")), Seq("setfp"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+
+  /** Expand verified pairs across identical-set groups: a verified pair
+    * stands for every (member_a, member_b) combination — identical sets
+    * give identical (n_common, n_a, n_b), swapped when the expanded ids
+    * swap sides. Rep-level hot-path candidates NEED this; for doc-level
+    * cold candidates it only re-derives pairs the cold path already
+    * found, and the trailing distinct folds them. */
+  private def expandBySetGroups(verified: DataFrame, groups: DataFrame): DataFrame = {
+    val mem = groups.select(col("setfp"), col("id"))
+    verified
+      .join(groups.select(col("id").as("id_a"), col("setfp").as("__fpa")), Seq("id_a"))
+      .join(groups.select(col("id").as("id_b"), col("setfp").as("__fpb")), Seq("id_b"))
+      .join(mem.select(col("setfp").as("__fpa"), col("id").as("__ea")), Seq("__fpa"))
+      .join(mem.select(col("setfp").as("__fpb"), col("id").as("__eb")), Seq("__fpb"))
+      .where(col("__ea") =!= col("__eb"))
+      .select(
+        least(col("__ea"), col("__eb")).as("id_a"),
+        greatest(col("__ea"), col("__eb")).as("id_b"),
+        col("n_common"),
+        when(col("__ea") < col("__eb"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("__ea") < col("__eb"), col("n_b")).otherwise(col("n_a")).as("n_b"))
+      .distinct()
+  }
+
+  /** Audit of hot shingles for the prefix-filter joins — one row per
+    * shingle with df > `maxDf`: its document frequency, its rep-collapsed
+    * breadth (distinct shingle-sets containing it) and the action the
+    * joins take (`rep_collapsed` or, past `maxHotReps`, `skipped`). Empty
+    * means the caps are inert on this corpus. A deployment monitors this
+    * (the "no silent caps" contract): skipped keys bound the only recall
+    * loss, and only for NON-identical pairs whose every common prefix
+    * shingle is skipped. */
+  def hotShingleAudit(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDf: Long = DefaultHotDf,
+      maxHotReps: Long = DefaultMaxHotReps): DataFrame = {
+    val sh = shingles(corpus, textCol, idCol)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+    sh.join(dfreq, Seq("sh"))
+      .join(setGroups(sh).select(col("id"), col("rep")), Seq("id"))
+      .groupBy(col("sh"), col("df"))
+      .agg(countDistinct(col("rep")).as("n_reps"))
+      .select(col("sh"), col("df"), col("n_reps"),
+        when(col("n_reps") <= maxHotReps, lit("rep_collapsed"))
+          .otherwise(lit("skipped")).as("action"))
+  }
+
   /** Word-`ShingleLen`-grams per document: (id, sh), duplicates included
     * (map-side only). Docs with fewer tokens than a shingle emit an empty
     * array, which `explode` drops (mirrors the oracle's range filter).
@@ -114,18 +225,71 @@ object Dedup {
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** Candidate pairs: docs sharing at least one full band signature.
-    * Self-join keyed on (band, sig) — buckets are small by construction, so
-    * the blow-up is bounded; id_a < id_b canonicalizes, distinct dedups
-    * pairs found in several bands. */
-  def candidatePairs(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    bandedCandidates(shingles(corpus, textCol, idCol))
+    * Generated at DISTINCT-SIGNATURE granularity then expanded to member
+    * pairs (see the hot-key guard block above): the (band, sig) self-join
+    * is sized by distinct signatures, buckets past `maxBucket` distinct
+    * signatures are skipped (see [[minhashBucketAudit]]), and
+    * identical-signature pairs ride the exact route regardless. */
+  def candidatePairs(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    bandedCandidates(shingles(corpus, textCol, idCol), maxBucket)
 
-  private def bandedCandidates(sh: DataFrame): DataFrame = {
-    val b = bands(minhashSignatures(sh))
-    val l = b.select(col("band"), col("sig"), col("id").as("id_a"))
-    val r = b.select(col("band"), col("sig"), col("id").as("id_b"))
-    l.join(r, Seq("band", "sig")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+  /** (id, __sigfp, mh_0..mh_n): signatures plus their collapse key. */
+  private def signatureGroups(sh: DataFrame): DataFrame = {
+    val lanes = (0 until NumHashes).map(h => col(s"mh_$h"))
+    minhashSignatures(sh)
+      .withColumn("__sigfp", md5(concat_ws("|", lanes: _*).cast("binary")))
+  }
+
+  private def bandedCandidates(sh: DataFrame, maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val lanes = (0 until NumHashes).map(h => col(s"mh_$h"))
+    val withFp = signatureGroups(sh).localCheckpoint(true)
+    // value-level band rows: one per (distinct signature, band)
+    val vb = bands(withFp.select(col("__sigfp").as("id") +: lanes: _*))
+      .select(col("id").as("fp"), col("band"), col("sig"))
+    val keep = vb.groupBy("band", "sig").agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") <= maxBucket).select("band", "sig")
+    val kept = vb.join(keep, Seq("band", "sig"))
+    val vpairs = kept.select(col("band"), col("sig"), col("fp").as("__fpa"))
+      .join(kept.select(col("band"), col("sig"), col("fp").as("__fpb")), Seq("band", "sig"))
+      .where(col("__fpa") < col("__fpb")).select("__fpa", "__fpb").distinct()
+    val mem = withFp.select(col("__sigfp"), col("id"))
+    val cross = vpairs
+      .join(mem.select(col("__sigfp").as("__fpa"), col("id").as("__ia")), Seq("__fpa"))
+      .join(mem.select(col("__sigfp").as("__fpb"), col("id").as("__ib")), Seq("__fpb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+    // exact route: identical-signature docs are candidates no matter how
+    // hot (or skipped) their buckets are
+    val within = mem.select(col("__sigfp"), col("id").as("id_a"))
+      .join(mem.select(col("__sigfp"), col("id").as("id_b")), Seq("__sigfp"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    cross.unionByName(within).distinct()
+  }
+
+  /** Audit of MinHash LSH band buckets — one row per (band, sig) bucket
+    * holding ≥ 2 documents: member count, DISTINCT-signature count (the
+    * post-collapse join breadth) and whether [[candidatePairs]] joins or
+    * skips it at `maxBucket`. Exact-signature dups inside skipped buckets
+    * are still paired by the exact route. */
+  def minhashBucketAudit(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val lanes = (0 until NumHashes).map(h => col(s"mh_$h"))
+    val withFp = signatureGroups(shingles(corpus, textCol, idCol))
+    bands(withFp.select(col("id") +: (col("__sigfp") +: lanes): _*))
+      .join(withFp.select(col("id"), col("__sigfp")), Seq("id"))
+      .groupBy("band", "sig")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("__sigfp")).as("n_sigs"))
+      .where(col("n_docs") >= 2)
+      .select(col("band"), col("sig"), col("n_docs"), col("n_sigs"),
+        when(col("n_sigs") <= maxBucket, lit("joined")).otherwise(lit("skipped")).as("action"))
   }
 
   /** E1b — MinHash/LSH near-dup pairs, verified: candidates whose true
@@ -136,7 +300,8 @@ object Dedup {
       corpus: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      num: Int = 3, den: Int = 5): DataFrame = {
+      num: Int = 3, den: Int = 5,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // One shingling pass feeds everything (cached raw multiset). The
     // signature aggregation is duplicate-blind (min), so no distinct
     // shuffle before it; the distinct-set shuffle needed for Jaccard
@@ -145,7 +310,7 @@ object Dedup {
     // (id, shingle) join sees a fraction of the data (broadcast the ids,
     // not the shingles).
     val raw = rawShingles(corpus, textCol, idCol).cache()
-    val cand = bandedCandidates(raw).cache()
+    val cand = bandedCandidates(raw, maxBucket).cache()
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val shc = raw.join(broadcast(candIds), Seq("id"), "left_semi").distinct().cache()
@@ -187,40 +352,75 @@ object Dedup {
     * side: if all of A's prefix shingles miss B, fewer than ⌈t·n_A⌉ of
     * A's shingles can be in B, so every qualifying pair is found no
     * matter which side is smaller — recall 1.0 by construction (the
-    * graded oracle is the naive all-pairs ground truth). Fan-out stays
-    * bounded because prefixes hold precisely the LOW-df shingles, whose
-    * full-index postings are short. */
+    * graded oracle is the naive all-pairs ground truth). Fan-out is
+    * bounded on BOTH tails: cold shingles (df ≤ `maxDf`) join directly
+    * with postings capped at maxDf, while hot shingles — the boilerplate
+    * case where even a doc's rarest shingle has huge df — route through
+    * the rep-collapsed hot path (see the hot-key guard block above):
+    * identical shingle-sets collapse to one representative, the witness
+    * survives at rep granularity, and verified rep pairs expand back to
+    * member pairs. Recall stays 1.0 unless a hot shingle exceeds
+    * `maxHotReps` DISTINCT sets, which [[hotShingleAudit]] reports. */
   def containmentPairs(
       corpus: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      num: Int = 9, den: Int = 10): DataFrame = {
+      num: Int = 9, den: Int = 10,
+      maxDf: Long = DefaultHotDf,
+      maxHotReps: Long = DefaultMaxHotReps): DataFrame = {
     val sh = shingles(corpus, textCol, idCol).localCheckpoint(true)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy("id").orderBy(col("__df"), col("sh"))
     val perDoc = Window.partitionBy("id")
+    // rarity order and prefix length are computed over ALL shingles (the
+    // pigeonhole argument needs the true prefix); __df rides along so the
+    // cold/hot split below needs no second dfreq join
     val prefix = sh.join(dfreq, Seq("sh"))
       .withColumn("__r", row_number().over(byRarity))
       .withColumn("__n", count(lit(1)).over(perDoc))
       .where(col("__r") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
-      .select(col("id"), col("sh"))
-    val cand = prefix.select(col("sh"), col("id").as("pid"))
+      .select(col("id"), col("sh"), col("__df"))
+      .localCheckpoint(true)
+    val groups = setGroups(sh).localCheckpoint(true)
+    // COLD path: probe entries on shingles with df ≤ maxDf — the join-key
+    // equality bounds the index posting to maxDf, so per-key fan-out is
+    // prefix-count × maxDf, never a skew blow-up
+    val coldCand = prefix.where(col("__df") <= maxDf)
+      .select(col("sh"), col("id").as("pid"))
       .join(sh.select(col("sh"), col("id").as("iid")), Seq("sh"))
       .where(col("pid") =!= col("iid"))
       .select(least(col("pid"), col("iid")).as("id_a"),
         greatest(col("pid"), col("iid")).as("id_b"))
-      .distinct()
+    // HOT path: rep-collapsed — a pair whose only common prefix shingles
+    // are hot still has its witness at rep granularity; the verified rep
+    // pair expands to every member pair afterwards. Keys hotter than
+    // maxHotReps even post-collapse are skipped ([[hotShingleAudit]]).
+    val repProbe = prefix.where(col("__df") > maxDf)
+      .join(groups.select(col("id"), col("rep")), Seq("id"))
+      .select(col("sh"), col("rep").as("__pr")).distinct()
+    val repIndex = sh.join(dfreq.where(col("__df") > maxDf).select("sh"), Seq("sh"))
+      .join(groups.select(col("id"), col("rep")), Seq("id"))
+      .select(col("sh"), col("rep").as("__ir")).distinct()
+    val admitted = repIndex.groupBy("sh").agg(count(lit(1)).as("__nr"))
+      .where(col("__nr") <= maxHotReps).select("sh")
+    val repCand = repProbe.join(admitted, Seq("sh")).join(repIndex, Seq("sh"))
+      .where(col("__pr") =!= col("__ir"))
+      .select(least(col("__pr"), col("__ir")).as("id_a"),
+        greatest(col("__pr"), col("__ir")).as("id_b"))
+    val cand = coldCand.unionByName(repCand)
+      .unionByName(withinGroupPairs(groups)).distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
+    val verified = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       // containment of the SMALLER set: common/min(a,b) >= num/den
       .where(col("n_common") * den >= least(col("n_a"), col("n_b")) * num)
       .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    expandBySetGroups(verified, groups)
   }
 
   /** E1e — duplicated-span share: the per-document summary an
@@ -326,7 +526,9 @@ object Dedup {
       corpus: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      num: Int = 3, den: Int = 5): DataFrame = {
+      num: Int = 3, den: Int = 5,
+      maxDf: Long = DefaultHotDf,
+      maxHotReps: Long = DefaultMaxHotReps): DataFrame = {
     // distinct (id, shingle) feeds the ranking, the prefixes, and the
     // verify; materialized once (tiny vs the raw multiset)
     val sh = shingles(corpus, textCol, idCol).localCheckpoint(true)
@@ -338,24 +540,47 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(perDoc))
       // prefix length = n − ⌈n·num/den⌉ + 1, all-integer ceiling
       .where(col("__r") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
-      .select(col("id"), col("sh"))
+      .select(col("id"), col("sh"), col("__df"))
       // BOTH self-join sides reference the prefix table — materialize it
       // once or the two ranking windows (rarity sort included) run twice
       .localCheckpoint(true)
-    val cand = prefix.select(col("sh"), col("id").as("id_a"))
-      .join(prefix.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+    val groups = setGroups(sh).localCheckpoint(true)
+    // COLD path: prefix×prefix restricted to shingles with df ≤ maxDf —
+    // per-key fan-out ≤ maxDf² but in practice Σ prefix-df², small by the
+    // rarity ordering. HOT path: the boilerplate tail (a qualifying
+    // pair's smallest common shingle lands in both prefixes, so a
+    // hot-witness pair has hot PREFIX entries on both sides) collapses to
+    // set representatives before the join; identical-set pairs ride the
+    // exact route regardless, so skipped keys (> maxHotReps reps, see
+    // [[hotShingleAudit]]) can only lose non-identical pairs.
+    val coldPrefix = prefix.where(col("__df") <= maxDf)
+    val cand0 = coldPrefix.select(col("sh"), col("id").as("id_a"))
+      .join(coldPrefix.select(col("sh"), col("id").as("id_b")), Seq("sh"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val repPrefix = prefix.where(col("__df") > maxDf)
+      .join(groups.select(col("id"), col("rep")), Seq("id"))
+      .select(col("sh"), col("rep")).distinct()
+    val admitted = repPrefix.groupBy("sh").agg(count(lit(1)).as("__nr"))
+      .where(col("__nr") <= maxHotReps).select("sh")
+    val keptRep = repPrefix.join(admitted, Seq("sh"))
+    val repCand = keptRep.select(col("sh"), col("rep").as("__ra"))
+      .join(keptRep.select(col("sh"), col("rep").as("__rb")), Seq("sh"))
+      .where(col("__ra") < col("__rb"))
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
+    val cand = cand0.unionByName(repCand)
+      .unionByName(withinGroupPairs(groups)).distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
+    val verified = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
       .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    expandBySetGroups(verified, groups)
   }
 
   // -------------------------------------------------------------------
@@ -403,19 +628,56 @@ object Dedup {
   def simhashNearDupPairs(
       corpus: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val sh = simhash(corpus, textCol, idCol)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimHashBands).map(b =>
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    // rep-collapse at its purest: the 32-bit value IS the content key, so
+    // candidates are generated between DISTINCT fingerprint values (the
+    // band self-join is sized by distinct values per bucket, capped at
+    // maxBucket — [[simhashBucketAudit]] reports skips) and expanded to
+    // doc pairs through the value→doc membership joins; equal-value doc
+    // pairs (hamming 0) ride the exact route regardless of bucket heat
+    val fps = simhash(corpus, textCol, idCol).localCheckpoint(true)
+    val vbands = fps.select("simhash").distinct()
+      .select(col("simhash"), posexplode(array((0 until SimHashBands).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
-    val l = bands.select(col("band"), col("bv"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val r = bands.select(col("band"), col("bv"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("band", "bv")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .where(hammingDistance(col("sh_a"), col("sh_b")) <= SimHashMaxHamming)
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+    val keep = vbands.groupBy("band", "bv").agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") <= maxBucket).select("band", "bv")
+    val kept = vbands.join(keep, Seq("band", "bv"))
+    val vpairs = kept.select(col("band"), col("bv"), col("simhash").as("__va"))
+      .join(kept.select(col("band"), col("bv"), col("simhash").as("__vb")), Seq("band", "bv"))
+      .where(col("__va") < col("__vb")).select("__va", "__vb").distinct()
+      .where(hammingDistance(col("__va"), col("__vb")) <= SimHashMaxHamming)
+    val cross = vpairs
+      .join(fps.select(col("simhash").as("__va"), col("doc_id").as("__ia")), Seq("__va"))
+      .join(fps.select(col("simhash").as("__vb"), col("doc_id").as("__ib")), Seq("__vb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        hammingDistance(col("__va"), col("__vb")).cast("long").as("hamming"))
+    val within = fps.select(col("simhash"), col("doc_id").as("id_a"))
+      .join(fps.select(col("simhash"), col("doc_id").as("id_b")), Seq("simhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    // disjoint by construction: cross pairs differ in value (hamming ≥ 1)
+    cross.unionByName(within)
   }
+
+  /** Audit of SimHash band buckets — one row per (band, byte-value)
+    * bucket holding ≥ 2 documents: member count, distinct-value count
+    * (post-collapse join breadth) and the action at `maxBucket`. */
+  def simhashBucketAudit(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    simhash(corpus, textCol, idCol)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimHashBands).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
+      .groupBy("band", "bv")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("n_values"))
+      .where(col("n_docs") >= 2)
+      .select(col("band"), col("bv"), col("n_docs"), col("n_values"),
+        when(col("n_values") <= maxBucket, lit("joined")).otherwise(lit("skipped")).as("action"))
 
   /** E1d — embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
     * are restricted to vectors sharing a random-hyperplane bucket
