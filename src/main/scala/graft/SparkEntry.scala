@@ -752,6 +752,34 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // retention × incremental state: the state is bootstrapped BEFORE the
+    // expire (restricted to retained days — the only window a
+    // post-retention consumer may fold), the remaining batch is folded
+    // from the POST-expire sink, and the merge must equal the
+    // whole-retained-history oracle bit-for-bit. Proves ids are
+    // append-stable across partition expiry: the pre-expire bootstrap and
+    // the post-expire batch stitch on last_change_id with no seam.
+    "cdc_state_after_retention" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_sar").resolve("orders_changelog").toString
+      PopulateChangelog.run(s, ChangeFeed.fromOrdersRetention(orders(s, dir)), ordersCfg,
+        sink, Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      val cutoffStr = graft.oracle.OrdersCdcOracle.RetentionCutoff
+      val mid = lit(graft.oracle.OrdersCdcOracle.RetentionStateMid).cast("timestamp")
+      val beforeExpire = graft.cdc.SinkLayout.read(s, sink)
+        .where(col("commit_date") >= lit(cutoffStr))
+      val state1 = graft.cdc.StateMaintain.stateLong(
+        beforeExpire.where(col("commit_time") <= mid), Seq("o_orderkey"))
+        // the bootstrap must be MATERIALIZED before the sweep runs — a lazy
+        // plan would re-list the sink after expiry (which grace tolerates
+        // for one cycle, but the graded contract is the bootstrapped state)
+        .localCheckpoint(true)
+      graft.cdc.Retention.expire(s, sink, java.time.LocalDate.parse(cutoffStr))
+      val afterExpire = graft.cdc.SinkLayout.read(s, sink) // cutoff-filtered view
+      graft.cdc.StateMaintain.applyBatch(
+        state1, afterExpire.where(col("commit_time") > mid), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column_name")
+    }),
+
     // per-column change-frequency audit from the update masks — one scan
     // of the update rows, bounded explode of SET bits, two hash aggregates
     "cdc_mask_stats" -> ((s, dir) =>
@@ -1281,6 +1309,7 @@ object SparkEntry {
     "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
+    "cdc_state_after_retention" -> OrdersCdcOracle.stateAfterRetentionSql,
     "cdc_mask_stats" -> OrdersCdcOracle.default.maskStatsSql,
     "cdc_mask_stats_wide" -> OrdersCdcOracle.wide.maskStatsSql,
     "cdc_scd2" -> OrdersCdcOracle.default.scd2Sql,

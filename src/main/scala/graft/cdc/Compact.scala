@@ -79,8 +79,16 @@ object Compact {
 
     // repack into the UNDERSCORE staging dir: invisible to every reader
     // (Spark listing skips _-prefixed paths) even when it sits inside a
-    // flat sink's live root
-    spark.read.parquet(liveDir.toString)
+    // flat sink's live root. Days already expired by Retention are not
+    // carried into the new version — in-flight readers keep the superseded
+    // version (the grace copy) for one more cycle, same as any repack.
+    val live0 = spark.read.parquet(liveDir.toString)
+    val live = Retention.activeCutoff(fs, path) match {
+      case Some(c) if live0.columns.contains("commit_date") =>
+        live0.where(col("commit_date") >= lit(c.toString))
+      case _ => live0
+    }
+    live
       .repartitionByRange(n, col("commit_date"), col("changelog_id"))
       .sortWithinPartitions(col("commit_date"), col("changelog_id"))
       .write.partitionBy("commit_date").parquet(stage.toString)

@@ -148,7 +148,18 @@ object SinkLayout {
     }
   }
 
-  /** Read the sink through the pointer. */
-  def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(dataDir(spark, root))
+  /** Read the sink through the pointer, honoring the retention cutoff: an
+    * active `_retention.cutoff` marker becomes a `commit_date >= cutoff`
+    * PARTITION filter, so expired days vanish from the logical table the
+    * moment the marker advances — their directories (still on disk for one
+    * grace cycle, [[Retention]]) are partition-pruned, never listed into. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val df = spark.read.parquet(dataDir(spark, root))
+    Retention.activeCutoff(fs(spark, root), root) match {
+      case Some(c) if df.columns.contains("commit_date") =>
+        df.where(org.apache.spark.sql.functions.col("commit_date") >=
+          org.apache.spark.sql.functions.lit(c.toString))
+      case _ => df
+    }
+  }
 }

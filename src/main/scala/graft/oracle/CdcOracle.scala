@@ -371,6 +371,24 @@ final class CdcOracle(
        |SELECT * FROM cl WHERE CAST(commit_time AS DATE) >= DATE '$cutoffDate'
        |ORDER BY changelog_id""".stripMargin
 
+  /** State fold over the RETAINED window only ≙ the retention × state
+    * contract: because ids are assigned at append and never reassigned,
+    * a state bootstrapped BEFORE a partition expiry and batch-folded from
+    * the post-expiry sink equals the state computed from the full history
+    * restricted to retained days — this oracle IS that "before" side. */
+  def stateAfterRetentionSql(cutoffDate: String): String =
+    s"""WITH cl AS (
+       |$changelogSql
+       |)
+       |SELECT $pkOrder, column_name,
+       |  arg_max(new_value, changelog_id) AS last_value,
+       |  max(changelog_id) AS last_change_id,
+       |  count(*) AS n_changes
+       |FROM cl
+       |WHERE column_name IS NOT NULL AND CAST(commit_time AS DATE) >= DATE '$cutoffDate'
+       |GROUP BY $pkOrder, column_name
+       |ORDER BY $pkOrder, column_name""".stripMargin
+
   /** A3 — lexicographic freshness watermark over mm/dd/yyyy strings (the
     * reference's year-boundary bug, kept verbatim as the compat behavior). */
   val freshnessSql: String =

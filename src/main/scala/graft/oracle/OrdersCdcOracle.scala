@@ -102,6 +102,12 @@ object OrdersCdcOracle {
   val RetentionCutoff = "1995-01-03"
   val retentionSql: String = retention.retentionSql(RetentionCutoff)
 
+  /** Batch split inside the RETAINED window (commit times = base +
+    * key×256 s, so Jan 4 splits the post-cutoff days non-trivially at
+    * every SF) for the retention × incremental-state graded row. */
+  val RetentionStateMid = "1995-01-04 00:00:00"
+  val stateAfterRetentionSql: String = retention.stateAfterRetentionSql(RetentionCutoff)
+
   /** Snapshot-to-snapshot diff ≙ graft.cdc.SnapshotDiff.diff(orders,
     * ChangeFeed.ordersSnapshotAfter(orders)) — full outer join on the PK,
     * per-column EAV rows on NULL-SAFE inequality of the erased values,

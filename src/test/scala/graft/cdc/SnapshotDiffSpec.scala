@@ -85,6 +85,48 @@ class SnapshotDiffSpec extends AnyFunSuite with SparkFixture {
     assert(Retention.expire(spark, path, java.time.LocalDate.parse("1995-01-03")).isEmpty)
   }
 
+  test("a reader planned before expire survives one retention grace cycle") {
+    val path = Files.createTempDirectory("graft_retg").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, multiDayFeed, cfg, path, Some(ts("1995-01-05 00:00:00")))
+    // this reader resolves AND lists files now — the pre-retention snapshot
+    val planned = SinkLayout.read(spark, path)
+    val cutoff = java.time.LocalDate.parse("1995-01-03")
+    // phase 1: Jan 1–2 leave the logical table but stay on disk
+    assert(Retention.expire(spark, path, cutoff) ==
+      Seq(java.time.LocalDate.parse("1995-01-01"), java.time.LocalDate.parse("1995-01-02")))
+    assert(planned.count() == 4, "planned reader keeps its files through the flip")
+    val fs = SinkLayout.fs(spark, path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      SinkLayout.dataDir(spark, path), "commit_date=1995-01-01")),
+      "expired dirs persist for one grace cycle")
+    // new reads partition-prune the expired days immediately
+    assert(SinkLayout.read(spark, path).select("changelog_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // phase 2: the NEXT cycle sweeps what the previous one hid
+    assert(Retention.expire(spark, path, cutoff).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      SinkLayout.dataDir(spark, path), "commit_date=1995-01-01")),
+      "past-grace dirs are physically deleted")
+    assert(SinkLayout.read(spark, path).select("changelog_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // the cutoff never moves backward: a lagging caller cannot resurrect
+    assert(Retention.expire(spark, path, java.time.LocalDate.parse("1995-01-02")).isEmpty)
+    assert(SinkLayout.read(spark, path).count() == 2)
+  }
+
+  test("compaction drops expired days from the repack; grace copy keeps them") {
+    val path = Files.createTempDirectory("graft_retc").resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, multiDayFeed, cfg, path, Some(ts("1995-01-05 00:00:00")))
+    Retention.expire(spark, path, java.time.LocalDate.parse("1995-01-03"))
+    Compact.compactSink(spark, path)
+    val fs = SinkLayout.fs(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      SinkLayout.dataDir(spark, path), "commit_date=1995-01-01")),
+      "the repacked version must not carry expired days forward")
+    assert(SinkLayout.read(spark, path).select("changelog_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
   test("retention resolves through the version pointer on a compacted sink") {
     val path = Files.createTempDirectory("graft_retv").resolve("orders_changelog").toString
     PopulateChangelog.run(spark, multiDayFeed, cfg, path, Some(ts("1995-01-05 00:00:00")))
