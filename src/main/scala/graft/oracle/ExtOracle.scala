@@ -91,13 +91,19 @@ object ExtOracle {
     * (list-returning scalar range() + unnest) — no hardcoded cap to
     * silently truncate a long doc. The i-filter reproduces Spark's
     * sequence(0, size-3). */
+  /** Space-joined [[Dedup.ShingleLen]]-gram over a 1-based `toks` list
+    * starting at 0-based `i` — generated from the SAME constant as the
+    * loop bounds so shingle width and construction cannot diverge. */
+  private def shingleConcat(toks: String, i: String = "i"): String =
+    (1 to Dedup.ShingleLen).map(o => s"$toks[$i+$o]").mkString(" || ' ' || ")
+
   private val shingleCtes: String =
     s"""tok AS (
        |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM corpus
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tok))) AS i
        |), sh AS (
-       |  SELECT DISTINCT id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+       |  SELECT DISTINCT id, ${shingleConcat("toks")} AS sh
        |  FROM tok, idx
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |)""".stripMargin
@@ -225,7 +231,7 @@ object ExtOracle {
        |), tok AS (
        |  SELECT id, i AS pos, toks[i+1] AS tok FROM tk, idx WHERE i < n
        |), st AS (
-       |  SELECT id, i AS s, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+       |  SELECT id, i AS s, ${shingleConcat("toks")} AS sh
        |  FROM tk, idx WHERE i <= n - ${Dedup.ShingleLen}
        |), dfq AS (
        |  SELECT sh, count(DISTINCT id) AS nd FROM st GROUP BY sh
@@ -244,6 +250,53 @@ object ExtOracle {
        |    AS kept_fp
        |FROM j GROUP BY id
        |ORDER BY doc_id""".stripMargin
+
+  /** E1e'' ≙ Dedup.duplicatedSpanOffsets — maximal covered runs as token
+    * offsets + character offsets into the ORIGINAL text, each span
+    * fingerprinted via substr(text, char_start+1, len) so both engines
+    * prove the offsets land exactly on the duplicated characters. */
+  val spanOffsetsSql: String =
+    s"""WITH $corpusSql, tk AS (
+       |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(n) FROM tk))) AS i
+       |), tok AS (
+       |  SELECT id, i AS pos, toks[i+1] AS tok FROM tk, idx WHERE i < n
+       |), st AS (
+       |  SELECT id, i AS s, ${shingleConcat("toks")} AS sh
+       |  FROM tk, idx WHERE i <= n - ${Dedup.ShingleLen}
+       |), dfq AS (
+       |  SELECT sh, count(DISTINCT id) AS nd FROM st GROUP BY sh
+       |), dup AS (
+       |  SELECT st.id, st.s FROM st JOIN dfq ON dfq.sh = st.sh WHERE dfq.nd >= 2
+       |), cov AS (
+       |  SELECT DISTINCT id, s + o AS pos FROM dup, range(${Dedup.ShingleLen}) t(o)
+       |), ch AS (
+       |  SELECT id, pos, tok,
+       |    CAST(sum(len(tok) + 1) OVER (PARTITION BY id ORDER BY pos)
+       |         - (len(tok) + 1) AS BIGINT) AS off
+       |  FROM tok
+       |), cv AS (
+       |  SELECT ch.id, ch.pos, ch.tok, ch.off,
+       |    ch.pos - row_number() OVER (PARTITION BY ch.id ORDER BY ch.pos) AS grp
+       |  FROM ch JOIN cov ON cov.id = ch.id AND cov.pos = ch.pos
+       |), sp AS (
+       |  SELECT id, grp,
+       |    CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(pos) AS BIGINT) AS span_end,
+       |    CAST(count(*) AS BIGINT) AS n_span_tokens,
+       |    CAST(min(off) AS BIGINT) AS char_start,
+       |    CAST(max(off + len(tok)) AS BIGINT) AS char_end
+       |  FROM cv GROUP BY id, grp
+       |)
+       |SELECT sp.id AS doc_id, span_start, span_end, n_span_tokens,
+       |  char_start, char_end,
+       |  md5(substr(tk.text, CAST(char_start + 1 AS INT),
+       |             CAST(char_end - char_start AS INT))) AS span_fp
+       |FROM sp JOIN tk ON tk.id = sp.id
+       |ORDER BY doc_id, span_start""".stripMargin
 
   /** E3j ≙ TextOps.heavyHitters — count-min sketch (4 lanes × 64 cells)
     * over the token stream; estimate = min over the token's cells, exact
@@ -1209,7 +1262,7 @@ object ExtOracle {
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tokl))) AS i
        |), tok AS (
-       |  SELECT lang, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS t
+       |  SELECT lang, ${shingleConcat("toks")} AS t
        |  FROM tokl, idx
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |), hashed AS (
@@ -1248,7 +1301,7 @@ object ExtOracle {
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tokl))) AS i
        |), tok AS (
-       |  SELECT lang, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS t
+       |  SELECT lang, ${shingleConcat("toks")} AS t
        |  FROM tokl, idx
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |), hashed AS (

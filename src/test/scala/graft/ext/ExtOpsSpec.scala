@@ -507,6 +507,41 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L).getAs[Long]("n_removed") == 4 && out(2L).getAs[Long]("n_kept") == 0)
   }
 
+  test("duplicatedSpanOffsets: char offsets cut exactly the duplicated text") {
+    val s = spark
+    import s.implicits._
+    // doc 1: dup run "x y z" at tokens 2–4 (chars 4..9) and a second dup
+    // run "m n o" at tokens 6–8 — two SEPARATE maximal spans; doc 3 has
+    // varied token lengths so char offsets are non-trivial
+    val df = Seq(
+      (1L, "a b x y z c m n o d"),
+      (2L, "x y z"),
+      (3L, "pp m n o qqq"),
+      (4L, "u v w t")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanOffsets(df).collect()
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val byDoc = out.groupBy(_.getLong(0))
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("span_start"))
+    assert(d1.map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+      r.getAs[Long]("char_start"), r.getAs[Long]("char_end"))).toList ==
+      List((2L, 4L, 4L, 9L), (6L, 8L, 12L, 17L)),
+      "two disjoint dup runs must stay two spans with exact offsets")
+    assert(d1.map(_.getAs[String]("span_fp")).toList == List(md5("x y z"), md5("m n o")))
+    val d3 = byDoc(3L)
+    assert(d3.map(r => (r.getAs[Long]("char_start"), r.getAs[Long]("char_end"),
+      r.getAs[String]("span_fp"))).toList == List((3L, 8L, md5("m n o"))),
+      "char offsets must account for variable token lengths")
+    assert(!byDoc.contains(4L), "docs with no dup coverage emit no spans")
+    // the span set PARTITIONS the covered positions: Σ n_span_tokens per
+    // doc equals removeDuplicatedSpans' n_removed
+    val removed = Dedup.removeDuplicatedSpans(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_removed")).toMap
+    val spanSum = out.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_span_tokens")).sum).toMap
+    assert(removed.filter(_._2 > 0) == spanSum)
+  }
+
   test("importanceScore: target-overrepresented tokens score high, disjoint vocab scores 0") {
     val s = spark
     import s.implicits._
