@@ -823,6 +823,13 @@ object SparkEntry {
     "ext_quality" -> ((s, dir) =>
       TextOps.qualityScore(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3m — MODEL-based quality: fastText-shape linear classifier over
+    // hashed uni+bigram features with md5-derived bucket weights — the
+    // deterministic stand-in for a trained weight vector; scoring
+    // pipeline (hash → shared bucket weight → mean pool) is the real one
+    "ext_quality_model" -> ((s, dir) =>
+      TextOps.qualityModelScore(corpus(s, dir)).orderBy("doc_id")),
+
     // E3i — Gopher/C4 repetition-quality metrics (duplicate lines /
     // trigrams, top-bigram share, symbol-to-word ratio) over the
     // line-planted corpus (fixture text is single-line)
@@ -1329,6 +1336,7 @@ object SparkEntry {
     "cdc_feed_window_composite" -> OrdersCdcOracle.lineitemFeedWindowSql,
     "cdc_query_data_composite" -> OrdersCdcOracle.lineitemQueryDataSql,
     "ext_quality" -> ExtOracle.qualitySql,
+    "ext_quality_model" -> ExtOracle.qualityModelSql,
     "ext_repetition" -> ExtOracle.repetitionSql,
     "ext_sessionize" -> ExtOracle.sessionizeSql,
     "ext_asof" -> ExtOracle.asofSql,

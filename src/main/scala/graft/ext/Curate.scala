@@ -25,7 +25,11 @@ object Curate {
       // Gopher-style intra-doc repetition gate: keep docs whose duplicate
       // word-trigram share is at most this many basis points
       maxDupTrigramBp: Int = 200,
-      lang: String = "en")
+      lang: String = "en",
+      // optional model gate: keep docs whose fastText-shape linear score
+      // (TextOps.modelScoreCol, integer centi-weights) is ≥ this; None
+      // leaves the funnel purely heuristic (the graded default)
+      minModelScore: Option[Int] = None)
 
   /** The three row-local gate predicates after dedup, in funnel order —
     * the SINGLE definition both [[stages]] (and therefore [[curate]]) and
@@ -38,7 +42,9 @@ object Curate {
       "3_quality" ->
         (size(array_distinct(toks)) * t.distinctRatioDen >= size(toks) * t.distinctRatioNum),
       "4_repetition" -> (TextOps.dupTrigramBp(col(textCol)) <= t.maxDupTrigramBp),
-      "5_language" -> (TextOps.predLang(col(textCol)) === t.lang))
+      "5_language" -> (TextOps.predLang(col(textCol)) === t.lang)) ++
+      t.minModelScore.map(ms =>
+        "6_model" -> (TextOps.modelScoreCol(col(textCol)) >= ms)).toSeq
   }
 
   /** E3k — cross-document LINE-level dedup (the C4/CCNet sweep: a line

