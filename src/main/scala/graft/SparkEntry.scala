@@ -210,6 +210,33 @@ object SparkEntry {
     // reassemble the exact one-batch changelog
     "cdc_populate_resume" -> ((s, dir) => populateTwice(s, dir, ordersCfg, "graft_rs")),
 
+    // S6 exactly-once under FAILURE INJECTION: the second batch publishes
+    // through the journaled path and the driver "crashes" after the first
+    // file lands (torn commit — some files visible, HWM advanced past
+    // truth). The re-run self-repairs from the stage manifest (deleting
+    // the partial publish, restoring the exact pre-batch HWM and id
+    // offset) and completes; the sink must hash-match the SAME oracle as
+    // the never-crashed resume — byte-identical recovery, not just
+    // at-least-once
+    "cdc_populate_crash_resume" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_crash").resolve("orders_changelog").toString
+      val f = feed(s, dir)
+      PopulateChangelog.run(s, f, ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)))
+      val boom = new RuntimeException("injected crash")
+      val to = Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val fired =
+        try {
+          graft.cdc.StagedAppend.run(s, f, ordersCfg, sink, to,
+            publishHook = i => if (i == 1) throw boom)
+          false
+        } catch { case e: RuntimeException if e eq boom => true }
+      require(fired, "crash injection must fire mid-publish")
+      graft.cdc.StagedAppend.run(s, f, ordersCfg, sink, to)
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // sink maintenance: the same two-batch populate, then small-file
     // compaction (range-packed on (commit_date, changelog_id)) — rows must
     // survive the rewrite EXACTLY (same oracle as the resume), file count
@@ -1274,6 +1301,7 @@ object SparkEntry {
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
+    "cdc_populate_crash_resume" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_compacted" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_resume_compacted" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_resume_compat" -> OrdersCdcOracle.resumeCompatChangelogSql,
