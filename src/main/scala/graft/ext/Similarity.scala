@@ -183,40 +183,69 @@ object Similarity {
     * it probes (`probes` nearest). The inverted-file shape: assignment is
     * one broadcast pass + bounded-heap argmax; search shuffles on the cell
     * id, never the full corpus product. Recall/cost is tuned by
-    * probes × numCentroids.
+    * probes × numCentroids × rounds.
     *
-    * Centroids: seeded from the first `numCentroids` vectors, then ONE
-    * deterministic k-means round — assign every vector to its nearest
-    * seed, replace each cell's centroid by the member mean. First-k seeds
-    * alone give arbitrarily skewed Voronoi cells at scale (one hot cell
-    * re-creates the skew problem IVF exists to avoid); a refinement round
-    * pulls centroids toward the data's actual modes and evens the cells.
-    * The mean is computed in EXACT integer math (elements scaled by 1000
-    * and floored, per-cell long sums, integer-div mean) so it is
-    * order-independent and bit-identical in the oracle — cosine is
-    * scale-invariant, so the un-rescaled integer mean works as-is. */
+    * Centroids: k-means‖-style OVERSAMPLED seeding (Bahmani et al.,
+    * "Scalable K-Means++", VLDB'12 — deterministic restatement: no RNG,
+    * md5 rank stands in for the random draw), then `rounds` Lloyd
+    * refinements. Seeding: draw `oversample × numCentroids` candidates by
+    * md5-of-id rank (a pseudo-random sample spread over the corpus, where
+    * first-k ids are arbitrarily correlated), weight each candidate by the
+    * number of corpus vectors nearest to it, and keep the `numCentroids`
+    * heaviest — candidates sitting on dense modes win, which is the
+    * k-means‖ reduction step with top-weight selection in place of the
+    * weighted re-clustering. `oversample ≤ 1` falls back to first-k
+    * seeding (the legacy configuration the recall spec compares against).
+    * Every refinement is assign-to-nearest + EXACT integer-mean re-center
+    * (elements scaled by 1000 and floored, per-cell long sums, integer-div
+    * mean) so the whole chain is order-independent and bit-identical in
+    * the oracle — cosine is scale-invariant, so the un-rescaled integer
+    * mean works as-is. Each round's k-row centroid table is
+    * localCheckpointed so round r+1 plans against a tiny materialized
+    * table, not the whole prior lineage (the kmeansAssign lesson).
+    *
+    * Scale: candidate/seed selection is orderBy+limit over candN ≪ corpus
+    * rows (TakeOrdered — per-partition top-k then a driver merge of candN
+    * rows, never a global sort), weighting is one broadcast-assign pass,
+    * and each round is one corpus scan — k-means' inherent cost. */
   def topKCosineIvf(
       emb: DataFrame,
       queryPred: Column,
       k: Int,
       numCentroids: Int = 16,
       probes: Int = 2,
+      rounds: Int = 3,
+      oversample: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(
       col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
-    val seeds = base.where(col(idCol) < numCentroids).select(
-      col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
 
     def cells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
       nearestCells(df, cents, n, idCol, vecCol)
 
-    // ONE refinement round pulls the first-k seeds toward the data's modes;
-    // the k-row result is eagerly materialized so the corpus AND query
-    // assignment plans reference a tiny checkpoint instead of each
-    // replanting the whole refinement (the kmeansAssign lesson)
-    val refined = integerMeanCentroids(cells(base, seeds, 1), vecCol)
-      .localCheckpoint(true)
+    val seeds =
+      if (oversample <= 1)
+        base.where(col(idCol) < numCentroids).select(
+          col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
+      else {
+        val mdRank = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        val cands = base
+          .orderBy(mdRank, col(idCol)).limit(numCentroids * oversample)
+          .select(col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
+          .localCheckpoint(true)
+        val weights = cells(base, cands, 1)
+          .groupBy(col("cell")).agg(count(lit(1)).as("__w"))
+        cands.join(weights.withColumnRenamed("cell", "cid"), Seq("cid"), "left")
+          .na.fill(0L, Seq("__w"))
+          .orderBy(col("__w").desc, col("cid")).limit(numCentroids)
+          .select("cid", "centv", "centn")
+      }
+
+    val refined = (1 to rounds).foldLeft(seeds) { (c, _) =>
+      integerMeanCentroids(cells(base, c, 1), vecCol).localCheckpoint(true)
+    }
 
     val corpus = cells(base, refined, 1).select(
       col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))

@@ -534,48 +534,71 @@ object ExtOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** E2d ≙ Similarity.topKCosineIvf (16 fixed centroids, 2 probes, k=3). */
-  val annIvfSql: String =
-    s"""WITH cent AS (
-       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16
-       |), allv AS (
+  /** E2d ≙ Similarity.topKCosineIvf (16 centroids, k-means‖-style md5
+    * oversampled seeding ×4, 3 Lloyd rounds, 2 probes, k=3) — replays the
+    * seeding draw, the candidate weighting, and every assign→re-center
+    * alternation bit-for-bit (integer means, md5 ranks, total orders). */
+  val annIvfSql: String = {
+    val numCentroids = 16
+    val oversample = 4
+    val rounds = 3
+    // one assignment: ranked cosine argmax against cent$tag (ties to the
+    // smaller cid — the TopKByScore order)
+    def assign(tag: Int): String =
+      s"""sc$tag AS (
+         |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cent$tag c
+         |), r$tag AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc$tag
+         |), cell$tag AS (
+         |  SELECT vec_id, cid AS cell FROM r$tag WHERE rn = 1
+         |)""".stripMargin
+    // one re-center: integer element means of cell$tag members → cent${tag+1}
+    def recenter(tag: Int): String =
+      s"""qx$tag AS (
+         |  SELECT c0.cell, i AS pos, CAST(floor(a.v[i+1] * 1000.0) AS BIGINT) AS q
+         |  FROM cell$tag c0 JOIN allv a ON a.vec_id = c0.vec_id,
+         |       range(${graft.ext.Similarity.Dim}) ri$tag(i)
+         |), qm$tag AS (
+         |  SELECT cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
+         |  FROM qx$tag GROUP BY cell, pos
+         |), cent${tag + 1} AS (
+         |  SELECT cell AS cid, (list(qm ORDER BY pos))::DOUBLE[] AS cv
+         |  FROM qm$tag GROUP BY cell
+         |)""".stripMargin
+    val roundCtes = (0 until rounds).map(t => s"${assign(t)},\n${recenter(t)}").mkString(",\n")
+    s"""WITH allv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), sc0 AS (
-       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cent c
-       |), r0 AS (
+       |), cand0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM allv
+       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+       |  LIMIT ${numCentroids * oversample}
+       |), scw AS (
+       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cand0 c
+       |), rw AS (
        |  SELECT vec_id, cid,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-       |  FROM sc0
-       |), cell0 AS (
-       |  SELECT vec_id, cid AS cell FROM r0 WHERE rn = 1
-       |), qx AS (
-       |  SELECT c0.cell, i AS pos, CAST(floor(a.v[i+1] * 1000.0) AS BIGINT) AS q
-       |  FROM cell0 c0 JOIN allv a ON a.vec_id = c0.vec_id, range(${graft.ext.Similarity.Dim}) ri(i)
-       |), qmeans AS (
-       |  SELECT cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
-       |  FROM qx GROUP BY cell, pos
-       |), cent2 AS (
-       |  SELECT cell AS cid, (list(qm ORDER BY pos))::DOUBLE[] AS cv
-       |  FROM qmeans GROUP BY cell
-       |), sc AS (
-       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cent2 c
-       |), ranked AS (
-       |  SELECT vec_id, cid,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-       |  FROM sc
-       |), cell AS (
-       |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
-       |), qcell AS (
-       |  SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id % 100 = 0
-       |), cand AS (
+       |  FROM scw
+       |), wts AS (
+       |  SELECT cid, count(*) AS w FROM rw WHERE rn = 1 GROUP BY cid
+       |), cent0 AS (
+       |  SELECT c.cid, c.cv FROM cand0 c LEFT JOIN wts ON wts.cid = c.cid
+       |  ORDER BY coalesce(wts.w, 0) DESC, c.cid
+       |  LIMIT $numCentroids
+       |),
+       |$roundCtes,
+       |${assign(rounds)}, qcell AS (
+       |  SELECT vec_id, cid AS cell FROM r$rounds WHERE rn <= 2 AND vec_id % 100 = 0
+       |), cnd AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM qcell q JOIN cell c ON q.cell = c.cell
+       |  FROM qcell q JOIN cell$rounds c ON q.cell = c.cell
        |  WHERE q.vec_id <> c.vec_id
        |), s2 AS (
-       |  SELECT cand.query_id, cand.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
-       |  FROM cand
-       |  JOIN allv a ON a.vec_id = cand.query_id
-       |  JOIN allv b ON b.vec_id = cand.neighbor_id
+       |  SELECT cnd.query_id, cnd.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
+       |  FROM cnd
+       |  JOIN allv a ON a.vec_id = cnd.query_id
+       |  JOIN allv b ON b.vec_id = cnd.neighbor_id
        |), r AS (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
@@ -584,6 +607,7 @@ object ExtOracle {
        |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
        |FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** E2e ≙ Similarity.kmeansAssign (k = 8, 2 rounds) — replays every
     * assign→re-center alternation bit-for-bit: cosine argmax with the
