@@ -149,8 +149,16 @@ object ChangeFeed {
     srcCols = DriftCols,
     lsn = "o_orderkey",
     branches = Seq(
-      FeedBranch("o_orderkey % 10 = 0", OpInsert, AllBits | BitClerk, 0),
-      FeedBranch("o_orderkey % 10 = 1", OpDelete, AllBits | BitClerk, 0),
+      // inserts/deletes carry the all-columns mask OF THEIR ERA: bit 6
+      // exists only for transactions after the column appeared — same
+      // split as the update branches (sentinel rows carry no column
+      // values, so the mask is the only place the era shows)
+      FeedBranch(s"o_orderkey % 10 = 0 AND o_orderkey <= $DriftLsn", OpInsert, AllBits, 0),
+      FeedBranch(s"o_orderkey % 10 = 0 AND o_orderkey > $DriftLsn",
+        OpInsert, AllBits | BitClerk, 0),
+      FeedBranch(s"o_orderkey % 10 = 1 AND o_orderkey <= $DriftLsn", OpDelete, AllBits, 0),
+      FeedBranch(s"o_orderkey % 10 = 1 AND o_orderkey > $DriftLsn",
+        OpDelete, AllBits | BitClerk, 0),
       // pre-drift updates: identical to ordersSpec — bit 6 never set
       FeedBranch(s"o_orderkey % 10 IN (2, 3) AND o_orderkey <= $DriftLsn",
         OpUpdateBefore, BitStatus | BitTotal, 0),

