@@ -49,11 +49,25 @@ object Bench {
     // failed (never a fake cheap timing).
     val passes = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional focus filter for bisecting a single query's variance
+    // (comma-separated names); absent = the full graded surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // stop at the first failing pass — a deterministic failure shouldn't
       // pay its latency `passes` times
       val timings = scala.collection.mutable.ArrayBuffer.empty[Either[String, Double]]
       while (timings.size < passes && !timings.lastOption.exists(_.isLeft)) {
+        // Between passes (outside the timed region): sweep the PREVIOUS
+        // pass's temp sinks and nudge a driver GC so ContextCleaner can
+        // reclaim dropped localCheckpoint blocks — drive queries re-create
+        // both every pass, and the pile-up (dirty page writeback from
+        // orphaned sink files, checkpoint blocks waiting on a weak-ref GC)
+        // is what made drive-query medians run 1.5–2× their min in r7.
+        TempDirs.sweep()
+        System.gc()
         val t0 = System.nanoTime()
         timings += (try {
           fn(spark, sfDir).count()

@@ -29,4 +29,23 @@ object TempDirs {
     dirs.add(d)
     d
   }
+
+  /** Delete every directory created so far, now instead of at JVM exit —
+    * for loop harnesses (Bench) where drive queries re-create their temp
+    * sinks every pass and the pile-up otherwise lives until shutdown.
+    * Only call between queries, never while one may still read its sink. */
+  def sweep(): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    var d = dirs.poll()
+    while (d != null) {
+      try rm(d) catch { case scala.util.control.NonFatal(_) => () }
+      d = dirs.poll()
+    }
+  }
 }
