@@ -997,6 +997,13 @@ object SparkEntry {
     "ext_contamination" -> ((s, dir) =>
       graft.ext.Curate.contaminationScores(corpus(s, dir)).orderBy("doc_id")),
 
+    // the 100 TB decontamination shape: probe a broadcast 32 KiB Bloom
+    // filter of eval shingles instead of shuffling the full eval index;
+    // the oracle rebuilds the filter bit-for-bit, so deterministic false
+    // positives are graded too, not just the true overlaps
+    "ext_bloom_decontaminate" -> ((s, dir) =>
+      graft.ext.Curate.bloomDecontaminate(corpus(s, dir)).orderBy("doc_id")),
+
     // E1b'' — LOSSLESS Jaccard similarity join via prefix filtering
     // (AllPairs/PPJoin family); graded against the exact all-pairs ground
     // truth, so this row proves recall 1.0 where MinHash+LSH is
@@ -1381,6 +1388,7 @@ object SparkEntry {
     "ext_split_safe" -> ExtOracle.splitSafeSql,
     "ext_sample_stratified" -> ExtOracle.sampleStratifiedSql,
     "ext_decontaminate" -> ExtOracle.decontaminateSql,
+    "ext_bloom_decontaminate" -> ExtOracle.bloomDecontaminateSql,
     "ext_contamination" -> ExtOracle.contaminationSql,
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,

