@@ -909,6 +909,12 @@ object SparkEntry {
     "ext_token_rarity" -> ((s, dir) =>
       TextOps.tokenRarity(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3r — bigram-LM fluency (CCNet/KenLM quality-filter shape): mean
+    // bigram conditional probability in basis points, corpus-self-trained,
+    // exact integer math — two vocabulary-keyed joins, never doc×doc
+    "ext_lm_fluency" -> ((s, dir) =>
+      TextOps.lmFluency(corpus(s, dir)).orderBy("doc_id")),
+
     // E3m — DSIR-style integer importance score vs the lang='en' target
     "ext_dsir" -> ((s, dir) =>
       TextOps.importanceScore(corpus(s, dir)).orderBy("doc_id")),
@@ -1425,6 +1431,7 @@ object SparkEntry {
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
+    "ext_lm_fluency" -> ExtOracle.lmFluencySql,
     "ext_dsir" -> ExtOracle.importanceSql,
     "ext_dsir_sample" -> ExtOracle.importanceSampleSql,
     "ext_hist_quantile" -> ExtOracle.histQuantilesSql,

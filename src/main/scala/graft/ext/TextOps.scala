@@ -253,6 +253,40 @@ object TextOps {
         col("mean_df_x100"), col("min_df"), col("n_hapax"))
   }
 
+  /** E3r — bigram-LM fluency score (the CCNet/KenLM quality-filter shape,
+    * rendered in exact integers): the corpus itself is the language model
+    * — unigram counts c1(w) and bigram counts c2(w1 w2) over the raw token
+    * stream — and a document scores the MEAN of its bigram instances'
+    * conditional probabilities `c2 * 10^4 div c1(w1)` (basis points,
+    * truncating division on both engines). Word-soup text whose bigrams
+    * rarely repeat scores near 0; template/repetitive text scores high —
+    * the integer stand-in for "perplexity against an in-domain LM", with
+    * no float log anywhere.
+    *
+    * Scale shape: one codegen [[graft.functions.WordShingles]] pass per
+    * count table + two VOCABULARY-keyed joins (bigram vocab, then unigram
+    * vocab on the instance's first word) — identical to the
+    * [[tokenRarity]]/[[importanceScore]] family; never doc×doc, and both
+    * count tables aggregate map-side before their shuffle. */
+  def lmFluency(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bg = corpus.select(col(idCol).as("id"),
+      explode(graft.functions.WordShingles.wordShingles(col(textCol), 2)).as("bg"))
+    val uni = corpus
+      .select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    bg
+      .join(big, "bg")
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .join(uni, col("w1") === col("w"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(intDiv(col("c2") * 10000L, col("c1"))).as("__bp_sum"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        intDiv(col("__bp_sum"), col("n_bigrams")).as("fluency_bp"))
+  }
+
   /** E3g — per-document top-k terms by term frequency, rare-term filtered:
     * the TF-IDF keyword-extraction shape. Document frequency is computed
     * once over the corpus and joined back; terms present in more than

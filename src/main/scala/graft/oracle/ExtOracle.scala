@@ -1549,6 +1549,33 @@ object ExtOracle {
        |FROM j GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** ≙ TextOps.lmFluency: the corpus-self-trained bigram LM — unigram and
+    * bigram INSTANCE counts over the raw token stream, per-doc mean of
+    * `c2 * 10^4 // c1(first word)` over its bigram instances. Both `//`
+    * divisions truncate identically on both engines; the inner sum is
+    * CAST to BIGINT before the mean (HUGEINT rule). */
+  val lmFluencySql: String =
+    s"""WITH $corpusSql, tk AS (
+       |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
+       |), uni AS (
+       |  SELECT toks[i+1] AS w, count(*) AS c1
+       |  FROM tk, idx WHERE i < len(toks) GROUP BY toks[i+1]
+       |), inst AS (
+       |  SELECT id, toks[i+1] || ' ' || toks[i+2] AS bg, toks[i+1] AS w1
+       |  FROM tk, idx WHERE i <= len(toks) - 2
+       |), big AS (
+       |  SELECT bg, count(*) AS c2 FROM inst GROUP BY bg
+       |)
+       |SELECT x.id AS doc_id, count(*) AS n_bigrams,
+       |  CAST(CAST(sum(b.c2 * 10000 // u.c1) AS BIGINT) // count(*) AS BIGINT) AS fluency_bp
+       |FROM inst x
+       |JOIN big b ON b.bg = x.bg
+       |JOIN uni u ON u.w = x.w1
+       |GROUP BY x.id
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared DSIR fragment: distinct (doc, token) relation, vocabulary df
     * with the target count riding the same aggregate, per-doc integer
     * score/mean — `dsir` ends as the per-doc scored relation. */
@@ -1696,6 +1723,44 @@ object ExtOracle {
        |WHERE t.id % 97 <> 3
        |GROUP BY t.id
        |ORDER BY doc_id""".stripMargin
+
+  /** ≙ Curate.bloomDecontaminate: the Bloom-filter probe rebuilt bit-for-bit
+    * — four md5 lanes per shingle (the Md5Lanes family), positions mod 2^18,
+    * packed into 32-bit words via bit_or, probed with the same shift-and-mask
+    * test. Deterministic false positives (all four bits set by OTHER eval
+    * shingles) reproduce identically, so the hash grades the filter's exact
+    * admit set, not just the true overlaps. */
+  val bloomDecontaminateSql: String = {
+    val B = graft.ext.Curate.BloomBits
+    val W = graft.ext.Curate.BloomWordBits
+    val K = graft.ext.Curate.BloomLanes
+    def lane(sh: String) =
+      s"('0x' || substr(md5((h // 4)::VARCHAR || ':' || $sh), (h % 4) * 8 + 1, 8))::BIGINT % $B"
+    s"""WITH $corpusSql, $shingleCtes, evpos AS (
+       |  SELECT DISTINCT ${lane("e.sh")} AS p
+       |  FROM (SELECT DISTINCT sh FROM sh WHERE id % 97 = 3) e, range($K) hh(h)
+       |), bloom AS (
+       |  SELECT p // $W AS bucket, bit_or((1::BIGINT) << CAST(p % $W AS INT)) AS words
+       |  FROM evpos GROUP BY p // $W
+       |), probe AS (
+       |  SELECT t.id, t.sh, ${lane("t.sh")} AS p
+       |  FROM sh t, range($K) hh(h) WHERE t.id % 97 <> 3
+       |), maybe AS (
+       |  SELECT p.id, p.sh
+       |  FROM probe p JOIN bloom b ON b.bucket = p.p // $W
+       |  WHERE (b.words & ((1::BIGINT) << CAST(p.p % $W AS INT))) <> 0
+       |  GROUP BY p.id, p.sh
+       |  HAVING count(*) = $K
+       |), sizes AS (
+       |  SELECT id, count(*) AS n_sh FROM sh WHERE id % 97 <> 3 GROUP BY id
+       |)
+       |SELECT m.id AS doc_id, s.n_sh AS n_shingles,
+       |  CAST(count(*) AS BIGINT) AS n_maybe
+       |FROM (SELECT id, sh FROM maybe) m
+       |JOIN sizes s ON s.id = m.id
+       |GROUP BY m.id, s.n_sh
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** ≙ Curate.contaminationScores (eval = doc_id ≡ 3 mod 97): per-EVAL-doc
     * share of its distinct shingles already present in ANY train doc, in

@@ -91,6 +91,18 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lmFluency: hand-computed bigram conditional probabilities") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: a:3 b:3 c:1; "a b":3 "b a":1 "b c":1
+    // doc 1 = [a b, b a, a b] -> (10000 + 3333 + 10000) // 3 = 7777
+    // doc 2 = [a b, b c]      -> (10000 + 3333) // 2      = 6666
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.lmFluency(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (3L, 7777L), 2L -> (2L, 6666L)), s"got $got")
+  }
+
   test("bloom decontaminate flags the planted overlap and skips disjoint docs") {
     val s = spark
     import s.implicits._
