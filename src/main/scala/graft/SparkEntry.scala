@@ -1174,6 +1174,13 @@ object SparkEntry {
       graft.ext.Curate.domainDedupStats(DocFeed.withUrlMeta(corpus(s, dir)))
         .orderBy("domain")),
 
+    // temperature-weighted (alpha = 0.5) domain mixing: isqrt sampling
+    // weights, integer quotas off a 1-row broadcast scalar, deterministic
+    // md5-rank keep — kept_id_sum pins the exact kept set per host
+    "ext_domain_mix" -> ((s, dir) =>
+      graft.ext.Packing.domainMix(DocFeed.withUrlMeta(corpus(s, dir)))
+        .orderBy("domain")),
+
     // per-domain quality top-k: the "best docs per source" review export —
     // stop_bp ranked inside each URL host (PARTITIONED window), top 3
     "ext_domain_topk" -> ((s, dir) => {
@@ -1419,6 +1426,7 @@ object SparkEntry {
     "ext_domain_dedup" -> ExtOracle.domainDedupSql,
     "ext_domain_topk" -> ExtOracle.domainTopKSql,
     "ext_domain_budget" -> ExtOracle.domainBudgetSql,
+    "ext_domain_mix" -> ExtOracle.domainMixSql,
     "ext_anti_join" -> ExtOracle.antiJoinSql,
     "ext_set_ops" -> ExtOracle.setOpsSql,
     "ext_kmv" -> ExtOracle.kmvSql,

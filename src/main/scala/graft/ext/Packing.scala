@@ -109,6 +109,54 @@ object Packing {
         sum(col("doc_id")).as("sum_kept_ids"))
   }
 
+  /** Temperature-weighted DOMAIN MIXING — the alpha-sampling that
+    * rebalances a multi-source training mix (big crawl hosts thinned,
+    * small curated hosts kept), rendered in exact integers: a domain's
+    * sampling weight is `floor(sqrt(n_d))` (the alpha = 0.5 temperature —
+    * floor-of-double is exact for counts < 2^52, the repo's quantization
+    * precedent), its quota is `budget * w_d div sum(w)` with
+    * `budget = N * num div den`, and the kept docs are the quota-first
+    * under the content-hash rank (md5, doc_id tiebreak — no RNG). The
+    * per-domain `kept_id_sum` pins the exact kept SET, not just its size.
+    *
+    * Scale shape: one PARTITIONED rank window per domain + a 1-row
+    * broadcast scalar join for (N, sum w) — no global sort, no collect;
+    * the 100 TB path is identical because quotas derive from per-domain
+    * aggregates, never from data movement across domains. */
+  def domainMix(
+      corpusWithMeta: DataFrame,
+      budgetNum: Int = 1,
+      budgetDen: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val d = corpusWithMeta.select(
+      graft.ext.Curate.domainOf(col("meta")).as("domain"),
+      col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol).cast("binary")).as("__h"))
+    val rankW = Window.partitionBy(col("domain")).orderBy(col("__h"), col("doc_id"))
+    val nW = Window.partitionBy(col("domain"))
+    val ranked = d
+      .withColumn("__r", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(nW))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val scalars = ranked
+      .groupBy("domain").agg(max(col("__n")).as("nd"), max(col("__w")).as("wd"))
+      .agg(sum(col("nd")).cast("long").as("__tot"), sum(col("wd")).cast("long").as("__sumw"))
+    ranked.crossJoin(broadcast(scalars))
+      .withColumn("quota", graft.ext.TextOps.intDiv(
+        graft.ext.TextOps.intDiv(col("__tot") * budgetNum.toLong, lit(budgetDen.toLong))
+          * col("__w"),
+        col("__sumw")))
+      .groupBy("domain")
+      .agg(
+        max(col("__n")).as("n_docs"),
+        max(col("__w")).as("weight"),
+        max(col("quota")).as("quota"),
+        count(when(col("__r") <= col("quota"), 1)).as("n_kept"),
+        coalesce(sum(when(col("__r") <= col("quota"), col("doc_id"))), lit(0L))
+          .as("kept_id_sum"))
+  }
+
   /** Deterministic hash split (train/val/test by content hash, the
     * standard leakage-proof split): bucket = first 4 md5 hex chars mod
     * 100 → 98/1/1. Engine-portable: Spark `conv(h,16,10)` ≙ DuckDB

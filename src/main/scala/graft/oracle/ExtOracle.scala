@@ -1713,6 +1713,31 @@ object ExtOracle {
        |GROUP BY domain
        |ORDER BY domain""".stripMargin
 
+  /** ≙ Packing.domainMix (budget = N div 2, alpha = 0.5): per-host
+    * temperature quotas — weight = floor(sqrt(n_d)) (exact double floor on
+    * both engines), quota = (N // 2) * w // sum(w), kept = quota-first
+    * under the (md5(text), doc_id) rank; kept_id_sum pins the exact set. */
+  val domainMixSql: String =
+    s"""WITH $domainCorpusSql, ranked AS (
+       |  SELECT domain, doc_id,
+       |    row_number() OVER (PARTITION BY domain ORDER BY md5(text), doc_id) AS r,
+       |    count(*) OVER (PARTITION BY domain) AS n
+       |  FROM domc
+       |), w AS (
+       |  SELECT *, CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS weight FROM ranked
+       |), scal AS (
+       |  SELECT CAST(sum(nd) AS BIGINT) AS nn, CAST(sum(wd) AS BIGINT) AS sumw
+       |  FROM (SELECT domain, max(n) AS nd, max(weight) AS wd FROM w GROUP BY domain)
+       |), q AS (
+       |  SELECT w.*, ((nn * 1 // 2) * weight) // sumw AS quota FROM w, scal
+       |)
+       |SELECT domain, CAST(max(n) AS BIGINT) AS n_docs, max(weight) AS weight,
+       |  CAST(max(quota) AS BIGINT) AS quota,
+       |  CAST(sum(CASE WHEN r <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN r <= quota THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
+       |FROM q GROUP BY domain
+       |ORDER BY domain""".stripMargin
+
   /** ≙ Curate.decontaminate (eval set = doc_id ≡ 3 mod 97, shared word
     * 3-grams). */
   val decontaminateSql: String =

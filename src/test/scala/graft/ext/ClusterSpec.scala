@@ -90,6 +90,27 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("domain mix: sqrt temperature thins the big host and keeps the small one") {
+    val s = spark
+    import s.implicits._
+    // host big: 9 docs (w = 3), host small: 1 doc (w = 1) -> budget = 5,
+    // sum w = 4 -> quotas 3 and 1: proportional sampling would give the
+    // small host half a doc; the temperature keeps it whole
+    val rows = ((1L to 9L).map(i =>
+      (i, s"text body number $i", "{\"url\": \"https://big.example.com/" + i + "\"}")) :+
+      ((10L, "text body number ten", "{\"url\": \"https://small.example.com/x\"}")))
+      .toDF("doc_id", "text", "meta")
+    val got = Packing.domainMix(rows)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("big.example.com") == ((9L, 3L, 3L, 3L, got("big.example.com")._5)),
+      s"big host: 9 docs, weight 3, quota 3, kept 3 — got ${got("big.example.com")}")
+    assert(got("small.example.com") == ((1L, 1L, 1L, 1L, 10L)),
+      s"small host keeps its single doc — got ${got("small.example.com")}")
+  }
+
   test("stratified sample keeps exactly floor(n/10) per stratum") {
     val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     val totals = c.groupBy("lang").agg(count(lit(1)).as("n"))
