@@ -325,6 +325,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), corpus(s, dir))
         .orderBy("doc_id")),
 
+    // E1b'''' — incremental NEAR-dup ingest: history is touched only via a
+    // persisted parquet signature index + pointed candidate text lookups;
+    // the oracle is the full banding recompute restricted to
+    // batch-involving pairs, so the green row proves the incremental path
+    // loses nothing vs recomputation
+    "ext_minhash_ingest" -> ((s, dir) => {
+      val history = s.read.parquet(s"$dir/documents.parquet")
+      val store = corpus(s, dir)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      val idxDir = TempDirs.create("graft_mh_idx").resolve("index").toString
+      Dedup.minhashIndex(history).write.mode("overwrite").parquet(idxDir)
+      Dedup.minhashIngest(s.read.parquet(idxDir), batch, store)
+        .orderBy("id_a", "id_b")
+    }),
+
     // E3a — token/quality statistics
     "ext_tokens" -> ((s, dir) =>
       TextOps.tokenStats(corpus(s, dir)).orderBy("doc_id")),
@@ -1332,6 +1347,7 @@ object SparkEntry {
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
+    "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
     "ext_simhash" -> ExtOracle.simhashSql,
     "ext_simhash_pairs" -> ExtOracle.simhashPairsSql,
     "ext_tokens" -> ExtOracle.tokenStatsSql,

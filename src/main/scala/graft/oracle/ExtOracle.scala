@@ -161,6 +161,19 @@ object ExtOracle {
        |FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** E1b'''' ≙ Dedup.minhashIngest (history = base documents, batch = the
+    * planted rows, ids ≥ DocFeed.ExactDupOffset): the incremental path —
+    * persisted signature index + batch-only shingling + pointed candidate
+    * fetch — must produce EXACTLY the pairs the full banding recompute
+    * yields, restricted to pairs involving a batch document. */
+  val minhashIngestSql: String =
+    s"""WITH $pairCtes
+       |SELECT id_a, id_b, n_common, n_a, n_b
+       |FROM pairs
+       |WHERE id_a >= ${graft.ext.DocFeed.ExactDupOffset}
+       |   OR id_b >= ${graft.ext.DocFeed.ExactDupOffset}
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** E1b'' ≙ Dedup.jaccardPairsPrefix — the oracle is the EXACT all-pairs
     * ground truth (naive share-a-shingle join, Jaccard ≥ 3/5). A green row
     * therefore proves the prefix filter LOSSLESS — it finds every

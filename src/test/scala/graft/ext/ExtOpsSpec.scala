@@ -91,6 +91,37 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("minhashIngest equals the full recompute restricted to batch pairs") {
+    val history = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = DocFeed.withDups(history)
+    val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incremental = pairSet(
+      Dedup.minhashIngest(Dedup.minhashIndex(history), batch, store))
+    val recompute = pairSet(
+      Dedup.nearDuplicatePairs(store)
+        .where(col("id_a") >= DocFeed.ExactDupOffset ||
+          col("id_b") >= DocFeed.ExactDupOffset)
+        .select("id_a", "id_b", "n_common"))
+    assert(incremental.nonEmpty, "planted dups must pair")
+    assert(incremental == recompute,
+      s"incremental path diverges: only-inc=${incremental -- recompute}, only-full=${recompute -- incremental}")
+  }
+
+  test("minhashIngest exact route survives a full bucket skip (maxBucket = 0)") {
+    val s = spark
+    import s.implicits._
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val store = history.unionByName(batch)
+    val got = Dedup.minhashIngest(
+      Dedup.minhashIndex(history), batch, store, maxBucket = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)),
+      s"identical signatures must pair through the exact route, got ${got.toSeq}")
+  }
+
   test("lmFluency: hand-computed bigram conditional probabilities") {
     val s = spark
     import s.implicits._
