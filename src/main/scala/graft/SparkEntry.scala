@@ -989,6 +989,19 @@ object SparkEntry {
       graft.ext.Cluster.clusters(c, Dedup.nearDuplicatePairs(c)).orderBy("doc_id")
     }),
 
+    // E1e''' — soft dedup: every doc kept, training weight divided by its
+    // near-dup cluster size (10000 div n_members basis points)
+    "ext_dedup_weights" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.Cluster.duplicateWeights(c, Dedup.nearDuplicatePairs(c))
+        .orderBy("doc_id")
+    }),
+
+    // E3r' — CCNet perplexity buckets: per-lang fluency terciles
+    // (head/middle/tail) with deterministic bucket-weighted keep
+    "ext_ppl_buckets" -> ((s, dir) =>
+      TextOps.fluencyBuckets(corpus(s, dir)).orderBy("lang", "bucket")),
+
     // E1e'' — representative selection: per near-dup cluster keep the
     // FULLEST member (most tokens, id tiebreak), what a real dedup ships
     "ext_dedup_representatives" -> ((s, dir) => {
@@ -1413,6 +1426,8 @@ object SparkEntry {
     "ext_pack" -> ExtOracle.packBinsSql,
     "ext_split" -> ExtOracle.hashSplitSql,
     "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,
+    "ext_dedup_weights" -> ExtOracle.dedupWeightsSql,
+    "ext_ppl_buckets" -> ExtOracle.fluencyBucketsSql,
     "ext_dedup_representatives" -> ExtOracle.dedupRepresentativesSql,
     "ext_split_safe" -> ExtOracle.splitSafeSql,
     "ext_sample_stratified" -> ExtOracle.sampleStratifiedSql,

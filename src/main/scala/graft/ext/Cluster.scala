@@ -217,6 +217,25 @@ object Cluster {
         count(lit(1)).as("n_members"))
   }
 
+  /** Duplicate-aware SOFT-dedup weights — the alternative to dropping
+    * copies: every document stays in the corpus but its training weight is
+    * divided by its near-dup cluster size (`weight_bp = 10000 div
+    * n_members`), so a text duplicated a million times contributes one
+    * document's worth of gradient instead of a million ("soft dedup",
+    * e.g. the duplicate-discounting used when dropping data is too
+    * destructive). Exact integers only: basis points by truncating
+    * division on both engines. Cost over [[clusters]] is one hash
+    * aggregate on the (tiny) label table + one broadcast-sized join back
+    * — the corpus is still touched once. */
+  def duplicateWeights(corpus: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val assigned = clusters(corpus, pairs, idCol)
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    assigned
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        TextOps.intDiv(lit(10000L), col("n_members")).as("weight_bp"))
+  }
+
   /** Leakage-safe deterministic split: the hash bucket is computed from the
     * CLUSTER id, not the document, so a whole near-dup cluster always lands
     * in one split — near-copies can never straddle train/test. Same 98/1/1

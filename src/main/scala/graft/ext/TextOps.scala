@@ -287,6 +287,54 @@ object TextOps {
         intDiv(col("__bp_sum"), col("n_bigrams")).as("fluency_bp"))
   }
 
+  /** [[fluencyBuckets]] keep percentages: the CCNet defaults' shape —
+    * keep everything from the most-fluent tercile, half of the middle,
+    * a fifth of the tail. */
+  val PplKeepHead = 100
+  val PplKeepMiddle = 50
+  val PplKeepTail = 20
+
+  /** E3r' — CCNet-style PERPLEXITY BUCKETS + bucket-weighted sampling
+    * (Wenzek et al., "CCNet": rank pages by in-domain LM perplexity,
+    * split head/middle/tail per language, keep the buckets at different
+    * rates). Here the LM is [[lmFluency]]'s corpus-self-trained bigram
+    * model (exact integers, higher = more fluent), the terciles are a
+    * per-LANGUAGE `ntile(3)` over the TOTALIZED order (fluency desc, id
+    * asc — deterministic on both engines), and the keep rule is the
+    * repo's no-RNG sampler: an md5 bucket of the salted doc id against
+    * per-bucket keep percentages ([[PplKeepHead]]/[[PplKeepMiddle]]/
+    * [[PplKeepTail]]). Output is the per-(lang, bucket) audit — doc and
+    * kept counts, kept-id sum pinning the exact keep set, fluency
+    * bounds.
+    *
+    * Scale shape: [[lmFluency]]'s vocabulary-keyed joins, then ONE
+    * partitioned window (per-lang ntile — no global sort) and one hash
+    * aggregate. */
+  def fluencyBuckets(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("fluency_bp").desc, col(idCol).asc)
+    val hb = conv(substring(md5(concat(lit("ppl:"), col(idCol).cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val keepPct = when(col("bucket") === "head", lit(PplKeepHead))
+      .when(col("bucket") === "middle", lit(PplKeepMiddle))
+      .otherwise(lit(PplKeepTail))
+    lmFluency(corpus, textCol, idCol)
+      .join(corpus.select(col(idCol), col("lang")), Seq(idCol))
+      .withColumn("__t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__t") === 1, lit("head"))
+          .when(col("__t") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("__keep", hb < keepPct)
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), col(idCol)).otherwise(0L)).as("kept_id_sum"),
+        min(col("fluency_bp")).as("min_bp"),
+        max(col("fluency_bp")).as("max_bp"))
+  }
+
   /** E3g — per-document top-k terms by term frequency, rare-term filtered:
     * the TF-IDF keyword-extraction shape. Document frequency is computed
     * once over the corpus and joined back; terms present in more than

@@ -420,6 +420,31 @@ object ExtOracle {
        |FROM r WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** ≙ ext.Cluster.duplicateWeights — soft-dedup training weights:
+    * weight_bp = 10000 div near-dup cluster size, every document kept. */
+  val dedupWeightsSql: String =
+    s"""WITH RECURSIVE $pairCtes, und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM und
+       |  UNION
+       |  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON u.src = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |), assigned AS (
+       |  SELECT c.doc_id, CAST(coalesce(comp.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+       |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+       |), sz AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM assigned GROUP BY cluster_id
+       |)
+       |SELECT a.doc_id, a.cluster_id, s.n_members,
+       |  CAST(10000 // s.n_members AS BIGINT) AS weight_bp
+       |FROM assigned a JOIN sz s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** ≙ ext.Cluster.leakageSafeSplit: 98/1/1 hash split keyed on the
     * CLUSTER id, so a near-dup cluster can never straddle splits. */
   val splitSafeSql: String =
@@ -1567,8 +1592,12 @@ object ExtOracle {
     * `c2 * 10^4 // c1(first word)` over its bigram instances. Both `//`
     * divisions truncate identically on both engines; the inner sum is
     * CAST to BIGINT before the mean (HUGEINT rule). */
-  val lmFluencySql: String =
-    s"""WITH $corpusSql, tk AS (
+  /** Shared bigram-LM fragment (≙ TextOps.lmFluency): corpus-self-trained
+    * unigram/bigram counts, per-doc mean conditional probability in basis
+    * points — ends with a `flu(id, n_bigrams, fluency_bp)` relation
+    * consumed by both the fluency report and the perplexity buckets. */
+  private val fluencyCtes: String =
+    s"""tk AS (
        |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM corpus
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
@@ -1580,14 +1609,51 @@ object ExtOracle {
        |  FROM tk, idx WHERE i <= len(toks) - 2
        |), big AS (
        |  SELECT bg, count(*) AS c2 FROM inst GROUP BY bg
-       |)
-       |SELECT x.id AS doc_id, count(*) AS n_bigrams,
-       |  CAST(CAST(sum(b.c2 * 10000 // u.c1) AS BIGINT) // count(*) AS BIGINT) AS fluency_bp
-       |FROM inst x
-       |JOIN big b ON b.bg = x.bg
-       |JOIN uni u ON u.w = x.w1
-       |GROUP BY x.id
+       |), flu AS (
+       |  SELECT x.id, count(*) AS n_bigrams,
+       |    CAST(CAST(sum(b.c2 * 10000 // u.c1) AS BIGINT) // count(*) AS BIGINT) AS fluency_bp
+       |  FROM inst x
+       |  JOIN big b ON b.bg = x.bg
+       |  JOIN uni u ON u.w = x.w1
+       |  GROUP BY x.id
+       |)""".stripMargin
+
+  val lmFluencySql: String =
+    s"""WITH $corpusSql, $fluencyCtes
+       |SELECT id AS doc_id, n_bigrams, fluency_bp FROM flu
        |ORDER BY doc_id""".stripMargin
+
+  /** E3r' ≙ TextOps.fluencyBuckets — CCNet perplexity buckets: per-lang
+    * ntile(3) terciles over (fluency desc, id asc), md5-salted keep rule
+    * at the head/middle/tail percentages, per-bucket audit. */
+  val fluencyBucketsSql: String =
+    s"""WITH $corpusSql, $fluencyCtes, langd AS (
+       |  SELECT f.id AS doc_id, c.lang, f.fluency_bp
+       |  FROM flu f JOIN corpus c ON c.doc_id = f.id
+       |), terc AS (
+       |  SELECT doc_id, lang, fluency_bp,
+       |    ntile(3) OVER (PARTITION BY lang ORDER BY fluency_bp DESC, doc_id) AS t
+       |  FROM langd
+       |), b AS (
+       |  SELECT doc_id, lang, fluency_bp,
+       |    CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |    ('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS hb
+       |  FROM terc
+       |), k AS (
+       |  SELECT *, CASE WHEN hb < (CASE bucket WHEN 'head' THEN ${TextOps.PplKeepHead}
+       |                            WHEN 'middle' THEN ${TextOps.PplKeepMiddle}
+       |                            ELSE ${TextOps.PplKeepTail} END)
+       |            THEN 1 ELSE 0 END AS keep
+       |  FROM b
+       |)
+       |SELECT lang, bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+       |  CAST(min(fluency_bp) AS BIGINT) AS min_bp,
+       |  CAST(max(fluency_bp) AS BIGINT) AS max_bp
+       |FROM k GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
 
   /** Shared DSIR fragment: distinct (doc, token) relation, vocabulary df
     * with the target count riding the same aggregate, per-doc integer

@@ -61,6 +61,23 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("soft-dedup weights: copies split one document's worth, total stays bounded") {
+    val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val w = Cluster.duplicateWeights(c, Dedup.nearDuplicatePairs(c))
+    val rows = w.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size == c.count(), "every document keeps a row — nothing is dropped")
+    // an exact dup and its source share a cluster, so both carry
+    // 10000 div n_members; a singleton carries the full 10000
+    rows.foreach { case (id, (cl, n, bp)) =>
+      assert(bp == 10000L / n, s"doc $id: weight_bp must be 10000 div $n")
+      if (n == 1L) assert(cl == id && bp == 10000L)
+    }
+    val dup = rows.keys.find(id => id >= 1000000L && id < 2000000L).get
+    assert(rows(dup)._1 == rows(dup - 1000000L)._1 && rows(dup)._2 >= 2L,
+      "planted copy shares its source's cluster and diluted weight")
+  }
+
   test("leakage-safe split never places one cluster in two splits") {
     val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     val pairs = Dedup.nearDuplicatePairs(c)

@@ -134,6 +134,27 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> (3L, 7777L), 2L -> (2L, 6666L)), s"got $got")
   }
 
+  test("fluencyBuckets: terciles follow the fluency order and head keeps everything") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b a b a b a b", "en"), // repeated bigrams -> most fluent
+      (2L, "a b a b c d", "en"),
+      (3L, "a b c d e f", "en"),
+      (4L, "g h i j k l", "en"),
+      (5L, "m n o p q r", "en"),
+      (6L, "s t u v w x", "en")).toDF("doc_id", "text", "lang")
+    val flu = TextOps.lmFluency(df).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val headIds = flu.toSeq.sortBy { case (id, bp) => (-bp, id) }.take(2).map(_._1)
+    val got = TextOps.fluencyBuckets(df).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("head", "middle", "tail"))
+    assert(got.values.map(_._1).toSeq.sorted == Seq(2L, 2L, 2L), s"even terciles, got $got")
+    assert(got("head")._2 == 2L, "head keeps 100%")
+    assert(got("head")._3 == headIds.sum,
+      s"head kept-id sum pins the top-fluency tercile, got ${got("head")._3}")
+  }
+
   test("bloom decontaminate flags the planted overlap and skips disjoint docs") {
     val s = spark
     import s.implicits._
