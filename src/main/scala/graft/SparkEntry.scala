@@ -360,6 +360,17 @@ object SparkEntry {
     "ext_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(corpus(s, dir)).orderBy("doc_id")),
 
+    // source-format bridge — corpus exported to JSON-Lines and read back
+    // (explicit schema, FAILFAST, line-splittable); graded against the
+    // SAME fingerprint oracle as the direct parquet read, so the
+    // round-trip must be byte-lossless through text escaping
+    "ext_jsonl_roundtrip" -> ((s, dir) => {
+      val out = TempDirs.create("graft_jsonl").resolve("docs").toString
+      TextOps.fingerprints(
+        graft.sources.JsonLines.roundTrip(corpus(s, dir), out))
+        .orderBy("doc_id")
+    }),
+
     // E2a — exact brute-force top-k cosine (bounded-heap aggregate)
     "ext_topk_cosine" -> ((s, dir) =>
       Similarity.topKCosine(embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
@@ -1368,6 +1379,8 @@ object SparkEntry {
     "ext_json" -> ExtOracle.jsonExtractSql,
     "ext_events_agg" -> ExtOracle.eventStatsSql,
     "ext_fingerprint" -> ExtOracle.fingerprintSql,
+    // the JSONL round-trip must reproduce the direct parquet read exactly
+    "ext_jsonl_roundtrip" -> ExtOracle.fingerprintSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_hard_negatives" -> ExtOracle.hardNegativesSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
