@@ -356,6 +356,12 @@ object SparkEntry {
     "ext_events_agg" -> ((s, dir) =>
       TextOps.eventStats(events(s, dir)).orderBy("event_type")),
 
+    // BPE tokenizer TRAINING: the merge table after 6 rounds — pair stats
+    // on the count-weighted word vocabulary (corpus-sized work happens
+    // once; every round after is vocabulary-sized)
+    "ext_bpe_merges" -> ((s, dir) =>
+      graft.ext.BpeTrain.merges(corpus(s, dir)).orderBy("merge_round")),
+
     // E3d — document fingerprints (whole-doc md5 + min-shingle)
     "ext_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(corpus(s, dir)).orderBy("doc_id")),
@@ -1381,6 +1387,7 @@ object SparkEntry {
     "ext_fingerprint" -> ExtOracle.fingerprintSql,
     // the JSONL round-trip must reproduce the direct parquet read exactly
     "ext_jsonl_roundtrip" -> ExtOracle.fingerprintSql,
+    "ext_bpe_merges" -> ExtOracle.bpeMergesSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_hard_negatives" -> ExtOracle.hardNegativesSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,

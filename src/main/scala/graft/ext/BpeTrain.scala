@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer TRAINING on the corpus (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units"): repeatedly find the
+  * most frequent adjacent symbol pair and merge it — the loop that
+  * produces a tokenizer's merge table. A data engine that prepares LLM
+  * corpora should be able to train the tokenizer's vocabulary over the
+  * same tables it curates.
+  *
+  * The 100 TB shape is the real trainer's optimization: pair statistics
+  * are computed over the WORD VOCABULARY weighted by word counts, not
+  * over the token stream. One corpus-sized aggregate (word → count) up
+  * front; every merge round after that touches only the vocabulary table
+  * (≈10⁵–10⁶ rows no matter how large the corpus), so 100× more data
+  * changes only the first aggregate. Per round: one vocabulary-keyed
+  * hash aggregate for pair counts, a TakeOrdered top-1 (never a global
+  * sort materialization), a 1-row broadcast cross join to apply the
+  * merge, and a `localCheckpoint` so round r+1 plans against a tiny
+  * materialized table instead of r rounds of lineage (the kmeansAssign
+  * lesson).
+  *
+  * Engine-portable determinism: symbol sequences are carried as
+  * DELIMITED STRINGS — `|l||o||w|` for "low" — so applying a merge is
+  * one `replace('|l||o|' → '|lo|')`, which both Spark and DuckDB execute
+  * as the same non-overlapping left-to-right scan (exactly BPE's greedy
+  * application order; `aaaa` + merge (a,a) → `aa aa`, pinned by spec).
+  * The double-pipe boundary makes the pattern unambiguous for multi-char
+  * symbols (`|b||c|` cannot match inside `|ab||c|`, where a single
+  * delimiter would). Pre-tokenization keeps `[a-z0-9]+` words only — a
+  * real trainer pre-tokenizes too, and it guarantees the delimiter
+  * cannot occur inside a symbol. Tie-breaks are total: (count desc, s1
+  * asc, s2 asc). All counts are exact integers.
+  */
+object BpeTrain {
+
+  val DefaultRounds = 6
+  val WordPattern = "^[a-z0-9]+$"
+
+  /** The merge table after `rounds` BPE iterations: one row per round —
+    * (merge_round, s1, s2, pair_count), where (s1, s2) is the pair merged
+    * that round and pair_count its corpus-weighted frequency at merge
+    * time. */
+  def merges(corpus: DataFrame, rounds: Int = DefaultRounds, textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "at least one merge round")
+    // the ONLY corpus-sized step: word counts, then symbolize each word
+    // as |c1||c2||...||cn|
+    val vocab0 = corpus
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w").rlike(WordPattern))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("s"), col("wc"))
+
+    var vocab = vocab0.localCheckpoint(true)
+    val perRound = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val syms = vocab.select(col("wc"), split(expr("btrim(s, '|')"), "\\|\\|").as("a"))
+      val pairCounts = syms
+        .where(size(col("a")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(a)-2), i -> named_struct('s1', a[i], 's2', a[i+1]))")).as("p"))
+        .select(col("wc"), col("p.s1"), col("p.s2"))
+        .groupBy("s1", "s2").agg(sum(col("wc")).as("pair_count"))
+      // total order -> deterministic winner; limit(1) is TakeOrdered
+      val top = pairCounts
+        .orderBy(col("pair_count").desc, col("s1").asc, col("s2").asc)
+        .limit(1)
+        .localCheckpoint(true)
+      perRound += top.withColumn("merge_round", lit(r))
+      if (r < rounds) {
+        // 1-row broadcast: every word applies this round's merge
+        vocab = vocab.crossJoin(broadcast(top.select(col("s1"), col("s2"))))
+          .select(expr(
+            "replace(s, concat('|', s1, '||', s2, '|'), concat('|', s1, s2, '|'))").as("s"),
+            col("wc"))
+          .localCheckpoint(true)
+      }
+    }
+    perRound.result().reduce(_ unionByName _)
+      .select(col("merge_round"), col("s1"), col("s2"), col("pair_count"))
+  }
+}

@@ -1891,6 +1891,53 @@ object ExtOracle {
        |WHERE n_docs * 1000 >= (SELECT count(*) FROM corpus) * 5
        |ORDER BY n_docs DESC, sh""".stripMargin
 
+  /** ≙ ext.BpeTrain.merges — BPE tokenizer training, mirrored round by
+    * round: the same delimited-string symbol encoding (`|l||o||w|`), the
+    * same weighted pair counts over the word vocabulary, the same
+    * (count desc, s1, s2) winner, the same `replace()` merge application
+    * (both engines scan left-to-right non-overlapping — BPE's greedy
+    * order). Rounds are UNROLLED as a CTE chain generated from
+    * [[graft.ext.BpeTrain.DefaultRounds]], so bound and construction
+    * derive from one constant. */
+  val bpeMergesSql: String = {
+    val rounds = graft.ext.BpeTrain.DefaultRounds
+    val base =
+      s"""w1 AS (
+         |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
+         |         CAST(count(*) AS BIGINT) AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM corpus) t
+         |  WHERE regexp_matches(w, '${graft.ext.BpeTrain.WordPattern}')
+         |  GROUP BY 1
+         |)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      val apply =
+        if (r == rounds) ""
+        else s""", w${r + 1} AS (
+                |  SELECT replace(w$r.s, '|' || top$r.s1 || '||' || top$r.s2 || '|',
+                |                 '|' || top$r.s1 || top$r.s2 || '|') AS s, wc
+                |  FROM w$r, top$r
+                |)""".stripMargin
+      s""", syms$r AS (
+         |  SELECT wc, string_split(trim(s, '|'), '||') AS a FROM w$r
+         |), idx$r AS (
+         |  SELECT unnest(range((SELECT max(len(a)) FROM syms$r))) AS i
+         |), pc$r AS (
+         |  SELECT a[i+1] AS s1, a[i+2] AS s2, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM syms$r, idx$r WHERE i <= len(a) - 2
+         |  GROUP BY a[i+1], a[i+2]
+         |), top$r AS (
+         |  SELECT s1, s2, cnt FROM pc$r ORDER BY cnt DESC, s1, s2 LIMIT 1
+         |)$apply""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS merge_round, s1, s2, cnt AS pair_count FROM top$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $corpusSql, $base
+       |$perRound
+       |$sel
+       |ORDER BY merge_round""".stripMargin
+  }
+
   /** E4' ≙ MultiModal.decodeFeatures (stub decoder): 16 feature bytes from
     * md5(payload), graded as exact integers + the vector fingerprint. */
   val multiModalDecodeSql: String =
