@@ -362,6 +362,13 @@ object SparkEntry {
     "ext_bpe_merges" -> ((s, dir) =>
       graft.ext.BpeTrain.merges(corpus(s, dir)).orderBy("merge_round")),
 
+    // BPE ENCODE: tokenize the corpus with the trained merge table —
+    // per-doc subword counts + an order-exact subword-stream fingerprint
+    "ext_bpe_encode" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.BpeTrain.encode(c, graft.ext.BpeTrain.merges(c)).orderBy("doc_id")
+    }),
+
     // E3d — document fingerprints (whole-doc md5 + min-shingle)
     "ext_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(corpus(s, dir)).orderBy("doc_id")),
@@ -1388,6 +1395,7 @@ object SparkEntry {
     // the JSONL round-trip must reproduce the direct parquet read exactly
     "ext_jsonl_roundtrip" -> ExtOracle.fingerprintSql,
     "ext_bpe_merges" -> ExtOracle.bpeMergesSql,
+    "ext_bpe_encode" -> ExtOracle.bpeEncodeSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_hard_negatives" -> ExtOracle.hardNegativesSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,

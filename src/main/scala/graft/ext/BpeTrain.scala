@@ -81,4 +81,54 @@ object BpeTrain {
     perRound.result().reduce(_ unionByName _)
       .select(col("merge_round"), col("s1"), col("s2"), col("pair_count"))
   }
+
+  /** Separator inside a packed merge entry ("s1␁s2") — a control char the
+    * `[a-z0-9]+` symbol alphabet cannot contain. */
+  private val Sep = "\u0001"
+
+  /** ENCODE the corpus with a trained merge table — the tokenizer's
+    * apply side: each word replays the merges in training order (BPE's
+    * greedy application), yielding its subword sequence. Output per doc:
+    * word count, subword count, and an md5 fingerprint of the
+    * space-joined subword stream in document order.
+    *
+    * Scale shape: the merge replay (an interpreted `aggregate` HOF fold
+    * over ≤`rounds` entries) runs once per DISTINCT word — vocabulary-
+    * sized, like training — and docs join the encoded vocabulary on the
+    * word key; the only corpus-sized steps are the word explode and one
+    * per-doc hash aggregate. The merge table rides in as a 1-row
+    * broadcast (list ordered by round), never a driver-side collect.
+    * Words outside [[WordPattern]] pass through whole as single OOV
+    * tokens (a real pre-tokenizer's fallback lane). */
+  def encode(
+      corpus: DataFrame,
+      mergeTable: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val mergeRow = mergeTable
+      .agg(sort_array(collect_list(struct(col("merge_round"), col("s1"), col("s2")))).as("ml"))
+      .select(transform(col("ml"),
+        m => concat(m.getField("s1"), lit(Sep), m.getField("s2"))).as("ms"))
+    val words = corpus.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val applied = expr(
+      s"""btrim(aggregate(ms, regexp_replace(w, '(.)', '|$$1|'),
+         |  (acc, m) -> replace(acc,
+         |    concat('|', split_part(m, '$Sep', 1), '||', split_part(m, '$Sep', 2), '|'),
+         |    concat('|', split_part(m, '$Sep', 1), split_part(m, '$Sep', 2), '|'))), '|')""".stripMargin)
+    val encVocab = words.select("w").distinct()
+      .crossJoin(broadcast(mergeRow))
+      .withColumn("__subs",
+        when(col("w").rlike(WordPattern), split(applied, "\\|\\|"))
+          .otherwise(array(col("w"))))
+      .select(col("w"), concat_ws(" ", col("__subs")).as("sub_str"),
+        size(col("__subs")).cast("long").as("n_sub"))
+    words.join(encVocab, Seq("w"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("sub_str")))),
+            _.getField("sub_str"))).cast("binary")).as("fp_subwords"))
+  }
 }

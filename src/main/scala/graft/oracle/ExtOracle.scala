@@ -1899,8 +1899,9 @@ object ExtOracle {
     * order). Rounds are UNROLLED as a CTE chain generated from
     * [[graft.ext.BpeTrain.DefaultRounds]], so bound and construction
     * derive from one constant. */
-  val bpeMergesSql: String = {
-    val rounds = graft.ext.BpeTrain.DefaultRounds
+  /** The unrolled BPE training chain (w1 → top1 → w2 → … → topR), shared
+    * by the merge-table and encode oracles. */
+  private def bpeChainCtes(rounds: Int): String = {
     val base =
       s"""w1 AS (
          |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
@@ -1929,13 +1930,65 @@ object ExtOracle {
          |  SELECT s1, s2, cnt FROM pc$r ORDER BY cnt DESC, s1, s2 LIMIT 1
          |)$apply""".stripMargin
     }.mkString("\n")
+    base + "\n" + perRound
+  }
+
+  val bpeMergesSql: String = {
+    val rounds = graft.ext.BpeTrain.DefaultRounds
     val sel = (1 to rounds)
       .map(r => s"SELECT $r AS merge_round, s1, s2, cnt AS pair_count FROM top$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH $corpusSql, $base
-       |$perRound
+    s"""WITH $corpusSql, ${bpeChainCtes(rounds)}
        |$sel
        |ORDER BY merge_round""".stripMargin
+  }
+
+  /** ≙ ext.BpeTrain.encode — tokenize with the trained merges: each
+    * distinct word replays the merge list in round order via a
+    * `list_reduce` fold (the word's symbolized form rides as the list
+    * head — DuckDB's reduce takes no initial accumulator), OOV words
+    * pass through whole, then docs rebuild their subword stream in
+    * position order. Must match the Spark side's `aggregate` HOF fold
+    * exactly — same replace(), same greedy order. */
+  val bpeEncodeSql: String = {
+    val rounds = graft.ext.BpeTrain.DefaultRounds
+    val mergeList = (1 to rounds)
+      .map(r => s"(SELECT s1 || chr(1) || s2 FROM top$r)").mkString(", ")
+    s"""WITH $corpusSql, ${bpeChainCtes(rounds)}, mg AS (
+       |  SELECT list_value($mergeList) AS ms
+       |), tkw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+       |), idxw AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tkw))) AS i
+       |), words AS (
+       |  SELECT doc_id, i AS pos, toks[i+1] AS w FROM tkw, idxw WHERE i < len(toks)
+       |), vocab AS (
+       |  SELECT DISTINCT w FROM words
+       |), encv AS (
+       |  SELECT w,
+       |    CASE WHEN regexp_matches(w, '${graft.ext.BpeTrain.WordPattern}')
+       |      THEN trim(list_reduce(
+       |             list_prepend(regexp_replace(w, '(.)', '|\\1|', 'g'), ms),
+       |             (acc, x) -> replace(acc,
+       |               '|' || split_part(x, chr(1), 1) || '||' || split_part(x, chr(1), 2) || '|',
+       |               '|' || split_part(x, chr(1), 1) || split_part(x, chr(1), 2) || '|')), '|')
+       |      ELSE NULL END AS encd
+       |  FROM vocab, mg
+       |), encx AS (
+       |  SELECT w,
+       |    CASE WHEN encd IS NULL THEN w
+       |         ELSE array_to_string(string_split(encd, '||'), ' ') END AS sub_str,
+       |    CASE WHEN encd IS NULL THEN 1
+       |         ELSE len(string_split(encd, '||')) END AS n_sub
+       |  FROM encv
+       |)
+       |SELECT d.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+       |  md5(string_agg(e.sub_str, ' ' ORDER BY d.pos)) AS fp_subwords
+       |FROM words d JOIN encx e ON e.w = d.w
+       |GROUP BY d.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** E4' ≙ MultiModal.decodeFeatures (stub decoder): 16 feature bytes from

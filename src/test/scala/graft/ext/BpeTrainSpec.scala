@@ -46,6 +46,38 @@ class BpeTrainSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), s"got ${got.toSeq}")
   }
 
+  test("encode applies trained merges in order; OOV words pass through whole") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merged = BpeTrain.merges(corpus, rounds = 4)
+    // after merges es, est, lo, low: "low"->[low], "lower"->[low,e,r]
+    // (the low merge applies inside lower too), "newest"->[n,e,w,est],
+    // "widest"->[w,i,d,est]
+    val enc = BpeTrain.encode(
+      Seq((100L, "low lower newest C++"), (101L, "widest")).toDF("doc_id", "text"), merged)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 100: 4 words -> 1 + 3 + 4 + 1(OOV) = 9 subwords
+    assert(enc(100L) == ((4L, 9L)), s"got ${enc(100L)}")
+    assert(enc(101L) == ((1L, 4L)), s"got ${enc(101L)}")
+  }
+
+  test("encode fingerprint is position-exact: reordered docs differ") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "aa bb aa bb")).toDF("doc_id", "text")
+    val merged = BpeTrain.merges(corpus, rounds = 1)
+    val fps = BpeTrain.encode(
+      Seq((1L, "aa bb"), (2L, "bb aa")).toDF("doc_id", "text"), merged)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(fps(1L) != fps(2L), "subword stream fingerprint must be order-sensitive")
+  }
+
   test("pre-tokenization drops non [a-z0-9]+ words, keeps the rest intact") {
     // "C++" and "don't" are filtered; "abc" x2 still trains
     val got = mergesOf(Seq("abc abc C++ don't"), rounds = 1)
