@@ -59,15 +59,8 @@ object SparkEntry {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     DocFeed.withDups(s.read.parquet(s"$dir/documents.parquet"))
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 rejects;
-    // read it as raw long. NOTE: this is a session-wide flag (it is
-    // consulted at execution as well as planning, so it cannot be scoped
-    // to this read) — any later TIMESTAMP(NANOS) parquet read in the same
-    // session will also surface as LongType.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.read(s, dir)
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -483,11 +476,16 @@ object SparkEntry {
     // watermark → stateful agg → AvailableNow); must produce identical
     // rows to the batch plan, hash-checked against the same oracle
     "ext_event_windows_stream" -> ((s, dir) => {
-      val ev = events(s, dir) // sets nanosAsLong before any streaming read
+      // the file stream source must be given the files' RAW schema (the
+      // nanos-long normalization happens inside, on the streamed frame);
+      // the legacy nanos flag must be set before the schema read on the
+      // NANOS-vintage fixture (no-op on the MICROS vintage)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       // the fixture is a single FILE and the file stream source requires a
       // directory basePath — a glob over the parent keeps it zero-copy
       graft.streaming.EventStream.eventWindowCountsStreamed(
-        s, s"$dir/events.parque*", ev.schema)
+        s, s"$dir/events.parque*", rawSchema)
         .orderBy("window_start", "event_type")
     }),
 
@@ -1354,7 +1352,99 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // KEYLESS point-in-range join (bucket expansion, never points×ranges):
+    // per session, how many events — any user's — fell inside its
+    // [start, end] span (the concurrency/load-overlay analytic). Composes
+    // sessionization with RangeJoin; the oracle is the naive non-equi join.
+    "ext_session_concurrency" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"))
+      val sess = graft.ops.Sessions.sessionize(e, "user_id", "t_s", "event_id", gapS = 1800L)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start_s"), col("session_end_s"))
+      graft.ops.RangeJoin.pointInRange(
+        e.select(col("t_s").as("ev_t")), "ev_t",
+        sess, "session_start_s", "session_end_s", bucketWidth = 3600L)
+        .groupBy("user_id", "session_seq", "session_start_s", "session_end_s")
+        .agg(count(lit(1)).as("n_concurrent"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // NEAREST-direction as-of join (pandas merge_asof direction='nearest'):
+    // each event annotated with the user's closest purchase either way;
+    // equidistant backward/forward resolves backward. lag_s is signed —
+    // negative means the nearest purchase was in the future.
+    "ext_asof_nearest" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+      val marks = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_s").as("m_t"),
+          col("event_id").as("ref_event_id"), col("t_s").as("ref_t_s"))
+      graft.ops.AsOfJoin.nearest(
+        e.drop("event_type"), marks, on = Seq("user_id"),
+        leftTime = "t_s", rightTime = "m_t",
+        payload = Seq("ref_event_id", "ref_t_s"), tieBreak = "ref_event_id")
+        .withColumn("lag_s", col("t_s") - col("ref_t_s"))
+        .drop("ref_t_s")
+        .orderBy("event_id")
+    }),
+
+    // deterministic integer PageRank over the part↔supplier co-supply
+    // graph (domain-authority ranking shape: 3 synchronous rounds,
+    // micro-unit ranks, integer division both engines)
+    "ext_pagerank" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(concat(lit("P"), col("l_partkey").cast("string")).as("part"),
+          concat(lit("S"), col("l_suppkey").cast("string")).as("supp"))
+        .distinct()
+      val und = pairs.select(col("part").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("part").as("dst")))
+      graft.ext.Graph.pageRank(und, "src", "dst", rounds = 3).orderBy("node")
+    }),
+
+    // E3s — Unicode script detection over the script-planted corpus
+    // (Cyrillic/CJK/mixed plants; base fixture text is pure ASCII)
+    "ext_script_stats" -> ((s, dir) =>
+      TextOps.scriptStats(
+        DocFeed.withDups(s.read.parquet(s"$dir/documents.parquet"), plantScripts = true))
+        .orderBy("doc_id")),
+
+    // SEQUENTIAL conversion funnel (view → click → purchase, in order):
+    // one window pass resolves the step chaining, the per-user aggregate
+    // reuses the window's partitioning — a single shuffle end-to-end
+    "ext_funnel_steps" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+      graft.ops.Funnel.sequentialFunnel(e, "user_id", "t_s", "event_id",
+        Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .orderBy("user_id")
+    }),
+
+    // cohort retention matrix: users bucketed by first-seen day, activity
+    // counted per (cohort day, day offset) — distinct user-days reduced
+    // FIRST, so the join and final count scale with users×days, not events
+    "ext_cohort_retention" -> ((s, dir) => {
+      val days = events(s, dir)
+        .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("d"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+      days.join(cohort, "user_id")
+        .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_d", "day_offset")
+    }),
+
+    // ANALYZE-style column profile of lineitem: nulls/min/max in one wide
+    // pass, exact rendered-value ndv via the reduced long form (never the
+    // Expand multi-countDistinct plan)
+    "ext_table_stats" -> ((s, dir) =>
+      graft.ops.Profile.columnStats(
+        s.read.parquet(s"$dir/lineitem.parquet"), graft.ops.Profile.LineitemCols))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1502,6 +1592,13 @@ object SparkEntry {
     "ext_dsir" -> ExtOracle.importanceSql,
     "ext_dsir_sample" -> ExtOracle.importanceSampleSql,
     "ext_hist_quantile" -> ExtOracle.histQuantilesSql,
-    "ext_deciles" -> ExtOracle.tokenDecilesSql
+    "ext_deciles" -> ExtOracle.tokenDecilesSql,
+    "ext_session_concurrency" -> ExtOracle.sessionConcurrencySql,
+    "ext_asof_nearest" -> ExtOracle.asofNearestSql,
+    "ext_pagerank" -> ExtOracle.pagerankSql,
+    "ext_script_stats" -> ExtOracle.scriptStatsSql,
+    "ext_funnel_steps" -> ExtOracle.funnelStepsSql,
+    "ext_cohort_retention" -> ExtOracle.cohortRetentionSql,
+    "ext_table_stats" -> ExtOracle.tableStatsSql
   )
 }

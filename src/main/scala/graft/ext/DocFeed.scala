@@ -21,6 +21,18 @@ object DocFeed {
   val NearDupOffset = 2000000L
   val PiiDupOffset = 3000000L
   val LineDupOffset = 4000000L
+  val CyrDocOffset = 5000000L
+  val CjkDocOffset = 6000000L
+  val MixedDocOffset = 7000000L
+
+  /** Script-plant units (the fixture text is pure ASCII, so script
+    * detection would be vacuously all-Latin without them). Whole-text
+    * replacements for the Cyrillic/CJK plants — the LABEL must flip, which
+    * an appended suffix on a long Latin doc never does — plus a short
+    * Cyrillic suffix for the mixed-script case. */
+  val CyrUnit = "привет мир "
+  val CjkUnit = "你好世界 "
+  val MixedSuffix = " " + CyrUnit.trim
 
   /** Deterministic PII suffix appended to the `doc_id % 10 == 2` copies so
     * the scrubbing operator (TextOps.scrubPii) has real matches. */
@@ -45,8 +57,18 @@ object DocFeed {
     *        single-line, so the Gopher-style duplicate-LINE metric would be
     *        vacuously zero without them. Off by default: only the
     *        repetition query consumes this branch, and the shared corpus
-    *        (every other E1/E3 oracle) must not shift under it. */
-  def withDups(documents: DataFrame, plantLines: Boolean = false): DataFrame = {
+    *        (every other E1/E3 oracle) must not shift under it.
+    * @param plantScripts also plant non-Latin documents (the fixture text
+    *        is pure ASCII, so script detection would be vacuously
+    *        all-Latin): `% 10 == 4` → a fully-Cyrillic doc, `% 10 == 5` →
+    *        a fully-CJK doc (both `repeat(unit, doc_id % 7 + 2)`),
+    *        `% 10 == 6` → the original with a short Cyrillic suffix
+    *        (mixed-script). Off by default for the same shared-corpus
+    *        reason as `plantLines`. */
+  def withDups(
+      documents: DataFrame,
+      plantLines: Boolean = false,
+      plantScripts: Boolean = false): DataFrame = {
     // Single scan: each source row explodes into the 1-4 corpus rows it
     // contributes (a UNION of filtered selects would scan documents several
     // times per consumer sub-tree).
@@ -65,7 +87,18 @@ object DocFeed {
           lit("dup_pii"), col("n_chars") + lit(PiiSuffix.length.toLong))),
       when(lit(plantLines) && col("doc_id") % 10 === 3,
         row(col("doc_id") + lit(LineDupOffset), concat(col("text"), lit("\n"), col("text")),
-          lit("dup_lines"), col("n_chars") * 2 + lit(1L))))).as("__r"))
+          lit("dup_lines"), col("n_chars") * 2 + lit(1L))),
+      when(lit(plantScripts) && col("doc_id") % 10 === 4,
+        row(col("doc_id") + lit(CyrDocOffset),
+          expr(s"repeat('$CyrUnit', CAST(doc_id % 7 AS INT) + 2)"),
+          lit("doc_cyr"), (col("doc_id") % 7 + 2) * lit(CyrUnit.length.toLong))),
+      when(lit(plantScripts) && col("doc_id") % 10 === 5,
+        row(col("doc_id") + lit(CjkDocOffset),
+          expr(s"repeat('$CjkUnit', CAST(doc_id % 7 AS INT) + 2)"),
+          lit("doc_cjk"), (col("doc_id") % 7 + 2) * lit(CjkUnit.length.toLong))),
+      when(lit(plantScripts) && col("doc_id") % 10 === 6,
+        row(col("doc_id") + lit(MixedDocOffset), concat(col("text"), lit(MixedSuffix)),
+          lit("doc_mixed"), col("n_chars") + lit(MixedSuffix.length.toLong))))).as("__r"))
       .where(col("__r").isNotNull) // codegen'd row filter, not the HOF filter()
       .select(col("__r.*"))
   }

@@ -54,6 +54,44 @@ object TextOps {
     }
   }
 
+  /** Character classes for Unicode-script detection, shared verbatim with
+    * the DuckDB oracle (both engines get the same literal-range regex, so
+    * Java-regex vs RE2 script-name spelling differences never arise). */
+  val LatinClass = "[A-Za-z]"
+  val CyrillicClass = "[Ѐ-ӿ]"
+  val CjkClass = "[一-鿿]"
+
+  /** E3s — Unicode SCRIPT detection (the writing-system sibling of
+    * language-ID, and the cheaper first gate a multilingual crawl pipeline
+    * runs before any lexicon touches the text): per-document counts of
+    * Latin / Cyrillic / CJK-ideograph characters via literal-range regex
+    * classes, the dominant script as a label (deterministic tie order:
+    * latin > cyrillic > cjk; no hits → "other"), and the dominant share in
+    * integer basis points. Map-only at any scale. */
+  def scriptStats(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def classCount(cls: String): Column =
+      size(regexp_extract_all(col(textCol), lit(cls), lit(0)))
+    val latinN = classCount(LatinClass)
+    val cyrN = classCount(CyrillicClass)
+    val cjkN = classCount(CjkClass)
+    val domN = greatest(latinN, cyrN, cjkN)
+    corpus.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_c"),
+      latinN.cast("long").as("latin_n"),
+      cyrN.cast("long").as("cyr_n"),
+      cjkN.cast("long").as("cjk_n"),
+      when(domN === 0, lit("other"))
+        .when(latinN === domN, lit("latin"))
+        .when(cyrN === domN, lit("cyrillic"))
+        .otherwise(lit("cjk")).as("script"),
+      // empty-text guard: DuckDB `// 0` errors where Spark div yields NULL
+      when(length(col(textCol)) === 0, lit(0L))
+        .otherwise(intDiv(domN.cast("long") * lit(10000L),
+          length(col(textCol)).cast("long")))
+        .as("script_bp"))
+  }
+
   /** E3b — n-gram-heuristic language ID: per-language stopword hit counts
     * (with multiplicity) + argmax prediction. */
   def languageId(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

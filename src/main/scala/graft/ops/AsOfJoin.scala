@@ -41,6 +41,74 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String],
       tieBreak: String): DataFrame = {
+    val unioned = taggedUnion(left, right, on, leftTime, rightTime, payload)
+    resolve(unioned, on, left.columns.toSeq, payload, tieBreak)
+  }
+
+  /** NEAREST as-of join: attach to each left row the payload of the right
+    * row with the same key that is CLOSEST in time — backward or forward,
+    * whichever is nearer (pandas `merge_asof(direction='nearest')`). A
+    * same-instant mark is at distance 0; equidistant backward/forward marks
+    * resolve to the BACKWARD one (deterministic, matching pandas).
+    *
+    * Same single-shuffle union+window plan as [[backward]], with a second
+    * mirror-image window frame (`first` non-null over CURRENT ROW →
+    * UNBOUNDED FOLLOWING) resolving the forward candidate — one sort
+    * serves both frames, so the incremental cost over backward is one
+    * window function, not a second shuffle.
+    *
+    * The forward payload struct carries the mark time internally so the
+    * distance comparison is atomic with the chosen payload (never stitches
+    * the backward mark's time to the forward mark's values). */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tieBreak: String): DataFrame = {
+    val unioned = taggedUnion(left, right, on, leftTime, rightTime, payload)
+    val leftCols = left.columns.toSeq
+    // Marks sort BEFORE probes at equal time (tag 0 < 1): the backward
+    // frame (…, current) therefore INCLUDES same-instant marks, and the
+    // forward frame (current, …) excludes them — distance-0 marks resolve
+    // backward, which is also where the equidistance tie must land.
+    val ord = Seq(col("__t").asc, col("__tag").asc, col(tieBreak).asc_nulls_first)
+    val wBack = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val markStruct = when(col("__tag") === 0,
+      struct((payload.map(col) :+ col("__t").as("__mt")): _*))
+    val annotated = unioned
+      .withColumn("__p", markStruct)
+      .select(
+        leftCols.map(col) ++ Seq(
+          col("__tag"), col("__t"),
+          last(col("__p"), ignoreNulls = true).over(wBack).as("__b"),
+          first(col("__p"), ignoreNulls = true).over(wFwd).as("__f")): _*)
+      .where(col("__tag") === 1)
+    val chosen = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(col("__t") - col("__b.__mt") <= col("__f.__mt") - col("__t"), col("__b"))
+      .otherwise(col("__f"))
+    annotated
+      .withColumn("__c", chosen)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__c.$p").as(p)): _*)
+  }
+
+  /** Tagged union shared by [[backward]] and [[nearest]]: left rows carry
+    * null payload (typed from the right schema), right rows carry null
+    * left-only columns. */
+  private def taggedUnion(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "payload must name at least one right column")
     require(payload.forall(p => !left.columns.contains(p)),
       s"payload ${payload.mkString(",")} collides with a left column")
@@ -48,8 +116,6 @@ object AsOfJoin {
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftFields = left.schema.fields
 
-    // Union by explicit projection: left rows carry null payload (typed
-    // from the right schema), right rows carry null left-only columns.
     val lPrep = left.select(
       leftFields.toSeq.map(f => col(f.name)) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
@@ -61,8 +127,7 @@ object AsOfJoin {
       } ++
         Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
         payload.map(col): _*)
-
-    resolve(lPrep.unionByName(rPrep), on, leftFields.map(_.name).toSeq, payload, tieBreak)
+    lPrep.unionByName(rPrep)
   }
 
   /** Self as-of: the marks are the subset of `df` satisfying `markCond` —

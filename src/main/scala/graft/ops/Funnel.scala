@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SEQUENTIAL conversion funnel: for an ordered list of step predicates,
+  * find per user the earliest time of step 1, the earliest step-2 event AT
+  * OR AFTER that, the earliest step-3 event at or after THAT, and so on —
+  * the product-analytics "did the user view, then click, then purchase, in
+  * that order" question. (Distinct from the corpus curation funnel
+  * `Curate.funnel`, which is a row-gate cascade with no ordering.)
+  *
+  * Spark-first formulation: ONE shuffle. Events are window-partitioned by
+  * user and time-ordered once; step k's "earliest qualifying time so far"
+  * is a running `min(CASE step_k AND step_{k-1} reached)` over that single
+  * sort — each step's column conditions on the previous step's running
+  * column, so the sequencing is resolved row-locally inside one window
+  * pass. The final per-user aggregate runs on the same partitioning
+  * (no second exchange; PlanShapeSpec-style shape). Scales like any
+  * windowed aggregation: with key cardinality, never events².
+  *
+  * Tie semantics: an event can satisfy step k at the SAME instant the
+  * previous step completed (`>=`, the common analytics convention); the
+  * running column makes same-row satisfaction impossible only for the row
+  * that itself completed the previous step if it also matches step k —
+  * deliberate: one event may complete several steps at one instant only
+  * if they are DIFFERENT events; a single row completes at most one step.
+  */
+object Funnel {
+
+  /** @param events  input frame
+    * @param userCol grouping key
+    * @param timeCol integral event time (epoch seconds)
+    * @param idCol   total-order tiebreak within (user, time)
+    * @param steps   (stepName, predicate) in funnel order; names become
+    *                output columns `t_<stepName>` (earliest completion
+    *                time, NULL if never reached)
+    * @return one row per user: key, `t_<step>`... , `stage` = number of
+    *         steps completed (0..steps.size)
+    */
+  def sequentialFunnel(
+      events: DataFrame,
+      userCol: String,
+      timeCol: String,
+      idCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(timeCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // running earliest completion time of each step, chained: step k
+    // qualifies only on rows where step k-1's running column is already set
+    val withRuns = steps.zipWithIndex.foldLeft(events) {
+      case (df, ((name, pred), i)) =>
+        val gate =
+          if (i == 0) pred
+          else pred && col(s"__r_${steps(i - 1)._1}").isNotNull
+        df.withColumn(s"__r_$name", min(when(gate, col(timeCol))).over(w))
+    }
+    val aggs = steps.map { case (name, _) =>
+      min(col(s"__r_$name")).as(s"t_$name")
+    } :+ steps.map { case (name, _) =>
+      when(min(col(s"__r_$name")).isNotNull, 1).otherwise(0)
+    }.reduce(_ + _).cast("long").as("stage")
+    withRuns.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: per-column row/null counts, min/max, and
+  * EXACT distinct counts, in TWO scans total regardless of column count —
+  * the stats a cost-based optimizer (or a pipeline health check) collects.
+  *
+  * The naive Spark formulation — one `agg(countDistinct(c1),
+  * countDistinct(c2), …)` — plans an Expand that multiplies every input
+  * row by the column count before the shuffle (8 columns → 8× shuffle
+  * volume of the full table). Instead:
+  *
+  *   - pass 1 (wide): nulls/min/max for ALL columns in one ordinary
+  *     aggregate — no Expand, partial-aggregated map-side to one row;
+  *   - pass 2 (long): each row explodes into (column, rendered value)
+  *     pairs — the same k× multiplication, but immediately REDUCED by a
+  *     (column, value) hash aggregate whose output is Σ ndv rows, then a
+  *     per-column count. Map-side partial aggregation collapses repeats
+  *     before the shuffle, so shuffle volume is bounded by the DISTINCT
+  *     value count, not the row count — the difference between this and
+  *     Expand at 100 TB.
+  *
+  * Values are rendered engine-portably (the repo's no-raw-floats rule):
+  * integral columns as-is, doubles as floor(x·100) cents, timestamps as
+  * epoch seconds, strings via a separate VARCHAR min/max pair. Distinct
+  * counts are over the RENDERED values — exact for integral / string /
+  * timestamp columns, cents-granular for doubles (documented contract;
+  * the oracle renders identically, so the engines agree bit-for-bit).
+  */
+object Profile {
+
+  /** The graded lineitem profile — shared with the DuckDB oracle
+    * (ExtOracle.tableStatsSql renders the same list with the same
+    * per-kind rendering, so the two cannot drift). Alphabetical, matching
+    * the output ordering. */
+  val LineitemCols: Seq[(String, Kind)] = Seq(
+    "l_extendedprice" -> CentsCol,
+    "l_linenumber" -> IntCol,
+    "l_orderkey" -> IntCol,
+    "l_partkey" -> IntCol,
+    "l_quantity" -> CentsCol,
+    "l_returnflag" -> StrCol,
+    "l_shipdate" -> TsCol,
+    "l_suppkey" -> IntCol)
+
+  sealed trait Kind
+  case object IntCol extends Kind
+  /** double rendered as floor(x·100) — exact for money-style fixtures */
+  case object CentsCol extends Kind
+  /** timestamp rendered as epoch seconds (UTC session) */
+  case object TsCol extends Kind
+  case object StrCol extends Kind
+
+  private def rendered(name: String, kind: Kind): Column = kind match {
+    case IntCol => col(name).cast("long")
+    case CentsCol => floor(col(name) * 100).cast("long")
+    case TsCol => expr(s"CAST(to_unix_timestamp(CAST($name AS TIMESTAMP)) AS BIGINT)")
+    case StrCol => col(name)
+  }
+
+  /** @return one row per profiled column: `column_name`, `n_rows`,
+    *         `n_nulls`, `n_distinct` (exact, NULLs excluded), `min_i` /
+    *         `max_i` (BIGINT rendering, NULL for string columns), `min_s` /
+    *         `max_s` (string columns only) — ordered by column_name
+    */
+  def columnStats(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+
+    // pass 1: one wide aggregate row -> long form via explode
+    val wideAggs = cols.flatMap { case (name, kind) =>
+      val r = rendered(name, kind)
+      Seq(
+        count(lit(1)).as(s"__n_$name"),
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"__z_$name"),
+        (if (kind == StrCol) lit(null).cast("long") else min(r)).as(s"__mini_$name"),
+        (if (kind == StrCol) lit(null).cast("long") else max(r)).as(s"__maxi_$name"),
+        (if (kind == StrCol) min(r) else lit(null).cast("string")).as(s"__mins_$name"),
+        (if (kind == StrCol) max(r) else lit(null).cast("string")).as(s"__maxs_$name"))
+    }
+    val wide = df.agg(wideAggs.head, wideAggs.tail: _*)
+      .select(explode(array(cols.map { case (name, _) =>
+        struct(
+          lit(name).as("column_name"),
+          col(s"__n_$name").as("n_rows"),
+          col(s"__z_$name").as("n_nulls"),
+          col(s"__mini_$name").as("min_i"),
+          col(s"__maxi_$name").as("max_i"),
+          col(s"__mins_$name").as("min_s"),
+          col(s"__maxs_$name").as("max_s"))
+      }: _*)).as("__s"))
+      .select(col("__s.*"))
+
+    // pass 2: exact ndv via the reduced long form (never an Expand plan)
+    val ndv = df
+      .select(explode(array(cols.map { case (name, kind) =>
+        struct(lit(name).as("column_name"),
+          rendered(name, kind).cast("string").as("v"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+      .where(col("v").isNotNull)
+      .groupBy("column_name", "v").agg(count(lit(1)).as("__c"))
+      .groupBy("column_name").agg(count(lit(1)).as("n_distinct"))
+
+    wide.join(ndv, Seq("column_name"), "left")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_i"), col("max_i"), col("min_s"), col("max_s"))
+      .orderBy("column_name")
+  }
+}

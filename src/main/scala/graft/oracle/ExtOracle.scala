@@ -2006,4 +2006,215 @@ object ExtOracle {
        |  md5(array_to_string(fv, ',')) AS fp_features
        |FROM f
        |ORDER BY doc_id""".stripMargin
+
+  /** ≙ ops.RangeJoin.pointInRange over sessions: the keyless containment
+    * join written as the naive non-equi join (the bucket expansion must be
+    * result-invisible). Session CTEs mirror sessionizeSql verbatim. */
+  val sessionConcurrencySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, t_s,
+      |    CASE WHEN t_s - lag(t_s) OVER w <= 1800 THEN 0 ELSE 1 END AS newf
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+      |), s AS (
+      |  SELECT user_id, t_s,
+      |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY t_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f
+      |), sess AS (
+      |  SELECT user_id, session_seq,
+      |    min(t_s) AS session_start_s, max(t_s) AS session_end_s
+      |  FROM s GROUP BY user_id, session_seq
+      |)
+      |SELECT sess.user_id, sess.session_seq, sess.session_start_s, sess.session_end_s,
+      |  count(*) AS n_concurrent
+      |FROM sess JOIN e ON e.t_s BETWEEN sess.session_start_s AND sess.session_end_s
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2""".stripMargin
+
+  /** ≙ ops.AsOfJoin.nearest: the asofSql union+window formulation with a
+    * second, mirror-image frame (first_value over CURRENT ROW → UNBOUNDED
+    * FOLLOWING) resolving the forward candidate; equidistant pairs resolve
+    * backward. Per-column (id, t) resolution is safe here because both are
+    * non-NULL on every mark row — the two window reads cannot stitch
+    * different marks. */
+  val asofNearestSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |), u AS (
+      |  SELECT user_id, t_s, event_id, 1 AS tag, NULL::BIGINT AS pid FROM e
+      |  UNION ALL
+      |  SELECT user_id, t_s, NULL::BIGINT, 0 AS tag, event_id AS pid
+      |  FROM e WHERE event_type = 'purchase'
+      |), w AS (
+      |  SELECT user_id, t_s, event_id, tag,
+      |    last_value(pid IGNORE NULLS) OVER wb AS b_id,
+      |    last_value(CASE WHEN tag = 0 THEN t_s END IGNORE NULLS) OVER wb AS b_t,
+      |    first_value(pid IGNORE NULLS) OVER wf AS f_id,
+      |    first_value(CASE WHEN tag = 0 THEN t_s END IGNORE NULLS) OVER wf AS f_t
+      |  FROM u
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY t_s, tag, pid ASC NULLS FIRST
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY t_s, tag, pid ASC NULLS FIRST
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id, user_id, t_s,
+      |  CASE WHEN f_id IS NULL THEN b_id
+      |       WHEN b_id IS NULL THEN f_id
+      |       WHEN t_s - b_t <= f_t - t_s THEN b_id ELSE f_id END AS ref_event_id,
+      |  CASE WHEN f_id IS NULL THEN t_s - b_t
+      |       WHEN b_id IS NULL THEN t_s - f_t
+      |       WHEN t_s - b_t <= f_t - t_s THEN t_s - b_t ELSE t_s - f_t END AS lag_s
+      |FROM w WHERE tag = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** ≙ ext.Graph.pageRank over the part↔supplier co-supply graph: 3
+    * unrolled synchronous rounds, micro-unit integer ranks, `//`
+    * truncating division matching Spark's IntegralDivide. Constants
+    * interpolate from the same Graph object the Spark side runs. */
+  val pagerankSql: String = {
+    val damp = graft.ext.Graph.DefaultDampBp
+    val base = (10000L - damp) * 100L
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS cs
+         |  FROM ed e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT n.node,
+         |    CAST($base + ($damp * COALESCE(c.cs, 0)) // 10000 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS part,
+       |                  'S' || CAST(l_suppkey AS VARCHAR) AS supp
+       |  FROM lineitem
+       |), ed AS (
+       |  SELECT part AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, part AS dst FROM pairs
+       |), nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |r0 AS (SELECT node, CAST(${graft.ext.Graph.InitRankMicro} AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+  }
+
+  /** ≙ DocFeed.withDups(plantScripts = true): the shared corpus plus the
+    * script plants — fully-Cyrillic / fully-CJK docs and a mixed-script
+    * suffix copy. Units and offsets interpolate from DocFeed. */
+  val scriptCorpusSql: String = corpusSql.stripSuffix(")") +
+    s"""  UNION ALL
+       |  SELECT doc_id + ${graft.ext.DocFeed.CyrDocOffset},
+       |         repeat('${graft.ext.DocFeed.CyrUnit}', CAST(doc_id % 7 AS INT) + 2), lang,
+       |         'doc_cyr', (doc_id % 7 + 2) * ${graft.ext.DocFeed.CyrUnit.length}
+       |  FROM documents WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT doc_id + ${graft.ext.DocFeed.CjkDocOffset},
+       |         repeat('${graft.ext.DocFeed.CjkUnit}', CAST(doc_id % 7 AS INT) + 2), lang,
+       |         'doc_cjk', (doc_id % 7 + 2) * ${graft.ext.DocFeed.CjkUnit.length}
+       |  FROM documents WHERE doc_id % 10 = 5
+       |  UNION ALL
+       |  SELECT doc_id + ${graft.ext.DocFeed.MixedDocOffset},
+       |         text || '${graft.ext.DocFeed.MixedSuffix}', lang,
+       |         'doc_mixed', n_chars + ${graft.ext.DocFeed.MixedSuffix.length}
+       |  FROM documents WHERE doc_id % 10 = 6
+       |)""".stripMargin
+
+  /** E3s ≙ TextOps.scriptStats: literal-range regex classes shared with
+    * the Spark side (no \\p{Script} spelling divergence between Java regex
+    * and RE2), dominant-script label with the same deterministic tie order,
+    * share in integer basis points. */
+  val scriptStatsSql: String =
+    s"""WITH $scriptCorpusSql, m AS (
+       |  SELECT doc_id,
+       |    CAST(len(text) AS BIGINT) AS n_chars_c,
+       |    CAST(len(regexp_extract_all(text, '${graft.ext.TextOps.LatinClass}')) AS BIGINT) AS latin_n,
+       |    CAST(len(regexp_extract_all(text, '${graft.ext.TextOps.CyrillicClass}')) AS BIGINT) AS cyr_n,
+       |    CAST(len(regexp_extract_all(text, '${graft.ext.TextOps.CjkClass}')) AS BIGINT) AS cjk_n
+       |  FROM corpus
+       |)
+       |SELECT doc_id, n_chars_c, latin_n, cyr_n, cjk_n,
+       |  CASE WHEN greatest(latin_n, cyr_n, cjk_n) = 0 THEN 'other'
+       |       WHEN latin_n = greatest(latin_n, cyr_n, cjk_n) THEN 'latin'
+       |       WHEN cyr_n = greatest(latin_n, cyr_n, cjk_n) THEN 'cyrillic'
+       |       ELSE 'cjk' END AS script,
+       |  CAST(CASE WHEN n_chars_c = 0 THEN 0
+       |       ELSE greatest(latin_n, cyr_n, cjk_n) * 10000 // n_chars_c
+       |       END AS BIGINT) AS script_bp
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  /** ≙ ops.Funnel.sequentialFunnel(view → click → purchase): the same
+    * chained running-min windows written out CTE-by-CTE (each step's CASE
+    * conditions on the previous step's running column; min of a running
+    * min is its final value). */
+  val funnelStepsSql: String = {
+    val win = "(PARTITION BY user_id ORDER BY t_s, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+       |), r1 AS (
+       |  SELECT user_id, event_id, t_s, event_type,
+       |    min(CASE WHEN event_type = 'view' THEN t_s END) OVER w AS r_view
+       |  FROM e WINDOW w AS $win
+       |), r2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND r_view IS NOT NULL
+       |                     THEN t_s END) OVER w AS r_click
+       |  FROM r1 WINDOW w AS $win
+       |), r3 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND r_click IS NOT NULL
+       |                     THEN t_s END) OVER w AS r_purchase
+       |  FROM r2 WINDOW w AS $win
+       |)
+       |SELECT user_id,
+       |  min(r_view) AS t_view, min(r_click) AS t_click, min(r_purchase) AS t_purchase,
+       |  CAST((CASE WHEN min(r_view) IS NOT NULL THEN 1 ELSE 0 END)
+       |     + (CASE WHEN min(r_click) IS NOT NULL THEN 1 ELSE 0 END)
+       |     + (CASE WHEN min(r_purchase) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+       |FROM r3 GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** ≙ the cohort-retention graded query: distinct user-days, per-user min
+    * day as the cohort, count per (cohort, offset) cell. */
+  val cohortRetentionSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS d FROM events
+      |), c AS (
+      |  SELECT user_id, min(d) AS cohort_d FROM d GROUP BY user_id
+      |)
+      |SELECT c.cohort_d, d.d - c.cohort_d AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM d JOIN c ON d.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** ≙ ops.Profile.columnStats(lineitem): one UNION ALL branch per
+    * profiled column, rendered with the SAME per-kind expressions (cents /
+    * epoch-seconds / raw), generated from the same Profile.LineitemCols
+    * list so the column set cannot drift. */
+  val tableStatsSql: String = {
+    import graft.ops.Profile
+    def render(n: String, k: Profile.Kind): String = k match {
+      case Profile.IntCol => s"CAST($n AS BIGINT)"
+      case Profile.CentsCol => s"CAST(floor($n * 100) AS BIGINT)"
+      case Profile.TsCol => s"epoch_ns($n) // 1000000000"
+      case Profile.StrCol => n
+    }
+    Profile.LineitemCols.map { case (n, k) =>
+      val r = render(n, k)
+      val (mini, maxi, mins, maxs) =
+        if (k == Profile.StrCol) ("NULL::BIGINT", "NULL::BIGINT", s"min($r)", s"max($r)")
+        else (s"min($r)", s"max($r)", "NULL::VARCHAR", "NULL::VARCHAR")
+      s"""SELECT '$n' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $r) AS BIGINT) AS n_distinct,
+         |  $mini AS min_i, $maxi AS max_i, $mins AS min_s, $maxs AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }

@@ -62,7 +62,8 @@ object EventStream {
       eventsPath: String,
       eventsSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val name = s"graft_winagg_${memSinkSeq.incrementAndGet()}"
-    val stream = spark.readStream.schema(eventsSchema).parquet(eventsPath)
+    val stream = graft.sources.Events.normalize(
+      spark.readStream.schema(eventsSchema).parquet(eventsPath))
     val query = eventWindowCounts(fromEventsFixture(stream))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete)

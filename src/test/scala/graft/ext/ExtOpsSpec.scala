@@ -774,6 +774,48 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("n_zero_buckets") == 0)
   }
 
+  test("scriptStats counts, labels, and tie/empty edges") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "hello world"),                // pure Latin: 10 letters / 11 chars
+      (2L, "привет мир"),                 // pure Cyrillic
+      (3L, "你好世界"),                    // pure CJK
+      (4L, "hi привет мир"),              // Cyrillic-dominant mixed
+      (5L, "ab яж"),                      // exact tie 2-2 -> latin priority
+      (6L, "1234 !!"),                    // no script hits -> other
+      (7L, ""))                           // empty -> other, 0 bp
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("latin_n"), r.getAs[Long]("cyr_n"), r.getAs[Long]("cjk_n"),
+          r.getAs[String]("script"), r.getAs[Long]("script_bp")))).toMap
+    assert(got(1L) == ((10L, 0L, 0L, "latin", 10L * 10000 / 11)))
+    assert(got(2L) == ((0L, 9L, 0L, "cyrillic", 9L * 10000 / 10)))
+    assert(got(3L) == ((0L, 0L, 4L, "cjk", 10000L)))
+    assert(got(4L) == ((2L, 9L, 0L, "cyrillic", 9L * 10000 / 13)))
+    assert(got(5L) == ((2L, 2L, 0L, "latin", 2L * 10000 / 5)))
+    assert(got(6L) == ((0L, 0L, 0L, "other", 0L)))
+    assert(got(7L) == ((0L, 0L, 0L, "other", 0L)))
+  }
+
+  test("script-planted corpus flips labels: cyr/cjk plants dominate, mixed stays latin") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.scriptStats(DocFeed.withDups(docs, plantScripts = true))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("script")).toMap
+    val planted = out.keys.filter(_ >= DocFeed.CyrDocOffset)
+    assert(planted.nonEmpty, "script plants must exist")
+    planted.foreach { id =>
+      val expect =
+        if (id >= DocFeed.MixedDocOffset) "latin"     // short suffix on a long ASCII doc
+        else if (id >= DocFeed.CjkDocOffset) "cjk"
+        else "cyrillic"
+      assert(out(id) == expect, s"doc $id")
+    }
+    // base docs are pure ASCII -> all latin
+    assert(out.filter(_._1 < DocFeed.ExactDupOffset).values.forall(_ == "latin"))
+  }
+
   test("tokenDeciles covers every doc exactly once with ordered bounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.tokenDeciles(docs).collect()

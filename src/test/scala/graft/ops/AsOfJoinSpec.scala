@@ -33,6 +33,61 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       6L -> -1L))  // user never marked
   }
 
+  test("nearest as-of join: direction choice, distance-0, equidistance, and edges") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq(
+      (1L, "A", 5L),   // only forward exists (before all marks)
+      (2L, "A", 12L),  // backward at 10 (d=2) beats forward at 20 (d=8)
+      (3L, "A", 18L),  // forward at 20 (d=2) beats backward at 10 (d=8)
+      (4L, "A", 15L),  // equidistant (10 vs 20) -> backward wins
+      (5L, "A", 20L),  // same-instant mark -> distance 0, backward frame
+      (6L, "A", 99L),  // only backward exists (after all marks)
+      (7L, "B", 50L))  // user with no marks -> NULL
+      .toDF("event_id", "user", "t")
+    val marks = Seq(("A", 10L, 100L), ("A", 20L, 101L))
+      .toDF("user", "mt", "mark_id")
+
+    val out = AsOfJoin.nearest(probes, marks, Seq("user"),
+        leftTime = "t", rightTime = "mt", payload = Seq("mark_id"), tieBreak = "mark_id")
+      .orderBy("event_id").collect()
+    val got = out.map(r => (r.getLong(0),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      1L -> 100L, 2L -> 100L, 3L -> 101L, 4L -> 100L,
+      5L -> 101L, 6L -> 101L, 7L -> -1L))
+  }
+
+  test("nearest equals the per-row brute-force closest mark on a random-ish set") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random layout: probes and marks interleaved
+    val probes = (1L to 40L).map(i => (i, s"u${i % 3}", (i * 37) % 100))
+      .toDF("event_id", "user", "t")
+    val markRows = (1L to 15L).map(i => (s"u${i % 3}", (i * 23) % 100, 1000L + i))
+    val marks = markRows.toDF("user", "mt", "mark_id")
+
+    val out = AsOfJoin.nearest(probes, marks, Seq("user"),
+        leftTime = "t", rightTime = "mt", payload = Seq("mark_id"), tieBreak = "mark_id")
+      .orderBy("event_id").collect()
+
+    out.foreach { r =>
+      val (id, user, t) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val cands = markRows.filter(_._1 == user)
+      if (cands.isEmpty) assert(r.isNullAt(3), s"probe $id should be unmatched")
+      else {
+        val bestD = cands.map(m => math.abs(m._2 - t)).min
+        val back = cands.filter(m => m._2 <= t && t - m._2 == bestD)
+        // backward wins at equidistance; ties within a direction: backward
+        // takes the max tieBreak, forward the min
+        val expect =
+          if (back.nonEmpty) back.map(_._3).max
+          else cands.filter(m => m._2 - t == bestD).map(_._3).min
+        assert(r.getLong(3) == expect, s"probe $id at t=$t")
+      }
+    }
+  }
+
   test("a NULL payload field on the latest mark is carried, not resurrected") {
     val s = spark
     import s.implicits._
@@ -52,9 +107,8 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
 
   test("selfBackward (single-scan) matches backward over the split sides") {
     val s = spark
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    val e = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val e = graft.sources.Events.read(s, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000000000").as("t_s"), col("event_type"))
 

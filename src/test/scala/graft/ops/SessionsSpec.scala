@@ -30,9 +30,8 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
 
   test("matches a brute-force sessionization of the fixture events") {
     val s = spark
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    val ev = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.sources.Events.read(s, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("t_s"))
     val got = Sessions.sessionize(ev, "user_id", "t_s", "event_id", gapS = 1800L)
       .select("user_id", "session_seq", "n_events", "session_start_s", "session_end_s")

@@ -12,8 +12,7 @@ class SetOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("flag aggregation equals the literal except/intersect segments") {
     val s = spark
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val e = graft.sources.Events.read(s, "/root/testdata/sf0.001")
     val v = e.where(col("event_type") === "view").select("user_id").distinct()
     val p = e.where(col("event_type") === "purchase").select("user_id").distinct()
     val literal = Map(
