@@ -435,6 +435,12 @@ object SparkEntry {
       Similarity.topKCosineIvf(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
+    // E2-PQ — product-quantization ANN: per-subspace codebooks + ADC
+    // lookup-sum scoring (the memory-compressed exhaustive-scan path)
+    "ext_ann_pq" -> ((s, dir) =>
+      Similarity.topKPq(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
+        .orderBy("query_id", "rnk")),
+
     // E1+E3 composition — the curation funnel (dedup → length →
     // repetition → language), per-stage surviving counts
     "ext_curation_funnel" -> ((s, dir) =>
@@ -1494,6 +1500,7 @@ object SparkEntry {
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
+    "ext_ann_pq" -> ExtOracle.annPqSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,

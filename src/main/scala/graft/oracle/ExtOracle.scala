@@ -2193,6 +2193,84 @@ object ExtOracle {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** E2-PQ ≙ Similarity.topKPq (queries = vec_id % 100 = 0, k = 3,
+    * 4 subspaces × 8 codes, 2 Lloyd rounds). Every distance is the same
+    * `|u|² − 2·u·c + |c|²` dot-product identity over `list_dot_product`
+    * (≙ FloatVectorDot, proven bit-identical); the ADC sum adds its 4
+    * subspace terms in FIXED order via max-CASE pivots, mirroring the
+    * Spark side's fixed-order reduction (a bare SUM would be
+    * order-nondeterministic float addition on both engines). */
+  val annPqSql: String = {
+    val m = 4; val codes = 8; val rounds = 2; val k = 3
+    val subDim = graft.ext.Similarity.Dim / m
+    def d2(sv: String, cv: String): String =
+      s"list_dot_product($sv, $sv) - 2 * list_dot_product($sv, $cv)" +
+        s" + list_dot_product($cv, $cv)"
+    // one Lloyd round: assign to nearest sub-centroid (ties to smaller
+    // cid), then exact-integer-mean re-center per (m, cell)
+    def round(t: Int): String =
+      s"""a$t AS (
+         |  SELECT s.vec_id, s.m, c.cid, ${d2("s.sv", "c.cv")} AS d2
+         |  FROM subv s JOIN cb$t c ON c.m = s.m
+         |), r$t AS (
+         |  SELECT vec_id, m, cid,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+         |  FROM a$t
+         |), cell$t AS (
+         |  SELECT vec_id, m, cid AS cell FROM r$t WHERE rn = 1
+         |), qx$t AS (
+         |  SELECT c0.m, c0.cell, i AS pos, CAST(floor(s.sv[i+1] * 1000.0) AS BIGINT) AS q
+         |  FROM cell$t c0 JOIN subv s ON s.vec_id = c0.vec_id AND s.m = c0.m,
+         |       range($subDim) ri$t(i)
+         |), qm$t AS (
+         |  SELECT m, cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
+         |  FROM qx$t GROUP BY m, cell, pos
+         |), cb${t + 1} AS (
+         |  SELECT m, cell AS cid,
+         |    list_transform(list(qm ORDER BY pos),
+         |      x -> CAST(CAST(CAST(x AS DOUBLE) / 1000.0 AS FLOAT) AS DOUBLE)) AS cv
+         |  FROM qm$t GROUP BY m, cell
+         |)""".stripMargin
+    val adcPivot = (0 until m)
+      .map(i => s"max(CASE WHEN dt.m = $i THEN dt.dq END)")
+      .mkString(" + ")
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), subv AS (
+       |  SELECT vec_id, m, v[m * $subDim + 1 : (m + 1) * $subDim] AS sv
+       |  FROM allv, range($m) rm(m)
+       |), cb0 AS (
+       |  SELECT m, vec_id AS cid, sv AS cv FROM subv WHERE vec_id < $codes
+       |),
+       |${(0 until rounds).map(round).mkString(",\n")},
+       |af AS (
+       |  SELECT s.vec_id, s.m, c.cid, ${d2("s.sv", "c.cv")} AS d2
+       |  FROM subv s JOIN cb$rounds c ON c.m = s.m
+       |), rf AS (
+       |  SELECT vec_id, m, cid,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+       |  FROM af
+       |), enc AS (
+       |  SELECT vec_id AS neighbor_id, m, cid AS cell FROM rf WHERE rn = 1
+       |), dt AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.cid AS cell, ${d2("s.sv", "c.cv")} AS dq
+       |  FROM subv s JOIN cb$rounds c ON c.m = s.m
+       |  WHERE s.vec_id % 100 = 0
+       |), pair AS (
+       |  SELECT dt.query_id, e.neighbor_id, $adcPivot AS d2s
+       |  FROM enc e JOIN dt ON dt.m = e.m AND dt.cell = e.cell
+       |  WHERE dt.query_id <> e.neighbor_id
+       |  GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d2s ASC, neighbor_id) AS rnk
+       |  FROM pair
+       |)
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM rk WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** ≙ ops.Profile.columnStats(lineitem): one UNION ALL branch per
     * profiled column, rendered with the SAME per-kind expressions (cents /
     * epoch-seconds / raw), generated from the same Profile.LineitemCols

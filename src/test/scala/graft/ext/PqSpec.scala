@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class PqSpec extends AnyFunSuite with SparkFixture {
+
+  /** Deterministic pseudo-random float in [0, 1). The (i, j) mix runs
+    * through a multiply AFTER combining so different vectors never share
+    * overlapping value windows (a linear i*31+j scheme makes every vector
+    * a shifted substring of one global sequence — degenerate for PQ, which
+    * then collapses most vectors onto identical codes). */
+  private def el(i: Long, j: Int): Float =
+    ((((i * 1000003L + j) * 2654435761L >>> 13) & 0xffff).toFloat / 65536.0f)
+
+  private def corpus(n: Int, copies: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    val base = (0L until n.toLong).map(i =>
+      (i, (0 until Similarity.Dim).map(j => el(i, j)).toArray))
+    val dups = copies.map(i => (i + 1000L, base(i.toInt)._2))
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("an exact duplicate achieves the minimal possible ADC distance (top-k by construction)") {
+    // ADC(q, dup) = Σ_m d2(q_m, centroid(code(q_m))) — the per-subspace
+    // argmin — so NO candidate can score strictly BETTER than q's copy;
+    // candidates with the exact same 4 codes tie and resolve by id, so the
+    // corpus is small and spread (12 vectors over ~8 cells per subspace)
+    // to keep full-code collisions out of the fixture
+    val copies = Seq(3L, 9L, 11L)
+    val out = Similarity.topKPq(
+        corpus(12, copies), col("vec_id").isin(copies: _*), k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+    copies.foreach { q =>
+      val neighbors = out(q).map(_.getLong(1)).toSet
+      assert(neighbors.contains(q + 1000L),
+        s"query $q: its exact copy must be in the ADC top-3, got $neighbors")
+    }
+  }
+
+  test("every (vector, subspace) encodes to exactly one live code") {
+    val df = corpus(40, Nil)
+    // two runs are bit-identical (no RNG anywhere in the chain)
+    val a = Similarity.topKPq(df, col("vec_id") % 10 === 0, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.topKPq(df, col("vec_id") % 10 === 0, k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "PQ must be deterministic across runs")
+    assert(a.nonEmpty)
+    // ranks are 1..k dense per query
+    a.groupBy(_.head).foreach { case (q, rows) =>
+      assert(rows.map(_(2)).toSet == Set(1, 2, 3), s"query $q ranks not dense")
+    }
+  }
+}
