@@ -1381,21 +1381,20 @@ object SparkEntry {
     // NEAREST-direction as-of join (pandas merge_asof direction='nearest'):
     // each event annotated with the user's closest purchase either way;
     // equidistant backward/forward resolves backward. lag_s is signed —
-    // negative means the nearest purchase was in the future.
-    "ext_asof_nearest" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000000000").as("t_s"), col("event_type"))
-      val marks = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("t_s").as("m_t"),
-          col("event_id").as("ref_event_id"), col("t_s").as("ref_t_s"))
-      graft.ops.AsOfJoin.nearest(
-        e.drop("event_type"), marks, on = Seq("user_id"),
-        leftTime = "t_s", rightTime = "m_t",
-        payload = Seq("ref_event_id", "ref_t_s"), tieBreak = "ref_event_id")
+    // negative means the nearest purchase was in the future. Marks are a
+    // subset of the probe stream, so the self variant emits both roles
+    // from ONE events scan.
+    "ext_asof_nearest" -> ((s, dir) =>
+      graft.ops.AsOfJoin.selfNearest(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t_s"), col("event_type")),
+        on = Seq("user_id"), timeCol = "t_s",
+        markCond = col("event_type") === "purchase",
+        payload = Seq("event_id" -> "ref_event_id", "t_s" -> "ref_t_s"),
+        tieBreak = "ref_event_id")
         .withColumn("lag_s", col("t_s") - col("ref_t_s"))
-        .drop("ref_t_s")
-        .orderBy("event_id")
-    }),
+        .drop("ref_t_s", "event_type")
+        .orderBy("event_id")),
 
     // deterministic integer PageRank over the part↔supplier co-supply
     // graph (domain-authority ranking shape: 3 synchronous rounds,

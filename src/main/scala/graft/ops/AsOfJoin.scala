@@ -69,7 +69,29 @@ object AsOfJoin {
       payload: Seq[String],
       tieBreak: String): DataFrame = {
     val unioned = taggedUnion(left, right, on, leftTime, rightTime, payload)
-    val leftCols = left.columns.toSeq
+    resolveNearest(unioned, on, left.columns.toSeq, payload, tieBreak)
+  }
+
+  /** Self nearest: marks are the subset of `df` satisfying `markCond` —
+    * both roles emitted from ONE scan, exactly like [[selfBackward]], then
+    * resolved with [[nearest]]'s dual-frame window. */
+  def selfNearest(
+      df: DataFrame,
+      on: Seq[String],
+      timeCol: String,
+      markCond: org.apache.spark.sql.Column,
+      payload: Seq[(String, String)],
+      tieBreak: String): DataFrame = {
+    val unioned = selfTaggedUnion(df, on, timeCol, markCond, payload)
+    resolveNearest(unioned, on, df.columns.toSeq, payload.map(_._2), tieBreak)
+  }
+
+  private def resolveNearest(
+      unioned: DataFrame,
+      on: Seq[String],
+      leftCols: Seq[String],
+      payload: Seq[String],
+      tieBreak: String): DataFrame = {
     // Marks sort BEFORE probes at equal time (tag 0 < 1): the backward
     // frame (…, current) therefore INCLUDES same-instant marks, and the
     // forward frame (current, …) excludes them — distance-0 marks resolve
@@ -148,6 +170,19 @@ object AsOfJoin {
       markCond: org.apache.spark.sql.Column,
       payload: Seq[(String, String)],
       tieBreak: String): DataFrame = {
+    val unioned = selfTaggedUnion(df, on, timeCol, markCond, payload)
+    resolve(unioned, on, df.columns.toSeq, payload.map(_._2), tieBreak)
+  }
+
+  /** Single-scan tagged union for the self variants: each row explodes
+    * into its probe struct plus (conditionally) its mark struct — the same
+    * single-scan multi-branch shape as the CDC feed (FeedSpec.toFeed). */
+  private def selfTaggedUnion(
+      df: DataFrame,
+      on: Seq[String],
+      timeCol: String,
+      markCond: org.apache.spark.sql.Column,
+      payload: Seq[(String, String)]): DataFrame = {
     require(payload.nonEmpty, "payload must name at least one column")
     require(payload.forall(p => !df.columns.contains(p._2)),
       s"payload names ${payload.map(_._2).mkString(",")} collide with a source column")
@@ -164,11 +199,9 @@ object AsOfJoin {
           (if (tag == 0) col(src) else lit(null).cast(types(src))).as(out)
         }: _*)
 
-    val unioned = df
-      .select(explode(array(role(1), when(markCond, role(0)))).as("__r"))
+    df.select(explode(array(role(1), when(markCond, role(0)))).as("__r"))
       .where(col("__r").isNotNull)
       .select(col("__r.*"))
-    resolve(unioned, on, fields.map(_.name).toSeq, payload.map(_._2), tieBreak)
   }
 
   /** Shared window resolution over the tagged union (see [[backward]]).

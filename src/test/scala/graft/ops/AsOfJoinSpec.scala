@@ -88,6 +88,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("selfNearest (single-scan) matches nearest over the split sides") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Events.read(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+
+    val viaSelf = AsOfJoin.selfNearest(e, Seq("user_id"), "t_s",
+        col("event_type") === "purchase",
+        Seq("event_id" -> "ref_event_id", "t_s" -> "ref_t_s"), "ref_event_id")
+      .drop("event_type").collect().map(_.toSeq).toSet
+
+    val marks = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_s").as("m_t"),
+        col("event_id").as("ref_event_id"), col("t_s").as("ref_t_s"))
+    val viaTwo = AsOfJoin.nearest(e.drop("event_type"), marks, Seq("user_id"),
+        "t_s", "m_t", Seq("ref_event_id", "ref_t_s"), "ref_event_id")
+      .collect().map(_.toSeq).toSet
+    assert(viaSelf == viaTwo && viaSelf.nonEmpty)
+  }
+
   test("a NULL payload field on the latest mark is carried, not resurrected") {
     val s = spark
     import s.implicits._
