@@ -1449,7 +1449,23 @@ object SparkEntry {
     // Expand multi-countDistinct plan)
     "ext_table_stats" -> ((s, dir) =>
       graft.ops.Profile.columnStats(
-        s.read.parquet(s"$dir/lineitem.parquet"), graft.ops.Profile.LineitemCols))
+        s.read.parquet(s"$dir/lineitem.parquet"), graft.ops.Profile.LineitemCols)),
+
+    // top-20 per-session event-type paths (journey mining): per-session
+    // ordered fold + global TakeOrdered, totalized by (count, path)
+    "ext_session_paths" -> ((s, dir) =>
+      graft.ops.Journeys.sessionPaths(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t_s"), col("event_type")),
+        "user_id", "t_s", "event_id", "event_type", gapS = 1800L, k = 20)),
+
+    // first-order event-type transition matrix (Markov row per from-type,
+    // shares in integer basis points)
+    "ext_event_transitions" -> ((s, dir) =>
+      graft.ops.Journeys.eventTransitions(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t_s"), col("event_type")),
+        "user_id", "t_s", "event_id", "event_type"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1605,6 +1621,8 @@ object SparkEntry {
     "ext_script_stats" -> ExtOracle.scriptStatsSql,
     "ext_funnel_steps" -> ExtOracle.funnelStepsSql,
     "ext_cohort_retention" -> ExtOracle.cohortRetentionSql,
-    "ext_table_stats" -> ExtOracle.tableStatsSql
+    "ext_table_stats" -> ExtOracle.tableStatsSql,
+    "ext_session_paths" -> ExtOracle.sessionPathsSql,
+    "ext_event_transitions" -> ExtOracle.eventTransitionsSql
   )
 }

@@ -28,19 +28,32 @@ object Sessions {
       userCol: String,
       timeCol: String,
       idCol: String,
-      gapS: Long): DataFrame = {
-    val w = Window.partitionBy(userCol).orderBy(col(timeCol).asc, col(idCol).asc)
-    // First event of a user: lag is NULL -> condition NULL -> otherwise(1).
-    val flagged = events.withColumn("__new",
-      when(col(timeCol) - lag(col(timeCol), 1).over(w) <= gapS, lit(0L)).otherwise(lit(1L)))
-    flagged
-      .withColumn("session_seq",
-        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapS: Long): DataFrame =
+    withSessionSeq(events, userCol, timeCol, idCol, gapS)
       .groupBy(col(userCol), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col(timeCol)).as("session_start_s"),
         max(col(timeCol)).as("session_end_s"))
       .withColumn("duration_s", col("session_end_s") - col("session_start_s"))
+
+  /** The per-EVENT form: every input row plus its `session_seq` ordinal —
+    * the building block [[sessionize]] aggregates, exposed for consumers
+    * that need event-grain session membership (path mining, per-session
+    * joins). Same two window passes, one shuffle. */
+  def withSessionSeq(
+      events: DataFrame,
+      userCol: String,
+      timeCol: String,
+      idCol: String,
+      gapS: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(timeCol).asc, col(idCol).asc)
+    // First event of a user: lag is NULL -> condition NULL -> otherwise(1).
+    events
+      .withColumn("__new",
+        when(col(timeCol) - lag(col(timeCol), 1).over(w) <= gapS, lit(0L)).otherwise(lit(1L)))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
   }
 }

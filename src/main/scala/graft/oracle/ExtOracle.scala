@@ -2271,6 +2271,57 @@ object ExtOracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** ≙ ops.Journeys.sessionPaths (gap 1800 s, top 20, sessions truncated
+    * at 12 events with a '>…' marker): sessionize CTEs as in
+    * sessionConcurrencySql, per-session ordered string_agg, global
+    * (count DESC, path ASC) total order. */
+  val sessionPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, t_s, event_type,
+      |    CASE WHEN t_s - lag(t_s) OVER w <= 1800 THEN 0 ELSE 1 END AS newf
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+      |), s AS (
+      |  SELECT user_id, event_id, t_s, event_type,
+      |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY t_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f
+      |), rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+      |                               ORDER BY t_s, event_id) AS rk
+      |  FROM s
+      |), paths AS (
+      |  SELECT user_id, session_seq,
+      |    string_agg(event_type, '>' ORDER BY t_s, event_id) FILTER (WHERE rk <= 12)
+      |      || CASE WHEN max(rk) > 12 THEN '>…' ELSE '' END AS path
+      |  FROM rn GROUP BY user_id, session_seq
+      |)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC
+      |LIMIT 20""".stripMargin
+
+  /** ≙ ops.Journeys.eventTransitions: lag pairs per user stream, counts +
+    * per-from share in integer basis points. */
+  val eventTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |), p AS (
+      |  SELECT event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY t_s, event_id) AS from_type
+      |  FROM e
+      |), c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE from_type IS NOT NULL
+      |  GROUP BY from_type, to_type
+      |)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 10000) // (sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS share_bp
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** ≙ ops.Profile.columnStats(lineitem): one UNION ALL branch per
     * profiled column, rendered with the SAME per-kind expressions (cents /
     * epoch-seconds / raw), generated from the same Profile.LineitemCols
