@@ -1465,7 +1465,14 @@ object SparkEntry {
       graft.ops.Journeys.eventTransitions(
         events(s, dir).select(col("event_id"), col("user_id"),
           expr("ts div 1000000000").as("t_s"), col("event_type")),
-        "user_id", "t_s", "event_id", "event_type"))
+        "user_id", "t_s", "event_id", "event_type")),
+
+    // 16-bin equi-width histograms for every numeric lineitem column:
+    // integer bin math over the broadcast min/max scalars, two scans total
+    "ext_column_hist" -> ((s, dir) =>
+      graft.ops.Profile.columnHistograms(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        graft.ops.Profile.LineitemCols, bins = 16))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1623,6 +1630,7 @@ object SparkEntry {
     "ext_cohort_retention" -> ExtOracle.cohortRetentionSql,
     "ext_table_stats" -> ExtOracle.tableStatsSql,
     "ext_session_paths" -> ExtOracle.sessionPathsSql,
-    "ext_event_transitions" -> ExtOracle.eventTransitionsSql
+    "ext_event_transitions" -> ExtOracle.eventTransitionsSql,
+    "ext_column_hist" -> ExtOracle.columnHistSql
   )
 }

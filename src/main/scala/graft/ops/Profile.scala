@@ -109,4 +109,45 @@ object Profile {
         col("min_i"), col("max_i"), col("min_s"), col("max_s"))
       .orderBy("column_name")
   }
+
+  /** Equi-width HISTOGRAMS for the numeric/timestamp columns (the other
+    * statistic a cost-based optimizer keeps): per column, `bins` buckets
+    * spanning [min, max], all integer math —
+    * `bin = (v − min) · bins div (max − min + 1)` over the same portable
+    * rendering as [[columnStats]]. Two scans for ALL columns together:
+    * one wide min/max aggregate (broadcast back as a 1-row scalar — the
+    * repo's broadcast-threshold pattern), one long-form binning pass
+    * reduced by a (column, bin) hash aggregate whose output is at most
+    * `cols × bins` rows. Empty bins are simply absent. */
+  def columnHistograms(df: DataFrame, cols: Seq[(String, Kind)], bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val numeric = cols.filterNot(_._2 == StrCol)
+    require(numeric.nonEmpty, "histograms need at least one non-string column")
+
+    val boundAggs = numeric.flatMap { case (name, kind) =>
+      val r = rendered(name, kind)
+      Seq(min(r).as(s"__lo_$name"), max(r).as(s"__hi_$name"))
+    }
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+      .select(explode(array(numeric.map { case (name, _) =>
+        struct(lit(name).as("column_name"),
+          col(s"__lo_$name").as("lo"), col(s"__hi_$name").as("hi"))
+      }: _*)).as("__b"))
+      .select(col("__b.*"))
+
+    val longForm = df
+      .select(explode(array(numeric.map { case (name, kind) =>
+        struct(lit(name).as("column_name"), rendered(name, kind).as("v"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+      .where(col("v").isNotNull)
+
+    longForm.join(broadcast(bounds), Seq("column_name"))
+      .select(col("column_name"),
+        graft.ext.TextOps.intDiv((col("v") - col("lo")) * lit(bins.toLong),
+          col("hi") - col("lo") + lit(1L)).as("bin"))
+      .groupBy("column_name", "bin")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("column_name", "bin")
+  }
 }

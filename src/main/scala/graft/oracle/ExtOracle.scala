@@ -2326,16 +2326,22 @@ object ExtOracle {
     * profiled column, rendered with the SAME per-kind expressions (cents /
     * epoch-seconds / raw), generated from the same Profile.LineitemCols
     * list so the column set cannot drift. */
-  val tableStatsSql: String = {
+  /** Shared per-kind value rendering for the profiling oracles —
+    * mirrors ops.Profile.rendered exactly (cents / epoch-seconds / raw). */
+  private def profileRender(n: String, k: graft.ops.Profile.Kind): String = {
     import graft.ops.Profile
-    def render(n: String, k: Profile.Kind): String = k match {
+    k match {
       case Profile.IntCol => s"CAST($n AS BIGINT)"
       case Profile.CentsCol => s"CAST(floor($n * 100) AS BIGINT)"
       case Profile.TsCol => s"epoch_ns($n) // 1000000000"
       case Profile.StrCol => n
     }
+  }
+
+  val tableStatsSql: String = {
+    import graft.ops.Profile
     Profile.LineitemCols.map { case (n, k) =>
-      val r = render(n, k)
+      val r = profileRender(n, k)
       val (mini, maxi, mins, maxs) =
         if (k == Profile.StrCol) ("NULL::BIGINT", "NULL::BIGINT", s"min($r)", s"max($r)")
         else (s"min($r)", s"max($r)", "NULL::VARCHAR", "NULL::VARCHAR")
@@ -2345,5 +2351,22 @@ object ExtOracle {
          |  $mini AS min_i, $maxi AS max_i, $mins AS min_s, $maxs AS max_s
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** ≙ ops.Profile.columnHistograms(lineitem, 16 bins): same per-kind
+    * rendering and integer bin math, one UNION ALL branch per numeric
+    * column from the shared Profile.LineitemCols list. */
+  val columnHistSql: String = {
+    import graft.ops.Profile
+    val bins = 16
+    Profile.LineitemCols.filterNot(_._2 == Profile.StrCol).map { case (n, k) =>
+      val r = profileRender(n, k)
+      s"""SELECT '$n' AS column_name,
+         |  CAST((($r - b.mn) * $bins) // (b.mx - b.mn + 1) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM lineitem, (SELECT min($r) AS mn, max($r) AS mx FROM lineitem) b
+         |WHERE $n IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name, bin")
   }
 }

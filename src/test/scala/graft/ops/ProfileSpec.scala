@@ -31,6 +31,28 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
     assert(t.getString(6) == "a" && t.getString(7) == "b")
   }
 
+  test("columnHistograms: exact integer binning, bounds, and null exclusion") {
+    val s = spark
+    import s.implicits._
+    // k in [0, 99]: 16 bins over span 100 -> bin = k*16/100
+    val df = ((0L to 99L).map(Some(_)) :+ None).map(k => Tuple1(k)).toDF("k")
+    val got = Profile.columnHistograms(df, Seq("k" -> Profile.IntCol), bins = 16)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val want = (0L to 99L).groupBy(k => k * 16 / 100).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.values.sum == 100, "the null row must not be binned")
+    assert(got.keys.max == 15 && got.keys.min == 0)
+  }
+
+  test("columnHistograms: a constant column lands in bin 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(7L, 7L, 7L).map(Tuple1(_)).toDF("k")
+    val got = Profile.columnHistograms(df, Seq("k" -> Profile.IntCol), bins = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 3L)))
+  }
+
   test("ndv never plans an Expand (the multi-countDistinct trap)") {
     val s = spark
     import s.implicits._
