@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.SparkFixture
+
+/** Property-based invariants of the analytics operators over random
+  * inputs — each checked against an independent driver-side reference. */
+object OpsProperties extends Properties("ops") with SparkFixture {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private val genRanges: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(0, 12)
+    raw <- Gen.listOfN(n, for {
+      lo <- Gen.choose(0L, 120L)
+      w <- Gen.choose(0L, 60L)
+    } yield (lo, lo + w))
+  } yield raw.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+
+  private val genPoints: Gen[List[Long]] = for {
+    n <- Gen.choose(0, 25)
+    ps <- Gen.listOfN(n, Gen.choose(0L, 180L))
+  } yield ps.distinct
+
+  property("pointInRange equals the brute-force cross filter for any bucket width") =
+    Prop.forAll(genRanges, genPoints, Gen.choose(1L, 50L)) { (ranges, points, w) =>
+      val s = spark
+      import s.implicits._
+      (ranges.isEmpty || points.isEmpty) || {
+        val got = RangeJoin.pointInRange(
+            points.map(Tuple1(_)).toDF("p"), "p",
+            ranges.toDF("range_id", "lo", "hi"), "lo", "hi", w)
+          .select("p", "range_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          p <- points
+          (id, lo, hi) <- ranges if p >= lo && p <= hi
+        } yield (p, id)).toSet
+        got == want
+      }
+    }
+
+  private val genEvents: Gen[List[(Long, Long, Long, String)]] = for {
+    n <- Gen.choose(0, 40)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 50L)
+      y <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, t, y))
+  } yield rows.zipWithIndex.map { case ((u, t, y), i) => (i.toLong, u, t, y) }
+
+  property("sequentialFunnel equals the one-pass ordered walk per user") =
+    Prop.forAll(genEvents) { rows =>
+      val s = spark
+      import s.implicits._
+      rows.isEmpty || {
+        val got = Funnel.sequentialFunnel(
+            rows.toDF("event_id", "user_id", "t_s", "event_type"),
+            "user_id", "t_s", "event_id",
+            Seq("a" -> (col("event_type") === "a"),
+              "b" -> (col("event_type") === "b"),
+              "c" -> (col("event_type") === "c")))
+          .collect()
+          .map(r => r.getLong(0) -> ((
+            Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            r.getLong(4)))).toMap
+        val want = rows.groupBy(_._2).map { case (u, evs) =>
+          var r1, r2, r3 = Option.empty[Long]
+          evs.sortBy(e => (e._3, e._1)).foreach { case (_, _, t, y) =>
+            if (y == "a" && r1.isEmpty) r1 = Some(t)
+            else if (y == "b" && r1.isDefined && r2.isEmpty) r2 = Some(t)
+            else if (y == "c" && r2.isDefined && r3.isEmpty) r3 = Some(t)
+          }
+          u -> ((r1, r2, r3, Seq(r1, r2, r3).count(_.isDefined).toLong))
+        }
+        got == want
+      }
+    }
+}
