@@ -11,16 +11,33 @@ import org.apache.spark.sql.SparkSession
   * makes the run exit nonzero.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+  private def newSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Drop every block the previous query left in the driver/executor block
+    * manager: cached tables AND the MEMORY_AND_DISK blocks behind dropped
+    * localCheckpoint frames (ContextCleaner only reclaims those after a
+    * weak-ref GC — explicit unpersist is immediate). No query holds state
+    * across bench iterations, so a blanket sweep is safe.
+    */
+  private def clearSparkState(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    var spark = newSession(cpus)
 
     // Untimed warmup: JVM/codegen spin-up plus a first touch of EVERY
     // fixture file, so neither the first query nor whichever query first
@@ -53,20 +70,38 @@ object Bench {
     // (comma-separated names); absent = the full graded surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Recycle the SparkSession every N queries (untimed): round 8's graded
+    // run showed in-loop medians 2–4× their fresh-JVM standalone truth on
+    // late iterative/drive queries (ext_dedup_clusters 26.7 s in-loop vs
+    // 6.1 s standalone) — single-JVM block-manager/driver pressure
+    // accumulating across the 151-query loop that per-pass GC nudges no
+    // longer contain. Stopping the context drops ALL accumulated blocks,
+    // listeners, and shuffle state; the JVM (codegen caches, JIT) and the
+    // OS page cache stay warm, so the first query after a recycle is not
+    // cold-penalized. 0 disables.
+    val recycleEvery = math.max(0,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RECYCLE", "8").toInt).getOrElse(8))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
+      if (recycleEvery > 0 && qIdx > 0 && qIdx % recycleEvery == 0) {
+        spark.stop()
+        spark = newSession(cpus)
+      }
       // stop at the first failing pass — a deterministic failure shouldn't
       // pay its latency `passes` times
       val timings = scala.collection.mutable.ArrayBuffer.empty[Either[String, Double]]
       while (timings.size < passes && !timings.lastOption.exists(_.isLeft)) {
         // Between passes (outside the timed region): sweep the PREVIOUS
-        // pass's temp sinks and nudge a driver GC so ContextCleaner can
-        // reclaim dropped localCheckpoint blocks — drive queries re-create
-        // both every pass, and the pile-up (dirty page writeback from
-        // orphaned sink files, checkpoint blocks waiting on a weak-ref GC)
-        // is what made drive-query medians run 1.5–2× their min in r7.
+        // pass's temp sinks, drop every block the last pass cached or
+        // localCheckpoint'ed, and nudge a driver GC so ContextCleaner can
+        // reclaim what remains — drive queries re-create both every pass,
+        // and the pile-up (dirty page writeback from orphaned sink files,
+        // checkpoint blocks waiting on a weak-ref GC) is what made
+        // drive-query medians run 1.5–2× their min in r7.
         TempDirs.sweep()
+        clearSparkState(spark)
         System.gc()
         val t0 = System.nanoTime()
         timings += (try {

@@ -9,7 +9,7 @@ in DuckDB over the same parquet tables and compares row count, column
 names, and a canonicalized value hash (columns sorted by name, rows
 sorted), mirroring the driver's compare.
 """
-import sys, json, glob, os, hashlib
+import sys, json, glob, os, hashlib, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -55,9 +55,11 @@ def main():
     # cause of the r03 ext_simhash/events_agg/star_agg/event_windows hash
     # misses). Ban them outright on BOTH sides of the compare.
     BAD = ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL", "DECIMAL")
+    t_start = time.monotonic()
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark result")
@@ -90,12 +92,17 @@ def main():
         ok_rows = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
         ok_hash = ok_schema and table_hash(scols, srows) == table_hash(ocols, orows)
+        # Per-query wall time: the round-8 driver harness returned an empty
+        # CORRECTNESS file, plausibly a timeout — surface which oracles are
+        # the budget risk so they can be bounded, not guessed at.
+        dt = time.monotonic() - t0
         if ok_rows and ok_schema and ok_hash:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)", flush=True)
         else:
             failures += 1
             print(f"FAIL {name}: rows {len(srows)}/{len(orows)} "
-                  f"schema {sorted(scols)} vs {sorted(ocols)} hash={ok_hash}")
+                  f"schema {sorted(scols)} vs {sorted(ocols)} hash={ok_hash} "
+                  f"({dt:.1f}s)", flush=True)
             if ok_schema and ok_rows:
                 # index each side by ITS OWN column order (they can differ
                 # physically even when the name sets match)
@@ -107,6 +114,7 @@ def main():
                     if a != b:
                         print(f"  spark : {a[:200]}\n  oracle: {b[:200]}")
                         break
+    print(f"TOTAL {time.monotonic() - t_start:.1f}s", flush=True)
     sys.exit(1 if failures else 0)
 
 
