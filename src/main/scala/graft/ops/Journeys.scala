@@ -24,9 +24,13 @@ object Journeys {
     * (count DESC, path ASC) so the cutoff is deterministic.
     *
     * @param maxLen sessions longer than this are truncated to their first
-    *               `maxLen` events with a trailing ">…" marker — unbounded
-    *               session paths would otherwise make the aggregate key
-    *               (and its shuffle rows) grow with the longest session
+    *               `maxLen` events with a trailing ">…" marker. Events are
+    *               ranked within (user, session) and filtered to rank ≤
+    *               `maxLen + 1` BEFORE the collect, so the aggregation
+    *               buffer and its shuffle rows are bounded at `maxLen + 1`
+    *               per session no matter how long the longest (bot)
+    *               session runs — rank `maxLen + 1` only needs to EXIST
+    *               for the ">…" marker, never its payload
     */
   def sessionPaths(
       events: DataFrame,
@@ -38,7 +42,15 @@ object Journeys {
       k: Int,
       maxLen: Int = 12): DataFrame = {
     val seq = Sessions.withSessionSeq(events, userCol, timeCol, idCol, gapS)
+    // row_number on the SAME (time, id) totalized order the collect sorts
+    // by; partitioned by (user, session_seq), which the session window's
+    // existing hash-by-user distribution already satisfies — a local sort,
+    // not a new exchange (PlanShapeSpec locks the single shuffle).
+    val wRank = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col(timeCol).asc, col(idCol).asc)
     val ordered = seq
+      .withColumn("__rk", row_number().over(wRank))
+      .where(col("__rk") <= maxLen + 1)
       .groupBy(col(userCol), col("session_seq"))
       .agg(sort_array(collect_list(struct(
         col(timeCol).as("t"), col(idCol).as("i"), col(typeCol).as("y")))).as("evs"))

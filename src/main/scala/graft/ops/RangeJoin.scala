@@ -44,9 +44,11 @@ object RangeJoin {
     * @param bucketWidth coarse bucket width `w` (> 0) — pick ≈ the typical
     *                    range width
     *
-    * Points and bounds must be non-negative: bucketing uses integral
-    * division, which truncates toward zero, so negative values would fold
-    * onto the same buckets as their positive mirrors.
+    * Negative points/bounds stay CORRECT: truncation-toward-zero division
+    * is still monotone non-decreasing, so `bucket(lo) <= bucket(p) <=
+    * bucket(hi)` holds and the exact predicate filters the rest. The only
+    * effect is density — buckets straddling zero cover ~2w values, so
+    * near-zero keys generate up to ~2× the false candidates.
     */
   def pointInRange(
       points: DataFrame,

@@ -35,7 +35,14 @@ object Events {
   /** Batch-read the fixture with `ts` normalized to epoch nanos. The
     * legacy nanos flag is set (session-wide — it is consulted at execution
     * as well as planning, so it cannot be scoped to one read) for the
-    * NANOS-vintage fixture; it is a no-op on the MICROS vintage. */
+    * NANOS-vintage fixture; it is a no-op on the MICROS vintage.
+    *
+    * @note the flag is never restored: after any `read`, EVERY later
+    *       TIMESTAMP(NANOS) parquet read in the same session surfaces as
+    *       LongType. Harmless for the fixture tables (none are
+    *       NANOS-encoded except events itself), but ad-hoc sessions
+    *       reading other NANOS parquet after calling this will see longs
+    *       where they expected timestamps. */
   def read(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalize(s.read.parquet(s"$dir/events.parquet"))

@@ -35,6 +35,21 @@ class JourneysSpec extends AnyFunSuite with SparkFixture {
     assert(got.head.count(_ == '>') == 12, "12 kept events + marker = 12 separators")
   }
 
+  test("sessionPaths bounds state: a bot session far beyond maxLen yields " +
+      "the same truncated path as a maxLen+1 session; exactly-maxLen gets no marker") {
+    // the rank<=maxLen+1 pre-filter means a 500-event session and a
+    // 6-event session fold to the SAME path at maxLen=5 — and a session of
+    // exactly maxLen keeps its full path unmarked (boundary: the marker
+    // needs rank maxLen+1 to EXIST, not its payload)
+    val bot = (1L to 500L).map(i => (i, 1L, i * 2L, s"e${i % 4}"))
+    val six = (1L to 6L).map(i => (1000L + i, 2L, i * 2L, s"e${i % 4}"))
+    val five = (1L to 5L).map(i => (2000L + i, 3L, i * 2L, s"e${i % 4}"))
+    val got = Journeys.sessionPaths(ev(bot ++ six ++ five: _*), "user_id", "t_s",
+        "event_id", "event_type", gapS = 1800L, k = 10, maxLen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("e1>e2>e3>e0>e1>…" -> 2L, "e1>e2>e3>e0>e1" -> 1L))
+  }
+
   test("same-instant events order by the id tiebreak") {
     val got = Journeys.sessionPaths(
         ev((2L, 1L, 10L, "b"), (1L, 1L, 10L, "a")),
