@@ -230,6 +230,27 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // S6' under CONCURRENT maintenance: batch 2 snapshots its HWM and
+    // stages against version v0, then a compaction swaps the sink to
+    // data_v1 in the stage→publish window — the race a production sink
+    // actually faces. The publish must resolve the CURRENT version under
+    // the writer lock and land in the repacked copy; the result must
+    // hash-match the same QUIESCED oracle as the plain resume (the
+    // concurrent rewrite is invisible to the data)
+    "cdc_populate_during_compaction" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_dcp").resolve("orders_changelog").toString
+      val f = feed(s, dir)
+      PopulateChangelog.run(s, f, ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)))
+      val to = Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      graft.cdc.StagedAppend.run(s, f, ordersCfg, sink, to,
+        prePublishHook = () => { graft.cdc.Compact.compactSink(s, sink); () })
+      require(graft.cdc.SinkLayout.currentVersion(s, sink).contains(1),
+        "the concurrent compaction must actually have flipped the version")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // sink maintenance: the same two-batch populate, then small-file
     // compaction (range-packed on (commit_date, changelog_id)) — rows must
     // survive the rewrite EXACTLY (same oracle as the resume), file count
@@ -415,6 +436,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E4'' — REAL container decode: planted spec-conformant PNG/JPEG
+    // payloads, dimensions recovered FROM THE BYTES (IHDR offsets, JPEG
+    // marker-segment walk) with codegen'd substring/hex/conv math
+    "ext_multimodal_dims" -> ((s, dir) =>
+      MultiModal.plantedDims(corpus(s, dir)).orderBy("doc_id")),
+
     // E2c — multi-table LSH ANN (coarser buckets × more tables = usable
     // recall on random data, unlike a single fine-grained table)
     "ext_ann_multiprobe" -> ((s, dir) =>
@@ -439,6 +466,13 @@ object SparkEntry {
     // lookup-sum scoring (the memory-compressed exhaustive-scan path)
     "ext_ann_pq" -> ((s, dir) =>
       Similarity.topKPq(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
+        .orderBy("query_id", "rnk")),
+
+    // E2-IVFPQ — the composed billion-vector index: coarse k-means cells
+    // prune candidates, PQ codes the per-cell RESIDUALS, ADC scores
+    // within probed cells (Jégou et al. IVFADC)
+    "ext_ann_ivfpq" -> ((s, dir) =>
+      Similarity.topKIvfPq(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
     // E1+E3 composition — the curation funnel (dedup → length →
@@ -1006,6 +1040,12 @@ object SparkEntry {
     "ext_pack" -> ((s, dir) =>
       graft.ext.Packing.packBins(corpus(s, dir)).orderBy("source", "bin")),
 
+    // deterministic per-epoch reshuffle of the packed bins (seeded
+    // md5-rank permutation — reproducible, coordination-free)
+    "ext_epoch_shuffle" -> ((s, dir) =>
+      graft.ext.Packing.epochShuffle(corpus(s, dir))
+        .orderBy("epoch", "source", "bin")),
+
     // deterministic content-hash train/val/test split (98/1/1)
     "ext_split" -> ((s, dir) =>
       graft.ext.Packing.hashSplit(corpus(s, dir)).orderBy("split")),
@@ -1492,6 +1532,7 @@ object SparkEntry {
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_crash_resume" -> OrdersCdcOracle.resumeChangelogSql,
+    "cdc_populate_during_compaction" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_compacted" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_resume_compacted" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_resume_compat" -> OrdersCdcOracle.resumeCompatChangelogSql,
@@ -1523,12 +1564,14 @@ object SparkEntry {
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
+    "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
     "ext_multimodal" -> ExtOracle.multiModalSql,
     "ext_multimodal_decode" -> ExtOracle.multiModalDecodeSql,
+    "ext_multimodal_dims" -> ExtOracle.multiModalDimsSql,
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,
@@ -1571,6 +1614,7 @@ object SparkEntry {
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_stream" -> ExtOracle.intervalJoinSql,
     "ext_pack" -> ExtOracle.packBinsSql,
+    "ext_epoch_shuffle" -> ExtOracle.epochShuffleSql,
     "ext_split" -> ExtOracle.hashSplitSql,
     "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,
     "ext_dedup_weights" -> ExtOracle.dedupWeightsSql,

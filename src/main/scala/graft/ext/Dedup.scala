@@ -114,8 +114,12 @@ object Dedup {
     * size. Identical-set docs are interchangeable in any set-overlap
     * predicate, which is what lets the hot paths work at rep granularity. */
   private def setGroups(sh: DataFrame): DataFrame = {
+    // n_sh comes out of the SAME per-doc aggregate: the Jaccard /
+    // containment verify stages need a size table anyway, and a separate
+    // sh.groupBy(id) would re-shuffle the whole shingle set a second time
     val byDoc = sh.groupBy("id").agg(
-      md5(concat_ws("", sort_array(collect_list(col("sh")))).cast("binary")).as("setfp"))
+      md5(concat_ws("", sort_array(collect_list(col("sh")))).cast("binary")).as("setfp"),
+      count(lit(1)).as("n_sh"))
     val reps = byDoc.groupBy("setfp")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("n_members"))
     byDoc.join(reps, Seq("setfp"))
@@ -455,7 +459,9 @@ object Dedup {
       maxDf: Long = DefaultHotDf,
       maxHotReps: Long = DefaultMaxHotReps): DataFrame = {
     val sh = shingles(corpus, textCol, idCol).localCheckpoint(true)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    // dfreq feeds BOTH the prefix ranking and the hot-side index below —
+    // materialize it once (distinct shingles × a long, small)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df")).localCheckpoint(true)
     val byRarity = Window.partitionBy("id").orderBy(col("__df"), col("sh"))
     val perDoc = Window.partitionBy("id")
     // rarity order and prefix length are computed over ALL shingles (the
@@ -495,7 +501,9 @@ object Dedup {
         greatest(col("__pr"), col("__ir")).as("id_b"))
     val cand = coldCand.unionByName(repCand)
       .unionByName(withinGroupPairs(groups)).distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // sizes ride out of the checkpointed setGroups pass — no second
+    // full-shingle aggregation
+    val sizes = groups.select(col("id"), col("n_sh"))
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
@@ -711,7 +719,9 @@ object Dedup {
       .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
     val cand = cand0.unionByName(repCand)
       .unionByName(withinGroupPairs(groups)).distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // sizes ride out of the checkpointed setGroups pass — no second
+    // full-shingle aggregation
+    val sizes = groups.select(col("id"), col("n_sh"))
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))

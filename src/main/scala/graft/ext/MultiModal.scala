@@ -66,6 +66,112 @@ object MultiModal {
       lower(hex(encode(substring(col(textCol), 1, 8), "UTF-8"))).as("head_hex"),
       sniffFormat(encode(col(textCol), "UTF-8")).as("fmt"))
 
+  // -------------------------------------------------------------------
+  // E4'' — REAL byte-level container decode: PNG IHDR / JPEG SOF
+  // dimension extraction. The fixture has no media files, so payloads
+  // are PLANTED: spec-conformant PNG/JPEG headers with dimensions (and a
+  // variable run of JPEG COM segments) derived deterministically from
+  // doc_id, built as hex and unhex'd to real bytes. The PARSERS know
+  // nothing of the planting — they do the actual container arithmetic
+  // (magic check, chunk offsets, big-endian fields, JPEG marker-segment
+  // walk), all as codegen'd substring/hex/conv expressions; a real-file
+  // anchor test feeds them genuine PNG/JPEG bytes.
+  // -------------------------------------------------------------------
+
+  val PngMagicHex = "89504e470d0a1a0a"
+
+  /** Planted geometry: deterministic, engine-portable integer math. */
+  def plantedWidth(id: Column): Column = (id * 7) % 2000 + 16
+  def plantedHeight(id: Column): Column = (id * 13) % 1500 + 16
+
+  /** Big-endian hex rendering of an integral column at `bytes` width. */
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(lower(hex(v)), bytes * 2, "0")
+
+  /** Planted payload as a hex string: even doc_ids get a PNG (signature +
+    * IHDR with W/H), odd ones a JPEG (SOI + APP0/JFIF + 0–2 COM segments
+    * of id-dependent length + SOF0 with H/W + EOI). The COM run forces
+    * the JPEG parser to genuinely WALK segments — SOF is at a different
+    * offset per document. Body filler comes from md5(text) so payloads
+    * differ beyond their headers. */
+  def plantedPayloadHex(id: Column, text: Column): Column = {
+    val w = plantedWidth(id)
+    val h = plantedHeight(id)
+    val png = concat(
+      lit(PngMagicHex), lit("0000000d49484452"), beHex(w, 4), beHex(h, 4),
+      lit("0802000000"), md5(text))
+    // one COM segment: marker + length (2 + content bytes) + md5-filler
+    val comContent = (id % 5) + 2
+    val com = concat(lit("fffe"), beHex(comContent + 2, 2),
+      md5(text).substr(lit(1), (comContent * 2).cast("int")))
+    val coms = when(id % 3 === 0, lit(""))
+      .when(id % 3 === 1, com)
+      .otherwise(concat(com, com))
+    val sof = concat(lit("ffc00011"), lit("08"), beHex(h, 2), beHex(w, 2),
+      lit("03011100021101031101"))
+    val jpeg = concat(
+      lit("ffd8"), lit("ffe000104a46494600010100000100010000"),
+      coms, sof, md5(text), lit("ffd9"))
+    when(id % 2 === 0, png).otherwise(jpeg)
+  }
+
+  /** PNG IHDR dimensions (PNG spec: 8-byte signature, 4-byte chunk
+    * length, "IHDR", then 4-byte big-endian width and height — bytes
+    * 17–20 and 21–24). NULL unless the signature and chunk name check
+    * out. Returns struct(width, height). */
+  def pngDims(payload: Column): Column =
+    when(lower(hex(substring(payload, 1, 8))) === PngMagicHex &&
+        lower(hex(substring(payload, 13, 4))) === "49484452",
+      struct(
+        conv(hex(substring(payload, 17, 4)), 16, 10).cast("long").as("width"),
+        conv(hex(substring(payload, 21, 4)), 16, 10).cast("long").as("height")))
+
+  private val JpegSofMarkers = Seq("ffc0", "ffc1", "ffc2")
+
+  /** JPEG SOF dimensions: walk the marker segments from the first one
+    * after SOI (each = 2-byte marker + 2-byte big-endian length that
+    * INCLUDES itself), stopping at a start-of-frame marker (C0 baseline /
+    * C1 extended / C2 progressive); height and width are the big-endian
+    * byte pairs at offsets +5 and +7 of the SOF segment. The walk is a
+    * bounded expression fold (`maxSegs` skip steps — sized to the payload
+    * population's worst case, NOT data-dependent). NULL if SOI is absent
+    * or SOF isn't reached. Returns struct(width, height). */
+  def jpegSofDims(payload: Column, maxSegs: Int = 5): Column = {
+    def marker(off: Column) = lower(hex(payload.substr(off.cast("int"), lit(2))))
+    def segLen(off: Column) =
+      conv(hex(payload.substr((off + 2).cast("int"), lit(2))), 16, 10).cast("long")
+    def isSof(m: Column) = m.isin(JpegSofMarkers: _*)
+    val off = (1 to maxSegs).foldLeft(lit(3L): Column)((o, _) =>
+      when(isSof(marker(o)), o).otherwise(o + 2 + segLen(o)))
+    when(lower(hex(substring(payload, 1, 2))) === "ffd8" && isSof(marker(off)),
+      struct(
+        conv(hex(payload.substr((off + 7).cast("int"), lit(2))), 16, 10)
+          .cast("long").as("width"),
+        conv(hex(payload.substr((off + 5).cast("int"), lit(2))), 16, 10)
+          .cast("long").as("height")))
+  }
+
+  /** The graded decode: plant a payload per document, then recover format
+    * and dimensions FROM THE BYTES with the container parsers. Map-only,
+    * no shuffle; output is ints + a format string (hash-safe). */
+  def plantedDims(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // TWO projections: the payload lands in a real column first, and the
+    // parsers reference that attribute. Handing the construction
+    // expression straight to the parsers would clone it into every
+    // substring leaf of the marker walk (~3^maxSegs copies — observed as
+    // a 60 MB task binary); CollapseProject keeps a multiply-referenced
+    // non-cheap alias staged, so this split holds at the optimizer too.
+    val staged = df.select(col(idCol),
+      unhex(plantedPayloadHex(col(idCol), col(textCol))).as("__payload"))
+    val png = pngDims(col("__payload"))
+    val jpg = jpegSofDims(col("__payload"))
+    staged.select(
+      col(idCol),
+      sniffFormat(col("__payload")).as("fmt"),
+      coalesce(png.getField("width"), jpg.getField("width")).as("width"),
+      coalesce(png.getField("height"), jpg.getField("height")).as("height"))
+  }
+
   /** Batch decoder signature: a BATCH of payloads in, one fixed-width
     * feature vector per payload out (order-aligned). */
   type BatchDecoder = Seq[Array[Byte]] => Seq[Array[Double]]

@@ -157,6 +157,40 @@ object Packing {
           .as("kept_id_sum"))
   }
 
+  /** Deterministic EPOCH RESHUFFLE — the per-epoch consumption order of
+    * the packed corpus: a training run must visit the same bins in a
+    * DIFFERENT (but reproducible, resumable) order each epoch. The
+    * permutation key is md5("epoch:" + epoch + ":" + source + ":" + bin)
+    * — seeded by the epoch, so epoch 0 and epoch 1 are independent
+    * permutations, and any worker can re-derive its position without
+    * coordination (the property that makes restarts and data-parallel
+    * sharding trivial).
+    *
+    * Output: (epoch, source, bin, ord) with `ord` the bin's 1-based rank
+    * within its (epoch, source) shard. Scale shape: the permutation is
+    * rank-over-md5 per (epoch, source) — window partitions are bounded
+    * by one source's bins, never the whole corpus, and epochs
+    * parallelize; a full-corpus global order, when a trainer wants one,
+    * is `ORDER BY (epoch, md5 key)` — a range-partitioned sort, no
+    * window at all. */
+  def epochShuffle(
+      corpus: DataFrame,
+      epochs: Int = 3,
+      binTokens: Int = 512,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val bins = packBins(corpus, binTokens, textCol, idCol).select("source", "bin")
+    val key = md5(concat_ws(":",
+      lit("epoch"), col("epoch"), col("source"), col("bin")).cast("binary"))
+    bins
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("ord", row_number()
+        .over(Window.partitionBy("epoch", "source").orderBy(key, col("bin")))
+        .cast("long"))
+      .select("epoch", "source", "bin", "ord")
+  }
+
   /** Deterministic hash split (train/val/test by content hash, the
     * standard leakage-proof split): bucket = first 4 md5 hex chars mod
     * 100 → 98/1/1. Engine-portable: Spark `conv(h,16,10)` ≙ DuckDB

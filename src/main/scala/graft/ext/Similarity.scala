@@ -304,36 +304,67 @@ object Similarity {
     require(Dim % subspaces == 0, s"Dim=$Dim must divide into $subspaces subspaces")
     val subDim = Dim / subspaces
 
-    // long form: one row per (vector, subspace) with the sub-vector and its
-    // self-dot; reused by every training round, the encode, and the queries
-    val sub = emb.select(col(idCol), explode(array((0 until subspaces).map { m =>
-        struct(lit(m).as("m"), slice(col(vecCol), m * subDim + 1, subDim).as("sv"))
-      }: _*)).as("__s"))
-      .select(col(idCol), col("__s.m").as("m"), col("__s.sv").as("sv"))
-      .withColumn("sn2", dot(col("sv"), col("sv")))
+    val sub = pqSubVectors(emb.select(col(idCol), col(vecCol).as("__v")), subspaces, idCol)
       .localCheckpoint(true)
+    val cb = pqCodebook(sub, codes, rounds, idCol)
+    val enc = pqAssign(sub, cb, Nil, idCol)
+      .select(col(idCol).as("neighbor_id"), col("m"), col("cell"))
+    val dtab = sub.where(queryPred)
+      .join(broadcast(cb), Seq("m"))
+      .select(col(idCol).as("query_id"), col("m"), col("cid").as("cell"),
+        pqD2(col("cv")).as("dq"))
+    val scored = enc.join(broadcast(dtab), Seq("m", "cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(pqAdcSum(subspaces).as("cos"))
+    rankTopK(scored, k)
+  }
 
-    def d2(cv: Column): Column =
-      col("sn2") - lit(2.0) * dot(col("sv"), cv) + dot(cv, cv)
+  /** Long-form sub-vector split: one row per (vector, subspace) with the
+    * sub-vector and its self-dot — the frame every PQ stage (training,
+    * encode, query distance tables) runs over. Input: (idCol, `__v`). */
+  private def pqSubVectors(vecs: DataFrame, subspaces: Int, idCol: String): DataFrame = {
+    val subDim = Dim / subspaces
+    val carry = vecs.columns.filter(c => c != idCol && c != "__v").map(col).toSeq
+    vecs.select(col(idCol) +: carry :+ explode(array((0 until subspaces).map { m =>
+        struct(lit(m).as("m"), slice(col("__v"), m * subDim + 1, subDim).as("sv"))
+      }: _*)).as("__s"): _*)
+      .select(col(idCol) +: carry :+ col("__s.m").as("m") :+ col("__s.sv").as("sv"): _*)
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+  }
 
-    // nearest sub-centroid per (vector, subspace); ties to the smaller cid
-    def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), Seq("m"))
-        .select(col(idCol), col("m"), col("sv"), d2(col("cv")).as("__d2"), col("cid"))
-        .groupBy(col(idCol), col("m"), col("sv"))
-        .agg(topKByScore(-col("__d2"), col("cid"), 1).as("cids"))
-        .select(col(idCol), col("m"), col("sv"), col("cids").getItem(0).as("cell"))
+  /** Squared L2 to a sub-centroid via the dot-product identity
+    * `|u|² − 2·u·c + |c|²` — expects `sv`/`sn2` in scope. */
+  private def pqD2(cv: Column): Column =
+    col("sn2") - lit(2.0) * dot(col("sv"), cv) + dot(cv, cv)
 
+  /** Nearest sub-centroid per (vector, subspace); ties to the smaller cid.
+    * `carry` columns ride along through the aggregate (the IVF-PQ path
+    * carries the coarse cell id). */
+  private def pqAssign(
+      sub: DataFrame, cb: DataFrame, carry: Seq[String], idCol: String): DataFrame = {
+    val keys = (idCol +: carry) ++ Seq("m", "sv")
+    sub.join(broadcast(cb), Seq("m"))
+      .select(keys.map(col) :+ pqD2(col("cv")).as("__d2") :+ col("cid"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(topKByScore(-col("__d2"), col("cid"), 1).as("cids"))
+      .select(keys.map(col) :+ col("cids").getItem(0).as("cell"): _*)
+  }
+
+  /** Train the per-subspace codebooks: first-`codes` seeding, `rounds`
+    * Lloyd alternations. Re-center = exact integer element means at ×1000
+    * scale, then divide the scale BACK OUT (one deterministic double
+    * division + float cast, mirrored in the oracle). The cosine machinery
+    * elsewhere keeps the un-rescaled mean (scale-invariant); L2 is NOT
+    * scale-invariant — an un-rescaled ×1000 centroid would sit ~500 units
+    * from every unit-box point and the whole codebook would collapse to
+    * one live cell. */
+  private def pqCodebook(
+      sub: DataFrame, codes: Int, rounds: Int, idCol: String): DataFrame = {
     val seeds = sub.where(col(idCol) < codes)
       .select(col("m"), col(idCol).as("cid"), col("sv").as("cv"))
-    // Re-center = exact integer element means at ×1000 scale, then divide
-    // the scale BACK OUT (one deterministic double division + float cast,
-    // mirrored in the oracle). The cosine machinery elsewhere keeps the
-    // un-rescaled mean (scale-invariant); L2 is NOT scale-invariant — an
-    // un-rescaled ×1000 centroid would sit ~500 units from every unit-box
-    // point and the whole codebook would collapse to one live cell.
-    val cb = (1 to rounds).foldLeft(seeds) { (c, _) =>
-      assign(c)
+    (1 to rounds).foldLeft(seeds) { (c, _) =>
+      pqAssign(sub, c, Nil, idCol)
         .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("m", "cell", "pos")
         .agg(sum(floor(col("x").cast("double") * 1000.0).cast("long")).as("qs"),
@@ -346,19 +377,99 @@ object Similarity {
             (p.getField("qm").cast("double") / lit(1000.0)).cast("float")).as("cv"))
         .localCheckpoint(true)
     }
+  }
 
-    val enc = assign(cb).select(col(idCol).as("neighbor_id"), col("m"), col("cell"))
-    val dtab = sub.where(queryPred)
-      .join(broadcast(cb), Seq("m"))
-      .select(col(idCol).as("query_id"), col("m"), col("cid").as("cell"),
-        d2(col("cv")).as("dq"))
-    val scored = enc.join(broadcast(dtab), Seq("m", "cell"))
+  /** Fixed-order ADC sum over the `subspaces` per-subspace distance terms,
+    * negated so the max-heap ranking picks nearest — a bare SUM would be
+    * order-nondeterministic float addition on both engines. */
+  private def pqAdcSum(subspaces: Int): Column =
+    negate((0 until subspaces)
+      .map(i => max(when(col("m") === i, col("dq"))))
+      .reduce(_ + _))
+
+  /** E2-IVFPQ — the composed billion-vector index (Jégou et al., TPAMI
+    * 2011 §IV, "IVFADC"): a coarse k-means quantizer prunes the corpus to
+    * `probes` cells per query, and Product Quantization encodes each
+    * vector's RESIDUAL from its cell centroid — the coarse term absorbs
+    * the vector's position, so the small codebooks only model local
+    * displacement (far finer quantization at the same bits). Queries score
+    * candidates in a probed cell with ADC against the query's OWN residual
+    * from that cell's centroid.
+    *
+    * Built by composition: the coarse step is [[kmeansAssign]]'s
+    * seed/assign/re-center chain verbatim; the fine step reuses every PQ
+    * primitive ([[pqSubVectors]]/[[pqCodebook]]/[[pqAssign]]/[[pqAdcSum]])
+    * over residual vectors instead of raw ones.
+    *
+    * Scale shape: training + encode are the IVF and PQ shapes unchanged
+    * (broadcast assigns, integer-mean aggregates, one corpus scan per
+    * round); search joins the M·N code rows against the broadcast
+    * Q·probes·M·codes distance tables on (coarse cell, subspace, code) —
+    * candidate work is confined to probed cells (unlike PQ-flat's
+    * exhaustive compressed scan), which is the reason this is the
+    * configuration a billion-vector deployment actually runs.
+    *
+    * Determinism: residual subtraction is float arithmetic on both engines
+    * (double-exact, then rounded to float — bit-identical); every distance
+    * is the same dot-product identity over [[graft.functions
+    * .FloatVectorDot]]; the ADC sum adds in fixed subspace order. Floats
+    * drive orderings only; graded output is (query_id, neighbor_id, rnk). */
+  def topKIvfPq(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      coarseK: Int = 8,
+      coarseRounds: Int = 2,
+      probes: Int = 2,
+      subspaces: Int = 4,
+      codes: Int = 8,
+      pqRounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(Dim % subspaces == 0, s"Dim=$Dim must divide into $subspaces subspaces")
+    val base = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    // coarse k-means: first-k seeding + integer-mean Lloyd rounds — the
+    // exact kmeansAssign chain, so the oracle replays kmeansCellCtes
+    val seeds = base.where(col(idCol) < coarseK).select(
+      col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
+    val cents = (1 to coarseRounds).foldLeft(seeds) { (c, _) =>
+      integerMeanCentroids(nearestCells(base, c, 1, idCol, vecCol), vecCol)
+        .localCheckpoint(true)
+    }
+    // Rescale the ×1000 integer-mean centroids back to data scale for the
+    // residual subtraction (the cosine ASSIGNMENT upstream is
+    // scale-invariant; L2 residual math is not): double divide + float
+    // cast, exactly as pqCodebook re-centers.
+    val resCents = cents.select(col("cid").as("__ccell"),
+      transform(col("centv"), x => (x.cast("double") / lit(1000.0)).cast("float"))
+        .as("__rcv"))
+
+    // (idCol, vecCol, nrm, cell) → (idCol, ccell, __v = v − centroid(cell));
+    // float subtraction — double-exact then float-rounded in the oracle,
+    // bit-identical to Spark's float arithmetic
+    def residual(cells: DataFrame): DataFrame =
+      cells.join(broadcast(resCents), col("cell") === col("__ccell"))
+        .select(col(idCol), col("cell").as("ccell"),
+          zip_with(col(vecCol), col("__rcv"), (a, b) => a - b).as("__v"))
+
+    val corpusSub = pqSubVectors(
+        residual(nearestCells(base, cents, 1, idCol, vecCol)), subspaces, idCol)
+      .localCheckpoint(true)
+    val cb = pqCodebook(corpusSub, codes, pqRounds, idCol)
+    val enc = pqAssign(corpusSub, cb, Seq("ccell"), idCol)
+      .select(col(idCol).as("neighbor_id"), col("ccell"), col("m"), col("cell"))
+    // queries: one residual PER PROBED CELL — ADC must measure from the
+    // same centroid the candidate's code was taken against
+    val qsub = pqSubVectors(
+      residual(nearestCells(base.where(queryPred), cents, probes, idCol, vecCol)),
+      subspaces, idCol)
+    val dtab = qsub.join(broadcast(cb), Seq("m"))
+      .select(col(idCol).as("query_id"), col("ccell"), col("m"),
+        col("cid").as("cell"), pqD2(col("cv")).as("dq"))
+    val scored = enc.join(broadcast(dtab), Seq("ccell", "m", "cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
-      // fixed-order ADC sum, negated so the max-heap ranking picks nearest
-      .agg(negate((0 until subspaces)
-        .map(i => max(when(col("m") === i, col("dq"))))
-        .reduce(_ + _)).as("cos"))
+      .agg(pqAdcSum(subspaces).as("cos"))
     rankTopK(scored, k)
   }
 

@@ -38,9 +38,11 @@ object ExtOracle {
   /** Row-local duplicate-word-trigram count expression over a `toks` list
     * ref — shared by the repetition report and the funnel's repetition
     * gate (≙ TextOps.dupTrigramBp's WordShingles + array_distinct). */
-  private def triDupsSql(toks: String): String =
-    s"(len($toks) - 2 - len(list_distinct(list_transform(range(len($toks) - 2), " +
-      s"i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]))))"
+  private def triDupsSql(toks: String): String = {
+    val w = 3 // Gopher's metric is trigram by definition, NOT Dedup.ShingleLen
+    s"(len($toks) - ${w - 1} - len(list_distinct(list_transform(range(len($toks) - ${w - 1}), " +
+      s"i -> ${ngramConcat(toks, w)}))))"
+  }
 
   /** E3i ≙ TextOps.repetitionStats over the line-planted corpus: Gopher/C4
     * repetition signals as integer basis points. */
@@ -62,7 +64,7 @@ object ExtOracle {
        |    len(toks) - 1 AS n_bigrams
        |  FROM t
        |), big AS (
-       |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bg
+       |  SELECT doc_id, ${ngramConcat("toks", 2)} AS bg
        |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) ix
        |  WHERE i <= len(toks) - 2
        |), c AS (
@@ -95,7 +97,14 @@ object ExtOracle {
     * starting at 0-based `i` — generated from the SAME constant as the
     * loop bounds so shingle width and construction cannot diverge. */
   private def shingleConcat(toks: String, i: String = "i"): String =
-    (1 to Dedup.ShingleLen).map(o => s"$toks[$i+$o]").mkString(" || ' ' || ")
+    ngramConcat(toks, Dedup.ShingleLen, i)
+
+  /** Space-joined `w`-gram over a 1-based list starting at 0-based `i` —
+    * ALL n-gram SQL (shingles, Gopher trigram, top-bigram, bigram LM) is
+    * generated from its width constant so width and concatenation cannot
+    * silently diverge (the r7/r8 ADVICE trap). */
+  private def ngramConcat(toks: String, w: Int, i: String = "i"): String =
+    (1 to w).map(o => s"$toks[$i+$o]").mkString(" || ' ' || ")
 
   private val shingleCtes: String =
     s"""tok AS (
@@ -328,7 +337,7 @@ object ExtOracle {
        |), feats AS (
        |  SELECT doc_id, toks[i+1] AS feat FROM tk, idx WHERE i < n
        |  UNION ALL
-       |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] FROM tk, idx WHERE i <= n - 2
+       |  SELECT doc_id, ${ngramConcat("toks", 2)} FROM tk, idx WHERE i <= n - 2
        |), wt AS (
        |  SELECT doc_id,
        |    (('0x' || substr(md5('qw:' ||
@@ -1501,6 +1510,30 @@ object ExtOracle {
        |FROM binned GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin
 
+  /** ≙ Packing.epochShuffle (3 epochs, 512-token bins): the same packed
+    * bins, each epoch's consumption order re-derived from the identical
+    * md5("epoch:<e>:<source>:<bin>") rank (bin tiebreak). */
+  val epochShuffleSql: String =
+    s"""WITH $corpusSql, base AS (
+       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM corpus
+       |), cum AS (
+       |  SELECT source, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM base
+       |), bins AS (
+       |  SELECT DISTINCT source, CAST(bef AS BIGINT) // 512 AS bin FROM cum
+       |), x AS (
+       |  SELECT e.epoch, b.source, b.bin,
+       |    md5('epoch:' || e.epoch || ':' || b.source || ':' || b.bin) AS k
+       |  FROM bins b, (SELECT unnest(range(3)) AS epoch) e
+       |)
+       |SELECT epoch, source, bin,
+       |  CAST(row_number() OVER (PARTITION BY epoch, source ORDER BY k, bin)
+       |    AS BIGINT) AS ord
+       |FROM x
+       |ORDER BY epoch, source, bin""".stripMargin
+
   /** ≙ Packing.hashSplit (98/1/1 by content-hash bucket). */
   val hashSplitSql: String =
     s"""WITH $corpusSql, b AS (
@@ -1605,7 +1638,7 @@ object ExtOracle {
        |  SELECT toks[i+1] AS w, count(*) AS c1
        |  FROM tk, idx WHERE i < len(toks) GROUP BY toks[i+1]
        |), inst AS (
-       |  SELECT id, toks[i+1] || ' ' || toks[i+2] AS bg, toks[i+1] AS w1
+       |  SELECT id, ${ngramConcat("toks", 2)} AS bg, toks[i+1] AS w1
        |  FROM tk, idx WHERE i <= len(toks) - 2
        |), big AS (
        |  SELECT bg, count(*) AS c2 FROM inst GROUP BY bg
@@ -2007,6 +2040,70 @@ object ExtOracle {
        |FROM f
        |ORDER BY doc_id""".stripMargin
 
+  /** E4'' ≙ MultiModal.plantedDims — rebuilds the SAME planted PNG/JPEG
+    * payloads as hex (independent construction from the planting spec)
+    * and then PARSES them with the same container arithmetic in hex
+    * space: byte b (1-based) lives at hex position 2b−1, big-endian
+    * fields are `('0x'||substr)::BIGINT`, and the JPEG marker-segment
+    * walk is a bounded recursive CTE (steps < 5 mirrors the Spark fold's
+    * maxSegs). A Spark-side offset bug cannot match because the oracle's
+    * offsets come from the container specs, not from the Spark code. */
+  val multiModalDimsSql: String = {
+    val sofIn = "('ffc0','ffc1','ffc2')"
+    s"""WITH RECURSIVE $corpusSql, g AS (
+       |  SELECT doc_id, text,
+       |    (doc_id * 7) % 2000 + 16 AS w, (doc_id * 13) % 1500 + 16 AS h,
+       |    (doc_id % 5) + 2 AS cl, doc_id % 3 AS nc
+       |  FROM corpus
+       |), ph AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      '${graft.ext.MultiModal.PngMagicHex}' || '0000000d49484452' ||
+       |      lpad(lower(to_hex(w)), 8, '0') || lpad(lower(to_hex(h)), 8, '0') ||
+       |      '0802000000' || md5(text)
+       |    ELSE
+       |      'ffd8' || 'ffe000104a46494600010100000100010000' ||
+       |      repeat('fffe' || lpad(lower(to_hex(cl + 2)), 4, '0') ||
+       |             substr(md5(text), 1, 2 * cl), nc) ||
+       |      'ffc00011' || '08' || lpad(lower(to_hex(h)), 4, '0') ||
+       |      lpad(lower(to_hex(w)), 4, '0') || '03011100021101031101' ||
+       |      md5(text) || 'ffd9'
+       |    END AS p
+       |  FROM g
+       |), png AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(p, 33, 8))::BIGINT AS width,
+       |    ('0x' || substr(p, 41, 8))::BIGINT AS height
+       |  FROM ph
+       |  WHERE substr(p, 1, 16) = '${graft.ext.MultiModal.PngMagicHex}'
+       |    AND substr(p, 25, 8) = '49484452'
+       |), walk(doc_id, off, steps) AS (
+       |  SELECT doc_id, 3, 0 FROM ph WHERE substr(p, 1, 4) = 'ffd8'
+       |  UNION ALL
+       |  SELECT w.doc_id,
+       |    w.off + 2 + ('0x' || substr(p.p, 2 * (w.off + 2) - 1, 4))::BIGINT,
+       |    w.steps + 1
+       |  FROM walk w JOIN ph p ON p.doc_id = w.doc_id
+       |  WHERE substr(p.p, 2 * w.off - 1, 4) NOT IN $sofIn AND w.steps < 5
+       |), sof AS (
+       |  SELECT w.doc_id,
+       |    ('0x' || substr(p.p, 2 * (w.off + 7) - 1, 4))::BIGINT AS width,
+       |    ('0x' || substr(p.p, 2 * (w.off + 5) - 1, 4))::BIGINT AS height
+       |  FROM walk w JOIN ph p ON p.doc_id = w.doc_id
+       |  WHERE substr(p.p, 2 * w.off - 1, 4) IN $sofIn
+       |)
+       |SELECT ph.doc_id,
+       |  CASE WHEN substr(p, 1, 6) = 'ffd8ff' THEN 'jpeg'
+       |       WHEN substr(p, 1, 8) = '89504e47' THEN 'png'
+       |       ELSE 'raw' END AS fmt,
+       |  coalesce(png.width, sof.width) AS width,
+       |  coalesce(png.height, sof.height) AS height
+       |FROM ph
+       |LEFT JOIN png ON png.doc_id = ph.doc_id
+       |LEFT JOIN sof ON sof.doc_id = ph.doc_id
+       |ORDER BY ph.doc_id""".stripMargin
+  }
+
   /** ≙ ops.RangeJoin.pointInRange over sessions: the keyless containment
     * join written as the naive non-equi join (the bucket expansion must be
     * result-invisible). Session CTEs mirror sessionizeSql verbatim. */
@@ -2268,6 +2365,103 @@ object ExtOracle {
        |)
        |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
        |FROM rk WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** E2-IVFPQ ≙ Similarity.topKIvfPq (coarse k = 8 via the SAME
+    * kmeansCellCtes chain the kmeans/semdedup rows replay, 2 probes;
+    * PQ 4 subspaces × 8 codes, 2 Lloyd rounds over RESIDUALS; queries =
+    * vec_id % 100 = 0, k = 3). Residual = v − centroid/1000 float-rounded
+    * (double subtraction of exact float promotions, rounded to float —
+    * bit-identical to Spark's float arithmetic); PQ round CTEs are
+    * p-prefixed so they cannot collide with the k-means chain's r/qx/qm
+    * names. */
+  val annIvfPqSql: String = {
+    val m = 4; val codes = 8; val pqRounds = 2; val k = 3; val probes = 2
+    val dim = graft.ext.Similarity.Dim
+    val subDim = dim / m
+    def d2(sv: String, cv: String): String =
+      s"list_dot_product($sv, $sv) - 2 * list_dot_product($sv, $cv)" +
+        s" + list_dot_product($cv, $cv)"
+    // one PQ Lloyd round over the corpus RESIDUAL sub-vectors
+    def round(t: Int): String =
+      s"""pa$t AS (
+         |  SELECT s.vec_id, s.m, c.cid, ${d2("s.sv", "c.cv")} AS d2
+         |  FROM rsub s JOIN cb$t c ON c.m = s.m
+         |), pr$t AS (
+         |  SELECT vec_id, m, cid,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+         |  FROM pa$t
+         |), pcell$t AS (
+         |  SELECT vec_id, m, cid AS cell FROM pr$t WHERE rn = 1
+         |), pqx$t AS (
+         |  SELECT c0.m, c0.cell, i AS pos, CAST(floor(s.sv[i+1] * 1000.0) AS BIGINT) AS q
+         |  FROM pcell$t c0 JOIN rsub s ON s.vec_id = c0.vec_id AND s.m = c0.m,
+         |       range($subDim) pri$t(i)
+         |), pqm$t AS (
+         |  SELECT m, cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
+         |  FROM pqx$t GROUP BY m, cell, pos
+         |), cb${t + 1} AS (
+         |  SELECT m, cell AS cid,
+         |    list_transform(list(qm ORDER BY pos),
+         |      x -> CAST(CAST(CAST(x AS DOUBLE) / 1000.0 AS FLOAT) AS DOUBLE)) AS cv
+         |  FROM pqm$t GROUP BY m, cell
+         |)""".stripMargin
+    val adcPivot = (0 until m)
+      .map(i => s"max(CASE WHEN dt.m = $i THEN dt.dq END)")
+      .mkString(" + ")
+    // residual of `v` from the ×1000 integer-mean centroid `cv`, rescaled
+    // and float-rounded elementwise
+    def residual(v: String, cv: String): String =
+      s"list_transform(range($dim), i -> CAST(CAST($v[i+1]" +
+        s" - CAST($cv[i+1] / 1000.0 AS FLOAT) AS FLOAT) AS DOUBLE))"
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), ${kmeansCellCtes(8)},
+       |resv AS (
+       |  SELECT a.vec_id, c0.cell AS ccell, ${residual("a.v", "ct.cv")} AS rv
+       |  FROM allv a JOIN cell2 c0 ON c0.vec_id = a.vec_id
+       |  JOIN cent2 ct ON ct.cid = c0.cell
+       |), rsub AS (
+       |  SELECT vec_id, ccell, m, rv[m * $subDim + 1 : (m + 1) * $subDim] AS sv
+       |  FROM resv, range($m) rm(m)
+       |), qresv AS (
+       |  SELECT a.vec_id, r.cid AS ccell, ${residual("a.v", "ct.cv")} AS rv
+       |  FROM allv a JOIN r2 r ON r.vec_id = a.vec_id AND r.rn <= $probes
+       |  JOIN cent2 ct ON ct.cid = r.cid
+       |  WHERE a.vec_id % 100 = 0
+       |), qsub AS (
+       |  SELECT vec_id, ccell, m, rv[m * $subDim + 1 : (m + 1) * $subDim] AS sv
+       |  FROM qresv, range($m) qrm(m)
+       |), cb0 AS (
+       |  SELECT m, vec_id AS cid, sv AS cv FROM rsub WHERE vec_id < $codes
+       |),
+       |${(0 until pqRounds).map(round).mkString(",\n")},
+       |paf AS (
+       |  SELECT s.vec_id, s.ccell, s.m, c.cid, ${d2("s.sv", "c.cv")} AS d2
+       |  FROM rsub s JOIN cb$pqRounds c ON c.m = s.m
+       |), prf AS (
+       |  SELECT vec_id, ccell, m, cid,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+       |  FROM paf
+       |), enc AS (
+       |  SELECT vec_id AS neighbor_id, ccell, m, cid AS cell FROM prf WHERE rn = 1
+       |), dt AS (
+       |  SELECT s.vec_id AS query_id, s.ccell, s.m, c.cid AS cell,
+       |    ${d2("s.sv", "c.cv")} AS dq
+       |  FROM qsub s JOIN cb$pqRounds c ON c.m = s.m
+       |), pair AS (
+       |  SELECT dt.query_id, e.neighbor_id, $adcPivot AS d2s
+       |  FROM enc e JOIN dt ON dt.ccell = e.ccell AND dt.m = e.m AND dt.cell = e.cell
+       |  WHERE dt.query_id <> e.neighbor_id
+       |  GROUP BY 1, 2
+       |), prk AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d2s ASC, neighbor_id) AS rnk
+       |  FROM pair
+       |)
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM prk WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
   }
 

@@ -493,6 +493,27 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("epochShuffle: each epoch is a bijection over its source's bins, " +
+      "and different epochs really permute differently") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Packing.epochShuffle(docs, epochs = 3).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[String]("source"),
+        r.getAs[Long]("bin"), r.getAs[Long]("ord")))
+    val byShard = out.groupBy(t => (t._1, t._2))
+    byShard.foreach { case ((e, src), rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"epoch $e source $src: ord must be a 1..n bijection")
+    }
+    // the same source's bin→ord map must differ across epochs (md5 seeded
+    // by the epoch; identical permutations would mean the seed is dead)
+    val perms = (0 to 2).map(e =>
+      out.filter(t => t._1 == e).map(t => (t._2, t._3) -> t._4).toMap)
+    assert(perms(0) != perms(1) && perms(1) != perms(2),
+      "epoch permutations must differ")
+    assert(perms(0).keySet == perms(1).keySet,
+      "every epoch visits exactly the same bins")
+  }
+
   test("containment pairs catch a short doc quoted whole inside a long one") {
     val s = spark
     import s.implicits._

@@ -39,4 +39,29 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
       s"oversampled seeding must add recall beyond extra rounds alone: " +
         s"rounds-only $roundsOnly, tuned $tuned / ${exact.size}")
   }
+
+  test("IVF-PQ finds planted exact copies at least as well as IVF-flat " +
+      "at the same probe budget") {
+    // Exact copies planted at +100000: both L2-near (what residual-PQ
+    // ranks by) and cosine-near (what IVF-flat ranks by), so the two
+    // index families are comparable on the same ground truth. An exact
+    // copy achieves the MINIMUM possible ADC distance for its query (its
+    // codes are the query's own nearest codes), so quantization cannot
+    // hide it — recall may only drop to coarse-cell misses, which is the
+    // probe budget both sides share.
+    val base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val emb = base.unionByName(
+      base.where(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+    val isPlanted = col("vec_id") >= 100000L
+    val truth = emb.where(isPlanted).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) - 100000L)).toSet
+    def recall(df: DataFrame): Double = (pairs(df) & truth).size.toDouble / truth.size
+    val rPq = recall(Similarity.topKIvfPq(emb, isPlanted, K, probes = 2))
+    val rFlat = recall(Similarity.topKCosineIvf(emb, isPlanted, K, probes = 2))
+    info(s"ivfpq $rPq, ivf-flat $rFlat over ${truth.size} planted copies")
+    assert(rPq >= rFlat,
+      s"IVF-PQ recall $rPq must not trail IVF-flat $rFlat at equal probes")
+    assert(rPq >= 0.9, s"IVF-PQ must find nearly every planted copy, got $rPq")
+  }
 }
