@@ -60,7 +60,19 @@ object Compact {
   def compactSink(
       spark: SparkSession,
       path: String,
-      targetBytes: Long = DefaultTargetBytes): CompactStats = {
+      targetBytes: Long = DefaultTargetBytes): CompactStats =
+    // the whole read→repack→publish cycle holds the sink's writer lock: a
+    // batch publish renaming files into the live dir mid-repack would
+    // otherwise split its batch across the version flip (the renamed
+    // prefix repacked into v<N+1>, the tail stranded in the retiring dir)
+    SinkLayout.writerLock(path).synchronized {
+      compactLocked(spark, path, targetBytes)
+    }
+
+  private def compactLocked(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long): CompactStats = {
     val fs = SinkLayout.fs(spark, path)
     val cur = SinkLayout.currentVersion(fs, path)
     val next = cur.getOrElse(0) + 1

