@@ -95,7 +95,7 @@ final class CdcOracle(
        |  SELECT * FROM feed WHERE operation IN (3, 4)
        |), longf AS (
        |    $unpivotSql
-       |), nz AS (
+       |), nz AS MATERIALIZED (
        |  SELECT * FROM longf WHERE value IS NOT NULL
        |), $pairsCte, sentinels AS (
        |  SELECT commit_time, $pkProj,
@@ -112,7 +112,7 @@ final class CdcOracle(
 
   /** Shared CTE prelude: feed → update-branch long form → pairs → sentinels. */
   val changelogCtes: String = ctesFrom(
-    s"""WITH feed AS (
+    s"""WITH feed AS MATERIALIZED (
        |  $feedSql
        |)""".stripMargin)
 
@@ -126,13 +126,13 @@ final class CdcOracle(
     * feed itself (max commit_time ≤ mid), exactly what batch 1 wrote. */
   def resumeCtes(mid: String, gapMinutes: Int): String = ctesFrom(
     if (gapMinutes == 0)
-      s"""WITH feed AS (
+      s"""WITH feed AS MATERIALIZED (
          |  $feedSql
          |)""".stripMargin
     else
       s"""WITH rawfeed AS (
          |  $feedSql
-         |), feed AS (
+         |), feed AS MATERIALIZED (
          |  SELECT * FROM rawfeed
          |  WHERE commit_time <= TIMESTAMP '$mid'
          |     OR commit_time >= (SELECT max(commit_time) FROM rawfeed
@@ -274,7 +274,7 @@ final class CdcOracle(
 
   /** S1 — bounded LSN-window scan of the change feed. */
   val feedWindowSql: String =
-    s"""WITH feed AS (
+    s"""WITH feed AS MATERIALIZED (
        |  $feedSql
        |)
        |SELECT start_lsn, seqval, operation, update_mask, commit_time
@@ -287,7 +287,7 @@ final class CdcOracle(
     val gates = srcCols.zipWithIndex.map { case (c, i) =>
       s"CASE WHEN ${maskTest(i)} THEN ${erase(c)} END AS $c"
     }.mkString(", ")
-    s"""WITH feed AS (
+    s"""WITH feed AS MATERIALIZED (
        |  $feedSql
        |), upd AS (
        |  SELECT * FROM feed WHERE operation IN (3, 4)
@@ -322,7 +322,7 @@ final class CdcOracle(
 
   /** A1/A2/A4 — window scalar aggregates (checkpoint math). */
   val windowAggSql: String =
-    s"""WITH feed AS (
+    s"""WITH feed AS MATERIALIZED (
        |  $feedSql
        |)
        |SELECT min(commit_time) AS min_time, max(commit_time) AS max_time,
@@ -352,7 +352,7 @@ final class CdcOracle(
          |  CAST(count(DISTINCT CASE WHEN ${maskTest(i)} THEN $key END) AS BIGINT) AS n_keys
          |FROM upd4""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH feed AS (
+    s"""WITH feed AS MATERIALIZED (
        |  $feedSql
        |), upd4 AS (
        |  SELECT * FROM feed WHERE operation = 4
@@ -392,7 +392,7 @@ final class CdcOracle(
   /** A3 — lexicographic freshness watermark over mm/dd/yyyy strings (the
     * reference's year-boundary bug, kept verbatim as the compat behavior). */
   val freshnessSql: String =
-    s"""WITH feed AS (
+    s"""WITH feed AS MATERIALIZED (
        |  $feedSql
        |)
        |SELECT max(strftime(commit_time, '%m/%d/%Y')) AS freshness

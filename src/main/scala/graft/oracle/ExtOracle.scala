@@ -1936,7 +1936,7 @@ object ExtOracle {
     * by the merge-table and encode oracles. */
   private def bpeChainCtes(rounds: Int): String = {
     val base =
-      s"""w1 AS (
+      s"""w1 AS MATERIALIZED (
          |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
          |         CAST(count(*) AS BIGINT) AS wc
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM corpus) t
@@ -1946,20 +1946,20 @@ object ExtOracle {
     val perRound = (1 to rounds).map { r =>
       val apply =
         if (r == rounds) ""
-        else s""", w${r + 1} AS (
+        else s""", w${r + 1} AS MATERIALIZED (
                 |  SELECT replace(w$r.s, '|' || top$r.s1 || '||' || top$r.s2 || '|',
                 |                 '|' || top$r.s1 || top$r.s2 || '|') AS s, wc
                 |  FROM w$r, top$r
                 |)""".stripMargin
-      s""", syms$r AS (
+      s""", syms$r AS MATERIALIZED (
          |  SELECT wc, string_split(trim(s, '|'), '||') AS a FROM w$r
          |), idx$r AS (
          |  SELECT unnest(range((SELECT max(len(a)) FROM syms$r))) AS i
-         |), pc$r AS (
+         |), pc$r AS MATERIALIZED (
          |  SELECT a[i+1] AS s1, a[i+2] AS s2, CAST(sum(wc) AS BIGINT) AS cnt
          |  FROM syms$r, idx$r WHERE i <= len(a) - 2
          |  GROUP BY a[i+1], a[i+2]
-         |), top$r AS (
+         |), top$r AS MATERIALIZED (
          |  SELECT s1, s2, cnt FROM pc$r ORDER BY cnt DESC, s1, s2 LIMIT 1
          |)$apply""".stripMargin
     }.mkString("\n")
@@ -1995,9 +1995,9 @@ object ExtOracle {
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tkw))) AS i
        |), words AS (
        |  SELECT doc_id, i AS pos, toks[i+1] AS w FROM tkw, idxw WHERE i < len(toks)
-       |), vocab AS (
+       |), vocab AS MATERIALIZED (
        |  SELECT DISTINCT w FROM words
-       |), encv AS (
+       |), encv AS MATERIALIZED (
        |  SELECT w,
        |    CASE WHEN regexp_matches(w, '${graft.ext.BpeTrain.WordPattern}')
        |      THEN trim(list_reduce(
