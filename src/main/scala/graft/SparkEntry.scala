@@ -387,6 +387,23 @@ object SparkEntry {
     "ext_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3-spell — SymSpell deletion-neighborhood spelling-variant join:
+    // vocabulary = the corpus's distinct tokens; queries = deterministic
+    // typo derivations (3rd char deleted / 2nd char → 'z') of the ≥5-char
+    // words; graded against the all-pairs levenshtein ground truth, so
+    // the deletion-index recall (1.0 at dist ≤ 1) is PROVEN
+    "ext_spell_correct" -> ((s, dir) => {
+      val words = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("word"))
+      val base5 = words.where(length(col("word")) >= 5).distinct()
+      val typos = base5.select(
+          concat(substring(col("word"), 1, 2), expr("substring(word, 4)")).as("q"))
+        .union(base5.select(
+          concat(substring(col("word"), 1, 1), lit("z"), expr("substring(word, 3)")).as("q")))
+      TextOps.spellMatches(words.select(col("word")), typos.select(col("q")))
+        .orderBy("q", "word")
+    }),
+
     // source-format bridge — corpus exported to JSON-Lines and read back
     // (explicit schema, FAILFAST, line-splittable); graded against the
     // SAME fingerprint oracle as the direct parquet read, so the
@@ -466,6 +483,12 @@ object SparkEntry {
     // lookup-sum scoring (the memory-compressed exhaustive-scan path)
     "ext_ann_pq" -> ((s, dir) =>
       Similarity.topKPq(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
+        .orderBy("query_id", "rnk")),
+
+    // E2-rerank — two-stage retrieval: PQ/ADC shortlist (12 deep), exact
+    // full-vector cosine re-rank of just those candidates to final top-3
+    "ext_ann_rerank" -> ((s, dir) =>
+      Similarity.topKPqRerank(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
     // E2-IVFPQ — the composed billion-vector index: coarse k-means cells
@@ -1270,6 +1293,14 @@ object SparkEntry {
       graft.ext.Curate.domainDedupStats(DocFeed.withUrlMeta(corpus(s, dir)))
         .orderBy("domain")),
 
+    // E3-url — URL canonicalization + URL-identity dedup groups: messy
+    // surface forms (case, www., scheme, tracking query, fragment,
+    // trailing slash) collapse to one page key; planted copies share
+    // their original's page, so groups are non-trivial
+    "ext_url_canon" -> ((s, dir) =>
+      graft.ext.Curate.urlDedupGroups(DocFeed.withMessyUrlMeta(corpus(s, dir)))
+        .orderBy("canon_url")),
+
     // temperature-weighted (alpha = 0.5) domain mixing: isqrt sampling
     // weights, integer quotas off a 1-row broadcast scalar, deterministic
     // md5-rank keep — kept_id_sum pins the exact kept set per host
@@ -1551,6 +1582,7 @@ object SparkEntry {
     "ext_json" -> ExtOracle.jsonExtractSql,
     "ext_events_agg" -> ExtOracle.eventStatsSql,
     "ext_fingerprint" -> ExtOracle.fingerprintSql,
+    "ext_spell_correct" -> ExtOracle.spellCorrectSql,
     // the JSONL round-trip must reproduce the direct parquet read exactly
     "ext_jsonl_roundtrip" -> ExtOracle.fingerprintSql,
     "ext_bpe_merges" -> ExtOracle.bpeMergesSql,
@@ -1564,6 +1596,7 @@ object SparkEntry {
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
+    "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
@@ -1646,6 +1679,7 @@ object SparkEntry {
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_token_budget" -> ExtOracle.tokenBudgetSql,
     "ext_domain_dedup" -> ExtOracle.domainDedupSql,
+    "ext_url_canon" -> ExtOracle.urlCanonSql,
     "ext_domain_topk" -> ExtOracle.domainTopKSql,
     "ext_domain_budget" -> ExtOracle.domainBudgetSql,
     "ext_domain_mix" -> ExtOracle.domainMixSql,

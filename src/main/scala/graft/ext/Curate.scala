@@ -279,6 +279,44 @@ object Curate {
         count(lit(1)).as("n_groups"),
         (sum(col("__n")) - count(lit(1))).cast("long").as("n_dup_docs"))
 
+  /** Canonical form of a crawl URL — the key a 100 TB crawl dedups
+    * provenance on BEFORE any content hashing (one page, many spellings):
+    * host lowercased with any `www.` prefix dropped, scheme discarded
+    * (http ≡ https for page identity), query string and fragment stripped
+    * (tracking params), trailing slash trimmed. Pure single-match regex
+    * passes — identical semantics in Java regex and RE2, so the oracle
+    * shares the literal patterns. Case preserved in the PATH (paths are
+    * case-sensitive; only the host is not). */
+  def canonicalUrl(urlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(urlCol, "^[a-zA-Z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_replace(
+        regexp_replace(urlCol, "^[a-zA-Z]+://[^/?#]*", ""),
+        "[?#].*", ""),
+      "/$", "")
+    concat(host, path)
+  }
+
+  /** E3-url — URL-identity dedup groups: documents grouped by canonical
+    * URL, with the group size, representative (min id) and an id-list
+    * fingerprint that pins the exact membership. One hash aggregate on a
+    * bounded key (a canonical URL's group is re-crawls of one page) —
+    * map-side combinable; the group fingerprint is md5 over the
+    * numerically-sorted id list, so both engines render it identically. */
+  def urlDedupGroups(corpusWithMeta: DataFrame,
+      metaCol: String = "meta", idCol: String = "doc_id"): DataFrame =
+    corpusWithMeta
+      .select(canonicalUrl(get_json_object(col(metaCol), "$.url")).as("canon_url"),
+        col(idCol))
+      .groupBy("canon_url")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("min_id"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col(idCol))), _.cast("string")))
+          .cast("binary")).as("ids_fp"))
+
   /** Boilerplate detection — shingles recurring across an outsized share
     * of DISTINCT documents (headers, footers, license blurbs). Threshold
     * is relative (`n_docs * 1000 >= total_docs * permille`) so it means

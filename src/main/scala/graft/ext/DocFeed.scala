@@ -52,6 +52,29 @@ object DocFeed {
         ((col("doc_id") % ExactDupOffset) % 7).cast("string"),
         lit(".example.com/d/"), col("doc_id").cast("string"), lit("\"}")))
 
+  /** Deterministic MESSY url metadata for the canonicalization operator:
+    * the same page identity as [[withUrlMeta]] (host `w{base%7}`, path
+    * `/d/{base}` with base = `doc_id % 1e6`, so every planted copy shares
+    * its ORIGINAL's page), but the surface form varies by
+    * `(doc_id div 1e6 + doc_id) % 4` — plain / UPPERCASE-scheme-and-host
+    * with a trailing slash / http with a tracking query / https with a
+    * `www.` prefix and a fragment. A crawl sees exactly this: one page,
+    * many spellings; canonicalization must collapse them. */
+  def withMessyUrlMeta(corpus: DataFrame): DataFrame = {
+    val base = (col("doc_id") % ExactDupOffset).cast("string")
+    val h = ((col("doc_id") % ExactDupOffset) % 7).cast("string")
+    val v = expr(s"(doc_id div $ExactDupOffset + doc_id) % 4")
+    val url = when(v === 0,
+        concat(lit("https://w"), h, lit(".example.com/d/"), base))
+      .when(v === 1,
+        concat(lit("HTTPS://W"), h, lit(".EXAMPLE.COM/d/"), base, lit("/")))
+      .when(v === 2,
+        concat(lit("http://w"), h, lit(".example.com/d/"), base, lit("?utm_source=feed")))
+      .otherwise(
+        concat(lit("https://www.w"), h, lit(".example.com/d/"), base, lit("#frag")))
+    corpus.withColumn("meta", concat(lit("{\"url\": \""), url, lit("\"}")))
+  }
+
   /** @param plantLines also plant `doc_id % 10 == 3` copies whose text is
     *        the original repeated across a newline — the fixture text is
     *        single-line, so the Gopher-style duplicate-LINE metric would be

@@ -473,6 +473,45 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** E2-rerank — TWO-STAGE retrieval (the deployment shape around any
+    * compressed index): the PQ index produces a `shortlist`-deep candidate
+    * list per query from codes alone, then the ORIGINAL float vectors are
+    * fetched for just those candidates and re-scored with exact cosine —
+    * quantization picks the candidates, full-precision math picks the
+    * final ranking. Fixes the rank inversions ADC's lossy distances
+    * introduce inside the shortlist at the cost of `Q × shortlist`
+    * full-vector reads (vs N for exact search).
+    *
+    * Scale shape: stage 1 is [[topKPq]] unchanged (compressed exhaustive
+    * scan); stage 2 broadcasts the Q×shortlist pair list against the
+    * corpus — the full-vector dot products touch only shortlist rows, and
+    * the broadcast means the corpus is never shuffled. Determinism: exact
+    * cosine over [[graft.functions.FloatVectorDot]] (≙ `list_dot_product`)
+    * drives the ordering only; graded output is (query_id, neighbor_id,
+    * rnk). */
+  def topKPqRerank(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      shortlist: Int = 12,
+      subspaces: Int = 4,
+      codes: Int = 8,
+      rounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sl = topKPq(emb, queryPred, shortlist, subspaces, codes, rounds, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = emb.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"))
+    val slq = sl.join(broadcast(queries), Seq("query_id"))
+    val scored = emb
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+      .join(broadcast(slq), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Nearest-`n` centroid cells per vector via the bounded-heap aggregate
     * (ties toward the smaller centroid id, like everywhere else). Output:
     * (idCol, vecCol, nrm, cell), one row per (vector, probed cell). The

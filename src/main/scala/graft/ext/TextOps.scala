@@ -695,4 +695,54 @@ object TextOps {
         md5(col(textCol).cast("binary")).as("fp_doc"),
         array_min(shingleHashes).as("fp_min_shingle"))
   }
+
+  // -------------------------------------------------------------------
+  // Spelling-variant matching (SymSpell deletion-neighborhood join)
+  // -------------------------------------------------------------------
+
+  /** Deletion-neighborhood key set of a word: the word itself plus every
+    * single-character deletion — the SymSpell index key (Garbe's symmetric
+    * delete algorithm). Two words within Levenshtein distance 1 ALWAYS
+    * share a key (substitution at i: delete position i from both; indel:
+    * the shorter word is itself a deletion of the longer), so an equi-join
+    * on these keys is a LOSSLESS candidate generator at maxDist = 1 — the
+    * same candidates-then-verify contract as the shingle prefix filter. */
+  private def deletionKeys(w: Column): Column =
+    array_union(array(w), transform(sequence(lit(1), length(w)), i =>
+      concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w)))))
+
+  /** E3-spell — vocabulary spelling-variant matching at scale: for each
+    * query string, every vocabulary word within Levenshtein distance
+    * `maxDist` (= 1; the deletion-neighborhood index is complete only
+    * there). The 100 TB shape is the SymSpell inverted index: both sides
+    * explode into O(len) deletion keys, candidates come from the key
+    * equi-join (never |queries| × |vocab|), and the exact `levenshtein`
+    * verify keeps precision at 1.0 — so the index bounds COST while the
+    * verify pins the ANSWER, exactly like the shingle-prefix containment
+    * join. Words shorter than 3 chars are excluded (their deletion keys
+    * degenerate toward the hot empty/1-char strings; a deployment routes
+    * them to a tiny broadcast exact table instead).
+    *
+    * @param vocab   (`wordCol`) dictionary, deduplicated internally
+    * @param queries (`queryCol`) strings to correct, deduplicated
+    * @return (q, word, dist) — dist ∈ {1} (identical strings excluded),
+    *         one row per matching pair
+    */
+  def spellMatches(
+      vocab: DataFrame,
+      queries: DataFrame,
+      wordCol: String = "word",
+      queryCol: String = "q",
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1, "deletion-neighborhood index is complete only at maxDist = 1")
+    val v = vocab.select(col(wordCol).as("word")).where(length(col("word")) >= 3).distinct()
+    val qs = queries.select(col(queryCol).as("q")).where(length(col("q")) >= 3).distinct()
+    val vKeys = v.select(col("word"), explode(deletionKeys(col("word"))).as("__k"))
+    val qKeys = qs.select(col("q"), explode(deletionKeys(col("q"))).as("__k"))
+    qKeys.join(vKeys, Seq("__k"))
+      .where(col("q") =!= col("word"))
+      .select("q", "word").distinct()
+      .where(levenshtein(col("q"), col("word")) <= maxDist)
+      .select(col("q"), col("word"), levenshtein(col("q"), col("word")).cast("long").as("dist"))
+  }
 }

@@ -1769,6 +1769,38 @@ object ExtOracle {
        |  FROM corpus
        |)""".stripMargin
 
+  /** E3-url ≙ Curate.urlDedupGroups over DocFeed.withMessyUrlMeta: the
+    * messy surface forms rebuilt inline (page identity = doc_id % 1e6, so
+    * planted copies share their original's page; form varies by
+    * `(doc_id div 1e6 + doc_id) % 4`), canonicalized with the LITERAL
+    * regex passes the Spark side runs (host lowercased, `www.` dropped,
+    * scheme/query/fragment/trailing-slash stripped), grouped with an
+    * ordered id-list fingerprint. */
+  val urlCanonSql: String =
+    s"""WITH $corpusSql, mu AS (
+       |  SELECT doc_id,
+       |    CASE (doc_id // 1000000 + doc_id) % 4
+       |      WHEN 0 THEN 'https://w' || h || '.example.com/d/' || b
+       |      WHEN 1 THEN 'HTTPS://W' || h || '.EXAMPLE.COM/d/' || b || '/'
+       |      WHEN 2 THEN 'http://w' || h || '.example.com/d/' || b || '?utm_source=feed'
+       |      ELSE 'https://www.w' || h || '.example.com/d/' || b || '#frag'
+       |    END AS url
+       |  FROM (SELECT doc_id, ((doc_id % 1000000) % 7)::VARCHAR AS h,
+       |               (doc_id % 1000000)::VARCHAR AS b FROM corpus)
+       |), canon AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+       |        '^www\\.', '')
+       |      || regexp_replace(regexp_replace(
+       |           regexp_replace(url, '^[a-zA-Z]+://[^/?#]*', ''),
+       |           '[?#].*', ''), '/$$', '') AS canon_url
+       |  FROM mu
+       |)
+       |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id,
+       |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_fp
+       |FROM canon GROUP BY canon_url
+       |ORDER BY canon_url""".stripMargin
+
   /** ≙ Curate.domainDedupStats: per-host totals, distinct contents, dup
     * overhang. */
   val domainDedupSql: String =
@@ -2290,15 +2322,41 @@ object ExtOracle {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
-  /** E2-PQ ≙ Similarity.topKPq (queries = vec_id % 100 = 0, k = 3,
-    * 4 subspaces × 8 codes, 2 Lloyd rounds). Every distance is the same
-    * `|u|² − 2·u·c + |c|²` dot-product identity over `list_dot_product`
-    * (≙ FloatVectorDot, proven bit-identical); the ADC sum adds its 4
-    * subspace terms in FIXED order via max-CASE pivots, mirroring the
-    * Spark side's fixed-order reduction (a bare SUM would be
-    * order-nondeterministic float addition on both engines). */
-  val annPqSql: String = {
-    val m = 4; val codes = 8; val rounds = 2; val k = 3
+  /** E3-spell ≙ TextOps.spellMatches over the deterministic typo feed:
+    * the oracle is the all-pairs GROUND TRUTH (length-difference ≤ 1
+    * prefilter — provably lossless for edit distance 1 — then exact
+    * `levenshtein`), so the Spark side's deletion-neighborhood index is
+    * graded at recall 1.0, the same contract as the containment join's
+    * naive-oracle proof. Typo derivations mirror SparkEntry: delete the
+    * 3rd char / substitute the 2nd with 'z' on every distinct ≥5-char
+    * token of the BASE documents table. */
+  val spellCorrectSql: String =
+    """WITH tkw AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |), w0 AS (
+      |  SELECT DISTINCT unnest(toks) AS word FROM tkw
+      |), vocab AS (
+      |  SELECT word FROM w0 WHERE len(word) >= 3
+      |), base5 AS (
+      |  SELECT word FROM w0 WHERE len(word) >= 5
+      |), typos AS (
+      |  SELECT DISTINCT q FROM (
+      |    SELECT substring(word, 1, 2) || substring(word, 4) AS q FROM base5
+      |    UNION ALL
+      |    SELECT substring(word, 1, 1) || 'z' || substring(word, 3) AS q FROM base5
+      |  ) WHERE len(q) >= 3
+      |)
+      |SELECT t.q, v.word, CAST(levenshtein(t.q, v.word) AS BIGINT) AS dist
+      |FROM typos t JOIN vocab v ON abs(len(t.q) - len(v.word)) <= 1
+      |WHERE t.q <> v.word AND levenshtein(t.q, v.word) <= 1
+      |ORDER BY q, word""".stripMargin
+
+  /** WITH-body of the PQ chain through the ADC ranking CTE `rk` (plus
+    * `allv`, the raw-vector table the re-rank stage reads back) — shared
+    * between [[annPqSql]] (reads `rk` at k=3) and [[annPqRerankSql]]
+    * (reads a deeper shortlist and re-scores it exactly). */
+  private val annPqCteBody: String = {
+    val m = 4; val codes = 8; val rounds = 2
     val subDim = graft.ext.Similarity.Dim / m
     def d2(sv: String, cv: String): String =
       s"list_dot_product($sv, $sv) - 2 * list_dot_product($sv, $cv)" +
@@ -2331,7 +2389,7 @@ object ExtOracle {
     val adcPivot = (0 until m)
       .map(i => s"max(CASE WHEN dt.m = $i THEN dt.dq END)")
       .mkString(" + ")
-    s"""WITH allv AS (
+    s"""allv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), subv AS (
        |  SELECT vec_id, m, v[m * $subDim + 1 : (m + 1) * $subDim] AS sv
@@ -2362,11 +2420,46 @@ object ExtOracle {
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY d2s ASC, neighbor_id) AS rnk
        |  FROM pair
+       |)""".stripMargin
+  }
+
+  /** E2-PQ ≙ Similarity.topKPq (queries = vec_id % 100 = 0, k = 3,
+    * 4 subspaces × 8 codes, 2 Lloyd rounds). Every distance is the same
+    * `|u|² − 2·u·c + |c|²` dot-product identity over `list_dot_product`
+    * (≙ FloatVectorDot, proven bit-identical); the ADC sum adds its 4
+    * subspace terms in FIXED order via max-CASE pivots, mirroring the
+    * Spark side's fixed-order reduction (a bare SUM would be
+    * order-nondeterministic float addition on both engines). */
+  val annPqSql: String =
+    s"""WITH $annPqCteBody
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM rk WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** E2-rerank ≙ Similarity.topKPqRerank (shortlist = 12, k = 3): the PQ
+    * chain's ADC ranking supplies the shortlist, then the ORIGINAL vectors
+    * are fetched for just those pairs and re-scored with exact cosine
+    * (`list_dot_product` ≙ FloatVectorDot) — full-precision math decides
+    * the final order, floats ordering-only as everywhere. */
+  val annPqRerankSql: String =
+    s"""WITH $annPqCteBody,
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM rk WHERE rnk <= 12
+       |), ex AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(q.v, n.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+       |  FROM sl s
+       |  JOIN allv q ON q.vec_id = s.query_id
+       |  JOIN allv n ON n.vec_id = s.neighbor_id
+       |), rr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM ex
        |)
        |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
-       |FROM rk WHERE rnk <= $k
+       |FROM rr WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
-  }
 
   /** E2-IVFPQ ≙ Similarity.topKIvfPq (coarse k = 8 via the SAME
     * kmeansCellCtes chain the kmeans/semdedup rows replay, 2 probes;

@@ -10,6 +10,63 @@ import graft.functions.TopKByScore.topKByScore
   * fixture queries cover scale; these pin behavior and edge cases). */
 class ExtOpsSpec extends AnyFunSuite with SparkFixture {
 
+  test("spellMatches finds every distance-1 pair class and no distance-2 pair") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("batch", "match", "merge", "ab").toDF("word")
+    // deletion of vocab word, insertion, substitution, distance-2, short
+    val queries = Seq("btch", "batche", "bztch", "bzzch", "ab").toDF("q")
+    val got = TextOps.spellMatches(vocab, queries)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("btch", "batch", 1L),   // q is a deletion of the word
+      ("batche", "batch", 1L), // q is an insertion into the word
+      ("bztch", "batch", 1L))) // substitution (via the shared deletion key)
+  }
+
+  test("spellMatches excludes identical strings and sub-3-char words") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("batch", "ab").toDF("word")
+    val got = TextOps.spellMatches(vocab, Seq("batch", "ab", "abc").toDF("q")).count()
+    assert(got == 0, "identical strings and <3-char words never match")
+  }
+
+  test("canonicalUrl collapses surface variants and preserves path case") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      "https://w3.example.com/d/42",
+      "HTTPS://W3.EXAMPLE.COM/d/42/",
+      "http://w3.example.com/d/42?utm_source=feed",
+      "https://www.w3.example.com/d/42#frag",
+      "https://w3.example.com/d/43",       // different page
+      "https://w3.example.com/D/42"        // path case differs → distinct
+    ).toDF("url")
+    val canon = urls.select(Curate.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon.take(4).distinct.length == 1, "four spellings of one page collapse")
+    assert(canon(0) == "w3.example.com/d/42")
+    assert(canon(4) == "w3.example.com/d/43")
+    assert(canon(5) == "w3.example.com/D/42", "path case is preserved")
+  }
+
+  test("topKPqRerank orders its shortlist by exact cosine") {
+    val s = spark
+    import s.implicits._
+    // corpus of distinctive vectors + an exact copy of the query: ADC may
+    // misorder inside the shortlist, but the exact re-rank must put the
+    // copy at rank 1 (cosine exactly 1)
+    val dim = Similarity.Dim
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 17) % 97) / 97.0f) - 0.4f)
+    val rows = (0 until 40).map(i => (i.toLong, vec(i))) :+ (100L, vec(0))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.topKPqRerank(emb, col("vec_id") === 0, k = 3, shortlist = 40)
+      .orderBy("rnk").collect()
+    assert(got.head.getLong(1) == 100L, "the exact copy re-ranks to rank 1")
+  }
+
   test("batched decode slot matches the expression-side fakeFeatures bit-for-bit") {
     val c = DocFeed.withDups(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
       .limit(200)
