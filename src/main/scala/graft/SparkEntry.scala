@@ -1267,6 +1267,26 @@ object SparkEntry {
       Similarity.hllEstimate(updated, exact, "lang").orderBy("lang")
     }),
 
+    // E2-hll''' — the incremental HLL fold driven by the REAL streaming
+    // engine: corpus split across 4 files, one micro-batch each, registers
+    // PERSISTED to parquet and read back per trigger (stage+rename
+    // publish) — must reproduce the direct whole-corpus sketch exactly
+    // (same oracle as ext_hll / ext_hll_incremental)
+    "ext_hll_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_hllstream")
+      val corpusDir = base.resolve("corpus").toString
+      val c = corpus(s, dir)
+      c.repartition(4).write.mode("overwrite").parquet(corpusDir)
+      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("lang"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"),
+          Dedup.ShingleLen)).as("t"))
+      val state = graft.streaming.StateStream.sketchMaintainAvailableNow(
+        s, corpusDir, base.resolve("hll_state").toString,
+        base.resolve("ckpt").toString, "lang", "t", sh)
+      val exact = sh(c).groupBy("lang").agg(countDistinct(col("t")).as("exact_distinct"))
+      Similarity.hllEstimate(state, exact, "lang").orderBy("lang")
+    }),
+
     // E2e — deterministic k-means assignment over the embedding corpus
     // (SemDeDup's clustering step; integer-mean re-centering, 2 rounds)
     "ext_kmeans" -> ((s, dir) =>
@@ -1538,6 +1558,13 @@ object SparkEntry {
           expr("ts div 1000000000").as("t_s"), col("event_type")),
         "user_id", "t_s", "event_id", "event_type")),
 
+    // analytics — per-event trailing 1-hour RANGE-frame activity (count +
+    // cents sum per user AS OF each event): the rolling serving-time
+    // feature; one user_id shuffle, one sort-window pass
+    "ext_moving_agg" -> ((s, dir) =>
+      graft.ops.Analytics.movingUserActivity(events(s, dir))
+        .orderBy("event_id")),
+
     // 16-bin equi-width histograms for every numeric lineitem column:
     // integer bin math over the broadcast min/max scalars, two scans total
     "ext_column_hist" -> ((s, dir) =>
@@ -1671,6 +1698,7 @@ object SparkEntry {
     // identical to ext_hll BY DESIGN: incremental max-merge must reproduce
     // the direct sketch exactly (associativity is the graded claim)
     "ext_hll_incremental" -> ExtOracle.hllSql,
+    "ext_hll_stream" -> ExtOracle.hllSql,
     "ext_hll_merged" -> ExtOracle.hllMergedSql,
     "ext_line_dedup" -> ExtOracle.lineDedupSql,
     "ext_chunk_windows" -> ExtOracle.chunkWindowsSql,
@@ -1709,6 +1737,7 @@ object SparkEntry {
     "ext_table_stats" -> ExtOracle.tableStatsSql,
     "ext_session_paths" -> ExtOracle.sessionPathsSql,
     "ext_event_transitions" -> ExtOracle.eventTransitionsSql,
+    "ext_moving_agg" -> ExtOracle.movingAggSql,
     "ext_column_hist" -> ExtOracle.columnHistSql
   )
 }

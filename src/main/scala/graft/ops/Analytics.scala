@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Star-schema analytics over the fixture warehouse: the canonical
@@ -50,4 +51,30 @@ object Analytics {
         count(lit(1)).as("n_orders"),
         sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
         countDistinct(col("c_custkey")).as("n_customers"))
+
+  /** Sliding time-RANGE aggregation per event — the per-entity rolling
+    * feature a fraud/engagement model reads at serving time ("this user's
+    * activity over the trailing hour, AS OF each event"): for every event,
+    * the count and value sum of the same user's events in
+    * `(t − windowSec, t]`... inclusive bounds per SQL RANGE frame
+    * semantics (`RANGE BETWEEN windowSec PRECEDING AND CURRENT ROW` over
+    * epoch seconds — VALUE bounds, so same-second peers aggregate
+    * together on both engines regardless of row order).
+    *
+    * Scale shape: one shuffle on user_id, then a single sort-window pass —
+    * the frame advances two pointers over each partition, never
+    * re-scanning the window per row; state is the frame's running
+    * aggregate, not the member list. Money as integer cents
+    * (`floor(v*100 + 0.5)` — identical double math both engines). */
+  def movingUserActivity(events: DataFrame, windowSec: Long = 3600): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t_s")
+      .rangeBetween(-windowSec, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("__cents"))
+      .select(col("event_id"), col("user_id"), col("t_s"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("__cents")).over(w).as("cents_1h"))
+  }
 }

@@ -2590,6 +2590,24 @@ object ExtOracle {
       |ORDER BY n_sessions DESC, path ASC
       |LIMIT 20""".stripMargin
 
+  /** ≙ ops.Analytics.movingUserActivity (1-hour trailing RANGE frame):
+    * identical VALUE-bound frame semantics on both engines (same-second
+    * peers aggregate together), money as the same `floor(v*100+0.5)`
+    * integer cents, all time math at epoch seconds. */
+  val movingAggSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, t_s,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t_s
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** ≙ ops.Journeys.eventTransitions: lag pairs per user stream, counts +
     * per-from share in integer basis points. */
   val eventTransitionsSql: String =

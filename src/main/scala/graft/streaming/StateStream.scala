@@ -54,4 +54,56 @@ object StateStream {
     state.getOrElse(
       StateMaintain.stateLong(spark.read.schema(schema).parquet(changelogDir), keyCols).limit(0))
   }
+
+  /** CONTINUOUSLY-MAINTAINED sketch state — [[graft.ext.Similarity
+    * .hllApplyBatch]] driven by the real streaming engine with the state
+    * PERSISTED between micro-batches: each batch is prepped (`prep`: doc
+    * rows → (keyCol, valueCol) observation rows), sketched, and max-merged
+    * into the parquet register table, which the NEXT batch reads back from
+    * disk — a genuine state round-trip per trigger, not a lineage handoff.
+    * Each generation stages to `<stateDir>__stage` and renames over the
+    * old state (the [[graft.cdc.SinkLayout]] publish contract in
+    * miniature: a reader never sees a half-written register table).
+    *
+    * Scale: state is m registers per key (bytes per group) however much
+    * history has streamed past; each trigger's work is sketch(batch) +
+    * merge — the batch is touched once, history never. Replayed batches
+    * are absorbed by register idempotence (max can't move backwards),
+    * which is why the HLL fold needs no applied-batch markers. */
+  def sketchMaintainAvailableNow(
+      spark: SparkSession,
+      corpusDir: String,
+      stateDir: String,
+      checkpointLocation: String,
+      keyCol: String,
+      valueCol: String,
+      prep: DataFrame => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val schema = spark.read.parquet(corpusDir).schema
+    val statePath = new Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(corpusDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val obs = prep(batch)
+        val next =
+          if (fs.exists(statePath))
+            graft.ext.Similarity.hllApplyBatch(
+              s.read.parquet(stateDir), obs, keyCol, valueCol)
+          else graft.ext.Similarity.hllState(obs, keyCol, valueCol)
+        val stage = new Path(stateDir + "__stage")
+        next.write.mode("overwrite").parquet(stage.toString)
+        fs.delete(statePath, true)
+        require(fs.rename(stage, statePath), s"state publish rename failed: $stage")
+        ()
+      }
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(stateDir)
+  }
 }

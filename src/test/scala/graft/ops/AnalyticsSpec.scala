@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
@@ -35,5 +36,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(total.head.getAs[Long]("n_customers") == 4L)
     val r2 = regional.find(_.getAs[String]("r_name") == "R2").get
     assert(r2.getAs[Long]("n_customers") == 2L && r2.getAs[Long]("n_orders") == 3L)
+  }
+
+  test("movingUserActivity trailing frame is value-bounded and inclusive") {
+    val s = spark
+    import s.implicits._
+    // user 1: events at t = 0, 3600 (exactly one window back — INCLUDED),
+    // 3601 (t=0 now out of range), and a same-second pair at t = 9000;
+    // user 2 isolated at t = 3600
+    val events = Seq(
+      (1L, 1L, 0L, 1.0),
+      (2L, 1L, 3600L, 2.0),
+      (3L, 1L, 3601L, 4.0),
+      (4L, 1L, 9000L, 8.0),
+      (5L, 1L, 9000L, 16.0),
+      (6L, 2L, 3600L, 32.0))
+      .toDF("event_id", "user_id", "t", "value")
+      .withColumn("ts", col("t") * 1000000000L).drop("t")
+    val got = Analytics.movingUserActivity(events)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_1h"), r.getAs[Long]("cents_1h"))).toMap
+    assert(got(1L) == (1L, 100L))
+    assert(got(2L) == (2L, 300L), "t-3600 is inside the inclusive frame")
+    assert(got(3L) == (2L, 600L), "t=0 fell out, t=3600 still in")
+    // RANGE frame: same-second peers see each other regardless of order
+    assert(got(4L) == (2L, 2400L) && got(5L) == (2L, 2400L))
+    assert(got(6L) == (1L, 3200L), "users are isolated")
   }
 }

@@ -153,4 +153,24 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 7L)))
     } finally query.stop()
   }
+
+  test("sketchMaintainAvailableNow's per-file folds reproduce the direct sketch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = graft.TempDirs.create("graft_sketchstream")
+    val corpusDir = base.resolve("corpus").toString
+    val docs = (1 to 60).map(i => (s"k${i % 3}", s"v${i % 17}")).toDF("k", "v")
+    docs.repartition(3).write.parquet(corpusDir)
+    val state = StateStream.sketchMaintainAvailableNow(
+      s, corpusDir, base.resolve("state").toString, base.resolve("ckpt").toString,
+      "k", "v", df => df)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = graft.ext.Similarity.hllState(docs, "k", "v")
+    assert(asMap(state) == asMap(direct),
+      "streamed per-file folds must equal the one-shot sketch register-for-register")
+    // the published state is the on-disk artifact, not a lineage handoff
+    assert(asMap(s.read.parquet(base.resolve("state").toString)) == asMap(direct))
+  }
 }
