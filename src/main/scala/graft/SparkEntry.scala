@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcCatalog, CdcTableConfig, CdcTableEntry, ChangeFeed, ChangelogBuilder,
   Compact, PopulateChangelog, QueryData}
-import graft.ext.{Dedup, DocFeed, EmbFeed, MultiModal, Similarity, TextOps}
+import graft.ext.{Dedup, DocFeed, EmbFeed, MultiModal, Retrieval, Similarity, TextOps}
 import graft.oracle.{ExtOracle, OrdersCdcOracle}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -464,6 +464,16 @@ object SparkEntry {
     "ext_ann_multiprobe" -> ((s, dir) =>
       Similarity.topKCosineLshMulti(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
+
+    // E2-eval — ranking-quality harness: recall@3 + reciprocal rank of
+    // the multi-table LSH ANN against the brute-force truth, per query
+    "ext_rank_eval" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.rankEval(
+        Similarity.topKCosineLshMulti(e, col("vec_id") % 100 === 0, k = 3),
+        Similarity.topKCosine(e, col("vec_id") % 100 === 0, k = 3), k = 3)
+        .orderBy("query_id")
+    }),
 
     // star-schema rollup — fact ⋈ broadcast dims ⋈ … → low-cardinality agg
     "ext_star_agg" -> ((s, dir) =>
@@ -1015,6 +1025,26 @@ object SparkEntry {
     "ext_lm_fluency" -> ((s, dir) =>
       TextOps.lmFluency(corpus(s, dir)).orderBy("doc_id")),
 
+    // E2-ret — BM25-shaped inverted-index retrieval: bigram terms, integer
+    // RSJ-surrogate idf, df-pruned hot terms, broadcast query side, top-5
+    // per query (rank 1 = the query's own source doc by construction)
+    "ext_bm25" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      Retrieval.bm25TopK(c, Retrieval.queryTerms(c)).orderBy("query_id", "rnk")
+    }),
+
+    // E2-ret'' — hybrid retrieval: reciprocal-rank fusion of the BM25
+    // bigram ranking and the shingle-overlap ranking (depth 10 each,
+    // fused top-5) — the standard lexical+semantic combinator, graded on
+    // two deterministic lexical systems
+    "ext_hybrid_rrf" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopK(c, Retrieval.queryTerms(c), k = 10),
+        Retrieval.overlapTopK(c, k = 10), k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     // E3m — DSIR-style integer importance score vs the lang='en' target
     "ext_dsir" -> ((s, dir) =>
       TextOps.importanceScore(corpus(s, dir)).orderBy("doc_id")),
@@ -1507,6 +1537,14 @@ object SparkEntry {
         DocFeed.withDups(s.read.parquet(s"$dir/documents.parquet"), plantScripts = true))
         .orderBy("doc_id")),
 
+    // E1a-nfc — exact dedup after Unicode NFC canonicalization: the
+    // planted composed/decomposed accent pairs collapse (n_raw_forms = 2)
+    // alongside the ordinary byte-exact groups (n_raw_forms = 1)
+    "ext_nfc_dedup" -> ((s, dir) =>
+      Dedup.normalizedExactGroups(
+        DocFeed.withDups(s.read.parquet(s"$dir/documents.parquet"), plantAccents = true))
+        .where(col("n_copies") > 1).orderBy("keep_id")),
+
     // SEQUENTIAL conversion funnel (view → click → purchase, in order):
     // one window pass resolves the step chaining, the per-user aggregate
     // reuses the window's partitioning — a single shuffle end-to-end
@@ -1620,6 +1658,7 @@ object SparkEntry {
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
     "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
+    "ext_rank_eval" -> ExtOracle.rankEvalSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
@@ -1722,6 +1761,8 @@ object SparkEntry {
     "cdc_state_composite" -> OrdersCdcOracle.lineitem.stateSql,
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
+    "ext_bm25" -> ExtOracle.bm25Sql,
+    "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,
     "ext_dsir" -> ExtOracle.importanceSql,
@@ -1732,6 +1773,7 @@ object SparkEntry {
     "ext_asof_nearest" -> ExtOracle.asofNearestSql,
     "ext_pagerank" -> ExtOracle.pagerankSql,
     "ext_script_stats" -> ExtOracle.scriptStatsSql,
+    "ext_nfc_dedup" -> ExtOracle.nfcDedupSql,
     "ext_funnel_steps" -> ExtOracle.funnelStepsSql,
     "ext_cohort_retention" -> ExtOracle.cohortRetentionSql,
     "ext_table_stats" -> ExtOracle.tableStatsSql,

@@ -30,6 +30,24 @@ object Dedup {
       .groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** E1a-nfc — exact-duplicate groups AFTER Unicode NFC canonicalization
+    * (graft.functions.NfcNormalize): composed and decomposed spellings of
+    * the same text (`é` vs `e`+U+0301) hash apart under every byte-level
+    * fingerprint, so a crawl corpus is normalized before dedup. Same
+    * single hash-aggregate shape as [[exactGroups]] — the normalizer is a
+    * codegen scalar inside the scan projection, so canonicalization adds
+    * zero shuffles (and zero cost on the all-ASCII fast path, which is a
+    * quick-check that allocates nothing). `n_raw_forms` counts the
+    * byte-distinct spellings a normalized group collapsed (1 = ordinary
+    * exact copies; >1 = normalization did real work). */
+  def normalizedExactGroups(
+      corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    corpus
+      .groupBy(fingerprint(graft.functions.NfcNormalize.nfcNormalize(col(textCol)))
+        .as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(fingerprint(col(textCol))).as("n_raw_forms"))
+
   /** E1a' — the dedup itself: keep the first (min-id) row per content hash.
     * `Window.partitionBy(fingerprint)` is hash-partitioned by fingerprint,
     * so no single-partition funnel.

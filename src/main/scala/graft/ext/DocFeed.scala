@@ -24,6 +24,16 @@ object DocFeed {
   val CyrDocOffset = 5000000L
   val CjkDocOffset = 6000000L
   val MixedDocOffset = 7000000L
+  val NfcDocOffset = 8000000L
+  val NfdDocOffset = 9000000L
+
+  /** Canonical-equivalence plant units: the SAME accented suffix in
+    * composed (NFC: `é` = U+00E9) and decomposed (NFD: `e` + U+0301)
+    * spellings. The two planted copies differ byte-wise (so every raw
+    * fingerprint splits them) but are canonically equivalent — the case
+    * Unicode normalization exists for. */
+  val AccentNfc = " caf\u00e9 r\u00e9sum\u00e9"
+  val AccentNfd = " cafe\u0301 re\u0301sume\u0301"
 
   /** Script-plant units (the fixture text is pure ASCII, so script
     * detection would be vacuously all-Latin without them). Whole-text
@@ -87,11 +97,17 @@ object DocFeed {
     *        a fully-CJK doc (both `repeat(unit, doc_id % 7 + 2)`),
     *        `% 10 == 6` → the original with a short Cyrillic suffix
     *        (mixed-script). Off by default for the same shared-corpus
-    *        reason as `plantLines`. */
+    *        reason as `plantLines`.
+    * @param plantAccents also plant `doc_id % 10 == 7` copy PAIRS carrying
+    *        the same accented suffix in composed (`+8000000`, [[AccentNfc]])
+    *        and decomposed (`+9000000`, [[AccentNfd]]) spellings — byte-
+    *        distinct, canonically equivalent. Only the Unicode-normalized
+    *        dedup consumes this branch; off by default as above. */
   def withDups(
       documents: DataFrame,
       plantLines: Boolean = false,
-      plantScripts: Boolean = false): DataFrame = {
+      plantScripts: Boolean = false,
+      plantAccents: Boolean = false): DataFrame = {
     // Single scan: each source row explodes into the 1-4 corpus rows it
     // contributes (a UNION of filtered selects would scan documents several
     // times per consumer sub-tree).
@@ -121,7 +137,13 @@ object DocFeed {
           lit("doc_cjk"), (col("doc_id") % 7 + 2) * lit(CjkUnit.length.toLong))),
       when(lit(plantScripts) && col("doc_id") % 10 === 6,
         row(col("doc_id") + lit(MixedDocOffset), concat(col("text"), lit(MixedSuffix)),
-          lit("doc_mixed"), col("n_chars") + lit(MixedSuffix.length.toLong))))).as("__r"))
+          lit("doc_mixed"), col("n_chars") + lit(MixedSuffix.length.toLong))),
+      when(lit(plantAccents) && col("doc_id") % 10 === 7,
+        row(col("doc_id") + lit(NfcDocOffset), concat(col("text"), lit(AccentNfc)),
+          lit("doc_nfc"), col("n_chars") + lit(AccentNfc.length.toLong))),
+      when(lit(plantAccents) && col("doc_id") % 10 === 7,
+        row(col("doc_id") + lit(NfdDocOffset), concat(col("text"), lit(AccentNfd)),
+          lit("doc_nfd"), col("n_chars") + lit(AccentNfd.length.toLong))))).as("__r"))
       .where(col("__r").isNotNull) // codegen'd row filter, not the HOF filter()
       .select(col("__r.*"))
   }

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps.intDiv
+import graft.functions.WordShingles
+
+/** E2-ret — BM25-shaped full-text retrieval over an inverted index: a set
+  * of term queries scored against the corpus with tf-saturated,
+  * length-normalized term weighting (Robertson et al., Okapi BM25), top-k
+  * documents per query.
+  *
+  * Terms are word BIGRAMS, not unigrams: the fixture vocabulary is ~31
+  * words with per-word document frequency ≈ 80% of the corpus, so every
+  * unigram is a stopword and unigram retrieval is vacuous; the ~1k-bigram
+  * space has df ≈ 6% and real discrimination. (A production corpus would
+  * use unigrams + this same shape.)
+  *
+  * Scoring is the BM25 form with k1 = 6/5, b = 3/4 and ALL arithmetic
+  * integer-exact so both engines hash identically (no raw floats in graded
+  * columns — the repo-wide oracle-parity rule):
+  *
+  *   - idf surrogate: `(2N - 2·df + 1)·10⁶ div (2·df + 1)` — the
+  *     Robertson–Sparck-Jones odds ratio `(N - df + ½)/(df + ½)` scaled to
+  *     micro-units with the log DROPPED. Monotone decreasing in df like the
+  *     true idf (so single-term rankings are identical); multi-term sums
+  *     weight rare terms more aggressively than the log form. Deterministic
+  *     integer math beats log-shaped floats whose last-ulp rounding differs
+  *     between engines.
+  *   - per-term: `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+  *     cleared of fractions (multiply through by 10·avgdl):
+  *     `idf_micro · tf · 22 · avgdl div (10·tf·avgdl + 3·avgdl + 9·dl)`
+  *     with dl = the doc's bigram count and avgdl = Σdl div N.
+  *   - score = Σ per-term contributions; rank by (score desc, doc_id).
+  *
+  * Scale shape: ONE explode+aggregate builds the postings (term → doc, tf);
+  * document frequency rides out of the postings with a second keyed
+  * aggregate (shuffle bounded by |vocab|, never the corpus); terms with
+  * `df·2 > N` are PRUNED from the index before any join — the classic
+  * stopword cut, and exactly the hot-key guard every content-keyed join in
+  * this repo carries (a term in half the corpus would fan the query join
+  * out to N/2 candidates; its idf is ~0, so dropping it changes cost, not
+  * answers, and the cut is deterministic on both engines). The query side
+  * is tiny by construction and broadcast — the only data-sized shuffles
+  * are the postings aggregates.
+  */
+object Retrieval {
+
+  /** Terms with `df·2 > N` (documents containing the term ≥ half the
+    * corpus) are pruned from the index — stopword cut + hot-key guard. */
+  val DfCapShareOfN = 2
+
+  /** Query derivation for the graded run: every `everyNth`-th base
+    * document (residue `residue`) contributes its DISTINCT first
+    * `prefixLen` bigrams as one query, keyed by the source doc_id. The
+    * query's source doc contains every query term, so self-retrieval at
+    * rank 1 is the built-in sanity check.
+    */
+  def queryTerms(
+      corpus: DataFrame,
+      everyNth: Int = 100,
+      residue: Int = 3,
+      prefixLen: Int = 6): DataFrame =
+    corpus
+      .where(col("doc_id") % everyNth === residue && col("doc_id") < DocFeed.ExactDupOffset)
+      .select(col("doc_id").as("query_id"),
+        posexplode(WordShingles.wordShingles(col("text"), 2)).as(Seq("pos", "term")))
+      .where(col("pos") < prefixLen)
+      .select("query_id", "term").distinct()
+
+  /** Top-`k` corpus documents per query by the integer BM25 score above.
+    * Output: (query_id, rnk 1..k, doc_id, score_micro) — ties broken by
+    * doc_id, so a planted exact duplicate of a matching doc ranks directly
+    * after its original.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val bg = corpus.select(col("doc_id"),
+      explode(WordShingles.wordShingles(col("text"), 2)).as("term"))
+    val postings = bg.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = bg.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // N and avgdl in one pass over the corpus + one over the bigram counts;
+    // a 1-row frame, broadcast under every per-posting computation
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val stats = bg.agg(count(lit(1)).as("__total")).crossJoin(broadcast(n))
+      .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
+    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val idx = postings
+      .join(docFreq, "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .where(col("df") * DfCapShareOfN <= col("n")) // stopword / hot-key cut
+      .withColumn("idf_micro",
+        intDiv((col("n") * 2 - col("df") * 2 + 1) * 1000000L, col("df") * 2 + 1))
+
+    idx
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .withColumn("__s",
+        intDiv(col("idf_micro") * col("tf") * 22L * col("avgdl"),
+          col("tf") * col("avgdl") * 10L + col("avgdl") * 3L + col("dl") * 9L))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__s")).as("score_micro"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "score_micro")
+  }
+
+  /** E2-ret' — n-gram OVERLAP retrieval, the second lexical view for
+    * hybrid fusion: corpus docs ranked per query by the count of distinct
+    * word [[Dedup.ShingleLen]]-gram shingles shared with the query doc
+    * (un-normalized set intersection — the candidate-scoring half of an
+    * n-gram Jaccard join, shaped as retrieval). Same inverted-index +
+    * df-pruned-hot-terms skeleton as [[bm25TopK]]; query side broadcast.
+    */
+  def overlapTopK(
+      corpus: DataFrame,
+      everyNth: Int = 100,
+      residue: Int = 3,
+      k: Int = 5): DataFrame = {
+    val shd = corpus.select(col("doc_id"),
+        explode(WordShingles.wordShingles(col("text"), Dedup.ShingleLen)).as("sh"))
+      .distinct()
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val shdf = shd.groupBy("sh").agg(count(lit(1)).as("df"))
+    val qsh = shd
+      .where(col("doc_id") % everyNth === residue && col("doc_id") < DocFeed.ExactDupOffset)
+      .select(col("doc_id").as("query_id"), col("sh"))
+    shd
+      .join(shdf, "sh")
+      .crossJoin(broadcast(n))
+      .where(col("df") * DfCapShareOfN <= col("n")) // stopword / hot-key cut
+      .join(broadcast(qsh), Seq("sh"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("overlap").desc, col("doc_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "overlap")
+  }
+
+  /** E2-ret'' — reciprocal-rank fusion (Cormack et al., SIGIR'09): the
+    * standard hybrid-retrieval combinator. Each system contributes
+    * `10⁶ div (kRrf + rank)` for documents it ranked (nothing otherwise);
+    * fused order is the summed score desc, doc_id tiebreak. Pure
+    * rank-space integer math — no score calibration across systems, no
+    * floats — which is exactly why RRF is the production default for
+    * fusing lexical + semantic rankings. Inputs are (query_id, doc_id,
+    * rnk) frames; both are top-k-sized (queries × k rows), so the fusion
+    * join is trivially small regardless of corpus scale.
+    */
+  def rrfFuse(sysA: DataFrame, sysB: DataFrame, k: Int = 5, kRrf: Int = 60): DataFrame = {
+    def half(df: DataFrame, tag: String) =
+      df.select(col("query_id"), col("doc_id"),
+        TextOps.intDiv(lit(1000000L), col("rnk") + lit(kRrf.toLong)).as(s"__c_$tag"))
+    half(sysA, "a")
+      .join(half(sysB, "b"), Seq("query_id", "doc_id"), "full_outer")
+      // (query_id, doc_id) is unique per side, so the join emits one row
+      // per fused key — no aggregate needed, just null-fill the absent side
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("__c_a"), lit(0L)) + coalesce(col("__c_b"), lit(0L))).as("rrf_micro"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "rrf_micro")
+  }
+}

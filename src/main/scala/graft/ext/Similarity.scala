@@ -826,4 +826,32 @@ object Similarity {
       size(filter(q, _ =!= 0)).as("n_nonzero"),
       md5(concat_ws(",", transform(q, _.cast("string"))).cast("binary")).as("fp_q"))
   }
+
+  /** E2-eval — ranking-quality evaluation: recall@k and reciprocal rank of
+    * an approximate retrieval `system` against the exhaustive `truth`
+    * ranking, per query. The harness every ANN deployment runs after each
+    * index build (probe-budget and table-count tuning reads exactly these
+    * numbers — IvfRecallSpec's assertions are this computation, graded).
+    *
+    * Both inputs are (query_id, neighbor_id, rnk) frames as produced by
+    * every top-k operator in this file. Metrics are integer-rendered
+    * (recall in basis points, reciprocal rank in micro-units: `10⁶ div
+    * first-relevant system rank`, 0 when no truth item surfaces). The
+    * join is truth-sized (queries × k rows, never corpus-sized); with a
+    * broadcast-sized truth the whole evaluation is one broadcast join +
+    * one aggregate on query_id.
+    */
+  def rankEval(system: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val intDiv = graft.ext.TextOps.intDiv _
+    val t = truth.where(col("rnk") <= k).select("query_id", "neighbor_id")
+    val sys = system.where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("__srnk"))
+    t.join(sys, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        count(col("__srnk")).as("n_hits"),
+        intDiv(count(col("__srnk")) * 10000L, count(lit(1))).as("recall_bp"),
+        coalesce(intDiv(lit(1000000L), min(col("__srnk"))), lit(0L)).as("rr_micro"))
+  }
 }

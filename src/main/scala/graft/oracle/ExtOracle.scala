@@ -35,6 +35,36 @@ object ExtOracle {
        |  FROM documents WHERE doc_id % 10 = 3
        |)""".stripMargin
 
+  /** ≙ DocFeed.withDups(plantAccents = true): the shared corpus plus the
+    * composed/decomposed accent-suffix copy pairs (`doc_id % 10 = 7` →
+    * +8000000 NFC / +9000000 NFD) — only the normalized dedup consumes
+    * this branch. The Scala constants interpolate straight into the SQL
+    * literal (the script-stats oracle proves non-ASCII survives the
+    * round-trip), so the two engines plant byte-identical text. */
+  val accentCorpusSql: String = corpusSql.stripSuffix(")") +
+    s"""  UNION ALL
+       |  SELECT doc_id + ${graft.ext.DocFeed.NfcDocOffset}, text || '${graft.ext.DocFeed.AccentNfc}',
+       |         lang, 'doc_nfc', n_chars + ${graft.ext.DocFeed.AccentNfc.length}
+       |  FROM documents WHERE doc_id % 10 = 7
+       |  UNION ALL
+       |  SELECT doc_id + ${graft.ext.DocFeed.NfdDocOffset}, text || '${graft.ext.DocFeed.AccentNfd}',
+       |         lang, 'doc_nfd', n_chars + ${graft.ext.DocFeed.AccentNfd.length}
+       |  FROM documents WHERE doc_id % 10 = 7
+       |)""".stripMargin
+
+  /** E1a-nfc ≙ Dedup.normalizedExactGroups over the accent-planted corpus:
+    * both engines implement UAX #15 NFC (java.text.Normalizer / utf8proc),
+    * so normalized bytes — and therefore the md5 groups — agree exactly. */
+  val nfcDedupSql: String =
+    s"""WITH $accentCorpusSql
+       |SELECT md5(nfc_normalize(text)) AS fingerprint, min(doc_id) AS keep_id,
+       |  CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_forms
+       |FROM corpus
+       |GROUP BY 1
+       |HAVING count(*) > 1
+       |ORDER BY keep_id""".stripMargin
+
   /** Row-local duplicate-word-trigram count expression over a `toks` list
     * ref — shared by the repetition report and the funnel's repetition
     * gate (≙ TextOps.dupTrigramBp's WordShingles + array_distinct). */
@@ -2673,5 +2703,160 @@ object ExtOracle {
          |WHERE $n IS NOT NULL
          |GROUP BY 1, 2""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name, bin")
+  }
+
+  /** Shared BM25 CTE chain (corpus → bigrams → postings/df/dl/stats →
+    * scored → `bmr` ranked to `depth`) — consumed by the BM25 query and
+    * the hybrid fusion. The bigram CTE fans out to four consumers —
+    * materialized. See Retrieval.scala scaladoc for the integer algebra
+    * (rational RSJ idf surrogate, k1 = 6/5, b = 3/4 cleared of
+    * fractions). */
+  private def bm25Ctes(depth: Int): String =
+    s"""$corpusSql, tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
+       |), bg AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, ${ngramConcat("toks", 2)} AS term
+       |  FROM tk, idx WHERE i <= len(toks) - 2
+       |), post AS MATERIALIZED (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bg GROUP BY 1
+       |), stats AS (
+       |  SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n,
+       |         CAST(count(*) // (SELECT count(*) FROM corpus) AS BIGINT) AS avgdl
+       |  FROM bg
+       |), dfq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1
+       |), qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM bg
+       |  WHERE pos < 6 AND doc_id % 100 = 3 AND doc_id < ${graft.ext.DocFeed.ExactDupOffset}
+       |), scored AS (
+       |  SELECT qt.query_id, p.doc_id,
+       |    CAST(sum((((s.n * 2 - d.df * 2 + 1) * 1000000 // (d.df * 2 + 1))
+       |          * p.tf * 22 * s.avgdl)
+       |        // (p.tf * s.avgdl * 10 + s.avgdl * 3 + dl.dl * 9)) AS BIGINT)
+       |      AS score_micro
+       |  FROM qt
+       |  JOIN post p USING (term)
+       |  JOIN dfq d USING (term)
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE d.df * ${graft.ext.Retrieval.DfCapShareOfN} <= s.n
+       |  GROUP BY 1, 2
+       |), bmr AS (
+       |  SELECT query_id, doc_id, score_micro, rnk FROM (
+       |    SELECT query_id, doc_id, score_micro,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score_micro DESC, doc_id) AS rnk
+       |    FROM scored) r0
+       |  WHERE rnk <= $depth
+       |)""".stripMargin
+
+  /** E2-ret ≙ ext.Retrieval.bm25TopK over queryTerms (top-5). */
+  val bm25Sql: String =
+    s"""WITH ${bm25Ctes(5)}
+       |SELECT query_id, rnk, doc_id, score_micro FROM bmr
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** E2-ret'' ≙ Retrieval.rrfFuse(bm25TopK(k=10), overlapTopK(k=10), k=5):
+    * reciprocal-rank fusion of the two lexical systems — each ranked doc
+    * contributes `10⁶ // (60 + rank)` per system, fused order is the sum.
+    * The overlap system reuses the bm25 chain's tk/idx token CTEs with
+    * ${graft.ext.Dedup.ShingleLen}-gram shingles and the same df·2 > N
+    * hot-term cut. */
+  val hybridRrfSql: String =
+    s"""WITH ${bm25Ctes(10)}, shd AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${ngramConcat("toks", graft.ext.Dedup.ShingleLen)} AS sh
+       |  FROM tk, idx WHERE i <= len(toks) - ${graft.ext.Dedup.ShingleLen}
+       |), shdf AS (
+       |  SELECT sh, CAST(count(*) AS BIGINT) AS sdf FROM shd GROUP BY 1
+       |), qsh AS (
+       |  SELECT doc_id AS query_id, sh FROM shd
+       |  WHERE doc_id % 100 = 3 AND doc_id < ${graft.ext.DocFeed.ExactDupOffset}
+       |), ovs AS (
+       |  SELECT q.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS overlap
+       |  FROM qsh q
+       |  JOIN shd d USING (sh)
+       |  JOIN shdf f USING (sh)
+       |  CROSS JOIN stats s
+       |  WHERE f.sdf * ${graft.ext.Retrieval.DfCapShareOfN} <= s.n
+       |  GROUP BY 1, 2
+       |), ovr AS (
+       |  SELECT query_id, doc_id, rnk FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY overlap DESC, doc_id) AS rnk
+       |    FROM ovs) o0
+       |  WHERE rnk <= 10
+       |), fused AS (
+       |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+       |         coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |         CAST(coalesce(1000000 // (60 + a.rnk), 0)
+       |            + coalesce(1000000 // (60 + b.rnk), 0) AS BIGINT) AS rrf_micro
+       |  FROM bmr a
+       |  FULL JOIN ovr b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       |)
+       |SELECT query_id, rnk, doc_id, rrf_micro FROM (
+       |  SELECT query_id, doc_id, rrf_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_micro DESC, doc_id) AS rnk
+       |  FROM fused) f0
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** E2-eval ≙ Similarity.rankEval(topKCosineLshMulti, topKCosine, k=3):
+    * recall@3 (bp) and reciprocal rank (micro) of the 4×4-bit multi-table
+    * LSH ANN against the brute-force truth, per query. System CTEs are
+    * annMultiprobeSql's verbatim; truth is the exhaustive cosine top-3. */
+  val rankEvalSql: String = {
+    val tables = 4
+    val bits = 4
+    val bucketList = (0 until tables).map { t =>
+      bucketExprSql("embedding", t * bits until (t + 1) * bits, p => p % bits)
+    }.mkString("[\n      ", ",\n      ", "\n    ]::BIGINT[]")
+    s"""WITH buck AS (
+       |  SELECT vec_id, $bucketList AS bl
+       |  FROM embeddings
+       |), tb AS (
+       |  SELECT vec_id, generate_subscripts(bl, 1) AS t, unnest(bl) AS bucket FROM buck
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+       |), s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         ${cosineSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS cos
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = cand.query_id
+       |  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+       |), sys AS (
+       |  SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM s) sr
+       |  WHERE rnk <= 3
+       |), ts AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+       |), truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM ts) tr
+       |  WHERE rnk <= 3
+       |)
+       |SELECT t.query_id,
+       |  CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(sys.rnk) AS BIGINT) AS n_hits,
+       |  CAST(count(sys.rnk) * 10000 // count(*) AS BIGINT) AS recall_bp,
+       |  CAST(coalesce(1000000 // min(sys.rnk), 0) AS BIGINT) AS rr_micro
+       |FROM truth t
+       |LEFT JOIN sys ON sys.query_id = t.query_id AND sys.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id
+       |ORDER BY t.query_id""".stripMargin
   }
 }

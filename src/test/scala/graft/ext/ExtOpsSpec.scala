@@ -909,6 +909,28 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
       })
     }
   }
+
+  test("rankEval scores constructed rankings exactly") {
+    val s = spark
+    import s.implicits._
+    // truth@3 per query; system finds: q1 all three (perfect), q2 one of
+    // three at system rank 2, q3 none
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3)).toDF("query_id", "neighbor_id", "rnk")
+    val system = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 99L, 1), (2L, 21L, 2), (2L, 98L, 3),
+      (3L, 97L, 1), (3L, 96L, 2), (3L, 95L, 3)).toDF("query_id", "neighbor_id", "rnk")
+    val got = Similarity.rankEval(system, truth, k = 3).orderBy("query_id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_bp"), r.getAs[Long]("rr_micro")))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 10000L, 1000000L), // perfect: recall 100%, rr = 1/1
+      (2L, 1L, 3333L, 500000L),   // 1/3 found, first at rank 2
+      (3L, 0L, 0L, 0L)))          // nothing found
+  }
 }
 
 object ExtOpsSpec {

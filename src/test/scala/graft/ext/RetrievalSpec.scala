@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class RetrievalSpec extends AnyFunSuite with SparkFixture {
+
+  private def corpus() = {
+    val s = spark
+    import s.implicits._
+    // 6 docs; "x x" appears in 4 of 6 (df*2 > N -> pruned as a stopword),
+    // "rare gem" only in docs 1 and 5 (5 = byte-exact copy of 1)
+    Seq(
+      (1L, "rare gem a b c d x x"),
+      (2L, "a b c d e f x x"),
+      (3L, "b c d e f g x x"),
+      (4L, "c d e f g h x x"),
+      (5L, "rare gem a b c d x x"),
+      (6L, "g h a b c d e f")
+    ).toDF("doc_id", "text")
+  }
+
+  test("self-retrieval ranks the query's source doc first; exact copy ties directly after") {
+    val s = spark
+    import s.implicits._
+    val q = Seq((1L, "rare gem"), (1L, "gem a"), (1L, "a b")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(corpus(), q, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+    // doc 1 and its copy 5 score identically on every term; id breaks the tie
+    assert(got.take(2).toSeq === Seq((1L, 1, 1L), (1L, 2, 5L)))
+    val scores = Retrieval.bm25TopK(corpus(), q, k = 3).collect()
+      .map(r => r.getAs[Long]("score_micro"))
+    assert(scores(0) === scores(1)) // exact copy: identical integer score
+  }
+
+  test("terms in at least half the corpus are pruned and contribute zero score") {
+    val s = spark
+    import s.implicits._
+    // query is ONLY the stopword bigram -> no postings survive the df cut
+    val q = Seq((9L, "x x")).toDF("query_id", "term")
+    assert(Retrieval.bm25TopK(corpus(), q).count() === 0)
+  }
+
+  test("RRF fusion: a doc ranked by both systems beats a doc ranked first by one") {
+    val s = spark
+    import s.implicits._
+    val sysA = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("query_id", "rnk", "doc_id")
+    val sysB = Seq((1L, 1, 12L), (1L, 2, 11L)).toDF("query_id", "rnk", "doc_id")
+    val got = Retrieval.rrfFuse(sysA, sysB, k = 3).orderBy("rnk").collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_micro")))
+    // doc 11: rank 2 in both -> 2*16129; docs 10/12: rank 1 in one -> 16393
+    assert(got.toSeq === Seq(
+      (1, 11L, 2 * (1000000L / 62)),
+      (2, 10L, 1000000L / 61), // ties with 12 on score; id breaks
+      (3, 12L, 1000000L / 61)))
+  }
+
+  test("shingle-overlap retrieval ranks the fuller overlap first and prunes hot shingles") {
+    val s = spark
+    import s.implicits._
+    // doc 103 is the query (103 % 100 == 3). doc 5 shares 4 tokens of
+    // run; doc 6 shares fewer; the "w w w w w w" run appears in 4 of 6
+    // docs -> its shingles are pruned (df*2 > N) and contribute nothing.
+    val docs = Seq(
+      (103L, "a b c d e f w w w w w w"),
+      (5L, "a b c d e zz w w w w w w"),
+      (6L, "a b c yy zz qq w w w w w w"),
+      (7L, "p q r s t u w w w w w w"),
+      (8L, "p q r s t v"),
+      (9L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.overlapTopK(docs, k = 3).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"), r.getAs[Long]("overlap")))
+    // self first (its 6 un-pruned shingles: a b c .. f w w), then 5
+    // (a-b-c-d-e run: 3 shared trigrams), then 6 (1 trigram "a b c");
+    // doc 7 shares ONLY the pruned "w w w" -> absent entirely
+    assert(got.head === ((1, 103L, 6L)))
+    assert(got(1) === ((2, 5L, 3L)))
+    assert(got(2) === ((3, 6L, 1L)))
+    assert(!got.exists(_._2 == 7L))
+  }
+
+  test("queryTerms takes the distinct first-prefix bigrams of selected base docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (3L, "a b a b c d e f g h"), // selected (3 % 100 == 3): prefix has dup "a b"
+      (4L, "z z z z z z z z"), // not selected
+      (DocFeed.ExactDupOffset + 3L, "q r s t u v w x") // planted id: excluded
+    ).toDF("doc_id", "text")
+    val got = Retrieval.queryTerms(docs, everyNth = 100, residue = 3, prefixLen = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[String]("term"))).toSet
+    assert(got === Set((3L, "a b"), (3L, "b a"), (3L, "b c"), (3L, "c d"), (3L, "d e")))
+  }
+}
