@@ -87,6 +87,10 @@ object Bench {
       .map { case ((name, fn), qIdx) =>
       if (recycleEvery > 0 && qIdx > 0 && qIdx % recycleEvery == 0) {
         spark.stop()
+        // the JVM-global streaming StateStore caches the dead context's
+        // coordinator RPC ref — reset it or every stateful streaming query
+        // after the first recycle fails with RpcEndpointNotFoundException
+        org.apache.spark.sql.graftbridge.StateStoreBridge.reset()
         spark = newSession(cpus)
       }
       // stop at the first failing pass — a deterministic failure shouldn't
