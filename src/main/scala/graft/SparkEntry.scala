@@ -1588,6 +1588,12 @@ object SparkEntry {
           expr("ts div 1000000000").as("t_s"), col("event_type")),
         "user_id", "t_s", "event_id", "event_type", gapS = 1800L, k = 20)),
 
+    // §2.11 — the same path mining under the REAL streaming engine:
+    // bounded per-user path state in flatMapGroupsWithState, sentinel
+    // flush, append file sink; grades against the batch oracle verbatim
+    "ext_session_paths_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionPathsStreamedToFiles(s, events(s, dir))),
+
     // first-order event-type transition matrix (Markov row per from-type,
     // shares in integer basis points)
     "ext_event_transitions" -> ((s, dir) =>
@@ -1778,6 +1784,7 @@ object SparkEntry {
     "ext_cohort_retention" -> ExtOracle.cohortRetentionSql,
     "ext_table_stats" -> ExtOracle.tableStatsSql,
     "ext_session_paths" -> ExtOracle.sessionPathsSql,
+    "ext_session_paths_stream" -> ExtOracle.sessionPathsSql,
     "ext_event_transitions" -> ExtOracle.eventTransitionsSql,
     "ext_moving_agg" -> ExtOracle.movingAggSql,
     "ext_column_hist" -> ExtOracle.columnHistSql

@@ -473,4 +473,126 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  final case class PathEvent(
+      user_id: Long, event_time: Timestamp, event_id: Long, event_type: String)
+  final case class PathEnt(t: Long, i: Long, y: String)
+  final case class PathState(
+      startMs: Long, lastMs: Long, nEvents: Int, buf: List[PathEnt])
+  final case class PathSession(user_id: Long, session_start: Timestamp, path: String)
+
+  /** STREAMING session-path mining: the sessionizer above extended to
+    * carry each live session's ordered event-type prefix in state, so a
+    * closing session emits its PATH ("view>click>…") directly — the
+    * streaming twin of [[graft.ops.Journeys.sessionPaths]], same gap
+    * semantics, same (event_time, event_id) total order, same `maxLen`
+    * truncation with the ">…" marker.
+    *
+    * Per-user state is BOUNDED like the batch operator's aggregation
+    * buffer: the buffer keeps only the `maxLen + 1` earliest events by
+    * (time, id) — entry `maxLen + 1` exists only to witness the marker —
+    * while `nEvents` counts the rest; a bot session of 10⁷ events holds
+    * 13 entries of state. Events inside one batch sort before folding;
+    * an in-gap late arrival INSERTS by (time, id), so batch-boundary
+    * timing cannot reorder a path.
+    */
+  def sessionPaths(
+      events: Dataset[PathEvent],
+      gapMs: Long,
+      maxLen: Int = 12,
+      watermarkDelay: String = "10 minutes"): Dataset[PathSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def pathOf(s: PathState): String = {
+      val types = s.buf.sortBy(e => (e.t, e.i)).map(_.y)
+      if (s.nEvents > maxLen) types.take(maxLen).mkString(">") + ">…"
+      else types.mkString(">")
+    }
+    def add(s: PathState, t: Long, i: Long, y: String): PathState = {
+      val buf = (PathEnt(t, i, y) :: s.buf).sortBy(e => (e.t, e.i)).take(maxLen + 1)
+      PathState(math.min(s.startMs, t), math.max(s.lastMs, t), s.nEvents + 1, buf)
+    }
+
+    def fn(userId: Long, evs: Iterator[PathEvent],
+        state: GroupState[PathState]): Iterator[PathSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[PathSession]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += PathSession(userId, new Timestamp(s.startMs), pathOf(s))
+        state.remove()
+      } else {
+        var cur = state.getOption
+        evs.toSeq.sortBy(e => (e.event_time.getTime, e.event_id)).foreach { e =>
+          val t = e.event_time.getTime
+          cur match {
+            // same merge/close cases as sessionize — keep branch-for-branch
+            case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+              cur = Some(add(s, t, e.event_id, e.event_type))
+            case Some(s) if t < s.startMs - gapMs =>
+              out += PathSession(userId, new Timestamp(t), e.event_type)
+            case Some(s) =>
+              out += PathSession(userId, new Timestamp(s.startMs), pathOf(s))
+              cur = Some(add(PathState(t, t, 0, Nil), t, e.event_id, e.event_type))
+            case None =>
+              cur = Some(add(PathState(t, t, 0, Nil), t, e.event_id, e.event_type))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Drive [[sessionPaths]] through the real engine (file stream →
+    * flatMapGroupsWithState → append file sink, AvailableNow, sentinel
+    * flush) and rank the closed sessions' paths — output identical in
+    * shape AND totalized cutoff to the batch Journeys.sessionPaths, so it
+    * grades against the SAME oracle. */
+  def sessionPathsStreamedToFiles(
+      spark: SparkSession, events: DataFrame, gapS: Long = 1800L,
+      k: Int = 20, maxLen: Int = 12): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      timestamp_seconds(expr("ts div 1000000000")).as("event_time"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"))
+    val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    if (maxT == null)
+      return spark.range(0).select(col("id").cast("string").as("path"),
+        col("id").as("n_sessions"))
+    val sentinel = typed.sparkSession.range(1).select(
+      lit(-1L).as("user_id"),
+      timestamp_millis(lit(maxT.getTime + 2L * 24 * 3600 * 1000)).as("event_time"),
+      lit(-1L).as("event_id"),
+      lit("__flush").as("event_type"))
+    val inDir = stageWithSentinel(typed, sentinel)
+    val outDir = tempDir("graft_paths_out")
+    val paths = sessionPaths(
+      spark.readStream.schema(typed.schema).parquet(inDir).as[PathEvent],
+      gapMs = gapS * 1000L, maxLen = maxLen)
+    val query = paths
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.schema(paths.schema).parquet(outDir.resolve("result").toString)
+      .where(col("user_id") >= 0)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
 }

@@ -75,6 +75,45 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("sessionPaths: ordered paths, bounded state truncation, id tiebreak at equal times") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.streaming.EventStream.{PathEvent, PathSession}
+
+    def pe(user: Long, t: String, id: Long, typ: String) = PathEvent(user, ts(t), id, typ)
+
+    val in = MemoryStream[PathEvent]
+    val paths = EventStream.sessionPaths(in.toDS(), gapMs = 60000L, maxLen = 3,
+      watermarkDelay = "10 minutes")
+    val query = paths.writeStream.format("memory").queryName("paths_mem")
+      .outputMode("append").start()
+    try {
+      // user 1: 5 events in one session (> maxLen=3 -> truncated path with
+      // marker), two sharing a timestamp so event_id breaks the order;
+      // delivered across two batches out of time order within the gap
+      in.addData(pe(1, "2024-01-01 10:00:00", 1, "a"), pe(1, "2024-01-01 10:00:20", 3, "c"),
+        pe(1, "2024-01-01 10:00:20", 2, "b"))
+      query.processAllAvailable()
+      in.addData(pe(1, "2024-01-01 10:00:40", 4, "d"), pe(1, "2024-01-01 10:00:10", 0, "z"))
+      query.processAllAvailable()
+      // user 2: exactly maxLen events -> no marker
+      in.addData(pe(2, "2024-01-01 11:00:00", 5, "x"), pe(2, "2024-01-01 11:00:01", 6, "y"),
+        pe(2, "2024-01-01 11:00:02", 7, "x"))
+      query.processAllAvailable()
+      // far-future watermark push closes both
+      in.addData(pe(3, "2024-01-02 10:00:00", 8, "w"))
+      query.processAllAvailable()
+
+      val got = spark.table("paths_mem").as[PathSession].collect()
+        .map(x => (x.user_id, x.path)).toSet
+      // (time, id) order: a(10:00:00,1) z(10:00:10,0) b(10:00:20,2)
+      // c(10:00:20,3) d(10:00:40,4) -> first 3 + marker
+      assert(got.contains((1L, "a>z>b>…")), s"got $got")
+      assert(got.contains((2L, "x>y>x")))
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate keys across micro-batches within the watermark") {
     val s = spark
     import s.implicits._
