@@ -1110,6 +1110,22 @@ object SparkEntry {
       graft.ext.Cluster.clusters(c, Dedup.nearDuplicatePairs(c)).orderBy("doc_id")
     }),
 
+    // E1f' — INCREMENTAL cluster maintenance: pairs split into a history
+    // batch (both ends below the near-dup plant offset) and an incoming
+    // batch; the incoming batch folds into the history's labels via
+    // star-edge propagation — and must reproduce the from-scratch
+    // clustering EXACTLY (same oracle as ext_dedup_clusters, verbatim)
+    "ext_dedup_clusters_incremental" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val cut = DocFeed.NearDupOffset
+      val pairs = Dedup.nearDuplicatePairs(c).localCheckpoint(true)
+      val labels0 = graft.ext.Cluster.connectedComponents(
+        pairs.where(col("id_a") < cut && col("id_b") < cut))
+      val labels = graft.ext.Cluster.applyPairsBatch(labels0,
+        pairs.where(col("id_a") >= cut || col("id_b") >= cut))
+      graft.ext.Cluster.assignFromLabels(c, labels).orderBy("doc_id")
+    }),
+
     // E1e''' — soft dedup: every doc kept, training weight divided by its
     // near-dup cluster size (10000 div n_members basis points)
     "ext_dedup_weights" -> ((s, dir) => {
@@ -1722,6 +1738,7 @@ object SparkEntry {
     "ext_epoch_shuffle" -> ExtOracle.epochShuffleSql,
     "ext_split" -> ExtOracle.hashSplitSql,
     "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,
+    "ext_dedup_clusters_incremental" -> ExtOracle.dedupClustersSql,
     "ext_dedup_weights" -> ExtOracle.dedupWeightsSql,
     "ext_ppl_buckets" -> ExtOracle.fluencyBucketsSql,
     "ext_dedup_representatives" -> ExtOracle.dedupRepresentativesSql,

@@ -177,6 +177,28 @@ object Cluster {
   def clusters(corpus: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     assignFromLabels(corpus, connectedComponents(pairs), idCol)
 
+  /** INCREMENTAL component maintenance: fold a NEW batch of near-dup
+    * pairs into existing (id, label) assignments without revisiting any
+    * historical pair. Every existing component enters the propagation as
+    * a STAR (member → label edges, depth 1 by construction — the label IS
+    * the component's min id), so however many batches built the history,
+    * the fold's round count depends only on the new batch's graph
+    * diameter. This is the continuously-ingesting dedup shape: pair
+    * discovery against the persisted signature index
+    * ([[Dedup.incrementalNew]] / the minhash ingest) hands its new pairs
+    * here, and the label table — not the pair history — is the only state
+    * carried between batches. Labels from the fold are exactly the labels
+    * a from-scratch CC over (all old pairs ∪ new pairs) would produce:
+    * star edges preserve old connectivity node-for-node, and min-label
+    * propagation over the union resolves merged components to the global
+    * min id. */
+  def applyPairsBatch(labels: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val starEdges = labels.where(col("id") =!= col("label"))
+      .select(col("id").as(idA), col("label").as(idB))
+    connectedComponents(starEdges.union(newPairs.select(col(idA), col(idB))), idA, idB)
+  }
+
   /** [[clusters]] from PRECOMPUTED component labels — so a pipeline that
     * also selects representatives runs the iterative CC once and shares
     * the (tiny, already-checkpointed) label table. */

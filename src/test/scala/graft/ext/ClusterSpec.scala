@@ -34,6 +34,22 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(labels.size == 80 && labels.values.forall(_ == 1L))
   }
 
+  test("incremental batch fold equals from-scratch CC (bridge, extend, fresh, untouched)") {
+    // history: {1,2,3} and {5,6} and {10,11}
+    val oldPairs = pairsDf((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L))
+    val labels0 = Cluster.connectedComponents(oldPairs)
+    // batch: bridges {1..3}+{5,6}, extends {1..} with 4, adds fresh {8,9};
+    // {10,11} is untouched by the batch and must keep its label
+    val newPairs = pairsDf((3L, 5L), (4L, 6L), (8L, 9L))
+    val inc = Cluster.applyPairsBatch(labels0, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Cluster.connectedComponents(pairsDf(
+      (1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (3L, 5L), (4L, 6L), (8L, 9L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == scratch)
+    assert(inc(6L) == 1L && inc(4L) == 1L && inc(9L) == 8L && inc(11L) == 10L)
+  }
+
   test("disjoint components keep distinct min labels") {
     val labels = Cluster.connectedComponents(pairsDf((10L, 7L), (20L, 21L), (21L, 22L)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
