@@ -1010,6 +1010,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/region.parquet"))
         .orderBy(col("gid"), col("r_name"), col("n_name"))),
 
+    // CUBE grouping sets — the two single-dimension margins ROLLUP omits,
+    // still one Expand+aggregate pass over the fact table
+    "ext_cube_agg" -> ((s, dir) =>
+      graft.ops.Analytics.ordersCube(orders(s, dir))
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))),
+
+    // EXACT quantiles by rank selection (actual data elements, shared
+    // explicit ceil(p*n) rank formula — not either engine's
+    // quantile_disc convention)
+    "ext_exact_quantiles" -> ((s, dir) =>
+      graft.ops.Analytics.exactQuantiles(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "lang", "n_tokens").orderBy("lang")),
+
     // int8 embedding quantization — summary stats + fingerprint per vector
     "ext_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir)).orderBy("vec_id")),
@@ -1729,6 +1744,8 @@ object SparkEntry {
     "ext_sessionize" -> ExtOracle.sessionizeSql,
     "ext_asof" -> ExtOracle.asofSql,
     "ext_rollup" -> ExtOracle.rollupSql,
+    "ext_cube_agg" -> ExtOracle.cubeSql,
+    "ext_exact_quantiles" -> ExtOracle.exactQuantilesSql,
     "ext_skew_join" -> ExtOracle.skewJoinSql,
     "ext_zorder" -> ExtOracle.zorderSql,
     "ext_bucketed_join" -> ExtOracle.skewJoinSql,

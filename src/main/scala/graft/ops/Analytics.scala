@@ -77,4 +77,43 @@ object Analytics {
         count(lit(1)).over(w).as("n_1h"),
         sum(col("__cents")).over(w).as("cents_1h"))
   }
+
+  /** CUBE grouping sets over orders: all four (priority × status)
+    * grouping combinations — including the two single-dimension margins
+    * ROLLUP omits — in ONE Expand + aggregate pass over the fact table
+    * (never one scan per grouping set). `grouping_id` disambiguates the
+    * NULL-as-total rows exactly as in [[revenueRollup]]; first grouping
+    * expression = MSB on both engines. */
+  def ordersCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+
+  /** EXACT distributed quantiles by rank selection — the companion to the
+    * mergeable approximate histogram sketch (TextOps.histQuantiles) for
+    * when the answer must be an actual data element: one shuffle on the
+    * group key, one sort-window pass ranking values, and the p-quantile
+    * read as the element at rank `ceil(p·n)` (conditional aggregate — no
+    * second scan, no driver collect). Value-at-rank is well-defined under
+    * ties whatever the tie order, so no tiebreak column is needed. */
+  def exactQuantiles(
+      rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    val intDiv = graft.ext.TextOps.intDiv _
+    rows
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(valueCol).as("min_v"),
+        max(when(col("__rn") === intDiv(col("__cnt") + 1, lit(2L)), col(valueCol)))
+          .as("p50_v"),
+        max(when(col("__rn") === intDiv(col("__cnt") * 9 + 9, lit(10L)), col(valueCol)))
+          .as("p90_v"),
+        max(valueCol).as("max_v"))
+  }
 }

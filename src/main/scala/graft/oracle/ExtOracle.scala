@@ -1292,6 +1292,36 @@ object ExtOracle {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY gid, r_name, n_name""".stripMargin
 
+  /** ≙ ops.Analytics.ordersCube — all four grouping combinations in one
+    * Expand pass; GROUPING_ID first-arg-MSB matches Spark. */
+  val cubeSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
+  /** ≙ ops.Analytics.exactQuantiles(per-lang token counts): the rank
+    * formula (`ceil(p·n)` via integer division) is written out identically
+    * on both engines rather than trusting either engine's quantile_disc
+    * rank convention. */
+  val exactQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+      |), r AS (
+      |  SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM t
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(n) AS min_v,
+      |  max(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS p50_v,
+      |  max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN n END) AS p90_v,
+      |  max(n) AS max_v
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   /** ≙ the salted skew join graded query: salting must be RESULT-INVISIBLE,
     * so the oracle is the plain inner join + aggregation. */
   val skewJoinSql: String =

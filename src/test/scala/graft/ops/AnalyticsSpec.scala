@@ -63,4 +63,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(got(4L) == (2L, 2400L) && got(5L) == (2L, 2400L))
     assert(got(6L) == (1L, 3200L), "users are isolated")
   }
+
+  test("cube emits all four grouping sets and they reconcile") {
+    val s = spark
+    import s.implicits._
+    val orders = Seq(
+      ("1-URGENT", "O", 10.0), ("1-URGENT", "F", 20.0),
+      ("2-HIGH", "O", 40.0), ("2-HIGH", "O", 80.0)
+    ).toDF("o_orderpriority", "o_orderstatus", "o_totalprice")
+    val rows = Analytics.ordersCube(orders).collect()
+      .map(r => (Option(r.getAs[String]("o_orderpriority")),
+        Option(r.getAs[String]("o_orderstatus")), r.getAs[Long]("gid"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents")))
+    assert(rows.length === 3 + 2 + 2 + 1) // leaves + prio margins + status margins + grand
+    assert(rows.contains((None, None, 3L, 4L, 15000L)), "grand total, gid=3")
+    assert(rows.contains((Some("2-HIGH"), None, 1L, 2L, 12000L)), "priority margin")
+    assert(rows.contains((None, Some("O"), 2L, 3L, 13000L)), "status margin (cube-only)")
+    assert(rows.contains((Some("1-URGENT"), Some("F"), 0L, 1L, 2000L)))
+  }
+
+  test("exact quantiles select real elements at the ceil(p*n) rank") {
+    val s = spark
+    import s.implicits._
+    // odd group: 1..5 -> p50 = rank 3 = 3, p90 = rank ceil(4.5)=5 -> 5
+    // even group with ties: [10,10,20,30] -> p50 = rank 2 = 10, p90 = rank 4 = 30
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L)) ++
+      Seq(("b", 10L), ("b", 10L), ("b", 20L), ("b", 30L))).toDF("g", "v")
+    val got = Analytics.exactQuantiles(df, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> (r.getAs[Long]("n_rows"), r.getAs[Long]("min_v"),
+        r.getAs[Long]("p50_v"), r.getAs[Long]("p90_v"), r.getAs[Long]("max_v"))).toMap
+    assert(got("a") === ((5L, 1L, 3L, 5L, 5L)))
+    assert(got("b") === ((4L, 10L, 10L, 30L, 30L)))
+  }
 }
