@@ -415,6 +415,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CSV bridge graded byte-lossless the same way — the meta column's
+    // embedded quotes/braces/commas exercise RFC-4180 quoting for real
+    "ext_csv_roundtrip" -> ((s, dir) => {
+      val out = TempDirs.create("graft_csv").resolve("docs").toString
+      graft.sources.Csv.roundTrip(DocFeed.withUrlMeta(corpus(s, dir)), out)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_text"),
+          md5(col("meta").cast("binary")).as("fp_meta"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // E2a — exact brute-force top-k cosine (bounded-heap aggregate)
     "ext_topk_cosine" -> ((s, dir) =>
       Similarity.topKCosine(embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
@@ -1687,6 +1697,7 @@ object SparkEntry {
     "ext_spell_correct" -> ExtOracle.spellCorrectSql,
     // the JSONL round-trip must reproduce the direct parquet read exactly
     "ext_jsonl_roundtrip" -> ExtOracle.fingerprintSql,
+    "ext_csv_roundtrip" -> ExtOracle.csvRoundtripSql,
     "ext_bpe_merges" -> ExtOracle.bpeMergesSql,
     "ext_bpe_encode" -> ExtOracle.bpeEncodeSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,

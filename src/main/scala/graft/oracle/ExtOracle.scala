@@ -1818,6 +1818,17 @@ object ExtOracle {
        |ORDER BY lang""".stripMargin
   }
 
+  /** ≙ the CSV round-trip graded query: the ORACLE is the direct read —
+    * losslessness means the post-round-trip fingerprints equal these. */
+  val csvRoundtripSql: String =
+    s"""WITH $corpusSql
+       |SELECT doc_id, md5(text) AS fp_text,
+       |  md5('{"url": "https://w' || ((doc_id % 1000000) % 7)::VARCHAR ||
+       |      '.example.com/d/' || doc_id::VARCHAR || '"}') AS fp_meta,
+       |  n_chars
+       |FROM corpus
+       |ORDER BY doc_id""".stripMargin
+
   /** ≙ DocFeed.withUrlMeta + Curate.domainOf: the corpus with synthetic
     * URL JSON metadata and the regexp-extracted host. */
   private val domainCorpusSql: String =
