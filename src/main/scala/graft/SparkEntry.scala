@@ -994,6 +994,29 @@ object SparkEntry {
         "user_id", "t_s", "event_id", gapS = 1800L)
         .orderBy("user_id", "session_seq")),
 
+    // interval×interval OVERLAP join (bucket expansion both sides,
+    // canonical-bucket dedup — no distinct): concurrent session pairs
+    // across users; oracle = the naive non-equi self-join
+    "ext_session_overlap" -> ((s, dir) => {
+      val sess = graft.ops.Sessions.sessionize(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t_s")),
+        "user_id", "t_s", "event_id", gapS = 1800L)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start_s"), col("session_end_s"))
+        .localCheckpoint(true) // both sides of the self-join consume it
+      val a = sess.select(col("user_id").as("user_a"), col("session_seq").as("seq_a"),
+        col("session_start_s").as("lo_a"), col("session_end_s").as("hi_a"))
+      val b = sess.select(col("user_id").as("user_b"), col("session_seq").as("seq_b"),
+        col("session_start_s").as("lo_b"), col("session_end_s").as("hi_b"))
+      graft.ops.RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", 3600L)
+        .where(col("user_a") < col("user_b"))
+        .select(col("user_a"), col("seq_a"), col("user_b"), col("seq_b"),
+          (least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")) + 1)
+            .as("overlap_s"))
+        .orderBy("user_a", "seq_a", "user_b", "seq_b")
+    }),
+
     // backward as-of join — each event annotated with the user's most
     // recent purchase at-or-before it (attribution join). Marks are a
     // subset of the probe stream, so the self variant emits both roles
@@ -1821,6 +1844,7 @@ object SparkEntry {
     "ext_hist_quantile" -> ExtOracle.histQuantilesSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql,
     "ext_session_concurrency" -> ExtOracle.sessionConcurrencySql,
+    "ext_session_overlap" -> ExtOracle.sessionOverlapSql,
     "ext_asof_nearest" -> ExtOracle.asofNearestSql,
     "ext_pagerank" -> ExtOracle.pagerankSql,
     "ext_script_stats" -> ExtOracle.scriptStatsSql,

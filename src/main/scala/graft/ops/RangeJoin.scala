@@ -72,4 +72,39 @@ object RangeJoin {
         col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .select(points.columns.toSeq.map(col) ++ ranges.columns.toSeq.map(col): _*)
   }
+
+  /** Interval × interval OVERLAP join — pair every left interval with
+    * every right interval it intersects (`l.lo <= r.hi && r.lo <= l.hi`,
+    * inclusive integral bounds). Same coarse-bucket expansion as
+    * [[pointInRange]], on BOTH sides; a pair sharing k buckets would
+    * surface k times, so the match is admitted only in its CANONICAL
+    * bucket — the one containing `max(l.lo, r.lo)`, the overlap's first
+    * instant, which both explodes necessarily cover — making the dedup
+    * exact with zero extra shuffle (no `distinct`). Shuffle volume is
+    * `Σ(1 + width/w)` over both sides; never left × right.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      right: DataFrame,
+      rLoCol: String,
+      rHiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty,
+      s"left/right column names must be disjoint, both have: ${collisions.mkString(",")}")
+
+    def bucketOf(c: Column): Column = graft.ext.TextOps.intDiv(c, lit(bucketWidth))
+
+    val l = left.withColumn("__lb",
+      explode(sequence(bucketOf(col(lLoCol)), bucketOf(col(lHiCol)))))
+    val r = right.withColumn("__rb",
+      explode(sequence(bucketOf(col(rLoCol)), bucketOf(col(rHiCol)))))
+    l.join(r, col("__lb") === col("__rb") &&
+        col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        bucketOf(greatest(col(lLoCol), col(rLoCol))) === col("__lb"))
+      .select(left.columns.toSeq.map(col) ++ right.columns.toSeq.map(col): _*)
+  }
 }

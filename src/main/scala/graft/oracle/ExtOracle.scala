@@ -1254,6 +1254,33 @@ object ExtOracle {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** ≙ ops.RangeJoin.intervalOverlap over the sessionized events: the
+    * naive non-equi self-join IS the oracle (bucket expansion must be
+    * result-invisible, including the canonical-bucket dedup). */
+  val sessionOverlapSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, t_s,
+      |    CASE WHEN t_s - lag(t_s) OVER w <= 1800 THEN 0 ELSE 1 END AS newf
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+      |), s AS (
+      |  SELECT user_id, t_s,
+      |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY t_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f
+      |), sess AS MATERIALIZED (
+      |  SELECT user_id, session_seq, min(t_s) AS lo, max(t_s) AS hi
+      |  FROM s GROUP BY user_id, session_seq
+      |)
+      |SELECT a.user_id AS user_a, a.session_seq AS seq_a,
+      |       b.user_id AS user_b, b.session_seq AS seq_b,
+      |       least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS overlap_s
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+      |ORDER BY user_a, seq_a, user_b, seq_b""".stripMargin
+
   /** ≙ ops.AsOfJoin.backward(events, purchase marks): the union+window
     * formulation written out — semantically DuckDB's `ASOF JOIN` with
     * `ON a.user_id = b.user_id AND a.t_s >= b.t_s` plus a deterministic

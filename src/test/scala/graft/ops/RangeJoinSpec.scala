@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
@@ -48,5 +49,28 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
       RangeJoin.pointInRange(points, "p", ranges, "lo", "hi", 10L)
     }
     assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("interval overlap equals brute force; multi-bucket pairs emit exactly once") {
+    val s = spark
+    import s.implicits._
+    // widths far beyond the bucket (w=10): pair (1,101) shares MANY
+    // buckets; touching endpoints (2,102) overlap; disjoint (3,103);
+    // negative coords (4,104); containment (5,105)
+    val left = Seq(
+      (1L, 0L, 95L), (2L, 10L, 20L), (3L, 0L, 4L), (4L, -25L, -7L), (5L, 40L, 80L)
+    ).toDF("lid", "llo", "lhi")
+    val right = Seq(
+      (101L, 30L, 150L), (102L, 20L, 29L), (103L, 5L, 9L), (104L, -9L, 3L), (105L, 50L, 60L)
+    ).toDF("rid", "rlo", "rhi")
+    for (w <- Seq(1L, 7L, 10L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi", w)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val brute = left.crossJoin(right)
+        .where(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === brute.toSeq, s"bucket width $w")
+      assert(got.length === got.distinct.length, s"duplicate pairs at width $w")
+    }
   }
 }
