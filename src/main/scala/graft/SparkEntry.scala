@@ -1058,6 +1058,14 @@ object SparkEntry {
           .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "lang", "n_tokens").orderBy("lang")),
 
+    // Tukey-fence outlier screen per event type over the skewed value
+    // column (doubled-value fence math keeps 1.5*IQR integer-exact)
+    "ext_outlier_fences" -> ((s, dir) =>
+      graft.ops.Profile.outlierFences(
+        events(s, dir).select(col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents")),
+        "event_type", "cents").orderBy("event_type")),
+
     // int8 embedding quantization — summary stats + fingerprint per vector
     "ext_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir)).orderBy("vec_id")),
@@ -1780,6 +1788,7 @@ object SparkEntry {
     "ext_rollup" -> ExtOracle.rollupSql,
     "ext_cube_agg" -> ExtOracle.cubeSql,
     "ext_exact_quantiles" -> ExtOracle.exactQuantilesSql,
+    "ext_outlier_fences" -> ExtOracle.outlierFencesSql,
     "ext_skew_join" -> ExtOracle.skewJoinSql,
     "ext_zorder" -> ExtOracle.zorderSql,
     "ext_bucketed_join" -> ExtOracle.skewJoinSql,

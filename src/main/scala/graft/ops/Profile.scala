@@ -150,4 +150,38 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("column_name", "bin")
   }
+
+  /** Tukey-fence OUTLIER profiling per group: quartiles by exact rank
+    * selection (same `ceil(p·n)` convention as Analytics.exactQuantiles),
+    * then counts outside `[Q1 − 1.5·IQR, Q3 + 1.5·IQR]`. The half-unit
+    * fence arithmetic stays integer-exact by comparing DOUBLED values
+    * (`2v < 2·Q1 − 3·IQR`) — no rational math to diverge between engines.
+    * Two aggregates: the quartile pass (one sort-window) and a recount
+    * against the broadcast per-group fence row. The standard anomaly
+    * screen a profiling pass runs per column at ingest. */
+  def outlierFences(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val intDiv = graft.ext.TextOps.intDiv _
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol).orderBy(valueCol)
+    val q = rows
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+      .groupBy(groupCol)
+      .agg(
+        max(when(col("__rn") === intDiv(col("__cnt") + 3, lit(4L)), col(valueCol)))
+          .as("p25_v"),
+        max(when(col("__rn") === intDiv(col("__cnt") * 3 + 3, lit(4L)), col(valueCol)))
+          .as("p75_v"))
+    val iqr = col("p75_v") - col("p25_v")
+    rows.join(broadcast(q), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("p25_v")).as("p25_v"),
+        max(col("p75_v")).as("p75_v"),
+        sum(when(col(valueCol) * 2 < col("p25_v") * 2 - iqr * 3, 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col(valueCol) * 2 > col("p75_v") * 2 + iqr * 3, 1L).otherwise(0L))
+          .as("n_high"))
+  }
 }

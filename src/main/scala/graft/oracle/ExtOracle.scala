@@ -1349,6 +1349,32 @@ object ExtOracle {
       |  max(n) AS max_v
       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** ≙ ops.Profile.outlierFences over events.value cents per event_type:
+    * rank-selected quartiles + doubled-value Tukey fences. */
+  val outlierFencesSql: String =
+    """WITH t AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+      |), r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM t
+      |), q AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rn = (cnt + 3) // 4 THEN v END) AS p25_v,
+      |    max(CASE WHEN rn = (cnt * 3 + 3) // 4 THEN v END) AS p75_v
+      |  FROM r GROUP BY event_type
+      |)
+      |SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |  max(p25_v) AS p25_v, max(p75_v) AS p75_v,
+      |  CAST(sum(CASE WHEN t.v * 2 < p25_v * 2 - (p75_v - p25_v) * 3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN t.v * 2 > p75_v * 2 + (p75_v - p25_v) * 3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM t JOIN q ON t.event_type = q.event_type
+      |GROUP BY t.event_type
+      |ORDER BY t.event_type""".stripMargin
+
   /** ≙ the salted skew join graded query: salting must be RESULT-INVISIBLE,
     * so the oracle is the plain inner join + aggregation. */
   val skewJoinSql: String =

@@ -62,4 +62,20 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"profile must not use the Expand plan:\n$plan")
   }
+
+  test("Tukey fences count exactly the values beyond 1.5*IQR") {
+    val s = spark
+    import s.implicits._
+    // group a: 1..8 with one far outlier 100 and one far-low -100.
+    // n=10 -> Q1 rank ceil(10/4)=3, Q3 rank ceil(30/4)=8
+    val df = ((Seq(-100L, 100L) ++ (1L to 8L)).map(("a", _)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 5L))).toDF("g", "v")
+    val got = Profile.outlierFences(df, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> (r.getAs[Long]("n_rows"), r.getAs[Long]("p25_v"),
+        r.getAs[Long]("p75_v"), r.getAs[Long]("n_low"), r.getAs[Long]("n_high"))).toMap
+    // sorted a: -100,1..8,100 -> rank3 = 2, rank8 = 7; IQR=5
+    // fences(x2): lo 2*2-15=-11 -> v< -5.5; hi 14+15=29 -> v>14.5
+    assert(got("a") === ((10L, 2L, 7L, 1L, 1L)))
+    assert(got("b") === ((4L, 5L, 5L, 0L, 0L)), "constant group has no outliers")
+  }
 }
