@@ -1081,6 +1081,11 @@ object SparkEntry {
     "ext_lm_fluency" -> ((s, dir) =>
       TextOps.lmFluency(corpus(s, dir)).orderBy("doc_id")),
 
+    // E3-colloc — collocation mining by integer lift (log-free PMI
+    // surrogate; the monotone log preserves PMI's ranking)
+    "ext_collocations" -> ((s, dir) =>
+      TextOps.collocations(corpus(s, dir))),
+
     // E2-ret — BM25-shaped inverted-index retrieval: bigram terms, integer
     // RSJ-surrogate idf, df-pruned hot terms, broadcast query side, top-5
     // per query (rank 1 = the query's own source doc by construction)
@@ -1848,6 +1853,7 @@ object SparkEntry {
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,
+    "ext_collocations" -> ExtOracle.collocationsSql,
     "ext_dsir" -> ExtOracle.importanceSql,
     "ext_dsir_sample" -> ExtOracle.importanceSampleSql,
     "ext_hist_quantile" -> ExtOracle.histQuantilesSql,

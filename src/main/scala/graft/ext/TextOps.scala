@@ -745,4 +745,40 @@ object TextOps {
       .where(levenshtein(col("q"), col("word")) <= maxDist)
       .select(col("q"), col("word"), levenshtein(col("q"), col("word")).cast("long").as("dist"))
   }
+
+  /** E3-colloc — collocation mining by integer LIFT: bigrams whose
+    * observed count exceeds what independent word draws would predict,
+    * `lift_bp = c(w1 w2) · N · 10⁴ div (c(w1) · c(w2))` with N = total
+    * token count — the log-free PMI surrogate (PMI = log of this ratio;
+    * the log is monotone, so the ranking is PMI's ranking, rendered in
+    * engine-exact basis points). The corpus-analysis pass that surfaces
+    * multiword expressions ("new york") before tokenizer training.
+    *
+    * Same two vocabulary-keyed joins as [[lmFluency]] (bigram counts ⋈
+    * unigram counts on each side); `minCount` drops the noise tail before
+    * the ranking, top-k totalized by (lift desc, bigram asc).
+    */
+  def collocations(
+      corpus: DataFrame,
+      minCount: Long = 5L,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val toks = corpus.select(explode(split(col(textCol), " ")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint(true)
+    val n = toks.agg(count(lit(1)).as("n"))
+    val big = corpus
+      .select(explode(graft.functions.WordShingles.wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    big
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bg"), lit(" "), lit(2)))
+      .join(uni.select(col("w").as("w1"), col("c1").as("cw1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bg"), col("c12"),
+        intDiv(col("c12") * col("n") * 10000L, col("cw1") * col("cw2")).as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("bg").asc)
+      .limit(k)
+  }
 }

@@ -1349,6 +1349,35 @@ object ExtOracle {
       |  max(n) AS max_v
       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** E3-colloc ≙ TextOps.collocations: integer-lift collocation mining
+    * (log-free PMI surrogate — the log is monotone so the ranking is
+    * PMI's), minCount 5, top-20 by (lift desc, bigram). */
+  val collocationsSql: String =
+    s"""WITH $corpusSql, tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
+       |), t AS MATERIALIZED (
+       |  SELECT toks[i+1] AS w FROM tk, idx WHERE i < len(toks)
+       |), uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY 1
+       |), nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM t
+       |), c AS (
+       |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
+       |    SELECT ${ngramConcat("toks", 2)} AS bg
+       |    FROM tk, idx WHERE i <= len(toks) - 2) b
+       |  GROUP BY bg HAVING count(*) >= 5
+       |)
+       |SELECT bg, c12,
+       |  CAST(c12 * n * 10000 // (u1.c1 * u2.c1) AS BIGINT) AS lift_bp
+       |FROM c
+       |JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+       |JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+       |CROSS JOIN nn
+       |ORDER BY lift_bp DESC, bg
+       |LIMIT 20""".stripMargin
+
   /** ≙ ops.Profile.outlierFences over events.value cents per event_type:
     * rank-selected quartiles + doubled-value Tukey fences. */
   val outlierFencesSql: String =

@@ -910,6 +910,21 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("collocations rank the always-together pair above independent pairs") {
+    val s = spark
+    import s.implicits._
+    // "qq zz" occurs 6 times and qq/zz never appear apart -> maximal lift;
+    // "a b" also occurs 6 times but a and b are everywhere -> low lift
+    val docs = (1L to 6L).map(i => (i, "a b qq zz a b c a d b")).toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, minCount = 5L, k = 3).collect()
+      .map(r => (r.getAs[String]("bg"), r.getAs[Long]("c12"), r.getAs[Long]("lift_bp")))
+    assert(got.head._1 === "qq zz")
+    // N=60, c12=6, c(qq)=c(zz)=6 -> 6*60*10000/36 = 100000
+    assert(got.head._3 === 100000L)
+    val ab = got.find(_._1 == "a b")
+    assert(ab.forall(_._3 < 100000L))
+  }
+
   test("rankEval scores constructed rankings exactly") {
     val s = spark
     import s.implicits._
