@@ -1420,6 +1420,12 @@ object SparkEntry {
       graft.ext.Curate.domainDedupStats(DocFeed.withUrlMeta(corpus(s, dir)))
         .orderBy("domain")),
 
+    // E3-drift — per-domain token-mix drift (chi-square-shaped, integer
+    // bp shares) — the ingest-monitoring alert signal
+    "ext_domain_drift" -> ((s, dir) =>
+      graft.ext.Curate.domainTokenDrift(DocFeed.withUrlMeta(corpus(s, dir)))
+        .orderBy("domain")),
+
     // E3-url — URL canonicalization + URL-identity dedup groups: messy
     // surface forms (case, www., scheme, tracking query, fragment,
     // trailing slash) collapse to one page key; planted copies share
@@ -1834,6 +1840,7 @@ object SparkEntry {
     "ext_boilerplate" -> ExtOracle.boilerplateSql,
     "ext_token_budget" -> ExtOracle.tokenBudgetSql,
     "ext_domain_dedup" -> ExtOracle.domainDedupSql,
+    "ext_domain_drift" -> ExtOracle.domainDriftSql,
     "ext_url_canon" -> ExtOracle.urlCanonSql,
     "ext_domain_topk" -> ExtOracle.domainTopKSql,
     "ext_domain_budget" -> ExtOracle.domainBudgetSql,

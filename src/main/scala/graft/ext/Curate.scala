@@ -335,4 +335,40 @@ object Curate {
       .where(col("n_docs") * 1000 >= col("__total") * permille)
       .select(col("sh"), col("n_docs"))
   }
+
+  /** E3-drift — per-domain token-distribution DRIFT score: a chi-square-
+    * shaped statistic of each host's token mix against the corpus-wide
+    * mix, `Σ_tokens (obs_bp − exp_bp)² div (exp_bp + 1)` over shares in
+    * basis points — the ingest-monitoring signal ("host X started sending
+    * different content") a production crawl pipeline alerts on. Integer
+    * everywhere (true chi-square needs no logs, but shares are rationals;
+    * fixing them at bp and interleaving the divisions identically on both
+    * engines makes the statistic hash-gradable).
+    *
+    * Scale shape: one (domain, token) aggregate over the corpus — shuffle
+    * bounded by |domains| × |vocab| — then everything else (domain
+    * totals, corpus totals, the full cross of domains × vocab so ABSENT
+    * tokens still contribute their expected share) derives from that
+    * small table. Absolutely no second corpus scan. */
+  def domainTokenDrift(corpusWithMeta: DataFrame,
+      textCol: String = "text", metaCol: String = "meta"): DataFrame = {
+    val intDiv = TextOps.intDiv _
+    val dt = corpusWithMeta
+      .select(domainOf(col(metaCol)).as("domain"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("domain", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // domain totals, vocab totals, and the join all derive from it
+    val dTot = dt.groupBy("domain").agg(sum("c").as("dn"))
+    val vTot = dt.groupBy("w").agg(sum("c").as("cw"))
+    val n = vTot.agg(sum("cw").as("n"))
+    dTot.crossJoin(vTot).crossJoin(broadcast(n)) // |domains| × |vocab| frame
+      .join(dt, Seq("domain", "w"), "left")
+      .select(col("domain"), col("dn"),
+        intDiv(coalesce(col("c"), lit(0L)) * 10000L, col("dn")).as("__obs_bp"),
+        intDiv(col("cw") * 10000L, col("n")).as("__exp_bp"))
+      .groupBy("domain")
+      .agg(max(col("dn")).as("n_tokens"),
+        sum(intDiv((col("__obs_bp") - col("__exp_bp")) * (col("__obs_bp") - col("__exp_bp")),
+          col("__exp_bp") + 1)).as("drift_score"))
+  }
 }

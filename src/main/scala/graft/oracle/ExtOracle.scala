@@ -1922,6 +1922,35 @@ object ExtOracle {
        |  FROM corpus
        |)""".stripMargin
 
+  /** E3-drift ≙ Curate.domainTokenDrift over the url-meta corpus:
+    * chi-square-shaped per-domain token-mix drift, divisions interleaved
+    * exactly as the Spark side (bp shares first, then the squared-diff
+    * over exp+1). */
+  val domainDriftSql: String =
+    s"""WITH $domainCorpusSql, dt AS MATERIALIZED (
+       |  SELECT domain, w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT domain, unnest(string_split(text, ' ')) AS w FROM domc) x
+       |  GROUP BY domain, w
+       |), dtot AS (
+       |  SELECT domain, CAST(sum(c) AS BIGINT) AS dn FROM dt GROUP BY domain
+       |), vtot AS (
+       |  SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM dt GROUP BY w
+       |), nn AS (
+       |  SELECT CAST(sum(cw) AS BIGINT) AS n FROM vtot
+       |), grid AS (
+       |  SELECT dtot.domain, dtot.dn, vtot.w, vtot.cw, nn.n,
+       |         coalesce(dt.c, 0) AS c
+       |  FROM dtot CROSS JOIN vtot CROSS JOIN nn
+       |  LEFT JOIN dt ON dt.domain = dtot.domain AND dt.w = vtot.w
+       |)
+       |SELECT domain, max(dn) AS n_tokens,
+       |  CAST(sum(((c * 10000 // dn) - (cw * 10000 // n))
+       |         * ((c * 10000 // dn) - (cw * 10000 // n))
+       |         // ((cw * 10000 // n) + 1)) AS BIGINT) AS drift_score
+       |FROM grid
+       |GROUP BY domain
+       |ORDER BY domain""".stripMargin
+
   /** E3-url ≙ Curate.urlDedupGroups over DocFeed.withMessyUrlMeta: the
     * messy surface forms rebuilt inline (page identity = doc_id % 1e6, so
     * planted copies share their original's page; form varies by
