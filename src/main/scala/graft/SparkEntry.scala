@@ -1685,6 +1685,12 @@ object SparkEntry {
           expr("ts div 1000000000").as("t_s"), col("event_type")),
         "user_id", "t_s", "event_id", "event_type")),
 
+    // §2.11 — the transition matrix under the REAL streaming engine:
+    // watermark-delayed ordered replay in flatMapGroupsWithState (lag is
+    // not expressible in streaming); grades against the batch oracle
+    "ext_transitions_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.eventTransitionsStreamedToFiles(s, events(s, dir))),
+
     // analytics — per-event trailing 1-hour RANGE-frame activity (count +
     // cents sum per user AS OF each event): the rolling serving-time
     // feature; one user_id shuffle, one sort-window pass
@@ -1877,6 +1883,7 @@ object SparkEntry {
     "ext_session_paths" -> ExtOracle.sessionPathsSql,
     "ext_session_paths_stream" -> ExtOracle.sessionPathsSql,
     "ext_event_transitions" -> ExtOracle.eventTransitionsSql,
+    "ext_transitions_stream" -> ExtOracle.eventTransitionsSql,
     "ext_moving_agg" -> ExtOracle.movingAggSql,
     "ext_column_hist" -> ExtOracle.columnHistSql
   )

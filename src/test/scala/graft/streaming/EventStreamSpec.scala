@@ -114,6 +114,45 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("eventTransitions: watermark-delayed ordered replay pairs across batch boundaries") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.streaming.EventStream.{PathEvent, TransPair}
+
+    def pe(user: Long, t: String, id: Long, typ: String) = PathEvent(user, ts(t), id, typ)
+
+    val in = MemoryStream[PathEvent]
+    val pairs = EventStream.eventTransitions(in.toDS(), watermarkDelay = "10 minutes")
+    val query = pairs.writeStream.format("memory").queryName("trans_mem")
+      .outputMode("append").start()
+    try {
+      // batch 1: a (10:00) and c (10:02) — watermark too low to pair yet
+      in.addData(pe(1, "2024-01-01 10:00:00", 1, "a"), pe(1, "2024-01-01 10:02:00", 3, "c"))
+      query.processAllAvailable()
+      // batch 2: b (10:01) arrives LATE but within the watermark — must
+      // slot BETWEEN a and c (a premature a->c pair would be wrong)
+      in.addData(pe(1, "2024-01-01 10:01:00", 2, "b"),
+        pe(2, "2024-01-01 12:00:00", 9, "x"))
+      query.processAllAvailable()
+      // advance the watermark far past everything; timeouts flush
+      in.addData(pe(2, "2024-01-02 12:00:00", 10, "y"))
+      query.processAllAvailable()
+      // one more push so the watermark passes y itself (wm trails by the
+      // 10-minute delay) and user 2's pending pair finalizes via timeout
+      in.addData(pe(3, "2024-01-03 12:00:00", 11, "z"))
+      query.processAllAvailable()
+
+      val got = spark.table("trans_mem").as[TransPair].collect()
+        .map(p => (p.user_id, p.from_type, p.to_type))
+      assert(got.count(_._1 == 1L) === 2)
+      assert(got.toSet.contains((1L, "a", "b")) && got.toSet.contains((1L, "b", "c")),
+        s"late in-watermark event must order into the chain, got ${got.toSeq}")
+      assert(!got.contains((1L, "a", "c")), "no premature pair across the late slot")
+      assert(got.toSet.contains((2L, "x", "y")), "boundary survives a long quiet gap")
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate keys across micro-batches within the watermark") {
     val s = spark
     import s.implicits._
