@@ -1685,6 +1685,13 @@ object SparkEntry {
           expr("ts div 1000000000").as("t_s"), col("event_type")),
         "user_id", "t_s", "event_id", "event_type")),
 
+    // time-series GAP FILL + LOCF: dense hourly grid, zero-filled counts,
+    // carried metric interpolated forward — dimension-sized grid from the
+    // aggregate's own bounds, never a second event scan
+    "ext_gap_fill" -> ((s, dir) =>
+      graft.ops.Analytics.gapFillHourly(events(s, dir), "event_type")
+        .orderBy("event_type", "hour_id")),
+
     // §2.11 — the transition matrix under the REAL streaming engine:
     // watermark-delayed ordered replay in flatMapGroupsWithState (lag is
     // not expressible in streaming); grades against the batch oracle
@@ -1884,6 +1891,7 @@ object SparkEntry {
     "ext_session_paths_stream" -> ExtOracle.sessionPathsSql,
     "ext_event_transitions" -> ExtOracle.eventTransitionsSql,
     "ext_transitions_stream" -> ExtOracle.eventTransitionsSql,
+    "ext_gap_fill" -> ExtOracle.gapFillSql,
     "ext_moving_agg" -> ExtOracle.movingAggSql,
     "ext_column_hist" -> ExtOracle.columnHistSql
   )

@@ -92,6 +92,39 @@ object Analytics {
         count(lit(1)).as("n_orders"),
         sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
 
+  /** Time-series GAP FILL + LOCF: the dense per-(group, hour) grid a
+    * reporting layer charts — hours with no events appear with a ZERO
+    * count (a missing row and a zero row are different facts), and the
+    * carried metric (max cents seen) is interpolated forward from the
+    * last observed hour (last-observation-carried-forward via
+    * `last_value(..., ignoreNulls)` over the filled grid; leading gap
+    * hours render 0).
+    *
+    * Scale shape: one aggregate over the events collapses to (group,
+    * hour) grain; the dense grid is |groups| × |hours| — dimension-sized,
+    * never event-sized — built from the aggregate's own bounds (no second
+    * event scan) and left-joined back. The LOCF window partitions by
+    * group, so no single-partition funnel. */
+  def gapFillHourly(events: DataFrame, groupCol: String): DataFrame = {
+    val intDiv = graft.ext.TextOps.intDiv _
+    val agg = events
+      .select(col(groupCol), intDiv(expr("ts div 1000000000"), lit(3600L)).as("h"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("__cents"))
+      .groupBy(groupCol, "h")
+      .agg(count(lit(1)).as("__n"), max("__cents").as("__mx"))
+      .localCheckpoint(true) // bounds, groups, and the grid join all derive from it
+    val bounds = agg.agg(min("h").as("__lo"), max("h").as("__hi"))
+    val hours = bounds.select(explode(sequence(col("__lo"), col("__hi"))).as("h"))
+    val groups = agg.select(groupCol).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("h")
+    groups.crossJoin(hours)
+      .join(agg, Seq(groupCol, "h"), "left")
+      .select(col(groupCol), col("h").as("hour_id"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        coalesce(last(col("__mx"), ignoreNulls = true).over(w), lit(0L)).as("cents_locf"))
+  }
+
   /** EXACT distributed quantiles by rank selection — the companion to the
     * mergeable approximate histogram sketch (TextOps.histQuantiles) for
     * when the answer must be an actual data element: one shuffle on the

@@ -2792,6 +2792,36 @@ object ExtOracle {
 
   /** ≙ ops.Journeys.eventTransitions: lag pairs per user stream, counts +
     * per-from share in integer basis points. */
+  /** ≙ ops.Analytics.gapFillHourly(events, event_type): dense hourly grid
+    * with zero-filled counts and LOCF of the carried metric (`last_value
+    * IGNORE NULLS` over a unique-hour order matches Spark's `last(...,
+    * ignoreNulls)` bit-for-bit). */
+  val gapFillSql: String =
+    """WITH e AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 AS h,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), a AS MATERIALIZED (
+      |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n, max(cents) AS mx
+      |  FROM e GROUP BY 1, 2
+      |), b AS (
+      |  SELECT min(h) AS lo, max(h) AS hi FROM a
+      |), hours AS (
+      |  SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS h
+      |), g AS (
+      |  SELECT DISTINCT event_type FROM a
+      |), grid AS (
+      |  SELECT g.event_type, hours.h, a.n, a.mx
+      |  FROM g CROSS JOIN hours
+      |  LEFT JOIN a ON a.event_type = g.event_type AND a.h = hours.h
+      |)
+      |SELECT event_type, h AS hour_id,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+      |  CAST(coalesce(last_value(mx IGNORE NULLS)
+      |    OVER (PARTITION BY event_type ORDER BY h), 0) AS BIGINT) AS cents_locf
+      |FROM grid
+      |ORDER BY event_type, hour_id""".stripMargin
+
   val eventTransitionsSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events

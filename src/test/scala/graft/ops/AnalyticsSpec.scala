@@ -82,6 +82,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.contains((Some("1-URGENT"), Some("F"), 0L, 1L, 2000L)))
   }
 
+  test("gap fill emits zero rows for missing hours and carries the metric forward") {
+    val s = spark
+    import s.implicits._
+    // type A: hours 0 and 3 (gap 1-2); type B: only hour 2 (leading gap)
+    val events = Seq(
+      ("A", 100L, 1.0), ("A", 3600L * 3, 5.0), ("A", 3600L * 3 + 10, 2.0),
+      ("B", 3600L * 2, 7.0)
+    ).toDF("event_type", "t", "value")
+      .withColumn("ts", col("t") * 1000000000L).drop("t")
+    val got = Analytics.gapFillHourly(events, "event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("cents_locf"))).toSet
+    assert(got === Set(
+      ("A", 0L, 1L, 100L), ("A", 1L, 0L, 100L), ("A", 2L, 0L, 100L), ("A", 3L, 2L, 500L),
+      ("B", 0L, 0L, 0L), ("B", 1L, 0L, 0L), ("B", 2L, 1L, 700L), ("B", 3L, 0L, 700L)))
+  }
+
   test("exact quantiles select real elements at the ceil(p*n) rank") {
     val s = spark
     import s.implicits._
