@@ -261,4 +261,53 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       val extremeHit = maxAbs == 0.0f || qMax == 127 || qMin == -127
       inRange && extremeHit
     }
+
+  private val genIncEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 15)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 12L)
+      b <- Gen.choose(1L, 12L)
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield es.filter { case (a, b) => a != b }.distinct
+
+  property("incremental CC batch fold equals from-scratch CC for any edge split") =
+    Prop.forAll(genIncEdges, Gen.choose(0, 100)) { (edges, splitPct) =>
+      val s = spark
+      import s.implicits._
+      edges.isEmpty || {
+        val cut = (edges.length * splitPct) / 100
+        val (old, fresh) = edges.splitAt(cut)
+        def cc(es: List[(Long, Long)]) =
+          if (es.isEmpty)
+            s.range(0).select(col("id"), col("id").as("label"))
+          else Cluster.connectedComponents(es.toDF("id_a", "id_b"))
+        val inc =
+          if (fresh.isEmpty) cc(old)
+          else Cluster.applyPairsBatch(cc(old), fresh.toDF("id_a", "id_b"))
+        val got = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = cc(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    }
+
+  private val genUni: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar,
+    Gen.oneOf('é', 'e', '́', 'ä', 'a', '̈', '你', 'п', ' '))).map(_.mkString)
+
+  property("NFC normalization is idempotent and preserves canonical equivalence classes") =
+    Prop.forAll(Gen.listOfN(6, genUni)) { texts =>
+      val s = spark
+      import s.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val out = df.select(col("id"), col("t"),
+          graft.functions.NfcNormalize.nfcNormalize(col("t")).as("n1"),
+          graft.functions.NfcNormalize.nfcNormalize(
+            graft.functions.NfcNormalize.nfcNormalize(col("t"))).as("n2"))
+        .collect()
+      out.forall { r =>
+        val (t, n1, n2) = (r.getString(1), r.getString(2), r.getString(3))
+        n1 == n2 &&
+          n1 == java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      }
+    }
 }

@@ -81,4 +81,45 @@ object OpsProperties extends Properties("ops") with SparkFixture {
         got == want
       }
     }
+
+  property("intervalOverlap equals the brute-force cross filter, each pair exactly once") =
+    Prop.forAll(genRanges, genRanges, Gen.choose(1L, 50L)) { (ls, rs, w) =>
+      val s = spark
+      import s.implicits._
+      (ls.isEmpty || rs.isEmpty) || {
+        val got = RangeJoin.intervalOverlap(
+            ls.toDF("lid", "llo", "lhi"), "llo", "lhi",
+            rs.map { case (i, lo, hi) => (i + 1000L, lo, hi) }.toDF("rid", "rlo", "rhi"),
+            "rlo", "rhi", w)
+          .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+        val want = (for {
+          (li, llo, lhi) <- ls
+          (ri, rlo, rhi) <- rs if llo <= rhi && rlo <= lhi
+        } yield (li, ri + 1000L)).toSet
+        got.toSet == want && got.length == got.distinct.length
+      }
+    }
+
+  private val genGrouped: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(-50L, 50L)
+    } yield (g, v))
+  } yield rows
+
+  property("exactQuantiles picks the sorted-array element at ceil(p*n)") =
+    Prop.forAll(genGrouped) { rows =>
+      val s = spark
+      import s.implicits._
+      val got = Analytics.exactQuantiles(rows.toDF("g", "v"), "g", "v").collect()
+        .map(r => r.getAs[String]("g") -> (r.getAs[Long]("n_rows"),
+          r.getAs[Long]("p50_v"), r.getAs[Long]("p90_v"))).toMap
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        val n = sorted.length
+        val (q50, q90) = (sorted((n + 1) / 2 - 1), sorted(((n * 9 + 9) / 10) - 1))
+        got(g) == ((n.toLong, q50, q90))
+      }
+    }
 }

@@ -51,6 +51,17 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("interval overlap plans an equi-join on the bucket, never a nested loop") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 0L, 95L)).toDF("lid", "llo", "lhi")
+    val right = Seq((2L, 30L, 150L)).toDF("rid", "rlo", "rhi")
+    val plan = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join must hash on the bucket key:\n$plan")
+  }
+
   test("interval overlap equals brute force; multi-bucket pairs emit exactly once") {
     val s = spark
     import s.implicits._
