@@ -1642,6 +1642,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // the ANCHORED conversion-window funnel: steps 2+ must land within
+    // GradedWindowS of the user's first view — the product-metric variant
+    "ext_funnel_window" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+      graft.ops.Funnel.sequentialFunnel(e, "user_id", "t_s", "event_id",
+        Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        withinS = Some(graft.ops.Funnel.GradedWindowS))
+        .orderBy("user_id")
+    }),
+
     // cohort retention matrix: users bucketed by first-seen day, activity
     // counted per (cohort day, day offset) — distinct user-days reduced
     // FIRST, so the join and final count scale with users×days, not events
@@ -1885,6 +1899,7 @@ object SparkEntry {
     "ext_script_stats" -> ExtOracle.scriptStatsSql,
     "ext_nfc_dedup" -> ExtOracle.nfcDedupSql,
     "ext_funnel_steps" -> ExtOracle.funnelStepsSql,
+    "ext_funnel_window" -> ExtOracle.funnelWindowSql,
     "ext_cohort_retention" -> ExtOracle.cohortRetentionSql,
     "ext_table_stats" -> ExtOracle.tableStatsSql,
     "ext_session_paths" -> ExtOracle.sessionPathsSql,

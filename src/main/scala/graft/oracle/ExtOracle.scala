@@ -2490,6 +2490,38 @@ object ExtOracle {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** ≙ Funnel.sequentialFunnel(withinS = GradedWindowS): the anchored
+    * conversion window — steps 2+ only count within W seconds of the
+    * user's FIRST view. Same chained running-min shape; the bound rides
+    * each CASE. */
+  val funnelWindowSql: String = {
+    val w0 = graft.ops.Funnel.GradedWindowS
+    val win = "(PARTITION BY user_id ORDER BY t_s, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+       |), r1 AS (
+       |  SELECT user_id, event_id, t_s, event_type,
+       |    min(CASE WHEN event_type = 'view' THEN t_s END) OVER w AS r_view
+       |  FROM e WINDOW w AS $win
+       |), r2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND r_view IS NOT NULL
+       |                     AND t_s <= r_view + $w0 THEN t_s END) OVER w AS r_click
+       |  FROM r1 WINDOW w AS $win
+       |), r3 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND r_click IS NOT NULL
+       |                     AND t_s <= r_view + $w0 THEN t_s END) OVER w AS r_purchase
+       |  FROM r2 WINDOW w AS $win
+       |)
+       |SELECT user_id,
+       |  min(r_view) AS t_view, min(r_click) AS t_click, min(r_purchase) AS t_purchase,
+       |  CAST((CASE WHEN min(r_view) IS NOT NULL THEN 1 ELSE 0 END)
+       |     + (CASE WHEN min(r_click) IS NOT NULL THEN 1 ELSE 0 END)
+       |     + (CASE WHEN min(r_purchase) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+       |FROM r3 GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** ≙ the cohort-retention graded query: distinct user-days, per-user min
     * day as the cohort, count per (cohort, offset) cell. */
   val cohortRetentionSql: String =

@@ -58,4 +58,36 @@ class FunnelSpec extends AnyFunSuite with SparkFixture {
     val got2 = run(Seq((2L, 1L, 10L, "a"), (1L, 1L, 10L, "b")))
     assert(got2(1L) == ((10L, -1L, -1L, 1L)))
   }
+
+  test("conversion window: steps beyond the first-anchor bound do not count") {
+    val s = spark
+    import s.implicits._
+    def runW(rows: Seq[(Long, Long, Long, String)], w: Long) =
+      Funnel.sequentialFunnel(
+        rows.toDF("event_id", "user_id", "t_s", "event_type"),
+        "user_id", "t_s", "event_id",
+        Seq("a" -> (col("event_type") === "a"), "b" -> (col("event_type") === "b"),
+          "c" -> (col("event_type") === "c")),
+        withinS = Some(w))
+        .collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4)))).toMap
+    val rows = Seq(
+      // user 1: a@10 b@40 c@60 — all within w=100 of the anchor
+      (1L, 1L, 10L, "a"), (2L, 1L, 40L, "b"), (3L, 1L, 60L, "c"),
+      // user 2: a@10 b@50 c@200 — c beyond the window, stage stops at 2
+      (4L, 2L, 10L, "a"), (5L, 2L, 50L, "b"), (6L, 2L, 200L, "c"),
+      // user 3: ANCHORED at the first a@10, so b@300 is out even though
+      // a@250 + b@300 would convert under a later anchor
+      (7L, 3L, 10L, "a"), (8L, 3L, 250L, "a"), (9L, 3L, 300L, "b"))
+    val got = runW(rows, 100L)
+    assert(got(1L) == ((40L, 60L, 3L)))
+    assert(got(2L) == ((50L, -1L, 2L)))
+    assert(got(3L) == ((-1L, -1L, 1L)))
+    // boundary is inclusive: b exactly at anchor + w counts
+    assert(runW(Seq((1L, 9L, 0L, "a"), (2L, 9L, 100L, "b")), 100L)(9L) ==
+      ((100L, -1L, 2L)))
+  }
 }
