@@ -183,6 +183,21 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // S6⁗ — SUBJECT DELETION (right-to-be-forgotten): every row of the
+    // forgotten keys removed across all date partitions via the staged
+    // version swap; surviving rows keep their changelog ids untouched
+    "cdc_forget_keys" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_forget")
+        .resolve("orders_changelog").toString
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      val keys = orders(s, dir).select(col("o_orderkey"))
+        .where(col("o_orderkey") % 97 === 0)
+      graft.cdc.Forget.forgetKeys(s, sink, Seq("o_orderkey"), keys)
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // §2.11 — the streaming populate path graded end-to-end: feed files →
     // readStream → foreachBatch append → read back; same oracle again
     "cdc_populate_streaming" -> ((s, dir) => {
@@ -1740,6 +1755,7 @@ object SparkEntry {
     "cdc_freshness" -> OrdersCdcOracle.freshnessSql,
     "cdc_changelog_dist" -> OrdersCdcOracle.changelogSql,
     "cdc_populate_roundtrip" -> OrdersCdcOracle.changelogSql,
+    "cdc_forget_keys" -> OrdersCdcOracle.forgetSql,
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,

@@ -28,6 +28,17 @@ object OrdersCdcOracle {
   val wide = new CdcOracle(graft.cdc.WideFeed.spec, Seq("o_orderkey"), "orders_wide")
 
   val changelogSql: String = default.changelogSql
+
+  /** ≙ Forget.forgetKeys(o_orderkey % 97 == 0) over the populated sink:
+    * the whole changelog minus every row of the forgotten subjects —
+    * surviving ids UNCHANGED (the filter commutes with id assignment
+    * precisely because forget never reassigns). */
+  val forgetSql: String =
+    s"""SELECT changelog_id, commit_time, table_name, o_orderkey,
+       |       column_name, old_value, new_value
+       |FROM ($changelogSql) c
+       |WHERE CAST(o_orderkey AS BIGINT) % 97 <> 0
+       |ORDER BY changelog_id""".stripMargin
   val feedWindowSql: String = default.feedWindowSql
   val maskGateSql: String = default.maskGateSql
   val unpivotStageSql: String = default.unpivotStageSql

@@ -345,4 +345,30 @@ class PopulateChangelogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(compat).count() == 2,
       "the +1min skip (:203) permanently drops the same-minute insert")
   }
+
+  test("forget removes every row of the subject across partitions, ids of survivors intact") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft_forget_spec")
+      .resolve("orders_changelog").toString
+    PopulateChangelog.run(spark, fullFeed, cfg, path, Some(ts("1995-01-02 23:00:00")))
+    val before = graft.cdc.SinkLayout.read(spark, path)
+      .select("changelog_id", "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.size == 4 && before.values.count(_ == "a") == 2,
+      "subject 'a' spans both day partitions (insert day 1, delete day 2)")
+
+    val st = graft.cdc.Forget.forgetKeys(spark, path, Seq("k"), Seq("a").toDF("k"))
+    assert(st == graft.cdc.ForgetStats(4L, 2L))
+    val after = graft.cdc.SinkLayout.read(spark, path)
+      .select("changelog_id", "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!after.values.toSet.contains("a"), "forgotten subject fully gone")
+    assert(after == before.filter(_._2 != "a"), "survivors keep their exact ids")
+
+    // idempotent: a second forget of the same subject is a no-op rewrite
+    val st2 = graft.cdc.Forget.forgetKeys(spark, path, Seq("k"), Seq("a").toDF("k"))
+    assert(st2 == graft.cdc.ForgetStats(2L, 0L))
+    assert(graft.cdc.SinkLayout.read(spark, path).count() == 2)
+  }
 }
