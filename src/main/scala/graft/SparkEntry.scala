@@ -183,6 +183,22 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // forget × incremental state: the fold over the post-forget sink must
+    // equal the whole-history state minus the forgotten subjects — ids,
+    // n_changes and all (maintenance never reassigns)
+    "cdc_state_after_forget" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_saf")
+        .resolve("orders_changelog").toString
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      val keys = orders(s, dir).select(col("o_orderkey"))
+        .where(col("o_orderkey") % 97 === 0)
+      graft.cdc.Forget.forgetKeys(s, sink, Seq("o_orderkey"), keys)
+      graft.cdc.StateMaintain.stateLong(
+        graft.cdc.SinkLayout.read(s, sink), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column_name")
+    }),
+
     // S6⁗ — SUBJECT DELETION (right-to-be-forgotten): every row of the
     // forgotten keys removed across all date partitions via the staged
     // version swap; surviving rows keep their changelog ids untouched
@@ -1756,6 +1772,7 @@ object SparkEntry {
     "cdc_changelog_dist" -> OrdersCdcOracle.changelogSql,
     "cdc_populate_roundtrip" -> OrdersCdcOracle.changelogSql,
     "cdc_forget_keys" -> OrdersCdcOracle.forgetSql,
+    "cdc_state_after_forget" -> OrdersCdcOracle.stateAfterForgetSql,
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,

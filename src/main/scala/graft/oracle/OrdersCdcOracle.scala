@@ -39,6 +39,16 @@ object OrdersCdcOracle {
        |FROM ($changelogSql) c
        |WHERE CAST(o_orderkey AS BIGINT) % 97 <> 0
        |ORDER BY changelog_id""".stripMargin
+
+  /** Forget × state: the per-key fold commutes with whole-subject removal,
+    * so the state over the post-forget sink must equal the whole-history
+    * state minus the forgotten subjects' rows — n_changes and
+    * last_change_id included (ids never reassigned by maintenance). */
+  val stateAfterForgetSql: String =
+    s"""SELECT * FROM (
+       |${default.stateSql}
+       |) s WHERE CAST(o_orderkey AS BIGINT) % 97 <> 0
+       |ORDER BY o_orderkey, column_name""".stripMargin
   val feedWindowSql: String = default.feedWindowSql
   val maskGateSql: String = default.maskGateSql
   val unpivotStageSql: String = default.unpivotStageSql
