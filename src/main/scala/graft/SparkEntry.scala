@@ -506,6 +506,21 @@ object SparkEntry {
       Similarity.topKCosineLshMulti(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
+    // E2-eval' — the nprobe TUNING CURVE: IVF recall@3 micro-averaged per
+    // probe budget 1..3 against brute-force truth — the report an IVF
+    // deployment reads to pick its probe count
+    "ext_ivf_recall_curve" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = col("vec_id") % 100 === 0
+      val truth = Similarity.topKCosine(e, q, k = 3).localCheckpoint(true)
+      (1 to 3).map { p =>
+        Similarity.rankEval(Similarity.topKCosineIvf(e, q, k = 3, probes = p), truth, k = 3)
+          .agg(sum("n_truth").as("n_truth"), sum("n_hits").as("n_hits"))
+          .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("n_hits"),
+            TextOps.intDiv(col("n_hits") * 10000L, col("n_truth")).as("recall_bp"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
+
     // E2-eval — ranking-quality harness: recall@3 + reciprocal rank of
     // the multi-table LSH ANN against the brute-force truth, per query
     "ext_rank_eval" -> ((s, dir) => {
@@ -1809,6 +1824,7 @@ object SparkEntry {
     "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_rank_eval" -> ExtOracle.rankEvalSql,
+    "ext_ivf_recall_curve" -> ExtOracle.ivfRecallCurveSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,

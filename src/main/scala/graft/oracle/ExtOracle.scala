@@ -615,10 +615,18 @@ object ExtOracle {
     * oversampled seeding ×4, 3 Lloyd rounds, 2 probes, k=3) — replays the
     * seeding draw, the candidate weighting, and every assign→re-center
     * alternation bit-for-bit (integer means, md5 ranks, total orders). */
-  val annIvfSql: String = {
-    val numCentroids = 16
-    val oversample = 4
-    val rounds = 3
+  private val IvfCentroids = 16
+  private val IvfOversample = 4
+  private val IvfRounds = 3
+
+  /** Shared IVF CTE chain: k-means|| seeding + IvfRounds Lloyd rounds,
+    * ending in `r$IvfRounds` (ranked query-to-centroid assignment) and
+    * `cell$IvfRounds` (index-side cells) — consumed by the graded IVF ANN
+    * and the probe-budget recall curve, so the two replay ONE clustering. */
+  private val ivfChainCtes: String = {
+    val numCentroids = IvfCentroids
+    val oversample = IvfOversample
+    val rounds = IvfRounds
     // one assignment: ranked cosine argmax against cent$tag (ties to the
     // smaller cid — the TopKByScore order)
     def assign(tag: Int): String =
@@ -645,7 +653,7 @@ object ExtOracle {
          |  FROM qm$tag GROUP BY cell
          |)""".stripMargin
     val roundCtes = (0 until rounds).map(t => s"${assign(t)},\n${recenter(t)}").mkString(",\n")
-    s"""WITH allv AS (
+    s"""allv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), cand0 AS (
        |  SELECT vec_id AS cid, v AS cv FROM allv
@@ -665,11 +673,15 @@ object ExtOracle {
        |  LIMIT $numCentroids
        |),
        |$roundCtes,
-       |${assign(rounds)}, qcell AS (
-       |  SELECT vec_id, cid AS cell FROM r$rounds WHERE rn <= 2 AND vec_id % 100 = 0
+       |${assign(rounds)}""".stripMargin
+  }
+
+  val annIvfSql: String =
+    s"""WITH $ivfChainCtes, qcell AS (
+       |  SELECT vec_id, cid AS cell FROM r$IvfRounds WHERE rn <= 2 AND vec_id % 100 = 0
        |), cnd AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM qcell q JOIN cell$rounds c ON q.cell = c.cell
+       |  FROM qcell q JOIN cell$IvfRounds c ON q.cell = c.cell
        |  WHERE q.vec_id <> c.vec_id
        |), s2 AS (
        |  SELECT cnd.query_id, cnd.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
@@ -684,6 +696,58 @@ object ExtOracle {
        |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
        |FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** ≙ Similarity.rankEval(topKCosineIvf(probes = p), brute force, k = 3)
+    * micro-averaged per probe budget p = 1..3 — the nprobe tuning curve an
+    * IVF deployment reads; ONE clustering chain shared with annIvfSql. */
+  val ivfRecallCurveSql: String = {
+    def block(p: Int): String =
+      s"""qc$p AS (
+         |  SELECT vec_id, cid AS cell FROM r$IvfRounds
+         |  WHERE rn <= $p AND vec_id % 100 = 0
+         |), cn$p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM qc$p q JOIN cell$IvfRounds c ON q.cell = c.cell
+         |  WHERE q.vec_id <> c.vec_id
+         |), ss$p AS (
+         |  SELECT cn$p.query_id, cn$p.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
+         |  FROM cn$p
+         |  JOIN allv a ON a.vec_id = cn$p.query_id
+         |  JOIN allv b ON b.vec_id = cn$p.neighbor_id
+         |), sy$p AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM ss$p) x$p
+         |  WHERE rnk <= 3
+         |), ev$p AS (
+         |  SELECT CAST($p AS BIGINT) AS nprobe,
+         |    CAST(count(*) AS BIGINT) AS n_truth,
+         |    CAST(count(s.query_id) AS BIGINT) AS n_hits
+         |  FROM truth t
+         |  LEFT JOIN sy$p s
+         |    ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+         |)""".stripMargin
+    s"""WITH $ivfChainCtes, ts0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql("q.v", "c.v")} AS cos
+       |  FROM allv q, allv c
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+       |), truth AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM ts0) tr
+       |  WHERE rnk <= 3
+       |),
+       |${(1 to 3).map(block).mkString(",\n")}
+       |SELECT nprobe, n_truth, n_hits,
+       |  CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_bp
+       |FROM (SELECT * FROM ev1 UNION ALL SELECT * FROM ev2
+       |      UNION ALL SELECT * FROM ev3) e
+       |ORDER BY nprobe""".stripMargin
   }
 
   /** E2e ≙ Similarity.kmeansAssign (k = 8, 2 rounds) — replays every
