@@ -521,6 +521,21 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("nprobe")
     }),
 
+    // E2-eval'' — the LSH TABLE-count tuning curve: recall@3 per table
+    // budget 1..4 (more tables, more recall, linearly more index)
+    "ext_lsh_table_curve" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = col("vec_id") % 100 === 0
+      val truth = Similarity.topKCosine(e, q, k = 3).localCheckpoint(true)
+      (1 to 4).map { t =>
+        Similarity.rankEval(
+            Similarity.topKCosineLshMulti(e, q, k = 3, tables = t), truth, k = 3)
+          .agg(sum("n_truth").as("n_truth"), sum("n_hits").as("n_hits"))
+          .select(lit(t.toLong).as("n_tables"), col("n_truth"), col("n_hits"),
+            TextOps.intDiv(col("n_hits") * 10000L, col("n_truth")).as("recall_bp"))
+      }.reduce(_ unionByName _).orderBy("n_tables")
+    }),
+
     // E2-eval — ranking-quality harness: recall@3 + reciprocal rank of
     // the multi-table LSH ANN against the brute-force truth, per query
     "ext_rank_eval" -> ((s, dir) => {
@@ -1825,6 +1840,7 @@ object SparkEntry {
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_rank_eval" -> ExtOracle.rankEvalSql,
     "ext_ivf_recall_curve" -> ExtOracle.ivfRecallCurveSql,
+    "ext_lsh_table_curve" -> ExtOracle.lshTableCurveSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,

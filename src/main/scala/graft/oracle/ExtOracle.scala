@@ -3084,6 +3084,65 @@ object ExtOracle {
        |WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** ≙ the LSH TABLE-count tuning curve: recall@3 micro-averaged for
+    * 1..4 hash tables (4 bits each) against brute-force truth — more
+    * tables, more recall, linearly more index. */
+  val lshTableCurveSql: String = {
+    val bits = 4
+    def bucketListFor(tables: Int): String = (0 until tables).map { t =>
+      bucketExprSql("embedding", t * bits until (t + 1) * bits, p => p % bits)
+    }.mkString("[\n      ", ",\n      ", "\n    ]::BIGINT[]")
+    def block(n: Int): String =
+      s"""bk$n AS (
+         |  SELECT vec_id, ${bucketListFor(n)} AS bl FROM embeddings
+         |), tb$n AS (
+         |  SELECT vec_id, generate_subscripts(bl, 1) AS t, unnest(bl) AS bucket FROM bk$n
+         |), cd$n AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM tb$n q JOIN tb$n c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+         |), sc$n AS (
+         |  SELECT cd$n.query_id, cd$n.neighbor_id,
+         |         ${cosineSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS cos
+         |  FROM cd$n
+         |  JOIN embeddings a ON a.vec_id = cd$n.query_id
+         |  JOIN embeddings b ON b.vec_id = cd$n.neighbor_id
+         |), sy$n AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM sc$n) x$n
+         |  WHERE rnk <= 3
+         |), ev$n AS (
+         |  SELECT CAST($n AS BIGINT) AS n_tables,
+         |    CAST(count(*) AS BIGINT) AS n_truth,
+         |    CAST(count(s.query_id) AS BIGINT) AS n_hits
+         |  FROM truth t
+         |  LEFT JOIN sy$n s
+         |    ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+         |)""".stripMargin
+    s"""WITH ts0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+       |), truth AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM ts0) tr
+       |  WHERE rnk <= 3
+       |),
+       |${(1 to 4).map(block).mkString(",\n")}
+       |SELECT n_tables, n_truth, n_hits,
+       |  CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_bp
+       |FROM (SELECT * FROM ev1 UNION ALL SELECT * FROM ev2
+       |      UNION ALL SELECT * FROM ev3 UNION ALL SELECT * FROM ev4) e
+       |ORDER BY n_tables""".stripMargin
+  }
+
   /** E2-eval ≙ Similarity.rankEval(topKCosineLshMulti, topKCosine, k=3):
     * recall@3 (bp) and reciprocal rank (micro) of the 4×4-bit multi-table
     * LSH ANN against the brute-force truth, per query. System CTEs are
