@@ -1304,6 +1304,26 @@ object SparkEntry {
     "ext_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPairsPrefix(corpus(s, dir)).orderBy("id_a", "id_b")),
 
+    // E1-eval — MinHash banding recall vs the exact ground truth (the
+    // lossless prefix join, itself oracle-proven exact) + false-positive
+    // count: the probabilistic path's trade, measured not assumed
+    "ext_dedup_eval" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val sys = Dedup.nearDuplicatePairs(c)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val truth = Dedup.jaccardPairsPrefix(c).select("id_a", "id_b")
+        .localCheckpoint(true)
+      val found = truth
+        .join(sys.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__f")).as("n_found"))
+      val extra = sys.join(truth, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      found.crossJoin(extra)
+        .select(col("n_truth"), col("n_found"),
+          TextOps.intDiv(col("n_found") * 10000L, col("n_truth")).as("recall_bp"),
+          col("n_extra"))
+    }),
+
     // THE PIPELINE — the full curation flow a training-data run executes,
     // composed end-to-end from the graded pieces: MinHash near-dup pairs
     // → connected components → representative selection (fullest member)
@@ -1911,6 +1931,7 @@ object SparkEntry {
     "ext_bloom_decontaminate" -> ExtOracle.bloomDecontaminateSql,
     "ext_contamination" -> ExtOracle.contaminationSql,
     "ext_jaccard_prefix" -> ExtOracle.jaccardPrefixSql,
+    "ext_dedup_eval" -> ExtOracle.dedupEvalSql,
     "ext_substring_dedup" -> ExtOracle.substringDedupSql,
     "ext_span_removal" -> ExtOracle.spanRemovalSql,
     "ext_span_offsets" -> ExtOracle.spanOffsetsSql,

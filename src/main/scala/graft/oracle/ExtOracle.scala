@@ -192,6 +192,34 @@ object ExtOracle {
        |  WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
        |)""".stripMargin
 
+  /** E1-eval ≙ the HONEST-MEASUREMENT row for the probabilistic dedup:
+    * MinHash banding's recall against the exact all-pairs Jaccard ground
+    * truth, plus its false-positive count (always 0 — candidates are
+    * exact-verified at the same threshold). The prefix-filter and
+    * containment joins are PROVEN lossless by their own oracles; this row
+    * quantifies what the cheaper probabilistic path actually trades. */
+  val dedupEvalSql: String =
+    s"""WITH $pairCtes, gcommon AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |), truth AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b FROM gcommon c
+       |  JOIN sizes sa ON sa.id = c.id_a
+       |  JOIN sizes sb ON sb.id = c.id_b
+       |  WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
+       |)
+       |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM truth t
+       |        JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b) AS BIGINT)
+       |    AS n_found,
+       |  CAST((SELECT count(*) FROM truth t
+       |        JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b) * 10000
+       |     // (SELECT count(*) FROM truth) AS BIGINT) AS recall_bp,
+       |  CAST((SELECT count(*) FROM pairs p WHERE NOT EXISTS (
+       |     SELECT 1 FROM truth t
+       |     WHERE t.id_a = p.id_a AND t.id_b = p.id_b)) AS BIGINT) AS n_extra""".stripMargin
+
   /** E1b ≙ Dedup.nearDuplicatePairs (MinHash → LSH bands → candidate join →
     * exact-Jaccard verify, threshold 3/5). */
   val dedupMinhashSql: String =
