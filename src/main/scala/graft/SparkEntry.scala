@@ -456,6 +456,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ORC bridge graded byte-lossless through the types a multimodal
+    // corpus actually ships: strings, the BINARY payload column, and the
+    // nested media_meta struct (stripe-splittable columnar, same pushdown
+    // story as parquet)
+    "ext_orc_roundtrip" -> ((s, dir) => {
+      val out = TempDirs.create("graft_orc").resolve("docs").toString
+      graft.sources.Orc.roundTrip(MultiModal.withPayload(corpus(s, dir)), out)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_text"),
+          md5(col("payload")).as("fp_payload"),
+          col("media_meta.n_bytes").cast("long").as("n_bytes"),
+          col("media_meta.format").as("format"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // E2a — exact brute-force top-k cosine (bounded-heap aggregate)
     "ext_topk_cosine" -> ((s, dir) =>
       Similarity.topKCosine(embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
@@ -1694,6 +1708,20 @@ object SparkEntry {
       graft.ext.Graph.pageRank(und, "src", "dst", rounds = 3).orderBy("node")
     }),
 
+    // exact triangle counting + clustering coefficients over the part
+    // co-purchase graph (two parts share an edge iff some order contains
+    // both): quadratic-per-group projection behind the ACTIVE hot-group
+    // cap (orders of >8 parts are skipped identically on both engines),
+    // degree-ordered orientation bounds the wedge join at O(E^1.5)
+    "ext_triangles" -> ((s, dir) => {
+      val pm = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("g"),
+          col("l_partkey").cast("long").as("m"))
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        pm, "g", "m", maxGroupSize = graft.ext.Graph.CoPurchaseGroupCap)
+      graft.ext.Graph.triangleStats(edges).orderBy("node")
+    }),
+
     // E3s — Unicode script detection over the script-planted corpus
     // (Cyrillic/CJK/mixed plants; base fixture text is pure ASCII)
     "ext_script_stats" -> ((s, dir) =>
@@ -1850,6 +1878,7 @@ object SparkEntry {
     // the JSONL round-trip must reproduce the direct parquet read exactly
     "ext_jsonl_roundtrip" -> ExtOracle.fingerprintSql,
     "ext_csv_roundtrip" -> ExtOracle.csvRoundtripSql,
+    "ext_orc_roundtrip" -> ExtOracle.orcRoundtripSql,
     "ext_bpe_merges" -> ExtOracle.bpeMergesSql,
     "ext_bpe_encode" -> ExtOracle.bpeEncodeSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
@@ -1982,6 +2011,7 @@ object SparkEntry {
     "ext_session_overlap" -> ExtOracle.sessionOverlapSql,
     "ext_asof_nearest" -> ExtOracle.asofNearestSql,
     "ext_pagerank" -> ExtOracle.pagerankSql,
+    "ext_triangles" -> ExtOracle.trianglesSql,
     "ext_script_stats" -> ExtOracle.scriptStatsSql,
     "ext_nfc_dedup" -> ExtOracle.nfcDedupSql,
     "ext_funnel_steps" -> ExtOracle.funnelStepsSql,

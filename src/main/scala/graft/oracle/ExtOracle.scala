@@ -2003,6 +2003,21 @@ object ExtOracle {
        |FROM corpus
        |ORDER BY doc_id""".stripMargin
 
+  /** ≙ the ORC round-trip graded query: the oracle is the direct read
+    * (payload bytes ARE the UTF-8 text, so fp_payload = fp_text; n_bytes
+    * and the magic-number sniff mirror [[multiModalSql]]). */
+  val orcRoundtripSql: String =
+    s"""WITH $corpusSql
+       |SELECT doc_id, md5(text) AS fp_text, md5(text) AS fp_payload,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  CASE WHEN lower(hex(encode(substr(text, 1, 4)))) LIKE 'ffd8ff%' THEN 'jpeg'
+       |       WHEN lower(hex(encode(substr(text, 1, 4)))) = '89504e47' THEN 'png'
+       |       WHEN lower(hex(encode(substr(text, 1, 4)))) = '52494646' THEN 'riff'
+       |       ELSE 'raw' END AS format,
+       |  n_chars
+       |FROM corpus
+       |ORDER BY doc_id""".stripMargin
+
   /** ≙ DocFeed.withUrlMeta + Curate.domainOf: the corpus with synthetic
     * URL JSON metadata and the regexp-extracted host. */
   private val domainCorpusSql: String =
@@ -2505,6 +2520,49 @@ object ExtOracle {
        |$rounds
        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
   }
+
+  /** ≙ ext.Graph.coOccurrenceEdges ∘ triangleStats over the part
+    * co-purchase projection: canonical a<b edges from orders' part sets
+    * (groups above [[graft.ext.Graph.CoPurchaseGroupCap]] skipped on BOTH
+    * engines — the hot-key guard is ACTIVE at fixture scale and part of
+    * the graded contract), exact triangle enumeration x<y<z, clustering
+    * coefficient in truncating integer basis points. `pm`/`e` are fan-out
+    * CTEs → MATERIALIZED (the r8 re-execution lesson). */
+  val trianglesSql: String =
+    s"""WITH pm AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS g,
+       |                  CAST(l_partkey AS BIGINT) AS m
+       |  FROM lineitem
+       |), ok AS (
+       |  SELECT g FROM pm GROUP BY g
+       |  HAVING count(*) <= ${graft.ext.Graph.CoPurchaseGroupCap}
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT p1.m AS a, p2.m AS b
+       |  FROM pm p1 JOIN pm p2 ON p1.g = p2.g AND p1.m < p2.m
+       |  JOIN ok ON ok.g = p1.g
+       |), deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+       |  ) GROUP BY node
+       |), t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |), tn AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |    SELECT x AS node FROM t
+       |    UNION ALL SELECT y AS node FROM t
+       |    UNION ALL SELECT z AS node FROM t
+       |  ) GROUP BY node
+       |)
+       |SELECT d.node, d.deg,
+       |  CAST(COALESCE(tn.tri, 0) AS BIGINT) AS tri,
+       |  CAST(CASE WHEN d.deg >= 2
+       |    THEN (COALESCE(tn.tri, 0) * 20000) // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS BIGINT) AS cc_bp
+       |FROM deg d LEFT JOIN tn ON tn.node = d.node
+       |ORDER BY d.node""".stripMargin
 
   /** ≙ DocFeed.withDups(plantScripts = true): the shared corpus plus the
     * script plants — fully-Cyrillic / fully-CJK docs and a mixed-script

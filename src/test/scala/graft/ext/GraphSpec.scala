@@ -47,6 +47,85 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(got("hub") > leafRanks.head, "the hub must out-rank its leaves")
   }
 
+  /** Brute-force local reference: count triangles by triple enumeration. */
+  private def localTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct
+    val eset = canon.toSet
+    val nodes = (canon.map(_._1) ++ canon.map(_._2)).distinct.sorted
+    val deg = nodes.map(n => n -> canon.count(p => p._1 == n || p._2 == n).toLong).toMap
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      x = nodes(i); y = nodes(j); z = nodes(k)
+      if eset((x, y)) && eset((y, z)) && eset((x, z))
+    } yield (x, y, z)
+    val perNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.map(n => n -> (deg(n), perNode.getOrElse(n, 0L))).toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    Graph.triangleStats(canon.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("triangleStats: K4 — every node in 3 triangles, coefficient exactly 1") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = runTriangles(k4)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    got.values.foreach { case (deg, tri, cc) =>
+      assert(deg == 3L); assert(tri == 3L); assert(cc == 10000L)
+    }
+  }
+
+  test("triangleStats: triangle-free graphs report zero with cc 0") {
+    // path (deg 2 interior) + star (hub deg 3): wedges exist, triangles don't
+    val got = runTriangles(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L, 10L -> 12L, 10L -> 13L))
+    got.values.foreach { case (_, tri, cc) => assert(tri == 0L); assert(cc == 0L) }
+  }
+
+  test("triangleStats: two triangles sharing an edge — shared nodes count both") {
+    val got = runTriangles(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L))
+    assert(got(1L) == ((2L, 1L, 10000L)))
+    assert(got(2L) == ((3L, 2L, 6666L))) // 2*20000 div (3*2) truncates
+    assert(got(3L) == ((3L, 2L, 6666L)))
+    assert(got(4L) == ((2L, 1L, 10000L)))
+  }
+
+  test("triangleStats matches the brute-force reference on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2)
+    val got = runTriangles(edges)
+    val want = localTriangles(edges)
+    assert(got.keySet == want.keySet)
+    for ((n, (deg, tri)) <- want) {
+      val (gd, gt, gcc) = got(n)
+      assert(gd == deg, s"deg($n)"); assert(gt == tri, s"tri($n)")
+      val wantCc = if (deg >= 2) tri * 20000L / (deg * (deg - 1)) else 0L
+      assert(gcc == wantCc, s"cc($n)")
+    }
+  }
+
+  test("coOccurrenceEdges: shared groups connect, hot groups are skipped and audited") {
+    val s = spark
+    import s.implicits._
+    // g1={1,2,3}, g2={2,3}, g3={3,4,5,6,7} (hot at maxGroupSize=4); dup rows
+    val pm = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 2L),
+      (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L), (3L, 5L), (3L, 6L), (3L, 7L)).toDF("g", "m")
+    val edges = Graph.coOccurrenceEdges(pm, "g", "m", maxGroupSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (1L, 3L), (2L, 3L)), "hot group g3 must not explode")
+    val audit = Graph.coOccurrenceAudit(pm, "g", "m", maxGroupSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audit == Set((3L, 5L)), "the skipped group is reported with its size")
+  }
+
   test("directed graph: sources decay to the base rank, dangling sinks just absorb") {
     val edges = Seq("src" -> "sink") // sink has no out-edges (dangling)
     val got = run(edges, 2)
