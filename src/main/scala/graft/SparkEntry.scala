@@ -514,6 +514,13 @@ object SparkEntry {
     "ext_multimodal_dims" -> ((s, dir) =>
       MultiModal.plantedDims(corpus(s, dir)).orderBy("doc_id")),
 
+    // E4''' — REAL audio-container decode: planted spec-conformant
+    // RIFF/WAVE payloads (LIST chunks force a genuine chunk walk; raw
+    // plants must parse to NULLs), channels/rate/bits/duration recovered
+    // from the bytes with little-endian expression math
+    "ext_multimodal_wav" -> ((s, dir) =>
+      MultiModal.plantedWavMeta(corpus(s, dir)).orderBy("doc_id")),
+
     // E2c — multi-table LSH ANN (coarser buckets × more tables = usable
     // recall on random data, unlike a single fine-grained table)
     "ext_ann_multiprobe" -> ((s, dir) =>
@@ -1902,6 +1909,7 @@ object SparkEntry {
     "ext_multimodal" -> ExtOracle.multiModalSql,
     "ext_multimodal_decode" -> ExtOracle.multiModalDecodeSql,
     "ext_multimodal_dims" -> ExtOracle.multiModalDimsSql,
+    "ext_multimodal_wav" -> ExtOracle.multiModalWavSql,
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,

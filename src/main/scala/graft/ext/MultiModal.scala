@@ -172,6 +172,116 @@ object MultiModal {
       coalesce(png.getField("height"), jpg.getField("height")).as("height"))
   }
 
+  // -------------------------------------------------------------------
+  // E4''' — REAL audio-container decode: WAV (RIFF) header parsing.
+  // Same contract as the PNG/JPEG dims: payloads are PLANTED
+  // spec-conformant RIFF/WAVE files (with 0–2 id-dependent LIST chunks
+  // before "fmt " so the parser genuinely WALKS the chunk list, and a
+  // deliberate run of RAW non-RIFF payloads as the negative case), and
+  // the PARSER knows nothing of the planting — it does the actual RIFF
+  // arithmetic: magic checks, LITTLE-endian 2/4-byte fields (the twist
+  // vs PNG/JPEG's big-endian), bounded chunk walk, duration from the
+  // data chunk's declared size over the fmt chunk's byte rate.
+  // -------------------------------------------------------------------
+
+  val RiffMagicHex = "52494646"
+  val WaveMagicHex = "57415645"
+  val FmtChunkHex = "666d7420" // "fmt "
+  val DataChunkHex = "64617461" // "data"
+
+  /** Little-endian integral field: `n` bytes at 1-based byte offset `off`
+    * (a Column), assembled by reversing the byte order in hex space. */
+  def leField(p: Column, off: Column, n: Int): Column =
+    conv(concat(((n - 1) to 0 by -1).map(i =>
+      lower(hex(p.substr((off + i).cast("int"), lit(1))))): _*), 16, 10).cast("long")
+
+  /** Little-endian hex rendering of an integral column at `bytes` width
+    * (the planting-side inverse of [[leField]]). */
+  private def leHex(v: Column, bytes: Int): Column = {
+    val be = lpad(lower(hex(v)), bytes * 2, "0")
+    concat((bytes to 1 by -1).map(i => be.substr(lit(2 * i - 1), lit(2))): _*)
+  }
+
+  /** Planted WAV payload as hex: RIFF size + WAVE + 0–2 LIST chunks of
+    * id-dependent length + canonical 16-byte PCM "fmt " + "data" with an
+    * id-dependent declared size (md5 filler). Every doc_id % 11 == 0 gets
+    * a RAW payload instead — the parser must yield NULLs, not garbage. */
+  def plantedWavHex(id: Column, text: Column): Column = {
+    val ch = id % 2 + 1
+    val rate = (id % 4 + 1) * 11025
+    val blockAlign = ch * 2 // 16-bit samples
+    val byteRate = rate * blockAlign
+    val dataSize = (id % 9 + 1) * 500 * blockAlign
+    val lcl = id % 5 + 2 // LIST content bytes
+    val list = concat(lit("4c495354"), leHex(lcl, 4),
+      md5(text).substr(lit(1), (lcl * 2).cast("int")))
+    val nLists = id % 3
+    val lists = when(nLists === 0, lit(""))
+      .when(nLists === 1, list)
+      .otherwise(concat(list, list))
+    val riffSize = lit(4L) + nLists * (lcl + 8) + lit(24L) + (dataSize + 8)
+    val wav = concat(
+      lit(RiffMagicHex), leHex(riffSize, 4), lit(WaveMagicHex),
+      lists,
+      lit(FmtChunkHex), lit("10000000"), lit("0100"), // PCM, 16-byte fmt
+      leHex(ch, 2), leHex(rate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), lit("1000"), // 16 bits per sample
+      lit(DataChunkHex), leHex(dataSize, 4), md5(text))
+    when(id % 11 === 0, md5(text)).otherwise(wav)
+  }
+
+  /** WAV metadata from the bytes of `payloadCol`: channels / sample rate
+    * / bits per sample out of the "fmt " chunk, duration in integer
+    * milliseconds from the "data" chunk's declared size over the byte
+    * rate; NULL fields when the RIFF/WAVE container checks fail.
+    *
+    * The chunk walk (each chunk = 4-byte id + 4-byte LITTLE-endian size +
+    * content) is UNROLLED ACROSS PROJECTIONS, one staged `__o<k>` column
+    * per step, each referencing the previous offset as an ATTRIBUTE: a
+    * single-expression fold re-clones the accumulated offset ~7× per step
+    * (~7^k leaves — observed as MINUTES of driver-side optimizer time at
+    * maxChunks=4), while the staged form stays linear and CollapseProject
+    * keeps multiply-referenced non-cheap aliases staged. Still map-only,
+    * still one pass over the bytes per row. */
+  def wavMetaColumns(df: DataFrame, payloadCol: String, maxChunks: Int = 4): DataFrame = {
+    val p = col(payloadCol)
+    def cid(o: Column) = lower(hex(p.substr(o.cast("int"), lit(4))))
+    val valid = lower(hex(substring(p, 1, 4))) === RiffMagicHex &&
+      lower(hex(substring(p, 9, 4))) === WaveMagicHex
+    val withOffs = (1 until maxChunks).foldLeft(
+      df.withColumn("__o0", when(valid, lit(13L)))) { (d, k) =>
+      d.withColumn(s"__o$k",
+        col(s"__o${k - 1}") + 8 + leField(p, col(s"__o${k - 1}") + 4, 4))
+    }
+    val offs = (0 until maxChunks).map(k => col(s"__o$k"))
+    def firstChunk(idHex: String): Column =
+      coalesce(offs.map(o => when(cid(o) === idHex, o)): _*)
+    val f = col("__fmt_off")
+    val d = col("__data_off")
+    withOffs
+      .withColumn("__fmt_off", firstChunk(FmtChunkHex))
+      .withColumn("__data_off", firstChunk(DataChunkHex))
+      .withColumn("channels", leField(p, f + 10, 2))
+      .withColumn("sample_rate", leField(p, f + 12, 4))
+      .withColumn("bits", leField(p, f + 22, 2))
+      .withColumn("duration_ms",
+        TextOps.intDiv(leField(p, d + 4, 4) * 1000L, leField(p, f + 16, 4)))
+      .drop((0 until maxChunks).map(k => s"__o$k") :+ "__fmt_off" :+ "__data_off": _*)
+  }
+
+  /** The graded audio decode: plant a payload per document, recover the
+    * audio metadata FROM THE BYTES with [[wavMetaColumns]]. Map-only, no
+    * shuffle. */
+  def plantedWavMeta(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // staged payload column: the parsers reference one attribute, not a
+    // re-cloned construction expression (see plantedDims)
+    val staged = df.select(col(idCol),
+      unhex(plantedWavHex(col(idCol), col(textCol))).as("__payload"))
+    wavMetaColumns(staged, "__payload")
+      .select(col(idCol), sniffFormat(col("__payload")).as("fmt"),
+        col("channels"), col("sample_rate"), col("bits"), col("duration_ms"))
+  }
+
   /** Batch decoder signature: a BATCH of payloads in, one fixed-width
     * feature vector per payload out (order-aligned). */
   type BatchDecoder = Seq[Array[Byte]] => Seq[Array[Double]]

@@ -2425,6 +2425,76 @@ object ExtOracle {
        |ORDER BY ph.doc_id""".stripMargin
   }
 
+  /** E4''' ≙ MultiModal.plantedWavMeta — rebuilds the SAME planted
+    * RIFF/WAVE payloads as hex (independent construction from the
+    * planting spec) and parses them with the same container arithmetic:
+    * LITTLE-endian fields assembled by reversing byte pairs in hex space,
+    * the chunk walk as a bounded recursive CTE emitting every chunk
+    * offset, fmt/data chunks selected from the walk set. Raw plants
+    * (doc_id % 11 = 0) must come back as fmt='raw' with NULL metadata. */
+  val multiModalWavSql: String = {
+    def leHexSql(expr: String, bytes: Int): String = {
+      val be = s"lpad(lower(to_hex($expr)), ${2 * bytes}, '0')"
+      (bytes to 1 by -1).map(i => s"substr($be, ${2 * i - 1}, 2)").mkString(" || ")
+    }
+    def leFieldSql(off: String, n: Int): String =
+      "('0x' || " +
+        ((n - 1) to 0 by -1).map(i => s"substr(p, 2 * (($off) + $i) - 1, 2)").mkString(" || ") +
+        ")::BIGINT"
+    s"""WITH RECURSIVE $corpusSql, g AS (
+       |  SELECT doc_id, text,
+       |    doc_id % 2 + 1 AS ch, (doc_id % 4 + 1) * 11025 AS rate,
+       |    (doc_id % 2 + 1) * 2 AS ba, doc_id % 5 + 2 AS lcl, doc_id % 3 AS nl
+       |  FROM corpus
+       |), g2 AS (
+       |  SELECT *, rate * ba AS brate, (doc_id % 9 + 1) * 500 * ba AS dsize,
+       |    4 + nl * (lcl + 8) + 24 + ((doc_id % 9 + 1) * 500 * ba + 8) AS rs
+       |  FROM g
+       |), ph AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN md5(text) ELSE
+       |      '${graft.ext.MultiModal.RiffMagicHex}' || ${leHexSql("rs", 4)} ||
+       |      '${graft.ext.MultiModal.WaveMagicHex}' ||
+       |      repeat('4c495354' || ${leHexSql("lcl", 4)} || substr(md5(text), 1, 2 * lcl), nl) ||
+       |      '${graft.ext.MultiModal.FmtChunkHex}' || '10000000' || '0100' ||
+       |      ${leHexSql("ch", 2)} || ${leHexSql("rate", 4)} || ${leHexSql("brate", 4)} ||
+       |      ${leHexSql("ba", 2)} || '1000' ||
+       |      '${graft.ext.MultiModal.DataChunkHex}' || ${leHexSql("dsize", 4)} || md5(text)
+       |    END AS p
+       |  FROM g2
+       |), walk(doc_id, off, steps) AS (
+       |  SELECT doc_id, 13, 0 FROM ph
+       |  WHERE substr(p, 1, 8) = '${graft.ext.MultiModal.RiffMagicHex}'
+       |    AND substr(p, 17, 8) = '${graft.ext.MultiModal.WaveMagicHex}'
+       |  UNION ALL
+       |  SELECT w.doc_id,
+       |    w.off + 8 + ${leFieldSql("w.off + 4", 4)},
+       |    w.steps + 1
+       |  FROM walk w JOIN ph ON ph.doc_id = w.doc_id
+       |  WHERE w.steps < 6
+       |    AND 2 * (w.off + 8 + ${leFieldSql("w.off + 4", 4)}) + 6 <= len(ph.p)
+       |), fmtc AS (
+       |  SELECT w.doc_id, w.off FROM walk w JOIN ph ON ph.doc_id = w.doc_id
+       |  WHERE substr(p, 2 * w.off - 1, 8) = '${graft.ext.MultiModal.FmtChunkHex}'
+       |), datac AS (
+       |  SELECT w.doc_id, w.off FROM walk w JOIN ph ON ph.doc_id = w.doc_id
+       |  WHERE substr(p, 2 * w.off - 1, 8) = '${graft.ext.MultiModal.DataChunkHex}'
+       |)
+       |SELECT ph.doc_id,
+       |  CASE WHEN substr(p, 1, 6) = 'ffd8ff' THEN 'jpeg'
+       |       WHEN substr(p, 1, 8) = '89504e47' THEN 'png'
+       |       WHEN substr(p, 1, 8) = '52494646' THEN 'riff'
+       |       ELSE 'raw' END AS fmt,
+       |  ${leFieldSql("f.off + 10", 2)} AS channels,
+       |  ${leFieldSql("f.off + 12", 4)} AS sample_rate,
+       |  ${leFieldSql("f.off + 22", 2)} AS bits,
+       |  (${leFieldSql("d.off + 4", 4)} * 1000) // ${leFieldSql("f.off + 16", 4)} AS duration_ms
+       |FROM ph
+       |LEFT JOIN fmtc f ON f.doc_id = ph.doc_id
+       |LEFT JOIN datac d ON d.doc_id = ph.doc_id
+       |ORDER BY ph.doc_id""".stripMargin
+  }
+
   /** ≙ ops.RangeJoin.pointInRange over sessions: the keyless containment
     * join written as the naive non-equi join (the bucket expansion must be
     * result-invisible). Session CTEs mirror sessionizeSql verbatim. */

@@ -58,6 +58,75 @@ class MultiModalDimsSpec extends AnyFunSuite with SparkFixture {
       MultiModal.pngDims).isEmpty)
   }
 
+  // genuine canonical 44-byte-header WAV: PCM mono 8000 Hz 16-bit, 800
+  // samples (100 ms) of silence
+  private val realWav = {
+    val dataBytes = 1600
+    "52494646" + leHex(36 + dataBytes, 4) + "57415645" +
+      "666d7420" + "10000000" + "0100" + "0100" +
+      leHex(8000, 4) + leHex(16000, 4) + "0200" + "1000" +
+      "64617461" + leHex(dataBytes, 4) + "00" * dataBytes
+  }
+
+  private def leHex(v: Long, bytes: Int): String = {
+    val be = ("0" * (bytes * 2) + v.toHexString).takeRight(bytes * 2)
+    (bytes to 1 by -1).map(i => be.substring(2 * i - 2, 2 * i)).mkString
+  }
+
+  private def wav(hexPayload: String): Option[(Long, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val r = MultiModal.wavMetaColumns(
+        Seq(hexPayload).toDF("ph").select(unhex(col("ph")).as("p")), "p")
+      .select(col("channels"), col("sample_rate"), col("bits"), col("duration_ms"))
+      .collect().head
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("wavMeta reads a genuine canonical WAV header") {
+    assert(wav(realWav) == Some((1L, 8000L, 16L, 100L)))
+  }
+
+  test("wavMeta walks past a JUNK chunk the planter never emits") {
+    // insert a 4-byte JUNK chunk between WAVE and fmt; RIFF size += 12
+    val junked = realWav.substring(0, 8) + leHex(36 + 1600 + 12, 4) +
+      "57415645" + "4a554e4b" + "04000000" + "deadbeef" +
+      realWav.substring(24)
+    assert(wav(junked) == Some((1L, 8000L, 16L, 100L)))
+  }
+
+  test("wavMeta refuses PNG, JPEG and garbage payloads") {
+    assert(wav(realPng).isEmpty)
+    assert(wav(realJpeg).isEmpty)
+    assert(wav("deadbeefdeadbeefdeadbeefdeadbeefdeadbeef").isEmpty)
+  }
+
+  test("plantedWavMeta roundtrip: parsed bytes reproduce the planted audio " +
+      "spec for every id residue (LIST runs 0-2 × raw plants)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 24L).map(i => (i, s"doc number $i text")).toDF("doc_id", "text")
+    val got = MultiModal.plantedWavMeta(df)
+      .collect().map(r => (r.getLong(0), (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))))
+      .toMap
+    for (i <- 0L until 24L) {
+      if (i % 11 == 0) {
+        assert(got(i) == (("raw", -1L, -1L, -1L, -1L)), s"raw plant $i")
+      } else {
+        val ch = i % 2 + 1
+        val rate = (i % 4 + 1) * 11025
+        val dataSize = (i % 9 + 1) * 500 * (ch * 2)
+        val durMs = dataSize * 1000L / (rate * ch * 2)
+        assert(got(i) == (("riff", ch, rate, 16L, durMs)), s"wav plant $i")
+      }
+    }
+  }
+
   test("plantedDims roundtrip: parsed bytes reproduce the planted geometry " +
       "for every id residue (PNG/JPEG × 0-2 COM segments)") {
     val s = spark
