@@ -282,6 +282,29 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // S6''' under CONCURRENT maintenance — the retention twin of the
+    // compaction race: batch 2 snapshots its HWM against the full sink,
+    // then a retention sweep advances the cutoff marker inside the
+    // stage→publish window. The publish must land untouched (staged files
+    // are `_`-invisible to the sweep's partition listing, and the HWM
+    // snapshot taken pre-expire stays valid), batch 1's pre-cutoff days
+    // drop out of the logical table, and surviving ids are untouched —
+    // the result hash-matches the same QUIESCED oracle as cdc_retention
+    "cdc_populate_during_retention" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_drt").resolve("orders_changelog").toString
+      val f = ChangeFeed.fromOrdersRetention(orders(s, dir))
+      PopulateChangelog.run(s, f, ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.RetentionStateMid)))
+      val cutoff = java.time.LocalDate.parse(graft.oracle.OrdersCdcOracle.RetentionCutoff)
+      graft.cdc.StagedAppend.run(s, f, ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")),
+        prePublishHook = () => { graft.cdc.Retention.expire(s, sink, cutoff); () })
+      require(graft.cdc.Retention.activeCutoff(s, sink).contains(cutoff),
+        "the concurrent retention sweep must actually have advanced the cutoff")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // sink maintenance: the same two-batch populate, then small-file
     // compaction (range-packed on (commit_date, changelog_id)) — rows must
     // survive the rewrite EXACTLY (same oracle as the resume), file count
@@ -1928,6 +1951,7 @@ object SparkEntry {
     "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
+    "cdc_populate_during_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_state_after_retention" -> OrdersCdcOracle.stateAfterRetentionSql,
     "cdc_mask_stats" -> OrdersCdcOracle.default.maskStatsSql,
     "cdc_mask_stats_wide" -> OrdersCdcOracle.wide.maskStatsSql,

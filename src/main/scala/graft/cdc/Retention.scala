@@ -60,6 +60,11 @@ object Retention {
     }
   }
 
+  /** [[activeCutoff]] resolving the filesystem from the session (the
+    * public entry point for callers outside the cdc package). */
+  def activeCutoff(spark: SparkSession, root: String): Option[LocalDate] =
+    activeCutoff(SinkLayout.fs(spark, root), root)
+
   private def writeCutoff(fs: FileSystem, root: String, d: LocalDate): Unit = {
     val out = fs.create(cutoffPath(root), true)
     try out.write(d.toString.getBytes(StandardCharsets.UTF_8))
