@@ -737,6 +737,15 @@ object SparkEntry {
       graft.streaming.EventStream.intervalJoinStreamedToFiles(s, events(s, dir))
         .orderBy("view_id", "purchase_id")),
 
+    // §2.11 stream-stream LEFT-OUTER interval join: the NULL no-match
+    // verdict is only decidable when a view's join state expires under
+    // the watermark — a flush sentinel pushes every view past its
+    // horizon, and the result must hash-match the BATCH left join's
+    // oracle exactly (same rows, same NULLs)
+    "ext_interval_join_left_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinLeftStreamedToFiles(s, events(s, dir))
+        .orderBy("view_id", "purchase_id")),
+
     // changelog → current-state materialization (long form): per (pk,
     // column) the latest new_value by changelog_id — the downstream
     // consumer query every CDC changelog exists to serve. One hash
@@ -1640,6 +1649,23 @@ object SparkEntry {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // the LEFT-OUTER attribution variant: every view survives, the
+    // unconverted majority with NULL purchase columns — the funnel
+    // denominator a conversion report actually needs
+    "ext_interval_join_left" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("t_s").as("v_t"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("t_s").as("p_t"))
+      graft.ops.IntervalJoin.withinAfter(views, purchases, Seq("user_id"),
+        leftTime = "v_t", rightTime = "p_t", maxGapS = 3600L, joinType = "left_outer")
+        .select(col("view_id"), col("purchase_id"), col("user_id"),
+          (col("p_t") - col("v_t")).as("gap_s"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // bucketed co-located join — both sides written bucketed on the join
     // key, joined with ZERO exchange (same oracle as the salted variant:
     // co-location, like salting, must be result-invisible)
@@ -1978,6 +2004,8 @@ object SparkEntry {
     "ext_bucketed_join" -> ExtOracle.skewJoinSql,
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_stream" -> ExtOracle.intervalJoinSql,
+    "ext_interval_join_left" -> ExtOracle.intervalJoinLeftSql,
+    "ext_interval_join_left_stream" -> ExtOracle.intervalJoinLeftSql,
     "ext_pack" -> ExtOracle.packBinsSql,
     "ext_epoch_shuffle" -> ExtOracle.epochShuffleSql,
     "ext_split" -> ExtOracle.hashSplitSql,

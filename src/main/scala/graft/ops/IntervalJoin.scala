@@ -26,6 +26,12 @@ object IntervalJoin {
     *                 the range condition. Must differ in name; non-key
     *                 columns of the two sides must be disjoint.
     * @param maxGapS  inclusive upper bound on rightTime - leftTime, seconds
+    * @param joinType "inner" (default) or "left_outer" — attribution's
+    *                 other half: every left row survives, unconverted ones
+    *                 with NULL right columns. Streaming left-outer emits
+    *                 the NULL row once the watermark passes the left row's
+    *                 join horizon (leftTime + maxGapS) — state expiry IS
+    *                 the no-match verdict.
     */
   def withinAfter(
       left: DataFrame,
@@ -33,7 +39,8 @@ object IntervalJoin {
       on: Seq[String],
       leftTime: String,
       rightTime: String,
-      maxGapS: Long): DataFrame = {
+      maxGapS: Long,
+      joinType: String = "inner"): DataFrame = {
     require(on.nonEmpty, "interval join needs at least one equi key (see scaladoc)")
     require(leftTime != rightTime, "time columns must be distinctly named")
     // Alias both sides and build the condition from QUALIFIED refs: when
@@ -58,7 +65,7 @@ object IntervalJoin {
     // project the left columns + the right side's non-key columns, so the
     // output drops the duplicate key columns and loses the alias scoping
     val rightRest = right.columns.toSeq.filterNot(on.contains)
-    l.join(r, keyEq && range)
+    l.join(r, keyEq && range, joinType)
       .select(left.columns.toSeq.map(lc) ++ rightRest.map(rc): _*)
   }
 }

@@ -1726,6 +1726,26 @@ object ExtOracle {
       | AND p.t_s >= v.t_s AND p.t_s <= v.t_s + 3600
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** ≙ the LEFT-OUTER interval join (batch and stream-stream drives share
+    * it): every view row survives; unconverted views carry NULL
+    * purchase_id / gap_s. The view filter lives in a CTE, not the ON
+    * clause — in a left join an ON-side left predicate would change
+    * semantics. */
+  val intervalJoinLeftSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |), v AS (
+      |  SELECT event_id, user_id, t_s FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id, user_id, t_s FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |  p.t_s - v.t_s AS gap_s
+      |FROM v LEFT JOIN p
+      |  ON p.user_id = v.user_id
+      | AND p.t_s >= v.t_s AND p.t_s <= v.t_s + 3600
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** ≙ Packing.packBins (contiguous-fill, 512-token bins, per source). */
   val packBinsSql: String =
     s"""WITH $corpusSql, base AS (

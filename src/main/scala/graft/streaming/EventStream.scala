@@ -298,7 +298,24 @@ object EventStream {
     * timestamps so the gap math equals the batch query's epoch-seconds
     * exactly. */
   def intervalJoinStreamedToFiles(
-      spark: SparkSession, events: DataFrame, maxGapS: Long = 3600L): DataFrame = {
+      spark: SparkSession, events: DataFrame, maxGapS: Long = 3600L): DataFrame =
+    intervalJoinStreamedImpl(spark, events, maxGapS, leftOuter = false)
+
+  /** The LEFT-OUTER stream-stream interval join — attribution's other
+    * half: every view survives, unconverted ones with NULL purchase
+    * columns. The engine can only emit a NULL row once the view's join
+    * state EXPIRES un-matched (watermark past v_t + maxGap + delay), so
+    * the drive plants a flush sentinel past every view's horizon — the
+    * same sentinel contract the sessionize/window drives use; without it
+    * the tail views' verdicts would still be pending at AvailableNow
+    * termination and the result would be silently inner. */
+  def intervalJoinLeftStreamedToFiles(
+      spark: SparkSession, events: DataFrame, maxGapS: Long = 3600L): DataFrame =
+    intervalJoinStreamedImpl(spark, events, maxGapS, leftOuter = true)
+
+  private def intervalJoinStreamedImpl(
+      spark: SparkSession, events: DataFrame, maxGapS: Long,
+      leftOuter: Boolean): DataFrame = {
     val typed = events.select(
       col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"),
@@ -308,8 +325,35 @@ object EventStream {
       return spark.range(0).select(
         col("id").as("view_id"), col("id").as("purchase_id"),
         col("id").as("user_id"), col("id").as("gap_s"))
-    val inDir = tempDir("graft_ssj_in").toString
-    typed.write.mode("append").parquet(inDir)
+    val inDir =
+      if (!leftOuter) {
+        val d = tempDir("graft_ssj_in").toString
+        typed.write.mode("append").parquet(d)
+        d
+      } else {
+        // flush sentinels. A "__flush" type the side filters reject would
+        // NEVER advance the watermark: Catalyst pushes the event_type
+        // filters BELOW the EventTimeWatermark node toward the source, so
+        // each side's watermark is computed over already-filtered rows
+        // (observed: the global watermark stuck under max(event_time)).
+        // So each side gets a sentinel that PASSES its filter — view- and
+        // purchase-typed rows with negative user ids (excluded from the
+        // graded output on read-back, and they join nothing). The view
+        // sentinel pushes the view-side watermark past every real view's
+        // horizon; the no-data finalization batch then evicts all
+        // unmatched views, including the tail ones inside the final
+        // watermark delay. The purchase sentinel sits 2 days further so
+        // the purchase-side watermark (the global min) clears too.
+        val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+        def sentinel(userId: Long, tpe: String, daysAhead: Int) =
+          spark.range(1).select(
+            lit(-1L).as("event_id"), lit(userId).as("user_id"),
+            timestamp_millis(lit(maxT.getTime + daysAhead.toLong * 24 * 3600 * 1000))
+              .as("event_time"),
+            lit(tpe).as("event_type"))
+        stageWithSentinel(typed,
+          sentinel(-1L, "view", 2).unionByName(sentinel(-2L, "purchase", 4)))
+      }
     val src = spark.readStream.schema(typed.schema).parquet(inDir)
     val views = src.withColumnRenamed("event_time", "v_t")
       .withWatermark("v_t", "10 minutes")
@@ -321,7 +365,8 @@ object EventStream {
       .select(col("user_id"), col("event_id").as("purchase_id"), col("p_t"))
     val outDir = tempDir("graft_ssj_out")
     val joined = graft.ops.IntervalJoin.withinAfter(
-      views, purchases, Seq("user_id"), "v_t", "p_t", maxGapS)
+      views, purchases, Seq("user_id"), "v_t", "p_t", maxGapS,
+      joinType = if (leftOuter) "left_outer" else "inner")
     val query = joined
       .writeStream.format("parquet")
       .option("path", outDir.resolve("result").toString)
@@ -334,6 +379,7 @@ object EventStream {
     // sink, and schema INFERENCE would throw instead of returning the
     // empty frame the batch query produces
     spark.read.schema(joined.schema).parquet(outDir.resolve("result").toString)
+      .where(col("user_id") >= 0) // drop flush sentinels (left-outer drive)
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         (col("p_t").cast("long") - col("v_t").cast("long")).as("gap_s"))
   }

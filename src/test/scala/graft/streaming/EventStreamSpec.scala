@@ -203,6 +203,36 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join: unmatched views get their NULL " +
+      "verdict, including the TAIL view whose horizon outlives the data") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1700000000L
+    // the tail view is the LAST event in the stream: its join horizon ends
+    // after every other event, so its no-match verdict needs the sentinel
+    // watermark push — the exact case a single-pass drive silently drops
+    val events = Seq(
+      (10L, 1L, t0, "view"),
+      (20L, 1L, t0 + 1800, "purchase"), // pairs with view 10
+      (11L, 2L, t0 + 100, "view"), // unmatched
+      (21L, 9L, t0 + 50, "purchase"), // no view for this user
+      (12L, 3L, t0 + 3600, "view") // tail view, unmatched
+    ).toDF("event_id", "user_id", "t_s", "event_type")
+      .select($"event_id", $"user_id",
+        ($"t_s" * 1000000000L).as("ts"), $"event_type")
+    val got = graft.streaming.EventStream.intervalJoinLeftStreamedToFiles(s, events)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (10L, 20L, 1L, 1800L),
+      (11L, -1L, 2L, -1L),
+      (12L, -1L, 3L, -1L)))
+  }
+
   test("eventWindowCounts finalizes windows incrementally under a watermark") {
     val s = spark
     import s.implicits._
