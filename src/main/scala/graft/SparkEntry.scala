@@ -1778,6 +1778,20 @@ object SparkEntry {
       graft.ext.Graph.triangleStats(edges).orderBy("node")
     }),
 
+    // k-core decomposition over the same co-purchase graph: the dense-core
+    // periphery filter (iterative peel, join+agg rounds over the shrinking
+    // alive set — 6 real peel rounds at sf0.001 before the fixpoint)
+    "ext_kcore" -> ((s, dir) => {
+      val pm = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("g"),
+          col("l_partkey").cast("long").as("m"))
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        pm, "g", "m", maxGroupSize = graft.ext.Graph.CoPurchaseGroupCap)
+      graft.ext.Graph.kCore(edges,
+        k = graft.ext.Graph.KCoreK, rounds = graft.ext.Graph.KCoreRounds)
+        .orderBy("node")
+    }),
+
     // E3s — Unicode script detection over the script-planted corpus
     // (Cyrillic/CJK/mixed plants; base fixture text is pure ASCII)
     "ext_script_stats" -> ((s, dir) =>
@@ -2072,6 +2086,7 @@ object SparkEntry {
     "ext_asof_nearest" -> ExtOracle.asofNearestSql,
     "ext_pagerank" -> ExtOracle.pagerankSql,
     "ext_triangles" -> ExtOracle.trianglesSql,
+    "ext_kcore" -> ExtOracle.kCoreSql,
     "ext_script_stats" -> ExtOracle.scriptStatsSql,
     "ext_nfc_dedup" -> ExtOracle.nfcDedupSql,
     "ext_funnel_steps" -> ExtOracle.funnelStepsSql,

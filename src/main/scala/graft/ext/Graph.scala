@@ -161,6 +161,62 @@ object Graph {
           .otherwise(lit(0L)).as("cc_bp"))
   }
 
+  /** k shared by the graded k-core query and its oracle (sits under the
+    * fixture graph's degree transition: 6 peel rounds at sf0.001). */
+  val KCoreK = 60
+
+  /** Unrolled peel rounds on BOTH engines. The fixture converges well
+    * inside this bound; because the oracle runs EXACTLY the same round
+    * count, the grade holds even if a regenerated fixture needed more —
+    * the fixpoint semantics are pinned by GraphSpec instead. */
+  val KCoreRounds = 8
+
+  /** k-core decomposition membership: iteratively peel nodes whose degree
+    * within the surviving subgraph is below `k` (Seidman 1983) — the
+    * spam/periphery filter crawl-graph curation runs before authority
+    * ranking (a dense core survives, tendrils and link farms' chaff do
+    * not).
+    *
+    * Spark-first shape: each round is two semi-joins (restrict the edge
+    * list to surviving endpoints) + one degree aggregation + the `>= k`
+    * filter — join+agg rounds over the shrinking alive set, per-round
+    * output `localCheckpoint`ed (the CC/PageRank lesson). Work per round
+    * is bounded by the surviving edge count, never node×node; rounds
+    * needed = peel depth, O(diameter)-like and typically tiny.
+    *
+    * @return nodes of the `k`-core after `rounds` peels, with `deg` =
+    *         the node's degree within the round-`rounds` input subgraph
+    *         (its final in-core degree once converged)
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true) // the alive-restriction joins reuse it every round
+    val nodes0 = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node")))
+      .distinct()
+      .withColumn("deg", lit(-1L)) // pre-peel sentinel, replaced by round 1
+    (1 to rounds).foldLeft(nodes0) { (alive, _) =>
+      val keep = alive.select("node")
+      val e = e0
+        .join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .localCheckpoint(true)
+    }
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

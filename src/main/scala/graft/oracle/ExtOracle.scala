@@ -2654,6 +2654,46 @@ object ExtOracle {
        |FROM deg d LEFT JOIN tn ON tn.node = d.node
        |ORDER BY d.node""".stripMargin
 
+  /** ≙ ext.Graph.kCore over the same co-purchase projection as
+    * [[trianglesSql]]: [[graft.ext.Graph.KCoreRounds]] unrolled peel
+    * rounds (each round restricts the edge list to the previous round's
+    * survivors, recomputes degrees, keeps deg >= k) — EXACTLY the round
+    * count the Spark side runs, so the grade is engine-exact even before
+    * convergence; fixpoint semantics live in GraphSpec. a<i> CTEs are
+    * referenced twice each (both endpoint restrictions) → MATERIALIZED. */
+  val kCoreSql: String = {
+    val k = graft.ext.Graph.KCoreK
+    val rounds = (1 to graft.ext.Graph.KCoreRounds).map { i =>
+      s"""e$i AS (
+         |  SELECT e.a, e.b FROM e
+         |  JOIN a${i - 1} x ON x.node = e.a
+         |  JOIN a${i - 1} y ON y.node = e.b
+         |), a$i AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM e$i UNION ALL SELECT b AS node FROM e$i
+         |  ) GROUP BY node HAVING count(*) >= $k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pm AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS g,
+       |                  CAST(l_partkey AS BIGINT) AS m
+       |  FROM lineitem
+       |), ok AS (
+       |  SELECT g FROM pm GROUP BY g
+       |  HAVING count(*) <= ${graft.ext.Graph.CoPurchaseGroupCap}
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT p1.m AS a, p2.m AS b
+       |  FROM pm p1 JOIN pm p2 ON p1.g = p2.g AND p1.m < p2.m
+       |  JOIN ok ON ok.g = p1.g
+       |), a0 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+       |  )
+       |), $rounds
+       |SELECT node, deg FROM a${graft.ext.Graph.KCoreRounds}
+       |ORDER BY node""".stripMargin
+  }
+
   /** ≙ DocFeed.withDups(plantScripts = true): the shared corpus plus the
     * script plants — fully-Cyrillic / fully-CJK docs and a mixed-script
     * suffix copy. Units and offsets interpolate from DocFeed. */

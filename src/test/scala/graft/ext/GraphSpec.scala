@@ -110,6 +110,62 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** Local reference: peel to the true fixpoint, return in-core degrees. */
+  private def localKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct
+    var alive = (canon.map(_._1) ++ canon.map(_._2)).distinct.toSet
+    var changed = true
+    var deg = Map.empty[Long, Long]
+    while (changed) {
+      deg = alive.map(n => n -> canon.count(p =>
+        (p._1 == n && alive(p._2)) || (p._2 == n && alive(p._1))).toLong).toMap
+      val next = alive.filter(n => deg(n) >= k)
+      changed = next != alive
+      alive = next
+    }
+    alive.map(n => n -> deg(n)).toMap
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int, rounds: Int = 8): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    // kCore shares triangleStats' input contract: canonical a < b edges
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    Graph.kCore(canon.toDF("a", "b"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: a clique survives its own k, the attached tail peels away") {
+    // K4 plus a path hanging off node 4: the 3-core is exactly the K4 —
+    // peeling the tail takes one round per tail hop (depth > 1 matters)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = k4 ++ Seq(4L -> 5L, 5L -> 6L, 6L -> 7L)
+    val got = runKCore(edges, k = 3)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got == localKCore(edges, 3))
+  }
+
+  test("kCore: cascade — removing one node drags the chain under k") {
+    // a triangle chain where each peel exposes the next node: fixpoint
+    // only after several rounds, matches the local reference exactly
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L,
+      3L -> 5L, 5L -> 6L, 6L -> 7L, 5L -> 7L)
+    for (k <- 1 to 4) {
+      assert(runKCore(edges, k) == localKCore(edges, k), s"k=$k")
+    }
+  }
+
+  test("kCore: extra rounds past the fixpoint change nothing") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val at8 = runKCore(edges, k = 4, rounds = 8)
+    val at12 = runKCore(edges, k = 4, rounds = 12)
+    assert(at8 == at12)
+    assert(at8 == localKCore(edges, 4))
+  }
+
   test("coOccurrenceEdges: shared groups connect, hot groups are skipped and audited") {
     val s = spark
     import s.implicits._
