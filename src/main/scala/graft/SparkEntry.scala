@@ -737,6 +737,16 @@ object SparkEntry {
       graft.streaming.EventStream.intervalJoinStreamedToFiles(s, events(s, dir))
         .orderBy("view_id", "purchase_id")),
 
+    // §2.11 stream-STATIC broadcast enrichment join (the third streaming
+    // join class): events stream ⋈ broadcast customer dim → nation, then
+    // a watermarked 1-hour windowed count — the enrich-then-aggregate
+    // pipeline shape; no join state, the stream never shuffles for the
+    // join, and the watermark flows through it to finalize the windows
+    "ext_stream_static_join" -> ((s, dir) =>
+      graft.streaming.EventStream.enrichedWindowCountsStreamedToFiles(
+        s, events(s, dir), s.read.parquet(s"$dir/customer.parquet"))
+        .orderBy("nation", "window_start_s")),
+
     // §2.11 stream-stream LEFT-OUTER interval join: the NULL no-match
     // verdict is only decidable when a view's join state expires under
     // the watermark — a flush sentinel pushes every view past its
@@ -2019,6 +2029,7 @@ object SparkEntry {
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_stream" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_left" -> ExtOracle.intervalJoinLeftSql,
+    "ext_stream_static_join" -> ExtOracle.streamStaticJoinSql,
     "ext_interval_join_left_stream" -> ExtOracle.intervalJoinLeftSql,
     "ext_pack" -> ExtOracle.packBinsSql,
     "ext_epoch_shuffle" -> ExtOracle.epochShuffleSql,

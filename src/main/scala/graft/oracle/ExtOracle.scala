@@ -1746,6 +1746,25 @@ object ExtOracle {
       | AND p.t_s >= v.t_s AND p.t_s <= v.t_s + 3600
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** ≙ EventStream.enrichedWindowCountsStreamedToFiles: the stream–static
+    * broadcast enrichment (user → customer → nation via
+    * `c_custkey − 1 = user_id % |customer|`) followed by 1-hour windowed
+    * counts; window start = epoch floored to 3600 (UTC session both
+    * engines). */
+  val streamStaticJoinSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 1000000000 AS t_s, user_id FROM events
+      |), n AS (SELECT count(*) AS n FROM customer),
+      |j AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+      |         (e.t_s // 3600) * 3600 AS window_start_s
+      |  FROM e CROSS JOIN n
+      |  JOIN customer c ON c.c_custkey - 1 = e.user_id % n.n
+      |)
+      |SELECT nation, window_start_s, CAST(count(*) AS BIGINT) AS n_events
+      |FROM j GROUP BY nation, window_start_s
+      |ORDER BY nation, window_start_s""".stripMargin
+
   /** ≙ Packing.packBins (contiguous-fill, 512-token bins, per source). */
   val packBinsSql: String =
     s"""WITH $corpusSql, base AS (

@@ -384,6 +384,57 @@ object EventStream {
         (col("p_t").cast("long") - col("v_t").cast("long")).as("gap_s"))
   }
 
+  /** Stream–STATIC broadcast enrichment join — the third Structured
+    * Streaming join class beside stream-stream joins and stateful
+    * aggregations: the event stream joins a static dimension table
+    * (user → customer → nation) and the enriched stream feeds a
+    * watermarked windowed aggregate. The static side is BROADCAST: the
+    * join keeps no state and never shuffles the stream, and the event-time
+    * watermark flows THROUGH the join, so the downstream window aggregate
+    * still finalizes under it — exactly the enrich-then-aggregate shape a
+    * production event pipeline runs. Flush sentinel: a user id no
+    * dimension row matches (inner join drops it AFTER the watermark node
+    * has seen it — the sentinel only exists to advance the watermark). */
+  def enrichedWindowCountsStreamedToFiles(
+      spark: SparkSession, events: DataFrame, dim: DataFrame): DataFrame = {
+    val typed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      timestamp_seconds(expr("ts div 1000000000")).as("event_time"))
+    val nDim = dim.count()
+    val maxT = typed.agg(max("event_time")).head().getTimestamp(0)
+    val empty = spark.range(0).select(
+      col("id").as("nation"), col("id").as("window_start_s"),
+      col("id").as("n_events"))
+    if (maxT == null) return empty
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("user_id"),
+      timestamp_millis(lit(maxT.getTime + 2L * 24 * 3600 * 1000)).as("event_time"))
+    val inDir = stageWithSentinel(typed, sentinel)
+    val src = spark.readStream.schema(typed.schema).parquet(inDir)
+    val enriched = src
+      .withWatermark("event_time", "10 minutes")
+      .join(broadcast(dim.select(
+          (col("c_custkey") - 1).cast("long").as("__ck"),
+          col("c_nationkey").cast("long").as("nation"))),
+        col("user_id") % nDim === col("__ck"))
+    val agged = enriched
+      .groupBy(window(col("event_time"), "1 hour"), col("nation"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("nation"),
+        col("window.start").cast("long").as("window_start_s"),
+        col("n_events"))
+    val outDir = tempDir("graft_enrich_out")
+    val query = agged
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.schema(agged.schema).parquet(outDir.resolve("result").toString)
+  }
+
   /** Streaming exact dedup (E1's streaming shape): drop events whose key
     * was already seen, with state bounded by the watermark — the standard
     * at-least-once → effectively-once repair for an event firehose. */
