@@ -1904,6 +1904,18 @@ object SparkEntry {
     // analytics — per-event trailing 1-hour RANGE-frame activity (count +
     // cents sum per user AS OF each event): the rolling serving-time
     // feature; one user_id shuffle, one sort-window pass
+    // point-in-time FEATURE MATRIX (the feature-store shape): for every
+    // purchase, trailing-hour views + session ordinal + previous-purchase
+    // gap + broadcast nation — all event features on ONE user-partitioned
+    // shuffle, strictly no future leakage
+    "ext_feature_matrix" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+      graft.ops.Features.purchaseFeatures(e, dim, dim.count())
+        .orderBy("event_id")
+    }),
+
     "ext_moving_agg" -> ((s, dir) =>
       graft.ops.Analytics.movingUserActivity(events(s, dir))
         .orderBy("event_id")),
@@ -2110,6 +2122,7 @@ object SparkEntry {
     "ext_transitions_stream" -> ExtOracle.eventTransitionsSql,
     "ext_gap_fill" -> ExtOracle.gapFillSql,
     "ext_moving_agg" -> ExtOracle.movingAggSql,
+    "ext_feature_matrix" -> ExtOracle.featureMatrixSql,
     "ext_column_hist" -> ExtOracle.columnHistSql
   )
 }

@@ -1765,6 +1765,42 @@ object ExtOracle {
       |FROM j GROUP BY nation, window_start_s
       |ORDER BY nation, window_start_s""".stripMargin
 
+  /** ≙ ops.Features.purchaseFeatures: the point-in-time feature matrix —
+    * trailing-hour view count (RANGE frame, peers included), session
+    * ordinal (gaps-and-islands running sum over the totalized order),
+    * previous-purchase gap (lag over the purchase subset), broadcast
+    * nation enrichment. Window sums CAST (DuckDB sum→HUGEINT). */
+  val featureMatrixSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+       |), n AS (SELECT count(*) AS n FROM customer),
+       |w1 AS (
+       |  SELECT *,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY user_id ORDER BY t_s
+       |       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS tv,
+       |    lag(t_s) OVER (PARTITION BY user_id ORDER BY t_s, event_id) AS prev_t
+       |  FROM e
+       |), w2 AS (
+       |  SELECT *,
+       |    sum(CASE WHEN prev_t IS NULL OR t_s - prev_t > ${graft.ops.Features.SessionGapS}
+       |             THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY user_id ORDER BY t_s, event_id) AS ss
+       |  FROM w1
+       |), p AS (
+       |  SELECT *,
+       |    t_s - lag(t_s) OVER (PARTITION BY user_id ORDER BY t_s, event_id)
+       |      AS prev_purchase_gap_s
+       |  FROM w2 WHERE event_type = 'purchase'
+       |)
+       |SELECT p.event_id, p.user_id, CAST(c.c_nationkey AS BIGINT) AS nation,
+       |  CAST(tv AS BIGINT) AS trailing_views_1h,
+       |  CAST(ss AS BIGINT) AS sess_seq,
+       |  prev_purchase_gap_s
+       |FROM p CROSS JOIN n
+       |JOIN customer c ON c.c_custkey - 1 = p.user_id % n.n
+       |ORDER BY p.event_id""".stripMargin
+
   /** ≙ Packing.packBins (contiguous-fill, 512-token bins, per source). */
   val packBinsSql: String =
     s"""WITH $corpusSql, base AS (
