@@ -1788,6 +1788,24 @@ object SparkEntry {
       graft.ext.Graph.triangleStats(edges).orderBy("node")
     }),
 
+    // INCREMENTAL triangle maintenance: history's edges + per-node
+    // counters are the carried state; the incoming orders' edges fold in
+    // by new-edge-anchored closure (work ∝ batch × degree, history's
+    // triangles never re-enumerated) — grades against ext_triangles's
+    // from-scratch oracle VERBATIM (fold ≡ scratch)
+    "ext_triangles_incremental" -> ((s, dir) => {
+      val pm = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("g"),
+          col("l_partkey").cast("long").as("m"))
+      def edgesOf(part: DataFrame) = graft.ext.Graph.coOccurrenceEdges(
+        part, "g", "m", maxGroupSize = graft.ext.Graph.CoPurchaseGroupCap)
+      val oldEdges = edgesOf(pm.where(col("g") % 10 < 8)).localCheckpoint(true)
+      val batch = edgesOf(pm.where(col("g") % 10 >= 8))
+      graft.ext.Graph.triangleApplyBatch(
+        oldEdges, graft.ext.Graph.triangleStats(oldEdges), batch)
+        .orderBy("node")
+    }),
+
     // k-core decomposition over the same co-purchase graph: the dense-core
     // periphery filter (iterative peel, join+agg rounds over the shrinking
     // alive set — 6 real peel rounds at sf0.001 before the fixpoint)
@@ -2110,6 +2128,7 @@ object SparkEntry {
     "ext_pagerank" -> ExtOracle.pagerankSql,
     "ext_triangles" -> ExtOracle.trianglesSql,
     "ext_kcore" -> ExtOracle.kCoreSql,
+    "ext_triangles_incremental" -> ExtOracle.trianglesSql,
     "ext_script_stats" -> ExtOracle.scriptStatsSql,
     "ext_nfc_dedup" -> ExtOracle.nfcDedupSql,
     "ext_funnel_steps" -> ExtOracle.funnelStepsSql,

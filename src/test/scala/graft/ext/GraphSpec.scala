@@ -166,6 +166,47 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(at8 == localKCore(edges, 4))
   }
 
+  private def applyBatch(
+      oldEdges: Seq[(Long, Long)], batch: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val oldDf = oldEdges.toDF("a", "b")
+    Graph.triangleApplyBatch(oldDf, Graph.triangleStats(oldDf), batch.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("triangleApplyBatch: a closing edge folds to exactly the from-scratch stats") {
+    // history: path 1-2-3 plus edge 3-4; batch closes triangles 1-2-3 and
+    // opens nothing else
+    val old = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val batch = Seq(1L -> 3L)
+    assert(applyBatch(old, batch) == runTriangles(old ++ batch))
+  }
+
+  test("triangleApplyBatch: a multi-new-edge triangle is counted exactly once") {
+    // batch alone brings 2 of the 3 edges of (1,2,3) and all 3 of (5,6,7):
+    // the smallest-new-edge anchor rule must not double/triple count
+    val old = Seq(1L -> 2L)
+    val batch = Seq(2L -> 3L, 1L -> 3L, 5L -> 6L, 6L -> 7L, 5L -> 7L)
+    assert(applyBatch(old, batch) == runTriangles(old ++ batch))
+  }
+
+  test("triangleApplyBatch: replayed and duplicate edges are no-ops") {
+    val old = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)
+    // batch re-delivers a known edge and a duplicate new edge
+    val batch = Seq(1L -> 2L, 3L -> 4L, 3L -> 4L)
+    assert(applyBatch(old, batch) == runTriangles(old ++ batch))
+  }
+
+  test("triangleApplyBatch matches from-scratch on seeded random splits") {
+    val rnd = new scala.util.Random(11)
+    val all = Seq.fill(140)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(p => p._1 != p._2)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val (old, batch) = all.splitAt(90)
+    assert(applyBatch(old.distinct, batch) == runTriangles(all))
+  }
+
   test("coOccurrenceEdges: shared groups connect, hot groups are skipped and audited") {
     val s = spark
     import s.implicits._
