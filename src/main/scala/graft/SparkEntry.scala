@@ -1913,6 +1913,13 @@ object SparkEntry {
       graft.ops.Analytics.gapFillHourly(events(s, dir), "event_type")
         .orderBy("event_type", "hour_id")),
 
+    // trailing-baseline ANOMALY flags over the dense hourly series (the
+    // ops-monitoring alert): ROWS frame = real wall-clock hours because
+    // the grid is gap-filled; spike = count over 2x the trailing mean
+    "ext_anomaly_hours" -> ((s, dir) =>
+      graft.ops.Analytics.hourlyAnomalies(events(s, dir), "event_type")
+        .orderBy("event_type", "hour_id")),
+
     // §2.11 — the transition matrix under the REAL streaming engine:
     // watermark-delayed ordered replay in flatMapGroupsWithState (lag is
     // not expressible in streaming); grades against the batch oracle
@@ -2140,6 +2147,7 @@ object SparkEntry {
     "ext_event_transitions" -> ExtOracle.eventTransitionsSql,
     "ext_transitions_stream" -> ExtOracle.eventTransitionsSql,
     "ext_gap_fill" -> ExtOracle.gapFillSql,
+    "ext_anomaly_hours" -> ExtOracle.hourlyAnomaliesSql,
     "ext_moving_agg" -> ExtOracle.movingAggSql,
     "ext_feature_matrix" -> ExtOracle.featureMatrixSql,
     "ext_column_hist" -> ExtOracle.columnHistSql

@@ -125,6 +125,34 @@ object Analytics {
         coalesce(last(col("__mx"), ignoreNulls = true).over(w), lit(0L)).as("cents_locf"))
   }
 
+  /** Trailing-baseline ANOMALY detection over the [[gapFillHourly]] dense
+    * series — the ops-monitoring alert shape: each hour's event count vs
+    * the trailing 24 dense hours (ROWS frame == real wall-clock hours
+    * BECAUSE the grid is gap-filled; over a sparse series a row frame
+    * would silently stretch across gaps). Deviation is integer basis
+    * points of the trailing mean with the division order fixed on both
+    * engines (`n · baseline_hours · 10⁴ div baseline_sum`); hours with an
+    * all-zero or empty baseline get a NULL deviation, never a division
+    * blowup. One aggregate + one window pass over the grid — the grid
+    * (groups × hours) is the cost, not the event table. */
+  /** Spike threshold shared with the oracle: 2× the trailing mean. */
+  val SpikeBp = 20000L
+
+  def hourlyAnomalies(
+      events: DataFrame, groupCol: String, spikeBp: Long = SpikeBp): DataFrame = {
+    val intDiv = graft.ext.TextOps.intDiv _
+    val w = Window.partitionBy(groupCol).orderBy("hour_id").rowsBetween(-24, -1)
+    gapFillHourly(events, groupCol)
+      .select(col(groupCol), col("hour_id"), col("n_events"),
+        coalesce(sum(col("n_events")).over(w), lit(0L)).as("baseline_sum"),
+        count(lit(1)).over(w).as("baseline_hours"))
+      .withColumn("dev_bp", when(col("baseline_sum") > 0,
+        intDiv(col("n_events") * col("baseline_hours") * lit(10000L),
+          col("baseline_sum"))))
+      .withColumn("is_spike",
+        when(col("dev_bp").isNotNull && col("dev_bp") > spikeBp, 1L).otherwise(0L))
+  }
+
   /** EXACT distributed quantiles by rank selection — the companion to the
     * mergeable approximate histogram sketch (TextOps.histQuantiles) for
     * when the answer must be an actual data element: one shuffle on the

@@ -3189,6 +3189,47 @@ object ExtOracle {
       |FROM grid
       |ORDER BY event_type, hour_id""".stripMargin
 
+  /** ≙ ops.Analytics.hourlyAnomalies: the gap-filled hourly grid (CTEs
+    * mirror gapFillSql verbatim) + the trailing-24-dense-hours baseline
+    * frame; deviation's division order fixed (`n·hours·10⁴ // sum`),
+    * NULL deviation on empty/zero baselines; window sums CAST (HUGEINT). */
+  val hourlyAnomaliesSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 AS h
+       |  FROM events
+       |), a AS MATERIALIZED (
+       |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+       |  FROM e GROUP BY 1, 2
+       |), b AS (
+       |  SELECT min(h) AS lo, max(h) AS hi FROM a
+       |), hours AS (
+       |  SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS h
+       |), g AS (
+       |  SELECT DISTINCT event_type FROM a
+       |), filled AS (
+       |  SELECT g.event_type, hours.h AS hour_id,
+       |    CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+       |  FROM g CROSS JOIN hours
+       |  LEFT JOIN a ON a.event_type = g.event_type AND a.h = hours.h
+       |), base AS (
+       |  SELECT event_type, hour_id, n_events,
+       |    CAST(coalesce(sum(n_events) OVER wt, 0) AS BIGINT) AS baseline_sum,
+       |    CAST(count(*) OVER wt AS BIGINT) AS baseline_hours
+       |  FROM filled
+       |  WINDOW wt AS (PARTITION BY event_type ORDER BY hour_id
+       |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_type, hour_id, n_events, baseline_sum, baseline_hours,
+       |  CAST(CASE WHEN baseline_sum > 0
+       |    THEN (n_events * baseline_hours * 10000) // baseline_sum
+       |    END AS BIGINT) AS dev_bp,
+       |  CAST(CASE WHEN baseline_sum > 0
+       |    AND (n_events * baseline_hours * 10000) // baseline_sum
+       |        > ${graft.ops.Analytics.SpikeBp}
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+       |FROM base
+       |ORDER BY event_type, hour_id""".stripMargin
+
   val eventTransitionsSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events

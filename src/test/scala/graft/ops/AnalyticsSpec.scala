@@ -99,6 +99,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       ("B", 0L, 0L, 0L), ("B", 1L, 0L, 0L), ("B", 2L, 1L, 700L), ("B", 3L, 0L, 700L)))
   }
 
+  test("hourly anomalies: NULL deviation with no baseline, zero-filled " +
+      "gap hours dilute it, a spike over 2x the trailing mean flags") {
+    val s = spark
+    import s.implicits._
+    // one event in each of hours 0..3, nothing in hour 4, EIGHT in hour 5
+    val rows = (0 to 3).map(h => ("A", 3600L * h + 5, 1.0)) ++
+      (1 to 8).map(i => ("A", 3600L * 5 + i, 1.0))
+    val events = rows.toDF("event_type", "t", "value")
+      .withColumn("ts", col("t") * 1000000000L).drop("t")
+    val got = Analytics.hourlyAnomalies(events, "event_type").collect()
+      .map(r => r.getAs[Long]("hour_id") -> ((r.getAs[Long]("n_events"),
+        r.getAs[Long]("baseline_sum"), r.getAs[Long]("baseline_hours"),
+        Option(r.getAs[Any]("dev_bp")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("is_spike")))).toMap
+    assert(got(0L) == ((1L, 0L, 0L, None, 0L)), "first hour has no baseline")
+    assert(got(1L) == ((1L, 1L, 1L, Some(10000L), 0L)))
+    // hour 4 is a GRID row: zero events over baseline 1+1+1+1
+    assert(got(4L) == ((0L, 4L, 4L, Some(0L), 0L)))
+    // hour 5: 8 events vs baseline sum 4 over 5 hours -> 8*5*10^4/4 = 10x
+    assert(got(5L) == ((8L, 4L, 5L, Some(100000L), 1L)))
+  }
+
   test("exact quantiles select real elements at the ceil(p*n) rank") {
     val s = spark
     import s.implicits._
