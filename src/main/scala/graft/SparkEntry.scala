@@ -1799,10 +1799,19 @@ object SparkEntry {
           col("l_partkey").cast("long").as("m"))
       def edgesOf(part: DataFrame) = graft.ext.Graph.coOccurrenceEdges(
         part, "g", "m", maxGroupSize = graft.ext.Graph.CoPurchaseGroupCap)
-      val oldEdges = edgesOf(pm.where(col("g") % 10 < 8)).localCheckpoint(true)
-      val batch = edgesOf(pm.where(col("g") % 10 >= 8))
+      // the carried state round-trips through PARQUET (edge index +
+      // counter table), as a real incremental deployment's would — the
+      // fold's plan reads two small scans, not history's whole lineage
+      val state = TempDirs.create("graft_tri_state")
+      val oldEdges = edgesOf(pm.where(col("g") % 10 < 8))
+      oldEdges.write.mode("overwrite").parquet(state.resolve("edges").toString)
+      val edgeIndex = s.read.parquet(state.resolve("edges").toString)
+      graft.ext.Graph.triangleStats(edgeIndex)
+        .write.mode("overwrite").parquet(state.resolve("stats").toString)
       graft.ext.Graph.triangleApplyBatch(
-        oldEdges, graft.ext.Graph.triangleStats(oldEdges), batch)
+        edgeIndex,
+        s.read.parquet(state.resolve("stats").toString),
+        edgesOf(pm.where(col("g") % 10 >= 8)))
         .orderBy("node")
     }),
 
