@@ -1922,6 +1922,19 @@ object SparkEntry {
       graft.ops.Analytics.gapFillHourly(events(s, dir), "event_type")
         .orderBy("event_type", "hour_id")),
 
+    // market-basket association rules at the pair level (support /
+    // confidence / lift in integer bp): the frequently-bought-together
+    // table over order->part baskets, same hot-basket cap as the graph
+    // family, support cut pruning the tail before the metric joins
+    "ext_basket_rules" -> ((s, dir) =>
+      graft.ops.Analytics.basketRules(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").cast("long").as("g"),
+            col("l_partkey").cast("long").as("m")),
+        "g", "m", maxGroupSize = graft.ext.Graph.CoPurchaseGroupCap,
+        minSupport = graft.ops.Analytics.BasketMinSupport)
+        .orderBy("a", "b")),
+
     // trailing-baseline ANOMALY flags over the dense hourly series (the
     // ops-monitoring alert): ROWS frame = real wall-clock hours because
     // the grid is gap-filled; spike = count over 2x the trailing mean
@@ -2157,6 +2170,7 @@ object SparkEntry {
     "ext_transitions_stream" -> ExtOracle.eventTransitionsSql,
     "ext_gap_fill" -> ExtOracle.gapFillSql,
     "ext_anomaly_hours" -> ExtOracle.hourlyAnomaliesSql,
+    "ext_basket_rules" -> ExtOracle.basketRulesSql,
     "ext_moving_agg" -> ExtOracle.movingAggSql,
     "ext_feature_matrix" -> ExtOracle.featureMatrixSql,
     "ext_column_hist" -> ExtOracle.columnHistSql

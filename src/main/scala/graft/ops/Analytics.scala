@@ -125,6 +125,55 @@ object Analytics {
         coalesce(last(col("__mx"), ignoreNulls = true).over(w), lit(0L)).as("cents_locf"))
   }
 
+  /** Market-basket association rules at the PAIR level (Apriori/FP-growth's
+    * first and overwhelmingly dominant stage): for item pairs co-occurring
+    * in ≥ `minSupport` baskets, the support / confidence (both directions)
+    * / lift table in integer basis points — the
+    * frequently-bought-together signal.
+    *
+    * Scale shape: the pair generation is the same quadratic-per-basket
+    * projection as [[graft.ext.Graph.coOccurrenceEdges]] and carries the
+    * same hot-basket guard (a 10⁶-item basket is skipped, never exploded);
+    * the support filter prunes the long tail BEFORE the per-item joins,
+    * so the rules table the metric joins against is `minSupport`-bounded,
+    * not all-pairs. Division order fixed for engine-exact integers; lift
+    * multiplies before dividing (`c12·N·10⁴ div (c_a·c_b)`).
+    */
+  def basketRules(
+      baskets: DataFrame,
+      groupCol: String,
+      memberCol: String,
+      maxGroupSize: Int,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val intDiv = graft.ext.TextOps.intDiv _
+    val pm = baskets
+      .select(col(groupCol).as("__g"), col(memberCol).as("__m"))
+      .distinct()
+    val ok = pm.groupBy("__g").agg(count(lit(1)).as("__gs"))
+      .where(col("__gs") <= maxGroupSize)
+      .select("__g")
+    val inG = pm.join(ok, "__g").localCheckpoint(true) // baskets, singles, pairs share it
+    val nBaskets = inG.select(col("__g")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val singles = inG.groupBy("__m").agg(count(lit(1)).as("__c1"))
+    val l = inG.select(col("__g"), col("__m").as("a"))
+    val r = inG.select(col("__g"), col("__m").as("b"))
+    val pairs = l.join(r, Seq("__g")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support_n"))
+      .where(col("support_n") >= minSupport)
+    pairs
+      .join(singles.select(col("__m").as("a"), col("__c1").as("__ca")), Seq("a"))
+      .join(singles.select(col("__m").as("b"), col("__c1").as("__cb")), Seq("b"))
+      .crossJoin(nBaskets) // 1-row broadcast aggregate
+      .select(col("a"), col("b"), col("support_n"),
+        intDiv(col("support_n") * lit(10000L), col("__n")).as("support_bp"),
+        intDiv(col("support_n") * lit(10000L), col("__ca")).as("conf_a_to_b_bp"),
+        intDiv(col("support_n") * lit(10000L), col("__cb")).as("conf_b_to_a_bp"),
+        intDiv(col("support_n") * col("__n") * lit(10000L),
+          col("__ca") * col("__cb")).as("lift_bp"))
+  }
+
   /** Trailing-baseline ANOMALY detection over the [[gapFillHourly]] dense
     * series — the ops-monitoring alert shape: each hour's event count vs
     * the trailing 24 dense hours (ROWS frame == real wall-clock hours
@@ -137,6 +186,9 @@ object Analytics {
     * (groups × hours) is the cost, not the event table. */
   /** Spike threshold shared with the oracle: 2× the trailing mean. */
   val SpikeBp = 20000L
+
+  /** Pair-support cut shared by the graded basket-rules query + oracle. */
+  val BasketMinSupport = 2L
 
   def hourlyAnomalies(
       events: DataFrame, groupCol: String, spikeBp: Long = SpikeBp): DataFrame = {

@@ -3189,6 +3189,42 @@ object ExtOracle {
       |FROM grid
       |ORDER BY event_type, hour_id""".stripMargin
 
+  /** ≙ ops.Analytics.basketRules over order→part baskets: pair-level
+    * association rules (support / confidence both ways / lift, integer
+    * bp, division order mirrored; lift multiplies before dividing). Same
+    * capped projection as the graph family; the support cut prunes the
+    * tail before the metric joins. */
+  val basketRulesSql: String =
+    s"""WITH pm AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS g,
+       |                  CAST(l_partkey AS BIGINT) AS m
+       |  FROM lineitem
+       |), ok AS (
+       |  SELECT g FROM pm GROUP BY g
+       |  HAVING count(*) <= ${graft.ext.Graph.CoPurchaseGroupCap}
+       |), ing AS MATERIALIZED (
+       |  SELECT pm.g, pm.m FROM pm JOIN ok ON ok.g = pm.g
+       |), nb AS (
+       |  SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM ing
+       |), singles AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS c1 FROM ing GROUP BY m
+       |), pairs AS (
+       |  SELECT p1.m AS a, p2.m AS b, CAST(count(*) AS BIGINT) AS support_n
+       |  FROM ing p1 JOIN ing p2 ON p1.g = p2.g AND p1.m < p2.m
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= ${graft.ops.Analytics.BasketMinSupport}
+       |)
+       |SELECT p.a, p.b, p.support_n,
+       |  (p.support_n * 10000) // nb.n AS support_bp,
+       |  (p.support_n * 10000) // sa.c1 AS conf_a_to_b_bp,
+       |  (p.support_n * 10000) // sb.c1 AS conf_b_to_a_bp,
+       |  (p.support_n * nb.n * 10000) // (sa.c1 * sb.c1) AS lift_bp
+       |FROM pairs p
+       |JOIN singles sa ON sa.m = p.a
+       |JOIN singles sb ON sb.m = p.b
+       |CROSS JOIN nb
+       |ORDER BY p.a, p.b""".stripMargin
+
   /** ≙ ops.Analytics.hourlyAnomalies: the gap-filled hourly grid (CTEs
     * mirror gapFillSql verbatim) + the trailing-24-dense-hours baseline
     * frame; deviation's division order fixed (`n·hours·10⁴ // sum`),

@@ -121,6 +121,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(got(5L) == ((8L, 4L, 5L, Some(100000L), 1L)))
   }
 
+  test("basket rules: support/confidence/lift math, support cut, hot-basket skip") {
+    val s = spark
+    import s.implicits._
+    val baskets = (Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L),
+      (4L, 2L), (4L, 3L),
+      (5L, 1L), (5L, 2L), (5L, 3L),
+      (5L, 1L) // duplicate membership row collapses
+    ) ++ (10L to 19L).map(m => (6L, m))) // hot basket: skipped, not exploded
+      .toDF("g", "m")
+    val got = Analytics.basketRules(baskets, "g", "m", maxGroupSize = 8, minSupport = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // N = 5 capped baskets; c(1)=4, c(2)=4, c(3)=3
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), "hot basket must not contribute")
+    assert(got((1L, 2L)) == ((3L, 6000L, 7500L, 7500L, 9375L)))
+    assert(got((1L, 3L)) == ((2L, 4000L, 5000L, 6666L, 8333L)))
+    assert(got((2L, 3L)) == ((2L, 4000L, 5000L, 6666L, 8333L)))
+  }
+
   test("exact quantiles select real elements at the ceil(p*n) rank") {
     val s = spark
     import s.implicits._
