@@ -174,6 +174,29 @@ object SparkEntry {
     // populate a fresh sink (checkpoint read, window, build, ids, observe-
     // counted partitioned append), read it back; must hash-match the same
     // oracle as cdc_changelog
+    // DYNAMIC partition pruning on the sink read path: the busy-day dim
+    // is data-dependent (days at >= half the busiest day's rows), so no
+    // static predicate on commit_date exists at plan time — the fact scan
+    // must prune partitions from the BROADCAST side at runtime
+    // (dynamicpruningexpression in the scan; PlanShapeSpec locks it)
+    "cdc_query_dpp" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_dpp")
+        .resolve("orders_changelog").toString
+      // the retention feed spreads commit_dates across real days (the
+      // default feed compresses to ONE day — nothing to prune there)
+      PopulateChangelog.run(s, ChangeFeed.fromOrdersRetention(orders(s, dir)),
+        ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      val base = graft.cdc.SinkLayout.read(s, sink)
+      val counts = base.groupBy(col("commit_date")).agg(count(lit(1)).as("__c"))
+      val maxC = counts.agg(max("__c")).head().getLong(0)
+      val dim = counts.where(col("__c") >= lit(maxC / 2)).select("commit_date")
+      base.join(dim, Seq("commit_date"))
+        .groupBy("commit_date")
+        .agg(count(lit(1)).as("n"), max(col("changelog_id")).as("max_id"))
+        .orderBy("commit_date")
+    }),
+
     "cdc_populate_roundtrip" -> ((s, dir) => {
       val sink = TempDirs.create("graft_rt")
         .resolve("orders_changelog").toString
@@ -2061,6 +2084,7 @@ object SparkEntry {
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_populate_during_retention" -> OrdersCdcOracle.retentionSql,
+    "cdc_query_dpp" -> OrdersCdcOracle.dppSql,
     "cdc_state_after_retention" -> OrdersCdcOracle.stateAfterRetentionSql,
     "cdc_mask_stats" -> OrdersCdcOracle.default.maskStatsSql,
     "cdc_mask_stats_wide" -> OrdersCdcOracle.wide.maskStatsSql,

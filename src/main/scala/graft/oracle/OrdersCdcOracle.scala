@@ -82,6 +82,24 @@ object OrdersCdcOracle {
   val resumeChangelogSql: String = default.changelogSql
   val resumeCompatChangelogSql: String = compat.resumeChangelogSql(ResumeMid, gapMinutes = 1)
 
+  /** ≙ the DPP graded query: busy days (>= half the busiest day's rows —
+    * a DATA-dependent dim, so the Spark side can only prune partitions at
+    * RUNTIME from the broadcast) joined back to the changelog for
+    * per-day count + max id. */
+  lazy val dppSql: String =
+    s"""WITH cl AS MATERIALIZED (
+       |${retention.changelogSql}
+       |), counts AS MATERIALIZED (
+       |  SELECT CAST(commit_time AS DATE) AS commit_date,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM cl GROUP BY 1
+       |), mx AS (SELECT max(c) AS m FROM counts),
+       |dim AS (SELECT commit_date FROM counts CROSS JOIN mx WHERE c >= m // 2)
+       |SELECT d.commit_date, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(max(c2.changelog_id) AS BIGINT) AS max_id
+       |FROM cl c2 JOIN dim d ON CAST(c2.commit_time AS DATE) = d.commit_date
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Point-in-time state reconstruction: the AS-OF bound must fall inside
     * the commit-time range at every SF (same constraint as [[ResumeMid]],
     * and the same instant — ~half the sf0.001 feed precedes it). */

@@ -105,6 +105,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"expected commit_date partition pruning in the sink scan")
   }
 
+  test("data-dependent dim join prunes sink partitions DYNAMICALLY") {
+    // the busy-day dim has no static commit_date predicate, so pruning
+    // can only come from the broadcast side at runtime — the fact scan
+    // must carry a dynamicpruningexpression partition filter
+    val plan = SparkEntry.queries("cdc_query_dpp")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      "expected runtime partition pruning from the broadcast dim")
+  }
+
   test("containment join never degenerates into a nested-loop product") {
     val p = plan("ext_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
