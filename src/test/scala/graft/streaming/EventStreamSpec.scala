@@ -233,6 +233,41 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       (12L, -1L, 3L, -1L)))
   }
 
+  test("streaming funnel: a later-batch in-watermark view still qualifies " +
+      "the click that arrived before it; order gates hold") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.streaming.EventStream.{PathEvent, funnelStages}
+    val src = MemoryStream[PathEvent]
+    val query = funnelStages(src.toDS(), flushGapMs = 15L * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("funnelstream")
+      .outputMode("append").start()
+    try {
+      def ev(u: Long, t: Long, id: Long, y: String) =
+        PathEvent(u, new java.sql.Timestamp(t * 1000), id, y)
+      // batch 1: user 1's click+purchase arrive BEFORE its view;
+      // user 2 purchases before ever viewing (must stay stage 1 on view)
+      src.addData(ev(1, 200, 2, "click"), ev(1, 300, 3, "purchase"),
+        ev(2, 100, 4, "purchase"), ev(2, 200, 5, "view"))
+      query.processAllAvailable()
+      // batch 2: user 1's view arrives late but inside the watermark —
+      // ordered replay must slot it BEFORE the click
+      src.addData(ev(1, 100, 1, "view"))
+      query.processAllAvailable()
+      // flush: push the watermark past every user's 15-day horizon
+      src.addData(ev(99, 100 + 17L * 24 * 3600, 6, "view"))
+      query.processAllAvailable()
+      src.addData(ev(98, 100 + 40L * 24 * 3600, 7, "view"))
+      query.processAllAvailable()
+      val got = s.table("funnelstream").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getLong(4)))).toMap
+      assert(got(1L) == ((Some(100L), Some(200L), Some(300L), 3L)))
+      assert(got(2L) == ((Some(200L), None, None, 1L)))
+    } finally query.stop()
+  }
+
   test("eventWindowCounts finalizes windows incrementally under a watermark") {
     val s = spark
     import s.implicits._
