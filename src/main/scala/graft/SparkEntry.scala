@@ -1238,6 +1238,12 @@ object SparkEntry {
     "ext_lm_fluency" -> ((s, dir) =>
       TextOps.lmFluency(corpus(s, dir)).orderBy("doc_id")),
 
+    // deterministic GREEDY GENERATION from the same self-trained bigram
+    // LM (synthetic-data / LM-sanity-probe shape): argmax successor
+    // walks, lexicographic tiebreak, no RNG — bit-identical both engines
+    "ext_lm_generate" -> ((s, dir) =>
+      TextOps.greedyGenerate(corpus(s, dir)).orderBy("seed_rank")),
+
     // E3-colloc — collocation mining by integer lift (log-free PMI
     // surrogate; the monotone log preserves PMI's ranking)
     "ext_collocations" -> ((s, dir) =>
@@ -2181,6 +2187,7 @@ object SparkEntry {
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,
+    "ext_lm_generate" -> ExtOracle.lmGenerateSql,
     "ext_collocations" -> ExtOracle.collocationsSql,
     "ext_dsir" -> ExtOracle.importanceSql,
     "ext_dsir_sample" -> ExtOracle.importanceSampleSql,

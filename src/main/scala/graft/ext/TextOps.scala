@@ -325,6 +325,51 @@ object TextOps {
         intDiv(col("__bp_sum"), col("n_bigrams")).as("fluency_bp"))
   }
 
+  /** Deterministic GREEDY GENERATION from the corpus-self-trained bigram
+    * LM — the synthetic-data / LM-sanity-probe shape: from each of the
+    * `nSeeds` most frequent tokens, repeatedly append the argmax-count
+    * successor (`steps` times; ties broken lexicographically, dead ends
+    * stop the walk). Pure argmax integer ranking — bit-deterministic on
+    * both engines, no RNG.
+    *
+    * Scale shape: the bigram aggregate touches the corpus once; the
+    * `best` successor table is VOCABULARY-sized and checkpointed, and the
+    * walk is `steps` broadcast-sized left joins against it. The seed
+    * ranking's unpartitioned window runs over the aggregated vocabulary
+    * (bounded), never the corpus.
+    */
+  def greedyGenerate(
+      corpus: DataFrame,
+      textCol: String = "text",
+      nSeeds: Int = 3,
+      steps: Int = 6): DataFrame = {
+    val bgc = corpus
+      .select(explode(graft.functions.WordShingles.wordShingles(col(textCol), 2)).as("bg"))
+      .select(split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val best = bgc
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("w1").orderBy(col("c2").desc, col("w2").asc)))
+      .where(col("__rn") === 1)
+      .select("w1", "w2")
+      .localCheckpoint(true) // the walk joins it `steps` times
+    val seeds = corpus
+      .select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("c1").desc, col("w").asc)))
+      .where(col("__rn") <= nSeeds)
+      .select(col("w").as("g0"), col("__rn").cast("long").as("seed_rank"))
+    val walked = (1 to steps).foldLeft(seeds) { (df, k) =>
+      df.join(best.select(col("w1").as(s"__b$k"), col("w2").as(s"g$k")),
+        col(s"g${k - 1}") === col(s"__b$k"), "left").drop(s"__b$k")
+    }
+    walked.select(col("seed_rank"), col("g0").as("seed"),
+      concat_ws(" ", (0 to steps).map(k => col(s"g$k")): _*).as("gen_text"),
+      (0 to steps).map(k => when(col(s"g$k").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("n_tokens"))
+  }
+
   /** [[fluencyBuckets]] keep percentages: the CCNet defaults' shape —
     * keep everything from the most-fluent tercile, half of the middle,
     * a fifth of the tail. */

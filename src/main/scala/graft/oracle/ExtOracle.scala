@@ -1470,6 +1470,49 @@ object ExtOracle {
        |ORDER BY lift_bp DESC, bg
        |LIMIT 20""".stripMargin
 
+  /** ≙ TextOps.greedyGenerate: deterministic greedy bigram-LM walks —
+    * vocabulary-sized `best` successor table (argmax count, lexicographic
+    * tiebreak), top-3 unigram seeds, 6 unrolled left-join steps;
+    * concat_ws skips NULL steps on both engines. */
+  val lmGenerateSql: String = {
+    val steps = (1 to 6).map { k =>
+      s"""s$k AS (
+         |  SELECT s.*, b.w2 AS g$k FROM s${k - 1} s
+         |  LEFT JOIN best b ON b.w1 = s.g${k - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    val gcols = (0 to 6).map(k => s"g$k").mkString(", ")
+    val ncnt = (0 to 6).map(k => s"(CASE WHEN g$k IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $corpusSql, tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+       |), idx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
+       |), t AS MATERIALIZED (
+       |  SELECT toks[i+1] AS w FROM tk, idx WHERE i < len(toks)
+       |), uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY 1
+       |), bgc AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+       |         CAST(count(*) AS BIGINT) AS c2
+       |  FROM (SELECT ${ngramConcat("toks", 2)} AS bg
+       |        FROM tk, idx WHERE i <= len(toks) - 2) b
+       |  GROUP BY 1, 2
+       |), best AS MATERIALIZED (
+       |  SELECT w1, w2 FROM (
+       |    SELECT w1, w2, row_number() OVER (PARTITION BY w1 ORDER BY c2 DESC, w2) AS rn
+       |    FROM bgc) x WHERE rn = 1
+       |), s0 AS (
+       |  SELECT w AS g0, CAST(rn AS BIGINT) AS seed_rank FROM (
+       |    SELECT w, row_number() OVER (ORDER BY c1 DESC, w) AS rn FROM uni) x
+       |  WHERE rn <= 3
+       |), $steps
+       |SELECT seed_rank, g0 AS seed,
+       |  concat_ws(' ', $gcols) AS gen_text,
+       |  CAST($ncnt AS BIGINT) AS n_tokens
+       |FROM s6 ORDER BY seed_rank""".stripMargin
+  }
+
   /** ≙ ops.Profile.outlierFences over events.value cents per event_type:
     * rank-selected quartiles + doubled-value Tukey fences. */
   val outlierFencesSql: String =

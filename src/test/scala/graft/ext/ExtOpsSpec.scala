@@ -925,6 +925,22 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ab.forall(_._3 < 100000L))
   }
 
+  test("greedyGenerate follows the argmax chain, breaks ties low, stops at dead ends") {
+    val s = spark
+    import s.implicits._
+    // "a" dominates unigrams; a->b (3x) beats a->c (1x); b->zz and b->aa
+    // tie at 1 -> lexicographically "aa"; "aa" has no successor (dead end)
+    val docs = Seq(
+      (1L, "a b zz"), (2L, "a b aa"), (3L, "a b"), (4L, "a c a")
+    ).toDF("doc_id", "text")
+    val got = TextOps.greedyGenerate(docs, nSeeds = 2, steps = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    // unigrams: a=5, b=3 -> seeds (a, b)
+    assert(got(1L) == (("a", "a b aa", 3L)), "a -> b (argmax) -> aa (tie low) -> stop")
+    assert(got(2L) == (("b", "b aa", 2L)))
+  }
+
   test("rankEval scores constructed rankings exactly") {
     val s = spark
     import s.implicits._
