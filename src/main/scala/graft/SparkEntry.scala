@@ -1223,6 +1223,23 @@ object SparkEntry {
           floor(col("value") * 100.0 + 0.5).cast("long").as("cents")),
         "event_type", "cents").orderBy("event_type")),
 
+    // empirical percentile-rank normalization (quantile transform) per
+    // event_type: rank-based feature scaling, ties share a percentile
+    "ext_percentile_ranks" -> ((s, dir) =>
+      graft.ops.Profile.percentileRanks(
+        events(s, dir).select(col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents")),
+        "event_type", "cents").orderBy("event_id")),
+
+    // temporal holdout split with an EMBARGO gap (the time-series
+    // complement to the hash and cluster-keyed splits): range-based 80%
+    // cut + 1-day leakage buffer, membership pinned by id sums
+    "ext_temporal_split" -> ((s, dir) =>
+      graft.ext.Packing.temporalSplit(
+        events(s, dir).select(col("event_id"),
+          expr("ts div 1000000000").as("t_s")),
+        "t_s", "event_id").orderBy("split")),
+
     // int8 embedding quantization — summary stats + fingerprint per vector
     "ext_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir)).orderBy("vec_id")),
@@ -2188,6 +2205,8 @@ object SparkEntry {
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,
     "ext_lm_generate" -> ExtOracle.lmGenerateSql,
+    "ext_percentile_ranks" -> ExtOracle.percentileRanksSql,
+    "ext_temporal_split" -> ExtOracle.temporalSplitSql,
     "ext_collocations" -> ExtOracle.collocationsSql,
     "ext_dsir" -> ExtOracle.importanceSql,
     "ext_dsir_sample" -> ExtOracle.importanceSampleSql,

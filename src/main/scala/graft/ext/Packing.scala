@@ -212,4 +212,36 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"))
   }
+
+  /** TEMPORAL holdout split with an EMBARGO gap — the time-series
+    * complement to the content-hash and cluster-keyed splits: train on
+    * the first `trainBp`/10⁴ of the TIME RANGE, drop an `embargoS`-wide
+    * buffer (rows whose influence could leak across the boundary —
+    * trailing windows, session carryover), test on the rest. The cut is
+    * range-based (`lo + (hi − lo) · trainBp div 10⁴`), derived from one
+    * aggregate and broadcast — no global sort, no unpartitioned window,
+    * so the split costs one scan + one small aggregate at any scale.
+    * Membership is pinned by per-split id sums, not just counts. */
+  def temporalSplit(
+      events: DataFrame,
+      timeCol: String,
+      idCol: String,
+      trainBp: Long = 8000L,
+      embargoS: Long = 86400L): DataFrame = {
+    require(trainBp >= 0 && trainBp <= 10000, s"trainBp out of [0,10000]: $trainBp")
+    val intDiv = graft.ext.TextOps.intDiv _
+    val bounds = events.agg(
+      min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
+    events.crossJoin(bounds) // 1-row broadcast aggregate
+      .withColumn("__cut",
+        col("__lo") + intDiv((col("__hi") - col("__lo")) * trainBp, lit(10000L)))
+      .withColumn("split",
+        when(col(timeCol) <= col("__cut"), "train")
+          .when(col(timeCol) <= col("__cut") + embargoS, "embargo")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(timeCol)).as("min_t"), max(col(timeCol)).as("max_t"),
+        sum(col(idCol)).as("id_sum"))
+  }
 }

@@ -184,4 +184,20 @@ object Profile {
         sum(when(col(valueCol) * 2 > col("p75_v") * 2 + iqr * 3, 1L).otherwise(0L))
           .as("n_high"))
   }
+
+  /** Empirical PERCENTILE-RANK normalization per group — the rank-based
+    * feature scaling (quantile transform) ML preprocessing runs when a
+    * feature's raw scale is meaningless: each row's value becomes the
+    * share of the group strictly below it, in integer basis points
+    * (`(rank − 1) · 10⁴ div n`; ties share a percentile — `rank()`'s
+    * min-rank convention on both engines, deterministic with no tiebreak
+    * column needed). One shuffle on the group key, one sort-window pass. */
+  def percentileRanks(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(valueCol)
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(groupCol))
+    rows.withColumn("pct_bp",
+      graft.ext.TextOps.intDiv((rank().over(w) - 1).cast("long") * 10000L, n))
+  }
 }

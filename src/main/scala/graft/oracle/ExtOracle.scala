@@ -1513,6 +1513,43 @@ object ExtOracle {
        |FROM s6 ORDER BY seed_rank""".stripMargin
   }
 
+  /** ≙ ops.Profile.percentileRanks over events.value cents per
+    * event_type: `(rank − 1) · 10⁴ // n`, rank()'s min-rank tie
+    * convention on both engines. */
+  val percentileRanksSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT event_id, event_type, cents,
+      |  CAST(((rank() OVER (PARTITION BY event_type ORDER BY cents)) - 1) * 10000
+      |    // (count(*) OVER (PARTITION BY event_type)) AS BIGINT) AS pct_bp
+      |FROM e
+      |ORDER BY event_id""".stripMargin
+
+  /** ≙ Packing.temporalSplit over events: range-based 80% time cut +
+    * 1-day embargo buffer; membership pinned by id sums. All time math
+    * at epoch seconds (the repo rule). */
+  val temporalSplitSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_ns(ts) // 1000000000 AS t_s FROM events
+       |), b AS (
+       |  SELECT min(t_s) AS lo, max(t_s) AS hi FROM e
+       |), cut AS (
+       |  SELECT lo + ((hi - lo) * 8000) // 10000 AS c FROM b
+       |), tagged AS (
+       |  SELECT e.*, CASE WHEN t_s <= c THEN 'train'
+       |                   WHEN t_s <= c + 86400 THEN 'embargo'
+       |                   ELSE 'test' END AS split
+       |  FROM e CROSS JOIN cut
+       |)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(t_s) AS min_t, max(t_s) AS max_t,
+       |  CAST(sum(event_id) AS BIGINT) AS id_sum
+       |FROM tagged GROUP BY split
+       |ORDER BY split""".stripMargin
+
   /** ≙ ops.Profile.outlierFences over events.value cents per event_type:
     * rank-selected quartiles + doubled-value Tukey fences. */
   val outlierFencesSql: String =

@@ -123,6 +123,19 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("temporal split: range cut, inclusive boundaries, embargo buffer") {
+    val s = spark
+    import s.implicits._
+    // lo=0, hi=100 -> cut=80; embargo 10s -> (80, 90]; test > 90
+    val df = Seq((1L, 0L), (2L, 80L), (3L, 81L), (4L, 90L), (5L, 91L), (6L, 100L))
+      .toDF("id", "t")
+    val got = Packing.temporalSplit(df, "t", "id", trainBp = 8000L, embargoS = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(got("train") == ((2L, 3L)), "t <= cut inclusive (ids 1, 2)")
+    assert(got("embargo") == ((2L, 7L)), "(cut, cut+embargo] (ids 3, 4)")
+    assert(got("test") == ((2L, 11L)), "beyond the buffer (ids 5, 6)")
+  }
+
   test("domain mix: sqrt temperature thins the big host and keeps the small one") {
     val s = spark
     import s.implicits._

@@ -63,6 +63,18 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Expand"), s"profile must not use the Expand plan:\n$plan")
   }
 
+  test("percentile ranks: ties share the strictly-below share, groups isolate") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq(10L, 20L, 20L, 30L).map(("a", _)) ++ Seq(("b", 7L))).toDF("g", "v")
+    val got = Profile.percentileRanks(df, "g", "v").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("v"), r.getAs[Long]("pct_bp")))
+      .toSet
+    // group a (n=4): 10 -> 0 below -> 0; both 20s -> 1 below -> 2500; 30 -> 7500
+    assert(got == Set(("a", 10L, 0L), ("a", 20L, 2500L), ("a", 30L, 7500L),
+      ("b", 7L, 0L)))
+  }
+
   test("Tukey fences count exactly the values beyond 1.5*IQR") {
     val s = spark
     import s.implicits._
