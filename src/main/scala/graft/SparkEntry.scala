@@ -560,6 +560,14 @@ object SparkEntry {
     "ext_multimodal_dims" -> ((s, dir) =>
       MultiModal.plantedDims(corpus(s, dir)).orderBy("doc_id")),
 
+    // E4 resize — the byte-level half of the resize step done for real:
+    // PNG IHDR dims rewritten to w/2 x h/2 by hex surgery on the actual
+    // offsets, then the REWRITTEN bytes re-parsed with the container
+    // parsers (JPEGs pass through untouched); pixel resampling is the
+    // documented batched-decoder slot
+    "ext_multimodal_resize" -> ((s, dir) =>
+      MultiModal.plantedResizedDims(corpus(s, dir)).orderBy("doc_id")),
+
     // E4''' — REAL audio-container decode: planted spec-conformant
     // RIFF/WAVE payloads (LIST chunks force a genuine chunk walk; raw
     // plants must parse to NULLs), channels/rate/bits/duration recovered
@@ -2098,6 +2106,7 @@ object SparkEntry {
     "ext_multimodal_decode" -> ExtOracle.multiModalDecodeSql,
     "ext_multimodal_dims" -> ExtOracle.multiModalDimsSql,
     "ext_multimodal_wav" -> ExtOracle.multiModalWavSql,
+    "ext_multimodal_resize" -> ExtOracle.multiModalResizeSql,
     "cdc_state" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_wide" -> OrdersCdcOracle.default.stateWideSql,
     "cdc_state_incremental" -> OrdersCdcOracle.default.stateSql,

@@ -2580,6 +2580,23 @@ object ExtOracle {
        |ORDER BY ph.doc_id""".stripMargin
   }
 
+  /** ≙ MultiModal.plantedResizedDims: the EXPECTED geometry straight from
+    * the planting spec — the Spark side must parse its own rewritten
+    * bytes back to exactly these values (even ids halved, floor, min 1;
+    * odd ids untouched), so a surgery offset bug cannot match. */
+  val multiModalResizeSql: String =
+    s"""WITH $corpusSql, g AS (
+       |  SELECT doc_id,
+       |    (doc_id * 7) % 2000 + 16 AS w, (doc_id * 13) % 1500 + 16 AS h
+       |  FROM corpus
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN greatest(w // 2, 1) ELSE w END AS BIGINT) AS width,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN greatest(h // 2, 1) ELSE h END AS BIGINT) AS height
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+
   /** E4''' ≙ MultiModal.plantedWavMeta — rebuilds the SAME planted
     * RIFF/WAVE payloads as hex (independent construction from the
     * planting spec) and parses them with the same container arithmetic:

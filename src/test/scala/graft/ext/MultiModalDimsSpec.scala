@@ -127,6 +127,19 @@ class MultiModalDimsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("resizeHalf: a genuine 1x1 PNG floors at 1x1, JPEG passes through byte-identical") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((realPng, realJpeg)).toDF("png", "jpg")
+      .select(
+        MultiModal.pngDims(MultiModal.resizeHalf(unhex(col("png")))).as("d"),
+        (MultiModal.resizeHalf(unhex(col("jpg"))) === unhex(col("jpg"))).as("same"))
+      .select(col("d.width"), col("d.height"), col("same"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)), "1x1 input floors at 1x1")
+    assert(r.getBoolean(2), "non-PNG payloads must pass through untouched")
+  }
+
   test("plantedDims roundtrip: parsed bytes reproduce the planted geometry " +
       "for every id residue (PNG/JPEG × 0-2 COM segments)") {
     val s = spark
