@@ -109,7 +109,14 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         timings += (try {
-          fn(spark, sfDir).count()
+          // noop SINK, not count(): under count() Catalyst prunes every
+          // column and eliminates cardinality-preserving joins — e.g.
+          // ext_triangles' per-node left join (and the whole wedge join
+          // behind it) vanished, timing 3 s for ~14 s of real work. The
+          // noop write forces every output column through the full plan;
+          // rounds ≤ 9-mid used count(), so older totals under-report
+          // join/column-heavy queries and are not directly comparable.
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300))

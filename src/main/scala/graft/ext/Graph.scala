@@ -119,11 +119,20 @@ object Graph {
     * @return one row per node: `node`, `deg`, `tri` (triangles through the
     *         node), `cc_bp` (0 for deg < 2)
     */
+  /** Edge count under which the closure join broadcasts the oriented
+    * edge index (~24 B/row → ≤ ~100 MB): the wedge stream — the O(E^1.5)
+    * bulk — then never shuffles. Larger graphs fall back to the
+    * planner's shuffled join, which is the right trade there. */
+  val BroadcastEdgeLimit = 4000000L
+
   def triangleStats(edges: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") < col("b"))
       .distinct()
       .localCheckpoint(true) // reused by degrees, orientation, and closure
+    // the checkpoint is materialized, so this count is metadata-cheap; it
+    // drives the closure join's broadcast decision
+    val nEdges = e.count()
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -145,8 +154,10 @@ object Graph {
     val o2 = oriented.select(col("u"), col("v").as("y"), col("__dv").as("__dy"))
     val wedges = o1.join(o2, Seq("u"))
       .where(col("__dx") < col("__dy") || (col("__dx") === col("__dy") && col("x") < col("y")))
+    val closeSide = oriented.select(col("u").as("x"), col("v").as("y"))
     val tri = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      if (nEdges <= BroadcastEdgeLimit) broadcast(closeSide) else closeSide,
+      Seq("x", "y"))
       .select(col("u"), col("x"), col("y"))
     val perNode = tri.select(col("u").as("node"))
       .union(tri.select(col("x").as("node")))
@@ -200,21 +211,37 @@ object Graph {
     // combined adjacency, both directions
     val adj = allE.select(col("a").as("x"), col("b").as("z"))
       .union(allE.select(col("b").as("x"), col("a").as("z")))
-    // common neighbours of each new edge's endpoints
-    val closures = newE
-      .join(adj.select(col("x").as("a"), col("z")), Seq("a"))
-      .join(adj.select(col("x").as("b"), col("z")), Seq("b", "z"))
+    // Common neighbours of each new edge's endpoints, ENUMERATED FROM THE
+    // SMALLER-DEGREE ENDPOINT (the orientation trick applied to the
+    // delta): candidates = Σ min(deg a, deg b), so a new edge touching a
+    // 10⁸-degree celebrity node probes its other endpoint's list, never
+    // the celebrity's. The batch side is broadcast throughout (an
+    // incremental batch is bounded by assumption — a day's edges, not
+    // the graph); the closure check on (p2, z) is the one real shuffle.
+    val degAll = adj.groupBy(col("x").as("__n")).agg(count(lit(1)).as("__d"))
+    val anchoredNew = newE
+      .join(degAll.select(col("__n").as("a"), col("__d").as("__da")), Seq("a"))
+      .join(degAll.select(col("__n").as("b"), col("__d").as("__db")), Seq("b"))
+    val probeA = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val probed = anchoredNew.select(col("a"), col("b"),
+      when(probeA, col("a")).otherwise(col("b")).as("__p1"),
+      when(probeA, col("b")).otherwise(col("a")).as("__p2"))
+    val closures = broadcast(probed)
+      .join(adj.select(col("x").as("__p1"), col("z")), Seq("__p1"))
+      .join(adj.select(col("x").as("__p2"), col("z")), Seq("__p2", "z"))
+      .select(col("a"), col("b"), col("z"))
     // the other two edges of the (a, b, z) triangle, canonicalized
     val e1a = least(col("a"), col("z"))
     val e1b = greatest(col("a"), col("z"))
     val e2a = least(col("b"), col("z"))
     val e2b = greatest(col("b"), col("z"))
     val flagged = closures
-      .join(newE.select(col("a").as("__f1a"), col("b").as("__f1b"),
-          lit(1L).as("__n1")),
+      .join(broadcast(newE.select(col("a").as("__f1a"), col("b").as("__f1b"),
+          lit(1L).as("__n1"))),
         e1a === col("__f1a") && e1b === col("__f1b"), "left")
-      .join(newE.select(col("a").as("__f2a"), col("b").as("__f2b"),
-          lit(1L).as("__n2")),
+      .join(broadcast(newE.select(col("a").as("__f2a"), col("b").as("__f2b"),
+          lit(1L).as("__n2"))),
         e2a === col("__f2a") && e2b === col("__f2b"), "left")
     // accept only at the smallest new edge of the triangle ((a,b) is new)
     def lt(xa: org.apache.spark.sql.Column, xb: org.apache.spark.sql.Column) =
@@ -285,17 +312,33 @@ object Graph {
       .union(e0.select(col("b").as("node")))
       .distinct()
       .withColumn("deg", lit(-1L)) // pre-peel sentinel, replaced by round 1
-    (1 to rounds).foldLeft(nodes0) { (alive, _) =>
+      .localCheckpoint(true)
+    // EARLY EXIT at the fixpoint: peeling only ever removes nodes, so an
+    // unchanged count means an unchanged set — every further round is an
+    // identity, and stopping is bit-identical to running all `rounds`
+    // (which the oracle mirror still does). The count rides the per-round
+    // checkpoint, so convergence detection costs no extra pass.
+    var alive = nodes0
+    var n = alive.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val keep = alive.select("node")
       val e = e0
         .join(keep.select(col("node").as("a")), "a")
         .join(keep.select(col("node").as("b")), "b")
-      e.select(col("a").as("node"))
+      val next = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      n = m
+      alive = next
+      r += 1
     }
+    alive
   }
 
   def pageRank(

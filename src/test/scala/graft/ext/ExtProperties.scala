@@ -294,6 +294,39 @@ object ExtProperties extends Properties("ext") with SparkFixture {
     Gen.alphaNumChar,
     Gen.oneOf('é', 'e', '́', 'ä', 'a', '̈', '你', 'п', ' '))).map(_.mkString)
 
+  private val genCanonEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 60)
+    rows <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 12L)
+      b <- Gen.choose(0L, 12L)
+    } yield (a, b))
+  } yield rows.filter(p => p._1 != p._2)
+    .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+
+  property("triangleStats: handshake sum, 3-divisibility, and degree bound") =
+    Prop.forAll(genCanonEdges) { edges =>
+      val s = spark
+      import s.implicits._
+      edges.isEmpty || {
+        val got = Graph.triangleStats(edges.toDF("a", "b")).collect()
+          .map(r => (r.getLong(1), r.getLong(2)))
+        got.map(_._1).sum == 2L * edges.size && // handshake: sum deg = 2|E|
+          got.map(_._2).sum % 3 == 0 && // every triangle counted at 3 corners
+          got.forall { case (deg, tri) => tri <= deg * (deg - 1) / 2 }
+      }
+    }
+
+  property("kCore: the k-core is nested inside the (k-1)-core") =
+    Prop.forAll(genCanonEdges, Gen.choose(2, 5)) { (edges, k) =>
+      val s = spark
+      import s.implicits._
+      edges.isEmpty || {
+        def core(kk: Int) = Graph.kCore(edges.toDF("a", "b"), kk, rounds = 12)
+          .collect().map(_.getLong(0)).toSet
+        core(k).subsetOf(core(k - 1))
+      }
+    }
+
   property("NFC normalization is idempotent and preserves canonical equivalence classes") =
     Prop.forAll(Gen.listOfN(6, genUni)) { texts =>
       val s = spark

@@ -108,6 +108,59 @@ object OpsProperties extends Properties("ops") with SparkFixture {
     } yield (g, v))
   } yield rows
 
+  private val genBaskets: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.choose(1L, 8L)
+      m <- Gen.choose(1L, 6L)
+    } yield (g, m))
+  } yield rows
+
+  property("basketRules: confidence/support bounds and brute-force pair counts") =
+    Prop.forAll(genBaskets) { rows =>
+      val s = spark
+      import s.implicits._
+      rows.isEmpty || {
+        val pm = rows.distinct
+        val got = Analytics.basketRules(rows.toDF("g", "m"), "g", "m",
+            maxGroupSize = 10, minSupport = 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6))))
+          .toMap
+        val singles = pm.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val want = pm.groupBy(_._1).values.toList
+          .flatMap(b => for {
+            (_, a) <- b; (_, c) <- b if a < c
+          } yield (a, c))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        got.keySet == want.keySet && got.forall { case ((a, b), (sup, supBp, ca, cb, _)) =>
+          sup == want((a, b)) && supBp <= 10000L &&
+            ca <= 10000L && cb <= 10000L && // confidence is a probability
+            sup <= math.min(singles(a), singles(b)) // support bounded by singles
+        }
+      }
+    }
+
+  private val genGroupedVals: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0L, 9L) // narrow range forces ties
+    } yield (g, v))
+  } yield rows
+
+  property("percentileRanks: strictly-below share in [0, 10000), tie-stable, monotone") =
+    Prop.forAll(genGroupedVals) { rows =>
+      val s = spark
+      import s.implicits._
+      val got = Profile.percentileRanks(rows.toDF("g", "v"), "g", "v").collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("v"), r.getAs[Long]("pct_bp")))
+      got.forall { case (g, v, bp) =>
+        val grp = rows.filter(_._1 == g).map(_._2)
+        bp == grp.count(_ < v).toLong * 10000L / grp.size
+      }
+    }
+
   property("exactQuantiles picks the sorted-array element at ceil(p*n)") =
     Prop.forAll(genGrouped) { rows =>
       val s = spark
