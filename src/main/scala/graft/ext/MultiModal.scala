@@ -151,6 +151,34 @@ object MultiModal {
           .cast("long").as("height")))
   }
 
+  /** [[jpegSofDims]] with the marker walk UNROLLED ACROSS PROJECTIONS
+    * (the [[wavMetaColumns]] lesson applied to JPEG): one staged offset
+    * column per skip step, each referencing the previous offset as an
+    * ATTRIBUTE — the single-expression fold re-clones the offset ~5× per
+    * step (~5^maxSegs leaves; with three consumers it dominated the
+    * graded queries' wall time as driver-side optimizer work). Adds
+    * `__jw`/`__jh` columns (NULL when SOI/SOF checks fail). */
+  def jpegDimsColumns(df: DataFrame, payloadCol: String, maxSegs: Int = 5): DataFrame = {
+    val p = col(payloadCol)
+    def marker(off: Column) = lower(hex(p.substr(off.cast("int"), lit(2))))
+    def segLen(off: Column) =
+      conv(hex(p.substr((off + 2).cast("int"), lit(2))), 16, 10).cast("long")
+    def isSof(m: Column) = m.isin(JpegSofMarkers: _*)
+    val withOffs = (1 to maxSegs).foldLeft(df.withColumn("__j0", lit(3L))) { (d, k) =>
+      d.withColumn(s"__j$k",
+        when(isSof(marker(col(s"__j${k - 1}"))), col(s"__j${k - 1}"))
+          .otherwise(col(s"__j${k - 1}") + 2 + segLen(col(s"__j${k - 1}"))))
+    }
+    val off = col(s"__j$maxSegs")
+    val ok = lower(hex(substring(p, 1, 2))) === "ffd8" && isSof(marker(off))
+    withOffs
+      .withColumn("__jw", when(ok,
+        conv(hex(p.substr((off + 7).cast("int"), lit(2))), 16, 10).cast("long")))
+      .withColumn("__jh", when(ok,
+        conv(hex(p.substr((off + 5).cast("int"), lit(2))), 16, 10).cast("long")))
+      .drop((0 to maxSegs).map(k => s"__j$k"): _*)
+  }
+
   /** The graded decode: plant a payload per document, then recover format
     * and dimensions FROM THE BYTES with the container parsers. Map-only,
     * no shuffle; output is ints + a format string (hash-safe). */
@@ -164,12 +192,11 @@ object MultiModal {
     val staged = df.select(col(idCol),
       unhex(plantedPayloadHex(col(idCol), col(textCol))).as("__payload"))
     val png = pngDims(col("__payload"))
-    val jpg = jpegSofDims(col("__payload"))
-    staged.select(
+    jpegDimsColumns(staged, "__payload").select(
       col(idCol),
       sniffFormat(col("__payload")).as("fmt"),
-      coalesce(png.getField("width"), jpg.getField("width")).as("width"),
-      coalesce(png.getField("height"), jpg.getField("height")).as("height"))
+      coalesce(png.getField("width"), col("__jw")).as("width"),
+      coalesce(png.getField("height"), col("__jh")).as("height"))
   }
 
   // -------------------------------------------------------------------
@@ -314,12 +341,11 @@ object MultiModal {
       unhex(plantedPayloadHex(col(idCol), col(textCol))).as("__raw"))
     val staged = raw.select(col(idCol), resizeHalf(col("__raw")).as("__payload"))
     val png = pngDims(col("__payload"))
-    val jpg = jpegSofDims(col("__payload"))
-    staged.select(
+    jpegDimsColumns(staged, "__payload").select(
       col(idCol),
       sniffFormat(col("__payload")).as("fmt"),
-      coalesce(png.getField("width"), jpg.getField("width")).as("width"),
-      coalesce(png.getField("height"), jpg.getField("height")).as("height"))
+      coalesce(png.getField("width"), col("__jw")).as("width"),
+      coalesce(png.getField("height"), col("__jh")).as("height"))
   }
 
   /** Batch decoder signature: a BATCH of payloads in, one fixed-width

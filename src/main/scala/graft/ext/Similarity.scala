@@ -809,16 +809,23 @@ object Similarity {
     * (`floor(CAST(x AS DOUBLE) * 127.0 / maxabs)`) — bit-identical. */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val v = col("embedding")
-    val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
-    val q = transform(v, x =>
-      when(maxabs > 0, floor(x.cast("double") * 127.0 / maxabs)).otherwise(0L).cast("int"))
-    embeddings
+    // STAGE maxabs and q as columns: inlined, the five stat expressions
+    // each re-ran the whole quantization transform, and the lambda's
+    // reference to maxabs re-evaluated array_max PER ELEMENT (O(d²) per
+    // row, five times over — interpreted, since higher-order functions
+    // don't codegen). Staged, each computes once per row.
+    val staged = embeddings
       // NULL/empty vectors are excluded IDENTICALLY on both engines (the
       // oracle's two UNION branches would silently drop them while Spark
       // emitted NULL-stat rows — a row-count mismatch waiting on a fixture
       // change). An empty quantization is meaningless either way.
       .where(v.isNotNull && size(v) > 0)
-      .select(
+      .withColumn("__maxabs", array_max(transform(v, x => abs(x.cast("double")))))
+      .withColumn("__q", transform(v, x =>
+        when(col("__maxabs") > 0,
+          floor(x.cast("double") * 127.0 / col("__maxabs"))).otherwise(0L).cast("int")))
+    val q = col("__q")
+    staged.select(
       col("vec_id"),
       array_min(q).as("q_min"),
       array_max(q).as("q_max"),

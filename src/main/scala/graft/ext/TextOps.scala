@@ -731,14 +731,19 @@ object TextOps {
   def fingerprints(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = toks(col(textCol))
     val n = Dedup.ShingleLen
-    val shingleHashes = transform(sequence(lit(0), size(t) - n),
-      i => substring(md5(concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)), 1, 8))
+    // explode + aggregate, NOT a transform() lambda: higher-order
+    // functions evaluate their element expression INTERPRETED — one md5
+    // per shingle outside codegen was the whole query's cost (~10 s at
+    // sf0.1 for row-local work). Exploded, the md5 runs inside
+    // whole-stage codegen and the min collapses map-side (partial agg),
+    // so the shuffle carries one row per doc, not per shingle.
     corpus
       .where(size(t) >= n)
-      .select(
-        col(idCol),
-        md5(col(textCol).cast("binary")).as("fp_doc"),
-        array_min(shingleHashes).as("fp_min_shingle"))
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("fp_doc"),
+        explode(graft.functions.WordShingles.wordShingles(col(textCol), n)).as("__sh"))
+      .groupBy(idCol, "fp_doc")
+      .agg(min(substring(md5(col("__sh")), 1, 8)).as("fp_min_shingle"))
+      .select(col(idCol), col("fp_doc"), col("fp_min_shingle"))
   }
 
   // -------------------------------------------------------------------
