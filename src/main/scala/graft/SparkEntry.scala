@@ -1436,9 +1436,13 @@ object SparkEntry {
     // count: the probabilistic path's trade, measured not assumed
     "ext_dedup_eval" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val sys = Dedup.nearDuplicatePairs(c)
+      // the measurement runs TWO shingle-consuming pipelines (banded
+      // system + exact prefix-join truth) — one shared shingling pass
+      val raw = Dedup.rawShingles(c).localCheckpoint(true)
+      val sys = Dedup.nearDuplicatePairs(c, rawSh = Some(raw))
         .select("id_a", "id_b").localCheckpoint(true)
-      val truth = Dedup.jaccardPairsPrefix(c).select("id_a", "id_b")
+      val truth = Dedup.jaccardPairsPrefix(c, rawSh = Some(raw))
+        .select("id_a", "id_b")
         .localCheckpoint(true)
       val found = truth
         .join(sys.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "left")

@@ -318,12 +318,18 @@ object Dedup {
     * shingle-set Jaccard ≥ `num/den` (default 3/5 = 0.6). The verification
     * join only touches candidate pairs, not the full corpus product.
     * Output is all-integer: (id_a, id_b, n_common, n_a, n_b). */
+  /** @param rawSh optional precomputed [[rawShingles]] output (caller
+    *        manages its materialization) — lets a caller running SEVERAL
+    *        shingle-consuming pipelines over one corpus (the recall
+    *        measurement runs this AND the exact prefix join) pay the
+    *        corpus shingling once. */
   def nearDuplicatePairs(
       corpus: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       num: Int = 3, den: Int = 5,
-      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+      maxBucket: Long = DefaultMaxBucket,
+      rawSh: Option[DataFrame] = None): DataFrame = {
     // One shingling pass feeds everything (cached raw multiset). The
     // signature aggregation is duplicate-blind (min), so no distinct
     // shuffle before it; the distinct-set shuffle needed for Jaccard
@@ -331,7 +337,7 @@ object Dedup {
     // candidate id set is tiny relative to the corpus, so the heavy
     // (id, shingle) join sees a fraction of the data (broadcast the ids,
     // not the shingles).
-    val raw = rawShingles(corpus, textCol, idCol).cache()
+    val raw = rawSh.getOrElse(rawShingles(corpus, textCol, idCol).cache())
     val cand = bandedCandidates(raw, maxBucket).cache()
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
@@ -695,10 +701,14 @@ object Dedup {
       idCol: String = "doc_id",
       num: Int = 3, den: Int = 5,
       maxDf: Long = DefaultHotDf,
-      maxHotReps: Long = DefaultMaxHotReps): DataFrame = {
+      maxHotReps: Long = DefaultMaxHotReps,
+      rawSh: Option[DataFrame] = None): DataFrame = {
     // distinct (id, shingle) feeds the ranking, the prefixes, and the
-    // verify; materialized once (tiny vs the raw multiset)
-    val sh = shingles(corpus, textCol, idCol).localCheckpoint(true)
+    // verify; materialized once (tiny vs the raw multiset). A caller
+    // sharing one rawShingles pass across pipelines passes it in.
+    val sh = rawSh.map(_.distinct())
+      .getOrElse(shingles(corpus, textCol, idCol))
+      .localCheckpoint(true)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy("id").orderBy(col("__df"), col("sh"))
     val perDoc = Window.partitionBy("id")
