@@ -416,6 +416,26 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), corpus(s, dir))
         .orderBy("doc_id")),
 
+    // the CDC→CORPUS BRIDGE — the two halves of this engine composed:
+    // a change feed over the documents table flows through the EAV
+    // changelog pipeline, the update-after text rows ARE the corpus
+    // delta (no source re-scan), and incremental dedup ingest folds them
+    // against the existing corpus index — the shape a training corpus
+    // maintained FROM an OLTP change feed actually runs. The %10=9
+    // boilerplate burst collapses to ONE kept row; %10=8 revisions
+    // survive as new content
+    "ext_cdc_corpus_delta" -> ((s, dir) => {
+      val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
+      val feed = ChangeFeed.fromDocuments(s.read.parquet(s"$dir/documents.parquet"))
+      val cl = ChangelogBuilder.withIds(ChangelogBuilder.build(feed, docsCfg), docsCfg)
+      val delta = cl
+        .where(col("column_name") === "text" && col("new_value").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("new_value").as("text"))
+      Dedup.incrementalNew(s.read.parquet(s"$dir/documents.parquet"), delta)
+        .orderBy("doc_id")
+    }),
+
     // E1b'''' — incremental NEAR-dup ingest: history is touched only via a
     // persisted parquet signature index + pointed candidate text lookups;
     // the oracle is the full banding recompute restricted to
@@ -2076,6 +2096,7 @@ object SparkEntry {
     "ext_dedup_exact" -> ExtOracle.dedupExactSql,
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
+    "ext_cdc_corpus_delta" -> ExtOracle.cdcCorpusDeltaSql,
     "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
     "ext_simhash" -> ExtOracle.simhashSql,
     "ext_simhash_pairs" -> ExtOracle.simhashPairsSql,

@@ -98,6 +98,32 @@ object ChangeFeed {
 
   def fromOrdersRetention(orders: DataFrame): DataFrame = ordersRetentionSpec.toFeed(orders)
 
+  /** CDC feed over the DOCUMENTS corpus — the bridge fixture between the
+    * changelog pipeline and the curation operators (production training
+    * corpora are commonly maintained FROM an OLTP change feed): 80% of
+    * docs arrive as inserts (payload-less sentinels, :377-386), doc_id%10=8
+    * docs get a text revision (unique new content), doc_id%10=9 docs are
+    * all overwritten with one shared boilerplate body (a within-batch
+    * duplicate burst). The update-after rows carry the new text in the
+    * EAV changelog — the changelog IS the corpus delta. */
+  val DocsCols: Seq[String] = Seq("doc_id", "text", "lang")
+  val BitDocText: Long = 1L << 1
+  val DocsAllBits: Long = 7L
+  val docsSpec: FeedSpec = FeedSpec(
+    table = "documents",
+    srcCols = DocsCols,
+    lsn = "doc_id",
+    branches = Seq(
+      FeedBranch("doc_id % 10 <= 7", OpInsert, DocsAllBits, 0),
+      FeedBranch("doc_id % 10 = 8", OpUpdateBefore, BitDocText, 0),
+      FeedBranch("doc_id % 10 = 8", OpUpdateAfter, BitDocText, 0,
+        Map("text" -> "text || ' rev2'")),
+      FeedBranch("doc_id % 10 = 9", OpUpdateBefore, BitDocText, 0),
+      FeedBranch("doc_id % 10 = 9", OpUpdateAfter, BitDocText, 0,
+        Map("text" -> "'shared boilerplate body'"))))
+
+  def fromDocuments(docs: DataFrame): DataFrame = docsSpec.toFeed(docs)
+
   /** Deterministic LATER SNAPSHOT of `orders` for [[SnapshotDiff]] — the
     * snapshot-shaped restatement of [[ordersSpec]]'s m-conventions
     * (m = o_orderkey % 10): m=1 rows are gone (deletes), m∈{2,3} carry

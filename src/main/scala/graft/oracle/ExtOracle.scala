@@ -2147,6 +2147,31 @@ object ExtOracle {
        |ORDER BY lang""".stripMargin
   }
 
+  /** CDC→corpus bridge oracle ≙ ChangeFeed.docsSpec ∘ ChangelogBuilder ∘
+    * Dedup.incrementalNew: the update-after text rows of the documents
+    * changelog ARE the corpus delta; collapse per content hash
+    * (within-batch burst → one row), anti-join the existing corpus index.
+    * The changelog CTE comes from the SAME CdcOracle machinery every cdc_*
+    * query grades against. */
+  lazy val cdcCorpusDeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH cl AS (
+       |${docsCdc.changelogSql}
+       |), delta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), inc AS (
+       |  SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_in_batch
+       |  FROM delta GROUP BY md5(text)
+       |)
+       |SELECT fp, doc_id, n_in_batch
+       |FROM inc
+       |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = inc.fp)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** ≙ the CSV round-trip graded query: the ORACLE is the direct read —
     * losslessness means the post-round-trip fingerprints equal these. */
   val csvRoundtripSql: String =
