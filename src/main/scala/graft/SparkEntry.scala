@@ -1906,6 +1906,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // WEIGHTED PageRank over the co-purchase STRENGTH graph (pair support
+    // counts as edge weights, both directions): a frequently-co-bought
+    // pair pulls proportionally more rank — the weighted-graph member of
+    // the authority family
+    "ext_pagerank_weighted" -> ((s, dir) => {
+      val pm = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("g"),
+          col("l_partkey").cast("long").as("m"))
+        .distinct()
+      val ok = pm.groupBy("g").agg(count(lit(1)).as("__gs"))
+        .where(col("__gs") <= graft.ext.Graph.CoPurchaseGroupCap).select("g")
+      val inG = pm.join(ok, "g")
+      val pairs = inG.select(col("g"), col("m").as("a"))
+        .join(inG.select(col("g"), col("m").as("b")), Seq("g"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val und = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.ext.Graph.pageRankWeighted(und, "src", "dst", "w", rounds = 3)
+        .orderBy("node")
+    }),
+
     // k-core decomposition over the same co-purchase graph: the dense-core
     // periphery filter (iterative peel, join+agg rounds over the shrinking
     // alive set — 6 real peel rounds at sf0.001 before the fixpoint)
@@ -2256,6 +2278,7 @@ object SparkEntry {
     "ext_triangles" -> ExtOracle.trianglesSql,
     "ext_kcore" -> ExtOracle.kCoreSql,
     "ext_triangles_incremental" -> ExtOracle.trianglesSql,
+    "ext_pagerank_weighted" -> ExtOracle.pagerankWeightedSql,
     "ext_script_stats" -> ExtOracle.scriptStatsSql,
     "ext_nfc_dedup" -> ExtOracle.nfcDedupSql,
     "ext_funnel_steps" -> ExtOracle.funnelStepsSql,

@@ -341,6 +341,48 @@ object Graph {
     alive
   }
 
+  /** WEIGHTED PageRank: each edge carries an integral weight and a node
+    * splits its rank proportionally — `contrib = rank · w div W_src`
+    * (truncating division per edge, identical on both engines; order-
+    * independent integer sums keep it bit-stable). The co-purchase-
+    * STRENGTH authority signal: a pair bought together 5× pulls 5× the
+    * rank of a one-off. Same join+agg round shape and checkpointing as
+    * [[pageRank]]; the weighted out-sum is precomputed once. */
+  def pageRankWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      rounds: Int,
+      dampBp: Long = DefaultDampBp): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(dampBp >= 0 && dampBp <= 10000, s"dampBp out of [0,10000]: $dampBp")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("__w"))
+    val eW = e
+      .join(e.groupBy("src").agg(sum(col("__w")).as("__ws")), "src")
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val baseMicro = lit((10000L - dampBp) * 100L)
+    (1 to rounds).foldLeft(nodes.withColumn("pr", lit(InitRankMicro))) { (ranks, _) =>
+      val contrib = eW
+        .join(ranks, eW("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          TextOps.intDiv(col("pr") * col("__w"), col("__ws")).as("__c"))
+        .groupBy("node")
+        .agg(sum(col("__c")).as("__cs"))
+      nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (baseMicro + TextOps.intDiv(
+            lit(dampBp) * coalesce(col("__cs"), lit(0L)), lit(10000L))).as("pr"))
+        .localCheckpoint(true)
+    }
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

@@ -2831,6 +2831,47 @@ object ExtOracle {
        |FROM deg d LEFT JOIN tn ON tn.node = d.node
        |ORDER BY d.node""".stripMargin
 
+  /** ≙ ext.Graph.pageRankWeighted over the co-purchase STRENGTH graph
+    * (pair support counts as edge weights, both directions): 3 unrolled
+    * rounds, per-edge `pr · w // W_src` truncating contributions. */
+  val pagerankWeightedSql: String = {
+    val damp = graft.ext.Graph.DefaultDampBp
+    val base = (10000L - damp) * 100L
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, CAST(sum((r.pr * e.w) // s.ws) AS BIGINT) AS cs
+         |  FROM ed e JOIN r${i - 1} r ON r.node = e.src JOIN wsum s ON s.src = e.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT n.node,
+         |    CAST($base + ($damp * COALESCE(c.cs, 0)) // 10000 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pm AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS g,
+       |                  CAST(l_partkey AS BIGINT) AS m
+       |  FROM lineitem
+       |), ok AS (
+       |  SELECT g FROM pm GROUP BY g
+       |  HAVING count(*) <= ${graft.ext.Graph.CoPurchaseGroupCap}
+       |), pr0 AS MATERIALIZED (
+       |  SELECT p1.m AS a, p2.m AS b, CAST(count(*) AS BIGINT) AS w
+       |  FROM pm p1 JOIN pm p2 ON p1.g = p2.g AND p1.m < p2.m
+       |  JOIN ok ON ok.g = p1.g
+       |  GROUP BY 1, 2
+       |), ed AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM pr0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst, w FROM pr0
+       |), wsum AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM ed GROUP BY src
+       |), nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |r0 AS (SELECT node, CAST(${graft.ext.Graph.InitRankMicro} AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+  }
+
   /** ≙ ext.Graph.kCore over the same co-purchase projection as
     * [[trianglesSql]]: [[graft.ext.Graph.KCoreRounds]] unrolled peel
     * rounds (each round restricts the edge list to the previous round's

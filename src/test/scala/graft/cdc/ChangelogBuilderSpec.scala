@@ -132,6 +132,29 @@ class ChangelogBuilderSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("docs bridge feed: inserts are payload-less, update-afters carry the new text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, "alpha body", "en"), // %10=0 insert
+      (18L, "beta body", "en"), // %10=8 revision
+      (19L, "gamma body", "en"), (29L, "delta body", "en") // %10=9 burst
+    ).toDF("doc_id", "text", "lang")
+    val cfg = CdcTableConfig("documents", Seq("doc_id"))
+    val cl = ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromDocuments(docs), cfg), cfg)
+    val textRows = cl.where(col("column_name") === "text")
+      .select(col("doc_id"), col("old_value"), col("new_value"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // the inserted doc contributes a sentinel only — no text payload
+    assert(!textRows.contains("10"), "insert sentinels carry no values")
+    assert(textRows("18") == (("beta body", "beta body rev2")))
+    assert(textRows("19") == (("gamma body", "shared boilerplate body")))
+    assert(textRows("29") == (("delta body", "shared boilerplate body")))
+    // the record-level sentinel for the insert still exists
+    assert(cl.where(col("doc_id") === "10" && col("column_name").isNull).count() == 1)
+  }
+
   test("composite primary keys flow through the whole pipeline") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,43 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(got("hub") > leafRanks.head, "the hub must out-rank its leaves")
   }
 
+  /** Local reference of the weighted integer recurrence. */
+  private def localWeightedPageRank(
+      edges: Seq[(String, String, Long)], rounds: Int,
+      dampBp: Long = Graph.DefaultDampBp): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val wsum = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = (10000L - dampBp) * 100L
+    var r = nodes.map(_ -> Graph.InitRankMicro).toMap
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .map { case (s, d, w) => d -> r(s) * w / wsum(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(n => n -> (base + dampBp * contrib.getOrElse(n, 0L) / 10000L)).toMap
+    }
+    r
+  }
+
+  test("weighted pageRank matches the local reference; heavy edges pull rank") {
+    val s = spark
+    import s.implicits._
+    // hub sends 9/10 of its rank to h, 1/10 to l (and back-edges)
+    val edges = Seq(("hub", "h", 9L), ("hub", "l", 1L),
+      ("h", "hub", 1L), ("l", "hub", 1L))
+    val got = Graph.pageRankWeighted(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == localWeightedPageRank(edges, 3))
+    assert(got("h") > got("l"), "the heavy edge's target must out-rank the light one")
+    // uniform weights reduce to the unweighted operator exactly
+    val uni = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 1L))
+    val w1 = Graph.pageRankWeighted(uni.toDF("src", "dst", "w"),
+        "src", "dst", "w", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u1 = run(uni.map(e => (e._1, e._2)), 3)
+    assert(w1 == u1, "weight 1 everywhere == unweighted pageRank")
+  }
+
   /** Brute-force local reference: count triangles by triple enumeration. */
   private def localTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
     val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
