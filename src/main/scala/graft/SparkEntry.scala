@@ -1849,6 +1849,21 @@ object SparkEntry {
         .drop("ref_t_s", "event_type")
         .orderBy("event_id")),
 
+    // FORWARD as-of join (merge_asof's third direction): every event's
+    // NEXT purchase at-or-after — the time-to-conversion join; same
+    // single-scan tagged union, forward frame
+    "ext_asof_forward" -> ((s, dir) =>
+      graft.ops.AsOfJoin.selfForward(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("t_s"), col("event_type")),
+        on = Seq("user_id"), timeCol = "t_s",
+        markCond = col("event_type") === "purchase",
+        payload = Seq("event_id" -> "ref_event_id", "t_s" -> "ref_t_s"),
+        tieBreak = "ref_event_id")
+        .withColumn("lead_s", col("ref_t_s") - col("t_s"))
+        .drop("ref_t_s", "event_type")
+        .orderBy("event_id")),
+
     // deterministic integer PageRank over the part↔supplier co-supply
     // graph (domain-authority ranking shape: 3 synchronous rounds,
     // micro-unit ranks, integer division both engines)
@@ -2194,6 +2209,7 @@ object SparkEntry {
     "ext_repetition" -> ExtOracle.repetitionSql,
     "ext_sessionize" -> ExtOracle.sessionizeSql,
     "ext_asof" -> ExtOracle.asofSql,
+    "ext_asof_forward" -> ExtOracle.asofForwardSql,
     "ext_rollup" -> ExtOracle.rollupSql,
     "ext_cube_agg" -> ExtOracle.cubeSql,
     "ext_exact_quantiles" -> ExtOracle.exactQuantilesSql,

@@ -174,6 +174,37 @@ object AsOfJoin {
     resolve(unioned, on, df.columns.toSeq, payload.map(_._2), tieBreak)
   }
 
+  /** FORWARD direction (merge_asof direction='forward' — the third
+    * direction beside backward and nearest): each probe takes the
+    * EARLIEST mark at or after its time — "time to next conversion".
+    * Same single-scan tagged union; the window flips to a forward frame,
+    * probes sort BEFORE same-instant marks (tag DESC) so `>=` holds at
+    * equal times, and `first(struct, ignoreNulls)` keeps the payload
+    * atomic (see [[resolve]]'s stale-stitch note). One shuffle. */
+  def selfForward(
+      df: DataFrame,
+      on: Seq[String],
+      timeCol: String,
+      markCond: org.apache.spark.sql.Column,
+      payload: Seq[(String, String)],
+      tieBreak: String): DataFrame = {
+    val unioned = selfTaggedUnion(df, on, timeCol, markCond, payload)
+    val outCols = payload.map(_._2)
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").desc, col(tieBreak).asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("__p",
+        when(col("__tag") === 0, struct(outCols.map(col): _*)))
+      .select(
+        df.columns.toSeq.map(col) ++
+          Seq(col("__tag"),
+            first(col("__p"), ignoreNulls = true).over(w).as("__first")): _*)
+      .where(col("__tag") === 1)
+      .select(df.columns.toSeq.map(col) ++
+        outCols.map(p => col(s"__first.$p").as(p)): _*)
+  }
+
   /** Single-scan tagged union for the self variants: each row explodes
     * into its probe struct plus (conditionally) its mark struct — the same
     * single-scan multi-branch shape as the CDC feed (FeedSpec.toFeed). */

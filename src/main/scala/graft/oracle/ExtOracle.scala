@@ -1397,6 +1397,30 @@ object ExtOracle {
       |FROM w WHERE tag = 1
       |ORDER BY event_id""".stripMargin
 
+  /** ≙ ops.AsOfJoin.selfForward: the asofSql union+window with a FORWARD
+    * frame — probes sort before same-instant marks (tag DESC) so `>=`
+    * holds at equal times; first_value picks the earliest mark, min-id
+    * tiebreak. */
+  val asofForwardSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |), u AS (
+      |  SELECT user_id, t_s, event_id, 1 AS tag, NULL::BIGINT AS pid FROM e
+      |  UNION ALL
+      |  SELECT user_id, t_s, NULL::BIGINT, 0 AS tag, event_id AS pid
+      |  FROM e WHERE event_type = 'purchase'
+      |), w AS (
+      |  SELECT user_id, t_s, event_id, tag,
+      |    first_value(pid IGNORE NULLS) OVER win AS ref_event_id,
+      |    first_value(CASE WHEN tag = 0 THEN t_s END IGNORE NULLS) OVER win AS ref_t_s
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t_s, tag DESC, pid ASC NULLS FIRST
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id, user_id, t_s, ref_event_id, ref_t_s - t_s AS lead_s
+      |FROM w WHERE tag = 1
+      |ORDER BY event_id""".stripMargin
+
   /** ≙ ops.Analytics.revenueRollup (GROUPING_ID bit order: first arg is the
     * most significant bit in BOTH engines — verified 0/1/3 here). */
   val rollupSql: String =

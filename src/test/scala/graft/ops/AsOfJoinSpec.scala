@@ -147,6 +147,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(viaSelf == viaTwo && viaSelf.nonEmpty)
   }
 
+  test("selfForward: earliest at-or-after mark, same-instant match, min-id tie, " +
+      "trailing no-match NULLs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Seq(
+      (1L, 7L, 100L, "view"), // -> mark 3 (next at 200)
+      (2L, 7L, 200L, "purchase"), // a mark IS a probe too: matches itself (>=)
+      (3L, 7L, 200L, "purchase"), // same instant: min-id tie -> 2
+      (4L, 7L, 300L, "view"), // no future mark -> NULLs
+      (5L, 9L, 50L, "view") // other user isolated -> NULLs
+    ).toDF("event_id", "user_id", "t_s", "event_type")
+    val got = AsOfJoin.selfForward(e, Seq("user_id"), "t_s",
+        col("event_type") === "purchase",
+        Seq("event_id" -> "ref_event_id"), "ref_event_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> -1L, 5L -> -1L))
+  }
+
   test("payload name collision with a left column is rejected") {
     val s = spark
     import s.implicits._
