@@ -345,11 +345,16 @@ object Curate {
     * fixing them at bp and interleaving the divisions identically on both
     * engines makes the statistic hash-gradable).
     *
-    * Scale shape: one (domain, token) aggregate over the corpus — shuffle
-    * bounded by |domains| × |vocab| — then everything else (domain
-    * totals, corpus totals, the full cross of domains × vocab so ABSENT
-    * tokens still contribute their expected share) derives from that
-    * small table. Absolutely no second corpus scan. */
+    * Scale shape: SPARSE. One (domain, token) aggregate over the corpus,
+    * then joins only on the OBSERVED pairs. Absent tokens never have to
+    * be materialized: their per-token term `exp_bp² div (exp_bp+1)`
+    * doesn't depend on the domain, so the dense sum factors as
+    * `drift(d) = K + Σ_observed[(obs−exp)² div (exp+1) − exp² div (exp+1)]`
+    * with K = Σ_vocab exp_bp² div (exp_bp+1) a corpus-wide broadcast
+    * scalar. Integer division everywhere ⇒ the factorization is EXACT
+    * (same hash as the dense formulation the oracle still uses). At crawl
+    * scale this is |observed pairs| work instead of the 10¹⁴-row
+    * |domains| × |vocab| cross product the dense form would build. */
   def domainTokenDrift(corpusWithMeta: DataFrame,
       textCol: String = "text", metaCol: String = "meta"): DataFrame = {
     val intDiv = TextOps.intDiv _
@@ -359,16 +364,26 @@ object Curate {
       .groupBy("domain", "w").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // domain totals, vocab totals, and the join all derive from it
     val dTot = dt.groupBy("domain").agg(sum("c").as("dn"))
-    val vTot = dt.groupBy("w").agg(sum("c").as("cw"))
-    val n = vTot.agg(sum("cw").as("n"))
-    dTot.crossJoin(vTot).crossJoin(broadcast(n)) // |domains| × |vocab| frame
-      .join(dt, Seq("domain", "w"), "left")
+    val n = dt.agg(sum("c").as("n"))
+    // Per-token expected share and its absent-token contribution.
+    val vExp = dt.groupBy("w").agg(sum("c").as("cw"))
+      .crossJoin(broadcast(n))
+      .select(col("w"), intDiv(col("cw") * 10000L, col("n")).as("__exp_bp"))
+      .withColumn("__absent_term",
+        intDiv(col("__exp_bp") * col("__exp_bp"), col("__exp_bp") + 1))
+    // Corpus-wide constant: what a domain observing NOTHING would score.
+    val k = vExp.agg(sum("__absent_term").as("__k"))
+    dt.join(dTot, "domain")
+      .join(vExp, "w") // sparse: only observed (domain, token) pairs
       .select(col("domain"), col("dn"),
-        intDiv(coalesce(col("c"), lit(0L)) * 10000L, col("dn")).as("__obs_bp"),
-        intDiv(col("cw") * 10000L, col("n")).as("__exp_bp"))
+        intDiv(col("c") * 10000L, col("dn")).as("__obs_bp"),
+        col("__exp_bp"), col("__absent_term"))
       .groupBy("domain")
       .agg(max(col("dn")).as("n_tokens"),
         sum(intDiv((col("__obs_bp") - col("__exp_bp")) * (col("__obs_bp") - col("__exp_bp")),
-          col("__exp_bp") + 1)).as("drift_score"))
+          col("__exp_bp") + 1) - col("__absent_term")).as("__obs_delta"))
+      .crossJoin(broadcast(k))
+      .select(col("domain"), col("n_tokens"),
+        (col("__obs_delta") + col("__k")).as("drift_score"))
   }
 }

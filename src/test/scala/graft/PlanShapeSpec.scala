@@ -165,6 +165,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans <= 1, s"one corpus pass builds the partials, got $scans scans")
   }
 
+  test("domain drift is sparse: no domains x vocab product, joins are equi-joins") {
+    val p = plan("ext_domain_drift")
+    assert(!p.contains("CartesianProduct"),
+      "absent-token terms must come from the broadcast K constant, not a dense cross frame")
+    // The only nested-loop joins allowed are the 1-row broadcast scalars:
+    // n (replanted under both the main join and the K aggregate) and K.
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3, s"only the n and K scalar broadcasts may nest-loop, got $bnl")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
