@@ -603,17 +603,70 @@ object SparkEntry {
 
     // E2-eval' — the nprobe TUNING CURVE: IVF recall@3 micro-averaged per
     // probe budget 1..3 against brute-force truth — the report an IVF
-    // deployment reads to pick its probe count
+    // deployment reads to pick its probe count. ONE plan for the whole
+    // curve: one clustering, one cell index, one RANKED query assignment;
+    // each candidate pair is scored ONCE, tagged with the smallest probe
+    // budget that surfaces it, and exploded into every budget it serves —
+    // no per-budget re-clustering, re-assignment, or re-scoring.
     "ext_ivf_recall_curve" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = col("vec_id") % 100 === 0
-      val truth = Similarity.topKCosine(e, q, k = 3).localCheckpoint(true)
-      (1 to 3).map { p =>
-        Similarity.rankEval(Similarity.topKCosineIvf(e, q, k = 3, probes = p), truth, k = 3)
-          .agg(sum("n_truth").as("n_truth"), sum("n_hits").as("n_hits"))
-          .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("n_hits"),
-            TextOps.intDiv(col("n_hits") * 10000L, col("n_truth")).as("recall_bp"))
-      }.reduce(_ unionByName _).orderBy("nprobe")
+      val maxP = 3
+      val truth = Similarity.topKCosine(e, q, k = 3)
+        .where(col("rnk") <= 3).select("query_id", "neighbor_id")
+      val cents = Similarity.ivfCentroids(e)
+      val index = Similarity.ivfIndex(e, cents)
+      val qc = Similarity.ivfQueryCells(e.where(q), cents, probes = maxP)
+      // a neighbor sits in exactly one cell, so each (query, candidate)
+      // pair appears at one probe rank — its smallest qualifying budget
+      val pairs = index.join(broadcast(qc), Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("prnk"),
+          (Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      val sys = pairs
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          explode(sequence(col("prnk"), lit(maxP))).as("nprobe"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("nprobe", "query_id")
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .where(col("rnk") <= 3)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      truth
+        .select(col("query_id"), col("neighbor_id"),
+          explode(sequence(lit(1), lit(maxP))).as("nprobe"))
+        .join(sys, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hits"))
+        .select(col("nprobe").cast("long").as("nprobe"), col("n_truth"), col("n_hits"),
+          TextOps.intDiv(col("n_hits") * 10000L, col("n_truth")).as("recall_bp"))
+        .orderBy("nprobe")
+    }),
+
+    // E2d' — INCREMENTAL IVF index maintenance: centroids are TRAINED on
+    // history (95% of the corpus) and persisted with history's cell index;
+    // a 5% new-vector batch folds in by assigning ONLY the batch at the
+    // frozen stored centroids and appending — history is never re-assigned
+    // and the centroids never re-fit, which is how a production embedding
+    // store ingests continuously. Graded: top-k over the folded index ≡
+    // assigning the WHOLE corpus from scratch at the same frozen centroids
+    // (the oracle runs the scratch side).
+    "ext_ann_ivf_incremental" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val hist = e.where(col("vec_id") % 20 =!= 3)
+      val batch = e.where(col("vec_id") % 20 === 3)
+      // a REAL persistence round-trip: the fold reads centroids + cells
+      // from parquet, not a lineage handoff
+      val state = TempDirs.create("graft_ivf_state")
+      val cents0 = Similarity.ivfCentroids(hist)
+      cents0.write.mode("overwrite").parquet(state.resolve("centroids").toString)
+      Similarity.ivfIndex(hist, cents0)
+        .write.mode("overwrite").parquet(state.resolve("cells").toString)
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val index = s.read.parquet(state.resolve("cells").toString)
+        .unionByName(Similarity.ivfIndex(batch, cents)) // the fold
+      Similarity.ivfSearch(index, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
     }),
 
     // E2-eval'' — the LSH TABLE-count tuning curve: recall@3 per table
@@ -2160,6 +2213,7 @@ object SparkEntry {
     "ext_lsh_table_curve" -> ExtOracle.lshTableCurveSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
+    "ext_ann_ivf_incremental" -> ExtOracle.annIvfIncrementalSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,

@@ -225,7 +225,27 @@ object Similarity {
       oversample: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val base = emb.select(
+    val cents = ivfCentroids(emb, numCentroids, rounds, oversample, idCol, vecCol)
+    ivfSearch(ivfIndex(emb, cents, idCol, vecCol),
+      emb.where(queryPred), cents, k, probes, idCol, vecCol)
+  }
+
+  /** The k-means‖ centroid TRAINING chain [[topKCosineIvf]] runs, factored
+    * out so an index can be built ONCE and searched under many probe
+    * budgets ([[ivfSearch]]) or FROZEN for incremental maintenance
+    * ([[ivfIndex]] over a new batch + append). Trains on `train` only —
+    * a production store's centroids were fit on past data. Returns
+    * (cid, centv, centn); the final round is eagerly materialized
+    * (localCheckpoint) so every consumer plans against k rows, not the
+    * Lloyd lineage. */
+  def ivfCentroids(
+      train: DataFrame,
+      numCentroids: Int = 16,
+      rounds: Int = 3,
+      oversample: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = train.select(
       col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
 
     def cells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
@@ -250,20 +270,71 @@ object Similarity {
           .select("cid", "centv", "centn")
       }
 
-    val refined = (1 to rounds).foldLeft(seeds) { (c, _) =>
+    (1 to rounds).foldLeft(seeds) { (c, _) =>
       integerMeanCentroids(cells(base, c, 1), vecCol).localCheckpoint(true)
     }
+  }
 
-    val corpus = cells(base, refined, 1).select(
+  /** The persisted side of an IVF deployment: every vector of `emb`
+    * assigned to its nearest centroid. Output (cell, neighbor_id, cv, cn).
+    * Because the centroids are an ARGUMENT, this is also the incremental
+    * fold: run it over a new-vector batch at the FROZEN stored centroids
+    * and append — history is never re-assigned (the missing member of the
+    * incremental family alongside [[hllApplyBatch]] and
+    * [[graft.ext.Cluster.applyPairsBatch]]). */
+  def ivfIndex(
+      emb: DataFrame,
+      cents: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    nearestCells(base, cents, 1, idCol, vecCol).select(
       col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
-    val queries = cells(base.where(queryPred), refined, probes).select(
-      col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
-    val scored = corpus.join(broadcast(queries), Seq("cell"))
+  }
+
+  /** Probe-side IVF search over a built index: queries assign to their
+    * `probes` nearest centroids, candidates are the index rows in probed
+    * cells, exact cosine ranks the top `k`. The query side broadcasts —
+    * the index (corpus-sized) is never shuffled. */
+  def ivfSearch(
+      index: DataFrame,
+      queries: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      probes: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qcells = ivfQueryCells(queries, cents, probes, idCol, vecCol).drop("prnk")
+    val scored = index.join(broadcast(qcells), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** RANKED probe assignment for the query side: (cell, query_id, qv, qn,
+    * prnk) with prnk = 1-based probe rank (1 = nearest centroid). Computed
+    * once at the maximum budget, a probe-tuning curve derives every
+    * smaller budget by filtering `prnk <= p` — one assignment pass instead
+    * of one per budget. */
+  def ivfQueryCells(
+      queries: DataFrame,
+      cents: DataFrame,
+      probes: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    queries.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .join(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("cs"),
+        col("cid"))
+      .groupBy(idCol, vecCol, "nrm")
+      .agg(topKByScore(col("cs"), col("cid"), probes).as("cids"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        posexplode(col("cids")).as(Seq("__p", "cell")))
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("nrm").as("qn"), (col("__p") + 1).as("prnk"))
 
   /** E2-PQ — Product-Quantization ANN (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): the memory-compressed

@@ -648,18 +648,22 @@ object ExtOracle {
   private val IvfRounds = 3
 
   /** Shared IVF CTE chain: k-means|| seeding + IvfRounds Lloyd rounds,
-    * ending in `r$IvfRounds` (ranked query-to-centroid assignment) and
-    * `cell$IvfRounds` (index-side cells) — consumed by the graded IVF ANN
-    * and the probe-budget recall curve, so the two replay ONE clustering. */
-  private val ivfChainCtes: String = {
+    * ending in `r$IvfRounds` (ranked FULL-corpus assignment) and
+    * `cell$IvfRounds` (index-side cells) — consumed by the graded IVF ANN,
+    * the probe-budget recall curve, and (with `trainWhere` restricting the
+    * training set to history) the incremental-maintenance grade: centroids
+    * fit on `trainv` only, the FINAL assignment covers all of `allv` — the
+    * scratch equivalent of fold-at-frozen-centroids. */
+  private def ivfChainCtes(trainWhere: String = "TRUE"): String = {
     val numCentroids = IvfCentroids
     val oversample = IvfOversample
     val rounds = IvfRounds
     // one assignment: ranked cosine argmax against cent$tag (ties to the
-    // smaller cid — the TopKByScore order)
-    def assign(tag: Int): String =
+    // smaller cid — the TopKByScore order). Training rounds assign the
+    // TRAINING vectors; the final round assigns the whole corpus.
+    def assign(tag: Int, src: String): String =
       s"""sc$tag AS (
-         |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cent$tag c
+         |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM $src a, cent$tag c
          |), r$tag AS (
          |  SELECT vec_id, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
@@ -671,7 +675,7 @@ object ExtOracle {
     def recenter(tag: Int): String =
       s"""qx$tag AS (
          |  SELECT c0.cell, i AS pos, CAST(floor(a.v[i+1] * 1000.0) AS BIGINT) AS q
-         |  FROM cell$tag c0 JOIN allv a ON a.vec_id = c0.vec_id,
+         |  FROM cell$tag c0 JOIN trainv a ON a.vec_id = c0.vec_id,
          |       range(${graft.ext.Similarity.Dim}) ri$tag(i)
          |), qm$tag AS (
          |  SELECT cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
@@ -680,15 +684,18 @@ object ExtOracle {
          |  SELECT cell AS cid, (list(qm ORDER BY pos))::DOUBLE[] AS cv
          |  FROM qm$tag GROUP BY cell
          |)""".stripMargin
-    val roundCtes = (0 until rounds).map(t => s"${assign(t)},\n${recenter(t)}").mkString(",\n")
+    val roundCtes =
+      (0 until rounds).map(t => s"${assign(t, "trainv")},\n${recenter(t)}").mkString(",\n")
     s"""allv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), trainv AS (
+       |  SELECT vec_id, v FROM allv WHERE $trainWhere
        |), cand0 AS (
-       |  SELECT vec_id AS cid, v AS cv FROM allv
+       |  SELECT vec_id AS cid, v AS cv FROM trainv
        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
        |  LIMIT ${numCentroids * oversample}
        |), scw AS (
-       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, cand0 c
+       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM trainv a, cand0 c
        |), rw AS (
        |  SELECT vec_id, cid,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
@@ -701,11 +708,11 @@ object ExtOracle {
        |  LIMIT $numCentroids
        |),
        |$roundCtes,
-       |${assign(rounds)}""".stripMargin
+       |${assign(rounds, "allv")}""".stripMargin
   }
 
-  val annIvfSql: String =
-    s"""WITH $ivfChainCtes, qcell AS (
+  private def annIvfSqlWith(trainWhere: String): String =
+    s"""WITH ${ivfChainCtes(trainWhere)}, qcell AS (
        |  SELECT vec_id, cid AS cell FROM r$IvfRounds WHERE rn <= 2 AND vec_id % 100 = 0
        |), cnd AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -724,6 +731,14 @@ object ExtOracle {
        |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
        |FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+
+  val annIvfSql: String = annIvfSqlWith("TRUE")
+
+  /** E2d' ≙ the ext_ann_ivf_incremental fold: centroids trained on history
+    * (vec_id % 20 <> 3), whole corpus assigned at those FROZEN centroids —
+    * exactly what folding the 5% batch into the persisted history index
+    * produces, since assignment is per-vector at fixed centroids. */
+  val annIvfIncrementalSql: String = annIvfSqlWith("vec_id % 20 <> 3")
 
   /** ≙ Similarity.rankEval(topKCosineIvf(probes = p), brute force, k = 3)
     * micro-averaged per probe budget p = 1..3 — the nprobe tuning curve an
@@ -757,7 +772,7 @@ object ExtOracle {
          |  LEFT JOIN sy$p s
          |    ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
          |)""".stripMargin
-    s"""WITH $ivfChainCtes, ts0 AS (
+    s"""WITH ${ivfChainCtes()}, ts0 AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         ${cosineSql("q.v", "c.v")} AS cos
        |  FROM allv q, allv c

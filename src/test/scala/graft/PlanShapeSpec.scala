@@ -175,6 +175,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(bnl <= 3, s"only the n and K scalar broadcasts may nest-loop, got $bnl")
   }
 
+  test("ivf recall curve runs ONE clustering/index/assignment for all probe budgets") {
+    val df = SparkEntry.queries("ext_ivf_recall_curve")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 14,
+      s"per-budget re-clustering would triple the exchange count, got $exchanges")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 4,
+      s"truth + train + index + query sides only — re-derived curves re-scan, got $scans")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup

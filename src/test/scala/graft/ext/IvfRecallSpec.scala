@@ -64,4 +64,31 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
       s"IVF-PQ recall $rPq must not trail IVF-flat $rFlat at equal probes")
     assert(rPq >= 0.9, s"IVF-PQ must find nearly every planted copy, got $rPq")
   }
+
+  test("incremental fold at frozen centroids is EXACTLY scratch assignment, " +
+      "and the batch lands in the index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val hist = emb.where(col("vec_id") % 20 =!= 3)
+    val batch = emb.where(col("vec_id") % 20 === 3)
+    val cents = Similarity.ivfCentroids(hist).localCheckpoint(true)
+    // fold: history index + batch assigned at the SAME frozen centroids
+    val folded = Similarity.ivfIndex(hist, cents)
+      .unionByName(Similarity.ivfIndex(batch, cents))
+    val scratch = Similarity.ivfIndex(emb, cents)
+    def cellsOf(df: DataFrame): Set[(Long, Long)] =
+      df.select("neighbor_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellsOf(folded) == cellsOf(scratch),
+      "per-vector assignment at fixed centroids must be order/batch-independent")
+    // the batch is actually IN the folded index (not dropped by the union)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val foldedIds = folded.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.nonEmpty && batchIds.subsetOf(foldedIds),
+      "every batch vector must be searchable after the fold")
+    // and search over the folded index equals search over scratch
+    val q = col("vec_id") % 100 === 0
+    assert(pairs(Similarity.ivfSearch(folded, emb.where(q), cents, K))
+        == pairs(Similarity.ivfSearch(scratch, emb.where(q), cents, K)),
+      "fold ≡ scratch must extend through the probe-side search")
+  }
 }
