@@ -990,6 +990,22 @@ object SparkEntry {
           "column_name", "old_value", "new_value")
         .orderBy("changelog_id")),
 
+    // NON-additive schema drift: o_orderpriority is DROPPED after
+    // DropLsn — era-2 windows build from the re-read five-column schema
+    // (the reference re-reads sys.columns per run, :295), so the column
+    // silently vanishes from later windows while era-1 EAV rows keep the
+    // name; ids assign across the era union (commit_time separates eras,
+    // so the global sort equals per-window HWM-offset assignment)
+    "cdc_schema_drift_drop" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val cl = ChangelogBuilder.build(ChangeFeed.fromOrdersPreDrop(o), ordersCfg)
+        .unionByName(ChangelogBuilder.build(ChangeFeed.fromOrdersPostDrop(o), ordersCfg))
+      ChangelogBuilder.withIds(cl, ordersCfg)
+        .select("changelog_id", "commit_time", "table_name", "o_orderkey",
+          "column_name", "old_value", "new_value")
+        .orderBy("changelog_id")
+    }),
+
     // changelog integrity audit — totals, id contiguity (row_number ids
     // make max == count an invariant), per-branch counts, distinct keys:
     // the ops dashboard a changelog owner watches
@@ -2243,6 +2259,7 @@ object SparkEntry {
       OrdersCdcOracle.default.queryDataSql("1995-01-01 00:00:00", "1995-01-01 23:59:59.999999"),
     "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
+    "cdc_schema_drift_drop" -> OrdersCdcOracle.dropChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_populate_during_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_query_dpp" -> OrdersCdcOracle.dppSql,

@@ -206,6 +206,75 @@ object ChangeFeed {
     ordersDriftSpec.toFeed(orders.selectExpr("*", ClerkProjection))
 
   // ---------------------------------------------------------------------
+  // NON-additive schema drift: a column that STOPS existing mid-stream.
+  // ---------------------------------------------------------------------
+
+  /** The other half of the sys.columns-re-read contract
+    * (usp_cdc_populate_changelog.sql:295): because the reference
+    * regenerates its dynamic SQL from the CURRENT source schema every run,
+    * a DROPPED column silently vanishes from all subsequent populate
+    * windows — no error, no tombstone — while history keeps its EAV rows
+    * under the old name (the sink needs no DDL either way).
+    *
+    * Era model: `o_orderpriority` (ordinal 5 — deliberately the LAST
+    * column, so the surviving ordinals 0..4 are identical under both SQL
+    * Server's gap-preserving column_id and a compacted re-read) exists
+    * through [[DropLsn]] and is gone after. Era-2 feeds simply lack the
+    * column: [[ChangelogBuilder.maskGated]] derives its column list from
+    * the feed schema, which IS the re-read. The m=4 branch (whose only
+    * payload was the dropped column) cannot exist post-drop. */
+  val DropLsn = 700L
+  val PostDropCols: Seq[String] = OrdersCols.filterNot(_ == "o_orderpriority")
+  val PostDropAllBits: Long = 31L // bits 0..4 — the all-columns mask of era 2
+
+  private def restrict(spec: FeedSpec, cond: String): FeedSpec =
+    spec.copy(branches = spec.branches.map(b => b.copy(cond = s"(${b.cond}) AND $cond")))
+
+  /** Era 1: the standard orders feed at/before the drop, plus an m=6
+    * branch (unused by [[ordersSpec]]) updating o_orderpriority to a
+    * NON-NULL value — the witness that history KEEPS the dropped column's
+    * EAV rows (the m=4 NULL-transition rows are dropped by the default
+    * inner pairing and would leave the name unobserved). */
+  val ordersPreDropSpec: FeedSpec = {
+    val r = restrict(ordersSpec, s"o_orderkey <= $DropLsn")
+    r.copy(branches = r.branches ++ Seq(
+      FeedBranch(s"o_orderkey % 10 = 6 AND o_orderkey <= $DropLsn", OpUpdateBefore, BitPrio, 0),
+      FeedBranch(s"o_orderkey % 10 = 6 AND o_orderkey <= $DropLsn", OpUpdateAfter, BitPrio, 0,
+        Map("o_orderpriority" -> "'5-LOW'"))))
+  }
+
+  /** Era 2: the re-read schema — five columns, five mask bits, no m=4. */
+  val ordersPostDropSpec: FeedSpec = FeedSpec(
+    table = "orders",
+    srcCols = PostDropCols,
+    lsn = "o_orderkey",
+    branches = Seq(
+      FeedBranch(s"o_orderkey % 10 = 0 AND o_orderkey > $DropLsn", OpInsert, PostDropAllBits, 0),
+      FeedBranch(s"o_orderkey % 10 = 1 AND o_orderkey > $DropLsn", OpDelete, PostDropAllBits, 0),
+      FeedBranch(s"o_orderkey % 10 IN (2, 3) AND o_orderkey > $DropLsn",
+        OpUpdateBefore, BitStatus | BitTotal, 0),
+      FeedBranch(s"o_orderkey % 10 IN (2, 3) AND o_orderkey > $DropLsn",
+        OpUpdateAfter, BitStatus | BitTotal, 0,
+        Map("o_orderstatus" -> "'X'", "o_totalprice" -> "o_totalprice + 1.0")),
+      FeedBranch(s"o_orderkey % 10 = 5 AND o_orderkey > $DropLsn", OpUpdateBefore, BitStatus, 0),
+      FeedBranch(s"o_orderkey % 10 = 5 AND o_orderkey > $DropLsn", OpUpdateAfter, BitStatus, 0,
+        Map("o_orderstatus" -> "'A'")),
+      FeedBranch(s"o_orderkey % 10 = 5 AND o_orderkey > $DropLsn", OpUpdateBefore, BitStatus, 1,
+        Map("o_orderstatus" -> "'A'")),
+      FeedBranch(s"o_orderkey % 10 = 5 AND o_orderkey > $DropLsn", OpUpdateAfter, BitStatus, 1,
+        Map("o_orderstatus" -> "'B'")),
+      FeedBranch(s"o_orderkey % 10 = 7 AND o_orderkey > $DropLsn",
+        OpUpdateBefore, BitPk | BitStatus, 0),
+      FeedBranch(s"o_orderkey % 10 = 7 AND o_orderkey > $DropLsn",
+        OpUpdateAfter, BitPk | BitStatus, 0, Map("o_orderstatus" -> "'Y'"))))
+
+  def fromOrdersPreDrop(orders: DataFrame): DataFrame = ordersPreDropSpec.toFeed(orders)
+
+  /** The era-2 feed frame has NO o_orderpriority column at all — consumers
+    * see the re-read schema, exactly like the regenerated TVF rowset. */
+  def fromOrdersPostDrop(orders: DataFrame): DataFrame = ordersPostDropSpec.toFeed(orders)
+
+  // ---------------------------------------------------------------------
   // Composite-PK twin over `lineitem` (FIXTURES.md B1; reference composite
   // key split usp_cdc_populate_changelog.sql:82-133). Key =
   // (l_orderkey, l_linenumber); start_lsn = l_orderkey*8 + l_linenumber

@@ -155,6 +155,22 @@ final class CdcOracle(
   /** Full-pipeline oracle ≙ the flagship cdc_changelog query. */
   val changelogSql: String = changelogSelect(changelogCtes)
 
+  /** Era-composable changelog rows WITHOUT ids: the whole chain as one
+    * nestable statement (its WITH sits inside the consumer's CTE), so a
+    * multi-era oracle (schema drift across populate windows) can UNION
+    * several eras and assign ids across the union. */
+  val changelogRowsSql: String =
+    s"""$changelogCtes
+       |SELECT commit_time, $pkOut, column_name, old_value, new_value
+       |FROM changelog""".stripMargin
+
+  /** The deterministic id-assignment ORDER BY over the OUTPUT column names
+    * (for consumers that re-sort an era union). */
+  val idOrderOut: String =
+    (Seq("commit_time ASC") ++ keyCols.map(k => s"$k ASC") ++
+      Seq("column_name ASC NULLS FIRST", "old_value ASC NULLS FIRST",
+        "new_value ASC NULLS FIRST")).mkString(", ")
+
   /** Oracle for the two-batch resume drive (see [[resumeCtes]]). The global
     * row_number over the union IS the concatenated per-batch id sequence:
     * batch 1's commit times all precede batch 2's (the HWM separates them),

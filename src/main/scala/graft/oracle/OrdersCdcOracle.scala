@@ -113,6 +113,31 @@ object OrdersCdcOracle {
   val drift = new CdcOracle(ChangeFeed.ordersDriftSpec, Seq("o_orderkey"), "orders")
   val driftChangelogSql: String = drift.changelogSql
 
+  /** NON-additive drift (ChangeFeed.ordersPreDropSpec/ordersPostDropSpec):
+    * o_orderpriority is DROPPED after DropLsn, so era-2 windows run the
+    * five-column re-read schema (usp_cdc_populate_changelog.sql:295 —
+    * sys.columns is re-read per run; the column silently vanishes from
+    * later windows while history keeps its EAV rows). Ids assign over the
+    * era union: era-1 commit times all precede era-2's (commit_time is
+    * monotone in lsn and the eras split at DropLsn), so the global
+    * row_number IS the per-window HWM-offset id sequence. */
+  val dropChangelogSql: String = {
+    val pre = new CdcOracle(ChangeFeed.ordersPreDropSpec, Seq("o_orderkey"), "orders")
+    val post = new CdcOracle(ChangeFeed.ordersPostDropSpec, Seq("o_orderkey"), "orders")
+    s"""WITH era1 AS MATERIALIZED (
+       |${pre.changelogRowsSql}
+       |), era2 AS MATERIALIZED (
+       |${post.changelogRowsSql}
+       |), unioned AS (
+       |  SELECT * FROM era1 UNION ALL SELECT * FROM era2
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY ${pre.idOrderOut}) AS BIGINT) AS changelog_id,
+       |       commit_time, 'orders' AS table_name, o_orderkey,
+       |       column_name, old_value, new_value
+       |FROM unioned
+       |ORDER BY changelog_id""".stripMargin
+  }
+
   /** Multi-table catalog drive ≙ one CdcCatalog serving BOTH registered
     * changelogs (the reference's deployment shape: one changelog table
     * per source table, resolved by name pattern — usp_cdc_query_data

@@ -67,6 +67,53 @@ class SchemaDriftSpec extends AnyFunSuite with SparkFixture {
     assert(asOf.sameElements(full))
   }
 
+  test("DROPPED column: era-2 feed lacks it, history keeps its EAV rows") {
+    val o = ordersDf.unionByName(
+      // m=6 keys on both sides of the drop: pre-drop keys emit a real
+      // o_orderpriority update; post-drop keys must emit NOTHING (the
+      // column their only branch updated no longer exists)
+      ordersDf.limit(2).select(
+        (col("o_orderkey") + 4).as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")))
+    val feed2 = ChangeFeed.fromOrdersPostDrop(o)
+    assert(!feed2.columns.contains("o_orderpriority"),
+      "the era-2 feed schema IS the re-read sys.columns — five columns")
+    val cl = ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromOrdersPreDrop(o), cfg)
+        .unionByName(ChangelogBuilder.build(feed2, cfg)), cfg)
+    val prio = cl.where(col("column_name") === "o_orderpriority")
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    assert(prio.nonEmpty, "pre-drop m=6 updates must emit the column")
+    assert(prio.forall(_ <= ChangeFeed.DropLsn),
+      s"no o_orderpriority row may follow the drop, got ${prio.toSeq}")
+  }
+
+  test("drop-then-resume across a sink HWM equals the one-shot era union") {
+    val s = spark
+    val o = ordersDf
+    val sink = graft.TempDirs.create("graft_dropres")
+      .resolve("orders_changelog").toString
+    val far = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    // window 1: the six-column era, populated to the sink
+    PopulateChangelog.run(s, ChangeFeed.fromOrdersPreDrop(o), cfg, sink, Some(far))
+    // window 2: the populate RESUMES from the sink HWM with the re-read
+    // five-column feed — no DDL, no migration, the column just stops
+    PopulateChangelog.run(s, ChangeFeed.fromOrdersPostDrop(o), cfg, sink, Some(far))
+    val resumed = SinkLayout.read(s, sink)
+      .select("changelog_id", "commit_time", "table_name", "o_orderkey",
+        "column_name", "old_value", "new_value")
+      .orderBy("changelog_id").collect()
+    val oneShot = ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromOrdersPreDrop(o), cfg)
+        .unionByName(ChangelogBuilder.build(ChangeFeed.fromOrdersPostDrop(o), cfg)), cfg)
+      .select("changelog_id", "commit_time", "table_name", "o_orderkey",
+        "column_name", "old_value", "new_value")
+      .orderBy("changelog_id").collect()
+    assert(resumed.nonEmpty && resumed.sameElements(oneShot),
+      "HWM-offset per-window ids must equal the global era-union assignment")
+  }
+
   test("stateAsOf at an early bound excludes all later transactions") {
     val cl = driftChangelog
     // bound between the two key groups: lsn seconds => key 704 commits at
