@@ -870,6 +870,33 @@ object SparkEntry {
       graft.streaming.EventStream.intervalJoinLeftStreamedToFiles(s, events(s, dir))
         .orderBy("view_id", "purchase_id")),
 
+    // CDC→SERVING bridge (batch grade): purchases enriched with the
+    // dimension value current AT EACH EVENT'S OWN instant, via the
+    // changelog's SCD2 episodes with time validity — the feature-store
+    // point-in-time-correctness shape (no training-serving skew from
+    // "latest value" lookups)
+    "ext_cdc_serving_join" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      graft.cdc.ServingBridge.enrichAsOf(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
+        graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"))
+        .orderBy("event_id")
+    }),
+
+    // the same bridge under the REAL streaming engine: stateless
+    // stream-static broadcast range join, no watermark, no sentinel —
+    // same oracle as the batch grade
+    "ext_cdc_serving_join_stream" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      val n = orders(s, dir).agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      graft.streaming.EventStream.servingAsOfStreamedToFiles(
+        s, events(s, dir),
+        graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"), n)
+        .orderBy("event_id")
+    }),
+
     // changelog → current-state materialization (long form): per (pk,
     // column) the latest new_value by changelog_id — the downstream
     // consumer query every CDC changelog exists to serve. One hash
@@ -2292,6 +2319,8 @@ object SparkEntry {
     "ext_interval_join_stream" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_left" -> ExtOracle.intervalJoinLeftSql,
     "ext_stream_static_join" -> ExtOracle.streamStaticJoinSql,
+    "ext_cdc_serving_join" -> ExtOracle.cdcServingJoinSql,
+    "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_funnel_stream" -> ExtOracle.funnelStepsSql,
     "ext_interval_join_left_stream" -> ExtOracle.intervalJoinLeftSql,
     "ext_pack" -> ExtOracle.packBinsSql,

@@ -1,0 +1,89 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC → SERVING bridge: the feature-store shape that turns the EAV
+  * changelog (reference: usp_cdc_populate_changelog.sql:261-396's output
+  * table) into a POINT-IN-TIME enrichment source for an event stream —
+  * each event is served the dimension value that was current AT ITS OWN
+  * timestamp, not the latest one. This is the analytics twin of the
+  * CDC→corpus bridge (`ext_cdc_corpus_delta`): same changelog machinery,
+  * consumed by the online side.
+  *
+  * Mechanism: [[StateMaintain.columnHistory]]'s SCD2 episodes gain TIME
+  * validity bounds, turning the per-event as-of lookup into a STATELESS
+  * single-episode range join — broadcastable against a stream with no
+  * join state, no watermark coupling, and no as-of shuffle
+  * ([[graft.streaming.EventStream.servingAsOfStreamedToFiles]] drives the
+  * same plan under the real streaming engine).
+  *
+  * Scale shape: the episode table is |keys × changed-columns| — the
+  * dimension, not the fact stream — and broadcasts; each request matches
+  * AT MOST ONE episode (the [from, to) intervals partition the timeline
+  * per key), so the join is fan-out-free by construction.
+  */
+object ServingBridge {
+
+  /** Epoch seconds of the changelog clock's base instant
+    * (FeedSpec.commitBase, 1995-01-01 00:00:00 UTC). */
+  val BaseEpochS = 788918400L
+
+  /** SCD2 episodes WITH TIME VALIDITY for one payload column: one row per
+    * value episode of a key, valid over [valid_from_s, valid_to_s) epoch
+    * seconds, open end (NULL) on the current episode. Same-commit-time
+    * double updates (the m=5 shape) yield an EMPTY first interval, so the
+    * lookup lands on the later changelog_id — exactly
+    * [[StateMaintain.stateAsOf]]'s max_by semantics reshaped for a
+    * stateless range join. */
+  def timedEpisodes(
+      changelogWithIds: DataFrame, keyCol: String, column: String): DataFrame = {
+    val w = Window.partitionBy(col("serve_key")).orderBy(col("ep_id"))
+    changelogWithIds
+      .where(col("column_name") === column)
+      .select(col(keyCol).cast("long").as("serve_key"),
+        col("new_value").as("status_asof"),
+        col("changelog_id").as("ep_id"),
+        unix_timestamp(col("commit_time")).as("valid_from_s"))
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
+  }
+
+  /** The deterministic serving-request derivation shared by the batch and
+    * streamed drives: purchases mapped into the changelog's key space and
+    * clock. Expects `event_id`, nanos-long `ts`, and a `__n` column
+    * carrying max(o_orderkey) — the batch side rides it in as a broadcast
+    * scalar, the stream drive as a literal. */
+  def requestColumns(df: DataFrame): DataFrame =
+    df.select(col("event_id"),
+      (col("event_id") % expr("__n div 10") * 10L +
+        expr("CASE event_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 7 END")
+          .cast("long")).as("serve_key"),
+      (lit(BaseEpochS) + expr("__es % __n")).as("serve_s"))
+
+  /** Batch request frame: no driver-side collect — max(o_orderkey) joins
+    * in as a 1-row broadcast scalar. */
+  def servingRequests(events: DataFrame, orders: DataFrame): DataFrame = {
+    val n = orders.agg(max(col("o_orderkey").cast("long")).as("__n"))
+    requestColumns(
+      events.where(col("event_type") === "purchase")
+        .select(col("event_id").cast("long").as("event_id"),
+          expr("ts div 1000000000").as("__es"))
+        .crossJoin(broadcast(n)))
+  }
+
+  /** Point-in-time enrichment: each request LEFT joins the single episode
+    * whose validity interval contains its serving instant. Episodes
+    * broadcast (dimension-sized); requests that precede their key's first
+    * episode — or whose key never changed — carry NULLs. */
+  def enrichAsOf(requests: DataFrame, episodes: DataFrame): DataFrame = {
+    val eps = episodes.withColumnRenamed("serve_key", "__ek")
+    requests.join(broadcast(eps),
+        col("serve_key") === col("__ek") &&
+          col("valid_from_s") <= col("serve_s") &&
+          (col("valid_to_s").isNull || col("serve_s") < col("valid_to_s")),
+        "left")
+      .select(col("event_id"), col("serve_key"), col("serve_s"),
+        col("status_asof"), col("ep_id"))
+  }
+}

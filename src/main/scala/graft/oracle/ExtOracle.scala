@@ -1884,6 +1884,41 @@ object ExtOracle {
       |FROM j GROUP BY nation, window_start_s
       |ORDER BY nation, window_start_s""".stripMargin
 
+  /** ≙ cdc.ServingBridge.enrichAsOf ∘ timedEpisodes ∘ servingRequests
+    * (batch AND streamed drives): purchases mapped into the changelog's
+    * key space ((event_id mod N//10)*10 + an m∈{2,3,5,7} residue) and
+    * clock (base + event-seconds mod N), LEFT-joined to the single SCD2
+    * o_orderstatus episode whose [from, to) interval contains the serving
+    * instant. The changelog CTE is the SAME CdcOracle chain every cdc_*
+    * query grades against; epoch() is exact (whole-second commit times). */
+  lazy val cdcServingJoinSql: String =
+    s"""WITH cl AS (
+       |${OrdersCdcOracle.changelogSql}
+       |), eps0 AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS serve_key, new_value AS status_asof,
+       |         changelog_id AS ep_id,
+       |         CAST(epoch(commit_time) AS BIGINT) AS valid_from_s
+       |  FROM cl WHERE column_name = 'o_orderstatus'
+       |), eps AS (
+       |  SELECT *, lead(valid_from_s) OVER (PARTITION BY serve_key ORDER BY ep_id)
+       |    AS valid_to_s
+       |  FROM eps0
+       |), nn AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS n FROM orders),
+       |req AS (
+       |  SELECT CAST(event_id AS BIGINT) AS event_id,
+       |    CAST((event_id % (n // 10)) * 10
+       |      + (CASE event_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 7 END)
+       |      AS BIGINT) AS serve_key,
+       |    CAST(788918400 + ((epoch_ns(ts) // 1000000000) % n) AS BIGINT) AS serve_s
+       |  FROM events CROSS JOIN nn
+       |  WHERE event_type = 'purchase'
+       |)
+       |SELECT r.event_id, r.serve_key, r.serve_s, e.status_asof, e.ep_id
+       |FROM req r LEFT JOIN eps e
+       |  ON e.serve_key = r.serve_key AND e.valid_from_s <= r.serve_s
+       | AND (e.valid_to_s IS NULL OR r.serve_s < e.valid_to_s)
+       |ORDER BY event_id""".stripMargin
+
   /** ≙ ops.Features.purchaseFeatures: the point-in-time feature matrix —
     * trailing-hour view count (RANGE frame, peers included), session
     * ordinal (gaps-and-islands running sum over the totalized order),

@@ -435,6 +435,38 @@ object EventStream {
     spark.read.schema(agged.schema).parquet(outDir.resolve("result").toString)
   }
 
+  /** The CDC→serving bridge under the REAL streaming engine
+    * ([[graft.cdc.ServingBridge]]): purchase requests file-streamed, the
+    * SCD2 episode table STATIC and broadcast — the stateless
+    * single-episode range join needs no join state, no watermark, and no
+    * flush sentinel (every row emits in its own micro-batch), which is
+    * exactly why the episode reshaping beats a streaming as-of aggregate
+    * for online serving. `nOrders` is the dimension's key-space bound
+    * (orchestration-side scalar, like the sibling drives' dim.count()). */
+  def servingAsOfStreamedToFiles(
+      spark: SparkSession, events: DataFrame, episodes: DataFrame,
+      nOrders: Long): DataFrame = {
+    val req0 = events.where(col("event_type") === "purchase")
+      .select(col("event_id").cast("long").as("event_id"),
+        expr("ts div 1000000000").as("__es"))
+    val inDir = tempDir("graft_serving_in").toString
+    req0.write.mode("append").parquet(inDir)
+    val src = spark.readStream.schema(req0.schema).parquet(inDir)
+    val enriched = graft.cdc.ServingBridge.enrichAsOf(
+      graft.cdc.ServingBridge.requestColumns(src.withColumn("__n", lit(nOrders))),
+      episodes)
+    val outDir = tempDir("graft_serving_out")
+    val query = enriched
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.schema(enriched.schema).parquet(outDir.resolve("result").toString)
+  }
+
   /** Streaming exact dedup (E1's streaming shape): drop events whose key
     * was already seen, with state bounded by the watermark — the standard
     * at-least-once → effectively-once repair for an event firehose. */

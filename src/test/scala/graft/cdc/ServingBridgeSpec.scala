@@ -1,0 +1,70 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Pins the CDC→serving bridge's point-in-time CORRECTNESS: for every
+  * request, the stateless episode range join must return exactly what the
+  * as-of state fold ([[StateMaintain.stateAsOf]]) says the column was at
+  * that instant — including the empty-interval shadowing of same-commit-
+  * time double updates and NULL before a key's first episode.
+  */
+class ServingBridgeSpec extends AnyFunSuite with SparkFixture {
+
+  private val cfg = CdcTableConfig("orders", Seq("o_orderkey"))
+
+  private def ordersDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    // m-classes: 2/3 (one status episode), 5 (same-commit-time double
+    // update — the empty-interval edge), 7 (pk-bit update), 0/1
+    // (sentinel-only: no episodes at all)
+    val keys = Seq(2L, 3L, 5L, 7L, 10L, 11L, 12L, 15L, 25L)
+    keys.map(k => (k, k * 10, "O", 100.0 + k, ts("1994-06-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+
+  private def changelog: DataFrame =
+    ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromOrders(ordersDf), cfg), cfg)
+
+  test("episode lookup equals stateAsOf for every key at every episode boundary") {
+    val cl = changelog.localCheckpoint(true)
+    val eps = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")
+    // probe every key at instants: before anything, at/after each commit
+    val keys = Seq(2L, 3L, 5L, 7L, 10L, 12L, 25L)
+    val instants = Seq(0L, 1L) ++ keys // offsets in changelog seconds
+    val s = spark
+    import s.implicits._
+    val requests = (for {
+      k <- keys; t <- instants
+    } yield (k * 1000 + t, k, ServingBridge.BaseEpochS + t))
+      .toDF("event_id", "serve_key", "serve_s")
+    val served = ServingBridge.enrichAsOf(requests, eps)
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    for { k <- keys; t <- instants } {
+      val asOf = StateMaintain.stateAsOf(cl, Seq("o_orderkey"),
+          new java.sql.Timestamp((ServingBridge.BaseEpochS + t) * 1000L))
+        .where(col("o_orderkey") === k.toString && col("column_name") === "o_orderstatus")
+        .collect().headOption.map(_.getString(2))
+      assert(served(k * 1000 + t) == asOf,
+        s"key $k at offset $t: served ${served(k * 1000 + t)}, stateAsOf $asOf")
+    }
+  }
+
+  test("each request matches AT MOST one episode (the intervals partition time)") {
+    val cl = changelog
+    val eps = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")
+    val s = spark
+    import s.implicits._
+    val requests = (1L to 30L).map(t => (t, 5L, ServingBridge.BaseEpochS + t))
+      .toDF("event_id", "serve_key", "serve_s")
+    val n = ServingBridge.enrichAsOf(requests, eps)
+      .groupBy("event_id").count().agg(max("count")).head().getLong(0)
+    assert(n == 1L, s"the [from, to) intervals must be disjoint, got fan-out $n")
+  }
+}
