@@ -251,6 +251,32 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // §2.11 × S6'' — the STREAMING populate racing sink compaction: the
+    // first invocation drains window 1 quietly; window 2's micro-batch
+    // snapshots its HWM/offset, then Compact flips data_v0 → data_v1
+    // INSIDE the snapshot→append window (the postSnapshotHook), and the
+    // append must land in the repacked copy with the snapshot still
+    // valid — hash-matches the same QUIESCED oracle as the quiet stream
+    "cdc_populate_streaming_during_compaction" -> ((s, dir) => {
+      val base = TempDirs.create("graft_stdc")
+      val f = feed(s, dir)
+      val mid = java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)
+      val feedDir = base.resolve("feed").toString
+      val sink = base.resolve("orders_changelog").toString
+      val ckpt = base.resolve("ckpt").toString
+      f.where(col("commit_time") <= lit(mid)).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, f.schema, ordersCfg, sink, ckpt)
+      f.where(col("commit_time") > lit(mid)).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, f.schema, ordersCfg, sink, ckpt,
+        postSnapshotHook = _ => { graft.cdc.Compact.compactSink(s, sink); () })
+      require(graft.cdc.SinkLayout.currentVersion(s, sink).contains(1),
+        "the concurrent compaction must actually have flipped the version")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // S4 resume path — the reference's DEFINING incremental behavior
     // (:200-211): second run windows from the sink's MAX(commit_time)
     // (lossless strictly-greater) and continues ids; the two batches must
@@ -2215,6 +2241,7 @@ object SparkEntry {
     "cdc_forget_keys" -> OrdersCdcOracle.forgetSql,
     "cdc_state_after_forget" -> OrdersCdcOracle.stateAfterForgetSql,
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
+    "cdc_populate_streaming_during_compaction" -> OrdersCdcOracle.changelogSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_crash_resume" -> OrdersCdcOracle.resumeChangelogSql,

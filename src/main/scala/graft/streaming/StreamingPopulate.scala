@@ -33,6 +33,11 @@ object StreamingPopulate {
     *                           None = one batch for all available files
     * @return total rows appended across this invocation's micro-batches
     */
+  /** @param postSnapshotHook test-only race injection, invoked per
+    *        micro-batch AFTER the sink-state snapshot (HWM + id offset)
+    *        and BEFORE the append — the window where concurrent sink
+    *        maintenance (compaction's version flip) actually interleaves
+    *        with a running stream. Mirrors StagedAppend's hooks. */
   def runAvailableNow(
       spark: SparkSession,
       feedPath: String,
@@ -41,7 +46,8 @@ object StreamingPopulate {
       changelogPath: String,
       checkpointLocation: String,
       maxFilesPerTrigger: Option[Int] = None,
-      distributedIds: Boolean = false): Long = {
+      distributedIds: Boolean = false,
+      postSnapshotHook: Long => Unit = _ => ()): Long = {
 
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -59,7 +65,8 @@ object StreamingPopulate {
     val query = feed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appended.addAndGet(
-          appendBatch(batch, cfg, changelogPath, distributedIds, Some(s"${ckptKey}_$batchId")))
+          appendBatch(batch, cfg, changelogPath, distributedIds, Some(s"${ckptKey}_$batchId"),
+            () => postSnapshotHook(batchId)))
         ()
       }
       .option("checkpointLocation", checkpointLocation)
@@ -85,7 +92,8 @@ object StreamingPopulate {
       cfg: CdcTableConfig,
       changelogPath: String,
       distributedIds: Boolean = false,
-      batchKey: Option[String] = None): Long = {
+      batchKey: Option[String] = None,
+      postSnapshotHook: () => Unit = () => ()): Long = {
     if (batch.isEmpty) return 0L
     val spark = batch.sparkSession
     val marker = batchKey.map { id =>
@@ -94,8 +102,13 @@ object StreamingPopulate {
     val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
     if (marker.exists(m => fs.get.exists(m))) return 0L // replayed batch: already applied
     val offset = Checkpoint.sinkState(spark, changelogPath).map(_._2).getOrElse(0L)
+    postSnapshotHook() // race injection: maintenance lands between snapshot and append
     val cached = batch.cache()
     try {
+      // the data dir resolves INSIDE stampAndAppend, after the hook — a
+      // compaction that flipped the version pointer since the snapshot is
+      // honored (the append lands in the repacked copy; the snapshot's
+      // HWM/offset stay valid because compaction preserves logical rows)
       val n = PopulateChangelog.stampAndAppend(spark, cached, cfg, changelogPath, offset, distributedIds)
       marker.foreach(m => fs.get.create(m, true).close())
       n
