@@ -361,7 +361,10 @@ object Dedup {
     // long-lived session (bench loops, property tests) no longer accumulate
     // permanent block-store entries.
     val out = pairs.localCheckpoint(true)
-    raw.unpersist()
+    // only drop the cache WE created — a caller-supplied rawSh's
+    // materialization is the caller's to manage (its scaladoc contract;
+    // ext_dedup_eval reuses the same frame for the truth side afterwards)
+    if (rawSh.isEmpty) raw.unpersist()
     cand.unpersist()
     shc.unpersist()
     out

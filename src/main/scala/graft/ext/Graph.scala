@@ -207,6 +207,13 @@ object Graph {
     val newE = batchEdges.select(col("a"), col("b")).distinct()
       .join(oldE, Seq("a", "b"), "left_anti")
       .localCheckpoint(true)
+    // the checkpoint is materialized, so this count is metadata-cheap; it
+    // gates every batch-side broadcast below (mirroring triangleStats'
+    // BroadcastEdgeLimit) — an unexpectedly large batch degrades to the
+    // planner's shuffled join instead of a driver OOM
+    val nNew = newE.count()
+    def bcast(df: DataFrame): DataFrame =
+      if (nNew <= BroadcastEdgeLimit) broadcast(df) else df
     val allE = oldE.union(newE).localCheckpoint(true)
     // combined adjacency, both directions
     val adj = allE.select(col("a").as("x"), col("b").as("z"))
@@ -227,7 +234,7 @@ object Graph {
     val probed = anchoredNew.select(col("a"), col("b"),
       when(probeA, col("a")).otherwise(col("b")).as("__p1"),
       when(probeA, col("b")).otherwise(col("a")).as("__p2"))
-    val closures = broadcast(probed)
+    val closures = bcast(probed)
       .join(adj.select(col("x").as("__p1"), col("z")), Seq("__p1"))
       .join(adj.select(col("x").as("__p2"), col("z")), Seq("__p2", "z"))
       .select(col("a"), col("b"), col("z"))
@@ -237,10 +244,10 @@ object Graph {
     val e2a = least(col("b"), col("z"))
     val e2b = greatest(col("b"), col("z"))
     val flagged = closures
-      .join(broadcast(newE.select(col("a").as("__f1a"), col("b").as("__f1b"),
+      .join(bcast(newE.select(col("a").as("__f1a"), col("b").as("__f1b"),
           lit(1L).as("__n1"))),
         e1a === col("__f1a") && e1b === col("__f1b"), "left")
-      .join(broadcast(newE.select(col("a").as("__f2a"), col("b").as("__f2b"),
+      .join(bcast(newE.select(col("a").as("__f2a"), col("b").as("__f2b"),
           lit(1L).as("__n2"))),
         e2a === col("__f2a") && e2b === col("__f2b"), "left")
     // accept only at the smallest new edge of the triangle ((a,b) is new)

@@ -231,22 +231,26 @@ object MultiModal {
 
   /** Planted WAV payload as hex: RIFF size + WAVE + 0–2 LIST chunks of
     * id-dependent length + canonical 16-byte PCM "fmt " + "data" with an
-    * id-dependent declared size (md5 filler). Every doc_id % 11 == 0 gets
-    * a RAW payload instead — the parser must yield NULLs, not garbage. */
+    * id-dependent declared size (md5 filler). Odd-sized LIST chunks carry
+    * the RIFF word-alignment PAD byte (declared size excludes it, the walk
+    * skips it — lcl ∈ 2..6, so odd sizes genuinely occur and the pad path
+    * is exercised). Every doc_id % 11 == 0 gets a RAW payload instead —
+    * the parser must yield NULLs, not garbage. */
   def plantedWavHex(id: Column, text: Column): Column = {
     val ch = id % 2 + 1
     val rate = (id % 4 + 1) * 11025
     val blockAlign = ch * 2 // 16-bit samples
     val byteRate = rate * blockAlign
     val dataSize = (id % 9 + 1) * 500 * blockAlign
-    val lcl = id % 5 + 2 // LIST content bytes
+    val lcl = id % 5 + 2 // LIST content bytes (declared — excludes the pad)
     val list = concat(lit("4c495354"), leHex(lcl, 4),
-      md5(text).substr(lit(1), (lcl * 2).cast("int")))
+      md5(text).substr(lit(1), (lcl * 2).cast("int")),
+      when(lcl % 2 === 1, lit("00")).otherwise(lit(""))) // word-alignment pad
     val nLists = id % 3
     val lists = when(nLists === 0, lit(""))
       .when(nLists === 1, list)
       .otherwise(concat(list, list))
-    val riffSize = lit(4L) + nLists * (lcl + 8) + lit(24L) + (dataSize + 8)
+    val riffSize = lit(4L) + nLists * (lcl + lcl % 2 + 8) + lit(24L) + (dataSize + 8)
     val wav = concat(
       lit(RiffMagicHex), leHex(riffSize, 4), lit(WaveMagicHex),
       lists,
@@ -275,10 +279,14 @@ object MultiModal {
     def cid(o: Column) = lower(hex(p.substr(o.cast("int"), lit(4))))
     val valid = lower(hex(substring(p, 1, 4))) === RiffMagicHex &&
       lower(hex(substring(p, 9, 4))) === WaveMagicHex
+    // chunk advance rounds up to the RIFF word boundary: content size +
+    // its pad byte when odd (size stays staged so the %2 reference does
+    // not re-clone the little-endian field extraction)
     val withOffs = (1 until maxChunks).foldLeft(
       df.withColumn("__o0", when(valid, lit(13L)))) { (d, k) =>
-      d.withColumn(s"__o$k",
-        col(s"__o${k - 1}") + 8 + leField(p, col(s"__o${k - 1}") + 4, 4))
+      d.withColumn(s"__s${k - 1}", leField(p, col(s"__o${k - 1}") + 4, 4))
+        .withColumn(s"__o$k",
+          col(s"__o${k - 1}") + 8 + col(s"__s${k - 1}") + col(s"__s${k - 1}") % 2)
     }
     val offs = (0 until maxChunks).map(k => col(s"__o$k"))
     def firstChunk(idHex: String): Column =
@@ -293,7 +301,8 @@ object MultiModal {
       .withColumn("bits", leField(p, f + 22, 2))
       .withColumn("duration_ms",
         TextOps.intDiv(leField(p, d + 4, 4) * 1000L, leField(p, f + 16, 4)))
-      .drop((0 until maxChunks).map(k => s"__o$k") :+ "__fmt_off" :+ "__data_off": _*)
+      .drop((0 until maxChunks).map(k => s"__o$k") ++
+        (0 until maxChunks - 1).map(k => s"__s$k") :+ "__fmt_off" :+ "__data_off": _*)
   }
 
   /** The graded audio decode: plant a payload per document, recover the
@@ -317,7 +326,12 @@ object MultiModal {
     * batched slot — the header surgery here is what keeps downstream
     * byte-level consumers (dimension parsers, samplers) honest, and the
     * graded query re-PARSES the rewritten bytes with [[pngDims]] so the
-    * surgery is proven against the container spec, not trusted. Map-only
+    * offset arithmetic is proven by re-parse, not trusted. KNOWN
+    * LIMITATION: the 4-byte IHDR CRC is left STALE (and the planted
+    * payloads never carry a valid one) — a downstream consumer that
+    * validates chunk CRCs would reject the output; recomputing it belongs
+    * in the same batched decode slot as the pixel work (no portable crc32
+    * exists in the DuckDB oracle dialect to grade it with). Map-only
     * expression work, no shuffle. */
   def resizeHalf(p: Column): Column = {
     val isPng = lower(hex(substring(p, 1, 8))) === PngMagicHex &&

@@ -2719,14 +2719,15 @@ object ExtOracle {
        |  FROM corpus
        |), g2 AS (
        |  SELECT *, rate * ba AS brate, (doc_id % 9 + 1) * 500 * ba AS dsize,
-       |    4 + nl * (lcl + 8) + 24 + ((doc_id % 9 + 1) * 500 * ba + 8) AS rs
+       |    4 + nl * (lcl + lcl % 2 + 8) + 24 + ((doc_id % 9 + 1) * 500 * ba + 8) AS rs
        |  FROM g
        |), ph AS MATERIALIZED (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 11 = 0 THEN md5(text) ELSE
        |      '${graft.ext.MultiModal.RiffMagicHex}' || ${leHexSql("rs", 4)} ||
        |      '${graft.ext.MultiModal.WaveMagicHex}' ||
-       |      repeat('4c495354' || ${leHexSql("lcl", 4)} || substr(md5(text), 1, 2 * lcl), nl) ||
+       |      repeat('4c495354' || ${leHexSql("lcl", 4)} || substr(md5(text), 1, 2 * lcl)
+       |             || repeat('00', lcl % 2), nl) ||
        |      '${graft.ext.MultiModal.FmtChunkHex}' || '10000000' || '0100' ||
        |      ${leHexSql("ch", 2)} || ${leHexSql("rate", 4)} || ${leHexSql("brate", 4)} ||
        |      ${leHexSql("ba", 2)} || '1000' ||
@@ -2739,11 +2740,12 @@ object ExtOracle {
        |    AND substr(p, 17, 8) = '${graft.ext.MultiModal.WaveMagicHex}'
        |  UNION ALL
        |  SELECT w.doc_id,
-       |    w.off + 8 + ${leFieldSql("w.off + 4", 4)},
+       |    w.off + 8 + ${leFieldSql("w.off + 4", 4)} + (${leFieldSql("w.off + 4", 4)} % 2),
        |    w.steps + 1
        |  FROM walk w JOIN ph ON ph.doc_id = w.doc_id
        |  WHERE w.steps < 6
-       |    AND 2 * (w.off + 8 + ${leFieldSql("w.off + 4", 4)}) + 6 <= len(ph.p)
+       |    AND 2 * (w.off + 8 + ${leFieldSql("w.off + 4", 4)}
+       |             + (${leFieldSql("w.off + 4", 4)} % 2)) + 6 <= len(ph.p)
        |), fmtc AS (
        |  SELECT w.doc_id, w.off FROM walk w JOIN ph ON ph.doc_id = w.doc_id
        |  WHERE substr(p, 2 * w.off - 1, 8) = '${graft.ext.MultiModal.FmtChunkHex}'

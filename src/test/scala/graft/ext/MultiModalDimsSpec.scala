@@ -96,6 +96,16 @@ class MultiModalDimsSpec extends AnyFunSuite with SparkFixture {
     assert(wav(junked) == Some((1L, 8000L, 16L, 100L)))
   }
 
+  test("wavMeta honors the RIFF word-alignment pad after an ODD-sized chunk") {
+    // a 5-byte JUNK chunk (declared size 5, one pad byte) before fmt —
+    // per the RIFF spec the next chunk starts at the EVEN boundary; a
+    // walk ignoring the pad lands one byte short and misparses everything
+    val junked = realWav.substring(0, 8) + leHex(36 + 1600 + 14, 4) +
+      "57415645" + "4a554e4b" + "05000000" + "deadbeefaa" + "00" +
+      realWav.substring(24)
+    assert(wav(junked) == Some((1L, 8000L, 16L, 100L)))
+  }
+
   test("wavMeta refuses PNG, JPEG and garbage payloads") {
     assert(wav(realPng).isEmpty)
     assert(wav(realJpeg).isEmpty)
