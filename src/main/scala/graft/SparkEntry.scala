@@ -251,6 +251,24 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // S6'''' — surgical PARTITION BACKFILL: a damaged commit_date
+    // partition is dropped and re-created FROM THE FEED with its original
+    // ids (a day is an id-contiguous block under the commit_time-led
+    // deterministic sort; its offset = surviving earlier-day rows) — the
+    // repaired sink must hash-match the never-damaged oracle
+    "cdc_repair_day" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_repair").resolve("orders_changelog").toString
+      val f = ChangeFeed.fromOrdersRetention(orders(s, dir))
+      PopulateChangelog.run(s, f, ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      val day = java.time.LocalDate.parse("1995-01-02")
+      require(graft.cdc.Repair.dropDayPartition(s, sink, day),
+        "the damage drill must hit a real partition")
+      graft.cdc.Repair.repairDay(s, f, ordersCfg, sink, day)
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // §2.11 × S6'' — the STREAMING populate racing sink compaction: the
     // first invocation drains window 1 quietly; window 2's micro-batch
     // snapshots its HWM/offset, then Compact flips data_v0 → data_v1
@@ -1428,6 +1446,32 @@ object SparkEntry {
       Retrieval.bm25TopK(c, Retrieval.queryTerms(c)).orderBy("query_id", "rnk")
     }),
 
+    // E2-ret''' — INCREMENTAL retrieval-index maintenance: history's
+    // postings persist to parquet; a 10% new-doc batch folds in by
+    // tokenizing ONLY the batch and unioning — df/dl/N/avgdl/idf all
+    // re-derive from the folded postings, so the graded result equals
+    // indexing the whole corpus from scratch (same oracle as ext_bm25,
+    // verbatim). The continuously-ingesting search-index shape.
+    "ext_bm25_incremental" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val isHist = col("doc_id") % 10 =!= 6
+      val state = TempDirs.memoized("graft_bm25_state",
+        s"$dir/documents.parquet") { tmp =>
+        Retrieval.bm25Postings(c.where(isHist))
+          .write.mode("overwrite").parquet(tmp.resolve("postings").toString)
+        c.where(isHist).agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(tmp.resolve("n").toString)
+      }
+      val postings = s.read.parquet(state.resolve("postings").toString)
+        .unionByName(Retrieval.bm25Postings(c.where(!isHist))) // the fold
+      val n = s.read.parquet(state.resolve("n").toString)
+        .crossJoin(c.where(!isHist).agg(count(lit(1)).as("__nb")))
+        .select((col("n") + col("__nb")).as("n"))
+      Retrieval.bm25TopKFromPostings(
+        postings.localCheckpoint(true), n, Retrieval.queryTerms(c))
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-ret'' — hybrid retrieval: reciprocal-rank fusion of the BM25
     // bigram ranking and the shingle-overlap ranking (depth 10 each,
     // fused top-5) — the standard lexical+semantic combinator, graded on
@@ -2326,6 +2370,7 @@ object SparkEntry {
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift_drop" -> OrdersCdcOracle.dropChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
+    "cdc_repair_day" -> OrdersCdcOracle.retention.changelogSql,
     "cdc_populate_during_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_query_dpp" -> OrdersCdcOracle.dppSql,
     "cdc_state_after_retention" -> OrdersCdcOracle.stateAfterRetentionSql,
@@ -2414,6 +2459,7 @@ object SparkEntry {
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_bm25" -> ExtOracle.bm25Sql,
+    "ext_bm25_incremental" -> ExtOracle.bm25Sql,
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,

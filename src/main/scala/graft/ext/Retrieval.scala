@@ -74,21 +74,36 @@ object Retrieval {
     * doc_id, so a planted exact duplicate of a matching doc ranks directly
     * after its original.
     */
-  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val bg = corpus.select(col("doc_id"),
-      explode(WordShingles.wordShingles(col("text"), 2)).as("term"))
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     // The inverted index is built ONCE and materialized (localCheckpoint —
     // self-cleaning, repo-standard for multiply-consumed frames): df, dl
     // and the corpus stats all derive from the postings, so the corpus is
     // exploded exactly once however many consumers hang off the index. At
-    // production scale this is the artifact you'd persist to parquet; the
-    // derivations below are the same either way.
-    val postings = bg.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    // production scale this is the artifact you'd persist to parquet
+    // ([[bm25Postings]] is that artifact; [[bm25TopKFromPostings]] the
+    // consumer) — the derivations are the same either way.
+    bm25TopKFromPostings(
+      bm25Postings(corpus).localCheckpoint(true),
+      corpus.agg(count(lit(1)).as("n")), queries, k)
+
+  /** The persisted half of the index: one (doc_id, term, tf) row per
+    * posting. Because postings are a PER-DOCUMENT pure function, this is
+    * also the incremental fold: run it over a new-doc batch and UNION with
+    * the stored postings — df, dl, N, avgdl, and the idf weights all
+    * re-derive from the folded postings, so fold ≡ scratch EXACTLY (the
+    * property `ext_bm25_incremental` grades). History text is never
+    * re-tokenized. */
+  def bm25Postings(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        explode(WordShingles.wordShingles(col("text"), 2)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Scoring over a prebuilt postings frame; `nDocs` is a 1-row (n) frame
+    * (corpus size can't derive from postings — an empty doc has none). */
+  def bm25TopKFromPostings(
+      postings: DataFrame, nDocs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // N in one metadata-cheap pass over the corpus; avgdl off the postings
-    val n = corpus.agg(count(lit(1)).as("n"))
-    val stats = postings.agg(sum("tf").as("__total")).crossJoin(broadcast(n))
+    val stats = postings.agg(sum("tf").as("__total")).crossJoin(broadcast(nDocs))
       .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
 
