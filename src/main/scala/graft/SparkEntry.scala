@@ -1081,6 +1081,21 @@ object SparkEntry {
         .orderBy("changelog_id")
     }),
 
+    // TYPE-change drift: o_totalprice re-reads as BIGINT after
+    // TypeChangeLsn — era-2 windows RE-ERASE it integer-rendered ("124")
+    // while era-1 rows keep the double rendering ("124.45"); same name,
+    // same mask bit, nothing migrates (the reference's CONVERT applied to
+    // whatever type sys.columns reports today, :271-277 + :295)
+    "cdc_schema_drift_type" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val cl = ChangelogBuilder.build(ChangeFeed.fromOrdersPreType(o), ordersCfg)
+        .unionByName(ChangelogBuilder.build(ChangeFeed.fromOrdersPostType(o), ordersCfg))
+      ChangelogBuilder.withIds(cl, ordersCfg)
+        .select("changelog_id", "commit_time", "table_name", "o_orderkey",
+          "column_name", "old_value", "new_value")
+        .orderBy("changelog_id")
+    }),
+
     // changelog integrity audit — totals, id contiguity (row_number ids
     // make max == count an invariant), per-branch counts, distinct keys:
     // the ops dashboard a changelog owner watches
@@ -2369,6 +2384,7 @@ object SparkEntry {
     "cdc_populate_drift_resume" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift_drop" -> OrdersCdcOracle.dropChangelogSql,
+    "cdc_schema_drift_type" -> OrdersCdcOracle.typeChangelogSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_repair_day" -> OrdersCdcOracle.retention.changelogSql,
     "cdc_populate_during_retention" -> OrdersCdcOracle.retentionSql,

@@ -275,6 +275,51 @@ object ChangeFeed {
   def fromOrdersPostDrop(orders: DataFrame): DataFrame = ordersPostDropSpec.toFeed(orders)
 
   // ---------------------------------------------------------------------
+  // TYPE-CHANGE drift: a column whose type changes mid-stream RE-ERASES.
+  // ---------------------------------------------------------------------
+
+  /** The third clause of the sys.columns-re-read contract
+    * (usp_cdc_populate_changelog.sql:295 with the CONVERT at :271-277): a
+    * column whose TYPE changes mid-stream re-erases under the new type in
+    * all subsequent windows — same name, same mask bit, different
+    * rendering. History keeps the old rendering; nothing migrates.
+    *
+    * Era model: o_totalprice is DOUBLE through [[TypeChangeLsn]]
+    * (erasure "124.45") and BIGINT after (an ALTER to integer cents-less
+    * pricing; erasure "124"). The floor projection is written in the
+    * Spark∩DuckDB dialect intersection; the update override adds an
+    * INTEGER 1 so the override's type stays BIGINT on both engines. */
+  val TypeChangeLsn = 700L
+
+  private val TypedOrders =
+    "(SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CAST(floor(o_totalprice) AS BIGINT) AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders)"
+
+  /** Era 1: the standard orders feed at/before the type change. */
+  val ordersPreTypeSpec: FeedSpec = restrict(ordersSpec, s"o_orderkey <= $TypeChangeLsn")
+
+  /** Era 2: same branches, same ordinals — the SOURCE re-read now carries
+    * o_totalprice as BIGINT (the m∈{2,3} override becomes `+ 1`, integer
+    * in both dialects). */
+  val ordersPostTypeSpec: FeedSpec = {
+    val r = restrict(ordersSpec, s"o_orderkey > $TypeChangeLsn")
+    r.copy(
+      table = TypedOrders,
+      branches = r.branches.map { b =>
+        if (b.overrides.contains("o_totalprice"))
+          b.copy(overrides = b.overrides + ("o_totalprice" -> "o_totalprice + 1"))
+        else b
+      })
+  }
+
+  def fromOrdersPreType(orders: DataFrame): DataFrame = ordersPreTypeSpec.toFeed(orders)
+
+  def fromOrdersPostType(orders: DataFrame): DataFrame =
+    ordersPostTypeSpec.toFeed(orders.selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+      "CAST(floor(o_totalprice) AS BIGINT) AS o_totalprice", "o_orderdate", "o_orderpriority"))
+
+  // ---------------------------------------------------------------------
   // Composite-PK twin over `lineitem` (FIXTURES.md B1; reference composite
   // key split usp_cdc_populate_changelog.sql:82-133). Key =
   // (l_orderkey, l_linenumber); start_lsn = l_orderkey*8 + l_linenumber

@@ -121,9 +121,7 @@ object OrdersCdcOracle {
     * era union: era-1 commit times all precede era-2's (commit_time is
     * monotone in lsn and the eras split at DropLsn), so the global
     * row_number IS the per-window HWM-offset id sequence. */
-  val dropChangelogSql: String = {
-    val pre = new CdcOracle(ChangeFeed.ordersPreDropSpec, Seq("o_orderkey"), "orders")
-    val post = new CdcOracle(ChangeFeed.ordersPostDropSpec, Seq("o_orderkey"), "orders")
+  private def eraUnionChangelogSql(pre: CdcOracle, post: CdcOracle): String =
     s"""WITH era1 AS MATERIALIZED (
        |${pre.changelogRowsSql}
        |), era2 AS MATERIALIZED (
@@ -136,7 +134,19 @@ object OrdersCdcOracle {
        |       column_name, old_value, new_value
        |FROM unioned
        |ORDER BY changelog_id""".stripMargin
-  }
+
+  val dropChangelogSql: String = eraUnionChangelogSql(
+    new CdcOracle(ChangeFeed.ordersPreDropSpec, Seq("o_orderkey"), "orders"),
+    new CdcOracle(ChangeFeed.ordersPostDropSpec, Seq("o_orderkey"), "orders"))
+
+  /** TYPE-change drift (ChangeFeed.ordersPreTypeSpec/ordersPostTypeSpec):
+    * o_totalprice re-reads as BIGINT after TypeChangeLsn, so era-2 windows
+    * RE-ERASE it integer-rendered while era-1 rows keep the double
+    * rendering — the CONVERT at usp_cdc_populate_changelog.sql:271-277
+    * applied to whatever type sys.columns reports TODAY. */
+  val typeChangelogSql: String = eraUnionChangelogSql(
+    new CdcOracle(ChangeFeed.ordersPreTypeSpec, Seq("o_orderkey"), "orders"),
+    new CdcOracle(ChangeFeed.ordersPostTypeSpec, Seq("o_orderkey"), "orders"))
 
   /** Multi-table catalog drive ≙ one CdcCatalog serving BOTH registered
     * changelogs (the reference's deployment shape: one changelog table

@@ -89,6 +89,22 @@ class SchemaDriftSpec extends AnyFunSuite with SparkFixture {
       s"no o_orderpriority row may follow the drop, got ${prio.toSeq}")
   }
 
+  test("TYPE change re-erases: era-2 o_totalprice renders integer, history keeps doubles") {
+    val o = ordersDf
+    val cl = ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromOrdersPreType(o), cfg)
+        .unionByName(ChangelogBuilder.build(ChangeFeed.fromOrdersPostType(o), cfg)), cfg)
+    val tp = cl.where(col("column_name") === "o_totalprice")
+      .select(col("o_orderkey").cast("long"), col("new_value")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (era1, era2) = tp.partition(_._1 <= ChangeFeed.TypeChangeLsn)
+    assert(era1.nonEmpty && era2.nonEmpty, "both eras must emit the column")
+    assert(era1.forall(_._2.contains(".")),
+      s"history keeps the DOUBLE rendering, got ${era1.take(3).toSeq}")
+    assert(era2.forall(!_._2.contains(".")),
+      s"post-change windows must re-erase under BIGINT, got ${era2.take(3).toSeq}")
+  }
+
   test("drop-then-resume across a sink HWM equals the one-shot era union") {
     val s = spark
     val o = ordersDf
