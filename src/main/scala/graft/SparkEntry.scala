@@ -645,6 +645,31 @@ object SparkEntry {
       Similarity.topKCosineLshMulti(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
+    // E2-IVFPQ' — INCREMENTAL maintenance at the billion-vector config:
+    // coarse centroids AND residual codebooks train on history (95%),
+    // persist with history's code index; the 5% batch folds in by
+    // ENCODING ONLY THE BATCH at the frozen model and appending codes —
+    // graded against the scratch whole-corpus-encode-at-frozen-model
+    // oracle (fold ≡ scratch, since encoding is per-vector)
+    "ext_ann_ivfpq_incremental" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val isHist = col("vec_id") % 20 =!= 3
+      val state = TempDirs.memoized("graft_ivfpq_state",
+        s"$dir/embeddings.parquet") { tmp =>
+        val (cents0, cb0) = Similarity.ivfPqModel(e.where(isHist))
+        cents0.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+        cb0.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+        Similarity.ivfPqEncode(e.where(isHist), cents0, cb0)
+          .write.mode("overwrite").parquet(tmp.resolve("codes").toString)
+      }
+      val cents = s.read.parquet(state.resolve("cents").toString)
+      val cb = s.read.parquet(state.resolve("cb").toString)
+      val enc = s.read.parquet(state.resolve("codes").toString)
+        .unionByName(Similarity.ivfPqEncode(e.where(!isHist), cents, cb)) // the fold
+      Similarity.ivfPqSearch(enc, e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-eval' — the nprobe TUNING CURVE: IVF recall@3 micro-averaged per
     // probe budget 1..3 against brute-force truth — the report an IVF
     // deployment reads to pick its probe count. ONE plan for the whole
@@ -2357,6 +2382,7 @@ object SparkEntry {
     "ext_ann_pq" -> ExtOracle.annPqSql,
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
+    "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,

@@ -544,6 +544,83 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Residual sub-vector derivation shared by the decomposed IVF-PQ
+    * stages: assign to `probes` nearest coarse cells, subtract the cell
+    * centroid (×1000 integer-mean rescaled to data scale, float-rounded —
+    * exactly [[topKIvfPq]]'s arithmetic), split into subspaces. */
+  private def pqResidualSub(
+      emb: DataFrame, cents: DataFrame, probes: Int, subspaces: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val resCents = cents.select(col("cid").as("__ccell"),
+      transform(col("centv"), x => (x.cast("double") / lit(1000.0)).cast("float"))
+        .as("__rcv"))
+    val res = nearestCells(base, cents, probes, idCol, vecCol)
+      .join(broadcast(resCents), col("cell") === col("__ccell"))
+      .select(col(idCol), col("cell").as("ccell"),
+        zip_with(col(vecCol), col("__rcv"), (a, b) => a - b).as("__v"))
+    pqSubVectors(res, subspaces, idCol)
+  }
+
+  /** TRAIN the IVF-PQ model on `train` only: coarse centroids (first-k
+    * seeding + integer-mean Lloyd, the [[kmeansAssign]] chain) and the
+    * per-subspace residual codebooks. Returns (cents, codebook), both
+    * frozen-able: [[ivfPqEncode]] folds ANY batch in at these parameters
+    * without re-training — the incremental-maintenance shape at the
+    * billion-vector deployment configuration. */
+  def ivfPqModel(
+      train: DataFrame,
+      coarseK: Int = 8,
+      coarseRounds: Int = 2,
+      subspaces: Int = 4,
+      codes: Int = 8,
+      pqRounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(Dim % subspaces == 0, s"Dim=$Dim must divide into $subspaces subspaces")
+    val base = train.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val seeds = base.where(col(idCol) < coarseK).select(
+      col(idCol).as("cid"), col(vecCol).as("centv"), col("nrm").as("centn"))
+    val cents = (1 to coarseRounds).foldLeft(seeds) { (c, _) =>
+      integerMeanCentroids(nearestCells(base, c, 1, idCol, vecCol), vecCol)
+        .localCheckpoint(true)
+    }
+    val trainSub = pqResidualSub(train, cents, 1, subspaces, idCol, vecCol)
+      .localCheckpoint(true)
+    (cents, pqCodebook(trainSub, codes, pqRounds, idCol))
+  }
+
+  /** ENCODE vectors at a frozen model: coarse-assign, residual, per-
+    * subspace nearest code. One row per (vector, subspace):
+    * (neighbor_id, ccell, m, cell) — the persisted compressed index;
+    * append a batch's encodings to fold it in. */
+  def ivfPqEncode(
+      emb: DataFrame, cents: DataFrame, cb: DataFrame,
+      subspaces: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqAssign(pqResidualSub(emb, cents, 1, subspaces, idCol, vecCol), cb, Seq("ccell"), idCol)
+      .select(col(idCol).as("neighbor_id"), col("ccell"), col("m"), col("cell"))
+
+  /** ADC search over a prebuilt code index at the frozen model. */
+  def ivfPqSearch(
+      enc: DataFrame, queries: DataFrame, cents: DataFrame, cb: DataFrame,
+      k: Int,
+      probes: Int = 2,
+      subspaces: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qsub = pqResidualSub(queries, cents, probes, subspaces, idCol, vecCol)
+    val dtab = qsub.join(broadcast(cb), Seq("m"))
+      .select(col(idCol).as("query_id"), col("ccell"), col("m"),
+        col("cid").as("cell"), pqD2(col("cv")).as("dq"))
+    val scored = enc.join(broadcast(dtab), Seq("ccell", "m", "cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(pqAdcSum(subspaces).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** E2-rerank — TWO-STAGE retrieval (the deployment shape around any
     * compressed index): the PQ index produces a `shortlist`-deep candidate
     * list per query from codes alone, then the ORIGINAL float vectors are

@@ -804,12 +804,16 @@ object ExtOracle {
     * ends in `cell2(vec_id, cell)`. Shared by [[kmeansSql]] and
     * [[semdedupSql]] so the replayed clustering cannot drift between the
     * two graded rows. */
-  private def kmeansCellCtes(k: Int): String = {
+  /** @param trainWhere restricts the TRAINING side (seeds, the first two
+    *        assignment rounds, re-centers) to a history subset; the FINAL
+    *        assignment always covers `allv` — the scratch equivalent of
+    *        encode-at-frozen-centroids. "TRUE" (default) = classic chain. */
+  private def kmeansCellCtes(k: Int, trainWhere: String = "TRUE"): String = {
     // one assignment round: argmax cosine against `cents`, ties to the
     // smaller centroid id (≙ Similarity.nearestCells via TopKByScore)
-    def assign(tag: Int, cents: String): String =
+    def assign(tag: Int, cents: String, src: String): String =
       s"""sc$tag AS (
-         |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM allv a, $cents c
+         |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM $src a, $cents c
          |), r$tag AS (
          |  SELECT vec_id, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
@@ -821,7 +825,7 @@ object ExtOracle {
     def recenter(tag: Int, outCents: String): String =
       s"""qx$tag AS (
          |  SELECT c0.cell, i AS pos, CAST(floor(a.v[i+1] * 1000.0) AS BIGINT) AS q
-         |  FROM cell$tag c0 JOIN allv a ON a.vec_id = c0.vec_id,
+         |  FROM cell$tag c0 JOIN ktrainv a ON a.vec_id = c0.vec_id,
          |       range(${graft.ext.Similarity.Dim}) ri$tag(i)
          |), qm$tag AS (
          |  SELECT cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
@@ -830,11 +834,13 @@ object ExtOracle {
          |  SELECT cell AS cid, (list(qm ORDER BY pos))::DOUBLE[] AS cv
          |  FROM qm$tag GROUP BY cell
          |)""".stripMargin
-    s"""cent0 AS (
-       |  SELECT vec_id AS cid, v AS cv FROM allv WHERE vec_id < $k
-       |), ${assign(0, "cent0")}, ${recenter(0, "cent1")},
-       |${assign(1, "cent1")}, ${recenter(1, "cent2")},
-       |${assign(2, "cent2")}""".stripMargin
+    s"""ktrainv AS (
+       |  SELECT vec_id, v FROM allv WHERE $trainWhere
+       |), cent0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM ktrainv WHERE vec_id < $k
+       |), ${assign(0, "cent0", "ktrainv")}, ${recenter(0, "cent1")},
+       |${assign(1, "cent1", "ktrainv")}, ${recenter(1, "cent2")},
+       |${assign(2, "cent2", "allv")}""".stripMargin
   }
 
   val kmeansSql: String =
@@ -3257,7 +3263,16 @@ object ExtOracle {
     * bit-identical to Spark's float arithmetic); PQ round CTEs are
     * p-prefixed so they cannot collide with the k-means chain's r/qx/qm
     * names. */
-  val annIvfPqSql: String = {
+  val annIvfPqSql: String = annIvfPqSqlWith("TRUE")
+
+  /** E2-IVFPQ' ≙ ext_ann_ivfpq_incremental: coarse centroids AND residual
+    * codebooks trained on history only (`trainWhere`), the WHOLE corpus
+    * encoded at the frozen model — what folding a batch's encodings into
+    * the persisted code index produces, since encoding is per-vector at
+    * fixed parameters. */
+  lazy val annIvfPqIncrementalSql: String = annIvfPqSqlWith("vec_id % 20 <> 3")
+
+  private def annIvfPqSqlWith(trainWhere: String): String = {
     val m = 4; val codes = 8; val pqRounds = 2; val k = 3; val probes = 2
     val dim = graft.ext.Similarity.Dim
     val subDim = dim / m
@@ -3268,7 +3283,7 @@ object ExtOracle {
     def round(t: Int): String =
       s"""pa$t AS (
          |  SELECT s.vec_id, s.m, c.cid, ${d2("s.sv", "c.cv")} AS d2
-         |  FROM rsub s JOIN cb$t c ON c.m = s.m
+         |  FROM trsub s JOIN cb$t c ON c.m = s.m
          |), pr$t AS (
          |  SELECT vec_id, m, cid,
          |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
@@ -3277,7 +3292,7 @@ object ExtOracle {
          |  SELECT vec_id, m, cid AS cell FROM pr$t WHERE rn = 1
          |), pqx$t AS (
          |  SELECT c0.m, c0.cell, i AS pos, CAST(floor(s.sv[i+1] * 1000.0) AS BIGINT) AS q
-         |  FROM pcell$t c0 JOIN rsub s ON s.vec_id = c0.vec_id AND s.m = c0.m,
+         |  FROM pcell$t c0 JOIN trsub s ON s.vec_id = c0.vec_id AND s.m = c0.m,
          |       range($subDim) pri$t(i)
          |), pqm$t AS (
          |  SELECT m, cell, pos, CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS qm
@@ -3298,7 +3313,7 @@ object ExtOracle {
         s" - CAST($cv[i+1] / 1000.0 AS FLOAT) AS FLOAT) AS DOUBLE))"
     s"""WITH allv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), ${kmeansCellCtes(8)},
+       |), ${kmeansCellCtes(8, trainWhere)},
        |resv AS (
        |  SELECT a.vec_id, c0.cell AS ccell, ${residual("a.v", "ct.cv")} AS rv
        |  FROM allv a JOIN cell2 c0 ON c0.vec_id = a.vec_id
@@ -3306,6 +3321,8 @@ object ExtOracle {
        |), rsub AS (
        |  SELECT vec_id, ccell, m, rv[m * $subDim + 1 : (m + 1) * $subDim] AS sv
        |  FROM resv, range($m) rm(m)
+       |), trsub AS (
+       |  SELECT * FROM rsub WHERE $trainWhere
        |), qresv AS (
        |  SELECT a.vec_id, r.cid AS ccell, ${residual("a.v", "ct.cv")} AS rv
        |  FROM allv a JOIN r2 r ON r.vec_id = a.vec_id AND r.rn <= $probes
@@ -3315,7 +3332,7 @@ object ExtOracle {
        |  SELECT vec_id, ccell, m, rv[m * $subDim + 1 : (m + 1) * $subDim] AS sv
        |  FROM qresv, range($m) qrm(m)
        |), cb0 AS (
-       |  SELECT m, vec_id AS cid, sv AS cv FROM rsub WHERE vec_id < $codes
+       |  SELECT m, vec_id AS cid, sv AS cv FROM trsub WHERE vec_id < $codes
        |),
        |${(0 until pqRounds).map(round).mkString(",\n")},
        |paf AS (

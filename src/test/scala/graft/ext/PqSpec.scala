@@ -56,4 +56,25 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       assert(rows.map(_(2)).toSet == Set(1, 2, 3), s"query $q ranks not dense")
     }
   }
+
+  test("IVFPQ incremental fold at a frozen model equals scratch encoding") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val hist = emb.where(org.apache.spark.sql.functions.col("vec_id") % 20 =!= 3)
+    val batch = emb.where(org.apache.spark.sql.functions.col("vec_id") % 20 === 3)
+    val (cents, cb) = Similarity.ivfPqModel(hist)
+    val folded = Similarity.ivfPqEncode(hist, cents, cb)
+      .unionByName(Similarity.ivfPqEncode(batch, cents, cb))
+    val scratch = Similarity.ivfPqEncode(emb, cents, cb)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(codes(folded) == codes(scratch),
+      "per-vector encoding at frozen (centroids, codebooks) is batch-independent")
+    val q = org.apache.spark.sql.functions.col("vec_id") % 100 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Similarity.ivfPqSearch(folded, emb.where(q), cents, cb, 3))
+        == pairs(Similarity.ivfPqSearch(scratch, emb.where(q), cents, cb, 3)),
+      "fold ≡ scratch must extend through ADC search")
+  }
 }
