@@ -94,4 +94,22 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[String]("term"))).toSet
     assert(got === Set((3L, "a b"), (3L, "b a"), (3L, "b c"), (3L, "c d"), (3L, "d e")))
   }
+
+  test("incremental postings fold equals scratch indexing (df/dl/N re-derive)") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 19L).map(i => (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 7} tail$i"))
+      .toDF("doc_id", "text")
+    val hist = docs.where(col("doc_id") % 4 =!= 1)
+    val batch = docs.where(col("doc_id") % 4 === 1)
+    val folded = Retrieval.bm25Postings(hist)
+      .unionByName(Retrieval.bm25Postings(batch))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val q = Retrieval.queryTerms(docs, everyNth = 4, residue = 3, prefixLen = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Retrieval.bm25TopKFromPostings(folded, n, q))
+        == rows(Retrieval.bm25TopK(docs, q)),
+      "postings are per-document pure, so the fold must reproduce scratch scoring exactly")
+  }
 }
