@@ -186,6 +186,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"truth + train + index + query sides only — re-derived curves re-scan, got $scans")
   }
 
+  test("serving as-of join broadcasts the episode dimension, never shuffles the stream") {
+    val p = plan("ext_cdc_serving_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the point-in-time lookup must stay a stateless broadcast range join")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
