@@ -1537,6 +1537,24 @@ object SparkEntry {
     "ext_hist_quantile" -> ((s, dir) =>
       TextOps.histQuantiles(corpus(s, dir)).orderBy("lang")),
 
+    // E3n' — INCREMENTAL histogram maintenance: history's per-(lang, bin)
+    // counts persist to parquet; a 10% batch folds in by sketching ONLY
+    // the batch and re-summing (counts are additive — exact, not
+    // approximate); same oracle as ext_hist_quantile verbatim
+    "ext_hist_incremental" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val isHist = col("doc_id") % 10 =!= 4
+      val state = TempDirs.memoized("graft_hist_state",
+        s"$dir/documents.parquet") { tmp =>
+        TextOps.histSketch(c.where(isHist))
+          .write.mode("overwrite").parquet(tmp.resolve("sketch").toString)
+      }
+      TextOps.histQuantilesFromSketch(
+        s.read.parquet(state.resolve("sketch").toString)
+          .unionByName(TextOps.histSketch(c.where(!isHist)))) // the fold
+        .orderBy("lang")
+    }),
+
     // E3g — TF-IDF-shaped per-doc top-k terms with corpus df filter
     "ext_top_terms" -> ((s, dir) =>
       TextOps.topTerms(corpus(s, dir)).orderBy("doc_id", "rnk")),
@@ -2512,6 +2530,7 @@ object SparkEntry {
     "ext_dsir" -> ExtOracle.importanceSql,
     "ext_dsir_sample" -> ExtOracle.importanceSampleSql,
     "ext_hist_quantile" -> ExtOracle.histQuantilesSql,
+    "ext_hist_incremental" -> ExtOracle.histQuantilesSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql,
     "ext_session_concurrency" -> ExtOracle.sessionConcurrencySql,
     "ext_session_overlap" -> ExtOracle.sessionOverlapSql,

@@ -653,7 +653,23 @@ object TextOps {
         intDiv(size(toks(col(textCol))), lit(HistBin)).as("bin"))
       .groupBy("lang", "source", "bin")
       .agg(count(lit(1)).as("n"))
-    val merged = partial.groupBy("lang", "bin").agg(sum(col("n")).as("n"))
+    histQuantilesFromSketch(partial.groupBy("lang", "bin").agg(sum(col("n")).as("n")))
+  }
+
+  /** The persisted half: per-(lang, bin) counts — ADDITIVE, so the
+    * incremental fold is `stored ∪ histSketch(batch)` re-summed (the
+    * sketch-maintenance contract KMV/HLL carry, exact here because counts
+    * add). History text is never re-tokenized. */
+  def histSketch(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus
+      .select(col("lang"), intDiv(size(toks(col(textCol))), lit(HistBin)).as("bin"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n"))
+
+  /** Quantile read-out over a (lang, bin, n) sketch (bins may repeat —
+    * a folded union is re-summed first). */
+  def histQuantilesFromSketch(sketch: DataFrame): DataFrame = {
+    val merged = sketch.groupBy("lang", "bin").agg(sum(col("n")).as("n"))
     val cumW = Window.partitionBy("lang").orderBy("bin")
     val totW = Window.partitionBy("lang")
     merged
