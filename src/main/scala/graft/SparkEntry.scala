@@ -957,6 +957,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the bridge composed over the DROPPED-column changelog: the feature
+    // store keeps serving a dropped column's LAST-KNOWN value forever —
+    // pre-drop m=6 keys serve their stale '5-LOW' episode at every later
+    // instant, post-drop m=6 keys never acquire one (NULL forever). The
+    // schema-drift and serving contracts proven to COMPOSE.
+    "ext_cdc_serving_dropped" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(ChangeFeed.fromOrdersPreDrop(o), ordersCfg)
+          .unionByName(ChangelogBuilder.build(ChangeFeed.fromOrdersPostDrop(o), ordersCfg)),
+        ordersCfg)
+      graft.cdc.ServingBridge.enrichAsOf(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), o, residues = Seq(6)),
+        graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderpriority"))
+        .orderBy("event_id")
+    }),
+
     // the same bridge under the REAL streaming engine: stateless
     // stream-static broadcast range join, no watermark, no sentinel —
     // same oracle as the batch grade
@@ -2463,6 +2480,7 @@ object SparkEntry {
     "ext_interval_join_left" -> ExtOracle.intervalJoinLeftSql,
     "ext_stream_static_join" -> ExtOracle.streamStaticJoinSql,
     "ext_cdc_serving_join" -> ExtOracle.cdcServingJoinSql,
+    "ext_cdc_serving_dropped" -> ExtOracle.cdcServingDroppedSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_funnel_stream" -> ExtOracle.funnelStepsSql,
     "ext_interval_join_left_stream" -> ExtOracle.intervalJoinLeftSql,

@@ -49,27 +49,42 @@ object ServingBridge {
       .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
   }
 
+  /** Default request mapping targets the m-classes that carry
+    * o_orderstatus episodes. */
+  val DefaultResidues: Seq[Int] = Seq(2, 3, 5, 7)
+
   /** The deterministic serving-request derivation shared by the batch and
     * streamed drives: purchases mapped into the changelog's key space and
-    * clock. Expects `event_id`, nanos-long `ts`, and a `__n` column
-    * carrying max(o_orderkey) — the batch side rides it in as a broadcast
-    * scalar, the stream drive as a literal. */
-  def requestColumns(df: DataFrame): DataFrame =
+    * clock (`serve_key` lands on the m-classes in `residues`). Expects
+    * `event_id`, nanos-long `ts`, and a `__n` column carrying
+    * max(o_orderkey) — the batch side rides it in as a broadcast scalar,
+    * the stream drive as a literal. */
+  def requestColumns(df: DataFrame, residues: Seq[Int] = DefaultResidues): DataFrame =
     df.select(col("event_id"),
       (col("event_id") % expr("__n div 10") * 10L +
-        expr("CASE event_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 7 END")
-          .cast("long")).as("serve_key"),
+        expr(residueCaseSql(residues)).cast("long")).as("serve_key"),
       (lit(BaseEpochS) + expr("__es % __n")).as("serve_s"))
+
+  /** `CASE event_id % k WHEN 0 THEN r0 … ELSE r_last END` — written in the
+    * Spark∩DuckDB dialect intersection so the oracle interpolates the SAME
+    * text. */
+  def residueCaseSql(residues: Seq[Int] = DefaultResidues): String =
+    if (residues.size == 1) residues.head.toString
+    else residues.init.zipWithIndex
+      .map { case (r, i) => s"WHEN $i THEN $r" }
+      .mkString(s"CASE event_id % ${residues.size} ", " ", s" ELSE ${residues.last} END")
 
   /** Batch request frame: no driver-side collect — max(o_orderkey) joins
     * in as a 1-row broadcast scalar. */
-  def servingRequests(events: DataFrame, orders: DataFrame): DataFrame = {
+  def servingRequests(events: DataFrame, orders: DataFrame,
+      residues: Seq[Int] = DefaultResidues): DataFrame = {
     val n = orders.agg(max(col("o_orderkey").cast("long")).as("__n"))
     requestColumns(
       events.where(col("event_type") === "purchase")
         .select(col("event_id").cast("long").as("event_id"),
           expr("ts div 1000000000").as("__es"))
-        .crossJoin(broadcast(n)))
+        .crossJoin(broadcast(n)),
+      residues)
   }
 
   /** Point-in-time enrichment: each request LEFT joins the single episode

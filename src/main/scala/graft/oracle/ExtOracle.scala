@@ -1897,14 +1897,15 @@ object ExtOracle {
     * o_orderstatus episode whose [from, to) interval contains the serving
     * instant. The changelog CTE is the SAME CdcOracle chain every cdc_*
     * query grades against; epoch() is exact (whole-second commit times). */
-  lazy val cdcServingJoinSql: String =
+  private def cdcServingSqlOver(
+      changelogSql: String, column: String, residues: Seq[Int]): String =
     s"""WITH cl AS (
-       |${OrdersCdcOracle.changelogSql}
+       |$changelogSql
        |), eps0 AS (
        |  SELECT CAST(o_orderkey AS BIGINT) AS serve_key, new_value AS status_asof,
        |         changelog_id AS ep_id,
        |         CAST(epoch(commit_time) AS BIGINT) AS valid_from_s
-       |  FROM cl WHERE column_name = 'o_orderstatus'
+       |  FROM cl WHERE column_name = '$column'
        |), eps AS (
        |  SELECT *, lead(valid_from_s) OVER (PARTITION BY serve_key ORDER BY ep_id)
        |    AS valid_to_s
@@ -1913,7 +1914,7 @@ object ExtOracle {
        |req AS (
        |  SELECT CAST(event_id AS BIGINT) AS event_id,
        |    CAST((event_id % (n // 10)) * 10
-       |      + (CASE event_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 7 END)
+       |      + (${graft.cdc.ServingBridge.residueCaseSql(residues)})
        |      AS BIGINT) AS serve_key,
        |    CAST(788918400 + ((epoch_ns(ts) // 1000000000) % n) AS BIGINT) AS serve_s
        |  FROM events CROSS JOIN nn
@@ -1924,6 +1925,16 @@ object ExtOracle {
        |  ON e.serve_key = r.serve_key AND e.valid_from_s <= r.serve_s
        | AND (e.valid_to_s IS NULL OR r.serve_s < e.valid_to_s)
        |ORDER BY event_id""".stripMargin
+
+  lazy val cdcServingJoinSql: String = cdcServingSqlOver(
+    OrdersCdcOracle.changelogSql, "o_orderstatus",
+    graft.cdc.ServingBridge.DefaultResidues)
+
+  /** ≙ ext_cdc_serving_dropped: the bridge over the DROPPED-column era
+    * changelog — pre-drop m=6 keys serve their stale last-known value at
+    * every later instant; post-drop m=6 keys never acquire one. */
+  lazy val cdcServingDroppedSql: String = cdcServingSqlOver(
+    OrdersCdcOracle.dropChangelogSql, "o_orderpriority", Seq(6))
 
   /** ≙ ops.Features.purchaseFeatures: the point-in-time feature matrix —
     * trailing-hour view count (RANGE frame, peers included), session
