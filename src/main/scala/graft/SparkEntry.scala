@@ -987,6 +987,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // delete-aware LIVE-ROWS state (the MERGE materialization): over the
+    // key-lifecycle fixture, updated-then-deleted m=8 keys vanish from
+    // the result (their history stays in the changelog — the audit's
+    // job), delete-then-reinserted m=9 keys resurrect with their post-
+    // rebirth values; m∈{2,3} stay the live update-only control
+    "cdc_state_live" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(
+          ChangeFeed.fromOrdersLifecycle(orders(s, dir)), ordersCfg), ordersCfg)
+      graft.cdc.StateMaintain.stateLive(cl, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "column_name")
+    }),
+
     // changelog → current-state materialization (long form): per (pk,
     // column) the latest new_value by changelog_id — the downstream
     // consumer query every CDC changelog exists to serve. One hash
@@ -2446,6 +2459,7 @@ object SparkEntry {
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift_drop" -> OrdersCdcOracle.dropChangelogSql,
     "cdc_schema_drift_type" -> OrdersCdcOracle.typeChangelogSql,
+    "cdc_state_live" -> OrdersCdcOracle.lifecycleStateLiveSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_repair_day" -> OrdersCdcOracle.retention.changelogSql,
     "cdc_populate_during_retention" -> OrdersCdcOracle.retentionSql,

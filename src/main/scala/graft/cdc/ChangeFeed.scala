@@ -320,6 +320,46 @@ object ChangeFeed {
       "CAST(floor(o_totalprice) AS BIGINT) AS o_totalprice", "o_orderdate", "o_orderpriority"))
 
   // ---------------------------------------------------------------------
+  // Key-LIFECYCLE fixture: updated-then-DELETED and delete-then-REINSERTED
+  // keys, for the delete-aware live-rows state materialization.
+  // ---------------------------------------------------------------------
+
+  /** Two phases (separate transactions per key — phase 2's lsn offsets by
+    * 1,000,000 so each key's later events genuinely commit later):
+    * phase 1 updates m=8 keys and deletes m=9; phase 2 deletes m=8 and
+    * REINSERTS + updates m=9. m∈{2,3} stay the live update-only control.
+    * The fold that ignores deletes (the EAV audit, [[StateMaintain
+    * .stateLong]]) keeps m=8's history; the LIVE materialization
+    * ([[StateMaintain.stateLive]]) must drop m=8 and resurrect m=9. */
+  val ordersLifecyclePhase1: FeedSpec = FeedSpec(
+    table = "orders",
+    srcCols = OrdersCols,
+    lsn = "o_orderkey",
+    branches = Seq(
+      FeedBranch("o_orderkey % 10 = 8", OpUpdateBefore, BitStatus, 0),
+      FeedBranch("o_orderkey % 10 = 8", OpUpdateAfter, BitStatus, 0,
+        Map("o_orderstatus" -> "'D'")),
+      FeedBranch("o_orderkey % 10 = 9", OpDelete, AllBits, 0),
+      FeedBranch("o_orderkey % 10 IN (2, 3)", OpUpdateBefore, BitStatus | BitTotal, 0),
+      FeedBranch("o_orderkey % 10 IN (2, 3)", OpUpdateAfter, BitStatus | BitTotal, 0,
+        Map("o_orderstatus" -> "'X'", "o_totalprice" -> "o_totalprice + 1.0"))))
+
+  val ordersLifecyclePhase2: FeedSpec = FeedSpec(
+    table = "orders",
+    srcCols = OrdersCols,
+    lsn = "o_orderkey + 1000000",
+    branches = Seq(
+      FeedBranch("o_orderkey % 10 = 8", OpDelete, AllBits, 0),
+      FeedBranch("o_orderkey % 10 = 9", OpInsert, AllBits, 0),
+      FeedBranch("o_orderkey % 10 = 9", OpUpdateBefore, BitStatus, 1),
+      FeedBranch("o_orderkey % 10 = 9", OpUpdateAfter, BitStatus, 1,
+        Map("o_orderstatus" -> "'Z'"))))
+
+  def fromOrdersLifecycle(orders: DataFrame): DataFrame =
+    ordersLifecyclePhase1.toFeed(orders)
+      .unionByName(ordersLifecyclePhase2.toFeed(orders))
+
+  // ---------------------------------------------------------------------
   // Composite-PK twin over `lineitem` (FIXTURES.md B1; reference composite
   // key split usp_cdc_populate_changelog.sql:82-133). Key =
   // (l_orderkey, l_linenumber); start_lsn = l_orderkey*8 + l_linenumber

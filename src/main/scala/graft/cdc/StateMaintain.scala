@@ -55,6 +55,33 @@ object StateMaintain {
         max(col("changelog_id")).as("last_change_id"),
         count(lit(1)).as("n_changes"))
 
+  /** CURRENT LIVE ROWS materialization — the MERGE consumer semantics:
+    * a key whose LATEST record-level sentinel (by changelog_id) is a
+    * delete is GONE from the result (its column history stays in the
+    * changelog — that is the audit's job, [[stateLong]] keeps it); a
+    * later re-insert resurrects the key. Keys with updates and no
+    * sentinel at all are live (updates imply existence).
+    *
+    * Correct ONLY when a key's delete and its earlier updates commit in
+    * DIFFERENT transactions (ids within one transaction order by the
+    * value tiebreak, not seqval — the repo-wide id convention); the
+    * lifecycle fixture separates phases by construction.
+    *
+    * One extra aggregate over the SENTINEL rows only (tiny) + a key-level
+    * join against the state fold — the delete mask never rescans the
+    * column-row bulk. */
+  def stateLive(changelog: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dead = changelog.where(col("column_name").isNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        when(col("old_value") === "DELETED RECORD", 1L).otherwise(0L),
+        col("changelog_id")).as("__dead"))
+    stateLong(changelog, keyCols)
+      .join(dead, keyCols, "left")
+      .where(coalesce(col("__dead"), lit(0L)) === 0L)
+      .drop("__dead")
+  }
+
   /** Point-in-time ("time travel") state: the long-form state table as it
     * stood at `asOf` — reconstruct any historical version of the source
     * from the same changelog, the query the audit-grid EAV layout exists

@@ -148,6 +148,36 @@ object OrdersCdcOracle {
     new CdcOracle(ChangeFeed.ordersPreTypeSpec, Seq("o_orderkey"), "orders"),
     new CdcOracle(ChangeFeed.ordersPostTypeSpec, Seq("o_orderkey"), "orders"))
 
+  /** ≙ StateMaintain.stateLive over the key-LIFECYCLE fixture
+    * (ChangeFeed.ordersLifecyclePhase1/2): the delete-aware MERGE
+    * materialization — a key whose latest sentinel is a delete is gone,
+    * a re-insert resurrects it. Phase-2 lsns offset by 1,000,000, so the
+    * phases are fully commit-time-separated and the global row_number
+    * equals the per-phase HWM id sequence. */
+  val lifecycleStateLiveSql: String = {
+    val p1 = new CdcOracle(ChangeFeed.ordersLifecyclePhase1, Seq("o_orderkey"), "orders")
+    val p2 = new CdcOracle(ChangeFeed.ordersLifecyclePhase2, Seq("o_orderkey"), "orders")
+    s"""WITH cl0 AS (
+       |${eraUnionChangelogSql(p1, p2)}
+       |), sent AS (
+       |  SELECT o_orderkey,
+       |    arg_max(CASE WHEN old_value = 'DELETED RECORD' THEN 1 ELSE 0 END,
+       |            changelog_id) AS dead
+       |  FROM cl0 WHERE column_name IS NULL GROUP BY o_orderkey
+       |), st AS (
+       |  SELECT o_orderkey, column_name,
+       |    arg_max(new_value, changelog_id) AS last_value,
+       |    max(changelog_id) AS last_change_id,
+       |    count(*) AS n_changes
+       |  FROM cl0 WHERE column_name IS NOT NULL GROUP BY o_orderkey, column_name
+       |)
+       |SELECT st.o_orderkey, st.column_name, st.last_value, st.last_change_id,
+       |       st.n_changes
+       |FROM st LEFT JOIN sent ON sent.o_orderkey = st.o_orderkey
+       |WHERE coalesce(sent.dead, 0) = 0
+       |ORDER BY st.o_orderkey, st.column_name""".stripMargin
+  }
+
   /** Multi-table catalog drive ≙ one CdcCatalog serving BOTH registered
     * changelogs (the reference's deployment shape: one changelog table
     * per source table, resolved by name pattern — usp_cdc_query_data

@@ -65,4 +65,29 @@ class StateMaintainSpec extends AnyFunSuite with SparkFixture {
     assert(stateRows(byName(StateMaintain.applyBatchIdempotent(state, b2, Seq("k"))))
       == stateRows(byName(StateMaintain.stateLong(all, Seq("k")))))
   }
+
+  test("stateLive drops dead keys, resurrects reinserted ones, keeps sentinel-free keys") {
+    val s = spark
+    import s.implicits._
+    val cl = Seq(
+      // key 1: updated, then DELETED in a later txn → gone
+      (1L, 1L, Option("v"), Option.empty[String], Option("a")),
+      (2L, 1L, None, Option("DELETED RECORD"), None),
+      // key 2: deleted, then REINSERTED + updated → live with the new value
+      (3L, 2L, None, Option("DELETED RECORD"), None),
+      (4L, 2L, None, None, Option("NEW RECORD")),
+      (5L, 2L, Option("v"), None, Option("z")),
+      // key 3: update-only, no sentinel at all → live
+      (6L, 3L, Option("v"), None, Option("q")))
+      .toDF("changelog_id", "k", "column_name", "old_value", "new_value")
+    val live = StateMaintain.stateLive(cl, Seq("k"))
+      .select("k", "column_name", "last_value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(live == Set((2L, "v", "z"), (3L, "v", "q")),
+      s"dead key 1 must vanish, key 2 resurrect, key 3 stay, got $live")
+    // the audit fold (stateLong) must still keep the dead key's history
+    val audit = StateMaintain.stateLong(cl, Seq("k"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(audit == Set(1L, 2L, 3L))
+  }
 }
