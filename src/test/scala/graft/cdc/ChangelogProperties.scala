@@ -120,4 +120,54 @@ object ChangelogProperties extends Properties("changelog") with SparkFixture {
           Checkpoint.applyWindow(feed, w2).count() == feed.count()
       }
     }
+
+  // ---- serving bridge: episode range join ≡ brute-force as-of ----------
+
+  /** Random changelog-shaped column rows: (key 1..3, commit offset).
+    * Commit seconds may collide WITHIN and across keys — the
+    * empty-interval shadowing edge. Ids are assigned in (commit_time,
+    * tiebreak) order, mirroring the changelog CONTRACT: the deterministic
+    * global sort is commit_time-led, so changelog_id is monotone in
+    * commit_time (timedEpisodes orders episodes by ep_id alone and is
+    * only defined for in-contract inputs). */
+  private val genEpisodeRows: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 12L)))
+  } yield rows
+
+  property("enrichAsOf equals the per-request brute-force as-of lookup") =
+    Prop.forAll(genEpisodeRows) { rows0 =>
+      val s = spark
+      import s.implicits._
+      val rows = rows0.zipWithIndex
+        .sortBy { case ((_, t), i) => (t, i) }
+        .zipWithIndex
+        .map { case (((k, t), i), id0) =>
+          (id0 + 1L, k, s"v$i", graft.cdc.ServingBridge.BaseEpochS + t)
+        }
+      // changelog shape timedEpisodes expects (string key, as erased)
+      val cl = rows
+        .map { case (id, k, v, es) =>
+          (id, k.toString, "c", v, new Timestamp(es * 1000L))
+        }
+        .toDF("changelog_id", "k", "column_name", "new_value", "commit_time")
+      val eps = ServingBridge.timedEpisodes(cl, "k", "c")
+      val requests = (for {
+        k <- 1L to 3L; t <- 0L to 13L
+      } yield (k * 100 + t, k, graft.cdc.ServingBridge.BaseEpochS + t)).toList
+        .toDF("event_id", "serve_key", "serve_s")
+      val served = ServingBridge.enrichAsOf(requests, eps)
+        .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+      // brute force: per (key, t), the max-id row with commit ≤ t
+      val want = (for {
+        k <- 1L to 3L; t <- 0L to 13L
+      } yield {
+        val cand = rows.filter { case (_, rk, _, es) =>
+          rk == k && es <= ServingBridge.BaseEpochS + t
+        }
+        (k * 100 + t,
+          if (cand.isEmpty) None else Some(cand.maxBy(_._1)._3))
+      }).toMap
+      served == want
+    }
 }
