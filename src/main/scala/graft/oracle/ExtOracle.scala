@@ -164,11 +164,16 @@ object ExtOracle {
     * (MinHash → LSH bands → candidate join → exact-Jaccard ≥ 3/5) —
     * consumed by the pair listing, the cluster assignment, and the
     * leakage-safe split. */
-  private val pairCtes: String =
-    s"""$corpusSql, $shingleCtes, mh AS (
+  /** The MinHash → bands → candidate → verify chain over a shingle source
+    * CTE `shSrc` (id, sh). Parameterized so the forget variant can run the
+    * IDENTICAL chain over the surviving shingles — per-doc signatures
+    * don't depend on other documents, so scratch-over-survivors is what a
+    * filtered stored index must reproduce. */
+  private def pairCtesOver(shSrc: String): String =
+    s"""mh AS (
        |  SELECT id, h,
        |    min(substr(md5((h // 4)::VARCHAR || ':' || sh), (h % 4) * 8 + 1, 8)) AS mh
-       |  FROM sh, range(${Dedup.NumHashes}) hh(h)
+       |  FROM $shSrc, range(${Dedup.NumHashes}) hh(h)
        |  GROUP BY id, h
        |), bands AS (
        |  SELECT id, (h // ${Dedup.BandSize}) AS band, string_agg(mh, '|' ORDER BY h) AS sig
@@ -179,11 +184,11 @@ object ExtOracle {
        |), common AS (
        |  SELECT c.id_a, c.id_b, count(*) AS n_common
        |  FROM cand c
-       |  JOIN sh a ON a.id = c.id_a
-       |  JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+       |  JOIN $shSrc a ON a.id = c.id_a
+       |  JOIN $shSrc b ON b.id = c.id_b AND b.sh = a.sh
        |  GROUP BY c.id_a, c.id_b
        |), sizes AS (
-       |  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+       |  SELECT id, count(*) AS n_sh FROM $shSrc GROUP BY id
        |), pairs AS (
        |  SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
        |  FROM common c
@@ -191,6 +196,9 @@ object ExtOracle {
        |  JOIN sizes sb ON sb.id = c.id_b
        |  WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
        |)""".stripMargin
+
+  private val pairCtes: String =
+    s"""$corpusSql, $shingleCtes, ${pairCtesOver("sh")}"""
 
   /** E1-eval ≙ the HONEST-MEASUREMENT row for the probabilistic dedup:
     * MinHash banding's recall against the exact all-pairs Jaccard ground
@@ -224,6 +232,22 @@ object ExtOracle {
     * exact-Jaccard verify, threshold 3/5). */
   val dedupMinhashSql: String =
     s"""WITH $pairCtes
+       |SELECT id_a, id_b, n_common, n_a, n_b
+       |FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** ≙ the ext_minhash_forget fold: subject deletion (doc_id % 7 = 3) is a
+    * row filter on the stored signature index; the surviving pair set must
+    * equal this from-scratch recompute over the surviving corpus. The
+    * planted offsets shift residues mod 7 (+1000000 ≡ +1, +2000000 ≡ +2,
+    * +3000000 ≡ +3), so deletion hits dup groups from BOTH sides: some
+    * originals outlive their forgotten copy, some copies their forgotten
+    * original — either way the partner pair vanishes while pairs among
+    * survivors persist. */
+  val minhashForgetSql: String =
+    s"""WITH $corpusSql, $shingleCtes, shv AS (
+       |  SELECT * FROM sh WHERE id % 7 <> 3
+       |), ${pairCtesOver("shv")}
        |SELECT id_a, id_b, n_common, n_a, n_b
        |FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
@@ -711,13 +735,13 @@ object ExtOracle {
        |${assign(rounds, "allv")}""".stripMargin
   }
 
-  private def annIvfSqlWith(trainWhere: String): String =
+  private def annIvfSqlWith(trainWhere: String, neighborWhere: String = "TRUE"): String =
     s"""WITH ${ivfChainCtes(trainWhere)}, qcell AS (
        |  SELECT vec_id, cid AS cell FROM r$IvfRounds WHERE rn <= 2 AND vec_id % 100 = 0
        |), cnd AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM qcell q JOIN cell$IvfRounds c ON q.cell = c.cell
-       |  WHERE q.vec_id <> c.vec_id
+       |  WHERE q.vec_id <> c.vec_id AND ($neighborWhere)
        |), s2 AS (
        |  SELECT cnd.query_id, cnd.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
        |  FROM cnd
@@ -739,6 +763,13 @@ object ExtOracle {
     * exactly what folding the 5% batch into the persisted history index
     * produces, since assignment is per-vector at fixed centroids. */
   val annIvfIncrementalSql: String = annIvfSqlWith("vec_id % 20 <> 3")
+
+  /** ≙ the ext_ann_ivf_forget fold: the deployed model (centroids AND the
+    * full-corpus cell assignment) is unchanged; subject deletion only
+    * removes the forgotten ids from the candidate cell lists — a frozen
+    * model keeps its stale training, the assignment set shrinks. Queries
+    * (vec_id % 100 = 0) never intersect the forget set (% 50 = 7). */
+  val annIvfForgetSql: String = annIvfSqlWith("TRUE", "c.vec_id % 50 <> 7")
 
   /** ≙ Similarity.rankEval(topKCosineIvf(probes = p), brute force, k = 3)
     * micro-averaged per probe budget p = 1..3 — the nprobe tuning curve an

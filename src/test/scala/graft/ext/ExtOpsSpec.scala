@@ -616,6 +616,26 @@ class ExtOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.head.getAs[Long]("true_count") == 8L)
   }
 
+  test("count-min cell fold equals the direct sketch (additivity)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hot hot hot hot hot cold warm"),
+      (2L, "hot hot hot mild cold"),
+      (7L, "warm mild cool hot"), // the "batch" slice (7 % 10 == 7)
+      (17L, "cool cool cold")).toDF("doc_id", "text")
+    val folded = TextOps.cmApplyBatch(
+      TextOps.cmState(df.where($"doc_id" % 10 =!= 7)),
+      df.where($"doc_id" % 10 === 7))
+    val direct = TextOps.cmState(df)
+    assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty,
+      "summed cells must equal the one-pass sketch")
+    val viaCells = TextOps.heavyHittersFromCells(df, folded, k = 10).collect()
+    val inline = TextOps.heavyHitters(df, k = 10).collect()
+    assert(viaCells.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq,
+      "estimates from folded state match the in-line sketch row-for-row")
+  }
+
   test("semanticDedup prunes scaled copies within their cell, keeps originals") {
     val s = spark
     import s.implicits._

@@ -91,4 +91,27 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
         == pairs(Similarity.ivfSearch(scratch, emb.where(q), cents, K)),
       "fold ≡ scratch must extend through the probe-side search")
   }
+
+  test("forget fold drops the subject from the index: filter ≡ scratch over " +
+      "survivors at the frozen model, forgotten ids never surface") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val forget = col("vec_id") % 50 === 7
+    // deployed model: trained on EVERYTHING (including the soon-forgotten)
+    val cents = Similarity.ivfCentroids(emb).localCheckpoint(true)
+    val folded = Similarity.ivfIndex(emb, cents).where(!forget)
+    val scratch = Similarity.ivfIndex(emb.where(!forget), cents)
+    def cellsOf(df: DataFrame): Set[(Long, Long)] =
+      df.select("neighbor_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellsOf(folded) == cellsOf(scratch),
+      "dropping stored cell rows ≡ re-assigning the survivors (per-vector)")
+    val q = col("vec_id") % 100 === 0
+    val served = Similarity.ivfSearch(folded, emb.where(q), cents, K)
+    assert(pairs(served) == pairs(Similarity.ivfSearch(scratch, emb.where(q), cents, K)),
+      "forget fold ≡ scratch through the search")
+    val forgotten = emb.where(forget).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty &&
+        pairs(served).forall { case (_, n) => !forgotten.contains(n) },
+      "a forgotten subject must never be served as a neighbor")
+  }
 }
