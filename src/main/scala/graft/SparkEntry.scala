@@ -295,6 +295,35 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // §2.11×S6''' — STREAMING populate racing sink RETENTION (the expiry
+    // twin of the compaction race above): the second drive's micro-batch
+    // snapshots its HWM/id-offset against the full sink, then the
+    // postSnapshotHook advances the retention cutoff marker between
+    // snapshot and append. Staged files are `_`-invisible to the sweep and
+    // the pre-cutoff HWM stays valid (ids are assigned at append, never
+    // reassigned), so the logical table must equal the QUIESCED
+    // populate-then-expire oracle
+    "cdc_populate_streaming_during_retention" -> ((s, dir) => {
+      val base = TempDirs.create("graft_stdr")
+      val f = ChangeFeed.fromOrdersRetention(orders(s, dir))
+      val mid = java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.RetentionStateMid)
+      val cutoff = java.time.LocalDate.parse(graft.oracle.OrdersCdcOracle.RetentionCutoff)
+      val feedDir = base.resolve("feed").toString
+      val sink = base.resolve("orders_changelog").toString
+      val ckpt = base.resolve("ckpt").toString
+      f.where(col("commit_time") <= lit(mid)).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, f.schema, ordersCfg, sink, ckpt)
+      f.where(col("commit_time") > lit(mid)).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, f.schema, ordersCfg, sink, ckpt,
+        postSnapshotHook = _ => { graft.cdc.Retention.expire(s, sink, cutoff); () })
+      require(graft.cdc.Retention.activeCutoff(s, sink).contains(cutoff),
+        "the concurrent retention sweep must actually have advanced the cutoff")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // S4 resume path — the reference's DEFINING incremental behavior
     // (:200-211): second run windows from the sink's MAX(commit_time)
     // (lossless strictly-greater) and continues ids; the two batches must
@@ -2443,6 +2472,9 @@ object SparkEntry {
     "cdc_state_after_forget" -> OrdersCdcOracle.stateAfterForgetSql,
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_populate_streaming_during_compaction" -> OrdersCdcOracle.changelogSql,
+    // ≡ the QUIESCED populate-then-expire table: the sweep racing the
+    // staged streaming append must not change the answer
+    "cdc_populate_streaming_during_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_crash_resume" -> OrdersCdcOracle.resumeChangelogSql,
