@@ -640,6 +640,16 @@ object SparkEntry {
         EmbFeed.withDups(embeddings(s, dir)), col("vec_id") % 100 === 0, k = 5)
         .orderBy("query_id", "rnk")),
 
+    // E2-filter — METADATA-FILTERED vector search (the tenant/license-
+    // restricted lookup): PRE-filter (exact under the predicate) and
+    // POST-filter (unfiltered top-12 shortlist, filtered after — starves
+    // when < 3 allowed survive) graded side by side from ONE corpus scan
+    // and ONE partial aggregate carrying both heaps
+    "ext_ann_filtered" -> ((s, dir) =>
+      Similarity.filteredTopK(embeddings(s, dir),
+        col("vec_id") % 100 === 0, col("vec_id") % 3 === 1)
+        .orderBy("strategy", "query_id", "rnk")),
+
     // E2b — LSH-bucketed approximate top-k cosine (the 100 TB path)
     "ext_ann_lsh" -> ((s, dir) =>
       Similarity.topKCosineLsh(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
@@ -2527,6 +2537,7 @@ object SparkEntry {
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,
     "ext_ann_lsh" -> ExtOracle.annLshSql,
+    "ext_ann_filtered" -> ExtOracle.annFilteredSql,
     "ext_multimodal" -> ExtOracle.multiModalSql,
     "ext_multimodal_decode" -> ExtOracle.multiModalDecodeSql,
     "ext_multimodal_dims" -> ExtOracle.multiModalDimsSql,

