@@ -1024,6 +1024,30 @@ object SparkEntry {
       graft.streaming.EventStream.intervalJoinLeftStreamedToFiles(s, events(s, dir))
         .orderBy("view_id", "purchase_id")),
 
+    // join'' — FULL-OUTER interval join, batch: the attribution-gap audit
+    // (unconverted views AND orphaned purchases in one result; keys
+    // coalesced across sides)
+    "ext_interval_join_full" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("t_s").as("v_t"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("t_s").as("p_t"))
+      graft.ops.IntervalJoin.withinAfter(views, purchases, Seq("user_id"),
+        leftTime = "v_t", rightTime = "p_t", maxGapS = 3600L, joinType = "full_outer")
+        .select(col("view_id"), col("purchase_id"), col("user_id"),
+          (col("p_t") - col("v_t")).as("gap_s"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
+    // join'' under the REAL streaming engine: both no-match verdicts are
+    // state-expiry decisions, so each side's sentinel clears the OTHER
+    // side's horizon too; same oracle as the batch row
+    "ext_interval_join_full_stream" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinFullStreamedToFiles(s, events(s, dir))
+        .orderBy("view_id", "purchase_id")),
+
     // CDC→SERVING bridge (batch grade): purchases enriched with the
     // dimension value current AT EACH EVENT'S OWN instant, via the
     // changelog's SCD2 episodes with time validity — the feature-store
@@ -2595,6 +2619,10 @@ object SparkEntry {
     "ext_interval_join" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_stream" -> ExtOracle.intervalJoinSql,
     "ext_interval_join_left" -> ExtOracle.intervalJoinLeftSql,
+    "ext_interval_join_full" -> ExtOracle.intervalJoinFullSql,
+    // stream ≡ batch including BOTH NULL sides (state expiry is the
+    // no-match verdict on each side)
+    "ext_interval_join_full_stream" -> ExtOracle.intervalJoinFullSql,
     "ext_stream_static_join" -> ExtOracle.streamStaticJoinSql,
     "ext_cdc_serving_join" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_dropped" -> ExtOracle.cdcServingDroppedSql,

@@ -26,12 +26,16 @@ object IntervalJoin {
     *                 the range condition. Must differ in name; non-key
     *                 columns of the two sides must be disjoint.
     * @param maxGapS  inclusive upper bound on rightTime - leftTime, seconds
-    * @param joinType "inner" (default) or "left_outer" — attribution's
+    * @param joinType "inner" (default), "left_outer" — attribution's
     *                 other half: every left row survives, unconverted ones
-    *                 with NULL right columns. Streaming left-outer emits
-    *                 the NULL row once the watermark passes the left row's
-    *                 join horizon (leftTime + maxGapS) — state expiry IS
-    *                 the no-match verdict.
+    *                 with NULL right columns — or "full_outer", which adds
+    *                 the orphaned RIGHT rows too (purchases no view
+    *                 preceded: the attribution-gap audit). Streaming outer
+    *                 modes emit the NULL row once the watermark passes the
+    *                 row's join horizon — state expiry IS the no-match
+    *                 verdict. Under full_outer the key columns are
+    *                 COALESCEd across sides so orphaned right rows keep
+    *                 their keys.
     */
   def withinAfter(
       left: DataFrame,
@@ -63,9 +67,14 @@ object IntervalJoin {
     }
     val range = rc(rightTime) >= lc(leftTime) && rc(rightTime) <= upper
     // project the left columns + the right side's non-key columns, so the
-    // output drops the duplicate key columns and loses the alias scoping
+    // output drops the duplicate key columns and loses the alias scoping;
+    // full_outer coalesces the keys so orphaned right rows keep theirs
     val rightRest = right.columns.toSeq.filterNot(on.contains)
+    val leftCols = left.columns.toSeq.map { c =>
+      if (joinType == "full_outer" && on.contains(c)) coalesce(lc(c), rc(c)).as(c)
+      else lc(c)
+    }
     l.join(r, keyEq && range, joinType)
-      .select(left.columns.toSeq.map(lc) ++ rightRest.map(rc): _*)
+      .select(leftCols ++ rightRest.map(rc): _*)
   }
 }

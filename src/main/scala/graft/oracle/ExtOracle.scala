@@ -1937,6 +1937,25 @@ object ExtOracle {
       | AND p.t_s >= v.t_s AND p.t_s <= v.t_s + 3600
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** ≙ IntervalJoin.withinAfter(full_outer): the left rows plus the
+    * ORPHANED purchases no view preceded within the hour (NULL view
+    * columns, key coalesced across sides) — the attribution-gap audit. */
+  val intervalJoinFullSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events
+      |), v AS (
+      |  SELECT event_id, user_id, t_s FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id, user_id, t_s FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+      |  coalesce(v.user_id, p.user_id) AS user_id,
+      |  p.t_s - v.t_s AS gap_s
+      |FROM v FULL OUTER JOIN p
+      |  ON p.user_id = v.user_id
+      | AND p.t_s >= v.t_s AND p.t_s <= v.t_s + 3600
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** ≙ EventStream.enrichedWindowCountsStreamedToFiles: the stream–static
     * broadcast enrichment (user → customer → nation via
     * `c_custkey − 1 = user_id % |customer|`) followed by 1-hour windowed

@@ -299,7 +299,7 @@ object EventStream {
     * exactly. */
   def intervalJoinStreamedToFiles(
       spark: SparkSession, events: DataFrame, maxGapS: Long = 3600L): DataFrame =
-    intervalJoinStreamedImpl(spark, events, maxGapS, leftOuter = false)
+    intervalJoinStreamedImpl(spark, events, maxGapS, joinType = "inner")
 
   /** The LEFT-OUTER stream-stream interval join — attribution's other
     * half: every view survives, unconverted ones with NULL purchase
@@ -311,11 +311,23 @@ object EventStream {
     * termination and the result would be silently inner. */
   def intervalJoinLeftStreamedToFiles(
       spark: SparkSession, events: DataFrame, maxGapS: Long = 3600L): DataFrame =
-    intervalJoinStreamedImpl(spark, events, maxGapS, leftOuter = true)
+    intervalJoinStreamedImpl(spark, events, maxGapS, joinType = "left_outer")
+
+  /** The FULL-OUTER stream-stream interval join: the left-outer result
+    * plus the ORPHANED purchases no view preceded — both no-match verdicts
+    * are state-expiry decisions, so BOTH sides need their horizon cleared:
+    * the view sentinel lets unmatched views finalize AND expires purchase
+    * join state (a purchase awaits views up to its own time), the
+    * purchase sentinel the converse. The existing two-sentinel staging
+    * already provides exactly that. */
+  def intervalJoinFullStreamedToFiles(
+      spark: SparkSession, events: DataFrame, maxGapS: Long = 3600L): DataFrame =
+    intervalJoinStreamedImpl(spark, events, maxGapS, joinType = "full_outer")
 
   private def intervalJoinStreamedImpl(
       spark: SparkSession, events: DataFrame, maxGapS: Long,
-      leftOuter: Boolean): DataFrame = {
+      joinType: String): DataFrame = {
+    val leftOuter = joinType != "inner" // any outer mode needs flush sentinels
     val typed = events.select(
       col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"),
@@ -365,8 +377,7 @@ object EventStream {
       .select(col("user_id"), col("event_id").as("purchase_id"), col("p_t"))
     val outDir = tempDir("graft_ssj_out")
     val joined = graft.ops.IntervalJoin.withinAfter(
-      views, purchases, Seq("user_id"), "v_t", "p_t", maxGapS,
-      joinType = if (leftOuter) "left_outer" else "inner")
+      views, purchases, Seq("user_id"), "v_t", "p_t", maxGapS, joinType = joinType)
     val query = joined
       .writeStream.format("parquet")
       .option("path", outDir.resolve("result").toString)

@@ -233,6 +233,34 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       (12L, -1L, 3L, -1L)))
   }
 
+  test("full-outer stream-stream join adds the orphaned purchases — " +
+      "including the TAIL purchase whose state outlives the data") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1700000000L
+    val events = Seq(
+      (10L, 1L, t0, "view"),
+      (20L, 1L, t0 + 1800, "purchase"), // pairs with view 10
+      (11L, 2L, t0 + 100, "view"), // unmatched view
+      (21L, 9L, t0 + 50, "purchase"), // orphan: user 9 never viewed
+      (22L, 4L, t0 + 7200, "purchase") // TAIL orphan: last event in stream
+    ).toDF("event_id", "user_id", "t_s", "event_type")
+      .select($"event_id", $"user_id",
+        ($"t_s" * 1000000000L).as("ts"), $"event_type")
+    val got = graft.streaming.EventStream.intervalJoinFullStreamedToFiles(s, events)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (10L, 20L, 1L, 1800L),
+      (11L, -1L, 2L, -1L), // unmatched view keeps its NULL verdict
+      (-1L, 21L, 9L, -1L), // orphaned purchase, coalesced key
+      (-1L, 22L, 4L, -1L))) // tail orphan needs the view-side sentinel
+  }
+
   test("streaming funnel: a later-batch in-watermark view still qualifies " +
       "the click that arrived before it; order gates hold") {
     val s = spark
