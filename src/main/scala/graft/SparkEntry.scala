@@ -1647,6 +1647,33 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // E2-ret'''' — SUBJECT DELETION from the persisted retrieval index
+    // (completing the forget family: cdc keys, ANN cells, MinHash
+    // signatures, now BM25 postings): postings are per-document pure, so
+    // the fold filters the stored postings and the doc REGISTRY (corpus
+    // size can't derive from postings — empty docs have none); df/dl/N/
+    // avgdl/idf re-derive from survivors, so the folded index must equal
+    // a scratch index over the surviving corpus. A forgotten query doc
+    // takes its query with it on both engines.
+    "ext_bm25_forget" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = TempDirs.memoized("graft_bm25_deploy",
+        s"$dir/documents.parquet") { tmp =>
+        Retrieval.bm25Postings(c)
+          .write.mode("overwrite").parquet(tmp.resolve("postings").toString)
+        c.select(col("doc_id"))
+          .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+      }
+      val survive = col("doc_id") % 9 =!= 4
+      val postings = s.read.parquet(state.resolve("postings").toString)
+        .where(survive) // the forget fold
+      val n = s.read.parquet(state.resolve("docs").toString)
+        .where(survive).agg(count(lit(1)).as("n"))
+      Retrieval.bm25TopKFromPostings(
+        postings.localCheckpoint(true), n, Retrieval.queryTerms(c.where(survive)))
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-ret'' — hybrid retrieval: reciprocal-rank fusion of the BM25
     // bigram ranking and the shingle-overlap ranking (depth 10 each,
     // fused top-5) — the standard lexical+semantic combinator, graded on
@@ -2687,6 +2714,7 @@ object SparkEntry {
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_bm25" -> ExtOracle.bm25Sql,
     "ext_bm25_incremental" -> ExtOracle.bm25Sql,
+    "ext_bm25_forget" -> ExtOracle.bm25ForgetSql,
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,

@@ -3689,9 +3689,10 @@ object ExtOracle {
     * materialized. See Retrieval.scala scaladoc for the integer algebra
     * (rational RSJ idf surrogate, k1 = 6/5, b = 3/4 cleared of
     * fractions). */
-  private def bm25Ctes(depth: Int): String =
+  private def bm25Ctes(depth: Int, corpusWhere: String = "TRUE"): String =
     s"""$corpusSql, tk AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+       |  WHERE $corpusWhere
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
        |), bg AS MATERIALIZED (
@@ -3702,8 +3703,9 @@ object ExtOracle {
        |), dl AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bg GROUP BY 1
        |), stats AS (
-       |  SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n,
-       |         CAST(count(*) // (SELECT count(*) FROM corpus) AS BIGINT) AS avgdl
+       |  SELECT CAST((SELECT count(*) FROM corpus WHERE $corpusWhere) AS BIGINT) AS n,
+       |         CAST(count(*) // (SELECT count(*) FROM corpus WHERE $corpusWhere) AS BIGINT)
+       |           AS avgdl
        |  FROM bg
        |), dfq AS (
        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1
@@ -3735,6 +3737,16 @@ object ExtOracle {
   /** E2-ret ≙ ext.Retrieval.bm25TopK over queryTerms (top-5). */
   val bm25Sql: String =
     s"""WITH ${bm25Ctes(5)}
+       |SELECT query_id, rnk, doc_id, score_micro FROM bmr
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** ≙ the ext_bm25_forget fold: subject deletion (doc_id % 9 = 4) filters
+    * the persisted postings and the doc registry; df/dl/N/avgdl/idf all
+    * re-derive from the survivors, so the folded index must equal this
+    * from-scratch index over the surviving corpus (queries derive from
+    * survivors too — a forgotten query doc takes its query with it). */
+  val bm25ForgetSql: String =
+    s"""WITH ${bm25Ctes(5, "doc_id % 9 <> 4")}
        |SELECT query_id, rnk, doc_id, score_micro FROM bmr
        |ORDER BY query_id, rnk""".stripMargin
 

@@ -112,4 +112,25 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
         == rows(Retrieval.bm25TopK(docs, q)),
       "postings are per-document pure, so the fold must reproduce scratch scoring exactly")
   }
+
+  test("postings forget fold equals scratch indexing over the survivors, " +
+      "and the forgotten doc is never served") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 19L).map(i => (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 7} tail$i"))
+      .toDF("doc_id", "text")
+    val survive = col("doc_id") % 4 =!= 1
+    // fold: filter the full postings + shrink N via the doc registry
+    val folded = Retrieval.bm25Postings(docs).where(survive)
+    val n = docs.where(survive).agg(count(lit(1)).as("n"))
+    val q = Retrieval.queryTerms(docs.where(survive),
+      everyNth = 4, residue = 3, prefixLen = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val served = Retrieval.bm25TopKFromPostings(folded, n, q)
+    assert(rows(served) == rows(Retrieval.bm25TopK(docs.where(survive), q)),
+      "forget fold must equal scratch over survivors (df/dl/N re-derive)")
+    assert(served.collect().forall(_.getAs[Long]("doc_id") % 4 != 1),
+      "a forgotten doc must never be served")
+  }
 }
