@@ -122,9 +122,13 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"), col("__allowed"))
+    // query-count-sized; eagerly materialized because BOTH output branches
+    // consume it — without the checkpoint each branch re-plans the scoring
+    // join and the corpus is scored twice (PlanShapeSpec locks this)
     val heaps = scored.groupBy("query_id").agg(
       topKByScore(when(col("__allowed"), col("cos")), col("neighbor_id"), k).as("__pre"),
       topKByScore(col("cos"), col("neighbor_id"), shortlist).as("__short"))
+      .localCheckpoint(true)
     val pre = heaps
       .select(col("query_id"), posexplode(col("__pre")).as(Seq("pos", "neighbor_id")))
       .select(lit("pre").as("strategy"), col("query_id"), col("neighbor_id"),

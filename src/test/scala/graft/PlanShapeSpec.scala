@@ -192,6 +192,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "the point-in-time lookup must stay a stateless broadcast range join")
   }
 
+  test("filtered ANN scores both strategies from ONE scored pass: queries " +
+      "broadcast, both heaps in the same aggregate") {
+    val p = plan("ext_ann_filtered")
+    // the pre and post heaps must ride one partial aggregate: exactly one
+    // scored join of corpus x broadcast queries feeds a topkbyscore pair —
+    // a second scoring pass would double the corpus work
+    val scoredJoins = p.linesIterator
+      .count(l => l.contains("BroadcastNestedLoopJoin") && l.contains("query_id"))
+    assert(scoredJoins <= 1,
+      s"one corpus x queries scoring join only, got $scoredJoins")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the filtered-search plan may shuffle-join the corpus")
+  }
+
   test("feed LSN-window predicate reaches below the dedup aggregate") {
     // the composite feed dedups on the key; the lsn window is a function of
     // the key, so its filter must evaluate on the scan side of the dedup
