@@ -571,6 +571,17 @@ object SparkEntry {
       graft.ext.BpeTrain.encode(c, graft.ext.BpeTrain.merges(c)).orderBy("doc_id")
     }),
 
+    // BPE DECODE round-trip — the tokenizer's losslessness graded as an
+    // identity: decode(encode(text)) must reproduce every document
+    // byte-for-byte (OOV fallback lane and repeated-space empties
+    // included), so decoded_fp must equal md5(text) — which is ALL the
+    // oracle computes; any encode/decode asymmetry hash-mismatches
+    "ext_bpe_roundtrip" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.BpeTrain.decodeRoundTrip(c, graft.ext.BpeTrain.merges(c))
+        .orderBy("doc_id")
+    }),
+
     // E3d — document fingerprints (whole-doc md5 + min-shingle)
     "ext_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(corpus(s, dir)).orderBy("doc_id")),
@@ -2567,6 +2578,7 @@ object SparkEntry {
     "ext_orc_roundtrip" -> ExtOracle.orcRoundtripSql,
     "ext_bpe_merges" -> ExtOracle.bpeMergesSql,
     "ext_bpe_encode" -> ExtOracle.bpeEncodeSql,
+    "ext_bpe_roundtrip" -> ExtOracle.bpeRoundtripSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_hard_negatives" -> ExtOracle.hardNegativesSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,

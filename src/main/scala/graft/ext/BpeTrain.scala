@@ -131,4 +131,49 @@ object BpeTrain {
           transform(sort_array(collect_list(struct(col("pos"), col("sub_str")))),
             _.getField("sub_str"))).cast("binary")).as("fp_subwords"))
   }
+
+  /** DECODE round-trip — the tokenizer's LOSSLESSNESS contract, graded as
+    * an identity: subwords are substrings of their word (merges only ever
+    * join adjacent symbols), so stripping the intra-word separators and
+    * re-joining words in position order must reproduce the original text
+    * byte-for-byte — OOV words (the [[WordPattern]] fallback lane) pass
+    * through whole and empty tokens from repeated spaces survive the
+    * posexplode, so the identity holds for EVERY document, not just clean
+    * ones. Output: (doc_id, n_words, decoded_fp, src_fp); the oracle is
+    * simply md5(text) twice — any encode/decode asymmetry hash-mismatches.
+    * Same scale shape as [[encode]]: vocabulary-sized merge application,
+    * per-doc reassembly sorts only the doc's own words. */
+  def decodeRoundTrip(
+      corpus: DataFrame,
+      mergeTable: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val mergeRow = mergeTable
+      .agg(sort_array(collect_list(struct(col("merge_round"), col("s1"), col("s2")))).as("ml"))
+      .select(transform(col("ml"),
+        m => concat(m.getField("s1"), lit(Sep), m.getField("s2"))).as("ms"))
+    val words = corpus.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val applied = expr(
+      s"""btrim(aggregate(ms, regexp_replace(w, '(.)', '|$$1|'),
+         |  (acc, m) -> replace(acc,
+         |    concat('|', split_part(m, '$Sep', 1), '||', split_part(m, '$Sep', 2), '|'),
+         |    concat('|', split_part(m, '$Sep', 1), split_part(m, '$Sep', 2), '|'))), '|')""".stripMargin)
+    val decVocab = words.select("w").distinct()
+      .crossJoin(broadcast(mergeRow))
+      .withColumn("__subs",
+        when(col("w").rlike(WordPattern), split(applied, "\\|\\|"))
+          .otherwise(array(col("w"))))
+      // decode of one word = its subwords re-concatenated, no separator
+      .select(col("w"), concat_ws("", col("__subs")).as("dec_w"))
+    words.join(decVocab, Seq("w"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("dec_w")))),
+            _.getField("dec_w"))).cast("binary")).as("decoded_fp"))
+      .join(corpus.select(col(idCol),
+        md5(col(textCol).cast("binary")).as("src_fp")), Seq(idCol))
+      .select(col(idCol), col("n_words"), col("decoded_fp"), col("src_fp"))
+  }
 }

@@ -2701,6 +2701,20 @@ object ExtOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ≙ BpeTrain.decodeRoundTrip — the tokenizer LOSSLESSNESS identity:
+    * decode(encode(text)) == text for every document, so BOTH fingerprint
+    * columns are just md5(text). The Spark side earns this the hard way
+    * (merge application, subword re-concatenation, position-ordered
+    * reassembly); any asymmetry anywhere in that chain hash-mismatches. */
+  val bpeRoundtripSql: String =
+    s"""WITH $corpusSql
+       |SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  md5(text) AS decoded_fp,
+       |  md5(text) AS src_fp
+       |FROM corpus
+       |ORDER BY doc_id""".stripMargin
+
   /** E4' ≙ MultiModal.decodeFeatures (stub decoder): 16 feature bytes from
     * md5(payload), graded as exact integers + the vector fingerprint. */
   val multiModalDecodeSql: String =

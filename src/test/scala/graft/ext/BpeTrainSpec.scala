@@ -83,4 +83,20 @@ class BpeTrainSpec extends AnyFunSuite with SparkFixture {
     val got = mergesOf(Seq("abc abc C++ don't"), rounds = 1)
     assert(got.toSeq == Seq((1, "a", "b", 2L)), s"got ${got.toSeq}")
   }
+
+  test("decode round-trip is the identity on OOV words, repeated spaces " +
+      "and merged subwords alike") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "abab abab cd"), // trains merges; fully in-vocabulary
+      (2L, "C++ don't  x"), // OOV lane + a repeated space (empty word)
+      (3L, "abab zz9")).toDF("doc_id", "text")
+    val out = BpeTrain.decodeRoundTrip(corpus, BpeTrain.merges(corpus, rounds = 2))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(out.size == 3)
+    assert(out.values.forall { case (dec, src) => dec == src },
+      s"decode(encode(text)) must equal text for every doc, got $out")
+  }
 }
