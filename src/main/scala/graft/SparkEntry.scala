@@ -2043,6 +2043,24 @@ object SparkEntry {
       Similarity.hllEstimate(state, exact, "lang").orderBy("lang")
     }),
 
+    // E3j'' — the count-min fold under the REAL streaming engine: 4
+    // micro-batches sum into the parquet cell state through the
+    // stage+rename publish — WITH the exactly-once markers HLL never
+    // needed (max-merge absorbs replays; sum-merge would double-count, so
+    // markers ride inside the state dir and publish in the same rename).
+    // Same oracle as ext_heavy_hitters: the streamed fold must reproduce
+    // the one-pass sketch exactly
+    "ext_cm_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_cmstream")
+      val corpusDir = base.resolve("corpus").toString
+      val c = corpus(s, dir)
+      c.repartition(4).write.mode("overwrite").parquet(corpusDir)
+      val state = graft.streaming.StateStream.cmMaintainAvailableNow(
+        s, corpusDir, base.resolve("cm_state").toString,
+        base.resolve("ckpt").toString)
+      TextOps.heavyHittersFromCells(c, state)
+    }),
+
     // E2e — deterministic k-means assignment over the embedding corpus
     // (SemDeDup's clustering step; integer-mean re-centering, 2 rounds)
     "ext_kmeans" -> ((s, dir) =>
@@ -2695,6 +2713,7 @@ object SparkEntry {
     // must reproduce the direct sketch exactly (associativity is the
     // graded claim, mirroring ext_hll_incremental)
     "ext_cm_incremental" -> ExtOracle.heavyHittersSql,
+    "ext_cm_stream" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     // identical to ext_hll BY DESIGN: incremental max-merge must reproduce
     // the direct sketch exactly (associativity is the graded claim)

@@ -106,4 +106,64 @@ object StateStream {
     query.awaitTermination()
     spark.read.parquet(stateDir)
   }
+
+  /** The SUM-merge twin of [[sketchMaintainAvailableNow]] for count-min
+    * cells — with the exactly-once machinery HLL never needed: max
+    * registers are replay-IDEMPOTENT (a re-delivered batch can't move a
+    * max backwards), but summed cells DOUBLE-COUNT a replay, so each
+    * generation carries `_applied/<batchId>` markers INSIDE the staged
+    * state dir and publishes state + markers in the ONE rename — a crash
+    * anywhere leaves either the old generation (batch re-folds cleanly)
+    * or the new one (marker present, replay skipped whole). Underscore
+    * prefix keeps the markers invisible to the parquet read. */
+  def cmMaintainAvailableNow(
+      spark: SparkSession,
+      corpusDir: String,
+      stateDir: String,
+      checkpointLocation: String,
+      textCol: String = "text"): DataFrame = {
+    val schema = spark.read.parquet(corpusDir).schema
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(corpusDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmFoldBatch(batch, batchId, stateDir, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(stateDir)
+  }
+
+  /** One exactly-once count-min fold generation (factored out so the spec
+    * can replay a batchId directly): no-op if `batchId`'s marker is
+    * already inside the published state. */
+  private[streaming] def cmFoldBatch(
+      batch: DataFrame, batchId: Long, stateDir: String, textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val statePath = new Path(stateDir)
+    val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val applied = new Path(statePath, "_applied")
+    val priorMarkers: Seq[String] =
+      if (fs.exists(applied)) fs.listStatus(applied).toSeq.map(_.getPath.getName)
+      else Nil
+    if (priorMarkers.contains(batchId.toString)) return // replayed: skip whole
+    val next =
+      if (fs.exists(statePath))
+        graft.ext.TextOps.cmApplyBatch(s.read.parquet(stateDir), batch, textCol)
+      else graft.ext.TextOps.cmState(batch, textCol)
+    val stage = new Path(stateDir + "__stage")
+    next.write.mode("overwrite").parquet(stage.toString)
+    val stageApplied = new Path(stage, "_applied")
+    fs.mkdirs(stageApplied)
+    (priorMarkers :+ batchId.toString).foreach { m =>
+      fs.create(new Path(stageApplied, m), true).close()
+    }
+    fs.delete(statePath, true)
+    require(fs.rename(stage, statePath), s"state publish rename failed: $stage")
+  }
 }

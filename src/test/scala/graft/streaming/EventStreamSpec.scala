@@ -344,4 +344,25 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     // the published state is the on-disk artifact, not a lineage handoff
     assert(asMap(s.read.parquet(base.resolve("state").toString)) == asMap(direct))
   }
+
+  test("count-min stream fold is exactly-once: a replayed batchId is " +
+      "skipped whole (sum-merge would double-count)") {
+    val s = spark
+    import s.implicits._
+    val base = graft.TempDirs.create("graft_cmreplay")
+    val stateDir = base.resolve("state").toString
+    val b1 = Seq((1L, "hot hot cold"), (2L, "hot warm")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "cold cool")).toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    StateStream.cmFoldBatch(b1, 0L, stateDir, "text")
+    StateStream.cmFoldBatch(b2, 1L, stateDir, "text")
+    val once = cells(s.read.parquet(stateDir))
+    assert(once == cells(graft.ext.TextOps.cmState(b1.unionByName(b2))),
+      "two folds must equal the one-pass sketch")
+    // a crash-redelivery of batch 1 must be absorbed by its marker
+    StateStream.cmFoldBatch(b1, 0L, stateDir, "text")
+    assert(cells(s.read.parquet(stateDir)) == once,
+      "replaying an applied batchId must not change a single cell")
+  }
 }
