@@ -524,6 +524,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // E1c'' — incremental SIMHASH ingest: the near-dup pairs the planted
+    // batch introduces, with history touched ONLY through the persisted
+    // (doc_id, simhash) fingerprint index — no text fetch at all (the
+    // hamming verify is fingerprint arithmetic), the zero-IO complement
+    // of ext_minhash_ingest's pointed text lookups. Oracle = the full
+    // banded recompute restricted to batch-involving pairs
+    "ext_simhash_ingest" -> ((s, dir) => {
+      val history = s.read.parquet(s"$dir/documents.parquet")
+      val store = corpus(s, dir)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      val idxDir = TempDirs.create("graft_sh_idx").resolve("index").toString
+      Dedup.simhash(history).write.mode("overwrite").parquet(idxDir)
+      Dedup.simhashIngest(s.read.parquet(idxDir), batch)
+        .orderBy("id_a", "id_b")
+    }),
+
     // E1b''''' — SUBJECT DELETION from the persisted dedup index (the
     // cdc_forget_keys contract propagated into derived near-dup state):
     // signatures are per-document pure, so forgetting doc_id % 7 = 3 is a
@@ -2584,6 +2600,7 @@ object SparkEntry {
     "ext_minhash_forget" -> ExtOracle.minhashForgetSql,
     "ext_simhash" -> ExtOracle.simhashSql,
     "ext_simhash_pairs" -> ExtOracle.simhashPairsSql,
+    "ext_simhash_ingest" -> ExtOracle.simhashIngestSql,
     "ext_tokens" -> ExtOracle.tokenStatsSql,
     "ext_langid" -> ExtOracle.languageIdSql,
     "ext_json" -> ExtOracle.jsonExtractSql,

@@ -892,6 +892,60 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** E1c'' — INCREMENTAL SimHash ingest: the near-dup pairs a NEW batch
+    * introduces — against history AND within itself — touching history
+    * ONLY via the persisted fingerprint index (doc_id, simhash). Unlike
+    * [[minhashIngest]] there is no text fetch at all: the verify
+    * (hamming ≤ [[SimHashMaxHamming]]) is pure fingerprint arithmetic, so
+    * per batch the work is O(batch fingerprints + candidates) with history
+    * entering as bytes-per-doc index rows. Candidates are generated
+    * between DISTINCT fingerprint VALUES (probe side = the batch's
+    * values), capped per bucket and expanded through the value→doc
+    * membership joins; equal-value pairs ride the exact route. The final
+    * semi-join restricts output to pairs involving a batch DOCUMENT (a
+    * history doc sharing a batch value may appear mid-expansion but is
+    * filtered unless its partner is in the batch). */
+  def simhashIngest(
+      index: DataFrame,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val bfps = simhash(batch, textCol, idCol).localCheckpoint(true)
+    val fps = index.unionByName(bfps)
+    def vbandsOf(values: DataFrame): DataFrame = values
+      .select(col("simhash"), posexplode(array((0 until SimHashBands).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
+    val vAll = vbandsOf(fps.select("simhash").distinct())
+    val keep = vAll.groupBy("band", "bv").agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") <= maxBucket).select("band", "bv")
+    val keptAll = vAll.join(keep, Seq("band", "bv"))
+    val probe = vbandsOf(bfps.select("simhash").distinct()).join(keep, Seq("band", "bv"))
+    val vpairs = probe.select(col("band"), col("bv"), col("simhash").as("__va"))
+      .join(keptAll.select(col("band"), col("bv"), col("simhash").as("__vb")), Seq("band", "bv"))
+      .where(col("__va") =!= col("__vb")).select("__va", "__vb").distinct()
+      .where(hammingDistance(col("__va"), col("__vb")) <= SimHashMaxHamming)
+    val cross = vpairs
+      .join(fps.select(col("simhash").as("__va"), col("doc_id").as("__ia")), Seq("__va"))
+      .join(fps.select(col("simhash").as("__vb"), col("doc_id").as("__ib")), Seq("__vb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        hammingDistance(col("__va"), col("__vb")).cast("long").as("hamming"))
+      .distinct() // both orders of a value pair expand to the same doc pair
+    val within = fps.select(col("simhash"), col("doc_id").as("id_a"))
+      .join(fps.select(col("simhash"), col("doc_id").as("id_b")), Seq("simhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    // output-sized; BOTH semi-join branches consume it — materialize once
+    val pairs = cross.unionByName(within).localCheckpoint(true)
+    val batchIds = bfps.select(col("doc_id"))
+    pairs.join(broadcast(batchIds.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_semi")
+      .unionByName(
+        pairs.join(broadcast(batchIds.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_semi")
+          .select("id_a", "id_b", "hamming"))
+      .distinct()
+  }
+
   /** Audit of SimHash band buckets — one row per (band, byte-value)
     * bucket holding ≥ 2 documents: member count, distinct-value count
     * (post-collapse join breadth) and the action at `maxBucket`. */

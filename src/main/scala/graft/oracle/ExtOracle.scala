@@ -622,6 +622,28 @@ object ExtOracle {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimHashMaxHamming}
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** ≙ Dedup.simhashIngest (batch = the planted-dup ids): the full banded
+    * recompute restricted to batch-involving pairs — the incremental path
+    * touching history only through the persisted fingerprint index must
+    * lose nothing vs recomputation. */
+  val simhashIngestSql: String =
+    s"""WITH $simhashCtes, sbands AS (
+       |  SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sims, range(${Dedup.SimHashBands}) r(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM sbands l JOIN sbands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sims a ON a.id = c.id_a
+       |JOIN sims b ON b.id = c.id_b
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimHashMaxHamming}
+       |  AND (c.id_a >= ${graft.ext.DocFeed.ExactDupOffset}
+       |    OR c.id_b >= ${graft.ext.DocFeed.ExactDupOffset})
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** E3a ≙ TextOps.tokenStats. */
   val tokenStatsSql: String =
     s"""WITH $corpusSql

@@ -128,4 +128,24 @@ class HotKeySpec extends AnyFunSuite with SparkFixture {
     val audit = Dedup.simhashBucketAudit(c, maxBucket = 1L).collect()
     assert(audit.count(_.getString(4) == "skipped") == audit.count(_.getLong(3) > 1))
   }
+
+  test("simhash ingest equals the batch-involving slice of the full recompute, " +
+      "history-only pairs excluded") {
+    // plant dups AFTER the cut so the batch (planted ids) is never
+    // truncated away by limit's arbitrary row choice
+    val store = DocFeed.withDups(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(col("doc_id") < 150))
+    val batchPred = col("doc_id") >= DocFeed.ExactDupOffset
+    val history = store.where(!batchPred)
+    val batch = store.where(batchPred)
+    val got = pairSet(Dedup.simhashIngest(Dedup.simhash(history), batch))
+    val full = pairSet(Dedup.simhashNearDupPairs(store))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = full.filter { case (a, b) => batchIds(a) || batchIds(b) }
+    assert(got == want,
+      s"ingest must equal the batch-involving slice: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty && got.exists { case (a, b) => !batchIds(a) || !batchIds(b) },
+      "cross history-batch pairs must be present (planted copies pair their originals)")
+  }
 }
