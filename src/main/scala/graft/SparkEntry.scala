@@ -1283,6 +1283,22 @@ object SparkEntry {
         .orderBy("changelog_id")
     }),
 
+    // RENAME drift: sp_rename preserves column_id, so the renamed column
+    // keeps its ordinal AND its mask bit — era-2 windows erase the same
+    // source column under the NEW name (o_priority_class), era-1 EAV rows
+    // keep the old one; the branch set and bits are identical across the
+    // boundary, only the column_name string moves (the fourth clause of
+    // the sys.columns re-read contract, :295)
+    "cdc_schema_drift_rename" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val cl = ChangelogBuilder.build(ChangeFeed.fromOrdersPreDrop(o), ordersCfg)
+        .unionByName(ChangelogBuilder.build(ChangeFeed.fromOrdersPostRename(o), ordersCfg))
+      ChangelogBuilder.withIds(cl, ordersCfg)
+        .select("changelog_id", "commit_time", "table_name", "o_orderkey",
+          "column_name", "old_value", "new_value")
+        .orderBy("changelog_id")
+    }),
+
     // changelog integrity audit — totals, id contiguity (row_number ids
     // make max == count an invariant), per-branch counts, distinct keys:
     // the ops dashboard a changelog owner watches
@@ -2660,6 +2676,7 @@ object SparkEntry {
     "cdc_schema_drift" -> OrdersCdcOracle.driftChangelogSql,
     "cdc_schema_drift_drop" -> OrdersCdcOracle.dropChangelogSql,
     "cdc_schema_drift_type" -> OrdersCdcOracle.typeChangelogSql,
+    "cdc_schema_drift_rename" -> OrdersCdcOracle.renameChangelogSql,
     "cdc_state_live" -> OrdersCdcOracle.lifecycleStateLiveSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_repair_day" -> OrdersCdcOracle.retention.changelogSql,

@@ -320,6 +320,54 @@ object ChangeFeed {
       "CAST(floor(o_totalprice) AS BIGINT) AS o_totalprice", "o_orderdate", "o_orderpriority"))
 
   // ---------------------------------------------------------------------
+  // RENAME drift: the column re-reads under a NEW name, same ordinal.
+  // ---------------------------------------------------------------------
+
+  /** The fourth clause of the sys.columns-re-read contract
+    * (usp_cdc_populate_changelog.sql:295): `sp_rename` PRESERVES
+    * column_id, so a renamed column keeps its ordinal and therefore its
+    * update-mask bit — subsequent windows simply erase the same source
+    * column under the NEW name. History keeps the old-name EAV rows; no
+    * migration, no tombstone, no sink DDL (rename is the drift class that
+    * changes NEITHER the branch set nor the mask bits — only the string
+    * in column_name).
+    *
+    * Era model: `o_orderpriority` re-reads as `o_priority_class` after
+    * [[RenameLsn]]. Era 1 reuses [[ordersPreDropSpec]] (its m=6 witness
+    * pins the OLD name in history); era 2 is the same standard feed with
+    * the column renamed in the re-read projection plus the m=6 witness
+    * under the NEW name — same BitPrio bit on both sides. */
+  val RenameLsn: Long = DropLsn
+  val RenamedCols: Seq[String] =
+    OrdersCols.map(c => if (c == "o_orderpriority") "o_priority_class" else c)
+  private val RenamedOrders =
+    "(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+      "o_orderpriority AS o_priority_class FROM orders)"
+
+  val ordersPostRenameSpec: FeedSpec = {
+    val r = restrict(ordersSpec, s"o_orderkey > $RenameLsn")
+    r.copy(
+      table = RenamedOrders,
+      srcCols = RenamedCols,
+      branches = r.branches.map { b =>
+        b.overrides.get("o_orderpriority") match {
+          case Some(v) => b.copy(
+            overrides = (b.overrides - "o_orderpriority") + ("o_priority_class" -> v))
+          case None => b
+        }
+      } ++ Seq(
+        FeedBranch(s"o_orderkey % 10 = 6 AND o_orderkey > $RenameLsn",
+          OpUpdateBefore, BitPrio, 0),
+        FeedBranch(s"o_orderkey % 10 = 6 AND o_orderkey > $RenameLsn",
+          OpUpdateAfter, BitPrio, 0, Map("o_priority_class" -> "'5-LOW'"))))
+  }
+
+  def fromOrdersPostRename(orders: DataFrame): DataFrame =
+    ordersPostRenameSpec.toFeed(orders.selectExpr(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority AS o_priority_class"))
+
+  // ---------------------------------------------------------------------
   // Key-LIFECYCLE fixture: updated-then-DELETED and delete-then-REINSERTED
   // keys, for the delete-aware live-rows state materialization.
   // ---------------------------------------------------------------------

@@ -148,6 +148,15 @@ object OrdersCdcOracle {
     new CdcOracle(ChangeFeed.ordersPreTypeSpec, Seq("o_orderkey"), "orders"),
     new CdcOracle(ChangeFeed.ordersPostTypeSpec, Seq("o_orderkey"), "orders"))
 
+  /** RENAME drift (ChangeFeed.ordersPreDropSpec era 1 /
+    * ordersPostRenameSpec era 2): sp_rename preserves column_id, so only
+    * the STRING in column_name changes across the boundary — era-1 rows
+    * say o_orderpriority, era-2 rows o_priority_class, same mask bit,
+    * nothing migrates. */
+  val renameChangelogSql: String = eraUnionChangelogSql(
+    new CdcOracle(ChangeFeed.ordersPreDropSpec, Seq("o_orderkey"), "orders"),
+    new CdcOracle(ChangeFeed.ordersPostRenameSpec, Seq("o_orderkey"), "orders"))
+
   /** ≙ StateMaintain.stateLive over the key-LIFECYCLE fixture
     * (ChangeFeed.ordersLifecyclePhase1/2): the delete-aware MERGE
     * materialization — a key whose latest sentinel is a delete is gone,

@@ -105,6 +105,31 @@ class SchemaDriftSpec extends AnyFunSuite with SparkFixture {
       s"post-change windows must re-erase under BIGINT, got ${era2.take(3).toSeq}")
   }
 
+  test("RENAME keeps the ordinal and mask bit: both names emit, each only " +
+      "in its own era, priority updates gate through the SAME bit") {
+    val s = spark
+    import s.implicits._
+    // m=6 witnesses on BOTH sides of the rename boundary (6 pre, 706 post)
+    val o = ordersDf.unionByName(
+      Seq(6L, 706L).map(k =>
+        (k, k * 10, "O", 100.0 + k, ts("1994-06-01 00:00:00"), "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+    val cl = ChangelogBuilder.withIds(
+      ChangelogBuilder.build(ChangeFeed.fromOrdersPreDrop(o), cfg)
+        .unionByName(ChangelogBuilder.build(ChangeFeed.fromOrdersPostRename(o), cfg)), cfg)
+    def keysOf(name: String): Seq[Long] =
+      cl.where(col("column_name") === name)
+        .select(col("o_orderkey").cast("long")).collect().toSeq.map(_.getLong(0))
+    val oldName = keysOf("o_orderpriority")
+    val newName = keysOf("o_priority_class")
+    assert(oldName.nonEmpty && newName.nonEmpty, "both eras must witness the column")
+    assert(oldName.forall(_ <= ChangeFeed.RenameLsn),
+      s"history keeps the OLD name only, got ${oldName.toSeq}")
+    assert(newName.forall(_ > ChangeFeed.RenameLsn),
+      s"post-rename windows erase the NEW name only, got ${newName.toSeq}")
+  }
+
   test("drop-then-resume across a sink HWM equals the one-shot era union") {
     val s = spark
     val o = ordersDf
