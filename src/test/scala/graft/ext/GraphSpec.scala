@@ -260,6 +260,27 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(audit == Set((3L, 5L)), "the skipped group is reported with its size")
   }
 
+  test("warm start on the unchanged graph IS the continued iteration; " +
+      "new nodes enter at init and re-rank") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
+    val df = edges.toDF("src", "dst")
+    def ranks(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // same graph: warm-starting 2 rounds from round-3 ranks must equal
+    // 5 rounds from scratch — the fold is literally the continued
+    // iteration, not an approximation of it
+    val prior = Graph.pageRank(df, "src", "dst", rounds = 3)
+    assert(ranks(Graph.pageRankWarmStart(df, "src", "dst", prior, rounds = 2))
+        == ranks(Graph.pageRank(df, "src", "dst", rounds = 5)))
+    // grown graph: a node history never saw seeds at init and still ranks
+    val grown = (edges ++ Seq("c" -> "d", "d" -> "c")).toDF("src", "dst")
+    val folded = ranks(Graph.pageRankWarmStart(grown, "src", "dst", prior, rounds = 2))
+    assert(folded.contains("d") && folded("d") > 0L)
+    assert(folded.keySet == Set("a", "b", "c", "d"))
+  }
+
   test("directed graph: sources decay to the base rank, dangling sinks just absorb") {
     val edges = Seq("src" -> "sink") // sink has no out-edges (dangling)
     val got = run(edges, 2)
