@@ -1812,6 +1812,32 @@ object SparkEntry {
       graft.ext.Cluster.clusters(c, Dedup.nearDuplicatePairs(c)).orderBy("doc_id")
     }),
 
+    // E1f'' — SUBJECT DELETION from maintained cluster labels (the last
+    // forget-family member — deletions can SPLIT a component, which the
+    // star-edge addition fold cannot express): persisted labels + pair
+    // store, forgotten ids' components re-solve over surviving pairs,
+    // untouched components pass through label-for-label. Same forget set
+    // as ext_minhash_forget (doc_id % 7 = 3); oracle = from-scratch
+    // clustering over the surviving corpus
+    "ext_dedup_clusters_forget" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = TempDirs.memoized("graft_cc_state",
+        s"$dir/documents.parquet") { tmp =>
+        val pairs = Dedup.nearDuplicatePairs(c)
+        pairs.select("id_a", "id_b")
+          .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+        graft.ext.Cluster.clusters(c, pairs)
+          .select(col("doc_id").as("id"), col("cluster_id").as("label"))
+          .write.mode("overwrite").parquet(tmp.resolve("labels").toString)
+      }
+      val forgotten = c.select(col("doc_id").as("id")).where(col("id") % 7 === 3)
+      graft.ext.Cluster.applyForget(
+        s.read.parquet(state.resolve("labels").toString),
+        s.read.parquet(state.resolve("pairs").toString), forgotten)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // E1f' — INCREMENTAL cluster maintenance: pairs split into a history
     // batch (both ends below the near-dup plant offset) and an incoming
     // batch; the incoming batch folds into the history's labels via
@@ -2752,6 +2778,7 @@ object SparkEntry {
     "ext_split" -> ExtOracle.hashSplitSql,
     "ext_dedup_clusters" -> ExtOracle.dedupClustersSql,
     "ext_dedup_clusters_incremental" -> ExtOracle.dedupClustersSql,
+    "ext_dedup_clusters_forget" -> ExtOracle.dedupClustersForgetSql,
     "ext_dedup_weights" -> ExtOracle.dedupWeightsSql,
     "ext_ppl_buckets" -> ExtOracle.fluencyBucketsSql,
     "ext_dedup_representatives" -> ExtOracle.dedupRepresentativesSql,

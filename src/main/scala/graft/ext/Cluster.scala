@@ -199,6 +199,43 @@ object Cluster {
     connectedComponents(starEdges.union(newPairs.select(col(idA), col(idB))), idA, idB)
   }
 
+  /** SUBJECT DELETION from maintained cluster labels — the deletion
+    * complement of [[applyPairsBatch]] (additions fold via star edges;
+    * deletions can SPLIT a component, which star edges cannot express, so
+    * the subject's own components re-solve): components containing no
+    * forgotten id pass through label-for-label (their pairs and members
+    * are untouched, so a from-scratch recompute would reproduce them
+    * verbatim), while the affected components re-run CC over their
+    * surviving stored pairs — members left pairless become singletons,
+    * and if the subject WAS the min label, survivors relabel to the new
+    * minimum. Work is sized by the affected components + one pass over
+    * the label table, never the corpus pair set.
+    *
+    * @param labels    full (id, label) table — singletons as id → id
+    * @param pairs     the persisted verified pair store (id_a, id_b)
+    * @param forgetIds one column `id` — the subjects to delete
+    * @return the surviving (id, label) table */
+  def applyForget(labels: DataFrame, pairs: DataFrame, forgetIds: DataFrame): DataFrame = {
+    val f = forgetIds.select(col("id"))
+    val affectedLabels = labels.join(f, Seq("id"), "left_semi")
+      .select("label").distinct().localCheckpoint(true)
+    val keep = labels.join(affectedLabels, Seq("label"), "left_anti")
+    val affected = labels.join(affectedLabels, Seq("label"), "left_semi")
+      .join(f, Seq("id"), "left_anti")
+      .select("id")
+      .localCheckpoint(true)
+    val survivingPairs = pairs
+      .join(affected.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(affected.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val resolved = connectedComponents(survivingPairs)
+    val singles = affected
+      .join(resolved.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    keep.select("id", "label")
+      .unionByName(resolved.select("id", "label"))
+      .unionByName(singles)
+  }
+
   /** [[clusters]] from PRECOMPUTED component labels — so a pipeline that
     * also selects representatives runs the iterative CC once and shares
     * the (tiny, already-checkpointed) label table. */

@@ -482,6 +482,30 @@ object ExtOracle {
        |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** ≙ the ext_dedup_clusters_forget fold: from-scratch clustering over
+    * the surviving corpus (doc_id % 7 <> 3) — what passing untouched
+    * components through and re-solving only the subject's components must
+    * reproduce exactly (a deletion can split a component and steal its
+    * min label; both re-derive here). */
+  val dedupClustersForgetSql: String =
+    s"""WITH RECURSIVE $corpusSql, $shingleCtes, shv AS (
+       |  SELECT * FROM sh WHERE id % 7 <> 3
+       |), ${pairCtesOver("shv")}, und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM und
+       |  UNION
+       |  SELECT u.dst AS id, reach.r FROM reach JOIN und u ON u.src = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT c.doc_id, CAST(coalesce(comp.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+       |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+       |WHERE c.doc_id % 7 <> 3
+       |ORDER BY doc_id""".stripMargin
+
   /** ≙ ext.Cluster.representatives: per cluster keep the fullest member
     * (most tokens, doc_id tiebreak — a total order both engines rank
     * identically). */

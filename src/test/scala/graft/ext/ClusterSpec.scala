@@ -50,6 +50,37 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(inc(6L) == 1L && inc(4L) == 1L && inc(9L) == 8L && inc(11L) == 10L)
   }
 
+  test("forget fold: deletions SPLIT components, steal min labels, and " +
+      "leave untouched components label-for-label") {
+    val s = spark
+    import s.implicits._
+    // components: chain {1..5}, triangle {10,11,12}, pair {20,21},
+    // singleton {30}
+    val pairs = pairsDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+    val allIds = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L, 30L)
+    val labels = Cluster.connectedComponents(pairs)
+      .unionByName(Seq((30L, 30L)).toDF("id", "label")) // singleton state row
+    // forget 3 (splits the chain), 10 (steals the triangle's min label),
+    // and 30 (a singleton vanishes whole)
+    val forgotten = Seq(3L, 10L, 30L).toDF("id")
+    val got = Cluster.applyForget(labels, pairs, forgotten)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L,            // left half of the split chain
+      4L -> 4L, 5L -> 4L,            // right half re-labels to ITS min
+      11L -> 11L, 12L -> 11L,        // triangle survivors under the new min
+      20L -> 20L, 21L -> 20L),       // untouched component, label-for-label
+      s"got $got")
+    // and the fold equals from-scratch CC over the surviving pairs
+    val survivors = allIds.filterNot(Seq(3L, 10L, 30L).contains).toSet
+    val scratchPairs = pairsDf((1L, 2L), (4L, 5L), (11L, 12L), (20L, 21L))
+    val want = Cluster.connectedComponents(scratchPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ++
+      survivors.filterNot(Set(1L, 2L, 4L, 5L, 11L, 12L, 20L, 21L)).map(i => i -> i)
+    assert(got == want)
+  }
+
   test("disjoint components keep distinct min labels") {
     val labels = Cluster.connectedComponents(pairsDf((10L, 7L), (20L, 21L), (21L, 22L)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
