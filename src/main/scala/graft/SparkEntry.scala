@@ -401,6 +401,32 @@ object SparkEntry {
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
 
+    // S6'''××× — populate racing SUBJECT DELETION (completing the
+    // maintenance-race matrix: compaction, retention, forget): batch 2
+    // snapshots HWM + id offset against the pre-forget table, then the
+    // deletion request rewrites the sink to a new version between
+    // snapshot and append. The staged append resolves the CURRENT
+    // version, batch-2 ids continue from the PRE-forget offset (ids are
+    // never reassigned, forgotten ids leave gaps), and batch-2 rows of a
+    // forgotten key SURVIVE — they arrived after the deletion completed,
+    // the same re-appearance contract a periodic-forget deployment runs
+    "cdc_populate_during_forget" -> ((s, dir) => {
+      val sink = TempDirs.create("graft_dfg").resolve("orders_changelog").toString
+      val f = feed(s, dir)
+      PopulateChangelog.run(s, f, ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)))
+      val keys = orders(s, dir).select(col("o_orderkey"))
+        .where(col("o_orderkey") % 97 === 0)
+      graft.cdc.StagedAppend.run(s, f, ordersCfg, sink,
+        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+        prePublishHook = () =>
+          { graft.cdc.Forget.forgetKeys(s, sink, Seq("o_orderkey"), keys); () })
+      require(graft.cdc.SinkLayout.currentVersion(s, sink).exists(_ >= 1),
+        "the concurrent forget must actually have flipped the version")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
     // sink maintenance: the same two-batch populate, then small-file
     // compaction (range-packed on (commit_date, changelog_id)) — rows must
     // survive the rewrite EXACTLY (same oracle as the resume), file count
@@ -2644,6 +2670,7 @@ object SparkEntry {
     "cdc_changelog_dist" -> OrdersCdcOracle.changelogSql,
     "cdc_populate_roundtrip" -> OrdersCdcOracle.changelogSql,
     "cdc_forget_keys" -> OrdersCdcOracle.forgetSql,
+    "cdc_populate_during_forget" -> OrdersCdcOracle.duringForgetSql,
     "cdc_state_after_forget" -> OrdersCdcOracle.stateAfterForgetSql,
     "cdc_populate_streaming" -> OrdersCdcOracle.changelogSql,
     "cdc_populate_streaming_during_compaction" -> OrdersCdcOracle.changelogSql,

@@ -80,6 +80,21 @@ object OrdersCdcOracle {
     * default resume loses nothing: its oracle IS the one-batch changelog. */
   val ResumeMid = "1995-01-01 00:12:00"
   val resumeChangelogSql: String = default.changelogSql
+
+  /** ≙ the populate-racing-forget table: the deletion request completed
+    * against everything visible at its run (batch 1, commit_time ≤
+    * [[ResumeMid]]); batch-2 rows — including a forgotten key's — arrived
+    * after it and survive with ids continuing from the PRE-forget offset
+    * (ids never reassigned; forgotten ids leave gaps). NB declared BELOW
+    * ResumeMid/changelogSql — file-order val initialization (the r7
+    * null-interpolation trap). */
+  val duringForgetSql: String =
+    s"""SELECT changelog_id, commit_time, table_name, o_orderkey,
+       |       column_name, old_value, new_value
+       |FROM ($changelogSql) c
+       |WHERE CAST(o_orderkey AS BIGINT) % 97 <> 0
+       |   OR commit_time > TIMESTAMP '$ResumeMid'
+       |ORDER BY changelog_id""".stripMargin
   val resumeCompatChangelogSql: String = compat.resumeChangelogSql(ResumeMid, gapMinutes = 1)
 
   /** ≙ the DPP graded query: busy days (>= half the busiest day's rows —
