@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static guards on the driver contract itself — cheap JVM-only checks
+  * that catch whole classes of past failures before any engine runs.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("queries and oracleSql cover exactly the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("no oracle SQL carries a Scala null interpolation (the r7 " +
+      "file-order val-initialization trap)") {
+    // a val referencing a fragment declared LATER in its file interpolates
+    // the string "null" — lowercase, standalone; legitimate SQL NULL is
+    // written uppercase throughout this codebase
+    val bad = SparkEntry.oracleSql.filter { case (_, sql) =>
+      "(?<![A-Za-z_])null(?![A-Za-z_])".r.findFirstIn(sql).isDefined
+    }
+    assert(bad.isEmpty, s"lowercase 'null' leaked into: ${bad.keys.toSeq.sorted}")
+  }
+}
