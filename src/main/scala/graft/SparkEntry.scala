@@ -712,6 +712,24 @@ object SparkEntry {
     "ext_multimodal" -> ((s, dir) =>
       MultiModal.metadata(corpus(s, dir)).orderBy("doc_id")),
 
+    // E4-frames — FRAME SAMPLING graded end-to-end: every 100 bytes a
+    // 32-byte slice (the video-keyframe access pattern over an opaque
+    // payload), fingerprinted order-exactly so a stride/offset bug cannot
+    // hash-match. Runs over the raw documents bytes (pure ASCII fixture:
+    // char offsets ≡ byte offsets, letting the oracle slice VARCHAR and
+    // hex the utf8 bytes)
+    "ext_multimodal_frames" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          MultiModal.frameSample(encode(col("text"), "UTF-8"),
+            frameBytes = 32, stride = 100).as("__fr"))
+        .select(col("doc_id"),
+          size(col("__fr")).cast("long").as("n_frames"),
+          md5(concat_ws("|", transform(col("__fr"), f => lower(hex(f))))
+            .cast("binary")).as("frames_fp"))
+        .orderBy("doc_id")
+    }),
+
     // E4' — the batched decode slot driven end-to-end: features come out
     // of the mapPartitions decoder (stub, md5-derived), graded as exact
     // integer byte values + a vector fingerprint (no floats hashed)
@@ -2734,6 +2752,7 @@ object SparkEntry {
     "ext_ann_filtered" -> ExtOracle.annFilteredSql,
     "ext_multimodal" -> ExtOracle.multiModalSql,
     "ext_multimodal_decode" -> ExtOracle.multiModalDecodeSql,
+    "ext_multimodal_frames" -> ExtOracle.multiModalFramesSql,
     "ext_multimodal_dims" -> ExtOracle.multiModalDimsSql,
     "ext_multimodal_wav" -> ExtOracle.multiModalWavSql,
     "ext_multimodal_resize" -> ExtOracle.multiModalResizeSql,

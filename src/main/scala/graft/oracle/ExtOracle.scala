@@ -2761,6 +2761,26 @@ object ExtOracle {
        |FROM corpus
        |ORDER BY doc_id""".stripMargin
 
+  /** E4-frames ≙ MultiModal.frameSample(32, 100) over the raw documents
+    * bytes: frame i covers [i·100, i·100+32), i = 0..⌊(n−1)/100⌋; the
+    * order-exact hex fingerprint pins stride AND offsets. ASCII fixture →
+    * VARCHAR substr slices the same bytes Spark's binary substring does
+    * (asserted by length(text) = octet_length at generation). */
+  val multiModalFramesSql: String =
+    """WITH idx AS (
+      |  SELECT unnest(range((SELECT (max(length(text)) - 1) // 100 + 1 FROM documents))) AS i
+      |), f AS (
+      |  SELECT d.doc_id, idx.i,
+      |    lower(hex(substr(d.text, CAST(idx.i * 100 + 1 AS BIGINT), 32)::BLOB)) AS hx
+      |  FROM documents d, idx
+      |  WHERE idx.i <= greatest((length(d.text) - 1) // 100, 0)
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  md5(string_agg(hx, '|' ORDER BY i)) AS frames_fp
+      |FROM f GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** E4' ≙ MultiModal.decodeFeatures (stub decoder): 16 feature bytes from
     * md5(payload), graded as exact integers + the vector fingerprint. */
   val multiModalDecodeSql: String =
