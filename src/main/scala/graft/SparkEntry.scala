@@ -798,6 +798,30 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // E2-IVFPQ'' — SUBJECT DELETION from the persisted IVF-PQ index (the
+    // compressed twin of ext_ann_ivf_forget): coarse centroids, residual
+    // codebooks and the full-corpus code index were all built before the
+    // deletion request; the fold filters ONLY the code rows. Encoding is
+    // per-vector at the frozen model, so fold ≡ scratch-encode of the
+    // survivors — the train-on-all / serve-survivors oracle
+    "ext_ann_ivfpq_forget" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = TempDirs.memoized("graft_ivfpq_deploy",
+        s"$dir/embeddings.parquet") { tmp =>
+        val (cents0, cb0) = Similarity.ivfPqModel(e)
+        cents0.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+        cb0.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+        Similarity.ivfPqEncode(e, cents0, cb0)
+          .write.mode("overwrite").parquet(tmp.resolve("codes").toString)
+      }
+      val cents = s.read.parquet(state.resolve("cents").toString)
+      val cb = s.read.parquet(state.resolve("cb").toString)
+      val enc = s.read.parquet(state.resolve("codes").toString)
+        .where(col("neighbor_id") % 50 =!= 7) // the forget fold
+      Similarity.ivfPqSearch(enc, e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-eval' — the nprobe TUNING CURVE: IVF recall@3 micro-averaged per
     // probe budget 1..3 against brute-force truth — the report an IVF
     // deployment reads to pick its probe count. ONE plan for the whole
@@ -2745,6 +2769,7 @@ object SparkEntry {
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
     "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
+    "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,

@@ -3501,7 +3501,15 @@ object ExtOracle {
     * fixed parameters. */
   lazy val annIvfPqIncrementalSql: String = annIvfPqSqlWith("vec_id % 20 <> 3")
 
-  private def annIvfPqSqlWith(trainWhere: String): String = {
+  /** ≙ the ext_ann_ivfpq_forget fold: the deployed model (coarse
+    * centroids, residual codebooks, full-corpus code index) is unchanged;
+    * subject deletion filters the code index rows only — the compressed
+    * twin of the IVF-flat forget. */
+  lazy val annIvfPqForgetSql: String =
+    annIvfPqSqlWith("TRUE", "e.neighbor_id % 50 <> 7")
+
+  private def annIvfPqSqlWith(trainWhere: String,
+      neighborWhere: String = "TRUE"): String = {
     val m = 4; val codes = 8; val pqRounds = 2; val k = 3; val probes = 2
     val dim = graft.ext.Similarity.Dim
     val subDim = dim / m
@@ -3580,7 +3588,7 @@ object ExtOracle {
        |), pair AS (
        |  SELECT dt.query_id, e.neighbor_id, $adcPivot AS d2s
        |  FROM enc e JOIN dt ON dt.ccell = e.ccell AND dt.m = e.m AND dt.cell = e.cell
-       |  WHERE dt.query_id <> e.neighbor_id
+       |  WHERE dt.query_id <> e.neighbor_id AND ($neighborWhere)
        |  GROUP BY 1, 2
        |), prk AS (
        |  SELECT query_id, neighbor_id,

@@ -77,4 +77,23 @@ class PqSpec extends AnyFunSuite with SparkFixture {
         == pairs(Similarity.ivfPqSearch(scratch, emb.where(q), cents, cb, 3)),
       "fold ≡ scratch must extend through ADC search")
   }
+
+  test("forget fold: filtering code rows equals scratch-encoding the " +
+      "survivors at the frozen model; forgotten ids never served") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val forget = col("vec_id") % 50 === 7
+    val (cents, cb) = Similarity.ivfPqModel(emb) // trained on EVERYTHING
+    val folded = Similarity.ivfPqEncode(emb, cents, cb)
+      .where(col("neighbor_id") % 50 =!= 7)
+    val scratch = Similarity.ivfPqEncode(emb.where(!forget), cents, cb)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(codes(folded) == codes(scratch))
+    val served = Similarity.ivfPqSearch(
+      folded, emb.where(col("vec_id") % 100 === 0), cents, cb, 3)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    val forgotten = emb.where(forget).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty && served.forall(!forgotten.contains(_)))
+  }
 }
