@@ -65,6 +65,21 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The persisted incremental-IVF deployment — history-trained centroids
+    * plus history's cell index — shared by the fold, the occupancy audit,
+    * and the refresh. A pure function of the fixture → memoized
+    * ([[TempDirs.memoized]]) so every consumer prices its OWN work, never
+    * the state training. */
+  private def ivfIncrementalState(
+      s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivf_state", s"$dir/embeddings.parquet") { tmp =>
+      val hist = embeddings(s, dir).where(col("vec_id") % 20 =!= 3)
+      val cents0 = Similarity.ivfCentroids(hist)
+      cents0.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      Similarity.ivfIndex(hist, cents0)
+        .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
+    }
+
   /** Flagship: full CDC changelog pipeline on sf0.001 (rows>0 by construction). */
   def entry(spark: SparkSession): DataFrame =
     ChangelogBuilder.withIds(
@@ -189,6 +204,13 @@ object SparkEntry {
         Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
       val base = graft.cdc.SinkLayout.read(s, sink)
       val counts = base.groupBy(col("commit_date")).agg(count(lit(1)).as("__c"))
+      // DELIBERATE deviation from the house broadcast-scalar idiom: the
+      // threshold must be a LITERAL for the dim side to stay DPP-eligible.
+      // With the scalar riding in as crossJoin(broadcast(agg)), the dim
+      // subtree contains a join and PartitionPruning no longer inserts the
+      // runtime partition filter on the fact scan (verified: the
+      // PlanShapeSpec dynamicpruningexpression lock fails). The .head() is
+      // a 1-row control-plane scalar, not a data-plane collect.
       val maxC = counts.agg(max("__c")).head().getLong(0)
       val dim = counts.where(col("__c") >= lit(maxC / 2)).select("commit_date")
       base.join(dim, Seq("commit_date"))
@@ -874,23 +896,64 @@ object SparkEntry {
     // (the oracle runs the scratch side).
     "ext_ann_ivf_incremental" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val hist = e.where(col("vec_id") % 20 =!= 3)
       val batch = e.where(col("vec_id") % 20 === 3)
       // a REAL persistence round-trip: the fold reads centroids + cells
       // from parquet, not a lineage handoff. The history state is a pure
       // function of the fixture → memoized like the triangle state, so
       // bench repeat passes price the FOLD+SEARCH, not history's training.
-      val state = TempDirs.memoized("graft_ivf_state",
-        s"$dir/embeddings.parquet") { tmp =>
-        val cents0 = Similarity.ivfCentroids(hist)
-        cents0.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
-        Similarity.ivfIndex(hist, cents0)
-          .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
-      }
+      val state = ivfIncrementalState(s, dir)
       val cents = s.read.parquet(state.resolve("centroids").toString)
       val index = s.read.parquet(state.resolve("cells").toString)
         .unionByName(Similarity.ivfIndex(batch, cents)) // the fold
       Similarity.ivfSearch(index, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // E2d''' — the INDEX-LIFECYCLE audit a production ANN store runs
+    // between folds: per-cell occupancy of the persisted history index
+    // vs the incoming batch's assignment at the SAME frozen centroids —
+    // surfacing the cell skew that accumulates as the live distribution
+    // drifts away from the training snapshot (the signal that triggers
+    // ext_ann_ivf_refresh). One count aggregate per side over bytes-sized
+    // occupancy tables; the corpus is never re-scored.
+    "ext_ivf_cell_audit" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfIncrementalState(s, dir)
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val hist = s.read.parquet(state.resolve("cells").toString)
+      val folded = Similarity.ivfIndex(e.where(col("vec_id") % 20 === 3), cents)
+      val histOcc = hist.groupBy("cell").agg(count(lit(1)).as("n_hist"))
+      val newOcc = folded.groupBy("cell").agg(count(lit(1)).as("n_new"))
+      histOcc.join(newOcc, Seq("cell"), "full_outer")
+        .na.fill(0L, Seq("n_hist", "n_new"))
+        .select(col("cell").cast("long").as("cell"), col("n_hist"), col("n_new"),
+          (col("n_hist") + col("n_new")).as("n_total"),
+          TextOps.intDiv(col("n_new") * 10000L, col("n_hist") + col("n_new"))
+            .as("new_share_bp"))
+        .orderBy("cell")
+    }),
+
+    // E2d'''' — index REFRESH, closing the IVF lifecycle the way
+    // compaction closed the sink's: after long fold chains at frozen
+    // centroids (and a subject deletion), the stale model is DISCARDED —
+    // re-seed at the same fixed k over the index's OWN stored vectors
+    // (survivors of history ∪ folded batch; the corpus fixture is only
+    // read for the query side), re-assign every survivor at the new
+    // centroids, search. Graded ≡ a scratch index trained on exactly the
+    // surviving rows — which is what refresh-from-stored-vectors must
+    // reproduce bit-for-bit, since cells carry the raw vectors.
+    "ext_ann_ivf_refresh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfIncrementalState(s, dir)
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val folded = s.read.parquet(state.resolve("cells").toString)
+        .unionByName(Similarity.ivfIndex(e.where(col("vec_id") % 20 === 3), cents))
+      // the deletion request that skewed the cells (the refresh trigger)
+      val vecs = folded.where(col("neighbor_id") % 50 =!= 7)
+        .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
+      val cents2 = Similarity.ivfCentroids(vecs)
+      val index2 = Similarity.ivfIndex(vecs, cents2)
+      Similarity.ivfSearch(index2, e.where(col("vec_id") % 100 === 0), cents2, k = 3)
         .orderBy("query_id", "rnk")
     }),
 
@@ -919,18 +982,37 @@ object SparkEntry {
     }),
 
     // E2-eval'' — the LSH TABLE-count tuning curve: recall@3 per table
-    // budget 1..4 (more tables, more recall, linearly more index)
+    // budget 1..4 (more tables, more recall, linearly more index). ONE
+    // plan for the whole curve: one hashing + bucketing pass; each
+    // candidate pair is scored ONCE and tagged with the FIRST table that
+    // surfaces it (its minimal qualifying budget), then exploded into
+    // every budget it serves — the ext_ivf_recall_curve pattern, instead
+    // of re-indexing the corpus per table count
     "ext_lsh_table_curve" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = col("vec_id") % 100 === 0
-      val truth = Similarity.topKCosine(e, q, k = 3).localCheckpoint(true)
-      (1 to 4).map { t =>
-        Similarity.rankEval(
-            Similarity.topKCosineLshMulti(e, q, k = 3, tables = t), truth, k = 3)
-          .agg(sum("n_truth").as("n_truth"), sum("n_hits").as("n_hits"))
-          .select(lit(t.toLong).as("n_tables"), col("n_truth"), col("n_hits"),
-            TextOps.intDiv(col("n_hits") * 10000L, col("n_truth")).as("recall_bp"))
-      }.reduce(_ unionByName _).orderBy("n_tables")
+      val maxT = 4
+      val truth = Similarity.topKCosine(e, q, k = 3)
+        .where(col("rnk") <= 3).select("query_id", "neighbor_id")
+      val sys = Similarity.lshCandidatesMinTable(e, q, tables = maxT)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          explode(sequence(col("tmin"), lit(maxT))).as("n_tables"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("n_tables", "query_id")
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .where(col("rnk") <= 3)
+        .select(col("n_tables"), col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      truth
+        .select(col("query_id"), col("neighbor_id"),
+          explode(sequence(lit(1), lit(maxT))).as("n_tables"))
+        .join(sys, Seq("n_tables", "query_id", "neighbor_id"), "left")
+        .groupBy("n_tables")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hits"))
+        .select(col("n_tables").cast("long").as("n_tables"), col("n_truth"),
+          col("n_hits"),
+          TextOps.intDiv(col("n_hits") * 10000L, col("n_truth")).as("recall_bp"))
+        .orderBy("n_tables")
     }),
 
     // E2-eval — ranking-quality harness: recall@3 + reciprocal rank of
@@ -1307,6 +1389,40 @@ object SparkEntry {
         Seq("o_orderkey"),
         java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.StateAsOf))
         .orderBy("o_orderkey", "column_name")),
+
+    // TRANSACTION-CONSISTENT cross-table snapshot: BOTH registered
+    // changelogs reconstructed as of the SAME commit-time cut (commit_time
+    // is monotone in LSN, so one instant IS one LSN cut across tables) and
+    // joined on the shared order key — the multi-table read contract a CDC
+    // consumer needs for JOINABLE snapshots (cdc_query_multi reads a
+    // window from each; this composes the per-table stateAsOf folds into
+    // one consistent orders×lineitem state). Each side is the unchanged
+    // stateAsOf aggregate; the join is key-equi on the parent key.
+    "cdc_state_multi_asof" -> ((s, dir) => {
+      val asOf = java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.StateAsOf)
+      val clO = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      val clL = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(
+          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+            materializeDedup = true), lineitemCfg), lineitemCfg)
+      val so = graft.cdc.StateMaintain.stateAsOf(clO, Seq("o_orderkey"), asOf)
+        .groupBy("o_orderkey")
+        .agg(max(when(col("column_name") === "o_orderstatus", col("last_value")))
+            .as("o_status"),
+          max(col("last_change_id")).as("o_last_id"))
+      val sl = graft.cdc.StateMaintain.stateAsOf(
+          clL, Seq("l_orderkey", "l_linenumber"), asOf)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max(when(col("column_name") === "l_linestatus", col("last_value")))
+            .as("l_status"),
+          max(col("last_change_id")).as("l_last_id"))
+      sl.join(so, sl("l_orderkey") === so("o_orderkey"), "left")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_status"), col("l_last_id"), col("o_status"), col("o_last_id"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
 
     // additive schema drift: o_clerk's mask bit is only set after
     // DriftLsn, so a NEW column_name appears mid-stream with zero sink
@@ -2112,6 +2228,24 @@ object SparkEntry {
       TextOps.heavyHittersFromCells(c, updated)
     }),
 
+    // E3j''' — SUBJECT DELETION from the persisted count-min state (the
+    // E25 forget matrix reaching the sketch family): cells are purely
+    // ADDITIVE, so — unlike HLL's max registers, which cannot forget —
+    // subtracting the subject's contribution sketch cell-wise is EXACT:
+    // the cleaned state must equal a scratch sketch that never saw the
+    // subject, which is what the survivor-filtered oracle computes.
+    // Real persistence round-trip like ext_cm_incremental; the streamed
+    // twin (generational publish + replay-idempotent forget_<tag>
+    // marker) is pinned by EventStreamSpec
+    "ext_cm_forget" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val stateDir = TempDirs.create("graft_cmf").resolve("cm_state").toString
+      TextOps.cmState(c).write.mode("overwrite").parquet(stateDir)
+      val stored = s.read.parquet(stateDir)
+      val cleaned = TextOps.cmForget(stored, c.where(col("doc_id") % 7 === 3))
+      TextOps.heavyHittersFromCells(c.where(col("doc_id") % 7 =!= 3), cleaned)
+    }),
+
     // E2g — HyperLogLog distinct sketch per language over the SHINGLE
     // stream (thousands of distinct values per group — the sketch's real
     // regime; the token vocabulary is a fixture-tiny 39): max-only
@@ -2765,6 +2899,8 @@ object SparkEntry {
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
     "ext_ann_ivf_incremental" -> ExtOracle.annIvfIncrementalSql,
     "ext_ann_ivf_forget" -> ExtOracle.annIvfForgetSql,
+    "ext_ivf_cell_audit" -> ExtOracle.ivfCellAuditSql,
+    "ext_ann_ivf_refresh" -> ExtOracle.annIvfRefreshSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
@@ -2787,6 +2923,7 @@ object SparkEntry {
     "cdc_state_stream" -> OrdersCdcOracle.default.stateSql,
     "cdc_snapshot_diff" -> OrdersCdcOracle.snapshotDiffSql,
     "cdc_state_asof" -> OrdersCdcOracle.stateAsOfSql,
+    "cdc_state_multi_asof" -> OrdersCdcOracle.stateMultiAsOfSql,
     "cdc_apply_diff" -> OrdersCdcOracle.applyDiffSql,
     "cdc_state_replay" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_strictnulls" -> OrdersCdcOracle.strict.stateStrictSql("<NULL>"),
@@ -2872,6 +3009,7 @@ object SparkEntry {
     // must reproduce the direct sketch exactly (associativity is the
     // graded claim, mirroring ext_hll_incremental)
     "ext_cm_incremental" -> ExtOracle.heavyHittersSql,
+    "ext_cm_forget" -> ExtOracle.cmForgetSql,
     "ext_cm_stream" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     // identical to ext_hll BY DESIGN: incremental max-merge must reproduce

@@ -56,16 +56,44 @@ object TempDirs {
     if (java.nio.file.Files.exists(ok)) return root
     val tmp = java.nio.file.Files.createTempDirectory(s"${prefix}_stage")
     build(tmp)
-    try {
-      java.nio.file.Files.move(tmp, root,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      java.nio.file.Files.createFile(ok)
-      keepDirs.add(root)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // a concurrent builder won; theirs must be published (marker last)
-        require(java.nio.file.Files.exists(ok), s"unpublished memo dir $root")
-        dirs.add(tmp) // lose the race, reclaim our staging copy at exit
+    // the marker RIDES the atomic rename (created in staging, before the
+    // move) — a crash can never leave a published root without _OK, so a
+    // root lacking the marker is definitionally a stale pre-fix leftover
+    // and is self-healed below instead of hard-failing every later call
+    java.nio.file.Files.createFile(tmp.resolve("_OK"))
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        java.nio.file.Files.move(tmp, root,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        keepDirs.add(root)
+        done = true
+      } catch {
+        // Linux rename(2) onto an existing non-empty dir surfaces as a
+        // bare FileSystemException (ENOTEMPTY), not the AlreadyExists /
+        // DirectoryNotEmpty subclasses — catch the family
+        case e: java.nio.file.FileSystemException =>
+          if (java.nio.file.Files.exists(ok)) {
+            // a concurrent builder won with a published copy: use theirs,
+            // reclaim our staging copy at exit
+            dirs.add(tmp)
+            done = true
+          } else {
+            // stale unpublished root (pre-fix crash residue): remove and
+            // retry the move; bounded so two live racers can't spin
+            attempts += 1
+            if (attempts > 3) throw e
+            def rm(p: java.nio.file.Path): Unit = {
+              if (java.nio.file.Files.isDirectory(p)) {
+                val s = java.nio.file.Files.list(p)
+                try s.forEach(rm) finally s.close()
+              }
+              java.nio.file.Files.deleteIfExists(p)
+            }
+            try rm(root) catch { case scala.util.control.NonFatal(_) => () }
+          }
+      }
     }
     root
   }

@@ -38,25 +38,49 @@ object Repair {
 
   /** Re-populate exactly `day` from `feed` into the sink. Idempotence
     * guard: refuses when the partition still exists (a repair over live
-    * rows would duplicate ids — drop first, repair second). */
+    * rows would duplicate ids — drop first, repair second).
+    *
+    * HWM guard: the day window is additionally bounded at the sink's
+    * populate high-water mark, or repair would re-insert feed rows the
+    * last populate never reached (an intra-day `toDate`), breaking id
+    * contiguity and the next resume window. The HWM is read from the
+    * SURVIVING sink in the same aggregate as the id offset — which means
+    * the NEWEST day (the HWM's own day) is only repairable with
+    * `originalHwm`, the populate HWM recorded before the damage: with
+    * that partition gone, the surviving max(commit_time) sits on an
+    * earlier day and cannot recover where the lost day's window ended. */
   def repairDay(
       spark: SparkSession,
       feed: DataFrame,
       cfg: CdcTableConfig,
       sinkPath: String,
-      day: LocalDate): Long = {
+      day: LocalDate,
+      originalHwm: Option[java.sql.Timestamp] = None): Long = {
     val fs = SinkLayout.fs(spark, sinkPath)
     val partDir = new Path(SinkLayout.dataDir(spark, sinkPath), s"commit_date=$day")
     require(!fs.exists(partDir),
       s"partition commit_date=$day still exists — drop it before repairing")
-    // id offset = surviving rows on EARLIER days; commit_date partition
-    // pruning makes this a prefix-only scan (control-plane scalar, like
-    // populate's own sink snapshot)
-    val offset = SinkLayout.read(spark, sinkPath)
-      .where(col("commit_date") < lit(java.sql.Date.valueOf(day)))
-      .count()
+    // ONE sink aggregate yields both control-plane scalars: the id offset
+    // (surviving rows on EARLIER days — the filter prunes partitions) and
+    // the surviving HWM (like populate's own sink snapshot, so the two
+    // can never disagree)
+    val snap = SinkLayout.read(spark, sinkPath).agg(
+      count(when(col("commit_date") < lit(java.sql.Date.valueOf(day)), lit(1)))
+        .as("__offset"),
+      max(col("commit_time")).as("__hwm")).head()
+    val offset = snap.getLong(0)
+    val hwm = originalHwm.getOrElse {
+      val surviving = snap.getTimestamp(1)
+      require(surviving != null &&
+          !surviving.toLocalDateTime.toLocalDate.isBefore(day.plusDays(1)),
+        s"commit_date=$day is not strictly before the surviving HWM " +
+          s"($surviving) — repairing the newest day needs originalHwm, the " +
+          "populate HWM recorded before the damage")
+      surviving
+    }
     val windowed = feed
-      .where(to_date(col("commit_time")) === lit(java.sql.Date.valueOf(day)))
+      .where(to_date(col("commit_time")) === lit(java.sql.Date.valueOf(day)) &&
+        col("commit_time") <= lit(hwm))
       .cache()
     try PopulateChangelog.stampAndAppend(spark, windowed, cfg, sinkPath, offset)
     finally windowed.unpersist()

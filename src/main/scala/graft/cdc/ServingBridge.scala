@@ -19,12 +19,23 @@ import org.apache.spark.sql.functions._
   * ([[graft.streaming.EventStream.servingAsOfStreamedToFiles]] drives the
   * same plan under the real streaming engine).
   *
-  * Scale shape: the episode table is |keys × changed-columns| — the
-  * dimension, not the fact stream — and broadcasts; each request matches
-  * AT MOST ONE episode (the [from, to) intervals partition the timeline
-  * per key), so the join is fan-out-free by construction.
+  * Scale shape: the episode table is |keys × changed-columns| — usually
+  * dimension-sized and broadcastable, but it GROWS WITH THE TRACKED
+  * TABLE, not with a fixed dimension, so the broadcast is gated on a
+  * count ([[BroadcastEpisodeLimit]], mirroring
+  * [[graft.ext.Graph.BroadcastEdgeLimit]]): an oversized episode table
+  * degrades to the planner's shuffled equi-join on `serve_key` with the
+  * interval bounds as a residual condition instead of a driver OOM.
+  * Each request matches AT MOST ONE episode (the [from, to) intervals
+  * partition the timeline per key), so the join is fan-out-free by
+  * construction under either strategy.
   */
 object ServingBridge {
+
+  /** Episode-count bound for the broadcast fast path — same rationale as
+    * [[graft.ext.Graph.BroadcastEdgeLimit]]: comfortably under the 8 GB
+    * broadcast ceiling at ~100 bytes/row, far above any real dimension. */
+  val BroadcastEpisodeLimit = 4000000L
 
   /** Epoch seconds of the changelog clock's base instant
     * (FeedSpec.commitBase, 1995-01-01 00:00:00 UTC). */
@@ -88,12 +99,24 @@ object ServingBridge {
   }
 
   /** Point-in-time enrichment: each request LEFT joins the single episode
-    * whose validity interval contains its serving instant. Episodes
-    * broadcast (dimension-sized); requests that precede their key's first
-    * episode — or whose key never changed — carry NULLs. */
-  def enrichAsOf(requests: DataFrame, episodes: DataFrame): DataFrame = {
+    * whose validity interval contains its serving instant. The episode
+    * side is eagerly materialized (it is consumed by the count gate AND
+    * the join) and broadcast only while its row count stays under
+    * `broadcastLimit`; above it the same condition plans as a shuffled
+    * equi-join on `serve_key` with the interval bounds as the residual —
+    * the scale-safe fallback for changelog-sized episode tables. Requests
+    * that precede their key's first episode — or whose key never
+    * changed — carry NULLs. */
+  def enrichAsOf(requests: DataFrame, episodes: DataFrame,
+      broadcastLimit: Long = BroadcastEpisodeLimit): DataFrame = {
     val eps = episodes.withColumnRenamed("serve_key", "__ek")
-    requests.join(broadcast(eps),
+      .localCheckpoint(true)
+    // over the gate the side is KNOWN oversized: the merge hint keeps the
+    // planner's size estimate from re-broadcasting it anyway (the CoLocate
+    // precedent) — the equi-key plans a sort-merge join with the interval
+    // bounds as the residual condition
+    val rhs = if (eps.count() <= broadcastLimit) broadcast(eps) else eps.hint("merge")
+    requests.join(rhs,
         col("serve_key") === col("__ek") &&
           col("valid_from_s") <= col("serve_s") &&
           (col("valid_to_s").isNull || col("serve_s") < col("valid_to_s")),

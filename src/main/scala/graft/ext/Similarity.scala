@@ -220,6 +220,18 @@ object Similarity {
         when(floatVectorDot(col(vecCol), w) > 0, lit(1L << b)).otherwise(lit(0L)): Column
       }.reduce(_ + _)
 
+    val cand = lshScoredMatches(emb, queryPred, tables, tableBucket, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .distinct() // a pair found in several tables scores once
+    rankTopK(cand, k)
+  }
+
+  /** One (query, candidate, table) bucket-match pass of the multi-table
+    * index, scored — shared by the top-k search and the table-count
+    * tuning curve. */
+  private def lshScoredMatches(
+      emb: DataFrame, queryPred: Column, tables: Int,
+      tableBucket: Int => Column, idCol: String, vecCol: String): DataFrame = {
     // one row per (vector, table): explode the per-table bucket ids
     val withB = emb.select(
       col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"),
@@ -230,12 +242,36 @@ object Similarity {
     val corpus = withB.select(
       col("t"), col("bucket"), col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col("nrm").as("cn"))
-    val cand = corpus.join(broadcast(queries), Seq("t", "bucket"))
+    corpus.join(broadcast(queries), Seq("t", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"), col("t"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .distinct() // a pair found in several tables scores once
-    rankTopK(cand, k)
+  }
+
+  /** Candidate pairs of the multi-table LSH index, each scored ONCE and
+    * tagged with `tmin` — the 1-based index of the FIRST table that
+    * surfaces the pair, i.e. its minimal qualifying table budget: the
+    * pair is a candidate under a budget of T tables iff tmin <= T. One
+    * hashing + bucketing pass therefore serves EVERY point of a
+    * table-count tuning curve (the min-qualifying-budget pattern the
+    * nprobe recall curve uses via [[ivfQueryCells]]'s prnk), instead of
+    * re-indexing the corpus per budget. */
+  def lshCandidatesMinTable(
+      emb: DataFrame,
+      queryPred: Column,
+      tables: Int = 4,
+      planesPerTable: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def tableBucket(t: Int): Column =
+      (0 until planesPerTable).map { b =>
+        val p = t * planesPerTable + b
+        val w = array((0 until Dim).map(j => lit(planeWeight(p, j).toFloat)): _*)
+        when(floatVectorDot(col(vecCol), w) > 0, lit(1L << b)).otherwise(lit(0L)): Column
+      }.reduce(_ + _)
+    lshScoredMatches(emb, queryPred, tables, tableBucket, idCol, vecCol)
+      .groupBy("query_id", "neighbor_id")
+      .agg((min(col("t")) + 1).as("tmin"), min(col("cos")).as("cos"))
   }
 
   /** IVF-flat ANN: partition the corpus into `numCentroids` Voronoi cells
@@ -946,7 +982,14 @@ object Similarity {
     * re-read (the state is m longs per group), the result is IDENTICAL to
     * sketching the whole stream (max is associative and duplicate-blind),
     * and a replayed batch cannot move any register backwards — HLL update
-    * is idempotent, unlike a stored exact count. */
+    * is idempotent, unlike a stored exact count.
+    *
+    * FORGET asymmetry: HLL registers CANNOT honor subject deletion — a
+    * register is max-owned, possibly by many values, so the subject's
+    * contribution is unrecoverable (max has no inverse). A deletion
+    * contract over HLL state means re-sketching the survivors; the
+    * additive count-min cells ([[graft.ext.TextOps.cmForget]]) are the
+    * sketch family member that CAN forget exactly. */
   def hllApplyBatch(state: DataFrame, batch: DataFrame, keyCol: String, valueCol: String): DataFrame =
     state.unionByName(hllState(batch, keyCol, valueCol))
       .groupBy(keyCol, "bucket").agg(max("register").as("register"))

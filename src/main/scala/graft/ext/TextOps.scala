@@ -571,6 +571,23 @@ object TextOps {
     stored.unionByName(cmState(batch, textCol))
       .groupBy("lane", "bucket").agg(sum(col("cell")).cast("long").as("cell"))
 
+  /** SUBJECT DELETION from stored count-min cells — the inverse of
+    * [[cmApplyBatch]], and exact for the same reason the fold is: cells
+    * are purely additive in the input multiset, so subtracting the
+    * subject's contribution sketch cell-wise leaves EXACTLY the sketch of
+    * the survivors (zeroed cells drop, matching a scratch sketch that
+    * never saw them). This is the forget member the sketch family admits:
+    * HLL's max registers carry no multiplicity, so a register may be owned
+    * by many values and deletion is information-theoretically impossible —
+    * an HLL deployment under deletion contracts must re-sketch survivors
+    * ([[graft.ext.Similarity.hllApplyBatch]] documents the asymmetry). */
+  def cmForget(
+      stored: DataFrame, subject: DataFrame, textCol: String = "text"): DataFrame =
+    stored.unionByName(
+        cmState(subject, textCol).withColumn("cell", -col("cell")))
+      .groupBy("lane", "bucket").agg(sum(col("cell")).cast("long").as("cell"))
+      .where(col("cell") =!= 0L)
+
   /** [[heavyHitters]] reading estimates from EXTERNAL cells (the folded
     * incremental state) instead of sketching in-line; the token dictionary
     * and exact counts still come from `corpus` so the overestimate stays

@@ -439,10 +439,13 @@ object ExtOracle {
   /** E3j ≙ TextOps.heavyHitters — count-min sketch (4 lanes × 64 cells)
     * over the token stream; estimate = min over the token's cells, exact
     * count alongside so the overestimate is graded too. Lane hashes are
-    * the same '0:'-salted md5 lanes the Spark side's Md5Lanes computes. */
-  val heavyHittersSql: String =
+    * the same '0:'-salted md5 lanes the Spark side's Md5Lanes computes.
+    * `where` restricts the corpus slice — "TRUE" is the direct sketch;
+    * a survivor filter is the scratch twin of the exact cell-subtraction
+    * forget ([[graft.ext.TextOps.cmForget]]). */
+  private def heavyHittersSqlWhere(where: String): String =
     s"""WITH $corpusSql, tok AS (
-       |  SELECT unnest(string_split(text, ' ')) AS t FROM corpus
+       |  SELECT unnest(string_split(text, ' ')) AS t FROM corpus WHERE $where
        |), cnt AS (
        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
        |), lanes AS (
@@ -460,6 +463,14 @@ object ExtOracle {
        |SELECT t AS token, est_count, true_count FROM est
        |ORDER BY est_count DESC, token
        |LIMIT 20""".stripMargin
+
+  val heavyHittersSql: String = heavyHittersSqlWhere("TRUE")
+
+  /** ≙ the ext_cm_forget fold: subject deletion (doc_id % 7 = 3) from the
+    * persisted additive cell state equals the sketch built over the
+    * survivors alone — so the oracle just runs the direct sketch on the
+    * survivor slice (dictionary AND cells). */
+  val cmForgetSql: String = heavyHittersSqlWhere("doc_id % 7 <> 3")
 
   /** ≙ ext.Cluster.clusters over Dedup.nearDuplicatePairs: connected
     * components (min reachable id) via a recursive transitive-closure CTE
@@ -816,6 +827,30 @@ object ExtOracle {
     * model keeps its stale training, the assignment set shrinks. Queries
     * (vec_id % 100 = 0) never intersect the forget set (% 50 = 7). */
   val annIvfForgetSql: String = annIvfSqlWith("TRUE", "c.vec_id % 50 <> 7")
+
+  /** ≙ the ext_ivf_cell_audit occupancy report: centroids trained on
+    * history (vec_id % 20 <> 3), the WHOLE corpus assigned at those
+    * frozen centroids (the chain's final assign), occupancy split into
+    * history vs batch members per cell. */
+  val ivfCellAuditSql: String =
+    s"""WITH ${ivfChainCtes("vec_id % 20 <> 3")}, occ AS (
+       |  SELECT cell,
+       |    CAST(count(*) FILTER (WHERE vec_id % 20 <> 3) AS BIGINT) AS n_hist,
+       |    CAST(count(*) FILTER (WHERE vec_id % 20 = 3) AS BIGINT) AS n_new
+       |  FROM cell$IvfRounds GROUP BY cell
+       |)
+       |SELECT CAST(cell AS BIGINT) AS cell, n_hist, n_new,
+       |  n_hist + n_new AS n_total,
+       |  CAST(n_new * 10000 // (n_hist + n_new) AS BIGINT) AS new_share_bp
+       |FROM occ ORDER BY cell""".stripMargin
+
+  /** ≙ the ext_ann_ivf_refresh re-train: after the fold (history ∪ batch
+    * = the full corpus) and the subject deletion (% 50 = 7), refresh
+    * re-seeds at fixed k over exactly the SURVIVORS and re-assigns them —
+    * a scratch chain trained AND searched on the survivor set (queries,
+    * % 100 = 0, never intersect the forget set). */
+  val annIvfRefreshSql: String =
+    annIvfSqlWith("vec_id % 50 <> 7", "c.vec_id % 50 <> 7")
 
   /** ≙ Similarity.rankEval(topKCosineIvf(probes = p), brute force, k = 3)
     * micro-averaged per probe budget p = 1..3 — the nprobe tuning curve an

@@ -121,6 +121,58 @@ object OrdersCdcOracle {
   val StateAsOf = ResumeMid
   val stateAsOfSql: String = default.stateAsOfSql(StateAsOf)
 
+  /** TRANSACTION-CONSISTENT cross-table snapshot ≙ cdc_state_multi_asof:
+    * BOTH registered changelogs reconstructed as of the SAME commit-time
+    * cut (lsn-monotone, so one instant is one LSN cut across tables) and
+    * joined on the shared order key — the multi-table read contract a CDC
+    * consumer needs for joinable snapshots. Composes the two
+    * [[CdcOracle.changelogRowsSql]] chains as nested-WITH CTEs (the
+    * era-union precedent) with per-table id assignment, then the as-of
+    * state fold per table, then the join. */
+  val stateMultiAsOfSql: String =
+    s"""WITH clo AS MATERIALIZED (
+       |${default.changelogRowsSql}
+       |), cll AS MATERIALIZED (
+       |${lineitem.changelogRowsSql}
+       |), clo_id AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY ${default.idOrderOut}) AS BIGINT)
+       |           AS changelog_id, *
+       |  FROM clo
+       |), cll_id AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY ${lineitem.idOrderOut}) AS BIGINT)
+       |           AS changelog_id, *
+       |  FROM cll
+       |), so AS (
+       |  SELECT o_orderkey,
+       |    max(new_value) FILTER (WHERE column_name = 'o_orderstatus') AS o_status,
+       |    max(changelog_id) AS o_last_id
+       |  FROM (
+       |    SELECT o_orderkey, column_name,
+       |      arg_max(new_value, changelog_id) AS new_value,
+       |      max(changelog_id) AS changelog_id
+       |    FROM clo_id
+       |    WHERE column_name IS NOT NULL AND commit_time <= TIMESTAMP '$StateAsOf'
+       |    GROUP BY o_orderkey, column_name
+       |  ) GROUP BY o_orderkey
+       |), sl AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    max(new_value) FILTER (WHERE column_name = 'l_linestatus') AS l_status,
+       |    max(changelog_id) AS l_last_id
+       |  FROM (
+       |    SELECT l_orderkey, l_linenumber, column_name,
+       |      arg_max(new_value, changelog_id) AS new_value,
+       |      max(changelog_id) AS changelog_id
+       |    FROM cll_id
+       |    WHERE column_name IS NOT NULL AND commit_time <= TIMESTAMP '$StateAsOf'
+       |    GROUP BY l_orderkey, l_linenumber, column_name
+       |  ) GROUP BY l_orderkey, l_linenumber
+       |)
+       |SELECT CAST(sl.l_orderkey AS BIGINT) AS l_orderkey,
+       |  CAST(sl.l_linenumber AS BIGINT) AS l_linenumber,
+       |  sl.l_status, sl.l_last_id, so.o_status, so.o_last_id
+       |FROM sl LEFT JOIN so ON so.o_orderkey = sl.l_orderkey
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Additive schema drift (ChangeFeed.ordersDriftSpec): o_clerk's mask
     * bit is only set for post-[[graft.cdc.ChangeFeed.DriftLsn]]
     * transactions, so the new column_name appears mid-stream with zero

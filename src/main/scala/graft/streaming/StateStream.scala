@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
@@ -21,6 +22,16 @@ import graft.cdc.StateMaintain
   * checkpoint deliver exactly once; a redeployed maintainer that might see
   * replayed batches uses [[StateMaintain.applyBatchIdempotent]] (the HWM
   * guard costs one extra join on the merge key).
+  *
+  * PERSISTED sketch state (HLL registers, count-min cells) publishes
+  * through GENERATIONS: each fold writes `<stateDir>/.stage_v<N+1>`
+  * (dot-prefixed — invisible to listings), stamps a `_PUBLISHED` marker
+  * INSIDE the stage, renames it to `gen_v<N+1>`, and only then retires
+  * older generations. A reader resolves the highest generation carrying
+  * `_PUBLISHED`, so a crash at ANY point — mid-write, mid-rename, or
+  * mid-retire — leaves either the old or the new generation readable;
+  * there is no delete-then-rename window where the state vanishes and a
+  * restarted fold would silently rebuild from one batch.
   */
 object StateStream {
 
@@ -55,15 +66,59 @@ object StateStream {
       StateMaintain.stateLong(spark.read.schema(schema).parquet(changelogDir), keyCols).limit(0))
   }
 
+  // ——— generational publish for persisted sketch state ———
+
+  /** Published generations under a state root, ascending; a generation
+    * counts only once its `_PUBLISHED` marker (stamped in staging, so it
+    * RIDES the rename) is visible. */
+  private def publishedGens(fs: FileSystem, root: Path): Seq[(Int, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_v"))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("gen_v").toInt).toOption
+          .filter(_ => fs.exists(new Path(st.getPath, "_PUBLISHED")))
+          .map(_ -> st.getPath)
+      }
+      .sortBy(_._1)
+
+  private def latestGen(fs: FileSystem, root: Path): Option[(Int, Path)] =
+    publishedGens(fs, root).lastOption
+
+  /** Write-stamp-rename-retire. `write` fills the staging dir (parquet
+    * first, then any `_`-prefixed markers); the `_PUBLISHED` stamp and the
+    * atomic rename make the generation visible in one step, and retiring
+    * superseded generations AFTER the flip is safe because readers always
+    * resolve the max published generation. */
+  private def publishGen(fs: FileSystem, root: Path, cur: Int)(
+      write: Path => Unit): Path = {
+    val stage = new Path(root, s".stage_v${cur + 1}")
+    fs.delete(stage, true) // a torn prior attempt at this generation
+    write(stage)
+    fs.create(new Path(stage, "_PUBLISHED"), true).close()
+    val gen = new Path(root, s"gen_v${cur + 1}")
+    require(fs.rename(stage, gen), s"state publish rename failed: $stage")
+    publishedGens(fs, root).filter(_._1 <= cur).foreach(g => fs.delete(g._2, true))
+    gen
+  }
+
+  /** Resolve the current published sketch state (latest generation). */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, gen) = latestGen(fs, root)
+      .getOrElse(sys.error(s"no published state generation under $stateDir"))
+    spark.read.parquet(gen.toString)
+  }
+
   /** CONTINUOUSLY-MAINTAINED sketch state — [[graft.ext.Similarity
     * .hllApplyBatch]] driven by the real streaming engine with the state
     * PERSISTED between micro-batches: each batch is prepped (`prep`: doc
     * rows → (keyCol, valueCol) observation rows), sketched, and max-merged
     * into the parquet register table, which the NEXT batch reads back from
     * disk — a genuine state round-trip per trigger, not a lineage handoff.
-    * Each generation stages to `<stateDir>__stage` and renames over the
-    * old state (the [[graft.cdc.SinkLayout]] publish contract in
-    * miniature: a reader never sees a half-written register table).
+    * Generational publish (object scaladoc): a reader never sees a
+    * half-written register table and a crash never loses the old one.
     *
     * Scale: state is m registers per key (bytes per group) however much
     * history has streamed past; each trigger's work is sketch(batch) +
@@ -78,10 +133,9 @@ object StateStream {
       keyCol: String,
       valueCol: String,
       prep: DataFrame => DataFrame): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val schema = spark.read.parquet(corpusDir).schema
-    val statePath = new Path(stateDir)
-    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val query = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(corpusDir)
@@ -89,30 +143,30 @@ object StateStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val obs = prep(batch)
-        val next =
-          if (fs.exists(statePath))
-            graft.ext.Similarity.hllApplyBatch(
-              s.read.parquet(stateDir), obs, keyCol, valueCol)
-          else graft.ext.Similarity.hllState(obs, keyCol, valueCol)
-        val stage = new Path(stateDir + "__stage")
-        next.write.mode("overwrite").parquet(stage.toString)
-        fs.delete(statePath, true)
-        require(fs.rename(stage, statePath), s"state publish rename failed: $stage")
+        val cur = latestGen(fs, root)
+        val next = cur match {
+          case Some((_, gen)) => graft.ext.Similarity.hllApplyBatch(
+            s.read.parquet(gen.toString), obs, keyCol, valueCol)
+          case None => graft.ext.Similarity.hllState(obs, keyCol, valueCol)
+        }
+        publishGen(fs, root, cur.map(_._1).getOrElse(0)) { stage =>
+          next.write.mode("overwrite").parquet(stage.toString)
+        }
         ()
       }
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.read.parquet(stateDir)
+    readState(spark, stateDir)
   }
 
   /** The SUM-merge twin of [[sketchMaintainAvailableNow]] for count-min
     * cells — with the exactly-once machinery HLL never needed: max
     * registers are replay-IDEMPOTENT (a re-delivered batch can't move a
     * max backwards), but summed cells DOUBLE-COUNT a replay, so each
-    * generation carries `_applied/<batchId>` markers INSIDE the staged
-    * state dir and publishes state + markers in the ONE rename — a crash
+    * generation carries `_applied/<batchId>` markers INSIDE it and
+    * publishes state + markers in the ONE generational flip — a crash
     * anywhere leaves either the old generation (batch re-folds cleanly)
     * or the new one (marker present, replay skipped whole). Underscore
     * prefix keeps the markers invisible to the parquet read. */
@@ -135,35 +189,63 @@ object StateStream {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.read.parquet(stateDir)
+    readState(spark, stateDir)
+  }
+
+  private def appliedMarkers(fs: FileSystem, gen: Path): Seq[String] = {
+    val applied = new Path(gen, "_applied")
+    if (fs.exists(applied)) fs.listStatus(applied).toSeq.map(_.getPath.getName)
+    else Nil
   }
 
   /** One exactly-once count-min fold generation (factored out so the spec
     * can replay a batchId directly): no-op if `batchId`'s marker is
     * already inside the published state. */
   private[streaming] def cmFoldBatch(
-      batch: DataFrame, batchId: Long, stateDir: String, textCol: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val s = batch.sparkSession
-    val statePath = new Path(stateDir)
-    val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val applied = new Path(statePath, "_applied")
-    val priorMarkers: Seq[String] =
-      if (fs.exists(applied)) fs.listStatus(applied).toSeq.map(_.getPath.getName)
-      else Nil
-    if (priorMarkers.contains(batchId.toString)) return // replayed: skip whole
-    val next =
-      if (fs.exists(statePath))
-        graft.ext.TextOps.cmApplyBatch(s.read.parquet(stateDir), batch, textCol)
-      else graft.ext.TextOps.cmState(batch, textCol)
-    val stage = new Path(stateDir + "__stage")
-    next.write.mode("overwrite").parquet(stage.toString)
-    val stageApplied = new Path(stage, "_applied")
-    fs.mkdirs(stageApplied)
-    (priorMarkers :+ batchId.toString).foreach { m =>
-      fs.create(new Path(stageApplied, m), true).close()
+      batch: DataFrame, batchId: Long, stateDir: String, textCol: String): Unit =
+    cmMutate(batch.sparkSession, stateDir, s"$batchId") { cur =>
+      cur match {
+        case Some(st) => graft.ext.TextOps.cmApplyBatch(st, batch, textCol)
+        case None => graft.ext.TextOps.cmState(batch, textCol)
+      }
     }
-    fs.delete(statePath, true)
-    require(fs.rename(stage, statePath), s"state publish rename failed: $stage")
+
+  /** SUBJECT DELETION propagated into the persisted count-min state (the
+    * `cdc_forget_keys` contract for derived sketch state): cells are
+    * PURELY ADDITIVE, so — unlike HLL's max registers, which genuinely
+    * cannot forget — deletion is EXACT: sketch the subject's documents,
+    * subtract cell-wise ([[graft.ext.TextOps.cmForget]]), and the result
+    * is the sketch that would have been built over the survivors alone.
+    * The forget publishes as a new generation carrying a
+    * `forget_<tag>` marker beside the applied-batch markers, so a
+    * replayed deletion request is skipped whole — the same exactly-once
+    * contract the streamed fold gives batches. */
+  def cmForgetState(
+      spark: SparkSession, stateDir: String, subject: DataFrame,
+      tag: String, textCol: String = "text"): Unit =
+    cmMutate(spark, stateDir, s"forget_$tag") { cur =>
+      val st = cur.getOrElse(sys.error(s"no published cm state under $stateDir"))
+      graft.ext.TextOps.cmForget(st, subject, textCol)
+    }
+
+  /** Shared exactly-once mutation of the persisted cm state: skip if
+    * `marker` is already applied, else publish `next(currentState)` as a
+    * new generation carrying every prior marker plus `marker`. */
+  private def cmMutate(spark: SparkSession, stateDir: String, marker: String)(
+      next: Option[DataFrame] => DataFrame): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = latestGen(fs, root)
+    val priorMarkers = cur.map(g => appliedMarkers(fs, g._2)).getOrElse(Nil)
+    if (priorMarkers.contains(marker)) return // replayed: skip whole
+    val out = next(cur.map(g => spark.read.parquet(g._2.toString)))
+    publishGen(fs, root, cur.map(_._1).getOrElse(0)) { stage =>
+      out.write.mode("overwrite").parquet(stage.toString)
+      val stageApplied = new Path(stage, "_applied")
+      fs.mkdirs(stageApplied)
+      (priorMarkers :+ marker).foreach { m =>
+        fs.create(new Path(stageApplied, m), true).close()
+      }
+    }
   }
 }

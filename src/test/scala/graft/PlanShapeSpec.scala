@@ -190,6 +190,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val p = plan("ext_cdc_serving_join")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the point-in-time lookup must stay a stateless broadcast range join")
+    // the broadcast is the GATED fast path (episodes under
+    // ServingBridge.BroadcastEpisodeLimit at fixture scale) — the hint
+    // must actually reach the planner; ServingBridgeSpec drives the
+    // over-limit shuffled fallback
+    assert(p.contains("BroadcastHashJoin"),
+      "under the episode-count gate the lookup must broadcast")
   }
 
   test("filtered ANN scores both strategies from ONE scored pass: queries " +

@@ -60,4 +60,27 @@ class RepairSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("drop it before repairing"))
   }
+
+  test("the newest day refuses without originalHwm and repairs exactly with it " +
+      "(an intra-day HWM must bound the window)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_repair_hwm")
+    val sink = base.resolve("log").toString
+    // populate stopped MID-day-3: the 08:00 insert is in, the 09:00 pair is not
+    val hwm = ts("1995-01-03 08:30:00")
+    PopulateChangelog.run(spark, feedDf, cfg, sink, Some(hwm))
+    val healthy = SinkLayout.read(spark, sink).select(cols.map(col): _*).collect().toSet
+    val day = LocalDate.parse("1995-01-03")
+    assert(Repair.dropDayPartition(spark, sink, day))
+    // surviving HWM now sits on day 2 — the guard must refuse a blind repair
+    val e = intercept[IllegalArgumentException] {
+      Repair.repairDay(spark, feedDf, cfg, sink, day)
+    }
+    assert(e.getMessage.contains("originalHwm"))
+    // with the recorded populate HWM the repair re-creates ONLY the rows the
+    // last populate reached — not the 09:00 feed rows past the HWM
+    Repair.repairDay(spark, feedDf, cfg, sink, day, originalHwm = Some(hwm))
+    val repaired = SinkLayout.read(spark, sink).select(cols.map(col): _*).collect().toSet
+    assert(repaired == healthy,
+      "newest-day repair at the recorded HWM must restore rows AND ids exactly")
+  }
 }

@@ -56,6 +56,30 @@ class ServingBridgeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("over-limit episode tables degrade to a shuffled serve_key equi-join " +
+      "with identical results") {
+    val cl = changelog.localCheckpoint(true)
+    val eps = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")
+    val s = spark
+    import s.implicits._
+    val keys = Seq(2L, 3L, 5L, 7L, 10L, 25L)
+    val requests = (for { k <- keys; t <- 0L to 12L }
+      yield (k * 100 + t, k, ServingBridge.BaseEpochS + t))
+      .toDF("event_id", "serve_key", "serve_s")
+    val fast = ServingBridge.enrichAsOf(requests, eps)
+    val slow = ServingBridge.enrichAsOf(requests, eps, broadcastLimit = 0L)
+    val slowPlan = slow.queryExecution.executedPlan.toString
+    assert(!slowPlan.contains("BroadcastHashJoin") &&
+        !slowPlan.contains("BroadcastNestedLoopJoin"),
+      "above the gate the episode side must NOT broadcast")
+    assert(slowPlan.contains("SortMergeJoin") || slowPlan.contains("ShuffledHashJoin"),
+      "the fallback must still be an equi-join on serve_key, not a loop join")
+    val key = (df: DataFrame) => df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)), Option(r.get(4)))).toSet
+    assert(key(fast) == key(slow),
+      "broadcast and shuffled strategies must serve identical episodes")
+  }
+
   test("each request matches AT MOST one episode (the intervals partition time)") {
     val cl = changelog
     val eps = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")

@@ -342,7 +342,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     assert(asMap(state) == asMap(direct),
       "streamed per-file folds must equal the one-shot sketch register-for-register")
     // the published state is the on-disk artifact, not a lineage handoff
-    assert(asMap(s.read.parquet(base.resolve("state").toString)) == asMap(direct))
+    assert(asMap(StateStream.readState(s, base.resolve("state").toString)) == asMap(direct))
   }
 
   test("count-min stream fold is exactly-once: a replayed batchId is " +
@@ -357,12 +357,61 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     StateStream.cmFoldBatch(b1, 0L, stateDir, "text")
     StateStream.cmFoldBatch(b2, 1L, stateDir, "text")
-    val once = cells(s.read.parquet(stateDir))
+    val once = cells(StateStream.readState(s, stateDir))
     assert(once == cells(graft.ext.TextOps.cmState(b1.unionByName(b2))),
       "two folds must equal the one-pass sketch")
     // a crash-redelivery of batch 1 must be absorbed by its marker
     StateStream.cmFoldBatch(b1, 0L, stateDir, "text")
-    assert(cells(s.read.parquet(stateDir)) == once,
+    assert(cells(StateStream.readState(s, stateDir)) == once,
       "replaying an applied batchId must not change a single cell")
+  }
+
+  test("cm state publish is generational: a crash can never leave NO readable " +
+      "state (the delete-then-rename window is gone)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = graft.TempDirs.create("graft_cmgen")
+    val stateDir = base.resolve("state").toString
+    val fs = new Path(stateDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val b1 = Seq((1L, "hot hot cold")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "hot warm")).toDF("doc_id", "text")
+    StateStream.cmFoldBatch(b1, 0L, stateDir, "text")
+    // simulate a torn SECOND fold: a stage dir exists but never published
+    fs.mkdirs(new Path(stateDir, ".stage_v2"))
+    fs.create(new Path(new Path(stateDir, ".stage_v2"), "garbage"), true).close()
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the torn stage is invisible: gen 1 still reads
+    assert(cells(StateStream.readState(s, stateDir)) ==
+      cells(graft.ext.TextOps.cmState(b1)))
+    // the retried fold reclaims the torn stage and publishes gen 2
+    StateStream.cmFoldBatch(b2, 1L, stateDir, "text")
+    assert(cells(StateStream.readState(s, stateDir)) ==
+      cells(graft.ext.TextOps.cmState(b1.unionByName(b2))))
+    // superseded generations retire; exactly one published gen remains
+    val gens = fs.listStatus(new Path(stateDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen_v"))
+    assert(gens == Seq("gen_v2"), s"expected only gen_v2, got $gens")
+  }
+
+  test("cm subject forget subtracts exactly and replays idempotently") {
+    val s = spark
+    import s.implicits._
+    val base = graft.TempDirs.create("graft_cmforget")
+    val stateDir = base.resolve("state").toString
+    val keep = Seq((1L, "hot hot cold"), (2L, "hot warm")).toDF("doc_id", "text")
+    val subject = Seq((3L, "cold cool hot")).toDF("doc_id", "text")
+    StateStream.cmFoldBatch(keep.unionByName(subject), 0L, stateDir, "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    StateStream.cmForgetState(s, stateDir, subject, tag = "req42", textCol = "text")
+    val after = cells(StateStream.readState(s, stateDir))
+    assert(after == cells(graft.ext.TextOps.cmState(keep)),
+      "forget must leave EXACTLY the survivors' scratch sketch")
+    // a replayed deletion request must be skipped whole (not subtracted twice)
+    StateStream.cmForgetState(s, stateDir, subject, tag = "req42", textCol = "text")
+    assert(cells(StateStream.readState(s, stateDir)) == after,
+      "replaying a completed forget must not change a single cell")
   }
 }
