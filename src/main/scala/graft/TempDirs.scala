@@ -98,6 +98,29 @@ object TempDirs {
     root
   }
 
+  /** Recursive copy of a memoized artifact into `dst` — for graded drives
+    * that MUTATE their fixture state (sink maintenance races): build the
+    * pre-race state once via [[memoized]], COPY it per invocation, race
+    * the copy. A file copy is an order of magnitude cheaper than the
+    * Spark populate that built the artifact, which is the whole point —
+    * repeat bench passes then price the RACE, not the fixture build.
+    * Skips `_OK` (the memo publish marker is not part of the artifact). */
+  def copyInto(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dst)
+    val s = java.nio.file.Files.walk(src)
+    try {
+      s.forEach { p =>
+        val rel = src.relativize(p)
+        if (rel.toString.nonEmpty && rel.getFileName.toString != "_OK") {
+          val t = dst.resolve(rel.toString)
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally s.close()
+  }
+
   /** Delete every directory created so far, now instead of at JVM exit —
     * for loop harnesses (Bench) where drive queries re-create their temp
     * sinks every pass and the pile-up otherwise lives until shutdown.

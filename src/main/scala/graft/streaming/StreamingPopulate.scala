@@ -76,6 +76,37 @@ object StreamingPopulate {
     appended.get()
   }
 
+  /** Clone a QUIESCED AvailableNow checkpoint for replay against a
+    * RELOCATED copy of its source directory. The file-source log
+    * (the `sources` subtree) records ABSOLUTE file paths; on restart the engine
+    * reconstructs the last batch from those paths under the new reader's
+    * basePath, so a byte-copy of a checkpoint breaks the moment its feed
+    * dir moves. The clone rewrites `oldFeedPath` → `newFeedPath` in every
+    * (small, line-JSON) checkpoint file — offsets/commits don't carry
+    * paths, so the rewrite is a no-op there. Only valid for STATELESS
+    * queries (foreachBatch populate): stateful state stores are binary
+    * and are not path-rewritable. */
+  def cloneCheckpoint(
+      src: java.nio.file.Path, dst: java.nio.file.Path,
+      oldFeedPath: String, newFeedPath: String): Unit = {
+    val s = java.nio.file.Files.walk(src)
+    try {
+      s.forEach { p =>
+        val rel = src.relativize(p).toString
+        if (rel.nonEmpty) {
+          val t = dst.resolve(rel)
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+          else {
+            java.nio.file.Files.createDirectories(t.getParent)
+            val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            java.nio.file.Files.write(t,
+              text.replace(oldFeedPath, newFeedPath).getBytes("UTF-8"))
+          }
+        }
+      }
+    } finally s.close()
+  }
+
   /** One micro-batch: continue ids from the sink's max, then append via the
     * shared batch path. Micro-batches within a query run sequentially, so
     * the one-snapshot-per-batch id contract holds like the batch mode.
