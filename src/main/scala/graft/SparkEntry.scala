@@ -65,6 +65,30 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Fully-populated orders changelog sink over the DEFAULT feed (to
+    * 1996-01-01) — fixture for rows whose graded subject is what happens
+    * AFTER the populate (forget, state folds). Mutating consumers COPY
+    * it ([[TempDirs.copyInto]]); the populate path itself stays graded by
+    * cdc_populate_roundtrip and friends, which never memoize. */
+  private def fullFeedSink(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_full_sink", s"$dir/orders.parquet") { tmp =>
+      PopulateChangelog.run(s, feed(s, dir), ordersCfg,
+        tmp.resolve("orders_changelog").toString,
+        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      ()
+    }
+
+  /** Fully-populated sink over the RETENTION feed (multi-day partitions,
+    * to 1999-01-01) — fixture for the retention sweep rows (copy) and the
+    * read-only DPP row (direct read). */
+  private def retentionFullSink(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_retfull_sink", s"$dir/orders.parquet") { tmp =>
+      PopulateChangelog.run(s, ChangeFeed.fromOrdersRetention(orders(s, dir)),
+        ordersCfg, tmp.resolve("orders_changelog").toString,
+        Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      ()
+    }
+
   /** The batch-1 (up to ResumeMid) orders changelog sink — the pre-race
     * state shared by the compaction and forget race rows. Pure fixture
     * function → memoized; consumers COPY it ([[TempDirs.copyInto]])
@@ -166,10 +190,14 @@ object SparkEntry {
     // (:33-38), scan with day-TRUNCATED bounds (:52-57; the oracle encodes
     // the truncation: 00:10 in, midnight out)
     "cdc_query_data_sink" -> ((s, dir) => {
-      val sink = TempDirs.create("graft_qd")
-        .resolve("orders_changelog").toString
-      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
-        Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
+      // the populate is the FIXTURE here (the graded subject is the
+      // catalog-resolved windowed read) — memoized, read in place
+      val sink = TempDirs.memoized("graft_qd_sink", s"$dir/orders.parquet") { tmp =>
+        PopulateChangelog.run(s, feed(s, dir), ordersCfg,
+          tmp.resolve("orders_changelog").toString,
+          Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00")))
+        ()
+      }.resolve("orders_changelog").toString
       val cat = new CdcCatalog
       cat.register(CdcTableEntry(ordersCfg, dir, sink))
       QueryData.run(s, cat, "orders_ChangeLog",
@@ -207,13 +235,11 @@ object SparkEntry {
     // must prune partitions from the BROADCAST side at runtime
     // (dynamicpruningexpression in the scan; PlanShapeSpec locks it)
     "cdc_query_dpp" -> ((s, dir) => {
-      val sink = TempDirs.create("graft_dpp")
-        .resolve("orders_changelog").toString
       // the retention feed spreads commit_dates across real days (the
-      // default feed compresses to ONE day — nothing to prune there)
-      PopulateChangelog.run(s, ChangeFeed.fromOrdersRetention(orders(s, dir)),
-        ordersCfg, sink,
-        Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      // default feed compresses to ONE day — nothing to prune there);
+      // the multi-day populate is the FIXTURE (graded subject = the
+      // pruned read) — memoized, read in place
+      val sink = retentionFullSink(s, dir).resolve("orders_changelog").toString
       val base = graft.cdc.SinkLayout.read(s, sink)
       val counts = base.groupBy(col("commit_date")).agg(count(lit(1)).as("__c"))
       // DELIBERATE deviation from the house broadcast-scalar idiom: the
@@ -244,10 +270,10 @@ object SparkEntry {
     // equal the whole-history state minus the forgotten subjects — ids,
     // n_changes and all (maintenance never reassigns)
     "cdc_state_after_forget" -> ((s, dir) => {
-      val sink = TempDirs.create("graft_saf")
-        .resolve("orders_changelog").toString
-      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
-        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      // memoized fixture sink, copied because the forget mutates it
+      val base = TempDirs.create("graft_saf")
+      TempDirs.copyInto(fullFeedSink(s, dir), base)
+      val sink = base.resolve("orders_changelog").toString
       val keys = orders(s, dir).select(col("o_orderkey"))
         .where(col("o_orderkey") % 97 === 0)
       graft.cdc.Forget.forgetKeys(s, sink, Seq("o_orderkey"), keys)
@@ -260,10 +286,10 @@ object SparkEntry {
     // forgotten keys removed across all date partitions via the staged
     // version swap; surviving rows keep their changelog ids untouched
     "cdc_forget_keys" -> ((s, dir) => {
-      val sink = TempDirs.create("graft_forget")
-        .resolve("orders_changelog").toString
-      PopulateChangelog.run(s, feed(s, dir), ordersCfg, sink,
-        Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      // memoized fixture sink, copied because the forget mutates it
+      val base = TempDirs.create("graft_forget")
+      TempDirs.copyInto(fullFeedSink(s, dir), base)
+      val sink = base.resolve("orders_changelog").toString
       val keys = orders(s, dir).select(col("o_orderkey"))
         .where(col("o_orderkey") % 97 === 0)
       graft.cdc.Forget.forgetKeys(s, sink, Seq("o_orderkey"), keys)
@@ -1674,9 +1700,10 @@ object SparkEntry {
     // commit_date partition before the cutoff — a pure partition-level
     // sweep (directory deletes, no rewrite); surviving ids untouched
     "cdc_retention" -> ((s, dir) => {
-      val sink = TempDirs.create("graft_ret").resolve("orders_changelog").toString
-      PopulateChangelog.run(s, ChangeFeed.fromOrdersRetention(orders(s, dir)), ordersCfg,
-        sink, Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      // memoized fixture sink, copied because the sweep mutates it
+      val base = TempDirs.create("graft_ret")
+      TempDirs.copyInto(retentionFullSink(s, dir), base)
+      val sink = base.resolve("orders_changelog").toString
       graft.cdc.Retention.expire(s, sink,
         java.time.LocalDate.parse(graft.oracle.OrdersCdcOracle.RetentionCutoff))
       graft.cdc.SinkLayout.read(s, sink)
@@ -1691,9 +1718,10 @@ object SparkEntry {
     // append-stable across partition expiry: the pre-expire bootstrap and
     // the post-expire batch stitch on last_change_id with no seam.
     "cdc_state_after_retention" -> ((s, dir) => {
-      val sink = TempDirs.create("graft_sar").resolve("orders_changelog").toString
-      PopulateChangelog.run(s, ChangeFeed.fromOrdersRetention(orders(s, dir)), ordersCfg,
-        sink, Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      // memoized fixture sink, copied because the sweep mutates it
+      val base = TempDirs.create("graft_sar")
+      TempDirs.copyInto(retentionFullSink(s, dir), base)
+      val sink = base.resolve("orders_changelog").toString
       val cutoffStr = graft.oracle.OrdersCdcOracle.RetentionCutoff
       val mid = lit(graft.oracle.OrdersCdcOracle.RetentionStateMid).cast("timestamp")
       val beforeExpire = graft.cdc.SinkLayout.read(s, sink)
