@@ -65,6 +65,29 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Undirected part↔supplier co-supply edges (both directions) — the
+    * PageRank family's shared graph projection. */
+  private def coSupplyEdges(li: DataFrame): DataFrame = {
+    val pairs = li.select(
+      concat(lit("P"), col("l_partkey").cast("string")).as("part"),
+      concat(lit("S"), col("l_suppkey").cast("string")).as("supp")).distinct()
+    pairs.select(col("part").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("part").as("dst")))
+  }
+
+  /** The persisted nightly rank state (3 uniform rounds over the 90%
+    * history edge set) shared by the warm-start fold and the forget
+    * fold — memoized like the other incremental states. */
+  private def pageRankHistoryState(
+      s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_pr_state", s"$dir/lineitem.parquet") { tmp =>
+      graft.ext.Graph.pageRank(
+        coSupplyEdges(s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_orderkey") % 10 =!= 9)),
+        "src", "dst", rounds = 3)
+        .write.mode("overwrite").parquet(tmp.resolve("ranks").toString)
+    }
+
   /** Fully-populated orders changelog sink over the DEFAULT feed (to
     * 1996-01-01) — fixture for rows whose graded subject is what happens
     * AFTER the populate (forget, state folds). Mutating consumers COPY
@@ -1315,6 +1338,23 @@ object SparkEntry {
       graft.cdc.ServingBridge.enrichAsOf(
         graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
         graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"))
+        .orderBy("event_id")
+    }),
+
+    // the MULTI-feature read — the feature-store "whole row at time T"
+    // contract: each purchase gains (status, price) value+episode pairs
+    // from TWO gated episode joins off the SAME changelog, both at the
+    // request's own instant (no cross-feature skew). m∈{5,7} keys carry
+    // status episodes but never price ones — per-feature sparsity stays
+    // NULL, not stale
+    "ext_cdc_serving_multi" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      graft.cdc.ServingBridge.enrichAsOfMany(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
+        Seq(
+          "status" -> graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"),
+          "price" -> graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_totalprice")))
         .orderBy("event_id")
     }),
 
@@ -2643,15 +2683,10 @@ object SparkEntry {
     // deterministic integer PageRank over the part↔supplier co-supply
     // graph (domain-authority ranking shape: 3 synchronous rounds,
     // micro-unit ranks, integer division both engines)
-    "ext_pagerank" -> ((s, dir) => {
-      val pairs = s.read.parquet(s"$dir/lineitem.parquet")
-        .select(concat(lit("P"), col("l_partkey").cast("string")).as("part"),
-          concat(lit("S"), col("l_suppkey").cast("string")).as("supp"))
-        .distinct()
-      val und = pairs.select(col("part").as("src"), col("supp").as("dst"))
-        .unionByName(pairs.select(col("supp").as("src"), col("part").as("dst")))
-      graft.ext.Graph.pageRank(und, "src", "dst", rounds = 3).orderBy("node")
-    }),
+    "ext_pagerank" -> ((s, dir) =>
+      graft.ext.Graph.pageRank(
+        coSupplyEdges(s.read.parquet(s"$dir/lineitem.parquet")),
+        "src", "dst", rounds = 3).orderBy("node")),
 
     // INCREMENTAL PageRank maintenance — the warm-start fold: persisted
     // nightly ranks (trained on the 90% history edge set, memoized like
@@ -2660,23 +2695,31 @@ object SparkEntry {
     // two-phase chain — fixed-round mirroring keeps the grade exact
     // independent of convergence (the kCore lesson)
     "ext_pagerank_incremental" -> ((s, dir) => {
-      def pairsOf(f: org.apache.spark.sql.DataFrame) = f
-        .select(concat(lit("P"), col("l_partkey").cast("string")).as("part"),
-          concat(lit("S"), col("l_suppkey").cast("string")).as("supp"))
-        .distinct()
-      def und(p: org.apache.spark.sql.DataFrame) =
-        p.select(col("part").as("src"), col("supp").as("dst"))
-          .unionByName(p.select(col("supp").as("src"), col("part").as("dst")))
       val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val state = TempDirs.memoized("graft_pr_state",
-        s"$dir/lineitem.parquet") { tmp =>
-        graft.ext.Graph.pageRank(
-          und(pairsOf(li.where(col("l_orderkey") % 10 =!= 9))), "src", "dst", rounds = 3)
-          .write.mode("overwrite").parquet(tmp.resolve("ranks").toString)
-      }
+      val state = pageRankHistoryState(s, dir)
       graft.ext.Graph.pageRankWarmStart(
-        und(pairsOf(li)), "src", "dst",
+        coSupplyEdges(li), "src", "dst",
         s.read.parquet(state.resolve("ranks").toString), rounds = 2)
+        .orderBy("node")
+    }),
+
+    // FORGET propagation into persisted RANK state (the E25 matrix
+    // reaching graph authority scores — the non-per-subject-pure case
+    // beside cluster labels): a deletion request removes every edge of
+    // the forgotten suppliers, their rank rows are purged from the
+    // stored state, and the SAME warm-start refresh re-iterates over the
+    // survivor graph — forgotten nodes leave the node set and receive no
+    // rank at all. Survivor seeds keep the subject's stale influence
+    // (state was trained pre-deletion, exactly like frozen centroids);
+    // the oracle replays that two-phase chain verbatim
+    "ext_pagerank_forget" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val state = pageRankHistoryState(s, dir)
+      val prior = s.read.parquet(state.resolve("ranks").toString)
+        .where(expr("NOT (node LIKE 'S%' AND CAST(substring(node, 2) AS BIGINT) % 13 = 5)"))
+      graft.ext.Graph.pageRankWarmStart(
+        coSupplyEdges(li.where(col("l_suppkey") % 13 =!= 5)), "src", "dst",
+        prior, rounds = 2)
         .orderBy("node")
     }),
 
@@ -3058,6 +3101,7 @@ object SparkEntry {
     "ext_interval_join_full_stream" -> ExtOracle.intervalJoinFullSql,
     "ext_stream_static_join" -> ExtOracle.streamStaticJoinSql,
     "ext_cdc_serving_join" -> ExtOracle.cdcServingJoinSql,
+    "ext_cdc_serving_multi" -> ExtOracle.cdcServingMultiSql,
     "ext_cdc_serving_dropped" -> ExtOracle.cdcServingDroppedSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_funnel_stream" -> ExtOracle.funnelStepsSql,
@@ -3141,6 +3185,7 @@ object SparkEntry {
     "ext_asof_nearest" -> ExtOracle.asofNearestSql,
     "ext_pagerank" -> ExtOracle.pagerankSql,
     "ext_pagerank_incremental" -> ExtOracle.pagerankIncrementalSql,
+    "ext_pagerank_forget" -> ExtOracle.pagerankForgetSql,
     "ext_triangles" -> ExtOracle.trianglesSql,
     "ext_kcore" -> ExtOracle.kCoreSql,
     "ext_triangles_incremental" -> ExtOracle.trianglesSql,

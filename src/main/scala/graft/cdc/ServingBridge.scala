@@ -108,20 +108,43 @@ object ServingBridge {
     * that precede their key's first episode — or whose key never
     * changed — carry NULLs. */
   def enrichAsOf(requests: DataFrame, episodes: DataFrame,
-      broadcastLimit: Long = BroadcastEpisodeLimit): DataFrame = {
-    val eps = episodes.withColumnRenamed("serve_key", "__ek")
-      .localCheckpoint(true)
-    // over the gate the side is KNOWN oversized: the merge hint keeps the
-    // planner's size estimate from re-broadcasting it anyway (the CoLocate
-    // precedent) — the equi-key plans a sort-merge join with the interval
-    // bounds as the residual condition
-    val rhs = if (eps.count() <= broadcastLimit) broadcast(eps) else eps.hint("merge")
-    requests.join(rhs,
-        col("serve_key") === col("__ek") &&
-          col("valid_from_s") <= col("serve_s") &&
-          (col("valid_to_s").isNull || col("serve_s") < col("valid_to_s")),
-        "left")
+      broadcastLimit: Long = BroadcastEpisodeLimit): DataFrame =
+    gatedEpisodeJoin(requests, episodes, broadcastLimit)
       .select(col("event_id"), col("serve_key"), col("serve_s"),
         col("status_asof"), col("ep_id"))
+
+  /** Multi-FEATURE point-in-time enrichment — the feature-store "read the
+    * whole feature row at time T" contract: one request row gains a
+    * (`<name>_asof`, `<name>_ep_id`) column pair per tracked column, via
+    * one gated episode join each, all from the SAME changelog and all at
+    * the request's OWN instant (no cross-feature skew: every feature is
+    * read at one consistent time). */
+  def enrichAsOfMany(requests: DataFrame,
+      features: Seq[(String, DataFrame)],
+      broadcastLimit: Long = BroadcastEpisodeLimit): DataFrame =
+    features.foldLeft(requests) { case (acc, (name, episodes)) =>
+      // per-feature names BEFORE the join — every episode table ships the
+      // same (status_asof, ep_id) pair and the folds must not collide
+      gatedEpisodeJoin(acc,
+        episodes.withColumnRenamed("status_asof", s"${name}_asof")
+          .withColumnRenamed("ep_id", s"${name}_ep_id"),
+        broadcastLimit)
+        .drop("__ek", "valid_from_s", "valid_to_s")
+    }
+
+  /** The gated single-episode range join both enrichers ride: broadcast
+    * under `broadcastLimit`, shuffled serve_key equi-join (merge hint —
+    * the side is KNOWN oversized, the CoLocate precedent) with the
+    * interval bounds as the residual condition above it. */
+  private def gatedEpisodeJoin(
+      requests: DataFrame, episodes: DataFrame, broadcastLimit: Long): DataFrame = {
+    val eps = episodes.withColumnRenamed("serve_key", "__ek")
+      .localCheckpoint(true)
+    val rhs = if (eps.count() <= broadcastLimit) broadcast(eps) else eps.hint("merge")
+    requests.join(rhs,
+      requests("serve_key") === rhs("__ek") &&
+        rhs("valid_from_s") <= requests("serve_s") &&
+        (rhs("valid_to_s").isNull || requests("serve_s") < rhs("valid_to_s")),
+      "left")
   }
 }

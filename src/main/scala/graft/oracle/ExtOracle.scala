@@ -2102,6 +2102,51 @@ object ExtOracle {
   lazy val cdcServingDroppedSql: String = cdcServingSqlOver(
     OrdersCdcOracle.dropChangelogSql, "o_orderpriority", Seq(6))
 
+  /** ≙ ext_cdc_serving_multi (ServingBridge.enrichAsOfMany): the
+    * feature-store MULTI-feature read — each request LEFT joins its
+    * o_orderstatus AND o_totalprice episodes at the same instant; m∈{5,7}
+    * keys have status episodes but no price ones (price updates only at
+    * m∈{2,3}), so the price pair is NULL there — per-feature sparsity at
+    * one consistent read time. */
+  lazy val cdcServingMultiSql: String = {
+    def epsCtes(tag: String, column: String): String =
+      s"""eps${tag}0 AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS serve_key, new_value AS v,
+         |         changelog_id AS ep_id,
+         |         CAST(epoch(commit_time) AS BIGINT) AS valid_from_s
+         |  FROM cl WHERE column_name = '$column'
+         |), eps$tag AS (
+         |  SELECT *, lead(valid_from_s) OVER (PARTITION BY serve_key ORDER BY ep_id)
+         |    AS valid_to_s
+         |  FROM eps${tag}0
+         |)""".stripMargin
+    s"""WITH cl AS (
+       |${OrdersCdcOracle.changelogSql}
+       |), ${epsCtes("s", "o_orderstatus")}, ${epsCtes("p", "o_totalprice")},
+       |nn AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS n FROM orders),
+       |req AS (
+       |  SELECT CAST(event_id AS BIGINT) AS event_id,
+       |    CAST((event_id % (n // 10)) * 10
+       |      + (${graft.cdc.ServingBridge.residueCaseSql(
+                  graft.cdc.ServingBridge.DefaultResidues)})
+       |      AS BIGINT) AS serve_key,
+       |    CAST(788918400 + ((epoch_ns(ts) // 1000000000) % n) AS BIGINT) AS serve_s
+       |  FROM events CROSS JOIN nn
+       |  WHERE event_type = 'purchase'
+       |)
+       |SELECT r.event_id, r.serve_key, r.serve_s,
+       |  s.v AS status_asof, s.ep_id AS status_ep_id,
+       |  p.v AS price_asof, p.ep_id AS price_ep_id
+       |FROM req r
+       |LEFT JOIN epss s
+       |  ON s.serve_key = r.serve_key AND s.valid_from_s <= r.serve_s
+       | AND (s.valid_to_s IS NULL OR r.serve_s < s.valid_to_s)
+       |LEFT JOIN epsp p
+       |  ON p.serve_key = r.serve_key AND p.valid_from_s <= r.serve_s
+       | AND (p.valid_to_s IS NULL OR r.serve_s < p.valid_to_s)
+       |ORDER BY event_id""".stripMargin
+  }
+
   /** ≙ ops.Features.purchaseFeatures: the point-in-time feature matrix —
     * trailing-hour view count (RANGE frame, peers included), session
     * ordinal (gaps-and-islands running sum over the totalized order),
@@ -3120,6 +3165,61 @@ object ExtOracle {
        |  SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS part,
        |                  'S' || CAST(l_suppkey AS VARCHAR) AS supp
        |  FROM lineitem
+       |), ed AS (
+       |  SELECT part AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, part AS dst FROM pairs
+       |), nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |wr0 AS (
+       |  SELECT n.node, CAST(COALESCE(h.pr, $init) AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN hr3 h ON h.node = n.node
+       |),
+       |${roundCtes("w", 2, "ed", "deg", "nodes", "wr0")}
+       |SELECT node, pr FROM wr2 ORDER BY node""".stripMargin
+  }
+
+  /** ≙ ext.Graph.pageRankWarmStart as the FORGET fold: the same
+    * history-trained rank state (3 uniform rounds over l_orderkey % 10
+    * <> 9 — trained BEFORE the deletion request, so survivor seeds keep
+    * its stale influence, exactly like frozen centroids keep a deleted
+    * subject's training), then 2 refresh rounds over the SURVIVOR graph —
+    * every edge of the forgotten suppliers (l_suppkey % 13 = 5) gone, so
+    * their nodes leave the node set and receive no rank at all. */
+  val pagerankForgetSql: String = {
+    val damp = graft.ext.Graph.DefaultDampBp
+    val base = (10000L - damp) * 100L
+    val init = graft.ext.Graph.InitRankMicro
+    def roundCtes(pfx: String, n: Int, ed: String, deg: String,
+        nodes: String, r0: String): String =
+      (1 to n).map { i =>
+        val prev = if (i == 1) r0 else s"${pfx}r${i - 1}"
+        s"""${pfx}c$i AS (
+           |  SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS cs
+           |  FROM $ed e JOIN $prev r ON r.node = e.src JOIN $deg d ON d.src = e.src
+           |  GROUP BY e.dst
+           |), ${pfx}r$i AS (
+           |  SELECT n.node,
+           |    CAST($base + ($damp * COALESCE(c.cs, 0)) // 10000 AS BIGINT) AS pr
+           |  FROM $nodes n LEFT JOIN ${pfx}c$i c ON c.node = n.node
+           |)""".stripMargin
+      }.mkString(", ")
+    s"""WITH hpairs AS (
+       |  SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS part,
+       |                  'S' || CAST(l_suppkey AS VARCHAR) AS supp
+       |  FROM lineitem WHERE l_orderkey % 10 <> 9
+       |), hed AS (
+       |  SELECT part AS src, supp AS dst FROM hpairs
+       |  UNION ALL
+       |  SELECT supp AS src, part AS dst FROM hpairs
+       |), hnodes AS (SELECT DISTINCT src AS node FROM hed),
+       |hdeg AS (SELECT src, count(*) AS deg FROM hed GROUP BY src),
+       |hr0 AS (SELECT node, CAST($init AS BIGINT) AS pr FROM hnodes),
+       |${roundCtes("h", 3, "hed", "hdeg", "hnodes", "hr0")},
+       |pairs AS (
+       |  SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS part,
+       |                  'S' || CAST(l_suppkey AS VARCHAR) AS supp
+       |  FROM lineitem WHERE l_suppkey % 13 <> 5
        |), ed AS (
        |  SELECT part AS src, supp AS dst FROM pairs
        |  UNION ALL

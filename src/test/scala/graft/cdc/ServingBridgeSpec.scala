@@ -80,6 +80,34 @@ class ServingBridgeSpec extends AnyFunSuite with SparkFixture {
       "broadcast and shuffled strategies must serve identical episodes")
   }
 
+  test("multi-feature read equals per-feature single reads at one consistent instant") {
+    val cl = changelog.localCheckpoint(true)
+    val epsS = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")
+    val epsP = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_totalprice")
+    val s = spark
+    import s.implicits._
+    val keys = Seq(2L, 3L, 5L, 7L, 10L, 25L)
+    val requests = (for { k <- keys; t <- 0L to 10L }
+      yield (k * 100 + t, k, ServingBridge.BaseEpochS + t))
+      .toDF("event_id", "serve_key", "serve_s")
+    val multi = ServingBridge.enrichAsOfMany(requests,
+        Seq("status" -> epsS, "price" -> epsP))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4))), (Option(r.get(5)), Option(r.get(6))))).toMap
+    def single(eps: DataFrame) = ServingBridge.enrichAsOf(requests, eps)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    val st = single(epsS)
+    val pr = single(epsP)
+    for (id <- multi.keys) {
+      assert(multi(id)._1 == st(id), s"status feature drifted for $id")
+      assert(multi(id)._2 == pr(id), s"price feature drifted for $id")
+    }
+    // m=5 keys update o_orderstatus but never o_totalprice: status present,
+    // price NULL — per-feature sparsity, not staleness
+    val late5 = multi(5L * 100 + 10)
+    assert(late5._1._1.isDefined && late5._2._1.isEmpty)
+  }
+
   test("each request matches AT MOST one episode (the intervals partition time)") {
     val cl = changelog
     val eps = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")

@@ -281,6 +281,28 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(folded.keySet == Set("a", "b", "c", "d"))
   }
 
+  test("rank forget: the subject's nodes vanish, the fold equals a warm start " +
+      "over the survivor graph with the purged seed table") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq("a" -> "b", "b" -> "a", "b" -> "x", "x" -> "b", "x" -> "c", "c" -> "x")
+    val df = edges.toDF("src", "dst")
+    def ranks(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val prior = Graph.pageRank(df, "src", "dst", rounds = 3).localCheckpoint(true)
+    // the deletion request: node x leaves — its edges AND its stored rank
+    val surv = edges.filter { case (a, b) => a != "x" && b != "x" }.toDF("src", "dst")
+    val purged = prior.where(org.apache.spark.sql.functions.col("node") =!= "x")
+    val folded = ranks(Graph.pageRankWarmStart(surv, "src", "dst", purged, rounds = 2))
+    assert(!folded.contains("x"), "a forgotten node must receive no rank at all")
+    // node c only ever linked through x: no surviving edges, gone too
+    assert(folded.keySet == Set("a", "b"))
+    // an UNpurged seed table gives the identical fold (forgotten seeds are
+    // unreachable once the edges are gone) — the purge is a state-size
+    // contract, not a numeric one
+    assert(folded == ranks(Graph.pageRankWarmStart(surv, "src", "dst", prior, rounds = 2)))
+  }
+
   test("directed graph: sources decay to the base rank, dangling sinks just absorb") {
     val edges = Seq("src" -> "sink") // sink has no out-edges (dangling)
     val got = run(edges, 2)
