@@ -1153,6 +1153,15 @@ object SparkEntry {
       Similarity.topKPqRerank(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
 
+    // E2-MRL — Matryoshka truncated-DIMENSION two-stage search: stage 1
+    // ranks a 12-deep shortlist with only the first 16 of 64 dims (4x
+    // less bandwidth on the exhaustive leg, NO codebook to train or
+    // refresh — the operational contrast to ext_ann_rerank), stage 2
+    // re-scores just the shortlist at full dimension
+    "ext_ann_mrl" -> ((s, dir) =>
+      Similarity.topKMrl(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
+        .orderBy("query_id", "rnk")),
+
     // E2-IVFPQ — the composed billion-vector index: coarse k-means cells
     // prune candidates, PQ codes the per-cell RESIDUALS, ADC scores
     // within probed cells (Jégou et al. IVFADC)
@@ -3027,6 +3036,7 @@ object SparkEntry {
     "ext_ann_ivf_refresh" -> ExtOracle.annIvfRefreshSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
+    "ext_ann_mrl" -> ExtOracle.annMrlSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
     "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,

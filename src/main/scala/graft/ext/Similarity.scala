@@ -738,6 +738,15 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val sl = topKPq(emb, queryPred, shortlist, subspaces, codes, rounds, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(sl, emb, queryPred, k, idCol, vecCol)
+  }
+
+  /** Stage-2 exact re-rank shared by the compressed-index deployments:
+    * the Q×shortlist pair list broadcasts against the corpus, full-vector
+    * cosine touches ONLY shortlist rows, the corpus is never shuffled. */
+  private def rerankExact(
+      sl: DataFrame, emb: DataFrame, queryPred: Column, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val queries = emb.where(queryPred).select(
       col(idCol).as("query_id"), col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"))
     val slq = sl.join(broadcast(queries), Seq("query_id"))
@@ -747,6 +756,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** E2-MRL — TRUNCATED-DIMENSION two-stage search (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): MRL-trained
+    * embeddings pack their best coarse approximation into the vector
+    * PREFIX, so stage 1 ranks a `shortlist`-deep candidate set using only
+    * the first `shortDim` of [[Dim]] dimensions — a Dim/shortDim× cut in
+    * memory bandwidth and FLOPs on the exhaustive leg, with NO trained
+    * codebook (the operational difference from [[topKPqRerank]]: nothing
+    * to fit, nothing to refresh) — and stage 2 re-scores just the
+    * shortlist at full dimension. Same scale shape as every two-stage
+    * deployment here: the cheap representation picks candidates, exact
+    * math picks the ranking, and the full-precision reads are
+    * Q × shortlist, not N. */
+  def topKMrl(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      shortDim: Int = 16,
+      shortlist: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val trunc = emb.select(col(idCol), slice(col(vecCol), 1, shortDim).as(vecCol))
+    val sl = topKCosine(trunc, queryPred, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(sl, emb, queryPred, k, idCol, vecCol)
   }
 
   /** Nearest-`n` centroid cells per vector via the bounded-heap aggregate

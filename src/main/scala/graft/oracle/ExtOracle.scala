@@ -1120,6 +1120,41 @@ object ExtOracle {
        |FROM tok t JOIN shh s ON s.id = t.id
        |ORDER BY doc_id""".stripMargin
 
+  /** ≙ Similarity.topKMrl (shortDim 16 of 64, shortlist 12, k 3): stage 1
+    * ranks by cosine over the vector PREFIX (DuckDB's 1-based inclusive
+    * slice v[1:16] ≙ Spark slice(v, 1, 16) — the proven pairing), stage 2
+    * re-scores just the shortlist at full dimension. Both stages use the
+    * (score DESC, neighbor_id) total order. */
+  val annMrlSql: String =
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), tr AS (
+       |  SELECT vec_id, v[1:16] AS t FROM allv
+       |), s1 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql("q.t", "c.t")} AS cs
+       |  FROM tr q, tr c
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+       |), sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+       |    FROM s1) x
+       |  WHERE rn <= 12
+       |), s2 AS (
+       |  SELECT sl.query_id, sl.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
+       |  FROM sl
+       |  JOIN allv a ON a.vec_id = sl.query_id
+       |  JOIN allv b ON b.vec_id = sl.neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s2
+       |)
+       |SELECT query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
   private def cosineSql(qv: String, cv: String): String =
     s"list_dot_product($qv, $cv) / (sqrt(list_dot_product($qv, $qv)) * sqrt(list_dot_product($cv, $cv)))"
 

@@ -97,6 +97,27 @@ object ExtProperties extends Properties("ext") with SparkFixture {
     } yield (u, t, m))
   } yield rows
 
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    texts <- Gen.listOfN(n, Gen.listOf(
+      Gen.oneOf("hot", "cold", "warm", "cool", "mild")).map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("cmForget inverts cmApplyBatch exactly: fold a batch in, forget " +
+      "the same docs, get the original cells back") =
+    Prop.forAll(genDocs, genDocs) { (keepRows, subjRows) =>
+      val s = spark
+      import s.implicits._
+      val keep = keepRows.toDF("doc_id", "text")
+      val subj = subjRows.map { case (i, t) => (i + 1000L, t) }.toDF("doc_id", "text")
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+          .filter(_._2 != 0L).toMap
+      val base = TextOps.cmState(keep)
+      val folded = TextOps.cmApplyBatch(base, subj)
+      cells(TextOps.cmForget(folded, subj)) == cells(base)
+    }
+
   property("as-of join equals the per-row brute-force maximum") =
     Prop.forAll(genEvents) { rows =>
       val s = spark
