@@ -2376,6 +2376,29 @@ object SparkEntry {
       TextOps.heavyHittersFromCells(c.where(col("doc_id") % 7 =!= 3), cleaned)
     }),
 
+    // E3j'''' — the SAME deletion driven through the REAL streamed state:
+    // the corpus folds in micro-batches (generational publish + applied
+    // markers), then cmForgetState subtracts the subject as one more
+    // exactly-once generation (forget_<tag> marker — a replayed deletion
+    // request is a no-op). Same survivor oracle as the batch forget: the
+    // whole fold+forget chain must land on the scratch survivor sketch
+    "ext_cm_forget_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_cmfstream")
+      val corpusDir = base.resolve("corpus").toString
+      val c = corpus(s, dir)
+      c.repartition(4).write.mode("overwrite").parquet(corpusDir)
+      val stateDir = base.resolve("cm_state").toString
+      graft.streaming.StateStream.cmMaintainAvailableNow(
+        s, corpusDir, stateDir, base.resolve("ckpt").toString)
+      graft.streaming.StateStream.cmForgetState(
+        s, stateDir, c.where(col("doc_id") % 7 === 3), tag = "gdpr1")
+      // replay of the completed request must move zero cells
+      graft.streaming.StateStream.cmForgetState(
+        s, stateDir, c.where(col("doc_id") % 7 === 3), tag = "gdpr1")
+      TextOps.heavyHittersFromCells(c.where(col("doc_id") % 7 =!= 3),
+        graft.streaming.StateStream.readState(s, stateDir))
+    }),
+
     // E2g — HyperLogLog distinct sketch per language over the SHINGLE
     // stream (thousands of distinct values per group — the sketch's real
     // regime; the token vocabulary is a fixture-tiny 39): max-only
@@ -3145,6 +3168,7 @@ object SparkEntry {
     // graded claim, mirroring ext_hll_incremental)
     "ext_cm_incremental" -> ExtOracle.heavyHittersSql,
     "ext_cm_forget" -> ExtOracle.cmForgetSql,
+    "ext_cm_forget_stream" -> ExtOracle.cmForgetSql,
     "ext_cm_stream" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     // identical to ext_hll BY DESIGN: incremental max-merge must reproduce
