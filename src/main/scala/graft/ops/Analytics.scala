@@ -20,7 +20,7 @@ object Analytics {
       nation: DataFrame,
       region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(BroadcastGate.broadcastIfSmall(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -42,7 +42,7 @@ object Analytics {
       nation: DataFrame,
       region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(BroadcastGate.broadcastIfSmall(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))

@@ -49,7 +49,7 @@ object Features {
     val purch = withF.where(col("event_type") === "purchase")
       .withColumn("prev_purchase_gap_s", col("t_s") - lag(col("t_s"), 1).over(wOrd))
     purch.join(
-      broadcast(dim.select(
+      BroadcastGate.broadcastIfSmall(dim.select(
         (col("c_custkey") - 1).cast("long").as("__ck"),
         col("c_nationkey").cast("long").as("nation"))),
       col("user_id") % dimCount === col("__ck"))

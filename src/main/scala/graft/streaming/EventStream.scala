@@ -424,7 +424,7 @@ object EventStream {
     val src = spark.readStream.schema(typed.schema).parquet(inDir)
     val enriched = src
       .withWatermark("event_time", "10 minutes")
-      .join(broadcast(dim.select(
+      .join(graft.ops.BroadcastGate.broadcastIfSmall(dim.select(
           (col("c_custkey") - 1).cast("long").as("__ck"),
           col("c_nationkey").cast("long").as("nation"))),
         col("user_id") % nDim === col("__ck"))
