@@ -950,6 +950,33 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // E2-IVFPQ''' — CODEBOOK-only partial REFRESH at frozen coarse cells
+    // (the compressed index's lifecycle op beside ext_ann_ivf_refresh):
+    // after the deletion skews the residual distribution, the per-
+    // subspace codebooks re-fit over the SURVIVORS and the survivors
+    // re-encode — the coarse partition never moves, so the refresh costs
+    // a codebook fit + one encode pass, not a k-means re-train. PQ codes
+    // are LOSSY: the refresh reads RAW vectors from the source (the
+    // registry), never the stored codes — the structural contrast to the
+    // IVF-flat refresh, whose cells carry the vectors themselves
+    "ext_ann_ivfpq_refresh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = TempDirs.memoized("graft_ivfpq_deploy",
+        s"$dir/embeddings.parquet") { tmp =>
+        val (cents0, cb0) = Similarity.ivfPqModel(e)
+        cents0.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+        cb0.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+        Similarity.ivfPqEncode(e, cents0, cb0)
+          .write.mode("overwrite").parquet(tmp.resolve("codes").toString)
+      }
+      val cents = s.read.parquet(state.resolve("cents").toString) // FROZEN
+      val surv = e.where(col("vec_id") % 50 =!= 7) // registry read
+      val cb2 = Similarity.ivfPqRefitCodebooks(surv, cents)
+      val enc2 = Similarity.ivfPqEncode(surv, cents, cb2)
+      Similarity.ivfPqSearch(enc2, e.where(col("vec_id") % 100 === 0), cents, cb2, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-eval' — the nprobe TUNING CURVE: IVF recall@3 micro-averaged per
     // probe budget 1..3 against brute-force truth — the report an IVF
     // deployment reads to pick its probe count. ONE plan for the whole
@@ -3074,6 +3101,7 @@ object SparkEntry {
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
     "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
+    "ext_ann_ivfpq_refresh" -> ExtOracle.annIvfPqRefreshSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
     "ext_pii_scrub" -> ExtOracle.piiScrubSql,

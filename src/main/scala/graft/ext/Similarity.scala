@@ -679,6 +679,28 @@ object Similarity {
     (cents, pqCodebook(trainSub, codes, pqRounds, idCol))
   }
 
+  /** CODEBOOK-only refresh at FROZEN coarse centroids — the partial
+    * refresh a PQ deployment runs when the residual distribution drifts
+    * (or a deletion skews it) while the coarse partition is still good:
+    * re-fit the per-subspace codebooks over the given rows' residuals;
+    * the coarse cells never move, so the refresh costs a codebook fit +
+    * one re-encode pass, not a k-means re-train. NOTE: PQ codes are
+    * LOSSY — a refresh must read RAW vectors (a retained registry or the
+    * source table), never the stored codes; this is the structural
+    * difference from the IVF-flat refresh, whose cells carry `cv`. */
+  def ivfPqRefitCodebooks(
+      train: DataFrame,
+      cents: DataFrame,
+      subspaces: Int = 4,
+      codes: Int = 8,
+      pqRounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val trainSub = pqResidualSub(train, cents, 1, subspaces, idCol, vecCol)
+      .localCheckpoint(true)
+    pqCodebook(trainSub, codes, pqRounds, idCol)
+  }
+
   /** ENCODE vectors at a frozen model: coarse-assign, residual, per-
     * subspace nearest code. One row per (vector, subspace):
     * (neighbor_id, ccell, m, cell) — the persisted compressed index;

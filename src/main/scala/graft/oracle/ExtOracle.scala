@@ -3678,8 +3678,24 @@ object ExtOracle {
   lazy val annIvfPqForgetSql: String =
     annIvfPqSqlWith("TRUE", "e.neighbor_id % 50 <> 7")
 
+  /** ≙ ext_ann_ivfpq_refresh — the CODEBOOK-only partial refresh: coarse
+    * centroids stay frozen (trained on the full corpus, pre-deletion),
+    * the residual codebooks re-fit over the SURVIVORS' raw vectors (PQ
+    * codes are lossy — refresh reads the registry/source, never the
+    * stored codes), survivors re-encode at old cells + new codebooks.
+    * vec_id 7 is a forgotten subject, so the refit has 7 seed codes per
+    * subspace — identical on both engines (seeds come from the FILTERED
+    * train set). */
+  lazy val annIvfPqRefreshSql: String = annIvfPqSqlWith(
+    "TRUE", "e.neighbor_id % 50 <> 7", Some("vec_id % 50 <> 7"))
+
+  /** @param pqTrainWhere restricts ONLY the residual-codebook training
+    *        set (the codebook-refit refresh trains new codebooks at
+    *        FROZEN coarse cells); None = same as `trainWhere`. */
   private def annIvfPqSqlWith(trainWhere: String,
-      neighborWhere: String = "TRUE"): String = {
+      neighborWhere: String = "TRUE",
+      pqTrainWhere: Option[String] = None): String = {
+    val pqw = pqTrainWhere.getOrElse(trainWhere)
     val m = 4; val codes = 8; val pqRounds = 2; val k = 3; val probes = 2
     val dim = graft.ext.Similarity.Dim
     val subDim = dim / m
@@ -3729,7 +3745,7 @@ object ExtOracle {
        |  SELECT vec_id, ccell, m, rv[m * $subDim + 1 : (m + 1) * $subDim] AS sv
        |  FROM resv, range($m) rm(m)
        |), trsub AS (
-       |  SELECT * FROM rsub WHERE $trainWhere
+       |  SELECT * FROM rsub WHERE $pqw
        |), qresv AS (
        |  SELECT a.vec_id, r.cid AS ccell, ${residual("a.v", "ct.cv")} AS rv
        |  FROM allv a JOIN r2 r ON r.vec_id = a.vec_id AND r.rn <= $probes
