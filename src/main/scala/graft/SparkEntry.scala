@@ -65,6 +65,29 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The two-table catalog fixture: orders AND composite-key lineitem
+    * changelogs populated into twin sinks at one shared toDate. The
+    * build runs the two populates as CONCURRENT Spark jobs (one session
+    * schedules both; executors interleave stages) — the shape a real
+    * multi-table ingest uses instead of serializing per-table wall
+    * time. Memoized; consumers read in place (catalog reads only). */
+  private def multiTableSinks(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_qm_sinks", s"$dir/orders.parquet") { tmp =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val toDate = Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00"))
+      val fo = Future(PopulateChangelog.run(s, feed(s, dir), ordersCfg,
+        tmp.resolve("orders_changelog").toString, toDate))
+      val fl = Future(PopulateChangelog.run(s,
+        ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
+          materializeDedup = true), lineitemCfg,
+        tmp.resolve("lineitem_changelog").toString, toDate))
+      Await.result(fo, Duration.Inf)
+      Await.result(fl, Duration.Inf)
+      ()
+    }
+
   /** Undirected part↔supplier co-supply edges (both directions) — the
     * PageRank family's shared graph projection. */
   private def coSupplyEdges(li: DataFrame): DataFrame = {
@@ -750,6 +773,16 @@ object SparkEntry {
       val c = corpus(s, dir)
       graft.ext.BpeTrain.decodeRoundTrip(c, graft.ext.BpeTrain.merges(c))
         .orderBy("doc_id")
+    }),
+
+    // the tokenizer ACCEPTANCE report: per-language word/OOV/subword
+    // counts plus the two ratios a tokenizer ships with (OOV share and
+    // subword fan-out, basis points) — the gate a trained vocab passes
+    // before a corpus-wide training run spends compute on it
+    "ext_bpe_coverage" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.BpeTrain.vocabCoverage(c, graft.ext.BpeTrain.merges(c))
+        .orderBy("lang")
     }),
 
     // E3d — document fingerprints (whole-doc md5 + min-shingle)
@@ -1706,27 +1739,8 @@ object SparkEntry {
     // uniform key projection
     "cdc_query_multi" -> ((s, dir) => {
       // both table loads are FIXTURE builds here (the graded subject is
-      // the catalog-resolved two-table read) — memoized, read in place.
-      // The build still runs the two populates as CONCURRENT Spark jobs
-      // (one session schedules both; executors interleave stages), the
-      // shape a real multi-table ingest uses instead of serializing
-      // per-table wall time.
-      val base = TempDirs.memoized("graft_qm_sinks",
-        s"$dir/orders.parquet") { tmp =>
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val toDate = Some(java.sql.Timestamp.valueOf("1995-01-03 00:00:00"))
-        val fo = Future(PopulateChangelog.run(s, feed(s, dir), ordersCfg,
-          tmp.resolve("orders_changelog").toString, toDate))
-        val fl = Future(PopulateChangelog.run(s,
-          ChangeFeed.fromLineitem(s.read.parquet(s"$dir/lineitem.parquet"),
-            materializeDedup = true), lineitemCfg,
-          tmp.resolve("lineitem_changelog").toString, toDate))
-        Await.result(fo, Duration.Inf)
-        Await.result(fl, Duration.Inf)
-        ()
-      }
+      // the catalog-resolved two-table read) — memoized, read in place
+      val base = multiTableSinks(s, dir)
       val sinkO = base.resolve("orders_changelog").toString
       val sinkL = base.resolve("lineitem_changelog").toString
       val cat = new CdcCatalog
@@ -1744,6 +1758,27 @@ object SparkEntry {
         .orderBy(col("table_name"), col("commit_time"), col("key_repr"),
           col("column_name").asc_nulls_first, col("old_value").asc_nulls_first,
           col("new_value").asc_nulls_first)
+    }),
+
+    // the per-table CONSUMER-LAG dashboard over the same catalog: HWM,
+    // row count, max id for every registered changelog in one report —
+    // the operational freshness surface a multi-table CDC deployment
+    // watches (is any table's ingestion falling behind?)
+    "cdc_catalog_freshness" -> ((s, dir) => {
+      val base = multiTableSinks(s, dir)
+      val cat = new CdcCatalog
+      cat.register(CdcTableEntry(ordersCfg, dir,
+        base.resolve("orders_changelog").toString))
+      cat.register(CdcTableEntry(lineitemCfg, dir,
+        base.resolve("lineitem_changelog").toString))
+      cat.list.map { t =>
+        graft.cdc.SinkLayout.read(s, cat.resolve(s"${t}_ChangeLog").changelogPath)
+          .groupBy(col("table_name"))
+          .agg(unix_timestamp(max(col("commit_time"))).as("hwm_s"),
+            count(lit(1)).as("n_rows"),
+            max(col("changelog_id")).as("max_id"))
+      }.reduce(_ unionByName _)
+        .orderBy("table_name")
     }),
 
     // strictNulls state: value→NULL transitions survive into the state
@@ -3080,6 +3115,7 @@ object SparkEntry {
     "ext_bpe_merges" -> ExtOracle.bpeMergesSql,
     "ext_bpe_encode" -> ExtOracle.bpeEncodeSql,
     "ext_bpe_roundtrip" -> ExtOracle.bpeRoundtripSql,
+    "ext_bpe_coverage" -> ExtOracle.bpeCoverageSql,
     "ext_topk_cosine" -> ExtOracle.topKCosineSql,
     "ext_hard_negatives" -> ExtOracle.hardNegativesSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
@@ -3124,6 +3160,7 @@ object SparkEntry {
     "cdc_state_replay" -> OrdersCdcOracle.default.stateSql,
     "cdc_state_strictnulls" -> OrdersCdcOracle.strict.stateStrictSql("<NULL>"),
     "cdc_query_multi" -> OrdersCdcOracle.queryMultiSql,
+    "cdc_catalog_freshness" -> OrdersCdcOracle.catalogFreshnessSql,
     "cdc_populate_clustered" -> OrdersCdcOracle.changelogSql,
     "cdc_audit" -> OrdersCdcOracle.default.auditSql,
     "ext_quality_sample" -> ExtOracle.qualitySampleSql,

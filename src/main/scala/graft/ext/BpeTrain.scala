@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer TRAINING on the corpus (Sennrich et al., "Neural Machine
@@ -86,6 +86,55 @@ object BpeTrain {
     * `[a-z0-9]+` symbol alphabet cannot contain. */
   private val Sep = "\u0001"
 
+  /** The trained merge list as a 1-row broadcastable frame (ordered by
+    * round) — the tokenizer artifact every apply-side consumer rides. */
+  private def mergeRowOf(mergeTable: DataFrame): DataFrame =
+    mergeTable
+      .agg(sort_array(collect_list(struct(col("merge_round"), col("s1"), col("s2")))).as("ml"))
+      .select(transform(col("ml"),
+        m => concat(m.getField("s1"), lit(Sep), m.getField("s2"))).as("ms"))
+
+  /** Greedy merge replay of one word `w` against the merge list `ms` —
+    * the per-distinct-word tokenizer application. */
+  private def appliedExpr: Column = expr(
+    s"""btrim(aggregate(ms, regexp_replace(w, '(.)', '|$$1|'),
+       |  (acc, m) -> replace(acc,
+       |    concat('|', split_part(m, '$Sep', 1), '||', split_part(m, '$Sep', 2), '|'),
+       |    concat('|', split_part(m, '$Sep', 1), split_part(m, '$Sep', 2), '|'))), '|')""".stripMargin)
+
+  /** Per-LANGUAGE vocabulary-coverage report of a trained tokenizer —
+    * the acceptance gate a tokenizer ships through before a training
+    * run: word count, OOV count (words outside [[WordPattern]] — the
+    * pass-through fallback lane), subword count, and the two integer
+    * ratios a tokenizer report quotes (OOV share and subword fan-out,
+    * basis points, engine-exact integer division). Same scale shape as
+    * [[encode]]: the merge replay runs once per DISTINCT word, docs join
+    * the encoded vocabulary on the word key, one hash aggregate per
+    * language. */
+  def vocabCoverage(
+      corpus: DataFrame,
+      mergeTable: DataFrame,
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val words = corpus.select(col(langCol).as("lang"),
+      explode(split(col(textCol), " ")).as("w"))
+    val encVocab = words.select("w").distinct()
+      .crossJoin(broadcast(mergeRowOf(mergeTable)))
+      .withColumn("__oov", !col("w").rlike(WordPattern))
+      .withColumn("__subs",
+        when(!col("__oov"), split(appliedExpr, "\\|\\|"))
+          .otherwise(array(col("w"))))
+      .select(col("w"), col("__oov"), size(col("__subs")).cast("long").as("n_sub"))
+    words.join(encVocab, Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_oov"), col("n_subwords"),
+        graft.ext.TextOps.intDiv(col("n_oov") * 10000L, col("n_words")).as("oov_bp"),
+        graft.ext.TextOps.intDiv(col("n_subwords") * 10000L, col("n_words")).as("fanout_bp"))
+  }
+
   /** ENCODE the corpus with a trained merge table — the tokenizer's
     * apply side: each word replays the merges in training order (BPE's
     * greedy application), yielding its subword sequence. Output per doc:
@@ -105,16 +154,9 @@ object BpeTrain {
       mergeTable: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val mergeRow = mergeTable
-      .agg(sort_array(collect_list(struct(col("merge_round"), col("s1"), col("s2")))).as("ml"))
-      .select(transform(col("ml"),
-        m => concat(m.getField("s1"), lit(Sep), m.getField("s2"))).as("ms"))
+    val mergeRow = mergeRowOf(mergeTable)
     val words = corpus.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val applied = expr(
-      s"""btrim(aggregate(ms, regexp_replace(w, '(.)', '|$$1|'),
-         |  (acc, m) -> replace(acc,
-         |    concat('|', split_part(m, '$Sep', 1), '||', split_part(m, '$Sep', 2), '|'),
-         |    concat('|', split_part(m, '$Sep', 1), split_part(m, '$Sep', 2), '|'))), '|')""".stripMargin)
+    val applied = appliedExpr
     val encVocab = words.select("w").distinct()
       .crossJoin(broadcast(mergeRow))
       .withColumn("__subs",
@@ -148,16 +190,9 @@ object BpeTrain {
       mergeTable: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val mergeRow = mergeTable
-      .agg(sort_array(collect_list(struct(col("merge_round"), col("s1"), col("s2")))).as("ml"))
-      .select(transform(col("ml"),
-        m => concat(m.getField("s1"), lit(Sep), m.getField("s2"))).as("ms"))
+    val mergeRow = mergeRowOf(mergeTable)
     val words = corpus.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val applied = expr(
-      s"""btrim(aggregate(ms, regexp_replace(w, '(.)', '|$$1|'),
-         |  (acc, m) -> replace(acc,
-         |    concat('|', split_part(m, '$Sep', 1), '||', split_part(m, '$Sep', 2), '|'),
-         |    concat('|', split_part(m, '$Sep', 1), split_part(m, '$Sep', 2), '|'))), '|')""".stripMargin)
+    val applied = appliedExpr
     val decVocab = words.select("w").distinct()
       .crossJoin(broadcast(mergeRow))
       .withColumn("__subs",

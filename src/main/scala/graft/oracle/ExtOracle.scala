@@ -2862,6 +2862,53 @@ object ExtOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ≙ BpeTrain.vocabCoverage — the per-LANGUAGE tokenizer acceptance
+    * report: word/OOV/subword counts and the two basis-point ratios
+    * (OOV share, subword fan-out). Same merge chain + per-distinct-word
+    * replay as [[bpeEncodeSql]], aggregated per language instead of per
+    * doc. */
+  val bpeCoverageSql: String = {
+    val rounds = graft.ext.BpeTrain.DefaultRounds
+    val mergeList = (1 to rounds)
+      .map(r => s"(SELECT s1 || chr(1) || s2 FROM top$r)").mkString(", ")
+    s"""WITH $corpusSql, ${bpeChainCtes(rounds)}, mg AS (
+       |  SELECT list_value($mergeList) AS ms
+       |), tkw AS (
+       |  SELECT lang, string_split(text, ' ') AS toks FROM corpus
+       |), idxw AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tkw))) AS i
+       |), words AS (
+       |  SELECT lang, toks[i+1] AS w FROM tkw, idxw WHERE i < len(toks)
+       |), vocab AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM words
+       |), encv AS MATERIALIZED (
+       |  SELECT w,
+       |    CASE WHEN regexp_matches(w, '${graft.ext.BpeTrain.WordPattern}')
+       |      THEN trim(list_reduce(
+       |             list_prepend(regexp_replace(w, '(.)', '|\\1|', 'g'), ms),
+       |             (acc, x) -> replace(acc,
+       |               '|' || split_part(x, chr(1), 1) || '||' || split_part(x, chr(1), 2) || '|',
+       |               '|' || split_part(x, chr(1), 1) || split_part(x, chr(1), 2) || '|')), '|')
+       |      ELSE NULL END AS encd
+       |  FROM vocab, mg
+       |), encx AS (
+       |  SELECT w,
+       |    CASE WHEN encd IS NULL THEN 1 ELSE 0 END AS is_oov,
+       |    CASE WHEN encd IS NULL THEN 1
+       |         ELSE len(string_split(encd, '||')) END AS n_sub
+       |  FROM encv
+       |)
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.is_oov) AS BIGINT) AS n_oov,
+       |  CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(CAST(sum(e.is_oov) AS BIGINT) * 10000 // count(*) AS BIGINT) AS oov_bp,
+       |  CAST(CAST(sum(e.n_sub) AS BIGINT) * 10000 // count(*) AS BIGINT) AS fanout_bp
+       |FROM words d JOIN encx e ON e.w = d.w
+       |GROUP BY d.lang
+       |ORDER BY lang""".stripMargin
+  }
+
   /** ≙ BpeTrain.decodeRoundTrip — the tokenizer LOSSLESSNESS identity:
     * decode(encode(text)) == text for every document, so BOTH fingerprint
     * columns are just md5(text). The Spark side earns this the hard way

@@ -276,6 +276,38 @@ object OrdersCdcOracle {
        |         old_value NULLS FIRST, new_value NULLS FIRST""".stripMargin
   }
 
+  /** ≙ cdc_catalog_freshness: the per-table consumer-lag dashboard row —
+    * HWM, row count, max id for EVERY changelog registered in the
+    * catalog (twin sinks populated at one shared toDate). Rows at or
+    * below the toDate bound form a PREFIX of each table's commit_time-led
+    * deterministic sort, so the truncated sinks' ids coincide with the
+    * full chains' ids filtered at the bound. */
+  val catalogFreshnessSql: String =
+    s"""WITH clo AS MATERIALIZED (
+       |${default.changelogRowsSql}
+       |), cll AS MATERIALIZED (
+       |${lineitem.changelogRowsSql}
+       |), uo AS (
+       |  SELECT commit_time,
+       |    CAST(row_number() OVER (ORDER BY ${default.idOrderOut}) AS BIGINT)
+       |      AS changelog_id
+       |  FROM clo
+       |), ul AS (
+       |  SELECT commit_time,
+       |    CAST(row_number() OVER (ORDER BY ${lineitem.idOrderOut}) AS BIGINT)
+       |      AS changelog_id
+       |  FROM cll
+       |), u AS (
+       |  SELECT 'orders' AS table_name, commit_time, changelog_id FROM uo
+       |  UNION ALL
+       |  SELECT 'lineitem' AS table_name, commit_time, changelog_id FROM ul
+       |)
+       |SELECT table_name, CAST(epoch(max(commit_time)) AS BIGINT) AS hwm_s,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(max(changelog_id) AS BIGINT) AS max_id
+       |FROM u WHERE commit_time <= TIMESTAMP '1995-01-03 00:00:00'
+       |GROUP BY table_name ORDER BY table_name""".stripMargin
+
   /** Retention fixture (×64 LSN spacing crosses day boundaries at every
     * SF) with the partition-level sweep at Jan 3 midnight. */
   val retention = new CdcOracle(ChangeFeed.ordersRetentionSpec, Seq("o_orderkey"), "orders")
