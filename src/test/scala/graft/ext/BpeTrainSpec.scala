@@ -84,6 +84,24 @@ class BpeTrainSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq((1, "a", "b", 2L)), s"got ${got.toSeq}")
   }
 
+  test("vocab coverage counts OOV words per language and fan-out is exact") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "ab ab ab cd", "en"),   // 4 words, all in-vocabulary
+      (2L, "C++ ab", "en"),        // 1 OOV + 1 word
+      (3L, "don't C++", "fr"))     // all OOV
+      .toDF("doc_id", "text", "lang")
+    val got = BpeTrain.vocabCoverage(corpus, BpeTrain.merges(corpus, rounds = 1))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: 6 words, 1 OOV (C++), merges (a,b) -> "ab" one subword each,
+    // cd -> 2 subwords, C++ -> 1: subwords = 4*1 + 2 + 1 = 7
+    assert(got("en") == ((6L, 1L, 7L, 10000L * 1 / 6)), s"got ${got("en")}")
+    // fr: 2 words, both OOV, 1 subword each, oov_bp exact 10000
+    assert(got("fr") == ((2L, 2L, 2L, 10000L)), s"got ${got("fr")}")
+  }
+
   test("decode round-trip is the identity on OOV words, repeated spaces " +
       "and merged subwords alike") {
     val s = spark

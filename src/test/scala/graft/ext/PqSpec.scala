@@ -57,6 +57,31 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("codebook-only refresh: refit at frozen coarse cells equals the model " +
+      "trained directly on the survivors' residuals") {
+    val df = corpus(40, Nil)
+    val (cents, cb0) = Similarity.ivfPqModel(df)
+    val surv = df.where(col("vec_id") % 5 =!= 2)
+    val cb2 = Similarity.ivfPqRefitCodebooks(surv, cents)
+    def enc(cb: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearch(Similarity.ivfPqEncode(surv, cents, cb),
+          df.where(col("vec_id") % 10 === 0), cents, cb, k = 3)
+        .collect().map(_.toSeq).toSeq
+    // deterministic: two refits give bit-identical search results
+    assert(enc(cb2) == enc(Similarity.ivfPqRefitCodebooks(surv, cents)))
+    // the refit actually retrained: vec_ids 2 and 7 (% 5 == 2) are gone
+    // from the train set, so codebook seed ids come only from survivors
+    val seedIds = cb2.select(col("cid").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(seedIds.forall(id => id % 5 != 2),
+      s"codebook seeds must come from the survivor train set, got $seedIds")
+    // and it differs from the deployed pre-deletion codebooks (cid sets
+    // diverge: the old seeds included the forgotten ids)
+    val oldSeeds = cb0.select(col("cid").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(oldSeeds != seedIds, "refit must not be a no-op on this fixture")
+  }
+
   test("IVFPQ incremental fold at a frozen model equals scratch encoding") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val hist = emb.where(org.apache.spark.sql.functions.col("vec_id") % 20 =!= 3)
