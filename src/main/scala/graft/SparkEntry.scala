@@ -2147,6 +2147,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // E3n'' — SUBJECT DELETION from the persisted histogram sketch (the
+    // additive-sketch forget beside ext_cm_forget, completing the forget
+    // matrix over E22's additive members): bins are exact counts, so
+    // subtracting the subject's sketch leaves EXACTLY the survivors'
+    // scratch sketch — zeroed bins drop, so n_bins matches too
+    "ext_hist_forget" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val stateDir = TempDirs.create("graft_histf").resolve("sketch").toString
+      TextOps.histSketch(c).write.mode("overwrite").parquet(stateDir)
+      TextOps.histQuantilesFromSketch(
+        TextOps.histForget(s.read.parquet(stateDir), c.where(col("doc_id") % 7 === 3)))
+        .orderBy("lang")
+    }),
+
     // E3g — TF-IDF-shaped per-doc top-k terms with corpus df filter
     "ext_top_terms" -> ((s, dir) =>
       TextOps.topTerms(corpus(s, dir)).orderBy("doc_id", "rnk")),
@@ -3289,6 +3303,7 @@ object SparkEntry {
     "ext_dsir_sample" -> ExtOracle.importanceSampleSql,
     "ext_hist_quantile" -> ExtOracle.histQuantilesSql,
     "ext_hist_incremental" -> ExtOracle.histQuantilesSql,
+    "ext_hist_forget" -> ExtOracle.histForgetSql,
     "ext_deciles" -> ExtOracle.tokenDecilesSql,
     "ext_session_concurrency" -> ExtOracle.sessionConcurrencySql,
     "ext_session_overlap" -> ExtOracle.sessionOverlapSql,

@@ -732,6 +732,17 @@ object TextOps {
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n"))
 
+  /** SUBJECT DELETION from stored histogram counts — the additive-sketch
+    * forget beside [[cmForget]]: bins are exact counts, so subtracting
+    * the subject's sketch leaves EXACTLY the survivors' scratch sketch;
+    * zeroed bins drop so n_bins matches a sketch that never saw them. */
+  def histForget(
+      stored: DataFrame, subject: DataFrame, textCol: String = "text"): DataFrame =
+    stored.unionByName(
+        histSketch(subject, textCol).withColumn("n", -col("n")))
+      .groupBy("lang", "bin").agg(sum(col("n")).cast("long").as("n"))
+      .where(col("n") =!= 0L)
+
   /** Quantile read-out over a (lang, bin, n) sketch (bins may repeat —
     * a folded union is re-summed first). */
   def histQuantilesFromSketch(sketch: DataFrame): DataFrame = {

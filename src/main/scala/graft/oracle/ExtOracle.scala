@@ -2463,11 +2463,18 @@ object ExtOracle {
   /** E3n ≙ TextOps.histQuantiles — mergeable fixed-bin histogram sketch:
     * per-(lang, source) partials summed into per-lang sketches, approx
     * p50/p90 read off the merged cumulative counts as bin lower bounds. */
-  val histQuantilesSql: String = {
+  val histQuantilesSql: String = histQuantilesSqlWhere("TRUE")
+
+  /** ≙ the ext_hist_forget fold: subtracting the subject's additive bin
+    * counts equals the scratch sketch over the survivor slice — so the
+    * oracle just runs the direct chain with the survivor filter. */
+  val histForgetSql: String = histQuantilesSqlWhere("doc_id % 7 <> 3")
+
+  private def histQuantilesSqlWhere(where: String): String = {
     val b = TextOps.HistBin
     s"""WITH $corpusSql, partial AS (
        |  SELECT lang, source, len(string_split(text, ' ')) // $b AS bin, count(*) AS n
-       |  FROM corpus GROUP BY lang, source, bin
+       |  FROM corpus WHERE $where GROUP BY lang, source, bin
        |), merged AS (
        |  SELECT lang, bin, CAST(sum(n) AS BIGINT) AS n FROM partial GROUP BY lang, bin
        |), cum AS (

@@ -118,6 +118,23 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       cells(TextOps.cmForget(folded, subj)) == cells(base)
     }
 
+  property("histForget inverts the histogram fold exactly (additive bins)") =
+    Prop.forAll(genDocs, genDocs) { (keepRows, subjRows) =>
+      val s = spark
+      import s.implicits._
+      val keep = keepRows.map { case (i, t) => (i, t, s"l${i % 3}") }
+        .toDF("doc_id", "text", "lang")
+      val subj = subjRows.map { case (i, t) => (i + 1000L, t, s"l${i % 2}") }
+        .toDF("doc_id", "text", "lang")
+      def bins(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("lang"), col("bin").cast("long"), col("n").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+          .filter(_._2 != 0L).toMap
+      val base = TextOps.histSketch(keep)
+      val folded = base.unionByName(TextOps.histSketch(subj))
+      bins(TextOps.histForget(folded, subj)) == bins(base)
+    }
+
   property("as-of join equals the per-row brute-force maximum") =
     Prop.forAll(genEvents) { rows =>
       val s = spark
