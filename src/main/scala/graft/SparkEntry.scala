@@ -72,7 +72,8 @@ object SparkEntry {
     * multi-table ingest uses instead of serializing per-table wall
     * time. Memoized; consumers read in place (catalog reads only). */
   private def multiTableSinks(s: SparkSession, dir: String): java.nio.file.Path =
-    TempDirs.memoized("graft_qm_sinks", s"$dir/orders.parquet") { tmp =>
+    TempDirs.memoized("graft_qm_sinks",
+      Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")) { tmp =>
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration

@@ -34,68 +34,84 @@ object TempDirs {
     d
   }
 
+  /** Single-key convenience overload of the multi-key [[memoized]]. */
+  def memoized(prefix: String, keyFile: String)(
+      build: java.nio.file.Path => Unit): java.nio.file.Path =
+    memoized(prefix, Seq(keyFile))(build)
+
+  private val memoLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(rmTree) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   /** Memoize a deterministic on-disk artifact keyed by the identity
-    * (path, mtime, size) of a source fixture file: the first caller
-    * builds into a staging dir, an atomic rename publishes, and every
+    * (path, mtime, size) of EVERY source fixture file it derives from:
+    * the first caller builds into a staging dir, an atomic rename
+    * publishes (the `_OK` marker is created in staging, so it RIDES the
+    * rename — a published root without `_OK` cannot exist), and every
     * later caller — the bench's repeat passes and recycled sessions in
     * particular — reuses the published copy, so repeat timings price the
     * CONSUMER of the artifact, not its rebuild. Mtime/size keying also
-    * protects against the driver regenerating fixtures between rounds.
-    * Exit-reclaimed, never swept. */
-  def memoized(prefix: String, keyFile: String)(
+    * protects against the driver regenerating fixtures between rounds —
+    * pass ALL source fixtures, or a partial regeneration silently serves
+    * a stale artifact. Exit-reclaimed, never swept.
+    *
+    * Publishers are serialized per memo root — a JVM-local monitor for
+    * in-process callers plus an exclusive lock FILE beside the root for
+    * cross-JVM ones — so clearing a stale unpublished root can never
+    * race a concurrent publish (the delete-just-published TOCTOU the
+    * lockless retry loop had). Serializing the whole build under the
+    * lock also means two concurrent first-callers do the expensive build
+    * once, not twice. */
+  def memoized(prefix: String, keyFiles: Seq[String])(
       build: java.nio.file.Path => Unit): java.nio.file.Path = {
     hook
-    val f = java.nio.file.Paths.get(keyFile)
-    val ident = s"$keyFile|${java.nio.file.Files.getLastModifiedTime(f).toMillis}" +
-      s"|${java.nio.file.Files.size(f)}"
+    val ident = keyFiles.map { kf =>
+      val f = java.nio.file.Paths.get(kf)
+      s"$kf|${java.nio.file.Files.getLastModifiedTime(f).toMillis}" +
+        s"|${java.nio.file.Files.size(f)}"
+    }.mkString("||")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"${prefix}_$key")
     val ok = root.resolve("_OK")
     if (java.nio.file.Files.exists(ok)) return root
-    val tmp = java.nio.file.Files.createTempDirectory(s"${prefix}_stage")
-    build(tmp)
-    // the marker RIDES the atomic rename (created in staging, before the
-    // move) — a crash can never leave a published root without _OK, so a
-    // root lacking the marker is definitionally a stale pre-fix leftover
-    // and is self-healed below instead of hard-failing every later call
-    java.nio.file.Files.createFile(tmp.resolve("_OK"))
-    var attempts = 0
-    var done = false
-    while (!done) {
-      try {
-        java.nio.file.Files.move(tmp, root,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        keepDirs.add(root)
-        done = true
-      } catch {
-        // Linux rename(2) onto an existing non-empty dir surfaces as a
-        // bare FileSystemException (ENOTEMPTY), not the AlreadyExists /
-        // DirectoryNotEmpty subclasses — catch the family
-        case e: java.nio.file.FileSystemException =>
-          if (java.nio.file.Files.exists(ok)) {
-            // a concurrent builder won with a published copy: use theirs,
-            // reclaim our staging copy at exit
-            dirs.add(tmp)
-            done = true
-          } else {
-            // stale unpublished root (pre-fix crash residue): remove and
-            // retry the move; bounded so two live racers can't spin
-            attempts += 1
-            if (attempts > 3) throw e
-            def rm(p: java.nio.file.Path): Unit = {
-              if (java.nio.file.Files.isDirectory(p)) {
-                val s = java.nio.file.Files.list(p)
-                try s.forEach(rm) finally s.close()
-              }
-              java.nio.file.Files.deleteIfExists(p)
+    val monitor = memoLocks.computeIfAbsent(root.toString, _ => new Object)
+    monitor.synchronized {
+      if (java.nio.file.Files.exists(ok)) root
+      else {
+        val lockPath = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"${prefix}_$key.lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try {
+            if (java.nio.file.Files.exists(ok)) root // published while we waited
+            else {
+              // stale UNPUBLISHED root (crash residue) — safe to clear
+              // under the exclusive lock: no publish can interleave
+              if (java.nio.file.Files.exists(root)) rmTree(root)
+              val tmp = java.nio.file.Files.createTempDirectory(s"${prefix}_stage")
+              build(tmp)
+              java.nio.file.Files.createFile(tmp.resolve("_OK"))
+              java.nio.file.Files.move(tmp, root,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              keepDirs.add(root)
+              root
             }
-            try rm(root) catch { case scala.util.control.NonFatal(_) => () }
-          }
+          } finally lock.release()
+        } finally ch.close()
       }
     }
-    root
   }
 
   /** Recursive copy of a memoized artifact into `dst` — for graded drives

@@ -83,15 +83,25 @@ object EventStream {
     * The staged dir is READ-ONLY to the stream (each drive runs a fresh
     * checkpoint), and when `rows` derives from exactly one fixture
     * parquet source the staging is a pure fixture function — MEMOIZED
-    * per (tag, fixture identity), so bench repeat passes price the
-    * STREAM, not re-writing its input. In-memory frames (unit tests,
-    * property drivers) have no source file and stage per invocation. */
+    * per (tag, schema, fixture identity), so bench repeat passes price
+    * the STREAM, not re-writing its input. In-memory frames (unit tests,
+    * property drivers) have no source file and stage per invocation.
+    *
+    * CONTRACT on `tag`: one tag ↔ one (projection, filter, sentinel)
+    * recipe over its fixture. The memo key carries the fixture identity
+    * and the staged SCHEMA (so a different projection under a reused tag
+    * misses the memo instead of reading stale rows), but a same-schema
+    * FILTERED subset under a reused tag is indistinguishable — give it
+    * its own tag. */
   private def stageWithSentinel(
       rows: DataFrame, sentinel: DataFrame, tag: String = ""): String = {
     val memoKey = if (tag.isEmpty) None else sourceKeyOf(rows)
     memoKey match {
       case Some(k) =>
-        graft.TempDirs.memoized(s"graft_si_$tag", k) { tmp =>
+        val schemaKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(rows.schema.catalogString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        graft.TempDirs.memoized(s"graft_si_${tag}_$schemaKey", k) { tmp =>
           val d = tmp.resolve("in").toString
           rows.write.mode("append").parquet(d)
           sentinel.write.mode("append").parquet(d)

@@ -158,7 +158,14 @@ object StateStream {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    readState(spark, stateDir)
+    // an empty corpus dir delivers ZERO micro-batches — no generation was
+    // ever published, and the contract is "state of what streamed past",
+    // so return the empty register table (correct schema, zero rows)
+    // instead of readState's hard error
+    if (latestGen(fs, root).isEmpty)
+      graft.ext.Similarity.hllState(
+        prep(spark.read.schema(schema).parquet(corpusDir).limit(0)), keyCol, valueCol)
+    else readState(spark, stateDir)
   }
 
   /** The SUM-merge twin of [[sketchMaintainAvailableNow]] for count-min
@@ -189,7 +196,13 @@ object StateStream {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    readState(spark, stateDir)
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // zero micro-batches → zero generations: empty cell table, not an error
+    if (latestGen(fs, root).isEmpty)
+      graft.ext.TextOps.cmState(
+        spark.read.schema(schema).parquet(corpusDir).limit(0), textCol)
+    else readState(spark, stateDir)
   }
 
   private def appliedMarkers(fs: FileSystem, gen: Path): Seq[String] = {

@@ -85,7 +85,10 @@ object StreamingPopulate {
     * (small, line-JSON) checkpoint file — offsets/commits don't carry
     * paths, so the rewrite is a no-op there. Only valid for STATELESS
     * queries (foreachBatch populate): stateful state stores are binary
-    * and are not path-rewritable. */
+    * and are not path-rewritable. Any file whose bytes are not strict
+    * UTF-8 (a future binary artifact, filesystem .crc sidecars) is
+    * copied VERBATIM instead of round-tripped through the decoder —
+    * a lossy decode would silently corrupt it with U+FFFD. */
   def cloneCheckpoint(
       src: java.nio.file.Path, dst: java.nio.file.Path,
       oldFeedPath: String, newFeedPath: String): Unit = {
@@ -98,14 +101,26 @@ object StreamingPopulate {
           if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
           else {
             java.nio.file.Files.createDirectories(t.getParent)
-            val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            java.nio.file.Files.write(t,
-              text.replace(oldFeedPath, newFeedPath).getBytes("UTF-8"))
+            val bytes = java.nio.file.Files.readAllBytes(p)
+            val rewritten = strictUtf8(bytes)
+              .map(text => text.replace(oldFeedPath, newFeedPath).getBytes("UTF-8"))
+              .getOrElse(bytes)
+            java.nio.file.Files.write(t, rewritten)
           }
         }
       }
     } finally s.close()
   }
+
+  /** Decode strictly (CodingErrorAction.REPORT): Some(text) iff `bytes`
+    * is well-formed UTF-8, None for binary content. */
+  private def strictUtf8(bytes: Array[Byte]): Option[String] =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
 
   /** One micro-batch: continue ids from the sink's max, then append via the
     * shared batch path. Micro-batches within a query run sequentially, so
