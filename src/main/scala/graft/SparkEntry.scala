@@ -2562,6 +2562,45 @@ object SparkEntry {
       TextOps.heavyHittersFromCells(c, state)
     }),
 
+    // E2g'' — SUBJECT DELETION over the persisted HLL state: the graded
+    // FALLBACK for the sketch that cannot forget in place (max registers
+    // have no inverse — the asymmetry documented beside cmForget). The
+    // deployed register state (memoized streamed fold, copied because the
+    // forget MUTATES it) is REPLACED by a re-sketch of the survivors,
+    // published as a new generation under the exactly-once forget_<tag>
+    // marker; the second call is the REPLAYED request and must publish
+    // nothing. Oracle = the direct survivor-slice chain: by construction
+    // the re-sketch equals the sketch that never saw the subject
+    "ext_hll_forget" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("lang"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"),
+          Dedup.ShingleLen)).as("t"))
+      val pre = TempDirs.memoized("graft_hllfgt_state",
+        s"$dir/documents.parquet") { tmp =>
+        val corpusDir = tmp.resolve("corpus_in").toString
+        c.repartition(2).write.mode("overwrite").parquet(corpusDir)
+        graft.streaming.StateStream.sketchMaintainAvailableNow(
+          s, corpusDir, tmp.resolve("hll_state").toString,
+          tmp.resolve("ckpt").toString, "lang", "t", sh)
+        ()
+      }
+      val base = TempDirs.create("graft_hllfgt")
+      TempDirs.copyInto(pre.resolve("hll_state"), base.resolve("hll_state"))
+      val stateDir = base.resolve("hll_state").toString
+      val survivors = sh(c.where(col("doc_id") % 7 =!= 3))
+      graft.streaming.StateStream.hllForgetState(
+        s, stateDir, survivors, "gdpr1", "lang", "t")
+      // the replayed deletion request must be skipped whole
+      graft.streaming.StateStream.hllForgetState(
+        s, stateDir, survivors, "gdpr1", "lang", "t")
+      val exact = survivors.groupBy("lang")
+        .agg(countDistinct(col("t")).as("exact_distinct"))
+      Similarity.hllEstimate(
+        graft.streaming.StateStream.readState(s, stateDir), exact, "lang")
+        .orderBy("lang")
+    }),
+
     // E2e — deterministic k-means assignment over the embedding corpus
     // (SemDeDup's clustering step; integer-mean re-centering, 2 rounds)
     "ext_kmeans" -> ((s, dir) =>
@@ -3265,6 +3304,7 @@ object SparkEntry {
     // identical to ext_hll BY DESIGN: incremental max-merge must reproduce
     // the direct sketch exactly (associativity is the graded claim)
     "ext_hll_incremental" -> ExtOracle.hllSql,
+    "ext_hll_forget" -> ExtOracle.hllForgetSql,
     "ext_hll_stream" -> ExtOracle.hllSql,
     "ext_hll_merged" -> ExtOracle.hllMergedSql,
     "ext_line_dedup" -> ExtOracle.lineDedupSql,

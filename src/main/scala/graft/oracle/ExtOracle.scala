@@ -1902,9 +1902,19 @@ object ExtOracle {
   /** E2g ≙ Similarity.hllDistinct over per-language tokens — HyperLogLog
     * registers (first-hex-char bucket, 33 − length(bin(v)) rho) and the
     * integer-rendered alpha·m²/Σ2^-Mj estimate, exact count alongside. */
-  val hllSql: String =
+  val hllSql: String = hllSqlWhere("TRUE")
+
+  /** ≙ the ext_hll_forget fallback: max registers cannot subtract, so the
+    * deletion re-SKETCHES the survivors and replaces the state — which by
+    * construction equals the direct chain over the survivor slice (this
+    * oracle). The exactly-once replay contract is pinned by
+    * EventStreamSpec, not the hash. */
+  val hllForgetSql: String = hllSqlWhere("doc_id % 7 <> 3")
+
+  private def hllSqlWhere(where: String): String =
     s"""WITH $corpusSql, tokl AS (
        |  SELECT lang, string_split(text, ' ') AS toks FROM corpus
+       |  WHERE $where
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tokl))) AS i
        |), tok AS (
@@ -1921,7 +1931,7 @@ object ExtOracle {
        |  FROM hashed GROUP BY lang, bucket
        |), filled AS (
        |  SELECT l.lang, b.bucket, coalesce(r.register, 0) AS register
-       |  FROM (SELECT DISTINCT lang FROM corpus) l
+       |  FROM (SELECT DISTINCT lang FROM corpus WHERE $where) l
        |  CROSS JOIN (SELECT unnest(range(${graft.ext.Similarity.HllBuckets})) AS bucket) b
        |  LEFT JOIN regs r ON r.lang = l.lang AND r.bucket = b.bucket
        |), agg AS (

@@ -241,6 +241,26 @@ object StateStream {
       graft.ext.TextOps.cmForget(st, subject, textCol)
     }
 
+  /** SUBJECT DELETION over persisted HLL register state — the graded
+    * FALLBACK for the one sketch family that cannot forget in place: a
+    * register is max-owned, possibly by many values, so the subject's
+    * contribution is unrecoverable ([[graft.ext.Similarity.hllApplyBatch]]
+    * scaladoc; count-min's additive cells subtract exactly instead,
+    * [[cmForgetState]]). The deletion contract is honored by RE-SKETCHING
+    * the survivor stream and publishing the result as a new generation
+    * that REPLACES the old registers — under the same exactly-once
+    * `forget_<tag>` marker, so a replayed deletion request publishes
+    * nothing. Unlike the additive forgets this re-reads the surviving
+    * corpus: the honest cost of max-merge state, which is why it is the
+    * fallback and not the default. */
+  def hllForgetState(
+      spark: SparkSession, stateDir: String, survivors: DataFrame,
+      tag: String, keyCol: String, valueCol: String): Unit =
+    cmMutate(spark, stateDir, s"forget_$tag") { cur =>
+      require(cur.isDefined, s"no published hll state under $stateDir")
+      graft.ext.Similarity.hllState(survivors, keyCol, valueCol)
+    }
+
   /** Shared exactly-once mutation of the persisted cm state: skip if
     * `marker` is already applied, else publish `next(currentState)` as a
     * new generation carrying every prior marker plus `marker`. */

@@ -414,4 +414,33 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     assert(cells(StateStream.readState(s, stateDir)) == after,
       "replaying a completed forget must not change a single cell")
   }
+
+  test("hll subject forget re-sketches the survivors; a replayed request " +
+      "publishes NO new generation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = graft.TempDirs.create("graft_hllforget")
+    val corpusDir = base.resolve("corpus").toString
+    val keep = (1 to 40).map(i => (s"k${i % 2}", s"v${i % 13}"))
+    val gone = (1 to 20).map(i => (s"k${i % 2}", s"vx${i % 7}"))
+    (keep ++ gone).toDF("k", "v").repartition(2).write.parquet(corpusDir)
+    val stateDir = base.resolve("state").toString
+    StateStream.sketchMaintainAvailableNow(
+      s, corpusDir, stateDir, base.resolve("ckpt").toString, "k", "v", df => df)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val survivors = keep.toDF("k", "v")
+    StateStream.hllForgetState(s, stateDir, survivors, "req7", "k", "v")
+    assert(asMap(StateStream.readState(s, stateDir)) ==
+      asMap(graft.ext.Similarity.hllState(survivors, "k", "v")),
+      "the forget fallback must leave exactly the survivor scratch sketch")
+    val fs = new Path(stateDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def gens = fs.listStatus(new Path(stateDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen_v")).sorted
+    val once = gens
+    // exactly-once: the replayed deletion request publishes nothing
+    StateStream.hllForgetState(s, stateDir, survivors, "req7", "k", "v")
+    assert(gens == once, s"replayed forget must publish no generation ($once vs $gens)")
+  }
 }
