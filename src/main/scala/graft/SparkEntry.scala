@@ -148,6 +148,24 @@ object SparkEntry {
       ()
     }
 
+  /** The STREAMED twin of [[preRaceMidSink]]: window-1 (≤ ResumeMid) feed
+    * files, their quiet streamed changelog, and the quiesced checkpoint —
+    * the shared pre-race state of the streaming compaction/retention/
+    * forget race rows. Consumers copy the feed+sink and clone the
+    * checkpoint (path rewrite) because the race mutates all three. */
+  private def preRaceStreamedState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_prerace_stc", s"$dir/orders.parquet") { tmp =>
+      val f = feed(s, dir)
+      val mid = java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)
+      val feed1 = tmp.resolve("feed1").toString
+      f.where(col("commit_time") <= lit(mid)).write.mode("append").parquet(feed1)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feed1, f.schema, ordersCfg,
+        tmp.resolve("orders_changelog").toString, tmp.resolve("ckpt").toString)
+      java.nio.file.Files.write(tmp.resolve("_feed1_path"), feed1.getBytes("UTF-8"))
+      ()
+    }
+
   /** The persisted incremental-IVF deployment — history-trained centroids
     * plus history's cell index — shared by the fold, the occupancy audit,
     * and the refresh. A pure function of the fixture → memoized
@@ -395,15 +413,7 @@ object SparkEntry {
       // RELOCATES, so the checkpoint rides over via cloneCheckpoint's
       // path rewrite; sink markers are keyed by the checkpoint path's
       // md5, so the cloned drive's batches apply fresh.
-      val pre = TempDirs.memoized("graft_prerace_stc", s"$dir/orders.parquet") { tmp =>
-        val feed1 = tmp.resolve("feed1").toString
-        f.where(col("commit_time") <= lit(mid)).write.mode("append").parquet(feed1)
-        graft.streaming.StreamingPopulate.runAvailableNow(
-          s, feed1, f.schema, ordersCfg,
-          tmp.resolve("orders_changelog").toString, tmp.resolve("ckpt").toString)
-        java.nio.file.Files.write(tmp.resolve("_feed1_path"), feed1.getBytes("UTF-8"))
-        ()
-      }
+      val pre = preRaceStreamedState(s, dir)
       val feedDir = base.resolve("feed").toString
       TempDirs.copyInto(pre.resolve("feed1"), base.resolve("feed"))
       TempDirs.copyInto(pre.resolve("orders_changelog"), base.resolve("orders_changelog"))
@@ -459,6 +469,45 @@ object SparkEntry {
         postSnapshotHook = _ => { graft.cdc.Retention.expire(s, sink, cutoff); () })
       require(graft.cdc.Retention.activeCutoff(s, sink).contains(cutoff),
         "the concurrent retention sweep must actually have advanced the cutoff")
+      graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
+    // §2.11×S6'''××× — STREAMING populate racing SUBJECT DELETION,
+    // closing the 3×2 maintenance-race matrix (batch and streaming
+    // populate each vs compaction/retention/forget): window 2's
+    // micro-batch snapshots its HWM/id offset against the pre-forget
+    // sink, then the deletion request rewrites the sink to a new version
+    // INSIDE the snapshot→append window (the postSnapshotHook). The
+    // staged append resolves the CURRENT version, batch-2 ids continue
+    // from the PRE-forget offset (ids never reassigned — forgotten ids
+    // leave gaps), and batch-2 rows of a forgotten key SURVIVE: they
+    // arrived after the deletion completed, the re-appearance contract a
+    // periodic-forget deployment runs. Same quiesced oracle as the batch
+    // twin (cdc_populate_during_forget) — window 1 shares its memoized
+    // streamed pre-race state with the compaction race above.
+    "cdc_populate_streaming_during_forget" -> ((s, dir) => {
+      val base = TempDirs.create("graft_stdf")
+      val f = feed(s, dir)
+      val mid = java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)
+      val pre = preRaceStreamedState(s, dir)
+      val feedDir = base.resolve("feed").toString
+      TempDirs.copyInto(pre.resolve("feed1"), base.resolve("feed"))
+      TempDirs.copyInto(pre.resolve("orders_changelog"), base.resolve("orders_changelog"))
+      graft.streaming.StreamingPopulate.cloneCheckpoint(
+        pre.resolve("ckpt"), base.resolve("ckpt"),
+        new String(java.nio.file.Files.readAllBytes(pre.resolve("_feed1_path")), "UTF-8"),
+        feedDir)
+      val sink = base.resolve("orders_changelog").toString
+      f.where(col("commit_time") > lit(mid)).write.mode("append").parquet(feedDir)
+      val keys = orders(s, dir).select(col("o_orderkey"))
+        .where(col("o_orderkey") % 97 === 0)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, f.schema, ordersCfg, sink, base.resolve("ckpt").toString,
+        postSnapshotHook = _ =>
+          { graft.cdc.Forget.forgetKeys(s, sink, Seq("o_orderkey"), keys); () })
+      require(graft.cdc.SinkLayout.currentVersion(s, sink).exists(_ >= 1),
+        "the concurrent forget must actually have flipped the version")
       graft.cdc.SinkLayout.read(s, sink)
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
     }),
@@ -3136,6 +3185,7 @@ object SparkEntry {
     // ≡ the QUIESCED populate-then-expire table: the sweep racing the
     // staged streaming append must not change the answer
     "cdc_populate_streaming_during_retention" -> OrdersCdcOracle.retentionSql,
+    "cdc_populate_streaming_during_forget" -> OrdersCdcOracle.duringForgetSql,
     "cdc_changelog_compat" -> OrdersCdcOracle.compat.changelogSql,
     "cdc_populate_resume" -> OrdersCdcOracle.resumeChangelogSql,
     "cdc_populate_crash_resume" -> OrdersCdcOracle.resumeChangelogSql,
