@@ -181,6 +181,46 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
     }
 
+  /** The DEPLOYED whole-corpus IVF model (centroids trained on all
+    * pre-delta vectors + the full cell assignment) — shared by the
+    * subject-deletion fold and the CDC-delta fold. Memoized pure fixture
+    * function; consumers read it in place (the folds are row filters +
+    * unions, never mutations of the stored files). */
+  private def ivfDeployState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivf_deploy", s"$dir/embeddings.parquet") { tmp =>
+      val e = embeddings(s, dir)
+      val cents0 = Similarity.ivfCentroids(e)
+      cents0.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      Similarity.ivfIndex(e, cents0)
+        .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
+    }
+
+  /** The DEPLOYED BM25 index (whole-corpus postings + doc registry) —
+    * shared by the subject-deletion fold and the CDC-delta fold. */
+  private def bm25DeployState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_bm25_deploy", s"$dir/documents.parquet") { tmp =>
+      val c = corpus(s, dir)
+      Retrieval.bm25Postings(c)
+        .write.mode("overwrite").parquet(tmp.resolve("postings").toString)
+      c.select(col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+    }
+
+  /** The documents changelog's update-after text rows — the corpus DELTA
+    * every CDC→derived-state bridge row consumes (`ext_cdc_corpus_delta`,
+    * the BM25/ANN index folds). Checkpointed: each bridge consumes it
+    * from ≥2 sub-trees and the changelog build (sort + ids) must run
+    * once. */
+  private def docsChangelogDelta(s: SparkSession, dir: String): DataFrame = {
+    val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
+    val feed = ChangeFeed.fromDocuments(s.read.parquet(s"$dir/documents.parquet"))
+    ChangelogBuilder.withIds(ChangelogBuilder.build(feed, docsCfg), docsCfg)
+      .where(col("column_name") === "text" && col("new_value").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("new_value").as("text"))
+      .localCheckpoint(true)
+  }
+
   /** Flagship: full CDC changelog pipeline on sf0.001 (rows>0 by construction). */
   def entry(spark: SparkSession): DataFrame =
     ChangelogBuilder.withIds(
@@ -724,16 +764,61 @@ object SparkEntry {
     // maintained FROM an OLTP change feed actually runs. The %10=9
     // boilerplate burst collapses to ONE kept row; %10=8 revisions
     // survive as new content
-    "ext_cdc_corpus_delta" -> ((s, dir) => {
-      val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
-      val feed = ChangeFeed.fromDocuments(s.read.parquet(s"$dir/documents.parquet"))
-      val cl = ChangelogBuilder.withIds(ChangelogBuilder.build(feed, docsCfg), docsCfg)
-      val delta = cl
-        .where(col("column_name") === "text" && col("new_value").isNotNull)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          col("new_value").as("text"))
-      Dedup.incrementalNew(s.read.parquet(s"$dir/documents.parquet"), delta)
-        .orderBy("doc_id")
+    "ext_cdc_corpus_delta" -> ((s, dir) =>
+      Dedup.incrementalNew(s.read.parquet(s"$dir/documents.parquet"),
+        docsChangelogDelta(s, dir))
+        .orderBy("doc_id")),
+
+    // the CDC→RETRIEVAL-INDEX bridge — the production shape the engine
+    // exists for, extended from the corpus to DERIVED SEARCH STATE: the
+    // documents changelog's update-after text rows drive the persisted
+    // BM25 index's fold. Postings are per-document pure, so a revision is
+    // drop-the-doc's-rows + union-the-re-tokenized-delta — history text
+    // is never re-read, N is unchanged (updates, not inserts), and
+    // df/dl/avgdl/idf re-derive from the folded postings. Graded ≡ a
+    // scratch index over the POST-delta corpus (the oracle composes the
+    // changelog CTEs with the full BM25 chain).
+    "ext_cdc_bm25_delta" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25DeployState(s, dir)
+      val delta = docsChangelogDelta(s, dir)
+      val postings = s.read.parquet(state.resolve("postings").toString)
+        .join(delta.select("doc_id"), Seq("doc_id"), "left_anti") // revision drops
+        .unionByName(Retrieval.bm25Postings(delta)) // …and re-tokenizes the delta
+      val n = s.read.parquet(state.resolve("docs").toString)
+        .agg(count(lit(1)).as("n"))
+      // queries derive from the POST-delta corpus (the %100=3 query docs
+      // are never revised, but the composition must read the folded view)
+      val postC = c
+        .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      Retrieval.bm25TopKFromPostings(
+        postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the CDC→ANN-INDEX bridge, closing the composition for the vector
+    // half: the changelog delta names the revised docs; each is
+    // deterministically RE-EMBEDDED (stub: vector reversal — a pure
+    // permutation, bit-exact cross-engine, and direction-CHANGING so the
+    // fold is result-visible, unlike a scale factor cosine would erase;
+    // the multimodal decode-stub precedent) via a pointed id lookup into
+    // the embeddings source, assigned at the deployed FROZEN centroids,
+    // and swapped into the persisted cell index — a row filter + union,
+    // the corpus is never re-scored. Graded ≡ scratch assignment of the
+    // post-delta vector set at the pre-delta-trained model.
+    "ext_cdc_ann_delta" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfDeployState(s, dir)
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id"))
+      val reEmbedded = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val folded = s.read.parquet(state.resolve("cells").toString)
+        .join(deltaIds, col("neighbor_id") === deltaIds("doc_id"), "left_anti")
+        .unionByName(Similarity.ivfIndex(reEmbedded, cents)) // the fold
+      Similarity.ivfSearch(folded, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
     }),
 
     // E1b'''' — incremental NEAR-dup ingest: history is touched only via a
@@ -1183,13 +1268,7 @@ object SparkEntry {
     // the train-on-all / assign-survivors oracle computes
     "ext_ann_ivf_forget" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val state = TempDirs.memoized("graft_ivf_deploy",
-        s"$dir/embeddings.parquet") { tmp =>
-        val cents0 = Similarity.ivfCentroids(e)
-        cents0.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
-        Similarity.ivfIndex(e, cents0)
-          .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
-      }
+      val state = ivfDeployState(s, dir)
       val cents = s.read.parquet(state.resolve("centroids").toString)
       val index = s.read.parquet(state.resolve("cells").toString)
         .where(col("neighbor_id") % 50 =!= 7) // the forget fold
@@ -2137,13 +2216,7 @@ object SparkEntry {
     // takes its query with it on both engines.
     "ext_bm25_forget" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val state = TempDirs.memoized("graft_bm25_deploy",
-        s"$dir/documents.parquet") { tmp =>
-        Retrieval.bm25Postings(c)
-          .write.mode("overwrite").parquet(tmp.resolve("postings").toString)
-        c.select(col("doc_id"))
-          .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
-      }
+      val state = bm25DeployState(s, dir)
       val survive = col("doc_id") % 9 =!= 4
       val postings = s.read.parquet(state.resolve("postings").toString)
         .where(survive) // the forget fold
@@ -3201,6 +3274,8 @@ object SparkEntry {
     "ext_dedup_minhash" -> ExtOracle.dedupMinhashSql,
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
     "ext_cdc_corpus_delta" -> ExtOracle.cdcCorpusDeltaSql,
+    "ext_cdc_bm25_delta" -> ExtOracle.cdcBm25DeltaSql,
+    "ext_cdc_ann_delta" -> ExtOracle.cdcAnnDeltaSql,
     "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
     "ext_minhash_forget" -> ExtOracle.minhashForgetSql,
     "ext_simhash" -> ExtOracle.simhashSql,

@@ -734,8 +734,12 @@ object ExtOracle {
     * the probe-budget recall curve, and (with `trainWhere` restricting the
     * training set to history) the incremental-maintenance grade: centroids
     * fit on `trainv` only, the FINAL assignment covers all of `allv` — the
-    * scratch equivalent of fold-at-frozen-centroids. */
-  private def ivfChainCtes(trainWhere: String = "TRUE"): String = {
+    * scratch equivalent of fold-at-frozen-centroids. `extraCtes`
+    * (inserted after the training rounds, before the final assignment)
+    * and `assignSrc` let the CDC-delta composition assign a DERIVED
+    * post-delta vector set at the pre-delta-trained centroids. */
+  private def ivfChainCtes(trainWhere: String = "TRUE",
+      extraCtes: String = "", assignSrc: String = "allv"): String = {
     val numCentroids = IvfCentroids
     val oversample = IvfOversample
     val rounds = IvfRounds
@@ -789,11 +793,14 @@ object ExtOracle {
        |  LIMIT $numCentroids
        |),
        |$roundCtes,
-       |${assign(rounds, "allv")}""".stripMargin
+       |$extraCtes
+       |${assign(rounds, assignSrc)}""".stripMargin
   }
 
-  private def annIvfSqlWith(trainWhere: String, neighborWhere: String = "TRUE"): String =
-    s"""WITH ${ivfChainCtes(trainWhere)}, qcell AS (
+  private def annIvfSqlWith(trainWhere: String, neighborWhere: String = "TRUE",
+      extraCtes: String = "", assignSrc: String = "allv",
+      vecSrc: String = "allv"): String =
+    s"""WITH ${ivfChainCtes(trainWhere, extraCtes, assignSrc)}, qcell AS (
        |  SELECT vec_id, cid AS cell FROM r$IvfRounds WHERE rn <= 2 AND vec_id % 100 = 0
        |), cnd AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -802,8 +809,8 @@ object ExtOracle {
        |), s2 AS (
        |  SELECT cnd.query_id, cnd.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
        |  FROM cnd
-       |  JOIN allv a ON a.vec_id = cnd.query_id
-       |  JOIN allv b ON b.vec_id = cnd.neighbor_id
+       |  JOIN $vecSrc a ON a.vec_id = cnd.query_id
+       |  JOIN $vecSrc b ON b.vec_id = cnd.neighbor_id
        |), r AS (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
@@ -2526,6 +2533,60 @@ object ExtOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** CDC→RETRIEVAL-index bridge oracle ≙ the ext_cdc_bm25_delta fold:
+    * the documents changelog's update-after text rows are applied to the
+    * corpus (delta text replaces the base doc's; planted dup copies keep
+    * their pre-delta text — they were copied before the feed ran), and
+    * the whole BM25 chain indexes that POST-delta corpus from scratch —
+    * which is what replacing the updated docs' postings inside the
+    * persisted index must equal, since postings are per-document pure
+    * and df/dl/N/avgdl re-derive from the folded postings. */
+  lazy val cdcBm25DeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val extra =
+      s"""cl AS (
+         |${docsCdc.changelogSql}
+         |), cdelta AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+         |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), corpus2 AS (
+         |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+         |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+         |), """.stripMargin
+    s"""WITH ${bm25Ctes(5, src = "corpus2", extraCtes = extra)}
+       |SELECT query_id, rnk, doc_id, score_micro FROM bmr
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** CDC→ANN-index bridge oracle ≙ the ext_cdc_ann_delta fold: the
+    * changelog delta names the revised docs; each one is deterministically
+    * RE-EMBEDDED (stub: vector reversal — a pure permutation, bit-exact on
+    * both engines, and direction-changing so the fold is result-VISIBLE,
+    * unlike a scale factor that cosine would erase). Centroids stay the
+    * deployed pre-delta model (train = allv); the final assignment and the
+    * exact rerank read the POST-delta vectors — exactly what replacing the
+    * delta ids' rows in the persisted cell index at frozen centroids
+    * produces, since assignment is per-vector. */
+  lazy val cdcAnnDeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val extra =
+      s"""cl2 AS (
+         |${docsCdc.changelogSql}
+         |), cdelta AS (
+         |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), postv AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN d.doc_id IS NULL THEN e.embedding::DOUBLE[]
+         |         ELSE list_reverse(e.embedding)::DOUBLE[] END AS v
+         |  FROM embeddings e LEFT JOIN cdelta d ON e.vec_id = d.doc_id
+         |),""".stripMargin
+    annIvfSqlWith("TRUE", "TRUE", extraCtes = extra,
+      assignSrc = "postv", vecSrc = "postv")
+  }
+
   /** ≙ the CSV round-trip graded query: the ORACLE is the direct read —
     * losslessness means the post-round-trip fingerprints equal these. */
   val csvRoundtripSql: String =
@@ -4079,10 +4140,13 @@ object ExtOracle {
     * the hybrid fusion. The bigram CTE fans out to four consumers —
     * materialized. See Retrieval.scala scaladoc for the integer algebra
     * (rational RSJ idf surrogate, k1 = 6/5, b = 3/4 cleared of
-    * fractions). */
-  private def bm25Ctes(depth: Int, corpusWhere: String = "TRUE"): String =
-    s"""$corpusSql, tk AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+    * fractions). `extraCtes` (inserted between the corpus CTEs and the
+    * chain) + `src` let the CDC-delta composition index a DERIVED corpus
+    * (post-delta text) while reusing the whole chain. */
+  private def bm25Ctes(depth: Int, corpusWhere: String = "TRUE",
+      src: String = "corpus", extraCtes: String = ""): String =
+    s"""$corpusSql, ${extraCtes}tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src
        |  WHERE $corpusWhere
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
@@ -4094,8 +4158,8 @@ object ExtOracle {
        |), dl AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bg GROUP BY 1
        |), stats AS (
-       |  SELECT CAST((SELECT count(*) FROM corpus WHERE $corpusWhere) AS BIGINT) AS n,
-       |         CAST(count(*) // (SELECT count(*) FROM corpus WHERE $corpusWhere) AS BIGINT)
+       |  SELECT CAST((SELECT count(*) FROM $src WHERE $corpusWhere) AS BIGINT) AS n,
+       |         CAST(count(*) // (SELECT count(*) FROM $src WHERE $corpusWhere) AS BIGINT)
        |           AS avgdl
        |  FROM bg
        |), dfq AS (
