@@ -115,22 +115,59 @@ object ServingBridge {
 
   /** Multi-FEATURE point-in-time enrichment — the feature-store "read the
     * whole feature row at time T" contract: one request row gains a
-    * (`<name>_asof`, `<name>_ep_id`) column pair per tracked column, via
-    * one gated episode join each, all from the SAME changelog and all at
-    * the request's OWN instant (no cross-feature skew: every feature is
-    * read at one consistent time). */
+    * (`<name>_asof`, `<name>_ep_id`) column pair per tracked column, all
+    * from the SAME changelog and all at the request's OWN instant (no
+    * cross-feature skew: every feature is read at one consistent time).
+    *
+    * ONE-PASS shape (the repo's "all features ride one shuffle"
+    * principle, ops/Features.scala): instead of one gated join per
+    * feature — F shuffles of the REQUEST stream above the broadcast
+    * limit, F count-gate actions — the per-feature episode tables merge
+    * into a single combined SCD2 timeline first (episode-sized work on
+    * the SMALL side): union tagged by feature, one window pass computes
+    * every feature's running current (value, ep_id) at each boundary
+    * (`last(..., ignoreNulls)` over a struct — the struct is non-null
+    * even when the VALUE inside is a legitimate NULL, so a NULL-setting
+    * update is served as NULL, never as the prior value), boundary rows
+    * dedup to their final state, and [from, to) bounds re-derive. Then
+    * ONE gated range join serves the whole feature row.
+    *
+    * Within a key, `ep_id` order ≡ (valid_from_s, ep_id) order
+    * (changelog ids follow the commit_time-led deterministic sort), so
+    * each feature's running value at a boundary is exactly its
+    * single-feature episode there — same-commit-time double updates
+    * included (the max ep_id at the boundary wins, = stateAsOf's max-by
+    * semantics). Pinned by ServingBridgeSpec's multi ≡ singles test. */
   def enrichAsOfMany(requests: DataFrame,
       features: Seq[(String, DataFrame)],
-      broadcastLimit: Long = BroadcastEpisodeLimit): DataFrame =
-    features.foldLeft(requests) { case (acc, (name, episodes)) =>
-      // per-feature names BEFORE the join — every episode table ships the
-      // same (status_asof, ep_id) pair and the folds must not collide
-      gatedEpisodeJoin(acc,
-        episodes.withColumnRenamed("status_asof", s"${name}_asof")
-          .withColumnRenamed("ep_id", s"${name}_ep_id"),
-        broadcastLimit)
-        .drop("__ek", "valid_from_s", "valid_to_s")
+      broadcastLimit: Long = BroadcastEpisodeLimit): DataFrame = {
+    val tagged = features.zipWithIndex.map { case ((_, eps), i) =>
+      eps.select(col("serve_key"), col("valid_from_s"), col("ep_id"),
+        struct(col("status_asof"), col("ep_id")).as("__v"), lit(i).as("__feat"))
+    }.reduce(_ unionByName _)
+    val wRun = Window.partitionBy(col("serve_key"))
+      .orderBy(col("valid_from_s"), col("ep_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRunning = features.indices.foldLeft(tagged) { (df, i) =>
+      df.withColumn(s"__c$i",
+        last(when(col("__feat") === i, col("__v")), ignoreNulls = true).over(wRun))
     }
+    val wLast = Window.partitionBy(col("serve_key"), col("valid_from_s"))
+      .orderBy(col("ep_id").desc)
+    val wNext = Window.partitionBy(col("serve_key")).orderBy(col("valid_from_s"))
+    val merged = withRunning
+      .withColumn("__rn", row_number().over(wLast))
+      .where(col("__rn") === 1) // the boundary's FINAL state row
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(wNext))
+      .select(col("serve_key") +: col("valid_from_s") +: col("valid_to_s") +:
+        features.indices.map(i => col(s"__c$i")): _*)
+    gatedEpisodeJoin(requests, merged, broadcastLimit)
+      .select(col("event_id") +: col("serve_key") +: col("serve_s") +:
+        features.zipWithIndex.flatMap { case ((name, _), i) =>
+          Seq(col(s"__c$i.status_asof").as(s"${name}_asof"),
+            col(s"__c$i.ep_id").as(s"${name}_ep_id"))
+        }: _*)
+  }
 
   /** The gated single-episode range join both enrichers ride: broadcast
     * under `broadcastLimit`, shuffled serve_key equi-join (merge hint —
