@@ -2439,14 +2439,18 @@ object SparkEntry {
     // count: the probabilistic path's trade, measured not assumed
     "ext_dedup_eval" -> ((s, dir) => {
       val c = corpus(s, dir)
-      // the measurement runs TWO shingle-consuming pipelines (banded
-      // system + exact prefix-join truth) — one shared shingling pass
-      val raw = Dedup.rawShingles(c).localCheckpoint(true)
-      val sys = Dedup.nearDuplicatePairs(c, rawSh = Some(raw))
+      // the exact prefix-join GROUND TRUTH is a pure fixture function and
+      // the expensive half of the measurement — memoized (the
+      // triangle-history precedent), so repeat passes price the banding
+      // SYSTEM under measurement, not the truth recompute ×3
+      val truthState = TempDirs.memoized("graft_dedup_truth",
+        s"$dir/documents.parquet") { tmp =>
+        Dedup.jaccardPairsPrefix(c).select("id_a", "id_b")
+          .write.mode("overwrite").parquet(tmp.resolve("truth").toString)
+      }
+      val sys = Dedup.nearDuplicatePairs(c)
         .select("id_a", "id_b").localCheckpoint(true)
-      val truth = Dedup.jaccardPairsPrefix(c, rawSh = Some(raw))
-        .select("id_a", "id_b")
-        .localCheckpoint(true)
+      val truth = s.read.parquet(truthState.resolve("truth").toString)
       val found = truth
         .join(sys.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_truth"), count(col("__f")).as("n_found"))

@@ -225,7 +225,11 @@ object Graph {
     // the celebrity's. The batch side is broadcast throughout (an
     // incremental batch is bounded by assumption — a day's edges, not
     // the graph); the closure check on (p2, z) is the one real shuffle.
+    // node-counter-sized (≡ the carried stats table) and consumed by BOTH
+    // endpoint joins below — checkpointed or the adjacency aggregation
+    // replants per consumer (the k-means foldLeft lesson)
     val degAll = adj.groupBy(col("x").as("__n")).agg(count(lit(1)).as("__d"))
+      .localCheckpoint(true)
     val anchoredNew = newE
       .join(degAll.select(col("__n").as("a"), col("__d").as("__da")), Seq("a"))
       .join(degAll.select(col("__n").as("b"), col("__d").as("__db")), Seq("b"))
@@ -253,9 +257,14 @@ object Graph {
     // accept only at the smallest new edge of the triangle ((a,b) is new)
     def lt(xa: org.apache.spark.sql.Column, xb: org.apache.spark.sql.Column) =
       col("a") < xa || (col("a") === xa && col("b") < xb)
+    // bounded by the batch's NEW triangles and consumed by the 3-branch
+    // per-corner union — checkpointed or the whole closure join chain
+    // (the plan's expensive spine) is replanted once per branch
     val accepted = flagged.where(
       (col("__n1").isNull || lt(e1a, e1b)) &&
         (col("__n2").isNull || lt(e2a, e2b)))
+      .select(col("a"), col("b"), col("z"))
+      .localCheckpoint(true)
     val triDelta = accepted.select(col("a").as("node"))
       .union(accepted.select(col("b").as("node")))
       .union(accepted.select(col("z").as("node")))
