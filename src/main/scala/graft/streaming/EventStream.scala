@@ -522,6 +522,37 @@ object EventStream {
     spark.read.schema(enriched.schema).parquet(outDir.resolve("result").toString)
   }
 
+  /** The MULTI-feature twin of [[servingAsOfStreamedToFiles]]: the
+    * merged-SCD2-timeline one-pass read
+    * ([[graft.cdc.ServingBridge.enrichAsOfMany]]) under the real
+    * streaming engine. The timeline merge is episode-sized BATCH work
+    * computed once at plan build; the stream side stays the single
+    * stateless gated range join — no watermark, no join state, and one
+    * join however many features ride along. */
+  def servingAsOfManyStreamedToFiles(
+      spark: SparkSession, events: DataFrame,
+      features: Seq[(String, DataFrame)], nOrders: Long): DataFrame = {
+    val req0 = events.where(col("event_type") === "purchase")
+      .select(col("event_id").cast("long").as("event_id"),
+        expr("ts div 1000000000").as("__es"))
+    val inDir = tempDir("graft_servmulti_in").toString
+    req0.write.mode("append").parquet(inDir)
+    val src = spark.readStream.schema(req0.schema).parquet(inDir)
+    val enriched = graft.cdc.ServingBridge.enrichAsOfMany(
+      graft.cdc.ServingBridge.requestColumns(src.withColumn("__n", lit(nOrders))),
+      features)
+    val outDir = tempDir("graft_servmulti_out")
+    val query = enriched
+      .writeStream.format("parquet")
+      .option("path", outDir.resolve("result").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.schema(enriched.schema).parquet(outDir.resolve("result").toString)
+  }
+
   /** Streaming exact dedup (E1's streaming shape): drop events whose key
     * was already seen, with state bounded by the watermark — the standard
     * at-least-once → effectively-once repair for an event firehose. */

@@ -198,6 +198,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "under the episode-count gate the lookup must broadcast")
   }
 
+  test("multi-feature serving read is ONE join: the merged timeline keeps " +
+      "F features from costing F request joins") {
+    val p = plan("ext_cdc_serving_multi")
+    // equi-joins only: the 1-row max(o_orderkey) scalar rides in as a
+    // BroadcastNestedLoopJoin (servingRequests) and is not an episode join
+    val joins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 1,
+      s"the request stream must ride ONE gated episode join, got $joins")
+    assert(p.contains("BroadcastHashJoin"),
+      "under the episode-count gate the merged-timeline lookup must broadcast")
+  }
+
   test("filtered ANN scores both strategies from ONE scored pass: queries " +
       "broadcast, both heaps in the same aggregate") {
     val p = plan("ext_ann_filtered")

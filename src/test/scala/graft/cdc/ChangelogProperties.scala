@@ -170,4 +170,55 @@ object ChangelogProperties extends Properties("changelog") with SparkFixture {
       }).toMap
       served == want
     }
+
+  /** Random TWO-column changelog rows: (key 1..3, commit offset, column
+    * 0|1, value-is-NULL). NULL-setting updates are generated on purpose —
+    * the merged-timeline read must serve them as NULL (episode present,
+    * value absent), never as the prior value. */
+  private val genMultiRows: Gen[List[(Long, Long, Int, Boolean)]] = for {
+    n <- Gen.choose(0, 25)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 12L)
+      c <- Gen.oneOf(0, 1)
+      nul <- Gen.oneOf(true, false)
+    } yield (k, t, c, nul))
+  } yield rows
+
+  property("enrichAsOfMany (merged timeline) equals per-feature single reads, " +
+      "NULL-setting updates served as NULL") =
+    Prop.forAll(genMultiRows) { rows0 =>
+      val s = spark
+      import s.implicits._
+      val rows = rows0.zipWithIndex
+        .sortBy { case ((_, t, _, _), i) => (t, i) }
+        .zipWithIndex
+        .map { case (((k, t, c, nul), i), id0) =>
+          (id0 + 1L, k.toString, s"c$c",
+            if (nul) null else s"v$i",
+            new Timestamp((graft.cdc.ServingBridge.BaseEpochS + t) * 1000L))
+        }
+      val cl = rows
+        .toDF("changelog_id", "k", "column_name", "new_value", "commit_time")
+        .localCheckpoint(true)
+      val eps0 = ServingBridge.timedEpisodes(cl, "k", "c0")
+      val eps1 = ServingBridge.timedEpisodes(cl, "k", "c1")
+      val requests = (for {
+        k <- 1L to 3L; t <- 0L to 13L
+      } yield (k * 100 + t, k, graft.cdc.ServingBridge.BaseEpochS + t)).toList
+        .toDF("event_id", "serve_key", "serve_s")
+      // (value?, ep_id?) per feature — ep_id presence distinguishes a
+      // NULL-valued episode from no episode at all
+      val multi = ServingBridge.enrichAsOfMany(requests,
+          Seq("f0" -> eps0, "f1" -> eps1))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(3)), Option(r.get(4))),
+            (Option(r.get(5)), Option(r.get(6))))).toMap
+      def single(eps: DataFrame) = ServingBridge.enrichAsOf(requests, eps)
+        .collect().map(r => r.getLong(0) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+      val s0 = single(eps0)
+      val s1 = single(eps1)
+      multi.keySet == s0.keySet && multi.keySet == s1.keySet &&
+        multi.keys.forall(id => multi(id)._1 == s0(id) && multi(id)._2 == s1(id))
+    }
 }
