@@ -206,19 +206,174 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
     }
 
+  private val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
+
   /** The documents changelog's update-after text rows — the corpus DELTA
     * every CDC→derived-state bridge row consumes (`ext_cdc_corpus_delta`,
     * the BM25/ANN index folds). Checkpointed: each bridge consumes it
     * from ≥2 sub-trees and the changelog build (sort + ids) must run
     * once. */
-  private def docsChangelogDelta(s: SparkSession, dir: String): DataFrame = {
-    val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
-    val feed = ChangeFeed.fromDocuments(s.read.parquet(s"$dir/documents.parquet"))
-    ChangelogBuilder.withIds(ChangelogBuilder.build(feed, docsCfg), docsCfg)
+  private def docsChangelogDelta(s: SparkSession, dir: String): DataFrame =
+    deltaRows(ChangelogBuilder.withIds(
+      ChangelogBuilder.build(
+        ChangeFeed.fromDocuments(s.read.parquet(s"$dir/documents.parquet")),
+        docsCfg), docsCfg))
+
+  /** Update-after text rows of a documents changelog frame (in-memory or
+    * sink-read), normalized to the (doc_id, text) delta contract. */
+  private def deltaRows(changelog: DataFrame): DataFrame =
+    changelog
       .where(col("column_name") === "text" && col("new_value").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("new_value").as("text"))
       .localCheckpoint(true)
+
+  /** The documents changelog POPULATED BY THE STREAMING ENGINE into a real
+    * sink (micro-batched feed files through StreamingPopulate) — the
+    * persisted half of the streamed CDC→index bridges. Pure fixture
+    * function → memoized; bridge rows read the sink in place (the folds
+    * never mutate it). */
+  private def docsChangelogSink(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_docs_cl_sink", s"$dir/documents.parquet") { tmp =>
+      val f = ChangeFeed.fromDocuments(s.read.parquet(s"$dir/documents.parquet"))
+      val feedDir = tmp.resolve("feed").toString
+      // micro-batches must respect TRANSACTION boundaries (≙ the
+      // reference's LSN windows): a hash repartition can split an
+      // update's before/after rows across files and the in-batch pairing
+      // would drop the orphans — range-split on start_lsn keeps every
+      // txn's rows in one file/batch
+      f.repartitionByRange(2, col("start_lsn"))
+        .write.mode("overwrite").parquet(feedDir)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, f.schema, docsCfg,
+        tmp.resolve("documents_changelog").toString,
+        tmp.resolve("ckpt").toString, maxFilesPerTrigger = Some(1))
+      ()
+    }
+
+  /** The BM25-index fold a changelog delta drives (shared by the batch
+    * and streamed bridge rows): a revision DROPS the doc's postings rows
+    * and unions the re-tokenized delta; N is unchanged (updates, not
+    * inserts); queries derive from the post-delta corpus view. */
+  private def bm25DeltaFold(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    val c = corpus(s, dir)
+    val state = bm25DeployState(s, dir)
+    val postings = s.read.parquet(state.resolve("postings").toString)
+      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(Retrieval.bm25Postings(delta))
+    val n = s.read.parquet(state.resolve("docs").toString)
+      .agg(count(lit(1)).as("n"))
+    val postC = c
+      .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+    Retrieval.bm25TopKFromPostings(
+      postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The IVF-index fold a changelog delta drives (shared by the batch and
+    * streamed bridge rows): delta ids re-embedded (deterministic reversal
+    * stub) via pointed lookups, assigned at the deployed frozen
+    * centroids, swapped into the persisted cell index. */
+  private def annDeltaFold(s: SparkSession, dir: String, deltaIds: DataFrame): DataFrame = {
+    val e = embeddings(s, dir)
+    val state = ivfDeployState(s, dir)
+    val cents = s.read.parquet(state.resolve("centroids").toString)
+    val reEmbedded = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val folded = s.read.parquet(state.resolve("cells").toString)
+      .join(deltaIds, col("neighbor_id") === deltaIds("doc_id"), "left_anti")
+      .unionByName(Similarity.ivfIndex(reEmbedded, cents))
+    Similarity.ivfSearch(folded, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The post-first-window corpus: [[corpus]] with the era-1 revisions
+    * ([[docsChangelogDelta]]) applied — the corpus a maintained index has
+    * folded through when the SECOND activity window arrives. */
+  private def postEra1Corpus(s: SparkSession, dir: String): DataFrame = {
+    val delta = docsChangelogDelta(s, dir)
+    corpus(s, dir)
+      .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+  }
+
+  /** The BM25 index as deployed AFTER the first maintenance cycle
+    * (postings + registry over [[postEra1Corpus]]) — the state the
+    * full-lifecycle fold starts from. Scratch-over-post-era-1 is the
+    * correct build here because fold ≡ scratch is exactly what
+    * `ext_cdc_bm25_delta` grades. */
+  private def bm25Deploy2State(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_bm25_deploy2", s"$dir/documents.parquet") { tmp =>
+      val c2 = postEra1Corpus(s, dir)
+      Retrieval.bm25Postings(c2)
+        .write.mode("overwrite").parquet(tmp.resolve("postings").toString)
+      c2.select(col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+    }
+
+  /** The IVF index after the first maintenance cycle: the SAME frozen
+    * centroids as [[ivfDeployState]] (a fold never retrains), cells =
+    * assignment of the post-era-1 vectors (era-1 revised docs re-embedded
+    * by the reversal stub). Keyed on BOTH fixtures — the delta ids come
+    * from the documents changelog. */
+  private def ivfDeploy2State(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivf_deploy2",
+      Seq(s"$dir/embeddings.parquet", s"$dir/documents.parquet")) { tmp =>
+      val e = embeddings(s, dir)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val cents = s.read.parquet(ivfDeployState(s, dir).resolve("centroids").toString)
+      cents.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      val post1 = e.join(d1, e("vec_id") === d1("doc_id"), "left")
+        .select(e("vec_id"),
+          when(d1("doc_id").isNotNull, reverse(e("embedding")))
+            .otherwise(e("embedding")).as("embedding"))
+      Similarity.ivfIndex(post1, cents)
+        .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
+    }
+
+  /** The SECOND activity window of the documents changelog — the full
+    * index-maintenance lifecycle delta (inserts, deletes, a further
+    * revision; [[graft.cdc.ChangeFeed.docsLifecycleSpec]]). Consumed the
+    * reference's way (usp_cdc_query_data.sql:9-70): ONE logical changelog
+    * stream (both windows unioned), the maintenance consumer takes its
+    * window with a plain LSN predicate — branch-invariant `start_lsn`
+    * pushes through the Generate to both era scans, so the first window
+    * is pruned at the source, never rebuilt. */
+  private def docsLifecycleWindow(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val feed = ChangeFeed.fromDocuments(docs)
+      .unionByName(ChangeFeed.fromDocumentsLifecycle(docs))
+      .where(col("start_lsn") >= ChangeFeed.DocsLifecycleLsn)
+    ChangelogBuilder.build(feed, docsCfg).localCheckpoint(true)
+  }
+
+  /** Sentinel/update delta sets of a lifecycle window: (upserts with
+    * fetched text, insert ids, delete ids). Inserts and deletes are
+    * SENTINEL-ONLY in the changelog (usp_cdc_populate_changelog.sql:
+    * 365-386 — record ops carry no payload), so inserted content must be
+    * FETCHED from the source by key: a pointed lookup per new id, never a
+    * rescan. The fixture's source table does not materialize the second
+    * window's rows, so the fetch reconstructs them deterministically
+    * (source doc at id − DocsInsertOffset, ' fresh' suffix — the same
+    * expressions docsLifecycleSpec plants). */
+  private def lifecycleDeltaSets(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val w = docsLifecycleWindow(s, dir)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val upd = w.where(col("column_name") === "text" && col("new_value").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("new_value").as("text"))
+    val ins = w.where(col("column_name").isNull && col("new_value") === "NEW RECORD")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val del = w.where(col("column_name").isNull && col("old_value") === "DELETED RECORD")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val insDocs = docs.as("d")
+      .join(ins.as("i"),
+        col("d.doc_id") === col("i.doc_id") - ChangeFeed.DocsInsertOffset)
+      .select(col("i.doc_id").as("doc_id"),
+        concat(col("d.text"), lit(" fresh")).as("text"))
+    (upd.unionByName(insDocs).localCheckpoint(true),
+      ins.localCheckpoint(true), del.localCheckpoint(true))
   }
 
   /** Flagship: full CDC changelog pipeline on sf0.001 (rows>0 by construction). */
@@ -778,24 +933,18 @@ object SparkEntry {
     // df/dl/avgdl/idf re-derive from the folded postings. Graded ≡ a
     // scratch index over the POST-delta corpus (the oracle composes the
     // changelog CTEs with the full BM25 chain).
-    "ext_cdc_bm25_delta" -> ((s, dir) => {
-      val c = corpus(s, dir)
-      val state = bm25DeployState(s, dir)
-      val delta = docsChangelogDelta(s, dir)
-      val postings = s.read.parquet(state.resolve("postings").toString)
-        .join(delta.select("doc_id"), Seq("doc_id"), "left_anti") // revision drops
-        .unionByName(Retrieval.bm25Postings(delta)) // …and re-tokenizes the delta
-      val n = s.read.parquet(state.resolve("docs").toString)
-        .agg(count(lit(1)).as("n"))
-      // queries derive from the POST-delta corpus (the %100=3 query docs
-      // are never revised, but the composition must read the folded view)
-      val postC = c
-        .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
-      Retrieval.bm25TopKFromPostings(
-        postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
-        .orderBy("query_id", "rnk")
-    }),
+    "ext_cdc_bm25_delta" -> ((s, dir) =>
+      bm25DeltaFold(s, dir, docsChangelogDelta(s, dir))),
+
+    // the SAME retrieval-index fold driven from a PERSISTED changelog
+    // sink the STREAMING engine populated (micro-batched documents feed
+    // through StreamingPopulate) — the full production loop: OLTP feed →
+    // streamed changelog sink → search-index maintenance reads the delta
+    // FROM THE SINK (SinkLayout.read, version-pointer aware). Same
+    // post-delta scratch oracle: the sink is the changelog
+    "ext_cdc_bm25_delta_stream" -> ((s, dir) =>
+      bm25DeltaFold(s, dir, deltaRows(graft.cdc.SinkLayout.read(s,
+        docsChangelogSink(s, dir).resolve("documents_changelog").toString)))),
 
     // the CDC→ANN-INDEX bridge, closing the composition for the vector
     // half: the changelog delta names the revised docs; each is
@@ -807,16 +956,67 @@ object SparkEntry {
     // and swapped into the persisted cell index — a row filter + union,
     // the corpus is never re-scored. Graded ≡ scratch assignment of the
     // post-delta vector set at the pre-delta-trained model.
-    "ext_cdc_ann_delta" -> ((s, dir) => {
+    "ext_cdc_ann_delta" -> ((s, dir) =>
+      annDeltaFold(s, dir, docsChangelogDelta(s, dir).select(col("doc_id")))),
+
+    // the ANN twin of ext_cdc_bm25_delta_stream: delta ids read from the
+    // STREAMED changelog sink, folded into the persisted cell index at
+    // the deployed frozen centroids — same post-delta scratch oracle
+    "ext_cdc_ann_delta_stream" -> ((s, dir) =>
+      annDeltaFold(s, dir, deltaRows(graft.cdc.SinkLayout.read(s,
+        docsChangelogSink(s, dir).resolve("documents_changelog").toString))
+        .select(col("doc_id")))),
+
+    // the FULL index-maintenance lifecycle over the retrieval index: a
+    // second changelog window carries inserts, deletes AND a further
+    // revision (docsLifecycleSpec), consumed as an LSN window of the one
+    // unioned changelog stream. Deletes drop postings + registry rows (N
+    // shrinks); inserts are sentinel-only so content is FETCHED by key
+    // (pointed lookups) and N grows; revisions swap postings. Graded ≡ a
+    // scratch BM25 index over the post-lifecycle corpus.
+    "ext_cdc_bm25_lifecycle" -> ((s, dir) => {
+      val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
+      val state = bm25Deploy2State(s, dir)
+      val touched = upserts.select("doc_id").unionByName(del)
+      val postings = s.read.parquet(state.resolve("postings").toString)
+        .join(touched, Seq("doc_id"), "left_anti")
+        .unionByName(Retrieval.bm25Postings(upserts))
+      val n = s.read.parquet(state.resolve("docs").toString)
+        .join(del, Seq("doc_id"), "left_anti")
+        .unionByName(ins)
+        .agg(count(lit(1)).as("n"))
+      val postC = postEra1Corpus(s, dir).as("c")
+        .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+        .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
+        .where(col("__del").isNull)
+        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+        .unionByName(upserts.join(ins, Seq("doc_id"))) // inserted docs join the corpus view
+      Retrieval.bm25TopKFromPostings(
+        postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the ANN half of the full lifecycle: deletes drop cell rows, the
+    // re-revised docs re-embed (stub #2: NEGATION — direction-changing
+    // and distinct from era-1's reversal, so the second fold is
+    // result-visible over the first), inserts re-embed the fetched
+    // content (reversal stub) — all swapped into the post-era-1 cell
+    // index at the SAME frozen centroids. Graded ≡ scratch assignment of
+    // the post-lifecycle vector set at the pre-delta-trained model.
+    "ext_cdc_ann_lifecycle" -> ((s, dir) => {
+      val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
       val e = embeddings(s, dir)
-      val state = ivfDeployState(s, dir)
+      val state = ivfDeploy2State(s, dir)
       val cents = s.read.parquet(state.resolve("centroids").toString)
-      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id"))
-      val reEmbedded = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
-        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val updIds = upserts.select("doc_id").join(ins, Seq("doc_id"), "left_anti")
+      val updVecs = e.join(updIds, e("vec_id") === updIds("doc_id"))
+        .select(e("vec_id"), transform(e("embedding"), v => -v).as("embedding"))
+      val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
+        .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
+      val touched = updIds.unionByName(del)
       val folded = s.read.parquet(state.resolve("cells").toString)
-        .join(deltaIds, col("neighbor_id") === deltaIds("doc_id"), "left_anti")
-        .unionByName(Similarity.ivfIndex(reEmbedded, cents)) // the fold
+        .join(touched, col("neighbor_id") === touched("doc_id"), "left_anti")
+        .unionByName(Similarity.ivfIndex(updVecs.unionByName(insVecs), cents))
       Similarity.ivfSearch(folded, e.where(col("vec_id") % 100 === 0), cents, k = 3)
         .orderBy("query_id", "rnk")
     }),
@@ -1587,6 +1787,23 @@ object SparkEntry {
       graft.streaming.EventStream.servingAsOfStreamedToFiles(
         s, events(s, dir),
         graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"), n)
+        .orderBy("event_id")
+    }),
+
+    // the MULTI-feature read under the REAL streaming engine: the merged
+    // SCD2 timeline is episode-sized batch work; the request stream rides
+    // ONE stateless gated range join for the whole feature row (no
+    // watermark, no join state) — same oracle as the batch multi row
+    "ext_cdc_serving_multi_stream" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      val n = orders(s, dir).agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      graft.streaming.EventStream.servingAsOfManyStreamedToFiles(
+        s, events(s, dir),
+        Seq(
+          "status" -> graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"),
+          "price" -> graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_totalprice")),
+        n)
         .orderBy("event_id")
     }),
 
@@ -3279,7 +3496,11 @@ object SparkEntry {
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
     "ext_cdc_corpus_delta" -> ExtOracle.cdcCorpusDeltaSql,
     "ext_cdc_bm25_delta" -> ExtOracle.cdcBm25DeltaSql,
+    "ext_cdc_bm25_delta_stream" -> ExtOracle.cdcBm25DeltaSql,
     "ext_cdc_ann_delta" -> ExtOracle.cdcAnnDeltaSql,
+    "ext_cdc_ann_delta_stream" -> ExtOracle.cdcAnnDeltaSql,
+    "ext_cdc_bm25_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
+    "ext_cdc_ann_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
     "ext_minhash_forget" -> ExtOracle.minhashForgetSql,
     "ext_simhash" -> ExtOracle.simhashSql,
@@ -3396,6 +3617,7 @@ object SparkEntry {
     "ext_cdc_serving_multi" -> ExtOracle.cdcServingMultiSql,
     "ext_cdc_serving_dropped" -> ExtOracle.cdcServingDroppedSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
+    "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,
     "ext_funnel_stream" -> ExtOracle.funnelStepsSql,
     "ext_interval_join_left_stream" -> ExtOracle.intervalJoinLeftSql,
     "ext_pack" -> ExtOracle.packBinsSql,

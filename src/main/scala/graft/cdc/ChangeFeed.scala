@@ -124,6 +124,40 @@ object ChangeFeed {
 
   def fromDocuments(docs: DataFrame): DataFrame = docsSpec.toFeed(docs)
 
+  /** The documents feed's SECOND activity window — the full index-
+    * maintenance lifecycle the CDC→index bridges fold (inserts AND deletes,
+    * not just revisions). LSNs sit strictly after every [[docsSpec]]
+    * transaction ([[DocsLifecycleLsn]] + doc_id > max doc_id), so the two
+    * windows union into ONE monotone changelog stream and a maintenance
+    * consumer takes this window with a plain commit-time predicate — the
+    * reference's windowed-consumption contract
+    * (usp_cdc_query_data.sql:9-70) applied to derived-state maintenance.
+    *
+    * Branches (m = doc_id % 10): m=7 docs are DELETED (sentinel-only rows,
+    * :365-376 — the changelog carries no payload for record ops); m=6 docs
+    * spawn a NEW document keyed doc_id + [[DocsInsertOffset]] (sentinel-only
+    * too, :377-386 — consumers must FETCH inserted content from the source
+    * by key, which is why the index folds do pointed lookups, never a
+    * rescan); m=8 docs get a SECOND revision (old value = the ' rev2' text
+    * the first window left behind). */
+  val DocsLifecycleLsn = 50000000L
+  val DocsInsertOffset = 30000000L
+  val docsLifecycleSpec: FeedSpec = FeedSpec(
+    table = "documents",
+    srcCols = DocsCols,
+    lsn = s"doc_id + $DocsLifecycleLsn",
+    branches = Seq(
+      FeedBranch("doc_id % 10 = 7", OpDelete, DocsAllBits, 0),
+      FeedBranch("doc_id % 10 = 6", OpInsert, DocsAllBits, 0,
+        Map("doc_id" -> s"doc_id + $DocsInsertOffset",
+          "text" -> "text || ' fresh'")),
+      FeedBranch("doc_id % 10 = 8", OpUpdateBefore, BitDocText, 0,
+        Map("text" -> "text || ' rev2'")),
+      FeedBranch("doc_id % 10 = 8", OpUpdateAfter, BitDocText, 0,
+        Map("text" -> "text || ' rev3'"))))
+
+  def fromDocumentsLifecycle(docs: DataFrame): DataFrame = docsLifecycleSpec.toFeed(docs)
+
   /** Deterministic LATER SNAPSHOT of `orders` for [[SnapshotDiff]] — the
     * snapshot-shaped restatement of [[ordersSpec]]'s m-conventions
     * (m = o_orderkey % 10): m=1 rows are gone (deletes), m∈{2,3} carry

@@ -2587,6 +2587,99 @@ object ExtOracle {
       assignSrc = "postv", vecSrc = "postv")
   }
 
+  /** ≙ the ext_cdc_bm25_lifecycle fold — the FULL index-maintenance
+    * lifecycle: the second changelog window (docsLifecycleSpec: deletes,
+    * sentinel-only inserts whose content is fetched by key, a further
+    * revision) applied on top of the era-1 revisions, and the whole BM25
+    * chain run from scratch over that post-lifecycle corpus — deletes
+    * shrink N, inserts grow it, df/dl/avgdl/idf re-derive. The delta sets
+    * come from the SAME CdcOracle changelog chains the cdc_* rows grade
+    * against (nested-WITH era composition), never from m-arithmetic, so
+    * planted dup copies are untouched exactly as the fold leaves them. */
+  lazy val cdcBm25LifecycleSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val lcCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
+    val off = graft.cdc.ChangeFeed.DocsInsertOffset
+    val extra =
+      s"""cl1 AS MATERIALIZED (
+         |${docsCdc.changelogRowsSql}
+         |), cl2 AS MATERIALIZED (
+         |${lcCdc.changelogRowsSql}
+         |), c1d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+         |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), e2upd AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+         |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), e2ins AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
+         |), e2del AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
+         |), corpus3 AS (
+         |  SELECT c.doc_id, coalesce(u.text, d1.text, c.text) AS text
+         |  FROM corpus c
+         |  LEFT JOIN c1d d1 ON c.doc_id = d1.doc_id
+         |  LEFT JOIN e2upd u ON c.doc_id = u.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = c.doc_id)
+         |  UNION ALL
+         |  SELECT i.doc_id, d.text || ' fresh' AS text
+         |  FROM e2ins i JOIN documents d ON d.doc_id = i.doc_id - $off
+         |), """.stripMargin
+    s"""WITH ${bm25Ctes(5, src = "corpus3", extraCtes = extra)}
+       |SELECT query_id, rnk, doc_id, score_micro FROM bmr
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** ≙ the ext_cdc_ann_lifecycle fold: post-lifecycle vector view —
+    * second-revision docs re-embedded by the NEGATION stub (distinct from
+    * era-1's reversal so the second fold is result-visible), era-1-only
+    * revised docs keep their reversal, deleted docs gone, inserted docs'
+    * fetched content embedded by the reversal stub — assigned and
+    * reranked at the pre-delta-trained centroids (train = allv). */
+  lazy val cdcAnnLifecycleSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val lcCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
+    val off = graft.cdc.ChangeFeed.DocsInsertOffset
+    val extra =
+      s"""cl1 AS MATERIALIZED (
+         |${docsCdc.changelogRowsSql}
+         |), cl2 AS MATERIALIZED (
+         |${lcCdc.changelogRowsSql}
+         |), e1d AS (
+         |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), e2upd AS (
+         |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), e2ins AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
+         |), e2del AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
+         |), postv AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN u.doc_id IS NOT NULL THEN list_transform(e.embedding, x -> -x)::DOUBLE[]
+         |         WHEN d1.doc_id IS NOT NULL THEN list_reverse(e.embedding)::DOUBLE[]
+         |         ELSE e.embedding::DOUBLE[] END AS v
+         |  FROM embeddings e
+         |  LEFT JOIN e2upd u ON e.vec_id = u.doc_id
+         |  LEFT JOIN e1d d1 ON e.vec_id = d1.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = e.vec_id)
+         |  UNION ALL
+         |  SELECT i.doc_id AS vec_id, list_reverse(e.embedding)::DOUBLE[] AS v
+         |  FROM e2ins i JOIN embeddings e ON e.vec_id = i.doc_id - $off
+         |),""".stripMargin
+    annIvfSqlWith("TRUE", "TRUE", extraCtes = extra,
+      assignSrc = "postv", vecSrc = "postv")
+  }
+
   /** ≙ the CSV round-trip graded query: the ORACLE is the direct read —
     * losslessness means the post-round-trip fingerprints equal these. */
   val csvRoundtripSql: String =
