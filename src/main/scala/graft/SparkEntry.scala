@@ -1760,6 +1760,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // RETENTION on the serving store: episodes that ENDED at-or-before
+    // the horizon (mid-clock, rides as a broadcast scalar) are purged —
+    // a pure row filter on per-(key, interval) state — and the graded
+    // contract is read-INVISIBILITY: every in-contract request (serve_s
+    // >= horizon) answers identically to the unpurged store, which is
+    // why the oracle serves from the FULL episode set. Out-of-contract
+    // reads belong to the changelog (the sink retention story's "two-
+    // phase, reader-safe" argument applied to derived state).
+    "ext_cdc_serving_retention" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      val h = orders(s, dir)
+        .agg(max(col("o_orderkey").cast("long")).as("__m"))
+        .select((lit(graft.cdc.ServingBridge.BaseEpochS) +
+          expr("__m div 2")).as("__h"))
+      val req = graft.cdc.ServingBridge
+        .servingRequests(events(s, dir), orders(s, dir))
+        .crossJoin(broadcast(h))
+        .where(col("serve_s") >= col("__h")).drop("__h")
+      val retained = graft.cdc.ServingBridge.retainEpisodes(
+        graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"), h)
+      graft.cdc.ServingBridge.enrichAsOf(req, retained)
+        .orderBy("event_id")
+    }),
+
     // the bridge composed over the DROPPED-column changelog: the feature
     // store keeps serving a dropped column's LAST-KNOWN value forever —
     // pre-drop m=6 keys serve their stale '5-LOW' episode at every later
@@ -3616,6 +3641,7 @@ object SparkEntry {
     "ext_cdc_serving_join" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi" -> ExtOracle.cdcServingMultiSql,
     "ext_cdc_serving_dropped" -> ExtOracle.cdcServingDroppedSql,
+    "ext_cdc_serving_retention" -> ExtOracle.cdcServingRetentionSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,
     "ext_funnel_stream" -> ExtOracle.funnelStepsSql,

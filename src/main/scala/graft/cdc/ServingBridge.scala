@@ -169,6 +169,21 @@ object ServingBridge {
         }: _*)
   }
 
+  /** RETENTION on the serving store's episode table — the sink-retention
+    * contract (graft.cdc.Retention) applied to DERIVED SCD2 state: purge
+    * every episode whose validity ENDED at-or-before the horizon (an
+    * episode ending exactly AT it is purgeable too — [from, h) does not
+    * contain h). Because episodes are per-(key, interval) pure rows, the
+    * purge is a plain row FILTER — the forget/retention family's
+    * per-subject-purity argument — and reads at-or-after the horizon are
+    * PROVABLY unaffected (the graded row's contract); reads before it are
+    * out of the serving contract and belong to the changelog. The horizon
+    * rides as a 1-row broadcast scalar (`__h`), never a collect. */
+  def retainEpisodes(episodes: DataFrame, horizon: DataFrame): DataFrame =
+    episodes.crossJoin(broadcast(horizon))
+      .where(col("valid_to_s").isNull || col("valid_to_s") > col("__h"))
+      .drop("__h")
+
   /** The gated single-episode range join both enrichers ride: broadcast
     * under `broadcastLimit`, shuffled serve_key equi-join (merge hint —
     * the side is KNOWN oversized, the CoLocate precedent) with the

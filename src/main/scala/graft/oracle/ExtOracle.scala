@@ -2116,7 +2116,8 @@ object ExtOracle {
     * instant. The changelog CTE is the SAME CdcOracle chain every cdc_*
     * query grades against; epoch() is exact (whole-second commit times). */
   private def cdcServingSqlOver(
-      changelogSql: String, column: String, residues: Seq[Int]): String =
+      changelogSql: String, column: String, residues: Seq[Int],
+      reqWhere: String = "TRUE"): String =
     s"""WITH cl AS (
        |$changelogSql
        |), eps0 AS (
@@ -2137,9 +2138,11 @@ object ExtOracle {
        |    CAST(788918400 + ((epoch_ns(ts) // 1000000000) % n) AS BIGINT) AS serve_s
        |  FROM events CROSS JOIN nn
        |  WHERE event_type = 'purchase'
+       |), reqf AS (
+       |  SELECT * FROM req WHERE $reqWhere
        |)
        |SELECT r.event_id, r.serve_key, r.serve_s, e.status_asof, e.ep_id
-       |FROM req r LEFT JOIN eps e
+       |FROM reqf r LEFT JOIN eps e
        |  ON e.serve_key = r.serve_key AND e.valid_from_s <= r.serve_s
        | AND (e.valid_to_s IS NULL OR r.serve_s < e.valid_to_s)
        |ORDER BY event_id""".stripMargin
@@ -2147,6 +2150,15 @@ object ExtOracle {
   lazy val cdcServingJoinSql: String = cdcServingSqlOver(
     OrdersCdcOracle.changelogSql, "o_orderstatus",
     graft.cdc.ServingBridge.DefaultResidues)
+
+  /** ≙ ext_cdc_serving_retention: the ORACLE serves every in-contract
+    * request (serve_s at-or-after the mid-clock horizon) from the FULL
+    * episode set — retention on the store must be invisible to them,
+    * which is exactly what the graded equality proves. */
+  lazy val cdcServingRetentionSql: String = cdcServingSqlOver(
+    OrdersCdcOracle.changelogSql, "o_orderstatus",
+    graft.cdc.ServingBridge.DefaultResidues,
+    reqWhere = "serve_s >= 788918400 + (SELECT n // 2 FROM nn)")
 
   /** ≙ ext_cdc_serving_dropped: the bridge over the DROPPED-column era
     * changelog — pre-drop m=6 keys serve their stale last-known value at

@@ -119,4 +119,42 @@ class ServingBridgeSpec extends AnyFunSuite with SparkFixture {
       .groupBy("event_id").count().agg(max("count")).head().getLong(0)
     assert(n == 1L, s"the [from, to) intervals must be disjoint, got fan-out $n")
   }
+
+  test("retention purges ended episodes, is invisible to in-contract reads, " +
+      "and visibly forgets for out-of-contract ones") {
+    val cl = changelog.localCheckpoint(true)
+    val eps = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")
+      .localCheckpoint(true)
+    val s = spark
+    import s.implicits._
+    // horizon past every commit (max key 25 → commits ≤ base+25s): every
+    // CLOSED episode ends at-or-before it and is purged; open ones stay
+    val h = Seq(ServingBridge.BaseEpochS + 30L).toDF("__h")
+    val retained = ServingBridge.retainEpisodes(eps, h).localCheckpoint(true)
+    val closed = eps.where(col("valid_to_s").isNotNull).count()
+    assert(closed > 0, "fixture must produce closed episodes")
+    assert(retained.count() == eps.count() - closed)
+    assert(retained.where(col("valid_to_s").isNotNull).count() == 0)
+    // in-contract requests (>= horizon): identical answers from either store
+    val inReq = Seq(2L, 3L, 5L, 7L, 10L).map(k =>
+        (k, k, ServingBridge.BaseEpochS + 40L))
+      .toDF("event_id", "serve_key", "serve_s")
+    def served(e: DataFrame) = ServingBridge.enrichAsOf(inReq, e)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(served(retained) == served(eps))
+    // out-of-contract (before the horizon): a read inside a purged CLOSED
+    // episode changes — which is WHY the contract excludes it (the orders
+    // fixture has one commit per key, so closed non-empty episodes need a
+    // hand-built timeline: A over [1, 5), B over [5, ∞))
+    val eps2 = Seq(
+      (1L, "A", 1L, ServingBridge.BaseEpochS + 1L, Option(ServingBridge.BaseEpochS + 5L)),
+      (1L, "B", 2L, ServingBridge.BaseEpochS + 5L, None: Option[Long]))
+      .toDF("serve_key", "status_asof", "ep_id", "valid_from_s", "valid_to_s")
+    val ret2 = ServingBridge.retainEpisodes(eps2, h)
+    val outReq = Seq((99L, 1L, ServingBridge.BaseEpochS + 2L))
+      .toDF("event_id", "serve_key", "serve_s")
+    assert(ServingBridge.enrichAsOf(outReq, eps2).head().getString(3) == "A")
+    assert(ServingBridge.enrichAsOf(outReq, ret2).head().isNullAt(3),
+      "an out-of-contract read must observe the purge")
+  }
 }
