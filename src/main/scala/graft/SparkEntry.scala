@@ -358,8 +358,11 @@ object SparkEntry {
     * (source doc at id − DocsInsertOffset, ' fresh' suffix — the same
     * expressions docsLifecycleSpec plants). */
   private def lifecycleDeltaSets(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    lifecycleDeltaSetsFrom(docsLifecycleWindow(s, dir), s, dir)
+
+  private def lifecycleDeltaSetsFrom(w: DataFrame,
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val w = docsLifecycleWindow(s, dir)
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val upd = w.where(col("column_name") === "text" && col("new_value").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"), col("new_value").as("text"))
@@ -374,6 +377,86 @@ object SparkEntry {
         concat(col("d.text"), lit(" fresh")).as("text"))
     (upd.unionByName(insDocs).localCheckpoint(true),
       ins.localCheckpoint(true), del.localCheckpoint(true))
+  }
+
+  /** The documents changelog across BOTH activity windows populated by
+    * the STREAMING engine into a real versioned sink — the persisted half
+    * of the streamed lifecycle bridges. Micro-batches range-split on
+    * start_lsn (txn-boundary safe; the era boundary falls between
+    * batches, exactly a continuously-running populate's cadence). */
+  private def docsLifecycleSink(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_docs_lc_sink", Seq(s"$dir/documents.parquet")) { tmp =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val f = ChangeFeed.fromDocuments(docs)
+        .unionByName(ChangeFeed.fromDocumentsLifecycle(docs))
+      val feedDir = tmp.resolve("feed").toString
+      f.repartitionByRange(4, col("start_lsn"))
+        .write.mode("overwrite").parquet(feedDir)
+      graft.streaming.StreamingPopulate.runAvailableNow(
+        s, feedDir, f.schema, docsCfg,
+        tmp.resolve("documents_changelog").toString,
+        tmp.resolve("ckpt").toString, maxFilesPerTrigger = Some(1))
+      ()
+    }
+
+  /** The maintenance window read FROM the streamed lifecycle sink: the
+    * second activity window selected by the same commit-time predicate a
+    * production consumer would use (commit_time ≥ base + lifecycle LSN —
+    * LSN order is commit-time order). */
+  private def lifecycleWindowFromSink(s: SparkSession, dir: String): DataFrame =
+    graft.cdc.SinkLayout.read(s,
+      docsLifecycleSink(s, dir).resolve("documents_changelog").toString)
+      .where(unix_timestamp(col("commit_time")) >=
+        graft.cdc.ServingBridge.BaseEpochS + ChangeFeed.DocsLifecycleLsn)
+      .localCheckpoint(true)
+
+  /** The BM25 full-lifecycle fold (shared by the batch and streamed
+    * rows): deletes drop postings + registry rows (N shrinks), inserts
+    * fetch content by key and N grows, revisions swap postings. */
+  private def bm25LifecycleFold(s: SparkSession, dir: String,
+      sets: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (upserts, ins, del) = sets
+    val state = bm25Deploy2State(s, dir)
+    val touched = upserts.select("doc_id").unionByName(del)
+    val postings = s.read.parquet(state.resolve("postings").toString)
+      .join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(Retrieval.bm25Postings(upserts))
+    val n = s.read.parquet(state.resolve("docs").toString)
+      .join(del, Seq("doc_id"), "left_anti")
+      .unionByName(ins)
+      .agg(count(lit(1)).as("n"))
+    val postC = postEra1Corpus(s, dir).as("c")
+      .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+      .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
+      .where(col("__del").isNull)
+      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      .unionByName(upserts.join(ins, Seq("doc_id"))) // inserted docs join the corpus view
+    Retrieval.bm25TopKFromPostings(
+      postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The ANN full-lifecycle fold (shared by the batch and streamed rows):
+    * deletes drop cell rows, the re-revised docs re-embed by the NEGATION
+    * stub, inserts re-embed fetched content by the reversal stub — all at
+    * the frozen deployed centroids. */
+  private def annLifecycleFold(s: SparkSession, dir: String,
+      sets: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (upserts, ins, del) = sets
+    val e = embeddings(s, dir)
+    val state = ivfDeploy2State(s, dir)
+    val cents = s.read.parquet(state.resolve("centroids").toString)
+    val updIds = upserts.select("doc_id").join(ins, Seq("doc_id"), "left_anti")
+    val updVecs = e.join(updIds, e("vec_id") === updIds("doc_id"))
+      .select(e("vec_id"), transform(e("embedding"), v => -v).as("embedding"))
+    val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
+      .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
+    val touched = updIds.unionByName(del)
+    val folded = s.read.parquet(state.resolve("cells").toString)
+      .join(touched, col("neighbor_id") === touched("doc_id"), "left_anti")
+      .unionByName(Similarity.ivfIndex(updVecs.unionByName(insVecs), cents))
+    Similarity.ivfSearch(folded, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+      .orderBy("query_id", "rnk")
   }
 
   /** Flagship: full CDC changelog pipeline on sf0.001 (rows>0 by construction). */
@@ -974,27 +1057,17 @@ object SparkEntry {
     // shrinks); inserts are sentinel-only so content is FETCHED by key
     // (pointed lookups) and N grows; revisions swap postings. Graded ≡ a
     // scratch BM25 index over the post-lifecycle corpus.
-    "ext_cdc_bm25_lifecycle" -> ((s, dir) => {
-      val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
-      val state = bm25Deploy2State(s, dir)
-      val touched = upserts.select("doc_id").unionByName(del)
-      val postings = s.read.parquet(state.resolve("postings").toString)
-        .join(touched, Seq("doc_id"), "left_anti")
-        .unionByName(Retrieval.bm25Postings(upserts))
-      val n = s.read.parquet(state.resolve("docs").toString)
-        .join(del, Seq("doc_id"), "left_anti")
-        .unionByName(ins)
-        .agg(count(lit(1)).as("n"))
-      val postC = postEra1Corpus(s, dir).as("c")
-        .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-        .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
-        .where(col("__del").isNull)
-        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
-        .unionByName(upserts.join(ins, Seq("doc_id"))) // inserted docs join the corpus view
-      Retrieval.bm25TopKFromPostings(
-        postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
-        .orderBy("query_id", "rnk")
-    }),
+    "ext_cdc_bm25_lifecycle" -> ((s, dir) =>
+      bm25LifecycleFold(s, dir, lifecycleDeltaSets(s, dir))),
+
+    // the streamed twin: BOTH activity windows populated through the
+    // STREAMING engine into a versioned sink; the fold reads its
+    // maintenance window FROM the sink by the commit-time predicate a
+    // production consumer would use. Same post-lifecycle scratch oracle —
+    // the sink IS the changelog.
+    "ext_cdc_bm25_lifecycle_stream" -> ((s, dir) =>
+      bm25LifecycleFold(s, dir,
+        lifecycleDeltaSetsFrom(lifecycleWindowFromSink(s, dir), s, dir))),
 
     // the ANN half of the full lifecycle: deletes drop cell rows, the
     // re-revised docs re-embed (stub #2: NEGATION — direction-changing
@@ -1003,23 +1076,14 @@ object SparkEntry {
     // content (reversal stub) — all swapped into the post-era-1 cell
     // index at the SAME frozen centroids. Graded ≡ scratch assignment of
     // the post-lifecycle vector set at the pre-delta-trained model.
-    "ext_cdc_ann_lifecycle" -> ((s, dir) => {
-      val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
-      val e = embeddings(s, dir)
-      val state = ivfDeploy2State(s, dir)
-      val cents = s.read.parquet(state.resolve("centroids").toString)
-      val updIds = upserts.select("doc_id").join(ins, Seq("doc_id"), "left_anti")
-      val updVecs = e.join(updIds, e("vec_id") === updIds("doc_id"))
-        .select(e("vec_id"), transform(e("embedding"), v => -v).as("embedding"))
-      val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
-        .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
-      val touched = updIds.unionByName(del)
-      val folded = s.read.parquet(state.resolve("cells").toString)
-        .join(touched, col("neighbor_id") === touched("doc_id"), "left_anti")
-        .unionByName(Similarity.ivfIndex(updVecs.unionByName(insVecs), cents))
-      Similarity.ivfSearch(folded, e.where(col("vec_id") % 100 === 0), cents, k = 3)
-        .orderBy("query_id", "rnk")
-    }),
+    "ext_cdc_ann_lifecycle" -> ((s, dir) =>
+      annLifecycleFold(s, dir, lifecycleDeltaSets(s, dir))),
+
+    // the ANN twin of ext_cdc_bm25_lifecycle_stream: same sink-read
+    // maintenance window, same post-lifecycle scratch oracle
+    "ext_cdc_ann_lifecycle_stream" -> ((s, dir) =>
+      annLifecycleFold(s, dir,
+        lifecycleDeltaSetsFrom(lifecycleWindowFromSink(s, dir), s, dir))),
 
     // E1b'''' — incremental NEAR-dup ingest: history is touched only via a
     // persisted parquet signature index + pointed candidate text lookups;
@@ -3526,6 +3590,8 @@ object SparkEntry {
     "ext_cdc_ann_delta_stream" -> ExtOracle.cdcAnnDeltaSql,
     "ext_cdc_bm25_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
+    "ext_cdc_bm25_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
+    "ext_cdc_ann_lifecycle_stream" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
     "ext_minhash_forget" -> ExtOracle.minhashForgetSql,
     "ext_simhash" -> ExtOracle.simhashSql,
