@@ -1085,6 +1085,40 @@ object SparkEntry {
       annLifecycleFold(s, dir,
         lifecycleDeltaSetsFrom(lifecycleWindowFromSink(s, dir), s, dir))),
 
+    // INDEX freshness: the cdc_catalog_freshness contract applied to
+    // DERIVED index state — per index, how big the deployed state is, how
+    // far behind the feed it has folded (lag in changelog seconds), and
+    // the pending maintenance backlog by op class (upserts / sentinel
+    // inserts / sentinel deletes). The report an operator reads to decide
+    // WHEN to run the lifecycle fold — every number an exact integer from
+    // tiny aggregates riding broadcast scalars, state never reshuffled.
+    "ext_index_freshness" -> ((s, dir) => {
+      val w = docsLifecycleWindow(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val folded = ChangelogBuilder.build(ChangeFeed.fromDocuments(docs), docsCfg)
+        .agg(max(unix_timestamp(col("commit_time"))).as("folded_hwm_s"))
+      val feedH = w.agg(max(unix_timestamp(col("commit_time"))).as("feed_hwm_s"))
+      val pend = w.agg(
+        count(when(col("column_name") === "text" && col("new_value").isNotNull, 1))
+          .as("pending_upserts"),
+        count(when(col("column_name").isNull && col("new_value") === "NEW RECORD", 1))
+          .as("pending_inserts"),
+        count(when(col("column_name").isNull && col("old_value") === "DELETED RECORD", 1))
+          .as("pending_deletes"))
+      val bmRows = s.read.parquet(bm25Deploy2State(s, dir).resolve("postings").toString)
+        .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("bm25"))
+      val ivfRows = s.read.parquet(ivfDeploy2State(s, dir).resolve("cells").toString)
+        .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("ivf"))
+      bmRows.unionByName(ivfRows)
+        .crossJoin(broadcast(folded)).crossJoin(broadcast(feedH))
+        .crossJoin(broadcast(pend))
+        .select(col("index_name"), col("state_rows"),
+          col("folded_hwm_s"), col("feed_hwm_s"),
+          (col("feed_hwm_s") - col("folded_hwm_s")).as("lag_s"),
+          col("pending_upserts"), col("pending_inserts"), col("pending_deletes"))
+        .orderBy("index_name")
+    }),
+
     // E1b'''' — incremental NEAR-dup ingest: history is touched only via a
     // persisted parquet signature index + pointed candidate text lookups;
     // the oracle is the full banding recompute restricted to
@@ -3592,6 +3626,7 @@ object SparkEntry {
     "ext_cdc_ann_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_cdc_bm25_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_lifecycle_stream" -> ExtOracle.cdcAnnLifecycleSql,
+    "ext_index_freshness" -> ExtOracle.indexFreshnessSql,
     "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
     "ext_minhash_forget" -> ExtOracle.minhashForgetSql,
     "ext_simhash" -> ExtOracle.simhashSql,

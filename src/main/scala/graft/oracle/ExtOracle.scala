@@ -2646,6 +2646,50 @@ object ExtOracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** ≙ ext_index_freshness: per-index state size (post-era-1 postings /
+    * cells), folded vs feed HWM (changelog epoch seconds) and the pending
+    * second-window backlog by op class — all from the same composed era
+    * changelog chains. The cell index holds exactly one row per vector. */
+  lazy val indexFreshnessSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val lcCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
+    val extra =
+      s"""cl1 AS MATERIALIZED (
+         |${docsCdc.changelogRowsSql}
+         |), cl2 AS MATERIALIZED (
+         |${lcCdc.changelogRowsSql}
+         |), c1d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+         |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), corpus2 AS (
+         |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+         |  FROM corpus c LEFT JOIN c1d d ON c.doc_id = d.doc_id
+         |), """.stripMargin
+    s"""WITH ${bm25Ctes(5, src = "corpus2", extraCtes = extra)}, sc AS (
+       |  SELECT
+       |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM cl1) AS folded_hwm_s,
+       |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM cl2) AS feed_hwm_s,
+       |    (SELECT CAST(count(*) FILTER (WHERE column_name = 'text'
+       |        AND new_value IS NOT NULL) AS BIGINT) FROM cl2) AS pending_upserts,
+       |    (SELECT CAST(count(*) FILTER (WHERE column_name IS NULL
+       |        AND new_value = 'NEW RECORD') AS BIGINT) FROM cl2) AS pending_inserts,
+       |    (SELECT CAST(count(*) FILTER (WHERE column_name IS NULL
+       |        AND old_value = 'DELETED RECORD') AS BIGINT) FROM cl2) AS pending_deletes
+       |), st AS (
+       |  SELECT 'bm25' AS index_name,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM post) AS state_rows
+       |  UNION ALL
+       |  SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+       |)
+       |SELECT st.index_name, st.state_rows, sc.folded_hwm_s, sc.feed_hwm_s,
+       |  sc.feed_hwm_s - sc.folded_hwm_s AS lag_s,
+       |  sc.pending_upserts, sc.pending_inserts, sc.pending_deletes
+       |FROM st CROSS JOIN sc
+       |ORDER BY index_name""".stripMargin
+  }
+
   /** ≙ the ext_cdc_ann_lifecycle fold: post-lifecycle vector view —
     * second-revision docs re-embedded by the NEGATION stub (distinct from
     * era-1's reversal so the second fold is result-visible), era-1-only
