@@ -212,6 +212,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "under the episode-count gate the merged-timeline lookup must broadcast")
   }
 
+  test("lifecycle maintenance window: the LSN predicate prunes the first " +
+      "activity window AT THE SCAN (branch-invariant start_lsn)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feed = graft.cdc.ChangeFeed.fromDocuments(docs)
+      .unionByName(graft.cdc.ChangeFeed.fromDocumentsLifecycle(docs))
+      .where(col("start_lsn") >= graft.cdc.ChangeFeed.DocsLifecycleLsn)
+    val p = feed.queryExecution.executedPlan.toString
+    // era-1's lsn IS doc_id, so the window predicate must reach its
+    // parquet scan as a plain pushed filter (row-group stats then skip
+    // the whole first window); era-2's lsn is doc_id + offset — an
+    // expression parquet can't evaluate, harmless since era-2 keeps all
+    assert(p.contains("GreaterThanOrEqual(doc_id,"),
+      s"window predicate not pushed to the era-1 scan:\n$p")
+  }
+
   test("filtered ANN scores both strategies from ONE scored pass: queries " +
       "broadcast, both heaps in the same aggregate") {
     val p = plan("ext_ann_filtered")

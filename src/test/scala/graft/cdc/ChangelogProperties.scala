@@ -185,6 +185,39 @@ object ChangelogProperties extends Properties("changelog") with SparkFixture {
     } yield (k, t, c, nul))
   } yield rows
 
+  /** Retention read-invisibility as a LAW: for ANY changelog-derived
+    * episode timeline and ANY horizon, every request at-or-after the
+    * horizon answers identically from the purged and the full store. */
+  property("retainEpisodes is invisible to reads at-or-after the horizon") =
+    Prop.forAll(genMultiRows, Gen.choose(0L, 13L)) { (rows0, hOff) =>
+      val s = spark
+      import s.implicits._
+      val rows = rows0.zipWithIndex
+        .sortBy { case ((_, t, _, _), i) => (t, i) }
+        .zipWithIndex
+        .map { case (((k, t, c, nul), i), id0) =>
+          (id0 + 1L, k.toString, s"c$c",
+            if (nul) null else s"v$i",
+            new Timestamp((graft.cdc.ServingBridge.BaseEpochS + t) * 1000L))
+        }
+      val cl = rows
+        .toDF("changelog_id", "k", "column_name", "new_value", "commit_time")
+        .localCheckpoint(true)
+      val eps = ServingBridge.timedEpisodes(cl, "k", "c0").localCheckpoint(true)
+      val h = graft.cdc.ServingBridge.BaseEpochS + hOff
+      val hFrame = Seq(h).toDF("__h")
+      val retained = ServingBridge.retainEpisodes(eps, hFrame)
+      val requests = (for {
+        k <- 1L to 3L; t <- hOff to 14L // every in-contract instant
+      } yield (k * 100 + t, k, graft.cdc.ServingBridge.BaseEpochS + t)).toList
+        .toDF("event_id", "serve_key", "serve_s")
+      def served(e: org.apache.spark.sql.DataFrame) =
+        ServingBridge.enrichAsOf(requests, e)
+          .collect().map(r => r.getLong(0) ->
+            ((Option(r.get(3)), Option(r.get(4))))).toMap
+      served(retained) == served(eps)
+    }
+
   property("enrichAsOfMany (merged timeline) equals per-feature single reads, " +
       "NULL-setting updates served as NULL") =
     Prop.forAll(genMultiRows) { rows0 =>
