@@ -1913,6 +1913,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // retention × the REAL streaming engine: the request stream rides the
+    // PURGED episode store, the contract filter (serve_s ≥ horizon) is a
+    // stateless predicate applied before the join — same full-store
+    // oracle as the batch retention row (read-invisibility again, now
+    // under the streaming engine)
+    "ext_cdc_serving_retention_stream" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      val n = orders(s, dir).agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      val h = graft.cdc.ServingBridge.BaseEpochS + n / 2
+      val retained = graft.cdc.ServingBridge.retainEpisodes(
+        graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"),
+        Seq(h).toDF("__h"))
+      graft.streaming.EventStream.servingAsOfStreamedToFiles(
+        s, events(s, dir), retained, n, minServeS = Some(h))
+        .orderBy("event_id")
+    }),
+
     // the MULTI-feature read under the REAL streaming engine: the merged
     // SCD2 timeline is episode-sized batch work; the request stream rides
     // ONE stateless gated range join for the whole feature row (no
@@ -2299,6 +2319,26 @@ object SparkEntry {
         java.time.LocalDate.parse(graft.oracle.OrdersCdcOracle.RetentionCutoff))
       graft.cdc.SinkLayout.read(s, sink)
         .select(changelogCols.map(col): _*).orderBy("changelog_id")
+    }),
+
+    // the READER-GRACE contract graded end-to-end: a reader that RESOLVED
+    // the sink before the retention sweep keeps its full view after the
+    // visibility flip — the plan is built pre-sweep (no cutoff marker →
+    // no partition filter; the file index is resolved), the expire runs,
+    // and EXECUTION happens after it. Phase 1 only advances the marker
+    // (directories stay on disk one grace cycle), so the pre-flip plan
+    // still reads every day — the whole reason retention is two-phase.
+    // Oracle = the FULL retention-spec changelog (visibly more rows than
+    // cdc_retention's day-filtered result).
+    "cdc_retention_grace_read" -> ((s, dir) => {
+      val base = TempDirs.create("graft_grr")
+      TempDirs.copyInto(retentionFullSink(s, dir), base)
+      val sink = base.resolve("orders_changelog").toString
+      val planned = graft.cdc.SinkLayout.read(s, sink)
+        .select(changelogCols.map(col): _*)
+      graft.cdc.Retention.expire(s, sink,
+        java.time.LocalDate.parse(graft.oracle.OrdersCdcOracle.RetentionCutoff))
+      planned.orderBy("changelog_id")
     }),
 
     // retention × incremental state: the state is bootstrapped BEFORE the
@@ -3703,6 +3743,7 @@ object SparkEntry {
     "cdc_schema_drift_rename" -> OrdersCdcOracle.renameChangelogSql,
     "cdc_state_live" -> OrdersCdcOracle.lifecycleStateLiveSql,
     "cdc_retention" -> OrdersCdcOracle.retentionSql,
+    "cdc_retention_grace_read" -> OrdersCdcOracle.retention.changelogSql,
     "cdc_repair_day" -> OrdersCdcOracle.retention.changelogSql,
     "cdc_populate_during_retention" -> OrdersCdcOracle.retentionSql,
     "cdc_query_dpp" -> OrdersCdcOracle.dppSql,
@@ -3745,6 +3786,7 @@ object SparkEntry {
     "ext_cdc_serving_retention" -> ExtOracle.cdcServingRetentionSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,
+    "ext_cdc_serving_retention_stream" -> ExtOracle.cdcServingRetentionSql,
     "ext_funnel_stream" -> ExtOracle.funnelStepsSql,
     "ext_interval_join_left_stream" -> ExtOracle.intervalJoinLeftSql,
     "ext_pack" -> ExtOracle.packBinsSql,

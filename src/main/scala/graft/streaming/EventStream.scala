@@ -500,16 +500,21 @@ object EventStream {
     * (orchestration-side scalar, like the sibling drives' dim.count()). */
   def servingAsOfStreamedToFiles(
       spark: SparkSession, events: DataFrame, episodes: DataFrame,
-      nOrders: Long): DataFrame = {
+      nOrders: Long, minServeS: Option[Long] = None): DataFrame = {
     val req0 = events.where(col("event_type") === "purchase")
       .select(col("event_id").cast("long").as("event_id"),
         expr("ts div 1000000000").as("__es"))
     val inDir = tempDir("graft_serving_in").toString
     req0.write.mode("append").parquet(inDir)
     val src = spark.readStream.schema(req0.schema).parquet(inDir)
-    val enriched = graft.cdc.ServingBridge.enrichAsOf(
-      graft.cdc.ServingBridge.requestColumns(src.withColumn("__n", lit(nOrders))),
-      episodes)
+    val reqs = graft.cdc.ServingBridge
+      .requestColumns(src.withColumn("__n", lit(nOrders)))
+    // the serving CONTRACT filter (requests at-or-after the retention
+    // horizon) — a stateless predicate on the stream, applied before the
+    // join so out-of-contract requests never touch the purged store
+    val inContract = minServeS
+      .map(h => reqs.where(col("serve_s") >= h)).getOrElse(reqs)
+    val enriched = graft.cdc.ServingBridge.enrichAsOf(inContract, episodes)
     val outDir = tempDir("graft_serving_out")
     val query = enriched
       .writeStream.format("parquet")
