@@ -2993,6 +2993,30 @@ object SparkEntry {
         graft.streaming.StateStream.readState(s, stateDir))
     }),
 
+    // E3j''''' — the READER-GRACE contract of the generational sketch
+    // publish (cdc_retention_grace_read's contract applied to DERIVED
+    // state): a consumer that RESOLVED the current generation (parquet
+    // file index pinned to gen_v1) before a maintenance fold flips the
+    // pointer keeps its full pre-fold view when it executes AFTER the
+    // flip — the superseded generation survives exactly one publish
+    // cycle (StateStream.publishGen retires `< cur`, not `<= cur`), so
+    // the in-flight scan reads intact bytes while new readers resolve
+    // gen_v2. Oracle = the scratch sketch of the PRE-fold slice: visibly
+    // different from the post-fold state the flipped pointer serves
+    "ext_cm_grace_read" -> ((s, dir) => {
+      val base = TempDirs.create("graft_cmgrace")
+      val c = corpus(s, dir)
+      val stateDir = base.resolve("cm_state").toString
+      graft.streaming.StateStream.cmFoldBatch(
+        c.where(col("doc_id") % 5 =!= 0), 0L, stateDir, "text")
+      // reader resolves gen_v1 HERE — before the next fold publishes
+      val inFlight = graft.streaming.StateStream.readState(s, stateDir)
+      graft.streaming.StateStream.cmFoldBatch(
+        c.where(col("doc_id") % 5 === 0), 1L, stateDir, "text")
+      // executed after the flip: the graced generation still serves it
+      TextOps.heavyHittersFromCells(c.where(col("doc_id") % 5 =!= 0), inFlight)
+    }),
+
     // E2g — HyperLogLog distinct sketch per language over the SHINGLE
     // stream (thousands of distinct values per group — the sketch's real
     // regime; the token vocabulary is a fixture-tiny 39): max-only
@@ -3819,6 +3843,7 @@ object SparkEntry {
     "ext_cm_incremental" -> ExtOracle.heavyHittersSql,
     "ext_cm_forget" -> ExtOracle.cmForgetSql,
     "ext_cm_forget_stream" -> ExtOracle.cmForgetSql,
+    "ext_cm_grace_read" -> ExtOracle.cmGraceReadSql,
     "ext_cm_stream" -> ExtOracle.heavyHittersSql,
     "ext_hll" -> ExtOracle.hllSql,
     // identical to ext_hll BY DESIGN: incremental max-merge must reproduce

@@ -472,6 +472,12 @@ object ExtOracle {
     * survivor slice (dictionary AND cells). */
   val cmForgetSql: String = heavyHittersSqlWhere("doc_id % 7 <> 3")
 
+  /** ≙ ext_cm_grace_read: a reader that resolved the sketch generation
+    * BEFORE a fold flipped the pointer serves the PRE-fold state, so the
+    * oracle is the scratch sketch of the pre-fold slice alone — visibly
+    * different from the post-fold sketch a fresh reader would get. */
+  val cmGraceReadSql: String = heavyHittersSqlWhere("doc_id % 5 <> 0")
+
   /** ≙ ext.Cluster.clusters over Dedup.nearDuplicatePairs: connected
     * components (min reachable id) via a recursive transitive-closure CTE
     * — tractable because dup components are tiny; the Spark side uses

@@ -27,11 +27,15 @@ import graft.cdc.StateMaintain
   * through GENERATIONS: each fold writes `<stateDir>/.stage_v<N+1>`
   * (dot-prefixed — invisible to listings), stamps a `_PUBLISHED` marker
   * INSIDE the stage, renames it to `gen_v<N+1>`, and only then retires
-  * older generations. A reader resolves the highest generation carrying
-  * `_PUBLISHED`, so a crash at ANY point — mid-write, mid-rename, or
-  * mid-retire — leaves either the old or the new generation readable;
-  * there is no delete-then-rename window where the state vanishes and a
-  * restarted fold would silently rebuild from one batch.
+  * generations at least two flips old — the superseded `gen_v<N>` gets
+  * one publish cycle of grace so an in-flight reader that resolved it
+  * before the flip finishes on intact bytes (the sink retention's
+  * reader-grace contract, applied to derived state). A reader resolves
+  * the highest generation carrying `_PUBLISHED`, so a crash at ANY
+  * point — mid-write, mid-rename, or mid-retire — leaves either the old
+  * or the new generation readable; there is no delete-then-rename window
+  * where the state vanishes and a restarted fold would silently rebuild
+  * from one batch.
   */
 object StateStream {
 
@@ -87,9 +91,14 @@ object StateStream {
 
   /** Write-stamp-rename-retire. `write` fills the staging dir (parquet
     * first, then any `_`-prefixed markers); the `_PUBLISHED` stamp and the
-    * atomic rename make the generation visible in one step, and retiring
-    * superseded generations AFTER the flip is safe because readers always
-    * resolve the max published generation. */
+    * atomic rename make the generation visible in one step. Retirement is
+    * GRACED like the sink's two-phase retention ([[graft.cdc.Retention]]):
+    * the immediately superseded generation (`gen_v<cur>`) survives one
+    * publish cycle, so a reader that resolved it BEFORE this flip (parquet
+    * file index already built) finishes its scan on intact bytes; only
+    * generations two or more flips old are deleted. New readers always
+    * resolve the max published generation, so the graced directory is
+    * invisible to them. */
   private def publishGen(fs: FileSystem, root: Path, cur: Int)(
       write: Path => Unit): Path = {
     val stage = new Path(root, s".stage_v${cur + 1}")
@@ -98,7 +107,7 @@ object StateStream {
     fs.create(new Path(stage, "_PUBLISHED"), true).close()
     val gen = new Path(root, s"gen_v${cur + 1}")
     require(fs.rename(stage, gen), s"state publish rename failed: $stage")
-    publishedGens(fs, root).filter(_._1 <= cur).foreach(g => fs.delete(g._2, true))
+    publishedGens(fs, root).filter(_._1 < cur).foreach(g => fs.delete(g._2, true))
     gen
   }
 
@@ -212,9 +221,10 @@ object StateStream {
   }
 
   /** One exactly-once count-min fold generation (factored out so the spec
-    * can replay a batchId directly): no-op if `batchId`'s marker is
-    * already inside the published state. */
-  private[streaming] def cmFoldBatch(
+    * can replay a batchId directly, and the graded grace-read row can
+    * flip a generation under an in-flight reader): no-op if `batchId`'s
+    * marker is already inside the published state. */
+  private[graft] def cmFoldBatch(
       batch: DataFrame, batchId: Long, stateDir: String, textCol: String): Unit =
     cmMutate(batch.sparkSession, stateDir, s"$batchId") { cur =>
       cur match {

@@ -385,14 +385,22 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     // the torn stage is invisible: gen 1 still reads
     assert(cells(StateStream.readState(s, stateDir)) ==
       cells(graft.ext.TextOps.cmState(b1)))
+    // a reader resolves gen 1 BEFORE the next fold (file index built here)
+    val inFlight = StateStream.readState(s, stateDir)
     // the retried fold reclaims the torn stage and publishes gen 2
     StateStream.cmFoldBatch(b2, 1L, stateDir, "text")
     assert(cells(StateStream.readState(s, stateDir)) ==
       cells(graft.ext.TextOps.cmState(b1.unionByName(b2))))
-    // superseded generations retire; exactly one published gen remains
-    val gens = fs.listStatus(new Path(stateDir)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("gen_v"))
-    assert(gens == Seq("gen_v2"), s"expected only gen_v2, got $gens")
+    def gens = fs.listStatus(new Path(stateDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen_v")).sorted
+    // retirement is GRACED: the superseded gen 1 survives one publish cycle,
+    // so the in-flight reader finishes on intact bytes with its old view
+    assert(gens == Seq("gen_v1", "gen_v2"), s"expected graced gen_v1 + gen_v2, got $gens")
+    assert(cells(inFlight) == cells(graft.ext.TextOps.cmState(b1)),
+      "a reader resolved before the flip must keep its full pre-fold view")
+    // the NEXT flip retires the graced generation — grace is one cycle, not a leak
+    StateStream.cmFoldBatch(Seq((3L, "cool")).toDF("doc_id", "text"), 2L, stateDir, "text")
+    assert(gens == Seq("gen_v2", "gen_v3"), s"expected gen_v1 swept at the next flip, got $gens")
   }
 
   test("cm subject forget subtracts exactly and replays idempotently") {
