@@ -195,6 +195,23 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
     }
 
+  /** The deployed IVF index in its SERVING layout: the same frozen model
+    * as [[ivfDeployState]] (centroids copied, not retrained), but the
+    * cell table written PARTITIONED BY cell — the physical layout that
+    * lets a probe read scan ONLY the probed cells' directories instead of
+    * filtering the whole index post-scan. The repartition-on-cell before
+    * partitionBy is the sink-append lesson: one task owns each cell
+    * directory, not cells × tasks small files. */
+  private def ivfServingState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivf_serving", s"$dir/embeddings.parquet") { tmp =>
+      val cents = s.read.parquet(ivfDeployState(s, dir).resolve("centroids").toString)
+      cents.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      s.read.parquet(ivfDeployState(s, dir).resolve("cells").toString)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(tmp.resolve("cells").toString)
+    }
+
   /** The DEPLOYED BM25 index (whole-corpus postings + doc registry) —
     * shared by the subject-deletion fold and the CDC-delta fold. */
   private def bm25DeployState(s: SparkSession, dir: String): java.nio.file.Path =
@@ -1631,6 +1648,29 @@ object SparkEntry {
     "ext_ann_ivf" -> ((s, dir) =>
       Similarity.topKCosineIvf(embeddings(s, dir), col("vec_id") % 100 === 0, k = 3)
         .orderBy("query_id", "rnk")),
+
+    // E2d''''' — the PARTITION-PRUNED serving read: the deployed index in
+    // its serving layout (cells parquet-PARTITIONED by cell) probed so
+    // the scan touches ONLY the probed cells' directories — at 100 TB the
+    // difference between reading nprobe/numCentroids of the index and
+    // reading all of it then filtering. No driver action and no literal:
+    // the probe assignment (query side of ivfSearch's broadcast join,
+    // selectively filtered) is DPP-eligible, so the optimizer inserts a
+    // dynamicpruningexpression partition filter on the cells scan — the
+    // pruning subquery re-derives the query-count-sized probe set, cents
+    // is a 16-row broadcast, and the saving is the unprobed fraction of a
+    // corpus-sized scan (cdc_query_dpp's contract on derived index
+    // state). PlanShapeSpec locks the runtime partition filter. Same
+    // frozen model as ext_ann_ivf → same oracle, verbatim
+    "ext_ann_ivf_pruned" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfServingState(s, dir)
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val queries = e.where(col("vec_id") % 100 === 0)
+      val index = s.read.parquet(state.resolve("cells").toString)
+      Similarity.ivfSearch(index, queries, cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
 
     // E2-PQ — product-quantization ANN: per-subspace codebooks + ADC
     // lookup-sum scoring (the memory-compressed exhaustive-scan path)
@@ -3721,6 +3761,9 @@ object SparkEntry {
     "ext_lsh_table_curve" -> ExtOracle.lshTableCurveSql,
     "ext_curation_funnel" -> ExtOracle.curationFunnelSql,
     "ext_ann_ivf" -> ExtOracle.annIvfSql,
+    // same frozen model, same search — the serving layout and the pruned
+    // read must be result-invisible
+    "ext_ann_ivf_pruned" -> ExtOracle.annIvfSql,
     "ext_ann_ivf_incremental" -> ExtOracle.annIvfIncrementalSql,
     "ext_ann_ivf_forget" -> ExtOracle.annIvfForgetSql,
     "ext_ivf_cell_audit" -> ExtOracle.ivfCellAuditSql,

@@ -115,6 +115,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "expected runtime partition pruning from the broadcast dim")
   }
 
+  test("IVF serving read prunes cell partitions DYNAMICALLY from the probe side") {
+    // the serving-layout index is parquet-partitioned by cell; the probe
+    // assignment (broadcast query side) must reach the scan as a runtime
+    // partition filter so only nprobe/numCentroids of the index is read
+    val plan = SparkEntry.queries("ext_ann_ivf_pruned")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined,
+      "expected a dynamicpruning partition filter on the cell-partitioned index scan")
+  }
+
   test("containment join never degenerates into a nested-loop product") {
     val p = plan("ext_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
