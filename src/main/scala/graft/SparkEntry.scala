@@ -1067,6 +1067,35 @@ object SparkEntry {
         docsChangelogSink(s, dir).resolve("documents_changelog").toString))
         .select(col("doc_id")))),
 
+    // the CDC delta folded IN PLACE into the cell-PARTITIONED serving
+    // layout: the fold rewrites ONLY the cell directories the delta
+    // touches (dynamic partition overwrite; old cells located by
+    // re-assigning the PRE-delta vectors at the frozen centroids — never
+    // an index scan), then the serving read probes the folded state. The
+    // production maintenance shape for a 100 TB index: delta-sized work,
+    // partition-pruned reads, the unaffected cells' files untouched on
+    // disk (SimilaritySpec pins untouched bytes, the emptied-cell sweep,
+    // and replay repair). Fixture state copied per invocation — the fold
+    // MUTATES it. Same post-delta scratch oracle as ext_cdc_ann_delta:
+    // the layout and in-placeness must be result-invisible
+    "ext_cdc_ann_serving_fold" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_srvfold")
+      TempDirs.copyInto(state.resolve("cells"), base.resolve("cells"))
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id"))
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      val newVecs = oldVecs.select(col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.ivfServingFold(
+        s, base.resolve("cells").toString, oldVecs, newVecs, cents)
+      val folded = s.read.parquet(base.resolve("cells").toString)
+      Similarity.ivfSearch(folded, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // the FULL index-maintenance lifecycle over the retrieval index: a
     // second changelog window carries inserts, deletes AND a further
     // revision (docsLifecycleSpec), consumed as an LSN window of the one
@@ -3725,6 +3754,9 @@ object SparkEntry {
     "ext_cdc_bm25_delta" -> ExtOracle.cdcBm25DeltaSql,
     "ext_cdc_bm25_delta_stream" -> ExtOracle.cdcBm25DeltaSql,
     "ext_cdc_ann_delta" -> ExtOracle.cdcAnnDeltaSql,
+    // the in-place partitioned-layout fold must be result-invisible:
+    // same post-delta scratch oracle as the swap fold
+    "ext_cdc_ann_serving_fold" -> ExtOracle.cdcAnnDeltaSql,
     "ext_cdc_ann_delta_stream" -> ExtOracle.cdcAnnDeltaSql,
     "ext_cdc_bm25_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,

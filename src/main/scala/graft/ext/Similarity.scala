@@ -3,7 +3,7 @@ package graft.ext
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.FloatVectorDot.floatVectorDot
@@ -380,6 +380,72 @@ object Similarity {
       col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
     nearestCells(base, cents, 1, idCol, vecCol).select(
       col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
+  }
+
+  /** IN-PLACE partial maintenance of the cell-PARTITIONED serving index:
+    * rewrite ONLY the cell directories the delta touches, leaving the
+    * rest of a corpus-sized index untouched on disk — at 100 TB a delta
+    * of d vectors costs O(rows in the ≤2d affected cells), never a full
+    * index rewrite. The delta's OLD cells come from re-assigning the
+    * PRE-delta vectors at the frozen centroids (assignment is
+    * deterministic, so this equals what the index stores — no
+    * neighbor_id scan of the index is ever needed); affected = old cells
+    * ∪ new cells, and the replacement content for those cells is
+    * (stored rows minus delta ids) ∪ the new assignments.
+    *
+    * The write is Spark's dynamic partition overwrite (only partitions
+    * present in the frame are replaced). Two deliberate pieces around
+    * its edges:
+    *   - the replacement is eagerly materialized (`localCheckpoint`)
+    *     BEFORE the write — the bytes leave the path being overwritten,
+    *     which is also what clears the overwrite-a-read-path guard;
+    *   - dynamic overwrite cannot DELETE a partition: a cell emptied by
+    *     the fold writes zero files and its stale directory would
+    *     survive. The emptied set is MODEL-bounded (≤ numCentroids
+    *     cells, a parameter-table cardinality, never data-sized), so it
+    *     is swept with explicit directory deletes — the control-plane
+    *     scalar justification of cdc_query_dpp's threshold.
+    *
+    * A crash mid-write can leave a subset of affected partitions
+    * replaced, but the fold is DETERMINISTIC in (stored state, delta):
+    * re-running it rewrites the same partitions with identical content,
+    * so replay repairs a torn fold (pinned by SimilaritySpec). */
+  def ivfServingFold(
+      spark: SparkSession,
+      cellsPath: String,
+      oldVecs: DataFrame,
+      newVecs: DataFrame,
+      cents: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val newAssign = ivfIndex(newVecs, cents, idCol, vecCol)
+    val affected = ivfIndex(oldVecs, cents, idCol, vecCol).select("cell")
+      .union(newAssign.select("cell")).distinct().localCheckpoint(true)
+    val stored = spark.read.parquet(cellsPath)
+    val deltaIds = newVecs.select(col(idCol).as("__did"))
+    val replacement = stored
+      .join(affected.select(col("cell").cast(stored.schema("cell").dataType)),
+        Seq("cell"), "left_semi")
+      .join(deltaIds, col("neighbor_id") === col("__did"), "left_anti")
+      .unionByName(newAssign)
+      .select("cell", "neighbor_id", "cv", "cn")
+      .localCheckpoint(true) // materialization barrier: bytes leave the path
+    replacement.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(cellsPath)
+    // sweep cells the fold EMPTIED (bounded by the centroid count — both
+    // frames are ≤ numCentroids rows after distinct)
+    val present = replacement.select("cell").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet
+    val emptied = affected.collect().map(_.get(0).toString.toLong)
+      .filterNot(present)
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(cellsPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach(c => fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true))
+    }
   }
 
   /** Probe-side IVF search over a built index: queries assign to their

@@ -148,4 +148,51 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
     assert(postCounts.exists(_ < 3),
       "with a 12-deep shortlist and 1/3 allowed, some query must starve")
   }
+
+  test("in-place serving fold rewrites ONLY affected cell dirs, sweeps emptied " +
+      "cells, and a replay repairs a torn fold") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    // hand-made 4-dim model: three axis centroids
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 1.0), (1L, Seq(0f, 1f, 0f, 0f), 1.0),
+      (2L, Seq(0f, 0f, 1f, 0f), 1.0))
+      .toDF("cid", "centv", "centn").localCheckpoint(true)
+    // v1→cell0, v2→cell1, v3→cell2 (its ONLY member)
+    val vecs = Seq(
+      (1L, Seq(10f, 1f, 0f, 0f)), (2L, Seq(1f, 5f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 7f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cellsDir = graft.TempDirs.create("graft_srvfold_t").resolve("cells").toString
+    Similarity.ivfIndex(vecs, cents).repartition(col("cell"))
+      .write.partitionBy("cell").parquet(cellsDir)
+    def cellFiles(c: Long): Map[String, Long] = {
+      val d = Paths.get(cellsDir, s"cell=$c")
+      if (!Files.exists(d)) Map.empty
+      else Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val cell1Before = cellFiles(1L)
+    assert(cell1Before.nonEmpty)
+    // the delta: v3 re-embeds toward axis 0 — leaves cell2 EMPTY, lands in cell0
+    val oldV = vecs.where($"vec_id" === 3L)
+    val newV = Seq((3L, Seq(9f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    Similarity.ivfServingFold(s, cellsDir, oldV, newV, cents)
+    val folded = s.read.parquet(cellsDir)
+      .select($"cell".cast("long"), $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(folded == Set((0L, 1L), (0L, 3L), (1L, 2L)),
+      s"fold must equal scratch assignment of the post-delta vectors, got $folded")
+    // the unaffected cell's files are untouched on disk — same names, same mtimes
+    assert(cellFiles(1L) == cell1Before,
+      "cell 1 was not in the delta's footprint; its bytes must not be rewritten")
+    // dynamic overwrite can't delete a partition: the fold must SWEEP cell 2
+    assert(cellFiles(2L).isEmpty, "the emptied cell's stale directory must be swept")
+    // replay (a torn fold is repaired by re-running — determinism contract)
+    Similarity.ivfServingFold(s, cellsDir, oldV, newV, cents)
+    val replayed = s.read.parquet(cellsDir)
+      .select($"cell".cast("long"), $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(replayed == folded, "a replayed fold must land on the identical state")
+  }
 }
