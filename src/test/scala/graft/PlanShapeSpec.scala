@@ -125,6 +125,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "expected a dynamicpruning partition filter on the cell-partitioned index scan")
   }
 
+  test("BM25 serving read prunes postings buckets DYNAMICALLY from the query side") {
+    // the serving postings are parquet-partitioned by term bucket; the
+    // broadcast query terms must reach the scan as a runtime partition
+    // filter so only the query's buckets are read
+    val plan = SparkEntry.queries("ext_bm25_pruned")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined,
+      "expected a dynamicpruning partition filter on the bucket-partitioned postings scan")
+  }
+
   test("containment join never degenerates into a nested-loop product") {
     val p = plan("ext_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
