@@ -1060,6 +1060,37 @@ object SparkEntry {
       bm25DeltaFold(s, dir, deltaRows(graft.cdc.SinkLayout.read(s,
         docsChangelogSink(s, dir).resolve("documents_changelog").toString)))),
 
+    // the CDC delta folded IN PLACE into the bucket-PARTITIONED retrieval
+    // serving layout (the BM25 twin of ext_cdc_ann_serving_fold): the
+    // fold rewrites ONLY the buckets the delta's old+new terms live in —
+    // df re-derives WITHIN the replaced buckets because a term's postings
+    // live entirely in its hash bucket — and the doc-count-sized
+    // length/stats artifacts swap whole. The pruned serving read then
+    // answers from the folded state. Same post-delta scratch oracle as
+    // ext_cdc_bm25_delta: layout and in-placeness are result-invisible
+    "ext_cdc_bm25_serving_fold" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvf")
+      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
+      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
+      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      val delta = docsChangelogDelta(s, dir)
+      val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+      Retrieval.bm25ServingFold(s,
+        base.resolve("postings").toString, base.resolve("doclen").toString,
+        base.resolve("stats").toString, oldDocs, delta)
+      val postC = c
+        .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      Retrieval.bm25TopKServing(
+        s.read.parquet(base.resolve("postings").toString),
+        s.read.parquet(base.resolve("doclen").toString),
+        s.read.parquet(base.resolve("stats").toString),
+        Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
     // the CDC→ANN-INDEX bridge, closing the composition for the vector
     // half: the changelog delta names the revised docs; each is
     // deterministically RE-EMBEDDED (stub: vector reversal — a pure
@@ -3785,6 +3816,8 @@ object SparkEntry {
     "ext_dedup_ingest" -> ExtOracle.dedupIngestSql,
     "ext_cdc_corpus_delta" -> ExtOracle.cdcCorpusDeltaSql,
     "ext_cdc_bm25_delta" -> ExtOracle.cdcBm25DeltaSql,
+    // in-place bucket fold + pruned read ≡ the same post-delta scratch index
+    "ext_cdc_bm25_serving_fold" -> ExtOracle.cdcBm25DeltaSql,
     "ext_cdc_bm25_delta_stream" -> ExtOracle.cdcBm25DeltaSql,
     "ext_cdc_ann_delta" -> ExtOracle.cdcAnnDeltaSql,
     // the in-place partitioned-layout fold must be result-invisible:

@@ -142,11 +142,12 @@ object Retrieval {
     * the 1-row corpus stats (n, avgdl). All three re-derive from
     * [[bm25Postings]] at index-build time (the same derivations
     * [[bm25TopKFromPostings]] runs per query — hoisted to build time). */
-  def bm25ServingArtifacts(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  def bm25ServingArtifacts(corpus: DataFrame, buckets: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
     val postings = bm25Postings(corpus).localCheckpoint(true)
     val withDf = postings
       .join(postings.groupBy("term").agg(count(lit(1)).as("df")), "term")
-      .withColumn("bucket", termBucket(col("term")))
+      .withColumn("bucket", termBucket(col("term"), buckets))
     val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = postings.agg(sum("tf").as("__total"))
       .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n"))))
@@ -166,10 +167,10 @@ object Retrieval {
     * with the equi-join). */
   def bm25TopKServing(
       postings: DataFrame, docLen: DataFrame, stats: DataFrame,
-      queries: DataFrame, k: Int = 5): DataFrame = {
+      queries: DataFrame, k: Int = 5, buckets: Int = 16): DataFrame = {
     val qb = queries.select(col("query_id"), col("term"))
       .withColumn("bucket",
-        termBucket(col("term")).cast(postings.schema("bucket").dataType))
+        termBucket(col("term"), buckets).cast(postings.schema("bucket").dataType))
     postings.join(broadcast(qb), Seq("bucket", "term"))
       .crossJoin(broadcast(stats))
       .where(col("df") * DfCapShareOfN <= col("n"))
@@ -186,6 +187,86 @@ object Retrieval {
           .partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))))
       .where(col("rnk") <= k)
       .select("query_id", "rnk", "doc_id", "score_micro")
+  }
+
+  /** IN-PLACE partial maintenance of the bucket-PARTITIONED serving
+    * postings (the BM25 twin of
+    * [[graft.ext.Similarity.ivfServingFold]]): a revision delta rewrites
+    * ONLY the buckets its terms live in. The key property making the fold
+    * local: a term's postings live ENTIRELY in its [[termBucket]]
+    * partition, so the denormalized per-term df is re-derivable from the
+    * replacement content of the affected buckets alone — never a
+    * corpus-wide recount. Affected buckets = buckets of the delta docs'
+    * OLD terms (pre-delta text via pointed lookup — an index scan by
+    * doc_id would read every bucket) ∪ their NEW terms.
+    *
+    * The doc-length table and the 1-row stats are doc-count-sized and
+    * 1-row artifacts — rewritten whole (with a materialization barrier),
+    * which at 100 TB is orders of magnitude below the postings. Dynamic
+    * partition overwrite + the emptied-bucket sweep + replay determinism
+    * carry over from the IVF fold (RetrievalSpec pins all three). */
+  def bm25ServingFold(
+      spark: org.apache.spark.sql.SparkSession,
+      postingsPath: String,
+      docLenPath: String,
+      statsPath: String,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      buckets: Int = 16): Unit = {
+    val newPost = bm25Postings(newDocs)
+      .withColumn("bucket", termBucket(col("term"), buckets))
+    val affected = bm25Postings(oldDocs)
+      .select(termBucket(col("term"), buckets).as("bucket"))
+      .union(newPost.select("bucket")).distinct().localCheckpoint(true)
+    val stored = spark.read.parquet(postingsPath)
+    val deltaIds = newDocs.select(col("doc_id").as("__did"))
+    // replacement content of the affected buckets, df RE-DERIVED within
+    // (bucket-local by the term→bucket purity above)
+    val replacement = stored
+      .join(affected.select(col("bucket").cast(stored.schema("bucket").dataType)),
+        Seq("bucket"), "left_semi")
+      .join(deltaIds, col("doc_id") === col("__did"), "left_anti")
+      .select("bucket", "term", "doc_id", "tf")
+      .unionByName(newPost.select("bucket", "term", "doc_id", "tf"))
+      .localCheckpoint(true) // barrier: bytes leave the path being overwritten
+    val withDf = replacement
+      .join(replacement.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .select("bucket", "term", "doc_id", "tf", "df")
+      .localCheckpoint(true)
+    withDf.repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(postingsPath)
+    // sweep buckets the fold emptied (bounded by the bucket count, a
+    // layout constant — the control-plane justification of the IVF sweep)
+    val present = withDf.select("bucket").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet
+    val emptied = affected.collect().map(_.get(0).toString.toLong)
+      .filterNot(present)
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(postingsPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
+    }
+    // the doc-count-sized artifacts: swap the delta docs' lengths, then
+    // stats re-derives from the updated lengths. n carries over UNCHANGED
+    // from the stored stats (a revision delta) — it cannot re-derive from
+    // lengths or postings, which an empty doc never reaches (the registry
+    // lesson of the BM25 forget fold); both barriered before overwrite
+    val newDl = newPost.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl2 = spark.read.parquet(docLenPath)
+      .join(deltaIds, col("doc_id") === col("__did"), "left_anti")
+      .select("doc_id", "dl")
+      .unionByName(newDl)
+      .localCheckpoint(true)
+    val n0 = spark.read.parquet(statsPath).select("n").localCheckpoint(true)
+    dl2.write.mode("overwrite").parquet(docLenPath)
+    val stats2 = dl2.agg(sum("dl").as("__total")).crossJoin(broadcast(n0))
+      .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
+      .localCheckpoint(true)
+    stats2.write.mode("overwrite").parquet(statsPath)
   }
 
   /** E2-ret' — n-gram OVERLAP retrieval, the second lexical view for

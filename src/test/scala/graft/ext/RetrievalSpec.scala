@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -132,5 +133,75 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       "forget fold must equal scratch over survivors (df/dl/N re-derive)")
     assert(served.collect().forall(_.getAs[Long]("doc_id") % 4 != 1),
       "a forgotten doc must never be served")
+  }
+
+  test("in-place serving fold: bucket-local df re-derivation equals scratch, " +
+      "untouched buckets keep their bytes, emptied buckets swept, replay repairs") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    // doc 3 owns MANY distinct bigrams (covers many buckets); the revision
+    // shrinks it to one — so some of its old buckets hold nothing else and
+    // must be SWEPT, while buckets of docs 1-2 stay byte-identical
+    val B = 64 // enough buckets that the 3-doc corpus leaves some untouched
+    val wide = (1 to 12).map(i => s"t$i").mkString(" ")
+    val pre = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta gamma delta"),
+      (3L, wide)).toDF("doc_id", "text")
+    val newDocs = Seq((3L, "alpha beta")).toDF("doc_id", "text")
+    val post = pre.where($"doc_id" =!= 3L).unionByName(newDocs)
+
+    val base = graft.TempDirs.create("graft_bm25srvf_t")
+    val (p0, dl0, st0) = Retrieval.bm25ServingArtifacts(pre, buckets = B)
+    p0.repartition(col("bucket")).write.partitionBy("bucket")
+      .parquet(base.resolve("postings").toString)
+    dl0.write.parquet(base.resolve("doclen").toString)
+    st0.write.parquet(base.resolve("stats").toString)
+
+    def bucketOf(terms: DataFrame): Set[Long] =
+      terms.select(Retrieval.termBucket(col("term"), B).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val oldB = bucketOf(Retrieval.bm25Postings(pre.where($"doc_id" === 3L)))
+    val newB = bucketOf(Retrieval.bm25Postings(newDocs))
+    val keepB = bucketOf(Retrieval.bm25Postings(pre.where($"doc_id" =!= 3L)))
+    val untouched = (keepB -- oldB -- newB)
+    assert(untouched.nonEmpty, "construction must leave some bucket untouched")
+    def files(b: Long): Map[String, Long] = {
+      val d = Paths.get(base.resolve("postings").toString, s"bucket=$b")
+      if (!Files.exists(d)) Map.empty
+      else Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val beforeFiles = untouched.map(b => b -> files(b)).toMap
+
+    Retrieval.bm25ServingFold(s,
+      base.resolve("postings").toString, base.resolve("doclen").toString,
+      base.resolve("stats").toString, pre.where($"doc_id" === 3L), newDocs,
+      buckets = B)
+
+    def postingsSet(df: DataFrame): Set[(Long, String, Long, Long, Long)] =
+      df.select($"bucket".cast("long"), $"term", $"doc_id", $"tf", $"df")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+    val (ps, dls, sts) = Retrieval.bm25ServingArtifacts(post, buckets = B)
+    assert(postingsSet(s.read.parquet(base.resolve("postings").toString)) ==
+      postingsSet(ps), "folded postings (incl. re-derived df) must equal scratch")
+    assert(s.read.parquet(base.resolve("doclen").toString).as[(Long, Long)].collect().toSet
+      == dls.as[(Long, Long)].collect().toSet, "doc lengths must equal scratch")
+    assert(s.read.parquet(base.resolve("stats").toString).as[(Long, Long)].collect().toSet
+      == sts.as[(Long, Long)].collect().toSet, "stats must equal scratch")
+    assert(untouched.forall(b => files(b) == beforeFiles(b)),
+      "buckets outside the delta's term footprint must keep their bytes")
+    val sweepable = oldB -- newB -- keepB
+    assert(sweepable.nonEmpty, "construction must empty at least one bucket")
+    assert(sweepable.forall(b => files(b).isEmpty),
+      s"emptied buckets $sweepable must be swept from disk")
+    // replay: deterministic in (state, delta) — a torn fold repairs by re-run
+    Retrieval.bm25ServingFold(s,
+      base.resolve("postings").toString, base.resolve("doclen").toString,
+      base.resolve("stats").toString, pre.where($"doc_id" === 3L), newDocs,
+      buckets = B)
+    assert(postingsSet(s.read.parquet(base.resolve("postings").toString)) ==
+      postingsSet(ps), "a replayed fold must land on the identical state")
   }
 }
