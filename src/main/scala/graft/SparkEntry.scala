@@ -1997,6 +1997,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // SUBJECT DELETION on the serving store — the forget matrix's serving
+    // row (IVF cells, postings, sketches, labels, seeds... and now SCD2
+    // episodes): per-(key, interval) purity makes it a row filter, and
+    // the graded contract is the read side — the subject's requests
+    // answer NULL (a stale value here is the GDPR failure mode), every
+    // other key byte-identically. Oracle = serving over the
+    // survivor-slice episodes
+    "ext_cdc_serving_forget" -> ((s, dir) => {
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      val subjects = orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("serve_key"))
+        .where(col("serve_key") % 97 === 0)
+      val purged = graft.cdc.ServingBridge.forgetEpisodes(
+        graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus"),
+        subjects)
+      graft.cdc.ServingBridge.enrichAsOf(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
+        purged)
+        .orderBy("event_id")
+    }),
+
     // the bridge composed over the DROPPED-column changelog: the feature
     // store keeps serving a dropped column's LAST-KNOWN value forever —
     // pre-drop m=6 keys serve their stale '5-LOW' episode at every later
@@ -3949,6 +3971,7 @@ object SparkEntry {
     "ext_cdc_serving_multi" -> ExtOracle.cdcServingMultiSql,
     "ext_cdc_serving_dropped" -> ExtOracle.cdcServingDroppedSql,
     "ext_cdc_serving_retention" -> ExtOracle.cdcServingRetentionSql,
+    "ext_cdc_serving_forget" -> ExtOracle.cdcServingForgetSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,
     "ext_cdc_serving_retention_stream" -> ExtOracle.cdcServingRetentionSql,

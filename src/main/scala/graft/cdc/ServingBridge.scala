@@ -184,6 +184,15 @@ object ServingBridge {
       .where(col("valid_to_s").isNull || col("valid_to_s") > col("__h"))
       .drop("__h")
 
+  /** SUBJECT DELETION on the serving store (the `cdc_forget_keys`
+    * contract applied to derived SCD2 state, completing the forget
+    * matrix's serving row): episodes are per-(key, interval) PURE, so the
+    * deletion is a row filter — the subject's requests serve NULL from
+    * the left join (never a stale value), and every other key's reads are
+    * byte-identical (`keys` must carry a `serve_key` column). */
+  def forgetEpisodes(episodes: DataFrame, keys: DataFrame): DataFrame =
+    episodes.join(keys.select(col("serve_key")), Seq("serve_key"), "left_anti")
+
   /** The gated single-episode range join both enrichers ride: broadcast
     * under `broadcastLimit`, shuffled serve_key equi-join (merge hint —
     * the side is KNOWN oversized, the CoLocate precedent) with the

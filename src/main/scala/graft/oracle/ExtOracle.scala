@@ -2123,14 +2123,14 @@ object ExtOracle {
     * query grades against; epoch() is exact (whole-second commit times). */
   private def cdcServingSqlOver(
       changelogSql: String, column: String, residues: Seq[Int],
-      reqWhere: String = "TRUE"): String =
+      reqWhere: String = "TRUE", epsWhere: String = "TRUE"): String =
     s"""WITH cl AS (
        |$changelogSql
        |), eps0 AS (
        |  SELECT CAST(o_orderkey AS BIGINT) AS serve_key, new_value AS status_asof,
        |         changelog_id AS ep_id,
        |         CAST(epoch(commit_time) AS BIGINT) AS valid_from_s
-       |  FROM cl WHERE column_name = '$column'
+       |  FROM cl WHERE column_name = '$column' AND ($epsWhere)
        |), eps AS (
        |  SELECT *, lead(valid_from_s) OVER (PARTITION BY serve_key ORDER BY ep_id)
        |    AS valid_to_s
@@ -2165,6 +2165,16 @@ object ExtOracle {
     OrdersCdcOracle.changelogSql, "o_orderstatus",
     graft.cdc.ServingBridge.DefaultResidues,
     reqWhere = "serve_s >= 788918400 + (SELECT n // 2 FROM nn)")
+
+  /** ≙ ext_cdc_serving_forget: subject deletion on the serving store is a
+    * row FILTER on per-(key, interval)-pure episodes, so the oracle builds
+    * episodes from the survivor slice of the changelog and serves EVERY
+    * request over them — the subject's requests must answer NULL (never a
+    * stale value), everyone else's byte-identically. */
+  lazy val cdcServingForgetSql: String = cdcServingSqlOver(
+    OrdersCdcOracle.changelogSql, "o_orderstatus",
+    graft.cdc.ServingBridge.DefaultResidues,
+    epsWhere = "CAST(o_orderkey AS BIGINT) % 97 <> 0")
 
   /** ≙ ext_cdc_serving_dropped: the bridge over the DROPPED-column era
     * changelog — pre-drop m=6 keys serve their stale last-known value at

@@ -120,6 +120,29 @@ class ServingBridgeSpec extends AnyFunSuite with SparkFixture {
     assert(n == 1L, s"the [from, to) intervals must be disjoint, got fan-out $n")
   }
 
+  test("subject forget serves NULL for the subject (never a stale value) and " +
+      "leaves every other key's reads byte-identical") {
+    val cl = changelog.localCheckpoint(true)
+    val eps = ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")
+    val s = spark
+    import s.implicits._
+    val subjects = Seq(3L).toDF("serve_key")
+    val purged = ServingBridge.forgetEpisodes(eps, subjects)
+    assert(purged.where($"serve_key" === 3L).count() == 0,
+      "the subject's episodes must be gone from the store")
+    val requests = Seq(
+      (1L, 3L, ServingBridge.BaseEpochS + 100L), // subject, mid-history
+      (2L, 2L, ServingBridge.BaseEpochS + 100L)) // bystander, same instant
+      .toDF("event_id", "serve_key", "serve_s")
+    val before = ServingBridge.enrichAsOf(requests, eps)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(before(1L).nonEmpty, "the subject must have been servable pre-forget")
+    val after = ServingBridge.enrichAsOf(requests, purged)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(after(1L).isEmpty, "the subject must serve NULL, never a stale value")
+    assert(after(2L) == before(2L), "bystander reads must be untouched")
+  }
+
   test("retention purges ended episodes, is invisible to in-contract reads, " +
       "and visibly forgets for out-of-contract ones") {
     val cl = changelog.localCheckpoint(true)
