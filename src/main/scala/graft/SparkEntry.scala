@@ -282,6 +282,17 @@ object SparkEntry {
       ()
     }
 
+  /** The documents-changelog delta rows staged as a 2-file stream feed
+    * (range-split on doc_id, so micro-batches are DISJOINT doc sets —
+    * each doc is revised once in era 1) — the input the STREAMED in-place
+    * serving folds consume one micro-batch at a time. */
+  private def docsDeltaFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_docs_delta_feed", s"$dir/documents.parquet") { tmp =>
+      docsChangelogDelta(s, dir)
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("delta").toString)
+    }
+
   /** The BM25-index fold a changelog delta drives (shared by the batch
     * and streamed bridge rows): a revision DROPS the doc's postings rows
     * and unions the re-tokenized delta; N is unchanged (updates, not
@@ -1088,6 +1099,68 @@ object SparkEntry {
         s.read.parquet(base.resolve("doclen").toString),
         s.read.parquet(base.resolve("stats").toString),
         Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the in-place serving folds under the REAL streaming engine: the
+    // delta arrives in 2 micro-batches (disjoint doc ranges) and EACH
+    // batch folds into the partitioned layouts in place — the folds are
+    // deterministic and replay-idempotent, so sequential per-batch folds
+    // over disjoint docs compose to exactly the one-shot fold (df
+    // re-derivation is bucket-local and always reads CURRENT bucket
+    // content). The full production loop: streamed delta → in-place
+    // partial rewrites → pruned serving reads. Same post-delta oracles
+    "ext_cdc_bm25_serving_fold_stream" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvfst")
+      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
+      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
+      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      val feedDir = docsDeltaFeed(s, dir).resolve("delta").toString
+      graft.streaming.StateStream.foldAvailableNow(
+        s, feedDir, base.resolve("ckpt").toString) { batch =>
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+        // old text by pointed lookup into the PRE-delta corpus (each doc
+        // is revised once in this window, so the source is its old text)
+        val oldDocs = c.join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+        Retrieval.bm25ServingFold(s,
+          base.resolve("postings").toString, base.resolve("doclen").toString,
+          base.resolve("stats").toString, oldDocs, b)
+      }
+      val delta = docsChangelogDelta(s, dir)
+      val postC = c
+        .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      Retrieval.bm25TopKServing(
+        s.read.parquet(base.resolve("postings").toString),
+        s.read.parquet(base.resolve("doclen").toString),
+        s.read.parquet(base.resolve("stats").toString),
+        Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "ext_cdc_ann_serving_fold_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_srvfoldst")
+      TempDirs.copyInto(state.resolve("cells"), base.resolve("cells"))
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+        .localCheckpoint(true)
+      val feedDir = docsDeltaFeed(s, dir).resolve("delta").toString
+      graft.streaming.StateStream.foldAvailableNow(
+        s, feedDir, base.resolve("ckpt").toString) { batch =>
+        val ids = batch.select(col("doc_id")).localCheckpoint(true)
+        val oldVecs = e.join(ids, e("vec_id") === ids("doc_id"))
+          .select(e("vec_id"), e("embedding"))
+        val newVecs = oldVecs.select(col("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+        Similarity.ivfServingFold(
+          s, base.resolve("cells").toString, oldVecs, newVecs, cents)
+      }
+      Similarity.ivfSearch(
+        s.read.parquet(base.resolve("cells").toString),
+        e.where(col("vec_id") % 100 === 0), cents, k = 3)
         .orderBy("query_id", "rnk")
     }),
 
@@ -3840,6 +3913,9 @@ object SparkEntry {
     "ext_cdc_bm25_delta" -> ExtOracle.cdcBm25DeltaSql,
     // in-place bucket fold + pruned read ≡ the same post-delta scratch index
     "ext_cdc_bm25_serving_fold" -> ExtOracle.cdcBm25DeltaSql,
+    // micro-batched in-place folds compose to the one-shot fold
+    "ext_cdc_bm25_serving_fold_stream" -> ExtOracle.cdcBm25DeltaSql,
+    "ext_cdc_ann_serving_fold_stream" -> ExtOracle.cdcAnnDeltaSql,
     "ext_cdc_bm25_delta_stream" -> ExtOracle.cdcBm25DeltaSql,
     "ext_cdc_ann_delta" -> ExtOracle.cdcAnnDeltaSql,
     // the in-place partitioned-layout fold must be result-invisible:

@@ -70,6 +70,29 @@ object StateStream {
       StateMaintain.stateLong(spark.read.schema(schema).parquet(changelogDir), keyCols).limit(0))
   }
 
+  /** Generic AvailableNow micro-batch drive: stream `srcDir`'s parquet
+    * files (one batch per file) and hand each batch to `fold` — the
+    * harness the IN-PLACE serving folds ride
+    * ([[graft.ext.Similarity.ivfServingFold]],
+    * [[graft.ext.Retrieval.bm25ServingFold]]). The folds are
+    * deterministic in (state, batch) and idempotent under replay (their
+    * specs pin it), so a fresh-checkpoint AvailableNow drive composes
+    * them exactly once per batch and a crashed drive repairs by re-run. */
+  def foldAvailableNow(
+      spark: SparkSession, srcDir: String, checkpointLocation: String)(
+      fold: DataFrame => Unit): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch); () }
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   // ——— generational publish for persisted sketch state ———
 
   /** Published generations under a state root, ascending; a generation
