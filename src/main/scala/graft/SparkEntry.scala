@@ -1164,6 +1164,87 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // the FULL lifecycle executed IN PLACE on the partitioned serving
+    // layouts: starting from the PRE-delta serving state, the era-1
+    // revision fold and then the era-2 lifecycle fold (deletes drop,
+    // sentinel inserts fetch content by key, the re-revision re-embeds /
+    // re-tokenizes) each rewrite only the partitions they touch — the
+    // generalized removal set (old ∪ new ids) makes one fold primitive
+    // cover the whole op matrix, and n adjusts by the id diff. The two
+    // folds compose because each era's content is read CURRENT. Graded
+    // against the existing post-lifecycle scratch oracles: the in-place
+    // history replay is result-invisible
+    "ext_cdc_bm25_serving_lifecycle" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvlc")
+      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
+      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
+      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      def fold(oldDocs: DataFrame, newDocs: DataFrame): Unit =
+        Retrieval.bm25ServingFold(s,
+          base.resolve("postings").toString, base.resolve("doclen").toString,
+          base.resolve("stats").toString, oldDocs, newDocs)
+      // era 1: revisions
+      val delta1 = docsChangelogDelta(s, dir)
+      fold(c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
+      // era 2: deletes + sentinel inserts + the further revision
+      val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
+      val post1 = postEra1Corpus(s, dir)
+      fold(post1.join(upserts.select("doc_id").unionByName(del),
+        Seq("doc_id"), "left_semi"), upserts)
+      val postC = post1
+        .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+        .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
+        .where(col("__del").isNull)
+        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+        .unionByName(upserts.join(ins, Seq("doc_id")))
+      Retrieval.bm25TopKServing(
+        s.read.parquet(base.resolve("postings").toString),
+        s.read.parquet(base.resolve("doclen").toString),
+        s.read.parquet(base.resolve("stats").toString),
+        Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "ext_cdc_ann_serving_lifecycle" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_srvlc")
+      TempDirs.copyInto(state.resolve("cells"), base.resolve("cells"))
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+        .localCheckpoint(true)
+      val cellsPath = base.resolve("cells").toString
+      // era 1: revisions re-embed by the reversal stub
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+        .localCheckpoint(true)
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Similarity.ivfServingFold(s, cellsPath, old1,
+        old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")), cents)
+      // era 2: deletes drop; inserts fetch by key and re-embed (reversal);
+      // the re-revision re-embeds by the NEGATION stub. The removed ids'
+      // CURRENT stored vectors are the post-era-1 view — reversed where
+      // era-1 revised — which locates their cells without an index scan
+      val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
+      val updIds = upserts.select("doc_id").join(ins, Seq("doc_id"), "left_anti")
+      val touched = updIds.unionByName(del)
+      val oldVecs2 = e.join(touched, e("vec_id") === touched("doc_id"))
+        .join(d1.select(col("doc_id").as("__d1")), e("vec_id") === col("__d1"), "left")
+        .select(e("vec_id"),
+          when(col("__d1").isNotNull, reverse(e("embedding")))
+            .otherwise(e("embedding")).as("embedding"))
+      val updVecs = e.join(updIds, e("vec_id") === updIds("doc_id"))
+        .select(e("vec_id"), transform(e("embedding"), v => -v).as("embedding"))
+      val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
+        .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
+      Similarity.ivfServingFold(s, cellsPath, oldVecs2,
+        updVecs.unionByName(insVecs), cents)
+      Similarity.ivfSearch(s.read.parquet(cellsPath),
+        e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // the CDC→ANN-INDEX bridge, closing the composition for the vector
     // half: the changelog delta names the revised docs; each is
     // deterministically RE-EMBEDDED (stub: vector reversal — a pure
@@ -3924,6 +4005,10 @@ object SparkEntry {
     "ext_cdc_ann_delta_stream" -> ExtOracle.cdcAnnDeltaSql,
     "ext_cdc_bm25_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
+    // the in-place serving-layout replay of the SAME two-era history must
+    // land on the same post-lifecycle index — oracles verbatim
+    "ext_cdc_bm25_serving_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
+    "ext_cdc_ann_serving_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_cdc_bm25_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_lifecycle_stream" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_index_freshness" -> ExtOracle.indexFreshnessSql,

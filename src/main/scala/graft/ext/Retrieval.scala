@@ -191,7 +191,8 @@ object Retrieval {
 
   /** IN-PLACE partial maintenance of the bucket-PARTITIONED serving
     * postings (the BM25 twin of
-    * [[graft.ext.Similarity.ivfServingFold]]): a revision delta rewrites
+    * [[graft.ext.Similarity.ivfServingFold]]): a delta — revisions
+    * (old+new rows), deletes (old only), inserts (new only) — rewrites
     * ONLY the buckets its terms live in. The key property making the fold
     * local: a term's postings live ENTIRELY in its [[termBucket]]
     * partition, so the denormalized per-term df is re-derivable from the
@@ -219,7 +220,11 @@ object Retrieval {
       .select(termBucket(col("term"), buckets).as("bucket"))
       .union(newPost.select("bucket")).distinct().localCheckpoint(true)
     val stored = spark.read.parquet(postingsPath)
-    val deltaIds = newDocs.select(col("doc_id").as("__did"))
+    // removal set = old ∪ new ids: equal for a revision, old-only for a
+    // DELETE (empty newDocs), new-only (a no-op anti-join) for an INSERT —
+    // one fold covers the whole lifecycle op matrix
+    val deltaIds = oldDocs.select(col("doc_id").as("__did"))
+      .union(newDocs.select(col("doc_id").as("__did"))).distinct()
     // replacement content of the affected buckets, df RE-DERIVED within
     // (bucket-local by the term→bucket purity above)
     val replacement = stored
@@ -251,19 +256,30 @@ object Retrieval {
         fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
     }
     // the doc-count-sized artifacts: swap the delta docs' lengths, then
-    // stats re-derives from the updated lengths. n carries over UNCHANGED
-    // from the stored stats (a revision delta) — it cannot re-derive from
-    // lengths or postings, which an empty doc never reaches (the registry
-    // lesson of the BM25 forget fold); both barriered before overwrite
+    // stats re-derives from the updated lengths. n cannot re-derive from
+    // lengths or postings (an empty doc never reaches them — the registry
+    // lesson of the BM25 forget fold): it carries over from the stored
+    // stats ADJUSTED by the id diff — deletes (old ids with no new row)
+    // shrink it, inserts (new ids with no old row) grow it, revisions
+    // leave it alone; all delta-sized count aggregates riding broadcast
     val newDl = newPost.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dl2 = spark.read.parquet(docLenPath)
       .join(deltaIds, col("doc_id") === col("__did"), "left_anti")
       .select("doc_id", "dl")
       .unionByName(newDl)
       .localCheckpoint(true)
-    val n0 = spark.read.parquet(statsPath).select("n").localCheckpoint(true)
+    val oldIds = oldDocs.select(col("doc_id"))
+    val newIds = newDocs.select(col("doc_id"))
+    val nAdj = oldIds.join(newIds, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("__rm"))
+      .crossJoin(newIds.join(oldIds, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("__ad")))
+    val n2 = spark.read.parquet(statsPath).select("n")
+      .crossJoin(broadcast(nAdj))
+      .select((col("n") - col("__rm") + col("__ad")).as("n"))
+      .localCheckpoint(true)
     dl2.write.mode("overwrite").parquet(docLenPath)
-    val stats2 = dl2.agg(sum("dl").as("__total")).crossJoin(broadcast(n0))
+    val stats2 = dl2.agg(sum("dl").as("__total")).crossJoin(broadcast(n2))
       .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
       .localCheckpoint(true)
     stats2.write.mode("overwrite").parquet(statsPath)

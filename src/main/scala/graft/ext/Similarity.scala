@@ -422,7 +422,11 @@ object Similarity {
     val affected = ivfIndex(oldVecs, cents, idCol, vecCol).select("cell")
       .union(newAssign.select("cell")).distinct().localCheckpoint(true)
     val stored = spark.read.parquet(cellsPath)
-    val deltaIds = newVecs.select(col(idCol).as("__did"))
+    // removal set = old ∪ new ids: equal for a revision, old-only for a
+    // DELETE (empty newVecs), new-only (a no-op anti-join) for an INSERT —
+    // one fold covers the whole lifecycle op matrix
+    val deltaIds = oldVecs.select(col(idCol).as("__did"))
+      .union(newVecs.select(col(idCol).as("__did"))).distinct()
     val replacement = stored
       .join(affected.select(col("cell").cast(stored.schema("cell").dataType)),
         Seq("cell"), "left_semi")

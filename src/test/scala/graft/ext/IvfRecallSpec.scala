@@ -194,5 +194,19 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
     val replayed = s.read.parquet(cellsDir)
       .select($"cell".cast("long"), $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(replayed == folded, "a replayed fold must land on the identical state")
+
+    // the generalized removal set covers the whole lifecycle op matrix:
+    // a pure DELETE (empty new side) drops v2 and sweeps its cell; a pure
+    // INSERT (empty old side) lands v4 without touching other cells
+    val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    Similarity.ivfServingFold(s, cellsDir,
+      Seq((2L, Seq(1f, 5f, 0f, 0f))).toDF("vec_id", "embedding"), none, cents)
+    assert(cellFiles(1L).isEmpty, "a pure delete must sweep the emptied cell")
+    Similarity.ivfServingFold(s, cellsDir, none,
+      Seq((4L, Seq(0f, 0f, 4f, 1f))).toDF("vec_id", "embedding"), cents)
+    val afterOps = s.read.parquet(cellsDir)
+      .select($"cell".cast("long"), $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(afterOps == Set((0L, 1L), (0L, 3L), (2L, 4L)),
+      s"delete then insert must land on the expected state, got $afterOps")
   }
 }
