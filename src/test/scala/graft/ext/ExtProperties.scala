@@ -365,6 +365,100 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       }
     }
 
+  // random serving-fold lifecycle case: a base corpus, a subset revised,
+  // a disjoint subset deleted, fresh ids inserted
+  private val genServingCase: Gen[(List[(Long, String)], List[(Long, String)],
+      List[Long], List[(Long, String)])] = for {
+    n <- Gen.choose(1, 10)
+    words = Seq("alpha", "beta", "gamma", "delta", "kappa", "zeta", "omega")
+    genText = Gen.choose(2, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(words)).map(_.mkString(" ")))
+    texts <- Gen.listOfN(n, genText)
+    ops <- Gen.listOfN(n, Gen.choose(0, 3)) // 0 keep, 1 revise, 2 delete
+    revTexts <- Gen.listOfN(n, genText)
+    k <- Gen.choose(0, 3)
+    insTexts <- Gen.listOfN(k, genText)
+  } yield {
+    val pre = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val revs = pre.zip(ops).zip(revTexts)
+      .collect { case (((id, _), 1), nt) => (id, nt) }
+    val dels = pre.zip(ops).collect { case ((id, _), 2) => id }
+    val inss = insTexts.zipWithIndex.map { case (t, i) => (n + i.toLong, t) }
+    (pre, revs, dels, inss)
+  }
+
+  property("in-place bm25 serving fold over a random revise/delete/insert delta " +
+      "equals the scratch artifacts of the post-delta corpus") =
+    Prop.forAll(genServingCase) { case (pre, revs, dels, inss) =>
+      val s = spark
+      import s.implicits._
+      val B = 8
+      val base = graft.TempDirs.create("graft_prop_bm25f")
+      val preDf = pre.toDF("doc_id", "text")
+      val (p0, dl0, st0) = Retrieval.bm25ServingArtifacts(preDf, buckets = B)
+      p0.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(base.resolve("postings").toString)
+      dl0.write.parquet(base.resolve("doclen").toString)
+      st0.write.parquet(base.resolve("stats").toString)
+      val touched = (revs.map(_._1) ++ dels).toSet
+      val oldDocs = preDf.where(col("doc_id").isin(touched.toSeq.map(Long.box): _*))
+      val newDocs = (revs ++ inss).toDF("doc_id", "text")
+      Retrieval.bm25ServingFold(s,
+        base.resolve("postings").toString, base.resolve("doclen").toString,
+        base.resolve("stats").toString, oldDocs, newDocs, buckets = B)
+      val revMap = revs.toMap
+      val post = (pre.filterNot(d => dels.contains(d._1))
+        .map { case (id, t) => (id, revMap.getOrElse(id, t)) } ++ inss)
+        .toDF("doc_id", "text")
+      val (ps, dls, sts) = Retrieval.bm25ServingArtifacts(post, buckets = B)
+      def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        df.select(cols.map(c => col(c).cast("string")): _*)
+          .collect().map(_.toSeq).toSet
+      val pc = Seq("bucket", "term", "doc_id", "tf", "df")
+      rows(s.read.parquet(base.resolve("postings").toString), pc) == rows(ps, pc) &&
+        rows(s.read.parquet(base.resolve("doclen").toString), Seq("doc_id", "dl")) ==
+          rows(dls, Seq("doc_id", "dl")) &&
+        rows(s.read.parquet(base.resolve("stats").toString), Seq("n", "avgdl")) ==
+          rows(sts, Seq("n", "avgdl"))
+    }
+
+  property("in-place ivf serving fold over a random revise/delete/insert delta " +
+      "equals scratch assignment of the post-delta vectors") =
+    Prop.forAll(genServingCase) { case (pre, revs, dels, inss) =>
+      val s = spark
+      import s.implicits._
+      // deterministic 4-dim embedding per (id, text-length) — the text is
+      // only a seed; revisions change the vector via the new text length
+      def vec(id: Long, t: String): Seq[Float] =
+        Seq(1f + (id % 3), 1f + (t.length % 5), 1f + ((id + t.length) % 4), 1f)
+      val cents = Seq(
+        (0L, Seq(1f, 0f, 0f, 0f), 1.0), (1L, Seq(0f, 1f, 0f, 0f), 1.0),
+        (2L, Seq(0f, 0f, 1f, 1f), 1.4142135))
+        .toDF("cid", "centv", "centn").localCheckpoint(true)
+      val base = graft.TempDirs.create("graft_prop_ivff")
+      val preVecs = pre.map { case (id, t) => (id, vec(id, t)) }.toDF("vec_id", "embedding")
+      Similarity.ivfIndex(preVecs, cents).repartition(col("cell"))
+        .write.partitionBy("cell").parquet(base.resolve("cells").toString)
+      val touched = (revs.map(_._1) ++ dels).toSet
+      val oldVecs = preVecs.where(col("vec_id").isin(touched.toSeq.map(Long.box): _*))
+      val newVecs = (revs.map { case (id, t) => (id, vec(id, t + "!")) } ++
+        inss.map { case (id, t) => (id, vec(id, t)) }).toDF("vec_id", "embedding")
+      Similarity.ivfServingFold(
+        s, base.resolve("cells").toString, oldVecs, newVecs, cents)
+      val revMap = revs.toMap
+      val post = (pre.filterNot(d => dels.contains(d._1))
+        .map { case (id, t) => (id, revMap.get(id).map(nt => vec(id, nt + "!"))
+          .getOrElse(vec(id, t))) } ++
+        inss.map { case (id, t) => (id, vec(id, t)) }).toDF("vec_id", "embedding")
+      val got = s.read.parquet(base.resolve("cells").toString)
+        .select(col("cell").cast("long"), col("neighbor_id")).as[(Long, Long)]
+        .collect().toSet
+      val want = Similarity.ivfIndex(post, cents)
+        .select(col("cell").cast("long"), col("neighbor_id")).as[(Long, Long)]
+        .collect().toSet
+      got == want
+    }
+
   property("NFC normalization is idempotent and preserves canonical equivalence classes") =
     Prop.forAll(Gen.listOfN(6, genUni)) { texts =>
       val s = spark
