@@ -330,6 +330,58 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** One in-place BM25 serving fold against the artifact set under
+    * `base` (postings/doclen/stats) — shared by the batch lifecycle row
+    * and the per-micro-batch streamed drive. */
+  private def bm25ServingFoldAt(s: SparkSession, dir: String,
+      base: java.nio.file.Path, oldDocs: DataFrame, newDocs: DataFrame): Unit =
+    Retrieval.bm25ServingFold(s,
+      base.resolve("postings").toString, base.resolve("doclen").toString,
+      base.resolve("stats").toString, oldDocs, newDocs)
+
+  /** The era-2 lifecycle delta folded IN PLACE into the BM25 serving
+    * artifacts: removed content (revised + deleted docs) reads its
+    * CURRENT text from the post-era-1 corpus view; the upserts (revised
+    * text + fetched-and-suffixed inserts) are the new side; n adjusts by
+    * the id diff inside the fold. */
+  private def bm25ServingLifecycleFoldAt(s: SparkSession, dir: String,
+      base: java.nio.file.Path,
+      sets: (DataFrame, DataFrame, DataFrame)): Unit = {
+    val (upserts, ins, del) = sets
+    val post1 = postEra1Corpus(s, dir)
+    bm25ServingFoldAt(s, dir, base,
+      post1.join(upserts.select("doc_id").unionByName(del),
+        Seq("doc_id"), "left_semi"), upserts)
+  }
+
+  /** The era-2 lifecycle delta folded IN PLACE into the partitioned IVF
+    * cells at the frozen deployed centroids: deletes drop (old-only),
+    * sentinel inserts fetch the source vector by key and re-embed by the
+    * reversal stub (new-only), the re-revision re-embeds by NEGATION.
+    * The removed ids' CURRENT stored vectors are the post-era-1 view —
+    * reversed where era-1 revised — which locates their cells without an
+    * index scan. */
+  private def annServingLifecycleFoldAt(s: SparkSession, dir: String,
+      cellsPath: String, cents: DataFrame,
+      sets: (DataFrame, DataFrame, DataFrame)): Unit = {
+    val (upserts, ins, del) = sets
+    val e = embeddings(s, dir)
+    val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+    val updIds = upserts.select("doc_id").join(ins, Seq("doc_id"), "left_anti")
+    val touched = updIds.unionByName(del)
+    val oldVecs2 = e.join(touched, e("vec_id") === touched("doc_id"))
+      .join(d1.select(col("doc_id").as("__d1")), e("vec_id") === col("__d1"), "left")
+      .select(e("vec_id"),
+        when(col("__d1").isNotNull, reverse(e("embedding")))
+          .otherwise(e("embedding")).as("embedding"))
+    val updVecs = e.join(updIds, e("vec_id") === updIds("doc_id"))
+      .select(e("vec_id"), transform(e("embedding"), v => -v).as("embedding"))
+    val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
+      .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
+    Similarity.ivfServingFold(s, cellsPath, oldVecs2,
+      updVecs.unionByName(insVecs), cents)
+  }
+
   /** The post-first-window corpus: [[corpus]] with the era-1 revisions
     * ([[docsChangelogDelta]]) applied — the corpus a maintained index has
     * folded through when the SECOND activity window arrives. */
@@ -389,6 +441,18 @@ object SparkEntry {
       .where(col("start_lsn") >= ChangeFeed.DocsLifecycleLsn)
     ChangelogBuilder.build(feed, docsCfg).localCheckpoint(true)
   }
+
+  /** The era-2 lifecycle window staged as a 2-file stream feed for the
+    * streamed in-place folds. Every extraction in
+    * [[lifecycleDeltaSetsFrom]] is ROW-local on the window (updates carry
+    * their payload; record ops are sentinel rows), so any file split
+    * yields correct per-batch delta sets. */
+  private def docsLifecycleFeed(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_docs_lc_feed", s"$dir/documents.parquet") { tmp =>
+      docsLifecycleWindow(s, dir)
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("w").toString)
+    }
 
   /** Sentinel/update delta sets of a lifecycle window: (upserts with
     * fetched text, insert ids, delete ids). Inserts and deletes are
@@ -1181,18 +1245,14 @@ object SparkEntry {
       TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
       TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
       TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
-      def fold(oldDocs: DataFrame, newDocs: DataFrame): Unit =
-        Retrieval.bm25ServingFold(s,
-          base.resolve("postings").toString, base.resolve("doclen").toString,
-          base.resolve("stats").toString, oldDocs, newDocs)
       // era 1: revisions
       val delta1 = docsChangelogDelta(s, dir)
-      fold(c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
+      bm25ServingFoldAt(s, dir, base,
+        c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
       // era 2: deletes + sentinel inserts + the further revision
       val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
       val post1 = postEra1Corpus(s, dir)
-      fold(post1.join(upserts.select("doc_id").unionByName(del),
-        Seq("doc_id"), "left_semi"), upserts)
+      bm25ServingLifecycleFoldAt(s, dir, base, (upserts, ins, del))
       val postC = post1
         .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
         .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
@@ -1223,23 +1283,69 @@ object SparkEntry {
       Similarity.ivfServingFold(s, cellsPath, old1,
         old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")), cents)
       // era 2: deletes drop; inserts fetch by key and re-embed (reversal);
-      // the re-revision re-embeds by the NEGATION stub. The removed ids'
-      // CURRENT stored vectors are the post-era-1 view — reversed where
-      // era-1 revised — which locates their cells without an index scan
+      // the re-revision re-embeds by the NEGATION stub
+      annServingLifecycleFoldAt(s, dir, cellsPath, cents,
+        lifecycleDeltaSets(s, dir))
+      Similarity.ivfSearch(s.read.parquet(cellsPath),
+        e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the in-place lifecycle under the REAL streaming engine — the last
+    // cell of the in-place matrix (batch/stream × delta/lifecycle): the
+    // era-2 window arrives in 2 micro-batches and EACH batch's delta sets
+    // (row-local extraction) fold in place; per-batch folds over disjoint
+    // docs compose to the one-shot lifecycle fold. Same oracles
+    "ext_cdc_bm25_serving_lifecycle_stream" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvlcst")
+      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
+      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
+      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      val delta1 = docsChangelogDelta(s, dir)
+      bm25ServingFoldAt(s, dir, base,
+        c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsLifecycleFeed(s, dir).resolve("w").toString,
+        base.resolve("ckpt").toString) { w =>
+        bm25ServingLifecycleFoldAt(s, dir, base, lifecycleDeltaSetsFrom(w, s, dir))
+      }
       val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
-      val updIds = upserts.select("doc_id").join(ins, Seq("doc_id"), "left_anti")
-      val touched = updIds.unionByName(del)
-      val oldVecs2 = e.join(touched, e("vec_id") === touched("doc_id"))
-        .join(d1.select(col("doc_id").as("__d1")), e("vec_id") === col("__d1"), "left")
-        .select(e("vec_id"),
-          when(col("__d1").isNotNull, reverse(e("embedding")))
-            .otherwise(e("embedding")).as("embedding"))
-      val updVecs = e.join(updIds, e("vec_id") === updIds("doc_id"))
-        .select(e("vec_id"), transform(e("embedding"), v => -v).as("embedding"))
-      val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
-        .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
-      Similarity.ivfServingFold(s, cellsPath, oldVecs2,
-        updVecs.unionByName(insVecs), cents)
+      val postC = postEra1Corpus(s, dir)
+        .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+        .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
+        .where(col("__del").isNull)
+        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+        .unionByName(upserts.join(ins, Seq("doc_id")))
+      Retrieval.bm25TopKServing(
+        s.read.parquet(base.resolve("postings").toString),
+        s.read.parquet(base.resolve("doclen").toString),
+        s.read.parquet(base.resolve("stats").toString),
+        Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "ext_cdc_ann_serving_lifecycle_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_srvlcst")
+      TempDirs.copyInto(state.resolve("cells"), base.resolve("cells"))
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+        .localCheckpoint(true)
+      val cellsPath = base.resolve("cells").toString
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+        .localCheckpoint(true)
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Similarity.ivfServingFold(s, cellsPath, old1,
+        old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")), cents)
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsLifecycleFeed(s, dir).resolve("w").toString,
+        base.resolve("ckpt").toString) { w =>
+        annServingLifecycleFoldAt(s, dir, cellsPath, cents,
+          lifecycleDeltaSetsFrom(w, s, dir))
+      }
       Similarity.ivfSearch(s.read.parquet(cellsPath),
         e.where(col("vec_id") % 100 === 0), cents, k = 3)
         .orderBy("query_id", "rnk")
@@ -4009,6 +4115,8 @@ object SparkEntry {
     // land on the same post-lifecycle index — oracles verbatim
     "ext_cdc_bm25_serving_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_serving_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
+    "ext_cdc_bm25_serving_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
+    "ext_cdc_ann_serving_lifecycle_stream" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_cdc_bm25_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_lifecycle_stream" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_index_freshness" -> ExtOracle.indexFreshnessSql,
