@@ -366,6 +366,33 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       "replaying an applied batchId must not change a single cell")
   }
 
+  test("foldAvailableNow resumes from a persistent checkpoint: a restarted " +
+      "drive folds ONLY the new feed files") {
+    val s = spark
+    import s.implicits._
+    val base = graft.TempDirs.create("graft_foldresume")
+    val feedDir = base.resolve("feed").toString
+    val ckpt = base.resolve("ckpt").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(feedDir)
+    val folded = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drive(): Int = {
+      var batches = 0
+      StateStream.foldAvailableNow(s, feedDir, ckpt) { b =>
+        batches += 1
+        folded ++= b.select("id").collect().map(_.getLong(0))
+      }
+      batches
+    }
+    assert(drive() == 1 && folded.sorted == Seq(1L))
+    // a new feed file lands; the restarted drive must fold it ALONE —
+    // the checkpoint's file-source log already holds batch 0
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(feedDir)
+    assert(drive() == 1, "restart must not re-deliver the already-folded file")
+    assert(folded.sorted == Seq(1L, 2L))
+    // nothing new: the drive wakes, delivers zero batches, terminates
+    assert(drive() == 0)
+  }
+
   test("cm state publish is generational: a crash can never leave NO readable " +
       "state (the delete-then-rename window is gone)") {
     val s = spark
