@@ -1291,6 +1291,45 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // SUBJECT DELETION executed IN PLACE on the partitioned serving
+    // layouts — the forget matrix meeting the serving-layout matrix: the
+    // generalized fold with an EMPTY new side is a per-partition row
+    // filter that touches only the subject's partitions (and sweeps any
+    // it empties); n shrinks by the subject count inside the BM25 fold.
+    // Same oracles as the swap-style forget rows: in-placeness is
+    // result-invisible
+    "ext_ann_serving_forget" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_annsrvfgt")
+      TempDirs.copyInto(state.resolve("cells"), base.resolve("cells"))
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val subject = e.where(col("vec_id") % 50 === 7)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfServingFold(s, base.resolve("cells").toString,
+        subject, subject.where(lit(false)), cents)
+      Similarity.ivfSearch(s.read.parquet(base.resolve("cells").toString),
+        e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "ext_bm25_serving_forget" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvfgt")
+      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
+      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
+      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      val subject = c.where(col("doc_id") % 9 === 4)
+      bm25ServingFoldAt(s, dir, base, subject, subject.where(lit(false)))
+      Retrieval.bm25TopKServing(
+        s.read.parquet(base.resolve("postings").toString),
+        s.read.parquet(base.resolve("doclen").toString),
+        s.read.parquet(base.resolve("stats").toString),
+        Retrieval.queryTerms(c.where(col("doc_id") % 9 =!= 4)))
+        .orderBy("query_id", "rnk")
+    }),
+
     // the in-place lifecycle under the REAL streaming engine — the last
     // cell of the in-place matrix (batch/stream × delta/lifecycle): the
     // era-2 window arrives in 2 micro-batches and EACH batch's delta sets
@@ -4313,6 +4352,9 @@ object SparkEntry {
     "ext_bm25_pruned" -> ExtOracle.bm25Sql,
     "ext_bm25_incremental" -> ExtOracle.bm25Sql,
     "ext_bm25_forget" -> ExtOracle.bm25ForgetSql,
+    // in-place serving-layout forget ≡ the swap-style forget, oracles verbatim
+    "ext_bm25_serving_forget" -> ExtOracle.bm25ForgetSql,
+    "ext_ann_serving_forget" -> ExtOracle.annIvfForgetSql,
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,
