@@ -1291,6 +1291,52 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // the serving layout's REFRESH path, tying the two maintenance
+    // regimes together: DELTAS fold in place within the current
+    // generation (the new-vector batch inserts, then a deletion request
+    // folds out — both partial partition rewrites), and the RETRAIN —
+    // which by nature reassigns every vector — replaces the layout
+    // wholesale through the generational stamp+rename flip, with the
+    // same crash-safety and one-cycle reader grace the sketch states
+    // carry (ext_cm_grace_read). Chain ≡ ext_ann_ivf_refresh verbatim:
+    // fold + forget + re-seed over the index's OWN stored vectors
+    "ext_ann_serving_refresh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val inc = ivfIncrementalState(s, dir)
+      val base = TempDirs.create("graft_annsrvrf")
+      val layout = base.resolve("layout").toString
+      // generation 1: the deployed hist index in its serving layout
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        s.read.parquet(inc.resolve("cells").toString)
+          .repartition(col("cell")).write.partitionBy("cell")
+          .parquet(stage.toString)
+      }
+      val cents = s.read.parquet(inc.resolve("centroids").toString)
+        .localCheckpoint(true)
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      // continuous maintenance IN PLACE within generation 1
+      val batch = e.where(col("vec_id") % 20 === 3)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfServingFold(s, gen1, batch.where(lit(false)), batch, cents)
+      val subject = e.where(col("vec_id") % 50 === 7)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfServingFold(s, gen1, subject, subject.where(lit(false)), cents)
+      // REFRESH: re-seed over the layout's OWN stored vectors (cells
+      // carry the raw vectors), publish as generation 2
+      val vecs = s.read.parquet(gen1)
+        .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
+        .localCheckpoint(true)
+      val cents2 = Similarity.ivfCentroids(vecs)
+      val index2 = Similarity.ivfIndex(vecs, cents2)
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        index2.repartition(col("cell")).write.partitionBy("cell")
+          .parquet(stage.toString)
+      }
+      Similarity.ivfSearch(graft.streaming.StateStream.readState(s, layout),
+        e.where(col("vec_id") % 100 === 0), cents2, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // SUBJECT DELETION executed IN PLACE on the partitioned serving
     // layouts — the forget matrix meeting the serving-layout matrix: the
     // generalized fold with an EMPTY new side is a per-partition row
@@ -4196,6 +4242,8 @@ object SparkEntry {
     "ext_ann_ivf_forget" -> ExtOracle.annIvfForgetSql,
     "ext_ivf_cell_audit" -> ExtOracle.ivfCellAuditSql,
     "ext_ann_ivf_refresh" -> ExtOracle.annIvfRefreshSql,
+    // the same fold+forget+retrain chain on the generational serving layout
+    "ext_ann_serving_refresh" -> ExtOracle.annIvfRefreshSql,
     "ext_ann_pq" -> ExtOracle.annPqSql,
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_mrl" -> ExtOracle.annMrlSql,

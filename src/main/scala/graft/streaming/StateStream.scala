@@ -143,6 +143,34 @@ object StateStream {
     spark.read.parquet(gen.toString)
   }
 
+  /** Directory of the current published generation — the path a
+    * maintenance fold mutates IN PLACE within a generation (the
+    * partitioned serving layouts), while [[publishState]] replaces the
+    * layout wholesale across generations. */
+  def statePath(spark: SparkSession, stateDir: String): String = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestGen(fs, root)
+      .getOrElse(sys.error(s"no published state generation under $stateDir"))
+      ._2.toString
+  }
+
+  /** Publish the next generation of a persisted layout: `write` fills
+    * the staging dir (a flat state table OR a partitioned serving
+    * layout — the reader is a plain parquet load either way), then the
+    * stamp+rename+grace-retire of [[publishGen]] flips visibility. The
+    * two maintenance regimes compose: DELTAS fold in place within the
+    * current generation ([[statePath]]); a REFRESH/retrain replaces the
+    * layout wholesale through this flip, with the same crash-safety and
+    * one-cycle reader grace the sketch states carry. */
+  def publishState(spark: SparkSession, stateDir: String)(
+      write: Path => Unit): Unit = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishGen(fs, root, latestGen(fs, root).map(_._1).getOrElse(0))(write)
+    ()
+  }
+
   /** CONTINUOUSLY-MAINTAINED sketch state — [[graft.ext.Similarity
     * .hllApplyBatch]] driven by the real streaming engine with the state
     * PERSISTED between micro-batches: each batch is prepped (`prep`: doc
