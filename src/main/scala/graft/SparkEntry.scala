@@ -442,6 +442,40 @@ object SparkEntry {
     ChangelogBuilder.build(feed, docsCfg).localCheckpoint(true)
   }
 
+  /** The POST-era-1 BM25 serving artifacts — the serving layout after
+    * the first maintenance cycle's in-place fold (which
+    * `ext_cdc_bm25_serving_fold` grades). Pure fixture function →
+    * memoized (the bm25Deploy2State precedent), so the streamed
+    * lifecycle row prices the ERA-2 fold under measurement, not era-1's
+    * replay. */
+  private def bm25ServingState2(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_bm25_serving2", s"$dir/documents.parquet") { tmp =>
+      val state = bm25ServingState(s, dir)
+      TempDirs.copyInto(state.resolve("postings"), tmp.resolve("postings"))
+      TempDirs.copyInto(state.resolve("doclen"), tmp.resolve("doclen"))
+      TempDirs.copyInto(state.resolve("stats"), tmp.resolve("stats"))
+      val delta1 = docsChangelogDelta(s, dir)
+      bm25ServingFoldAt(s, dir, tmp,
+        corpus(s, dir).join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"),
+        delta1)
+    }
+
+  /** The POST-era-1 IVF serving cells (same frozen centroids as
+    * [[ivfServingState]] — a fold never retrains). */
+  private def ivfServingState2(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivf_serving2",
+      Seq(s"$dir/embeddings.parquet", s"$dir/documents.parquet")) { tmp =>
+      val state = ivfServingState(s, dir)
+      TempDirs.copyInto(state.resolve("cells"), tmp.resolve("cells"))
+      val e = embeddings(s, dir)
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Similarity.ivfServingFold(s, tmp.resolve("cells").toString, old1,
+        old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")), cents)
+    }
+
   /** The era-2 lifecycle window staged as a 2-file stream feed for the
     * streamed in-place folds. Every extraction in
     * [[lifecycleDeltaSetsFrom]] is ROW-local on the window (updates carry
@@ -1382,15 +1416,14 @@ object SparkEntry {
     // (row-local extraction) fold in place; per-batch folds over disjoint
     // docs compose to the one-shot lifecycle fold. Same oracles
     "ext_cdc_bm25_serving_lifecycle_stream" -> ((s, dir) => {
-      val c = corpus(s, dir)
-      val state = bm25ServingState(s, dir)
+      // the post-era-1 serving layout is the MEMOIZED fixture (its fold
+      // is graded by ext_cdc_bm25_serving_fold); the graded subject here
+      // is the streamed era-2 lifecycle fold over it
+      val state = bm25ServingState2(s, dir)
       val base = TempDirs.create("graft_bm25srvlcst")
       TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
       TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
       TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
-      val delta1 = docsChangelogDelta(s, dir)
-      bm25ServingFoldAt(s, dir, base,
-        c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
       graft.streaming.StateStream.foldAvailableNow(
         s, docsLifecycleFeed(s, dir).resolve("w").toString,
         base.resolve("ckpt").toString) { w =>
@@ -1413,18 +1446,13 @@ object SparkEntry {
 
     "ext_cdc_ann_serving_lifecycle_stream" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val state = ivfServingState(s, dir)
+      val state2 = ivfServingState2(s, dir)
       val base = TempDirs.create("graft_srvlcst")
-      TempDirs.copyInto(state.resolve("cells"), base.resolve("cells"))
-      val cents = s.read.parquet(state.resolve("centroids").toString)
+      TempDirs.copyInto(state2.resolve("cells"), base.resolve("cells"))
+      val cents = s.read
+        .parquet(ivfServingState(s, dir).resolve("centroids").toString)
         .localCheckpoint(true)
       val cellsPath = base.resolve("cells").toString
-      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
-        .localCheckpoint(true)
-      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
-        .select(e("vec_id"), e("embedding"))
-      Similarity.ivfServingFold(s, cellsPath, old1,
-        old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")), cents)
       graft.streaming.StateStream.foldAvailableNow(
         s, docsLifecycleFeed(s, dir).resolve("w").toString,
         base.resolve("ckpt").toString) { w =>

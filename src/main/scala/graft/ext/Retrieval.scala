@@ -274,10 +274,11 @@ object Retrieval {
       .agg(count(lit(1)).as("__rm"))
       .crossJoin(newIds.join(oldIds, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("__ad")))
+    // n2 needs no checkpoint of its own: stats2's checkpoint (below)
+    // materializes this statsPath read before the statsPath overwrite
     val n2 = spark.read.parquet(statsPath).select("n")
       .crossJoin(broadcast(nAdj))
       .select((col("n") - col("__rm") + col("__ad")).as("n"))
-      .localCheckpoint(true)
     dl2.write.mode("overwrite").parquet(docLenPath)
     val stats2 = dl2.agg(sum("dl").as("__total")).crossJoin(broadcast(n2))
       .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
