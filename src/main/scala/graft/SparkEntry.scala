@@ -251,6 +251,21 @@ object SparkEntry {
         .parquet(tmp.resolve("episodes").toString)
     }
 
+  /** The COMPRESSED index in its serving layout: IVF-PQ codes partitioned
+    * by coarse cell — at 100 TB the realistic served artifact (codes, not
+    * raw vectors), probed with the same DPP pruning as the flat cells. */
+  private def ivfPqServingState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivfpq_serving", s"$dir/embeddings.parquet") { tmp =>
+      val e = embeddings(s, dir)
+      val (cents0, cb0) = Similarity.ivfPqModel(e)
+      cents0.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+      cb0.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+      Similarity.ivfPqEncode(e, cents0, cb0)
+        .repartition(col("ccell"))
+        .write.partitionBy("ccell").mode("overwrite")
+        .parquet(tmp.resolve("codes").toString)
+    }
+
   private val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
 
   /** The documents changelog's update-after text rows — the corpus DELTA
@@ -2130,6 +2145,23 @@ object SparkEntry {
       val queries = e.where(col("vec_id") % 100 === 0)
       val index = s.read.parquet(state.resolve("cells").toString)
       Similarity.ivfSearch(index, queries, cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // E2-IVFPQ''''' — the PARTITION-PRUNED read of the COMPRESSED index:
+    // the persisted IVF-PQ codes sit partitioned by coarse cell and the
+    // broadcast ADC distance table's probe assignment reaches the codes
+    // scan as a runtime partition filter — at 100 TB the index served is
+    // codes, not raw vectors, so THIS is the pruned read that matters
+    // most. Whole-corpus model → same oracle as ext_ann_ivfpq, verbatim
+    "ext_ann_ivfpq_pruned" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      Similarity.ivfPqSearch(
+        s.read.parquet(st.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0),
+        s.read.parquet(st.resolve("cents").toString),
+        s.read.parquet(st.resolve("cb").toString), k = 3)
         .orderBy("query_id", "rnk")
     }),
 
@@ -4308,6 +4340,8 @@ object SparkEntry {
     "ext_ann_rerank" -> ExtOracle.annPqRerankSql,
     "ext_ann_mrl" -> ExtOracle.annMrlSql,
     "ext_ann_ivfpq" -> ExtOracle.annIvfPqSql,
+    // the partitioned-codes layout and pruned read are result-invisible
+    "ext_ann_ivfpq_pruned" -> ExtOracle.annIvfPqSql,
     "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
     "ext_ann_ivfpq_refresh" -> ExtOracle.annIvfPqRefreshSql,

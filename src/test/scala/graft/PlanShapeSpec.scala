@@ -145,6 +145,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "expected a dynamicpruning partition filter on the bucket-partitioned episode scan")
   }
 
+  test("compressed-index read prunes code partitions DYNAMICALLY from the probe side") {
+    // the IVF-PQ codes are parquet-partitioned by coarse cell; the
+    // broadcast ADC table's probe assignment must reach the codes scan
+    // as a runtime partition filter
+    val plan = SparkEntry.queries("ext_ann_ivfpq_pruned")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined,
+      "expected a dynamicpruning partition filter on the code-partitioned scan")
+  }
+
   test("containment join never degenerates into a nested-loop product") {
     val p = plan("ext_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
