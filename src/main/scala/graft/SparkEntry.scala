@@ -2165,6 +2165,37 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // the incremental fold executed IN PLACE on the partitioned CODES
+    // layout: the hist-trained model's code index persists partitioned
+    // by coarse cell; the new-vector batch encodes at the frozen model
+    // and rewrites ONLY the cells it assigns to. Search over the folded
+    // layout ≡ the swap-style incremental fold — oracle verbatim
+    "ext_ann_ivfpq_serving_fold" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val isHist = col("vec_id") % 20 =!= 3
+      val state = TempDirs.memoized("graft_ivfpq_srv_hist",
+        s"$dir/embeddings.parquet") { tmp =>
+        val (cents0, cb0) = Similarity.ivfPqModel(e.where(isHist))
+        cents0.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+        cb0.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+        Similarity.ivfPqEncode(e.where(isHist), cents0, cb0)
+          .repartition(col("ccell"))
+          .write.partitionBy("ccell").mode("overwrite")
+          .parquet(tmp.resolve("codes").toString)
+      }
+      val base = TempDirs.create("graft_ivfpqsrvf")
+      TempDirs.copyInto(state.resolve("codes"), base.resolve("codes"))
+      val cents = s.read.parquet(state.resolve("cents").toString)
+      val cb = s.read.parquet(state.resolve("cb").toString)
+      val batch = e.where(!isHist).select(col("vec_id"), col("embedding"))
+      Similarity.ivfPqServingFold(s, base.resolve("codes").toString,
+        batch.where(lit(false)), batch, cents, cb)
+      Similarity.ivfPqSearch(
+        s.read.parquet(base.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-PQ — product-quantization ANN: per-subspace codebooks + ADC
     // lookup-sum scoring (the memory-compressed exhaustive-scan path)
     "ext_ann_pq" -> ((s, dir) =>
@@ -4343,6 +4374,8 @@ object SparkEntry {
     // the partitioned-codes layout and pruned read are result-invisible
     "ext_ann_ivfpq_pruned" -> ExtOracle.annIvfPqSql,
     "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
+    // the in-place codes fold lands on the same folded index
+    "ext_ann_ivfpq_serving_fold" -> ExtOracle.annIvfPqIncrementalSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
     "ext_ann_ivfpq_refresh" -> ExtOracle.annIvfPqRefreshSql,
     "ext_star_agg" -> ExtOracle.starAggSql,

@@ -793,6 +793,56 @@ object Similarity {
     pqAssign(pqResidualSub(emb, cents, 1, subspaces, idCol, vecCol), cb, Seq("ccell"), idCol)
       .select(col(idCol).as("neighbor_id"), col("ccell"), col("m"), col("cell"))
 
+  /** IN-PLACE partial maintenance of the coarse-cell-PARTITIONED code
+    * index — [[ivfServingFold]]'s mechanics on the COMPRESSED artifact:
+    * encoding is per-vector at the frozen (cents, cb) model, so a delta
+    * rewrites only the coarse cells its old/new vectors assign to; the
+    * generalized removal set (old ∪ new ids) covers
+    * revise/delete/insert, emptied cells are swept, and the fold is
+    * deterministic → replay-repairable. Same reader-isolation contract
+    * as [[ivfServingFold]]. */
+  def ivfPqServingFold(
+      spark: SparkSession,
+      codesPath: String,
+      oldVecs: DataFrame,
+      newVecs: DataFrame,
+      cents: DataFrame,
+      cb: DataFrame,
+      subspaces: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val newEnc = ivfPqEncode(newVecs, cents, cb, subspaces, idCol, vecCol)
+    val affected = ivfPqEncode(oldVecs, cents, cb, subspaces, idCol, vecCol)
+      .select("ccell")
+      .union(newEnc.select("ccell")).distinct().localCheckpoint(true)
+    val stored = spark.read.parquet(codesPath)
+    val deltaIds = oldVecs.select(col(idCol).as("__did"))
+      .union(newVecs.select(col(idCol).as("__did"))).distinct()
+    val replacement = stored
+      .join(affected.select(col("ccell").cast(stored.schema("ccell").dataType)),
+        Seq("ccell"), "left_semi")
+      .join(deltaIds, col("neighbor_id") === col("__did"), "left_anti")
+      .select("ccell", "neighbor_id", "m", "cell")
+      .unionByName(newEnc.select("ccell", "neighbor_id", "m", "cell"))
+      .localCheckpoint(true) // barrier: bytes leave the path
+    replacement.repartition(col("ccell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ccell")
+      .parquet(codesPath)
+    // sweep emptied coarse cells (model-bounded set — ≤ coarseK)
+    val present = replacement.select("ccell").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet
+    val emptied = affected.collect().map(_.get(0).toString.toLong)
+      .filterNot(present)
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(codesPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach(c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"ccell=$c"), true))
+    }
+  }
+
   /** ADC search over a prebuilt code index at the frozen model. */
   def ivfPqSearch(
       enc: DataFrame, queries: DataFrame, cents: DataFrame, cb: DataFrame,
