@@ -334,9 +334,7 @@ object SparkEntry {
       .unionByName(Retrieval.bm25Postings(delta))
     val n = s.read.parquet(state.resolve("docs").toString)
       .agg(count(lit(1)).as("n"))
-    val postC = c
-      .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+    val postC = postDeltaCorpus(c, delta)
     Retrieval.bm25TopKFromPostings(
       postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
       .orderBy("query_id", "rnk")
@@ -357,6 +355,33 @@ object SparkEntry {
       .unionByName(Similarity.ivfIndex(reEmbedded, cents))
     Similarity.ivfSearch(folded, e.where(col("vec_id") % 100 === 0), cents, k = 3)
       .orderBy("query_id", "rnk")
+  }
+
+  /** Copy the three BM25 serving artifacts into `base` — the graded fold
+    * rows MUTATE them, so each invocation works on its own copy. */
+  private def copyBm25State(
+      state: java.nio.file.Path, base: java.nio.file.Path): Unit = {
+    TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
+    TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
+    TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+  }
+
+  /** The corpus view with a (doc_id, text) revision delta applied. */
+  private def postDeltaCorpus(c: DataFrame, delta: DataFrame): DataFrame =
+    c.join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+
+  /** The corpus view after a lifecycle window: revisions applied, deleted
+    * docs dropped, inserted docs (fetched text) joined in. */
+  private def postLifecycleCorpus(base: DataFrame,
+      sets: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (upserts, ins, del) = sets
+    base
+      .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
+      .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
+      .where(col("__del").isNull)
+      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      .unionByName(upserts.join(ins, Seq("doc_id")))
   }
 
   /** One in-place BM25 serving fold against the artifact set under
@@ -414,12 +439,8 @@ object SparkEntry {
   /** The post-first-window corpus: [[corpus]] with the era-1 revisions
     * ([[docsChangelogDelta]]) applied — the corpus a maintained index has
     * folded through when the SECOND activity window arrives. */
-  private def postEra1Corpus(s: SparkSession, dir: String): DataFrame = {
-    val delta = docsChangelogDelta(s, dir)
-    corpus(s, dir)
-      .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
-  }
+  private def postEra1Corpus(s: SparkSession, dir: String): DataFrame =
+    postDeltaCorpus(corpus(s, dir), docsChangelogDelta(s, dir))
 
   /** The BM25 index as deployed AFTER the first maintenance cycle
     * (postings + registry over [[postEra1Corpus]]) — the state the
@@ -480,9 +501,7 @@ object SparkEntry {
   private def bm25ServingState2(s: SparkSession, dir: String): java.nio.file.Path =
     TempDirs.memoized("graft_bm25_serving2", s"$dir/documents.parquet") { tmp =>
       val state = bm25ServingState(s, dir)
-      TempDirs.copyInto(state.resolve("postings"), tmp.resolve("postings"))
-      TempDirs.copyInto(state.resolve("doclen"), tmp.resolve("doclen"))
-      TempDirs.copyInto(state.resolve("stats"), tmp.resolve("stats"))
+      copyBm25State(state, tmp)
       val delta1 = docsChangelogDelta(s, dir)
       bm25ServingFoldAt(s, dir, tmp,
         corpus(s, dir).join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"),
@@ -594,12 +613,7 @@ object SparkEntry {
       .join(del, Seq("doc_id"), "left_anti")
       .unionByName(ins)
       .agg(count(lit(1)).as("n"))
-    val postC = postEra1Corpus(s, dir).as("c")
-      .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-      .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
-      .where(col("__del").isNull)
-      .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
-      .unionByName(upserts.join(ins, Seq("doc_id"))) // inserted docs join the corpus view
+    val postC = postLifecycleCorpus(postEra1Corpus(s, dir), sets)
     Retrieval.bm25TopKFromPostings(
       postings.localCheckpoint(true), n, Retrieval.queryTerms(postC))
       .orderBy("query_id", "rnk")
@@ -1210,17 +1224,13 @@ object SparkEntry {
       val c = corpus(s, dir)
       val state = bm25ServingState(s, dir)
       val base = TempDirs.create("graft_bm25srvf")
-      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
-      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
-      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      copyBm25State(state, base)
       val delta = docsChangelogDelta(s, dir)
       val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
       Retrieval.bm25ServingFold(s,
         base.resolve("postings").toString, base.resolve("doclen").toString,
         base.resolve("stats").toString, oldDocs, delta)
-      val postC = c
-        .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      val postC = postDeltaCorpus(c, delta)
       Retrieval.bm25TopKServing(
         s.read.parquet(base.resolve("postings").toString),
         s.read.parquet(base.resolve("doclen").toString),
@@ -1241,9 +1251,7 @@ object SparkEntry {
       val c = corpus(s, dir)
       val state = bm25ServingState(s, dir)
       val base = TempDirs.create("graft_bm25srvfst")
-      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
-      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
-      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      copyBm25State(state, base)
       val feedDir = docsDeltaFeed(s, dir).resolve("delta").toString
       graft.streaming.StateStream.foldAvailableNow(
         s, feedDir, base.resolve("ckpt").toString) { batch =>
@@ -1256,9 +1264,7 @@ object SparkEntry {
           base.resolve("stats").toString, oldDocs, b)
       }
       val delta = docsChangelogDelta(s, dir)
-      val postC = c
-        .join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      val postC = postDeltaCorpus(c, delta)
       Retrieval.bm25TopKServing(
         s.read.parquet(base.resolve("postings").toString),
         s.read.parquet(base.resolve("doclen").toString),
@@ -1305,9 +1311,7 @@ object SparkEntry {
       val c = corpus(s, dir)
       val state = bm25ServingState(s, dir)
       val base = TempDirs.create("graft_bm25srvlc")
-      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
-      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
-      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      copyBm25State(state, base)
       // era 1: revisions
       val delta1 = docsChangelogDelta(s, dir)
       bm25ServingFoldAt(s, dir, base,
@@ -1316,12 +1320,7 @@ object SparkEntry {
       val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
       val post1 = postEra1Corpus(s, dir)
       bm25ServingLifecycleFoldAt(s, dir, base, (upserts, ins, del))
-      val postC = post1
-        .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-        .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
-        .where(col("__del").isNull)
-        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
-        .unionByName(upserts.join(ins, Seq("doc_id")))
+      val postC = postLifecycleCorpus(post1, (upserts, ins, del))
       Retrieval.bm25TopKServing(
         s.read.parquet(base.resolve("postings").toString),
         s.read.parquet(base.resolve("doclen").toString),
@@ -1426,9 +1425,7 @@ object SparkEntry {
       val c = corpus(s, dir)
       val state = bm25ServingState(s, dir)
       val base = TempDirs.create("graft_bm25srvfgt")
-      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
-      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
-      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      copyBm25State(state, base)
       val subject = c.where(col("doc_id") % 9 === 4)
       bm25ServingFoldAt(s, dir, base, subject, subject.where(lit(false)))
       Retrieval.bm25TopKServing(
@@ -1450,21 +1447,14 @@ object SparkEntry {
       // is the streamed era-2 lifecycle fold over it
       val state = bm25ServingState2(s, dir)
       val base = TempDirs.create("graft_bm25srvlcst")
-      TempDirs.copyInto(state.resolve("postings"), base.resolve("postings"))
-      TempDirs.copyInto(state.resolve("doclen"), base.resolve("doclen"))
-      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      copyBm25State(state, base)
       graft.streaming.StateStream.foldAvailableNow(
         s, docsLifecycleFeed(s, dir).resolve("w").toString,
         base.resolve("ckpt").toString) { w =>
         bm25ServingLifecycleFoldAt(s, dir, base, lifecycleDeltaSetsFrom(w, s, dir))
       }
       val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
-      val postC = postEra1Corpus(s, dir)
-        .join(upserts.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
-        .join(del.select(col("doc_id"), lit(1).as("__del")), Seq("doc_id"), "left")
-        .where(col("__del").isNull)
-        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
-        .unionByName(upserts.join(ins, Seq("doc_id")))
+      val postC = postLifecycleCorpus(postEra1Corpus(s, dir), (upserts, ins, del))
       Retrieval.bm25TopKServing(
         s.read.parquet(base.resolve("postings").toString),
         s.read.parquet(base.resolve("doclen").toString),

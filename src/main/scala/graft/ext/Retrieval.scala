@@ -148,12 +148,23 @@ object Retrieval {
     val withDf = postings
       .join(postings.groupBy("term").agg(count(lit(1)).as("df")), "term")
       .withColumn("bucket", termBucket(col("term"), buckets))
-    val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = postings.agg(sum("tf").as("__total"))
-      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n"))))
-      .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
+    // the length table doubles as the DOC REGISTRY: one row per corpus
+    // doc, dl = 0 for docs no posting reaches (the empty-doc registry
+    // lesson) — so n and avgdl derive WHOLLY from it, at build time and
+    // at every fold
+    val docLen = corpus.select(col("doc_id"))
+      .join(postings.groupBy("doc_id").agg(sum("tf").as("__dl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"))
+    val stats = statsFromDocLen(docLen)
     (withDf, docLen, stats)
   }
+
+  /** (n, avgdl) derived from the registry-complete doc-length table —
+    * the ONLY source of corpus statistics, so a fold that rebuilds the
+    * length table idempotently gets idempotent stats for free. */
+  private def statsFromDocLen(docLen: DataFrame): DataFrame =
+    docLen.agg(sum("dl").as("__total"), count(lit(1)).as("n"))
+      .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
 
   /** The PRUNED serving read over the persisted artifacts: the query's
     * terms carry their buckets, so the join against the bucket-PARTITIONED
@@ -201,11 +212,16 @@ object Retrieval {
     * OLD terms (pre-delta text via pointed lookup — an index scan by
     * doc_id would read every bucket) ∪ their NEW terms.
     *
-    * The doc-length table and the 1-row stats are doc-count-sized and
-    * 1-row artifacts — rewritten whole (with a materialization barrier),
-    * which at 100 TB is orders of magnitude below the postings. Dynamic
-    * partition overwrite + the emptied-bucket sweep + replay determinism
-    * carry over from the IVF fold (RetrievalSpec pins all three). */
+    * The doc-length table doubles as the DOC REGISTRY (dl = 0 for empty
+    * docs) and rebuilds by anti-join + union — rewritten whole behind a
+    * materialization barrier, doc-count-sized, orders of magnitude below
+    * the postings at 100 TB — and (n, avgdl) derive WHOLLY from it, so
+    * every artifact of the fold is replay-idempotent (a re-delivered
+    * batch lands on the identical state; a carried n scalar would
+    * double-adjust on replayed inserts/deletes — the count-min sum-merge
+    * lesson). Dynamic partition overwrite + the emptied-bucket sweep +
+    * replay repair carry over from the IVF fold (RetrievalSpec pins all
+    * three, including replay WITH deletes and inserts). */
   def bm25ServingFold(
       spark: org.apache.spark.sql.SparkSession,
       postingsPath: String,
@@ -243,46 +259,24 @@ object Retrieval {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(postingsPath)
-    // sweep buckets the fold emptied (bounded by the bucket count, a
-    // layout constant — the control-plane justification of the IVF sweep)
-    val present = withDf.select("bucket").distinct().collect()
-      .map(_.get(0).toString.toLong).toSet
-    val emptied = affected.collect().map(_.get(0).toString.toLong)
-      .filterNot(present)
-    if (emptied.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(postingsPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach(b =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
-    }
-    // the doc-count-sized artifacts: swap the delta docs' lengths, then
-    // stats re-derives from the updated lengths. n cannot re-derive from
-    // lengths or postings (an empty doc never reaches them — the registry
-    // lesson of the BM25 forget fold): it carries over from the stored
-    // stats ADJUSTED by the id diff — deletes (old ids with no new row)
-    // shrink it, inserts (new ids with no old row) grow it, revisions
-    // leave it alone; all delta-sized count aggregates riding broadcast
-    val newDl = newPost.groupBy("doc_id").agg(sum("tf").as("dl"))
+    ServingLayout.sweepEmptied(spark, postingsPath, "bucket", affected, withDf)
+    // the doc-count-sized artifacts: the length table is the REGISTRY
+    // (one row per live doc, dl = 0 when no posting reaches it), so its
+    // anti-join + union rebuild is REPLAY-IDEMPOTENT — deletes drop the
+    // row, inserts add one, a re-delivered batch lands on the identical
+    // table — and n/avgdl derive wholly from it (never a carried scalar,
+    // which a replayed insert/delete batch would adjust twice: the
+    // count-min sum-merge lesson)
+    val newDl = newDocs.select(col("doc_id"))
+      .join(newPost.groupBy("doc_id").agg(sum("tf").as("__dl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"))
     val dl2 = spark.read.parquet(docLenPath)
       .join(deltaIds, col("doc_id") === col("__did"), "left_anti")
       .select("doc_id", "dl")
       .unionByName(newDl)
       .localCheckpoint(true)
-    val oldIds = oldDocs.select(col("doc_id"))
-    val newIds = newDocs.select(col("doc_id"))
-    val nAdj = oldIds.join(newIds, Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("__rm"))
-      .crossJoin(newIds.join(oldIds, Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("__ad")))
-    // n2 needs no checkpoint of its own: stats2's checkpoint (below)
-    // materializes this statsPath read before the statsPath overwrite
-    val n2 = spark.read.parquet(statsPath).select("n")
-      .crossJoin(broadcast(nAdj))
-      .select((col("n") - col("__rm") + col("__ad")).as("n"))
     dl2.write.mode("overwrite").parquet(docLenPath)
-    val stats2 = dl2.agg(sum("dl").as("__total")).crossJoin(broadcast(n2))
-      .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
-      .localCheckpoint(true)
+    val stats2 = statsFromDocLen(dl2).localCheckpoint(true)
     stats2.write.mode("overwrite").parquet(statsPath)
   }
 

@@ -449,17 +449,7 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(cellsPath)
-    // sweep cells the fold EMPTIED (bounded by the centroid count — both
-    // frames are ≤ numCentroids rows after distinct)
-    val present = replacement.select("cell").distinct().collect()
-      .map(_.get(0).toString.toLong).toSet
-    val emptied = affected.collect().map(_.get(0).toString.toLong)
-      .filterNot(present)
-    if (emptied.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(cellsPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach(c => fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true))
-    }
+    ServingLayout.sweepEmptied(spark, cellsPath, "cell", affected, replacement)
   }
 
   /** Probe-side IVF search over a built index: queries assign to their
@@ -830,17 +820,7 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ccell")
       .parquet(codesPath)
-    // sweep emptied coarse cells (model-bounded set — ≤ coarseK)
-    val present = replacement.select("ccell").distinct().collect()
-      .map(_.get(0).toString.toLong).toSet
-    val emptied = affected.collect().map(_.get(0).toString.toLong)
-      .filterNot(present)
-    if (emptied.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(codesPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach(c =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"ccell=$c"), true))
-    }
+    ServingLayout.sweepEmptied(spark, codesPath, "ccell", affected, replacement)
   }
 
   /** ADC search over a prebuilt code index at the frozen model. */

@@ -374,7 +374,7 @@ object ExtProperties extends Properties("ext") with SparkFixture {
     genText = Gen.choose(2, 6).flatMap(len =>
       Gen.listOfN(len, Gen.oneOf(words)).map(_.mkString(" ")))
     texts <- Gen.listOfN(n, genText)
-    ops <- Gen.listOfN(n, Gen.choose(0, 3)) // 0 keep, 1 revise, 2 delete
+    ops <- Gen.listOfN(n, Gen.choose(0, 2)) // 0 keep, 1 revise, 2 delete
     revTexts <- Gen.listOfN(n, genText)
     k <- Gen.choose(0, 3)
     insTexts <- Gen.listOfN(k, genText)

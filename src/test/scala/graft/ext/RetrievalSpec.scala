@@ -203,5 +203,27 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       buckets = B)
     assert(postingsSet(s.read.parquet(base.resolve("postings").toString)) ==
       postingsSet(ps), "a replayed fold must land on the identical state")
+
+    // replay WITH a delete AND an insert, ALL artifacts compared: a
+    // carried n scalar would shrink/grow twice on the re-delivered batch
+    // (the count-min sum-merge lesson) — the registry-derived stats must
+    // land on the identical (n, avgdl) instead
+    val del2 = post.where($"doc_id" === 2L)
+    val ins2 = Seq((9L, "gamma delta")).toDF("doc_id", "text")
+    def fold2(): Unit = Retrieval.bm25ServingFold(s,
+      base.resolve("postings").toString, base.resolve("doclen").toString,
+      base.resolve("stats").toString, del2, ins2, buckets = B)
+    fold2()
+    fold2() // the re-delivered batch
+    val post2 = post.where($"doc_id" =!= 2L).unionByName(ins2)
+    val (ps2, dls2, sts2) = Retrieval.bm25ServingArtifacts(post2, buckets = B)
+    assert(postingsSet(s.read.parquet(base.resolve("postings").toString)) ==
+      postingsSet(ps2), "replayed delete+insert: postings must equal scratch")
+    assert(s.read.parquet(base.resolve("doclen").toString)
+        .as[(Long, Long)].collect().toSet == dls2.as[(Long, Long)].collect().toSet,
+      "replayed delete+insert: the registry must equal scratch")
+    assert(s.read.parquet(base.resolve("stats").toString)
+        .as[(Long, Long)].collect().toSet == sts2.as[(Long, Long)].collect().toSet,
+      "replayed delete+insert: (n, avgdl) must equal scratch — never double-adjusted")
   }
 }
