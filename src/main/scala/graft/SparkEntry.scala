@@ -228,12 +228,16 @@ object SparkEntry {
     * 1-row corpus stats — so a query reads only its terms' buckets and
     * never derives statistics from a full index scan. */
   private def bm25ServingState(s: SparkSession, dir: String): java.nio.file.Path =
-    TempDirs.memoized("graft_bm25_serving", s"$dir/documents.parquet") { tmp =>
+    TempDirs.memoized("graft_bm25_servingr2", s"$dir/documents.parquet") { tmp =>
       val (post, dl, stats) = Retrieval.bm25ServingArtifacts(corpus(s, dir))
       post.repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(tmp.resolve("postings").toString)
-      dl.write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
+      // the registry is itself a bucket-partitioned layout (folded per
+      // affected bucket, never rewritten whole)
+      dl.repartition(col("dbucket"))
+        .write.partitionBy("dbucket").mode("overwrite")
+        .parquet(tmp.resolve("doclen").toString)
       stats.write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
 
@@ -499,7 +503,7 @@ object SparkEntry {
     * lifecycle row prices the ERA-2 fold under measurement, not era-1's
     * replay. */
   private def bm25ServingState2(s: SparkSession, dir: String): java.nio.file.Path =
-    TempDirs.memoized("graft_bm25_serving2", s"$dir/documents.parquet") { tmp =>
+    TempDirs.memoized("graft_bm25_serving2r2", s"$dir/documents.parquet") { tmp =>
       val state = bm25ServingState(s, dir)
       copyBm25State(state, tmp)
       val delta1 = docsChangelogDelta(s, dir)

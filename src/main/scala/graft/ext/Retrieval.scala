@@ -135,6 +135,24 @@ object Retrieval {
   def termBucket(term: Column, buckets: Int = 16): Column =
     conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
 
+  /** Doc-id→bucket assignment for the REGISTRY's partition layout —
+    * layout-internal like [[termBucket]], never graded content. */
+  def docBucket(docId: Column, buckets: Int = 16): Column =
+    pmod(docId, lit(buckets.toLong))
+
+  /** Explicit schema of the persisted registry layout (dbucket is the
+    * partition column): a fold that empties EVERY bucket leaves a
+    * footer-less directory, and the post-fold stats read must see the
+    * empty registry as a readable (n = 0) state, never a schema-inference
+    * crash. */
+  private val registrySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dbucket",
+      org.apache.spark.sql.types.LongType)))
+
   /** The SERVING artifact set of the BM25 index — what a production
     * deployment persists so a query never derives statistics from a full
     * index scan: postings DENORMALIZED with their term's df and tagged
@@ -151,20 +169,30 @@ object Retrieval {
     // the length table doubles as the DOC REGISTRY: one row per corpus
     // doc, dl = 0 for docs no posting reaches (the empty-doc registry
     // lesson) — so n and avgdl derive WHOLLY from it, at build time and
-    // at every fold
+    // at every fold. It carries its own partition key ([[docBucket]]) so
+    // the PERSISTED registry is a bucket-partitioned layout a fold
+    // rewrites per affected bucket, never whole.
     val docLen = corpus.select(col("doc_id"))
       .join(postings.groupBy("doc_id").agg(sum("tf").as("__dl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"))
+      .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"),
+        docBucket(col("doc_id"), buckets).as("dbucket"))
     val stats = statsFromDocLen(docLen)
     (withDf, docLen, stats)
   }
 
   /** (n, avgdl) derived from the registry-complete doc-length table —
     * the ONLY source of corpus statistics, so a fold that rebuilds the
-    * length table idempotently gets idempotent stats for free. */
+    * length table idempotently gets idempotent stats for free. A fold
+    * that empties the registry (every remaining doc deleted) publishes
+    * the explicit (n = 0, avgdl = 0) row — a DETECTABLE state a consumer
+    * can refuse, never NULL arithmetic silently propagating through
+    * scores. */
   private def statsFromDocLen(docLen: DataFrame): DataFrame =
     docLen.agg(sum("dl").as("__total"), count(lit(1)).as("n"))
-      .select(col("n"), intDiv(col("__total"), col("n")).as("avgdl"))
+      .select(col("n"),
+        when(col("n") === 0L, lit(0L))
+          .otherwise(intDiv(coalesce(col("__total"), lit(0L)), col("n")))
+          .as("avgdl"))
 
   /** The PRUNED serving read over the persisted artifacts: the query's
     * terms carry their buckets, so the join against the bucket-PARTITIONED
@@ -213,15 +241,17 @@ object Retrieval {
     * doc_id would read every bucket) ∪ their NEW terms.
     *
     * The doc-length table doubles as the DOC REGISTRY (dl = 0 for empty
-    * docs) and rebuilds by anti-join + union — rewritten whole behind a
-    * materialization barrier, doc-count-sized, orders of magnitude below
-    * the postings at 100 TB — and (n, avgdl) derive WHOLLY from it, so
-    * every artifact of the fold is replay-idempotent (a re-delivered
-    * batch lands on the identical state; a carried n scalar would
-    * double-adjust on replayed inserts/deletes — the count-min sum-merge
-    * lesson). Dynamic partition overwrite + the emptied-bucket sweep +
-    * replay repair carry over from the IVF fold (RetrievalSpec pins all
-    * three, including replay WITH deletes and inserts). */
+    * docs) and is ITSELF a [[docBucket]]-partitioned layout folded like
+    * the postings — anti-join + union confined to the delta ids'
+    * buckets, so a micro-batch costs O(affected buckets) at 10⁹ docs,
+    * never a registry-sized rewrite. (n, avgdl) derive WHOLLY from the
+    * post-fold registry read back from disk, so every artifact of the
+    * fold is replay-idempotent (a re-delivered batch lands on the
+    * identical state; a carried n scalar would double-adjust on replayed
+    * inserts/deletes — the count-min sum-merge lesson). Dynamic
+    * partition overwrite + the emptied-bucket sweep + replay repair
+    * carry over from the IVF fold (RetrievalSpec pins all three,
+    * including replay WITH deletes and inserts). */
   def bm25ServingFold(
       spark: org.apache.spark.sql.SparkSession,
       postingsPath: String,
@@ -260,23 +290,36 @@ object Retrieval {
       .partitionBy("bucket")
       .parquet(postingsPath)
     ServingLayout.sweepEmptied(spark, postingsPath, "bucket", affected, withDf)
-    // the doc-count-sized artifacts: the length table is the REGISTRY
-    // (one row per live doc, dl = 0 when no posting reaches it), so its
-    // anti-join + union rebuild is REPLAY-IDEMPOTENT — deletes drop the
+    // the REGISTRY fold: the length table (one row per live doc, dl = 0
+    // when no posting reaches it) is a dbucket-partitioned layout and the
+    // delta ids' buckets are the only ones rewritten — deletes drop the
     // row, inserts add one, a re-delivered batch lands on the identical
-    // table — and n/avgdl derive wholly from it (never a carried scalar,
-    // which a replayed insert/delete batch would adjust twice: the
-    // count-min sum-merge lesson)
+    // per-bucket content (anti-join + union is replay-idempotent; a
+    // carried n scalar would adjust twice: the count-min sum-merge
+    // lesson). n/avgdl still derive WHOLLY from the registry — read back
+    // post-fold, a pure function of on-disk state.
     val newDl = newDocs.select(col("doc_id"))
       .join(newPost.groupBy("doc_id").agg(sum("tf").as("__dl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"))
-    val dl2 = spark.read.parquet(docLenPath)
+      .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"),
+        docBucket(col("doc_id"), buckets).as("dbucket"))
+    val storedDl = spark.read.schema(registrySchema).parquet(docLenPath)
+    val affectedDl = deltaIds
+      .select(docBucket(col("__did"), buckets).as("dbucket"))
+      .distinct().localCheckpoint(true)
+    val dl2 = storedDl
+      .join(affectedDl, Seq("dbucket"), "left_semi")
       .join(deltaIds, col("doc_id") === col("__did"), "left_anti")
-      .select("doc_id", "dl")
-      .unionByName(newDl)
-      .localCheckpoint(true)
-    dl2.write.mode("overwrite").parquet(docLenPath)
-    val stats2 = statsFromDocLen(dl2).localCheckpoint(true)
+      .select("dbucket", "doc_id", "dl")
+      .unionByName(newDl.select("dbucket", "doc_id", "dl"))
+      .localCheckpoint(true) // barrier: bytes leave the path being overwritten
+    dl2.repartition(col("dbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dbucket")
+      .parquet(docLenPath)
+    ServingLayout.sweepEmptied(spark, docLenPath, "dbucket", affectedDl, dl2)
+    val stats2 = statsFromDocLen(
+      spark.read.schema(registrySchema).parquet(docLenPath)).localCheckpoint(true)
     stats2.write.mode("overwrite").parquet(statsPath)
   }
 

@@ -398,7 +398,8 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       val (p0, dl0, st0) = Retrieval.bm25ServingArtifacts(preDf, buckets = B)
       p0.repartition(col("bucket")).write.partitionBy("bucket")
         .parquet(base.resolve("postings").toString)
-      dl0.write.parquet(base.resolve("doclen").toString)
+      dl0.repartition(col("dbucket")).write.partitionBy("dbucket")
+        .parquet(base.resolve("doclen").toString)
       st0.write.parquet(base.resolve("stats").toString)
       val touched = (revs.map(_._1) ++ dels).toSet
       val oldDocs = preDf.where(col("doc_id").isin(touched.toSeq.map(Long.box): _*))

@@ -156,7 +156,8 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     val (p0, dl0, st0) = Retrieval.bm25ServingArtifacts(pre, buckets = B)
     p0.repartition(col("bucket")).write.partitionBy("bucket")
       .parquet(base.resolve("postings").toString)
-    dl0.write.parquet(base.resolve("doclen").toString)
+    dl0.repartition(col("dbucket")).write.partitionBy("dbucket")
+      .parquet(base.resolve("doclen").toString)
     st0.write.parquet(base.resolve("stats").toString)
 
     def bucketOf(terms: DataFrame): Set[Long] =
@@ -167,13 +168,19 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     val keepB = bucketOf(Retrieval.bm25Postings(pre.where($"doc_id" =!= 3L)))
     val untouched = (keepB -- oldB -- newB)
     assert(untouched.nonEmpty, "construction must leave some bucket untouched")
-    def files(b: Long): Map[String, Long] = {
-      val d = Paths.get(base.resolve("postings").toString, s"bucket=$b")
+    def filesUnder(d: java.nio.file.Path): Map[String, Long] =
       if (!Files.exists(d)) Map.empty
       else Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
         .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis).toMap
-    }
+    def files(b: Long): Map[String, Long] =
+      filesUnder(Paths.get(base.resolve("postings").toString, s"bucket=$b"))
+    def dlFiles(b: Long): Map[String, Long] =
+      filesUnder(Paths.get(base.resolve("doclen").toString, s"dbucket=$b"))
     val beforeFiles = untouched.map(b => b -> files(b)).toMap
+    // the delta touches only doc 3 — registry buckets 1 and 2 (docs 1, 2)
+    // must keep their bytes through the fold (the registry write is
+    // pruned to the delta ids' buckets, never a whole-registry rewrite)
+    val dlBefore = Seq(1L, 2L).map(b => b -> dlFiles(b)).toMap
 
     Retrieval.bm25ServingFold(s,
       base.resolve("postings").toString, base.resolve("doclen").toString,
@@ -183,15 +190,19 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     def postingsSet(df: DataFrame): Set[(Long, String, Long, Long, Long)] =
       df.select($"bucket".cast("long"), $"term", $"doc_id", $"tf", $"df")
         .as[(Long, String, Long, Long, Long)].collect().toSet
+    def dlSet(df: DataFrame): Set[(Long, Long)] =
+      df.select($"doc_id", $"dl").as[(Long, Long)].collect().toSet
     val (ps, dls, sts) = Retrieval.bm25ServingArtifacts(post, buckets = B)
     assert(postingsSet(s.read.parquet(base.resolve("postings").toString)) ==
       postingsSet(ps), "folded postings (incl. re-derived df) must equal scratch")
-    assert(s.read.parquet(base.resolve("doclen").toString).as[(Long, Long)].collect().toSet
-      == dls.as[(Long, Long)].collect().toSet, "doc lengths must equal scratch")
+    assert(dlSet(s.read.parquet(base.resolve("doclen").toString))
+      == dlSet(dls), "doc lengths must equal scratch")
     assert(s.read.parquet(base.resolve("stats").toString).as[(Long, Long)].collect().toSet
       == sts.as[(Long, Long)].collect().toSet, "stats must equal scratch")
     assert(untouched.forall(b => files(b) == beforeFiles(b)),
       "buckets outside the delta's term footprint must keep their bytes")
+    assert(Seq(1L, 2L).forall(b => dlFiles(b) == dlBefore(b)),
+      "registry buckets outside the delta's doc ids must keep their bytes")
     val sweepable = oldB -- newB -- keepB
     assert(sweepable.nonEmpty, "construction must empty at least one bucket")
     assert(sweepable.forall(b => files(b).isEmpty),
@@ -219,11 +230,27 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     val (ps2, dls2, sts2) = Retrieval.bm25ServingArtifacts(post2, buckets = B)
     assert(postingsSet(s.read.parquet(base.resolve("postings").toString)) ==
       postingsSet(ps2), "replayed delete+insert: postings must equal scratch")
-    assert(s.read.parquet(base.resolve("doclen").toString)
-        .as[(Long, Long)].collect().toSet == dls2.as[(Long, Long)].collect().toSet,
+    assert(dlSet(s.read.parquet(base.resolve("doclen").toString)) == dlSet(dls2),
       "replayed delete+insert: the registry must equal scratch")
     assert(s.read.parquet(base.resolve("stats").toString)
         .as[(Long, Long)].collect().toSet == sts2.as[(Long, Long)].collect().toSet,
       "replayed delete+insert: (n, avgdl) must equal scratch — never double-adjusted")
+    // the delete emptied doc 2's registry bucket — swept, like a posting
+    // bucket the fold empties
+    assert(dlFiles(2L).isEmpty,
+      "a registry bucket the fold emptied must be swept from disk")
+
+    // a fold that deletes EVERY remaining doc publishes the explicit
+    // (n = 0, avgdl = 0) stats row — a detectable empty-corpus state,
+    // never NULL arithmetic (the advisor's statsFromDocLen guard)
+    val everything = post2
+    Retrieval.bm25ServingFold(s,
+      base.resolve("postings").toString, base.resolve("doclen").toString,
+      base.resolve("stats").toString, everything,
+      everything.where(lit(false)), buckets = B)
+    val emptyStats = s.read.parquet(base.resolve("stats").toString).collect()
+    assert(emptyStats.length == 1 &&
+      emptyStats(0).getLong(0) == 0L && emptyStats(0).getLong(1) == 0L,
+      "an emptied corpus must publish (n = 0, avgdl = 0), not NULLs")
   }
 }
