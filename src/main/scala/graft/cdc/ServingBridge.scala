@@ -122,23 +122,43 @@ object ServingBridge {
     * episode store (the serving-store member of the pruned-layout family
     * beside the IVF cells and BM25 buckets): a selective request set
     * broadcasts, its buckets reach the episode scan as a runtime
-    * partition filter (episodes sit on the prunable left of a RIGHT
-    * OUTER join — unmatched requests still surface with NULLs), and the
-    * read touches only the requested keys' buckets of a changelog-sized
-    * store. Column contract identical to [[enrichAsOf]]. */
+    * partition filter, and the read touches only the requested keys'
+    * buckets of a changelog-sized store. Column contract identical to
+    * [[enrichAsOf]].
+    *
+    * Shape note: the outer-join form would put the broadcast hint on the
+    * PRESERVED side of a right-outer join, which BroadcastHashJoin
+    * cannot honor — the planner silently builds the other side and the
+    * runtime partition filter degenerates to `true` (pruning never
+    * executes). So the preserved semantics are reconstructed around an
+    * INNER join with the requests as the genuine build side (the
+    * sibling IVF/BM25 pruned reads' proven pattern): each request
+    * matches AT MOST one episode (the [from, to) intervals partition
+    * the timeline per key), so `matched` is request-bounded, and the
+    * requests that found no episode ride back in NULL-padded via a
+    * broadcast anti join — right-outer results, both episode scans
+    * runtime-pruned (PlanShapeSpec asserts the executed scan's pruning
+    * metrics, not just the plan string). */
   def enrichAsOfPruned(requests: DataFrame, episodes: DataFrame,
       buckets: Int = 16): DataFrame = {
     val eps = episodes.withColumnRenamed("serve_key", "__ek")
     val req = requests.withColumn("__b",
       keyBucket(col("serve_key"), buckets).cast(eps.schema("bucket").dataType))
-    eps.join(broadcast(req),
+    val matched = eps.join(broadcast(req),
       eps("bucket") === req("__b") &&
         eps("__ek") === req("serve_key") &&
         eps("valid_from_s") <= req("serve_s") &&
         (eps("valid_to_s").isNull || req("serve_s") < eps("valid_to_s")),
-      "right")
+      "inner")
       .select(col("event_id"), col("serve_key"), col("serve_s"),
         col("status_asof"), col("ep_id"))
+    val unmatched = req
+      .join(broadcast(matched.select(col("event_id").as("__m"))),
+        col("event_id") === col("__m"), "left_anti")
+      .select(col("event_id"), col("serve_key"), col("serve_s"),
+        lit(null).cast(eps.schema("status_asof").dataType).as("status_asof"),
+        lit(null).cast(eps.schema("ep_id").dataType).as("ep_id"))
+    matched.unionByName(unmatched)
   }
 
   /** Multi-FEATURE point-in-time enrichment — the feature-store "read the

@@ -135,14 +135,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "expected a dynamicpruning partition filter on the bucket-partitioned postings scan")
   }
 
-  test("serving point read prunes episode buckets DYNAMICALLY from the request side") {
+  test("serving point read prunes episode buckets AT RUNTIME, not just in the plan string") {
     // the persisted episode store is parquet-partitioned by key bucket;
     // the broadcast request slice must reach the scan as a runtime
-    // partition filter (right-outer join — episodes on the prunable left)
-    val plan = SparkEntry.queries("ext_cdc_serving_pruned")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined,
-      "expected a dynamicpruning partition filter on the bucket-partitioned episode scan")
+    // partition filter. The plan STRING contains `dynamicpruning#N` even
+    // when the adaptive subquery collapses to DynamicPruningExpression
+    // (true) at execution (the r12 right-outer hole) — so this lock
+    // EXECUTES the query and asserts the scan's pruning METRICS: the
+    // slice's serve keys are all even (event_id % 20 = 0 pins the
+    // residue CASE to 2), so at most the 8 even buckets of 16 may be
+    // read; a degenerated filter reads all 16.
+    val df = SparkEntry.queries("ext_cdc_serving_pruned")(spark, dir)
+    df.collect()
+    // descend through adaptive stages and reused exchanges — the episode
+    // scans live inside materialized QueryStageExec leaves
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scansOf(r.child)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case _ => Nil
+      }
+    val scans = scansOf(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("episodes")))
+    assert(scans.nonEmpty, "expected episode-store scans in the executed plan")
+    scans.foreach { f =>
+      val read = f.metrics.get("numPartitions").map(_.value)
+      assert(read.exists(_ <= 8),
+        s"episode scan must runtime-prune to the slice's (even) buckets, " +
+          s"read $read of 16")
+    }
   }
 
   test("compressed-index read prunes code partitions DYNAMICALLY from the probe side") {
