@@ -2190,6 +2190,65 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // the CDC→COMPRESSED-index bridge — the composition matrix closed
+    // over the artifact that matters most at 100 TB (the served index is
+    // codes, not raw vectors): the changelog delta's revised docs
+    // re-embed (reversal stub) via pointed id lookups and fold IN PLACE
+    // into the ccell-PARTITIONED code layout at the frozen deployed
+    // model — coarse cells relocate per vector, residual codes re-derive
+    // per subspace, and only the old/new coarse cells' directories
+    // rewrite. Graded ≡ scratch encoding of the POST-delta vector set at
+    // the pre-delta-trained (centroids, codebooks): encoding is
+    // per-vector at fixed parameters, so fold ≡ scratch exactly
+    "ext_cdc_ivfpq_serving_fold" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      val base = TempDirs.create("graft_ivfpqcdc")
+      TempDirs.copyInto(st.resolve("codes"), base.resolve("codes"))
+      val cents = s.read.parquet(st.resolve("cents").toString).localCheckpoint(true)
+      val cb = s.read.parquet(st.resolve("cb").toString).localCheckpoint(true)
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id"))
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      val newVecs = oldVecs.select(col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.ivfPqServingFold(s, base.resolve("codes").toString,
+        oldVecs, newVecs, cents, cb)
+      Similarity.ivfPqSearch(
+        s.read.parquet(base.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the streamed twin: the delta arrives in 2 micro-batches (disjoint
+    // doc ranges) through the REAL streaming engine and EACH batch folds
+    // the code layout in place — per-batch folds over disjoint ids
+    // compose to the one-shot fold (encoding is per-vector; affected-cell
+    // content is read CURRENT per batch). Same post-delta oracle
+    "ext_cdc_ivfpq_serving_fold_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      val base = TempDirs.create("graft_ivfpqcdcst")
+      TempDirs.copyInto(st.resolve("codes"), base.resolve("codes"))
+      val cents = s.read.parquet(st.resolve("cents").toString).localCheckpoint(true)
+      val cb = s.read.parquet(st.resolve("cb").toString).localCheckpoint(true)
+      val feedDir = docsDeltaFeed(s, dir).resolve("delta").toString
+      graft.streaming.StateStream.foldAvailableNow(
+        s, feedDir, base.resolve("ckpt").toString) { batch =>
+        val ids = batch.select(col("doc_id")).localCheckpoint(true)
+        val oldVecs = e.join(ids, e("vec_id") === ids("doc_id"))
+          .select(e("vec_id"), e("embedding"))
+        val newVecs = oldVecs.select(col("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+        Similarity.ivfPqServingFold(s, base.resolve("codes").toString,
+          oldVecs, newVecs, cents, cb)
+      }
+      Similarity.ivfPqSearch(
+        s.read.parquet(base.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-PQ — product-quantization ANN: per-subspace codebooks + ADC
     // lookup-sum scoring (the memory-compressed exhaustive-scan path)
     "ext_ann_pq" -> ((s, dir) =>
@@ -4370,6 +4429,8 @@ object SparkEntry {
     "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
     // the in-place codes fold lands on the same folded index
     "ext_ann_ivfpq_serving_fold" -> ExtOracle.annIvfPqIncrementalSql,
+    "ext_cdc_ivfpq_serving_fold" -> ExtOracle.cdcIvfPqDeltaSql,
+    "ext_cdc_ivfpq_serving_fold_stream" -> ExtOracle.cdcIvfPqDeltaSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
     "ext_ann_ivfpq_refresh" -> ExtOracle.annIvfPqRefreshSql,
     "ext_star_agg" -> ExtOracle.starAggSql,

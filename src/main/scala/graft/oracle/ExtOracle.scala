@@ -3988,12 +3988,49 @@ object ExtOracle {
   lazy val annIvfPqRefreshSql: String = annIvfPqSqlWith(
     "TRUE", "e.neighbor_id % 50 <> 7", Some("vec_id % 50 <> 7"))
 
+  /** CDC→COMPRESSED-index bridge ≙ ext_cdc_ivfpq_serving_fold[_stream]:
+    * the changelog delta names the revised docs, each re-embedded by the
+    * reversal stub; the coarse centroids AND the residual codebooks stay
+    * the deployed pre-delta model (trained on `allv`), and the POST-delta
+    * vector set is coarse-assigned, residualed and code-assigned at that
+    * frozen model — exactly what the in-place fold of the
+    * ccell-partitioned code layout produces, since encoding is per-vector
+    * at fixed parameters. */
+  lazy val cdcIvfPqDeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val extra =
+      s"""cl2 AS (
+         |${docsCdc.changelogSql}
+         |), cdelta AS (
+         |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+         |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+         |), postv AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN d.doc_id IS NULL THEN e.embedding::DOUBLE[]
+         |         ELSE list_reverse(e.embedding)::DOUBLE[] END AS v
+         |  FROM embeddings e LEFT JOIN cdelta d ON e.vec_id = d.doc_id
+         |), """.stripMargin
+    annIvfPqSqlWith("TRUE", "TRUE", None, extraCtes = extra, encSrc = "postv")
+  }
+
   /** @param pqTrainWhere restricts ONLY the residual-codebook training
     *        set (the codebook-refit refresh trains new codebooks at
-    *        FROZEN coarse cells); None = same as `trainWhere`. */
+    *        FROZEN coarse cells); None = same as `trainWhere`.
+    * @param extraCtes CTEs prepended after `allv` (the CDC-delta
+    *        composition threads the changelog chain through here — the
+    *        ivfChainCtes precedent).
+    * @param encSrc the vector set ENCODED at the frozen model (and the
+    *        query source): "allv" keeps the legacy single-residual chain
+    *        byte-identical; a derived post-delta set gets its own coarse
+    *        assignment + residual CTEs while TRAINING (coarse k-means and
+    *        codebook fit) stays on the pre-delta `allv` — exactly what an
+    *        in-place code fold at a frozen deployed model produces. */
   private def annIvfPqSqlWith(trainWhere: String,
       neighborWhere: String = "TRUE",
-      pqTrainWhere: Option[String] = None): String = {
+      pqTrainWhere: Option[String] = None,
+      extraCtes: String = "",
+      encSrc: String = "allv"): String = {
     val pqw = pqTrainWhere.getOrElse(trainWhere)
     val m = 4; val codes = 8; val pqRounds = 2; val k = 3; val probes = 2
     val dim = graft.ext.Similarity.Dim
@@ -4033,9 +4070,31 @@ object ExtOracle {
     def residual(v: String, cv: String): String =
       s"list_transform(range($dim), i -> CAST(CAST($v[i+1]" +
         s" - CAST($cv[i+1] / 1000.0 AS FLOAT) AS FLOAT) AS DOUBLE))"
+    // the derived-source encode chain: its own coarse assignment at the
+    // frozen cent2 plus residual sub-vectors for the encode set; empty in
+    // the legacy form where rsub/r2 serve both training and encoding
+    val encCtes = if (encSrc == "allv") "" else
+      s"""scE AS (
+         |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM $encSrc a, cent2 c
+         |), rE AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM scE
+         |), cellE AS (
+         |  SELECT vec_id, cid AS cell FROM rE WHERE rn = 1
+         |), resvE AS (
+         |  SELECT a.vec_id, c0.cell AS ccell, ${residual("a.v", "ct.cv")} AS rv
+         |  FROM $encSrc a JOIN cellE c0 ON c0.vec_id = a.vec_id
+         |  JOIN cent2 ct ON ct.cid = c0.cell
+         |), rsubE AS (
+         |  SELECT vec_id, ccell, m, rv[m * $subDim + 1 : (m + 1) * $subDim] AS sv
+         |  FROM resvE, range($m) rmE(m)
+         |), """.stripMargin
+    val encSub = if (encSrc == "allv") "rsub" else "rsubE"
+    val qRank = if (encSrc == "allv") "r2" else "rE"
     s"""WITH allv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), ${kmeansCellCtes(8, trainWhere)},
+       |), $extraCtes${kmeansCellCtes(8, trainWhere)},
        |resv AS (
        |  SELECT a.vec_id, c0.cell AS ccell, ${residual("a.v", "ct.cv")} AS rv
        |  FROM allv a JOIN cell2 c0 ON c0.vec_id = a.vec_id
@@ -4045,9 +4104,9 @@ object ExtOracle {
        |  FROM resv, range($m) rm(m)
        |), trsub AS (
        |  SELECT * FROM rsub WHERE $pqw
-       |), qresv AS (
+       |), ${encCtes}qresv AS (
        |  SELECT a.vec_id, r.cid AS ccell, ${residual("a.v", "ct.cv")} AS rv
-       |  FROM allv a JOIN r2 r ON r.vec_id = a.vec_id AND r.rn <= $probes
+       |  FROM $encSrc a JOIN $qRank r ON r.vec_id = a.vec_id AND r.rn <= $probes
        |  JOIN cent2 ct ON ct.cid = r.cid
        |  WHERE a.vec_id % 100 = 0
        |), qsub AS (
@@ -4059,7 +4118,7 @@ object ExtOracle {
        |${(0 until pqRounds).map(round).mkString(",\n")},
        |paf AS (
        |  SELECT s.vec_id, s.ccell, s.m, c.cid, ${d2("s.sv", "c.cv")} AS d2
-       |  FROM rsub s JOIN cb$pqRounds c ON c.m = s.m
+       |  FROM $encSub s JOIN cb$pqRounds c ON c.m = s.m
        |), prf AS (
        |  SELECT vec_id, ccell, m, cid,
        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
