@@ -1403,6 +1403,44 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // READER ISOLATION for the partitioned serving layouts — the
+    // production hazard the in-place fold documents (dynamic overwrite
+    // DELETES replaced files at commit, and at 100 TB readers ARE
+    // long-running): a reader pins generation 1 of the cell layout
+    // (parquet file index resolved), then maintenance folds a subject
+    // deletion through StateStream.foldIsolatedGen — generation 2 stages
+    // as a byte copy, the fold rewrites the STAGE in place, the
+    // stamp+rename flips it visible — and the pinned read, EXECUTED
+    // AFTER THE FLIP, still returns the pre-fold answer on intact bytes
+    // (gen 1 is grace-retired one cycle later, the ext_cm_grace_read
+    // contract on a partitioned layout), while a fresh read serves the
+    // folded state (IvfRecallSpec pins the fresh view and the exactly-
+    // one-cycle retirement). Oracle = the whole-corpus pre-fold chain —
+    // visibly different from what the flipped pointer serves
+    "ext_ann_serving_grace_read" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_annsrvgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        s.read.parquet(st.resolve("cells").toString)
+          .repartition(col("cell")).write.partitionBy("cell")
+          .parquet(stage.toString)
+      }
+      val cents = s.read.parquet(st.resolve("centroids").toString)
+        .localCheckpoint(true)
+      // the long-running reader resolves generation 1 HERE
+      val pinned = s.read.parquet(
+        graft.streaming.StateStream.statePath(s, layout))
+      val subject = e.where(col("vec_id") % 50 === 7)
+        .select(col("vec_id"), col("embedding"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Similarity.ivfServingFold(s, gen, subject, subject.where(lit(false)), cents)
+      }
+      Similarity.ivfSearch(pinned, e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // SUBJECT DELETION executed IN PLACE on the partitioned serving
     // layouts — the forget matrix meeting the serving-layout matrix: the
     // generalized fold with an EMPTY new side is a per-partition row
@@ -4586,6 +4624,7 @@ object SparkEntry {
     // in-place serving-layout forget ≡ the swap-style forget, oracles verbatim
     "ext_bm25_serving_forget" -> ExtOracle.bm25ForgetSql,
     "ext_ann_serving_forget" -> ExtOracle.annIvfForgetSql,
+    "ext_ann_serving_grace_read" -> ExtOracle.annIvfSql,
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,

@@ -171,6 +171,36 @@ object StateStream {
     ()
   }
 
+  /** SNAPSHOT-ISOLATED fold over a generational serving layout — the
+    * deployment regime for LONG-RUNNING concurrent readers, where an
+    * in-place fold's dynamic partition overwrite would delete files
+    * under a pinned parquet file index
+    * ([[graft.ext.Similarity.ivfServingFold]]'s documented
+    * reader-isolation trade): the next generation stages as a byte COPY
+    * of the current one, `fold` runs its in-place partial rewrite
+    * against the stage, and the stamp+rename flips the folded layout
+    * visible atomically. A reader that resolved the previous generation
+    * finishes its scan on intact bytes (the superseded generation is
+    * grace-retired one publish cycle later); new readers resolve the
+    * folded generation. The price is a layout copy per fold — the
+    * in-place regime within one generation stays the cheap default for
+    * single-writer deployments with fold-aware readers. A crash before
+    * the rename leaves only an invisible `.stage` dir; replay re-stages
+    * from the same (current generation, delta), so the flip is
+    * exactly-once-visible. */
+  def foldIsolatedGen(spark: SparkSession, stateDir: String)(
+      fold: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(stateDir).getFileSystem(conf)
+    val cur = new Path(statePath(spark, stateDir))
+    publishState(spark, stateDir) { stage =>
+      // stage does not exist here (publishGen cleared it), so the copy
+      // lands the current generation's CONTENT at the stage path itself
+      org.apache.hadoop.fs.FileUtil.copy(fs, cur, fs, stage, false, conf)
+      fold(stage.toString)
+    }
+  }
+
   /** CONTINUOUSLY-MAINTAINED sketch state — [[graft.ext.Similarity
     * .hllApplyBatch]] driven by the real streaming engine with the state
     * PERSISTED between micro-batches: each batch is prepped (`prep`: doc

@@ -209,4 +209,46 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
     assert(afterOps == Set((0L, 1L), (0L, 3L), (2L, 4L)),
       s"delete then insert must land on the expected state, got $afterOps")
   }
+
+  test("snapshot-isolated fold: a pinned gen-1 reader survives the flip on " +
+      "intact bytes, a fresh read sees the fold, grace lasts exactly one cycle") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StateStream
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 1.0), (1L, Seq(0f, 1f, 0f, 0f), 1.0))
+      .toDF("cid", "centv", "centn").localCheckpoint(true)
+    val vecs = Seq(
+      (1L, Seq(10f, 1f, 0f, 0f)), (2L, Seq(1f, 5f, 0f, 0f)),
+      (3L, Seq(8f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val layout = graft.TempDirs.create("graft_isogen_t").resolve("layout").toString
+    StateStream.publishState(s, layout) { stage =>
+      Similarity.ivfIndex(vecs, cents).repartition(col("cell"))
+        .write.partitionBy("cell").parquet(stage.toString)
+    }
+    val gen1 = StateStream.statePath(s, layout)
+    val fs = new org.apache.hadoop.fs.Path(layout)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the long-running reader resolves generation 1 here
+    val pinned = s.read.parquet(gen1)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"neighbor_id").as[Long].collect().toSet
+    val subject = vecs.where($"vec_id" === 3L)
+    StateStream.foldIsolatedGen(s, layout) { gen =>
+      Similarity.ivfServingFold(s, gen, subject, subject.where(lit(false)), cents)
+    }
+    assert(StateStream.statePath(s, layout) != gen1,
+      "the flip must advance the generation")
+    assert(ids(s.read.parquet(StateStream.statePath(s, layout))) == Set(1L, 2L),
+      "a fresh read must serve the folded state")
+    assert(ids(pinned) == Set(1L, 2L, 3L),
+      "the pinned pre-flip reader must serve the pre-fold view on intact bytes")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gen1)),
+      "the superseded generation survives the flip")
+    // one more flip: the graced generation retires — exactly one cycle
+    StateStream.foldIsolatedGen(s, layout) { _ => () }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gen1)),
+      "grace lasts exactly one publish cycle")
+  }
 }
