@@ -1333,6 +1333,48 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // fold → COMPACT → fold, hash-graded: the serving layout deploys
+    // FRAGMENTED (two interleaved half-writes — the multi-writer / AQE-
+    // skew-split shape; the folds themselves never fragment, dynamic
+    // overwrite replaces partitions wholly), era 1 folds in place, the
+    // partition-local repack rewrites every still-crowded cell to one
+    // file through the folds' own primitive, and era 2 folds on top —
+    // the graded search over the compacted-and-folded layout must equal
+    // the never-compacted lifecycle chain exactly (content identity is
+    // the repack's whole contract; IvfRecallSpec pins the 1-file/cell
+    // count, untouched bytes, and no-op replay)
+    "ext_ann_serving_compact" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_srvcmp")
+      val cellsPath = base.resolve("cells").toString
+      val cells0 = s.read.parquet(state.resolve("cells").toString)
+        .localCheckpoint(true)
+      cells0.where(col("neighbor_id") % 2 === 0)
+        .repartition(col("cell")).write.partitionBy("cell")
+        .mode("append").parquet(cellsPath)
+      cells0.where(col("neighbor_id") % 2 =!= 0)
+        .repartition(col("cell")).write.partitionBy("cell")
+        .mode("append").parquet(cellsPath)
+      val cents = s.read.parquet(state.resolve("centroids").toString)
+        .localCheckpoint(true)
+      // era 1: revisions fold in place (affected cells rewrite to 1 file)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+        .localCheckpoint(true)
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Similarity.ivfServingFold(s, cellsPath, old1,
+        old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")), cents)
+      // repack the remaining crowded cells — content-identical
+      graft.ext.ServingLayout.compact(s, cellsPath, "cell")
+      // era 2: the full lifecycle folds onto the compacted layout
+      annServingLifecycleFoldAt(s, dir, cellsPath, cents,
+        lifecycleDeltaSets(s, dir))
+      Similarity.ivfSearch(s.read.parquet(cellsPath),
+        e.where(col("vec_id") % 100 === 0), cents, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     "ext_cdc_ann_serving_lifecycle" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val state = ivfServingState(s, dir)
@@ -4414,6 +4456,7 @@ object SparkEntry {
     // land on the same post-lifecycle index — oracles verbatim
     "ext_cdc_bm25_serving_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_serving_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
+    "ext_ann_serving_compact" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_cdc_bm25_serving_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_serving_lifecycle_stream" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_cdc_bm25_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,

@@ -1,11 +1,12 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The shared control-plane edge of the in-place partitioned-layout folds
   * ([[Similarity.ivfServingFold]], [[Similarity.ivfPqServingFold]],
   * [[Retrieval.bm25ServingFold]]). */
-private[ext] object ServingLayout {
+object ServingLayout {
 
   /** Sweep partitions a fold EMPTIED: dynamic partition overwrite cannot
     * delete a partition (zero written rows leave the stale directory on
@@ -14,7 +15,55 @@ private[ext] object ServingLayout {
     * bounded by the layout's partition-value cardinality (cells /
     * buckets — a model or layout CONSTANT, never data-sized) after the
     * distinct: the cdc_query_dpp control-plane-scalar justification. */
-  def sweepEmptied(
+  /** Partition-local small-file repack for the in-place serving layouts.
+    *
+    * The FOLDS themselves never fragment a partition — dynamic partition
+    * overwrite REPLACES each affected partition's content wholly, and the
+    * `repartition(col(partCol))` before the write lands every partition
+    * value in one task, so a folded partition holds one file. What does
+    * fragment a layout: multi-task partition writes (an AQE skew split of
+    * a hot cell, parallel range-sliced builders racing appends into the
+    * same layout, any external append-mode writer). This repack
+    * normalizes such a layout: every CROWDED partition (more than
+    * `maxFiles` data files) is rewritten through the folds' own primitive
+    * — read the crowded partitions (a static partition-pruned scan),
+    * materialize off-path (the overwrite-a-read-path barrier), dynamic-
+    * partition-overwrite them back — so content is bit-identical,
+    * untouched partitions keep their bytes on disk, and a torn rewrite
+    * replays to the same state (the folds' determinism contract; a
+    * re-run that finds nothing crowded is a no-op). Reader isolation is
+    * the fold's own trade: fold-aware readers re-resolve per query;
+    * long-running readers take compactions through
+    * [[graft.streaming.StateStream.foldIsolatedGen]] like any other
+    * fold. The crowded-partition listing is control-plane — bounded by
+    * the layout's partition-value cardinality (cells / buckets, model or
+    * layout constants). */
+  def compact(spark: SparkSession, path: String, partCol: String,
+      maxFiles: Int = 1): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val crowded = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .filter { st =>
+        fs.listStatus(st.getPath).count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        } > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix(s"$partCol=").toLong)
+    if (crowded.isEmpty) return
+    val repacked = spark.read.parquet(path)
+      .where(col(partCol).isin(crowded.map(Long.box): _*))
+      .repartition(col(partCol))
+      .localCheckpoint(true) // barrier: bytes leave the path being rewritten
+    repacked.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+  }
+
+  private[ext] def sweepEmptied(
       spark: SparkSession, path: String, partCol: String,
       affected: DataFrame, written: DataFrame): Unit = {
     val present = written.select(partCol).distinct().collect()

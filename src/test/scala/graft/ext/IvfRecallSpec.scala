@@ -210,6 +210,45 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
       s"delete then insert must land on the expected state, got $afterOps")
   }
 
+  test("partition-local repack: crowded partitions rewrite to one file with " +
+      "identical content, uncrowded partitions keep their bytes, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val layout = graft.TempDirs.create("graft_cmp_t").resolve("cells").toString
+    // cell 0 fragments across two append writes (the multi-writer shape);
+    // cell 1 is written once and must stay untouched
+    Seq((0L, 1L, "a"), (0L, 2L, "b")).toDF("cell", "neighbor_id", "payload")
+      .repartition(col("cell")).write.partitionBy("cell")
+      .mode("append").parquet(layout)
+    Seq((0L, 3L, "c"), (1L, 4L, "d")).toDF("cell", "neighbor_id", "payload")
+      .repartition(col("cell")).write.partitionBy("cell")
+      .mode("append").parquet(layout)
+    def files(c: Long): Map[String, Long] =
+      Files.list(Paths.get(layout, s"cell=$c")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    assert(files(0L).size == 2, "construction: cell 0 must be fragmented")
+    val cell1Before = files(1L)
+    def content(): Set[(Long, Long, String)] =
+      s.read.parquet(layout).select($"cell".cast("long"), $"neighbor_id", $"payload")
+        .as[(Long, Long, String)].collect().toSet
+    val before = content()
+    ServingLayout.compact(s, layout, "cell")
+    assert(files(0L).size == 1, "the crowded cell must repack to one file")
+    assert(content() == before, "the repack must be content-identical")
+    assert(files(1L) == cell1Before,
+      "an uncrowded cell is outside the repack; its bytes must not move")
+    // replay: nothing is crowded anymore — the repack must not touch disk
+    val afterOnce = files(0L)
+    ServingLayout.compact(s, layout, "cell")
+    assert(files(0L) == afterOnce && files(1L) == cell1Before,
+      "a replayed compaction over a clean layout must be a no-op")
+  }
+
   test("snapshot-isolated fold: a pinned gen-1 reader survives the flip on " +
       "intact bytes, a fresh read sees the fold, grace lasts exactly one cycle") {
     val s = spark
