@@ -480,6 +480,27 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
     }
 
+  /** The COMPRESSED index after the first maintenance cycle: the SAME
+    * frozen (centroids, codebooks) as [[ivfPqServingState]] (a fold never
+    * retrains), codes = encoding of the post-era-1 vectors (era-1 revised
+    * docs re-embedded by the reversal stub) — the deployed state whose
+    * freshness the ops report tracks beside bm25/ivf. */
+  private def ivfPqDeploy2State(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivfpq_deploy2",
+      Seq(s"$dir/embeddings.parquet", s"$dir/documents.parquet")) { tmp =>
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val cents = s.read.parquet(st.resolve("cents").toString)
+      val cb = s.read.parquet(st.resolve("cb").toString)
+      val post1 = e.join(d1, e("vec_id") === d1("doc_id"), "left")
+        .select(e("vec_id"),
+          when(d1("doc_id").isNotNull, reverse(e("embedding")))
+            .otherwise(e("embedding")).as("embedding"))
+      Similarity.ivfPqEncode(post1, cents, cb)
+        .write.mode("overwrite").parquet(tmp.resolve("codes").toString)
+    }
+
   /** The SECOND activity window of the documents changelog — the full
     * index-maintenance lifecycle delta (inserts, deletes, a further
     * revision; [[graft.cdc.ChangeFeed.docsLifecycleSpec]]). Consumed the
@@ -1654,11 +1675,16 @@ object SparkEntry {
 
     // INDEX freshness: the cdc_catalog_freshness contract applied to
     // DERIVED index state — per index, how big the deployed state is, how
-    // far behind the feed it has folded (lag in changelog seconds), and
+    // far behind ITS feed it has folded (lag in changelog seconds), and
     // the pending maintenance backlog by op class (upserts / sentinel
-    // inserts / sentinel deletes). The report an operator reads to decide
-    // WHEN to run the lifecycle fold — every number an exact integer from
-    // tiny aggregates riding broadcast scalars, state never reshuffled.
+    // inserts / sentinel deletes). Covers ALL FOUR maintained families:
+    // bm25 postings, ivf cells and ivfpq codes track the documents feed
+    // (folded through era 1, era 2 pending); the SCD2 serving episode
+    // store tracks the ORDERS feed (fully folded — lag 0, empty backlog,
+    // derived from its own hwm, never a literal). The report an operator
+    // reads to decide WHEN to run the lifecycle fold — every number an
+    // exact integer from tiny aggregates riding broadcast scalars, state
+    // never reshuffled.
     "ext_index_freshness" -> ((s, dir) => {
       val w = docsLifecycleWindow(s, dir)
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1676,14 +1702,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("bm25"))
       val ivfRows = s.read.parquet(ivfDeploy2State(s, dir).resolve("cells").toString)
         .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("ivf"))
-      bmRows.unionByName(ivfRows)
+      val pqRows = s.read.parquet(ivfPqDeploy2State(s, dir).resolve("codes").toString)
+        .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("ivfpq"))
+      val docsIdx = bmRows.unionByName(ivfRows).unionByName(pqRows)
         .crossJoin(broadcast(folded)).crossJoin(broadcast(feedH))
         .crossJoin(broadcast(pend))
         .select(col("index_name"), col("state_rows"),
           col("folded_hwm_s"), col("feed_hwm_s"),
           (col("feed_hwm_s") - col("folded_hwm_s")).as("lag_s"),
           col("pending_upserts"), col("pending_inserts"), col("pending_deletes"))
-        .orderBy("index_name")
+      // the serving episode store tracks the ORDERS changelog: its folded
+      // hwm comes from the persisted episodes themselves, the feed hwm
+      // and per-op backlog from the changelog — all after the store's hwm
+      // (an un-folded suffix would surface as lag + pendings)
+      val ordersCl = ChangelogBuilder.build(feed(s, dir), ordersCfg)
+        .localCheckpoint(true)
+      val eps = s.read.parquet(
+        servingEpisodesLayout(s, dir).resolve("episodes").toString)
+      val servState = eps.agg(count(lit(1)).as("state_rows"),
+        max(col("valid_from_s")).as("folded_hwm_s"))
+      val servFeedH = ordersCl
+        .agg(max(unix_timestamp(col("commit_time"))).as("feed_hwm_s"))
+      val servPend = ordersCl
+        .crossJoin(broadcast(servState.select(col("folded_hwm_s").as("__h"))))
+        .agg(
+          count(when(col("column_name") === "o_orderstatus" &&
+            unix_timestamp(col("commit_time")) > col("__h"), 1))
+            .as("pending_upserts"),
+          count(when(col("column_name").isNull &&
+            col("new_value") === "NEW RECORD" &&
+            unix_timestamp(col("commit_time")) > col("__h"), 1))
+            .as("pending_inserts"),
+          count(when(col("column_name").isNull &&
+            col("old_value") === "DELETED RECORD" &&
+            unix_timestamp(col("commit_time")) > col("__h"), 1))
+            .as("pending_deletes"))
+      val servRow = servState.crossJoin(broadcast(servFeedH))
+        .crossJoin(broadcast(servPend))
+        .select(lit("serving").as("index_name"), col("state_rows"),
+          col("folded_hwm_s"), col("feed_hwm_s"),
+          (col("feed_hwm_s") - col("folded_hwm_s")).as("lag_s"),
+          col("pending_upserts"), col("pending_inserts"), col("pending_deletes"))
+      docsIdx.unionByName(servRow).orderBy("index_name")
     }),
 
     // E1b'''' — incremental NEAR-dup ingest: history is touched only via a

@@ -2671,10 +2671,15 @@ object ExtOracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** ≙ ext_index_freshness: per-index state size (post-era-1 postings /
-    * cells), folded vs feed HWM (changelog epoch seconds) and the pending
-    * second-window backlog by op class — all from the same composed era
-    * changelog chains. The cell index holds exactly one row per vector. */
+  /** ≙ ext_index_freshness over ALL FOUR maintained families: per-index
+    * state size (post-era-1 postings / cells / codes — the cell index
+    * holds one row per vector, the code index one row per (vector,
+    * subspace) so 4 N), folded vs feed HWM (changelog epoch seconds) and
+    * the pending backlog by op class. The docs-feed indexes share the
+    * composed era chains; the SERVING episode store tracks the ORDERS
+    * changelog — one episode per o_orderstatus row, folded hwm = the max
+    * status commit, backlog = ops after it (empty for a fully-folded
+    * store, derived not literal). */
   lazy val indexFreshnessSql: String = {
     val docsCdc = new CdcOracle(
       graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
@@ -2707,11 +2712,41 @@ object ExtOracle {
        |    (SELECT CAST(count(*) AS BIGINT) FROM post) AS state_rows
        |  UNION ALL
        |  SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+       |  UNION ALL
+       |  SELECT 'ivfpq', (SELECT CAST(4 * count(*) AS BIGINT) FROM embeddings)
+       |), ocl AS MATERIALIZED (
+       |${OrdersCdcOracle.changelogSql}
+       |), ssc AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ocl
+       |      WHERE column_name = 'o_orderstatus') AS state_rows,
+       |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM ocl
+       |      WHERE column_name = 'o_orderstatus') AS folded_hwm_s,
+       |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM ocl) AS feed_hwm_s
+       |), spend AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE column_name = 'o_orderstatus'
+       |      AND epoch(commit_time) > (SELECT folded_hwm_s FROM ssc)) AS BIGINT)
+       |      AS pending_upserts,
+       |    CAST(count(*) FILTER (WHERE column_name IS NULL
+       |      AND new_value = 'NEW RECORD'
+       |      AND epoch(commit_time) > (SELECT folded_hwm_s FROM ssc)) AS BIGINT)
+       |      AS pending_inserts,
+       |    CAST(count(*) FILTER (WHERE column_name IS NULL
+       |      AND old_value = 'DELETED RECORD'
+       |      AND epoch(commit_time) > (SELECT folded_hwm_s FROM ssc)) AS BIGINT)
+       |      AS pending_deletes
+       |  FROM ocl
        |)
        |SELECT st.index_name, st.state_rows, sc.folded_hwm_s, sc.feed_hwm_s,
        |  sc.feed_hwm_s - sc.folded_hwm_s AS lag_s,
        |  sc.pending_upserts, sc.pending_inserts, sc.pending_deletes
        |FROM st CROSS JOIN sc
+       |UNION ALL
+       |SELECT 'serving', ssc.state_rows, ssc.folded_hwm_s, ssc.feed_hwm_s,
+       |  ssc.feed_hwm_s - ssc.folded_hwm_s AS lag_s,
+       |  spend.pending_upserts, spend.pending_inserts, spend.pending_deletes
+       |FROM ssc CROSS JOIN spend
        |ORDER BY index_name""".stripMargin
   }
 
