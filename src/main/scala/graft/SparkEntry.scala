@@ -480,6 +480,21 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp.resolve("cells").toString)
     }
 
+  /** The HISTORY-trained compressed deployment (model + ccell-partitioned
+    * codes over the 95% hist vectors) — shared by the batch and streamed
+    * incremental code folds. */
+  private def ivfPqServingHistState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivfpq_srv_hist", s"$dir/embeddings.parquet") { tmp =>
+      val hist = embeddings(s, dir).where(col("vec_id") % 20 =!= 3)
+      val (cents0, cb0) = Similarity.ivfPqModel(hist)
+      cents0.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+      cb0.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+      Similarity.ivfPqEncode(hist, cents0, cb0)
+        .repartition(col("ccell"))
+        .write.partitionBy("ccell").mode("overwrite")
+        .parquet(tmp.resolve("codes").toString)
+    }
+
   /** The COMPRESSED index after the first maintenance cycle: the SAME
     * frozen (centroids, codebooks) as [[ivfPqServingState]] (a fold never
     * retrains), codes = encoding of the post-era-1 vectors (era-1 revised
@@ -2306,24 +2321,50 @@ object SparkEntry {
     // layout ≡ the swap-style incremental fold — oracle verbatim
     "ext_ann_ivfpq_serving_fold" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val isHist = col("vec_id") % 20 =!= 3
-      val state = TempDirs.memoized("graft_ivfpq_srv_hist",
-        s"$dir/embeddings.parquet") { tmp =>
-        val (cents0, cb0) = Similarity.ivfPqModel(e.where(isHist))
-        cents0.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
-        cb0.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
-        Similarity.ivfPqEncode(e.where(isHist), cents0, cb0)
-          .repartition(col("ccell"))
-          .write.partitionBy("ccell").mode("overwrite")
-          .parquet(tmp.resolve("codes").toString)
-      }
+      val state = ivfPqServingHistState(s, dir)
       val base = TempDirs.create("graft_ivfpqsrvf")
       TempDirs.copyInto(state.resolve("codes"), base.resolve("codes"))
       val cents = s.read.parquet(state.resolve("cents").toString)
       val cb = s.read.parquet(state.resolve("cb").toString)
-      val batch = e.where(!isHist).select(col("vec_id"), col("embedding"))
+      val batch = e.where(col("vec_id") % 20 === 3)
+        .select(col("vec_id"), col("embedding"))
       Similarity.ivfPqServingFold(s, base.resolve("codes").toString,
         batch.where(lit(false)), batch, cents, cb)
+      Similarity.ivfPqSearch(
+        s.read.parquet(base.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the streamed twin, completing the *_serving_fold × _stream matrix
+    // (ContractSpec pins the convention): the 5% new-vector batch arrives
+    // in 2 micro-batches (disjoint id ranges) through the REAL streaming
+    // engine and each folds the code layout in place as pure INSERTS —
+    // per-batch folds over disjoint ids compose to the one-shot fold.
+    // Same frozen hist model → same oracle, verbatim
+    "ext_ann_ivfpq_serving_fold_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val state = ivfPqServingHistState(s, dir)
+      val base = TempDirs.create("graft_ivfpqsrvfst")
+      TempDirs.copyInto(state.resolve("codes"), base.resolve("codes"))
+      val cents = s.read.parquet(state.resolve("cents").toString)
+        .localCheckpoint(true)
+      val cb = s.read.parquet(state.resolve("cb").toString)
+        .localCheckpoint(true)
+      val feedDir = TempDirs.memoized("graft_pq_batch_feed",
+        s"$dir/embeddings.parquet") { tmp =>
+        embeddings(s, dir).where(col("vec_id") % 20 === 3)
+          .select(col("vec_id"), col("embedding"))
+          .repartitionByRange(2, col("vec_id"))
+          .write.mode("overwrite").parquet(tmp.resolve("batch").toString)
+      }.resolve("batch").toString
+      graft.streaming.StateStream.foldAvailableNow(
+        s, feedDir, base.resolve("ckpt").toString) { batch =>
+        val b = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        Similarity.ivfPqServingFold(s, base.resolve("codes").toString,
+          b.where(lit(false)), b, cents, cb)
+      }
       Similarity.ivfPqSearch(
         s.read.parquet(base.resolve("codes").toString),
         e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
@@ -4570,6 +4611,7 @@ object SparkEntry {
     "ext_ann_ivfpq_incremental" -> ExtOracle.annIvfPqIncrementalSql,
     // the in-place codes fold lands on the same folded index
     "ext_ann_ivfpq_serving_fold" -> ExtOracle.annIvfPqIncrementalSql,
+    "ext_ann_ivfpq_serving_fold_stream" -> ExtOracle.annIvfPqIncrementalSql,
     "ext_cdc_ivfpq_serving_fold" -> ExtOracle.cdcIvfPqDeltaSql,
     "ext_cdc_ivfpq_serving_fold_stream" -> ExtOracle.cdcIvfPqDeltaSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,

@@ -14,6 +14,17 @@ class ContractSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("every in-place serving-fold row has a streamed twin") {
+    // the convention the 16 CDC-composition rows established: each fold
+    // graded in batch mode is also driven through the real streaming
+    // engine (foldAvailableNow), so the micro-batch composition property
+    // stays graded for every layout family
+    val folds = SparkEntry.queries.keySet.filter(_.endsWith("_serving_fold"))
+    assert(folds.nonEmpty, "expected in-place serving fold rows")
+    val missing = folds.filterNot(k => SparkEntry.queries.contains(s"${k}_stream"))
+    assert(missing.isEmpty, s"serving folds without a _stream twin: ${missing.toSeq.sorted}")
+  }
+
   test("no oracle SQL carries a Scala null interpolation (the r7 " +
       "file-order val-initialization trap)") {
     // a val referencing a fragment declared LATER in its file interpolates
