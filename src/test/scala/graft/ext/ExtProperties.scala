@@ -379,10 +379,15 @@ object ExtProperties extends Properties("ext") with SparkFixture {
     k <- Gen.choose(0, 3)
     insTexts <- Gen.listOfN(k, genText)
   } yield {
+    // keep at least one live doc: a delta that empties the WHOLE corpus
+    // sweeps every partition, and the property's scratch comparison would
+    // then read a footer-less layout (that edge is pinned
+    // deterministically — RetrievalSpec's (n = 0, avgdl = 0) stats test)
+    val ops2 = if (ops.forall(_ == 2) && insTexts.isEmpty) 0 :: ops.tail else ops
     val pre = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-    val revs = pre.zip(ops).zip(revTexts)
+    val revs = pre.zip(ops2).zip(revTexts)
       .collect { case (((id, _), 1), nt) => (id, nt) }
-    val dels = pre.zip(ops).collect { case ((id, _), 2) => id }
+    val dels = pre.zip(ops2).collect { case ((id, _), 2) => id }
     val inss = insTexts.zipWithIndex.map { case (t, i) => (n + i.toLong, t) }
     (pre, revs, dels, inss)
   }
