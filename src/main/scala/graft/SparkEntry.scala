@@ -1541,6 +1541,40 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // the BM25 twin of ext_ann_serving_grace_read, with the contract the
+    // retrieval index ADDS: the generation unit is the consistent
+    // ARTIFACT SET. An in-place fold updates postings, registry and stats
+    // non-atomically (three writes), so a concurrent reader of the
+    // in-place layout could score new postings against old stats; the
+    // snapshot-isolated fold stages ALL THREE as one byte copy, folds the
+    // stage, and flips them visible together — the pinned reader serves a
+    // cross-artifact-consistent pre-fold index after the flip, new
+    // readers an equally consistent post-fold one. Oracle = the pre-fold
+    // whole-corpus chain, visibly different from the flipped state
+    "ext_bm25_serving_grace_read" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        copyBm25State(state, java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      // the long-running reader resolves the gen-1 artifact SET here
+      val pinnedPost = s.read.parquet(s"$gen1/postings")
+      val pinnedDl = s.read.parquet(s"$gen1/doclen")
+      val pinnedStats = s.read.parquet(s"$gen1/stats")
+      val delta = docsChangelogDelta(s, dir)
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Retrieval.bm25ServingFold(s, s"$gen/postings", s"$gen/doclen",
+          s"$gen/stats",
+          c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi"), delta)
+      }
+      Retrieval.bm25TopKServing(pinnedPost, pinnedDl, pinnedStats,
+        Retrieval.queryTerms(c))
+        .orderBy("query_id", "rnk")
+    }),
+
     "ext_bm25_serving_forget" -> ((s, dir) => {
       val c = corpus(s, dir)
       val state = bm25ServingState(s, dir)
@@ -4764,6 +4798,7 @@ object SparkEntry {
     "ext_bm25" -> ExtOracle.bm25Sql,
     // the serving layout and pruned read must be result-invisible
     "ext_bm25_pruned" -> ExtOracle.bm25Sql,
+    "ext_bm25_serving_grace_read" -> ExtOracle.bm25Sql,
     "ext_bm25_incremental" -> ExtOracle.bm25Sql,
     "ext_bm25_forget" -> ExtOracle.bm25ForgetSql,
     // in-place serving-layout forget ≡ the swap-style forget, oracles verbatim
