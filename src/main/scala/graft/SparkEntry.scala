@@ -255,6 +255,41 @@ object SparkEntry {
         .parquet(tmp.resolve("episodes").toString)
     }
 
+  /** The deployed episode store at the MID-feed high-water mark: window-1
+    * (commit ≤ ResumeMid) episodes only, bucket-partitioned, with ids
+    * exactly the resume contract's prefix ids (the commit-time-led global
+    * sort numbers the prefix identically whether or not window 2 exists —
+    * cdc_populate_resume's append-stability). The pre-fold state of the
+    * serving-store fold rows; consumers COPY it (the fold mutates). */
+  private def servingEpisodesMidLayout(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_serving_layout_mid", s"$dir/orders.parquet") { tmp =>
+      val mid = java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)
+      val cl1 = ChangelogBuilder.withIds(
+        ChangelogBuilder.build(
+          feed(s, dir).where(col("commit_time") <= lit(mid)), ordersCfg),
+        ordersCfg)
+      graft.cdc.ServingBridge.timedEpisodes(cl1, "o_orderkey", "o_orderstatus")
+        .withColumn("bucket", graft.cdc.ServingBridge.keyBucket(col("serve_key")))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(tmp.resolve("episodes").toString)
+    }
+
+  /** Window-2 (commit > ResumeMid) o_orderstatus changelog rows in
+    * [[graft.cdc.ServingBridge.episodesServingFold]]'s input shape, ids
+    * from the global two-window assignment. */
+  private def servingWindow2Episodes(s: SparkSession, dir: String): DataFrame = {
+    val cl = ChangelogBuilder.withIds(
+      ChangelogBuilder.build(feed(s, dir), ordersCfg), ordersCfg)
+    val mid = java.sql.Timestamp.valueOf(graft.oracle.OrdersCdcOracle.ResumeMid)
+    cl.where(col("column_name") === "o_orderstatus" &&
+        col("commit_time") > lit(mid))
+      .select(col("o_orderkey").cast("long").as("serve_key"),
+        col("new_value").as("status_asof"),
+        col("changelog_id").as("ep_id"),
+        unix_timestamp(col("commit_time")).as("valid_from_s"))
+  }
+
   /** The COMPRESSED index in its serving layout: IVF-PQ codes partitioned
     * by coarse cell — at 100 TB the realistic served artifact (codes, not
     * raw vectors), probed with the same DPP pruning as the flat cells. */
@@ -2715,6 +2750,57 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // IN-PLACE maintenance of the episode store itself — the serving
+    // store joins the fold family as its fourth member (IVF cells,
+    // IVF-PQ codes, BM25 postings, SCD2 episodes): the deployed store
+    // holds window-1 episodes (commit ≤ ResumeMid, prefix ids); window
+    // 2's status rows fold in as appended episodes, rewriting ONLY the
+    // touched keys' buckets — untouched keys carry over inside affected
+    // buckets, each touched key's timeline recomputes delta-locally
+    // (anti-join on the batch's ep_ids → replay-idempotent), and the
+    // stored open episodes close exactly as a full rebuild would (ep_id
+    // order ≡ validity order within a key). Graded: serving EVERY
+    // request over the folded store ≡ the full-changelog serving join —
+    // the fold is result-invisible (oracle verbatim)
+    "ext_cdc_serving_fold" -> ((s, dir) => {
+      val state = servingEpisodesMidLayout(s, dir)
+      val base = TempDirs.create("graft_srvepsf")
+      TempDirs.copyInto(state.resolve("episodes"), base.resolve("episodes"))
+      graft.cdc.ServingBridge.episodesServingFold(s,
+        base.resolve("episodes").toString, servingWindow2Episodes(s, dir))
+      val eps = s.read.parquet(base.resolve("episodes").toString).drop("bucket")
+      graft.cdc.ServingBridge.enrichAsOf(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
+        eps)
+        .orderBy("event_id")
+    }),
+
+    // the streamed twin: window 2 arrives in 2 KEY-DISJOINT micro-batches
+    // (range-split on serve_key — a key's whole window stays in one
+    // batch) and each folds the store in place; per-batch folds over
+    // disjoint keys compose to the one-shot fold. Same oracle
+    "ext_cdc_serving_fold_stream" -> ((s, dir) => {
+      val state = servingEpisodesMidLayout(s, dir)
+      val base = TempDirs.create("graft_srvepsfst")
+      TempDirs.copyInto(state.resolve("episodes"), base.resolve("episodes"))
+      val feedDir = TempDirs.memoized("graft_srveps_w2feed",
+        s"$dir/orders.parquet") { tmp =>
+        servingWindow2Episodes(s, dir)
+          .repartitionByRange(2, col("serve_key"))
+          .write.mode("overwrite").parquet(tmp.resolve("w2").toString)
+      }.resolve("w2").toString
+      graft.streaming.StateStream.foldAvailableNow(
+        s, feedDir, base.resolve("ckpt").toString) { batch =>
+        graft.cdc.ServingBridge.episodesServingFold(s,
+          base.resolve("episodes").toString, batch)
+      }
+      val eps = s.read.parquet(base.resolve("episodes").toString).drop("bucket")
+      graft.cdc.ServingBridge.enrichAsOf(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
+        eps)
+        .orderBy("event_id")
+    }),
+
     // the POINT-READ serving lookup over the persisted, key-bucket-
     // PARTITIONED episode store: a selective request slice broadcasts
     // and its buckets reach the episode scan as a runtime partition
@@ -4728,6 +4814,8 @@ object SparkEntry {
     "ext_cdc_serving_retention" -> ExtOracle.cdcServingRetentionSql,
     "ext_cdc_serving_forget" -> ExtOracle.cdcServingForgetSql,
     "ext_cdc_serving_pruned" -> ExtOracle.cdcServingPrunedSql,
+    "ext_cdc_serving_fold" -> ExtOracle.cdcServingJoinSql,
+    "ext_cdc_serving_fold_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,
     "ext_cdc_serving_retention_stream" -> ExtOracle.cdcServingRetentionSql,

@@ -217,6 +217,65 @@ object ServingBridge {
         }: _*)
   }
 
+  /** IN-PLACE partial maintenance of the bucket-PARTITIONED episode
+    * store — the serving-store member of the in-place fold family beside
+    * the IVF cells, the IVF-PQ codes and the BM25 postings: a new
+    * changelog window's status rows fold in as APPENDED episodes, and
+    * only the touched keys' buckets rewrite. `newEpisodes` carries
+    * (serve_key, status_asof, ep_id, valid_from_s) — [[timedEpisodes]]'s
+    * shape before the validity re-window.
+    *
+    * Within an affected bucket, untouched keys' episode rows carry over
+    * unchanged, and each touched key's timeline recomputes from (its
+    * stored episodes MINUS the batch's ep_ids) ∪ the batch — the
+    * anti-join makes a re-delivered batch land on the identical state
+    * (replay-idempotent, no carried scalars). The `lead()` re-window
+    * partitions by touched keys only — delta-sized work, never a store
+    * re-scan. Correctness rests on the SCD2 id contract: within a key,
+    * ep_id order ≡ (valid_from_s, ep_id) order (changelog ids follow the
+    * commit-time-led deterministic sort), so appending a later window's
+    * rows closes the stored open episode exactly as a full rebuild
+    * would; and window-1 changelog ids are append-stable under the HWM
+    * resume contract (cdc_populate_resume), so the stored ep_ids never
+    * shift when window 2 arrives. A fold can only add rows — no emptied
+    * buckets, no sweep. */
+  def episodesServingFold(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newEpisodes: DataFrame,
+      buckets: Int = 16): Unit = {
+    val stored = spark.read.parquet(path)
+    val newE = newEpisodes
+      .select(col("serve_key"), col("status_asof"), col("ep_id"),
+        col("valid_from_s"))
+      .localCheckpoint(true)
+    val keys = newE.select(col("serve_key")).distinct()
+    val affected = keys
+      .select(keyBucket(col("serve_key"), buckets).as("bucket"))
+      .distinct()
+    val inBuckets = stored.join(
+      affected.select(col("bucket").cast(stored.schema("bucket").dataType)),
+      Seq("bucket"), "left_semi")
+    val untouched = inBuckets.join(keys, Seq("serve_key"), "left_anti")
+      .select("serve_key", "status_asof", "ep_id", "valid_from_s", "valid_to_s")
+    val touched = inBuckets.join(keys, Seq("serve_key"), "left_semi")
+      .join(newE.select(col("ep_id").as("__e")),
+        col("ep_id") === col("__e"), "left_anti")
+      .select("serve_key", "status_asof", "ep_id", "valid_from_s")
+      .unionByName(newE)
+    val w = Window.partitionBy(col("serve_key")).orderBy(col("ep_id"))
+    val recomputed = touched
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
+    val replacement = untouched.unionByName(recomputed)
+      .withColumn("bucket", keyBucket(col("serve_key"), buckets))
+      .localCheckpoint(true) // barrier: bytes leave the path being overwritten
+    replacement.repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
   /** RETENTION on the serving store's episode table — the sink-retention
     * contract (graft.cdc.Retention) applied to DERIVED SCD2 state: purge
     * every episode whose validity ENDED at-or-before the horizon (an

@@ -180,4 +180,50 @@ class ServingBridgeSpec extends AnyFunSuite with SparkFixture {
     assert(ServingBridge.enrichAsOf(outReq, ret2).head().isNullAt(3),
       "an out-of-contract read must observe the purge")
   }
+
+  test("in-place episode-store fold: appended window closes open episodes " +
+      "like a rebuild, untouched buckets keep their bytes, replay repairs") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val B = 8
+    // hand-made episode timelines: key 1 (bucket 1) has a closed + an open
+    // episode; key 2 (bucket 2) has one open episode and is NOT in the
+    // delta — its bucket must keep its bytes
+    val stored0 = Seq(
+      (1L, "O", 10L, 100L, Option(200L)),
+      (1L, "A", 11L, 200L, None),
+      (2L, "O", 12L, 150L, None))
+      .toDF("serve_key", "status_asof", "ep_id", "valid_from_s", "valid_to_s")
+      .withColumn("bucket", ServingBridge.keyBucket($"serve_key", B))
+    val path = graft.TempDirs.create("graft_epsfold_t").resolve("eps").toString
+    stored0.repartition(col("bucket")).write.partitionBy("bucket").parquet(path)
+    def files(b: Long): Map[String, Long] =
+      Files.list(Paths.get(path, s"bucket=$b")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    val bucket2Before = files(2L)
+    // window 2: key 1 gains two later episodes (ids continue past stored)
+    val w2 = Seq((1L, "B", 20L, 300L), (1L, "F", 21L, 350L))
+      .toDF("serve_key", "status_asof", "ep_id", "valid_from_s")
+    ServingBridge.episodesServingFold(s, path, w2, buckets = B)
+    def rows(): Set[(Long, String, Long, Long, Option[Long])] =
+      s.read.parquet(path)
+        .select($"serve_key", $"status_asof", $"ep_id", $"valid_from_s", $"valid_to_s")
+        .as[(Long, String, Long, Long, Option[Long])].collect().toSet
+    val expected = Set(
+      (1L, "O", 10L, 100L, Some(200L)),
+      (1L, "A", 11L, 200L, Some(300L)), // the stored OPEN episode closed
+      (1L, "B", 20L, 300L, Some(350L)),
+      (1L, "F", 21L, 350L, None),       // the new open end
+      (2L, "O", 12L, 150L, None))       // untouched key carried over
+    assert(rows() == expected, s"fold must equal a rebuilt timeline, got ${rows()}")
+    assert(files(2L) == bucket2Before,
+      "a bucket outside the delta's keys must keep its bytes on disk")
+    // replay: the batch's ep_ids anti-join out of the stored side first,
+    // so a re-delivered window lands on the identical state
+    ServingBridge.episodesServingFold(s, path, w2, buckets = B)
+    assert(rows() == expected, "a replayed fold must land on the identical state")
+  }
 }
