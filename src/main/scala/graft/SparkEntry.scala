@@ -1796,13 +1796,15 @@ object SparkEntry {
           (col("feed_hwm_s") - col("folded_hwm_s")).as("lag_s"),
           col("pending_upserts"), col("pending_inserts"), col("pending_deletes"))
       // the serving episode store tracks the ORDERS changelog: its folded
-      // hwm comes from the persisted episodes themselves, the feed hwm
-      // and per-op backlog from the changelog — all after the store's hwm
-      // (an un-folded suffix would surface as lag + pendings)
+      // hwm comes from the persisted episodes themselves (the MID-feed
+      // deployment — folded through window 1 only), the feed hwm and the
+      // per-op backlog from the changelog AFTER the store's hwm — so the
+      // un-folded window surfaces as real nonzero lag + pendings, every
+      // number derived, never a literal
       val ordersCl = ChangelogBuilder.build(feed(s, dir), ordersCfg)
         .localCheckpoint(true)
       val eps = s.read.parquet(
-        servingEpisodesLayout(s, dir).resolve("episodes").toString)
+        servingEpisodesMidLayout(s, dir).resolve("episodes").toString)
       val servState = eps.agg(count(lit(1)).as("state_rows"),
         max(col("valid_from_s")).as("folded_hwm_s"))
       val servFeedH = ordersCl

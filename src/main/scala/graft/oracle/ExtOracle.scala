@@ -2719,9 +2719,13 @@ object ExtOracle {
        |), ssc AS (
        |  SELECT
        |    (SELECT CAST(count(*) AS BIGINT) FROM ocl
-       |      WHERE column_name = 'o_orderstatus') AS state_rows,
+       |      WHERE column_name = 'o_orderstatus'
+       |        AND commit_time <= TIMESTAMP '${OrdersCdcOracle.ResumeMid}')
+       |      AS state_rows,
        |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM ocl
-       |      WHERE column_name = 'o_orderstatus') AS folded_hwm_s,
+       |      WHERE column_name = 'o_orderstatus'
+       |        AND commit_time <= TIMESTAMP '${OrdersCdcOracle.ResumeMid}')
+       |      AS folded_hwm_s,
        |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM ocl) AS feed_hwm_s
        |), spend AS (
        |  SELECT
