@@ -457,6 +457,17 @@ object SparkEntry {
   private def annServingLifecycleFoldAt(s: SparkSession, dir: String,
       cellsPath: String, cents: DataFrame,
       sets: (DataFrame, DataFrame, DataFrame)): Unit = {
+    val (oldVecs2, newVecs) = lifecycleVecSets(s, dir, sets)
+    Similarity.ivfServingFold(s, cellsPath, oldVecs2, newVecs, cents)
+  }
+
+  /** The era-2 lifecycle's (removed, added) VECTOR sets — shared by the
+    * IVF-flat and IVF-PQ in-place lifecycle folds: removed ids' CURRENT
+    * vectors are the post-era-1 view (reversed where era-1 revised),
+    * re-revisions re-embed by NEGATION, sentinel inserts fetch the
+    * source vector by key and re-embed by the reversal stub. */
+  private def lifecycleVecSets(s: SparkSession, dir: String,
+      sets: (DataFrame, DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     val (upserts, ins, del) = sets
     val e = embeddings(s, dir)
     val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
@@ -471,8 +482,17 @@ object SparkEntry {
       .select(e("vec_id"), transform(e("embedding"), v => -v).as("embedding"))
     val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
       .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
-    Similarity.ivfServingFold(s, cellsPath, oldVecs2,
-      updVecs.unionByName(insVecs), cents)
+    (oldVecs2, updVecs.unionByName(insVecs))
+  }
+
+  /** The era-2 lifecycle folded IN PLACE into the ccell-partitioned CODE
+    * layout at the frozen compressed model — [[annServingLifecycleFoldAt]]
+    * on the artifact actually served at 100 TB. */
+  private def pqServingLifecycleFoldAt(s: SparkSession, dir: String,
+      codesPath: String, cents: DataFrame, cb: DataFrame,
+      sets: (DataFrame, DataFrame, DataFrame)): Unit = {
+    val (oldVecs2, newVecs) = lifecycleVecSets(s, dir, sets)
+    Similarity.ivfPqServingFold(s, codesPath, oldVecs2, newVecs, cents, cb)
   }
 
   /** The post-first-window corpus: [[corpus]] with the era-1 revisions
@@ -528,6 +548,27 @@ object SparkEntry {
         .repartition(col("ccell"))
         .write.partitionBy("ccell").mode("overwrite")
         .parquet(tmp.resolve("codes").toString)
+    }
+
+  /** The POST-era-1 compressed SERVING layout: [[ivfPqServingState]]'s
+    * codes with the era-1 revision delta folded in place at the frozen
+    * model — the state the PQ lifecycle fold starts from (fold ≡ scratch
+    * is what `ext_cdc_ivfpq_serving_fold` grades, the
+    * bm25ServingState2 precedent). */
+  private def ivfPqServingState2(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ivfpq_serving2",
+      Seq(s"$dir/embeddings.parquet", s"$dir/documents.parquet")) { tmp =>
+      val st = ivfPqServingState(s, dir)
+      TempDirs.copyInto(st.resolve("codes"), tmp.resolve("codes"))
+      val e = embeddings(s, dir)
+      val cents = s.read.parquet(st.resolve("cents").toString)
+      val cb = s.read.parquet(st.resolve("cb").toString)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Similarity.ivfPqServingFold(s, tmp.resolve("codes").toString, old1,
+        old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        cents, cb)
     }
 
   /** The COMPRESSED index after the first maintenance cycle: the SAME
@@ -2494,6 +2535,52 @@ object SparkEntry {
           reverse(col("embedding")).as("embedding"))
         Similarity.ivfPqServingFold(s, base.resolve("codes").toString,
           oldVecs, newVecs, cents, cb)
+      }
+      Similarity.ivfPqSearch(
+        s.read.parquet(base.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the FULL lifecycle on the COMPRESSED layout — deletes drop codes,
+    // sentinel inserts fetch the source vector by key and encode at the
+    // frozen model, the re-revision re-encodes its NEGATED vector — on
+    // top of the post-era-1 codes: the lifecycle × layout matrix closes
+    // over the artifact actually served at 100 TB. Graded ≡ scratch
+    // encoding of the post-lifecycle vector set at the pre-delta model
+    "ext_cdc_ivfpq_serving_lifecycle" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      val st2 = ivfPqServingState2(s, dir)
+      val base = TempDirs.create("graft_ivfpqlc")
+      TempDirs.copyInto(st2.resolve("codes"), base.resolve("codes"))
+      val cents = s.read.parquet(st.resolve("cents").toString)
+        .localCheckpoint(true)
+      val cb = s.read.parquet(st.resolve("cb").toString).localCheckpoint(true)
+      pqServingLifecycleFoldAt(s, dir, base.resolve("codes").toString,
+        cents, cb, lifecycleDeltaSets(s, dir))
+      Similarity.ivfPqSearch(
+        s.read.parquet(base.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // its streamed twin: the era-2 window arrives in 2 micro-batches and
+    // each batch's row-local delta sets fold the code layout in place
+    "ext_cdc_ivfpq_serving_lifecycle_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      val st2 = ivfPqServingState2(s, dir)
+      val base = TempDirs.create("graft_ivfpqlcst")
+      TempDirs.copyInto(st2.resolve("codes"), base.resolve("codes"))
+      val cents = s.read.parquet(st.resolve("cents").toString)
+        .localCheckpoint(true)
+      val cb = s.read.parquet(st.resolve("cb").toString).localCheckpoint(true)
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsLifecycleFeed(s, dir).resolve("w").toString,
+        base.resolve("ckpt").toString) { w =>
+        pqServingLifecycleFoldAt(s, dir, base.resolve("codes").toString,
+          cents, cb, lifecycleDeltaSetsFrom(w, s, dir))
       }
       Similarity.ivfPqSearch(
         s.read.parquet(base.resolve("codes").toString),
@@ -4736,6 +4823,8 @@ object SparkEntry {
     "ext_ann_ivfpq_serving_fold_stream" -> ExtOracle.annIvfPqIncrementalSql,
     "ext_cdc_ivfpq_serving_fold" -> ExtOracle.cdcIvfPqDeltaSql,
     "ext_cdc_ivfpq_serving_fold_stream" -> ExtOracle.cdcIvfPqDeltaSql,
+    "ext_cdc_ivfpq_serving_lifecycle" -> ExtOracle.cdcIvfPqLifecycleSql,
+    "ext_cdc_ivfpq_serving_lifecycle_stream" -> ExtOracle.cdcIvfPqLifecycleSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
     "ext_ann_ivfpq_refresh" -> ExtOracle.annIvfPqRefreshSql,
     "ext_star_agg" -> ExtOracle.starAggSql,

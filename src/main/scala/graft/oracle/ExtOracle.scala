@@ -2760,45 +2760,61 @@ object ExtOracle {
     * revised docs keep their reversal, deleted docs gone, inserted docs'
     * fetched content embedded by the reversal stub — assigned and
     * reranked at the pre-delta-trained centroids (train = allv). */
-  lazy val cdcAnnLifecycleSql: String = {
+  /** The post-LIFECYCLE vector view as prependable CTEs — second-revision
+    * docs re-embedded by the NEGATION stub (distinct from era-1's
+    * reversal so the second fold is result-visible), era-1-only revised
+    * docs keep their reversal, deleted docs gone, inserted docs' fetched
+    * content embedded by the reversal stub. Shared by the IVF-flat and
+    * the IVF-PQ lifecycle compositions. */
+  private lazy val lifecyclePostvCtes: String = {
     val docsCdc = new CdcOracle(
       graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
     val lcCdc = new CdcOracle(
       graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
     val off = graft.cdc.ChangeFeed.DocsInsertOffset
-    val extra =
-      s"""cl1 AS MATERIALIZED (
-         |${docsCdc.changelogRowsSql}
-         |), cl2 AS MATERIALIZED (
-         |${lcCdc.changelogRowsSql}
-         |), e1d AS (
-         |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
-         |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
-         |), e2upd AS (
-         |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
-         |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
-         |), e2ins AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS doc_id
-         |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
-         |), e2del AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS doc_id
-         |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
-         |), postv AS (
-         |  SELECT e.vec_id,
-         |    CASE WHEN u.doc_id IS NOT NULL THEN list_transform(e.embedding, x -> -x)::DOUBLE[]
-         |         WHEN d1.doc_id IS NOT NULL THEN list_reverse(e.embedding)::DOUBLE[]
-         |         ELSE e.embedding::DOUBLE[] END AS v
-         |  FROM embeddings e
-         |  LEFT JOIN e2upd u ON e.vec_id = u.doc_id
-         |  LEFT JOIN e1d d1 ON e.vec_id = d1.doc_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = e.vec_id)
-         |  UNION ALL
-         |  SELECT i.doc_id AS vec_id, list_reverse(e.embedding)::DOUBLE[] AS v
-         |  FROM e2ins i JOIN embeddings e ON e.vec_id = i.doc_id - $off
-         |),""".stripMargin
-    annIvfSqlWith("TRUE", "TRUE", extraCtes = extra,
-      assignSrc = "postv", vecSrc = "postv")
+    s"""cl1 AS MATERIALIZED (
+       |${docsCdc.changelogRowsSql}
+       |), cl2 AS MATERIALIZED (
+       |${lcCdc.changelogRowsSql}
+       |), e1d AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2upd AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2ins AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
+       |), e2del AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
+       |), postv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN u.doc_id IS NOT NULL THEN list_transform(e.embedding, x -> -x)::DOUBLE[]
+       |         WHEN d1.doc_id IS NOT NULL THEN list_reverse(e.embedding)::DOUBLE[]
+       |         ELSE e.embedding::DOUBLE[] END AS v
+       |  FROM embeddings e
+       |  LEFT JOIN e2upd u ON e.vec_id = u.doc_id
+       |  LEFT JOIN e1d d1 ON e.vec_id = d1.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = e.vec_id)
+       |  UNION ALL
+       |  SELECT i.doc_id AS vec_id, list_reverse(e.embedding)::DOUBLE[] AS v
+       |  FROM e2ins i JOIN embeddings e ON e.vec_id = i.doc_id - $off
+       |),""".stripMargin
   }
+
+  lazy val cdcAnnLifecycleSql: String =
+    annIvfSqlWith("TRUE", "TRUE", extraCtes = lifecyclePostvCtes,
+      assignSrc = "postv", vecSrc = "postv")
+
+  /** ≙ ext_cdc_ivfpq_serving_lifecycle[_stream]: the same post-lifecycle
+    * vector view encoded at the frozen pre-delta compressed model
+    * (coarse centroids + residual codebooks trained on `allv`) — exactly
+    * what the era-2 fold of the ccell-partitioned code layout produces
+    * on top of the post-era-1 codes. */
+  lazy val cdcIvfPqLifecycleSql: String =
+    annIvfPqSqlWith("TRUE", "TRUE", None,
+      extraCtes = lifecyclePostvCtes, encSrc = "postv")
 
   /** ≙ the CSV round-trip graded query: the ORACLE is the direct read —
     * losslessness means the post-round-trip fingerprints equal these. */
