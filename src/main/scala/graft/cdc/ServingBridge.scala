@@ -250,12 +250,13 @@ object ServingBridge {
         col("valid_from_s"))
       .localCheckpoint(true)
     val keys = newE.select(col("serve_key")).distinct()
-    val affected = keys
-      .select(keyBucket(col("serve_key"), buckets).as("bucket"))
-      .distinct()
-    val inBuckets = stored.join(
-      affected.select(col("bucket").cast(stored.schema("bucket").dataType)),
-      Seq("bucket"), "left_semi")
+    // literal affected set (layout-bounded) → the touched-bucket read is
+    // STATICALLY partition-pruned: the fold reads only the buckets it
+    // rewrites, never the whole episode store
+    val affected = graft.ext.ServingLayout.affectedValues(
+      keys.select(keyBucket(col("serve_key"), buckets).as("bucket")))
+    val inBuckets = stored.where(graft.ext.ServingLayout.partitionIn(
+      col("bucket"), stored.schema("bucket").dataType, affected))
     val untouched = inBuckets.join(keys, Seq("serve_key"), "left_anti")
       .select("serve_key", "status_asof", "ep_id", "valid_from_s", "valid_to_s")
     val touched = inBuckets.join(keys, Seq("serve_key"), "left_semi")

@@ -262,10 +262,18 @@ object Retrieval {
       buckets: Int = 16): Unit = {
     val newPost = bm25Postings(newDocs)
       .withColumn("bucket", termBucket(col("term"), buckets))
-    val affected = bm25Postings(oldDocs)
-      .select(termBucket(col("term"), buckets).as("bucket"))
-      .union(newPost.select("bucket")).distinct().localCheckpoint(true)
-    val stored = spark.read.parquet(postingsPath)
+      .localCheckpoint(true)
+    // literal affected set (layout-bounded — the sweep's control-plane
+    // scalar, shared with the read) → the replacement read below is
+    // STATICALLY partition-pruned: the fold reads only the buckets it
+    // rewrites, never the whole postings layout
+    val affected = ServingLayout.affectedValues(
+      bm25Postings(oldDocs)
+        .select(termBucket(col("term"), buckets).as("bucket"))
+        .union(newPost.select("bucket")))
+    val stored0 = spark.read.parquet(postingsPath)
+    val stored = stored0.where(ServingLayout.partitionIn(
+      col("bucket"), stored0.schema("bucket").dataType, affected))
     // removal set = old ∪ new ids: equal for a revision, old-only for a
     // DELETE (empty newDocs), new-only (a no-op anti-join) for an INSERT —
     // one fold covers the whole lifecycle op matrix
@@ -274,8 +282,6 @@ object Retrieval {
     // replacement content of the affected buckets, df RE-DERIVED within
     // (bucket-local by the term→bucket purity above)
     val replacement = stored
-      .join(affected.select(col("bucket").cast(stored.schema("bucket").dataType)),
-        Seq("bucket"), "left_semi")
       .join(deltaIds, col("doc_id") === col("__did"), "left_anti")
       .select("bucket", "term", "doc_id", "tf")
       .unionByName(newPost.select("bucket", "term", "doc_id", "tf"))
@@ -302,12 +308,12 @@ object Retrieval {
       .join(newPost.groupBy("doc_id").agg(sum("tf").as("__dl")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"),
         docBucket(col("doc_id"), buckets).as("dbucket"))
+    val affectedDl = ServingLayout.affectedValues(
+      deltaIds.select(docBucket(col("__did"), buckets).as("dbucket")))
     val storedDl = spark.read.schema(registrySchema).parquet(docLenPath)
-    val affectedDl = deltaIds
-      .select(docBucket(col("__did"), buckets).as("dbucket"))
-      .distinct().localCheckpoint(true)
+      .where(ServingLayout.partitionIn(
+        col("dbucket"), registrySchema("dbucket").dataType, affectedDl))
     val dl2 = storedDl
-      .join(affectedDl, Seq("dbucket"), "left_semi")
       .join(deltaIds, col("doc_id") === col("__did"), "left_anti")
       .select("dbucket", "doc_id", "dl")
       .unionByName(newDl.select("dbucket", "doc_id", "dl"))

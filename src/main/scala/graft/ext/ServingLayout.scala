@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** The shared control-plane edge of the in-place partitioned-layout folds
   * ([[Similarity.ivfServingFold]], [[Similarity.ivfPqServingFold]],
@@ -63,13 +64,36 @@ object ServingLayout {
       .parquet(path)
   }
 
-  private[ext] def sweepEmptied(
+  /** Collect a fold's affected-partition frame to a LITERAL value set.
+    * Bounded by the layout's partition-value cardinality (cells /
+    * buckets — model or layout CONSTANTS, never data-sized): the
+    * control-plane scalar that serves the fold twice — as the STATIC
+    * partition filter on the replacement read (via [[partitionIn]]; a
+    * fold must never scan the layout it maintains — the semi-join form
+    * read every partition and filtered post-scan) and as the emptied-
+    * partition sweep set. The cdc_query_dpp literal-threshold
+    * justification, written once here for every fold. */
+  private[graft] def affectedValues(affected: DataFrame): Seq[Long] =
+    affected.distinct().collect().map(_.get(0).toString.toLong).toSeq.sorted
+
+  /** `partCol IN (values)` typed to the layout's partition-column type
+    * (directory-name inference yields IntegerType for small values; a
+    * mistyped literal set would cast the partition ATTRIBUTE and risk
+    * losing static pruning). Empty set → `false` (a no-op fold reads
+    * nothing). */
+  private[graft] def partitionIn(c: Column, dt: DataType, vs: Seq[Long]): Column =
+    if (vs.isEmpty) lit(false)
+    else dt match {
+      case IntegerType => c.isin(vs.map(_.toInt): _*)
+      case _ => c.isin(vs: _*)
+    }
+
+  private[graft] def sweepEmptied(
       spark: SparkSession, path: String, partCol: String,
-      affected: DataFrame, written: DataFrame): Unit = {
+      affected: Seq[Long], written: DataFrame): Unit = {
     val present = written.select(partCol).distinct().collect()
       .map(_.get(0).toString.toLong).toSet
-    val emptied = affected.collect().map(_.get(0).toString.toLong)
-      .filterNot(present)
+    val emptied = affected.filterNot(present)
     if (emptied.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -393,6 +393,13 @@ object Similarity {
     * ∪ new cells, and the replacement content for those cells is
     * (stored rows minus delta ids) ∪ the new assignments.
     *
+    * The READ is delta-sized too: the affected-cell set collects to a
+    * literal (model-bounded — the same control-plane scalar the sweep
+    * rides) and reaches the replacement scan as a STATIC partition
+    * filter, so the fold never scans the layout it maintains. (The
+    * earlier semi-join-on-affected form had no selective literal in the
+    * dim subtree, got no DPP, and read every partition post-filter.)
+    *
     * The write is Spark's dynamic partition overwrite (only partitions
     * present in the frame are replaced). Two deliberate pieces around
     * its edges:
@@ -428,18 +435,24 @@ object Similarity {
       cents: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    val newAssign = ivfIndex(newVecs, cents, idCol, vecCol)
-    val affected = ivfIndex(oldVecs, cents, idCol, vecCol).select("cell")
-      .union(newAssign.select("cell")).distinct().localCheckpoint(true)
-    val stored = spark.read.parquet(cellsPath)
+    val newAssign = ivfIndex(newVecs, cents, idCol, vecCol).localCheckpoint(true)
+    // the affected-cell set collects to a literal (model-bounded — the
+    // sweep's control-plane scalar, now shared with the read) so the
+    // replacement read below is STATICALLY partition-pruned: a fold
+    // reads only the cells it rewrites, never the whole layout (the
+    // earlier semi-join form scanned every cell and filtered post-scan)
+    val affected = ServingLayout.affectedValues(
+      ivfIndex(oldVecs, cents, idCol, vecCol).select("cell")
+        .union(newAssign.select("cell")))
+    val stored0 = spark.read.parquet(cellsPath)
+    val stored = stored0.where(ServingLayout.partitionIn(
+      col("cell"), stored0.schema("cell").dataType, affected))
     // removal set = old ∪ new ids: equal for a revision, old-only for a
     // DELETE (empty newVecs), new-only (a no-op anti-join) for an INSERT —
     // one fold covers the whole lifecycle op matrix
     val deltaIds = oldVecs.select(col(idCol).as("__did"))
       .union(newVecs.select(col(idCol).as("__did"))).distinct()
     val replacement = stored
-      .join(affected.select(col("cell").cast(stored.schema("cell").dataType)),
-        Seq("cell"), "left_semi")
       .join(deltaIds, col("neighbor_id") === col("__did"), "left_anti")
       .unionByName(newAssign)
       .select("cell", "neighbor_id", "cv", "cn")
@@ -802,15 +815,19 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val newEnc = ivfPqEncode(newVecs, cents, cb, subspaces, idCol, vecCol)
-    val affected = ivfPqEncode(oldVecs, cents, cb, subspaces, idCol, vecCol)
-      .select("ccell")
-      .union(newEnc.select("ccell")).distinct().localCheckpoint(true)
-    val stored = spark.read.parquet(codesPath)
+      .localCheckpoint(true)
+    // literal affected set → statically pruned replacement read (the
+    // ivfServingFold contract: a fold never scans the layout it maintains)
+    val affected = ServingLayout.affectedValues(
+      ivfPqEncode(oldVecs, cents, cb, subspaces, idCol, vecCol)
+        .select("ccell")
+        .union(newEnc.select("ccell")))
+    val stored0 = spark.read.parquet(codesPath)
+    val stored = stored0.where(ServingLayout.partitionIn(
+      col("ccell"), stored0.schema("ccell").dataType, affected))
     val deltaIds = oldVecs.select(col(idCol).as("__did"))
       .union(newVecs.select(col(idCol).as("__did"))).distinct()
     val replacement = stored
-      .join(affected.select(col("ccell").cast(stored.schema("ccell").dataType)),
-        Seq("ccell"), "left_semi")
       .join(deltaIds, col("neighbor_id") === col("__did"), "left_anti")
       .select("ccell", "neighbor_id", "m", "cell")
       .unionByName(newEnc.select("ccell", "neighbor_id", "m", "cell"))
