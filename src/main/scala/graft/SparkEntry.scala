@@ -305,6 +305,39 @@ object SparkEntry {
         .parquet(tmp.resolve("codes").toString)
     }
 
+  /** A corpus's LSH dedup index in its SERVING layout under `tmp`:
+    * `bands/` + `fps/` ([[Dedup.writeServingLayout]]). */
+  private def writeMinhashLayout(docs: DataFrame, tmp: java.nio.file.Path): Unit =
+    Dedup.writeServingLayout(docs,
+      tmp.resolve("bands").toString, tmp.resolve("fps").toString)
+
+  /** The deployed LSH dedup index over the HISTORY corpus (base documents
+    * only — the state a continuously ingesting dedup pipeline holds when
+    * the planted batch arrives). Read in place by the pruned probe (a
+    * read-only row). */
+  private def minhashServingHistState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_mh_srv_hist", s"$dir/documents.parquet") { tmp =>
+      writeMinhashLayout(s.read.parquet(s"$dir/documents.parquet"), tmp)
+    }
+
+  /** The deployed LSH dedup index over the FULL pre-delta corpus — the
+    * state the CDC folds and the in-place forget start from. Consumers
+    * COPY it (the folds mutate). */
+  private def minhashServingState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_mh_srv", s"$dir/documents.parquet") { tmp =>
+      writeMinhashLayout(corpus(s, dir), tmp)
+    }
+
+  /** The LSH layout as deployed AFTER the first maintenance cycle —
+    * scratch over [[postEra1Corpus]], which is exactly what folding the
+    * era-1 delta lands on (`ext_cdc_minhash_serving_fold` grades fold ≡
+    * scratch; the ivfDeploy2State precedent). Freshness reads its row
+    * count. */
+  private def minhashServing2State(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_mh_srv2", s"$dir/documents.parquet") { tmp =>
+      writeMinhashLayout(postEra1Corpus(s, dir), tmp)
+    }
+
   private val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
 
   /** The documents changelog's update-after text rows — the corpus DELTA
@@ -405,6 +438,14 @@ object SparkEntry {
     TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
   }
 
+  /** Copy the two LSH serving artifacts into `base` — the graded fold
+    * rows MUTATE them, so each invocation works on its own copy. */
+  private def copyMinhashState(
+      state: java.nio.file.Path, base: java.nio.file.Path): Unit = {
+    TempDirs.copyInto(state.resolve("bands"), base.resolve("bands"))
+    TempDirs.copyInto(state.resolve("fps"), base.resolve("fps"))
+  }
+
   /** The corpus view with a (doc_id, text) revision delta applied. */
   private def postDeltaCorpus(c: DataFrame, delta: DataFrame): DataFrame =
     c.join(delta.select(col("doc_id"), col("text").as("__new")), Seq("doc_id"), "left")
@@ -483,6 +524,24 @@ object SparkEntry {
     val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
       .select(ins("doc_id").as("vec_id"), reverse(e("embedding")).as("embedding"))
     (oldVecs2, updVecs.unionByName(insVecs))
+  }
+
+  /** The era-2 lifecycle delta folded IN PLACE into the partitioned LSH
+    * layout: removed content (revised + deleted docs) reads its CURRENT
+    * text from the post-era-1 corpus view (which locates the stored
+    * band/fp rows by re-signing — signatures are deterministic in
+    * content); the upserts (revised text + fetched-and-suffixed inserts)
+    * are the new side. No statistic to adjust — the layout stores raw
+    * rows only. */
+  private def minhashServingLifecycleFoldAt(s: SparkSession, dir: String,
+      base: java.nio.file.Path,
+      sets: (DataFrame, DataFrame, DataFrame)): Unit = {
+    val (upserts, ins, del) = sets
+    val post1 = postEra1Corpus(s, dir)
+    Dedup.minhashServingFold(s, base.resolve("bands").toString,
+      base.resolve("fps").toString,
+      post1.join(upserts.select("doc_id").unionByName(del),
+        Seq("doc_id"), "left_semi"), upserts)
   }
 
   /** The era-2 lifecycle folded IN PLACE into the ccell-partitioned CODE
@@ -1802,8 +1861,9 @@ object SparkEntry {
     // DERIVED index state — per index, how big the deployed state is, how
     // far behind ITS feed it has folded (lag in changelog seconds), and
     // the pending maintenance backlog by op class (upserts / sentinel
-    // inserts / sentinel deletes). Covers ALL FOUR maintained families:
-    // bm25 postings, ivf cells and ivfpq codes track the documents feed
+    // inserts / sentinel deletes). Covers ALL FIVE maintained families:
+    // bm25 postings, ivf cells, ivfpq codes and the LSH dedup layout
+    // track the documents feed
     // (folded through era 1, era 2 pending); the SCD2 serving episode
     // store tracks the ORDERS feed (fully folded — lag 0, empty backlog,
     // derived from its own hwm, never a literal). The report an operator
@@ -1829,7 +1889,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("ivf"))
       val pqRows = s.read.parquet(ivfPqDeploy2State(s, dir).resolve("codes").toString)
         .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("ivfpq"))
+      val mhRows = s.read.parquet(
+        minhashServing2State(s, dir).resolve("bands").toString)
+        .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("minhash"))
       val docsIdx = bmRows.unionByName(ivfRows).unionByName(pqRows)
+        .unionByName(mhRows)
         .crossJoin(broadcast(folded)).crossJoin(broadcast(feedH))
         .crossJoin(broadcast(pend))
         .select(col("index_name"), col("state_rows"),
@@ -1919,6 +1983,209 @@ object SparkEntry {
       Dedup.minhashIndex(store).write.mode("overwrite").parquet(idxDir)
       val surviving = s.read.parquet(idxDir).where(col("id") % 7 =!= 3) // the fold
       Dedup.pairsFromIndex(surviving, store.where(col("doc_id") % 7 =!= 3))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the PRUNED serving read of the DEDUP index — the LSH layout joins
+    // the pruned-layout family (IVF cells / PQ codes / BM25 postings /
+    // episode store): the arriving batch's own band rows broadcast
+    // against the band-bucket-partitioned signature store, so the probe
+    // reads ONLY its buckets of a corpus-sized index (runtime partition
+    // filter — PlanShapeSpec locks it), and the identical-signature exact
+    // route probes the fp-bucket-partitioned fingerprint registry the
+    // same way instead of pivoting fingerprints out of an index-wide
+    // scan. Semantics ≡ ext_minhash_ingest (same caps, same exact route,
+    // same pointed verify) — same oracle, verbatim: the layout must be
+    // result-invisible
+    "ext_minhash_pruned" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      val st = minhashServingHistState(s, dir)
+      Dedup.minhashServingProbe(s, st.resolve("bands").toString,
+        st.resolve("fps").toString, batch, store)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the CDC delta folded IN PLACE into the partitioned DEDUP layout —
+    // the fold family's fifth member: the changelog's revised docs
+    // re-sign (old rows located by re-signing the PRE-delta text via
+    // pointed lookups — never an index scan) and the fold rewrites only
+    // the band/fp buckets the old+new signatures live in. The read side
+    // then lists verified pairs from the folded artifacts against the
+    // post-delta store. Graded ≡ the scratch banding chain over the
+    // post-delta corpus (changelog CTEs composed into the oracle):
+    // signatures are per-document pure, so the swap must land exactly
+    // there
+    "ext_cdc_minhash_serving_fold" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val base = TempDirs.create("graft_mhsrvf")
+      copyMinhashState(minhashServingState(s, dir), base)
+      val delta = docsChangelogDelta(s, dir)
+      val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+      Dedup.minhashServingFold(s, base.resolve("bands").toString,
+        base.resolve("fps").toString, oldDocs, delta)
+      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+        base.resolve("fps").toString, postDeltaCorpus(c, delta))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin (the *_serving_fold × _stream convention,
+    // ContractSpec-pinned): the delta arrives in 2 disjoint micro-batches
+    // through the REAL streaming engine and each folds in place —
+    // signatures are per-document pure and the layout carries NO derived
+    // statistic (no df/n), so per-batch folds over disjoint docs compose
+    // to the one-shot fold trivially. Same post-delta oracle
+    "ext_cdc_minhash_serving_fold_stream" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val base = TempDirs.create("graft_mhsrvfst")
+      copyMinhashState(minhashServingState(s, dir), base)
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsDeltaFeed(s, dir).resolve("delta").toString,
+        base.resolve("ckpt").toString) { batch =>
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+        // old text by pointed lookup into the PRE-delta corpus (each doc
+        // is revised once in this window)
+        val oldDocs = c.join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+        Dedup.minhashServingFold(s, base.resolve("bands").toString,
+          base.resolve("fps").toString, oldDocs, b)
+      }
+      val delta = docsChangelogDelta(s, dir)
+      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+        base.resolve("fps").toString, postDeltaCorpus(c, delta))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SUBJECT DELETION in place on the partitioned dedup layout (the
+    // forget matrix × serving-layout matrix, dedup cell): the generalized
+    // fold with an EMPTY new side is a per-bucket row filter touching
+    // only the subject's band/fp buckets — the subject's rows located by
+    // re-signing its text, never by scanning the index. Same oracle as
+    // the swap-style ext_minhash_forget, verbatim: scratch over the
+    // surviving corpus
+    "ext_minhash_serving_forget" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val base = TempDirs.create("graft_mhsrvfgt")
+      copyMinhashState(minhashServingState(s, dir), base)
+      val subject = store.where(col("doc_id") % 7 === 3)
+      Dedup.minhashServingFold(s, base.resolve("bands").toString,
+        base.resolve("fps").toString, subject, subject.where(lit(false)))
+      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+        base.resolve("fps").toString, store.where(col("doc_id") % 7 =!= 3))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the FULL two-era lifecycle replayed IN PLACE on the partitioned
+    // dedup layout from the PRE-delta state: era-1 revisions fold, then
+    // era-2 deletes drop the docs' band/fp rows, sentinel inserts fetch
+    // content by key and sign it, the re-revision re-signs — the
+    // generalized removal set makes the one fold primitive cover the
+    // whole op matrix (as for IVF/BM25/PQ). Graded ≡ the scratch banding
+    // chain over the post-lifecycle corpus (the same corpus3 composition
+    // the BM25/ANN lifecycle oracles thread)
+    "ext_cdc_minhash_serving_lifecycle" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val base = TempDirs.create("graft_mhsrvlc")
+      copyMinhashState(minhashServingState(s, dir), base)
+      // era 1: revisions
+      val delta1 = docsChangelogDelta(s, dir)
+      Dedup.minhashServingFold(s, base.resolve("bands").toString,
+        base.resolve("fps").toString,
+        c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
+      // era 2: deletes + sentinel inserts + the further revision
+      val sets = lifecycleDeltaSets(s, dir)
+      minhashServingLifecycleFoldAt(s, dir, base, sets)
+      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+        base.resolve("fps").toString,
+        postLifecycleCorpus(postEra1Corpus(s, dir), sets))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin: the era-2 window arrives in 2 micro-batches over
+    // the MEMOIZED post-era-1 layout (its fold is graded by
+    // ext_cdc_minhash_serving_fold) and each batch's row-locally
+    // extracted delta sets fold in place. Same post-lifecycle oracle
+    "ext_cdc_minhash_serving_lifecycle_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_mhsrvlcst")
+      copyMinhashState(minhashServing2State(s, dir), base)
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsLifecycleFeed(s, dir).resolve("w").toString,
+        base.resolve("ckpt").toString) { w =>
+        minhashServingLifecycleFoldAt(s, dir, base,
+          lifecycleDeltaSetsFrom(w, s, dir))
+      }
+      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+        base.resolve("fps").toString,
+        postLifecycleCorpus(postEra1Corpus(s, dir), lifecycleDeltaSets(s, dir)))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // READER ISOLATION on the dedup layout — the third instance of the
+    // snapshot-isolated fold, adding the dedup-specific contract: the
+    // generation unit is the TWO-artifact set (band rows + fingerprint
+    // registry flip together — an in-place fold writes them
+    // non-atomically, and a reader of a half-folded pair could verify
+    // banded candidates against a stale exact route). A reader pins the
+    // gen-1 artifact set, maintenance folds the era-1 delta through
+    // foldIsolatedGen, and the pinned read EXECUTED AFTER THE FLIP
+    // answers the consistent PRE-fold pair set on graced bytes — oracle
+    // = the pre-delta banding chain verbatim, visibly different from the
+    // post-fold state a fresh read serves
+    "ext_minhash_serving_grace_read" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = minhashServingState(s, dir)
+      val base = TempDirs.create("graft_mhsrvgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        copyMinhashState(state, java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      // the long-running reader resolves the gen-1 artifact SET here
+      val pinnedBands = s.read.parquet(s"$gen1/bands")
+      val pinnedFps = s.read.parquet(s"$gen1/fps")
+      val delta = docsChangelogDelta(s, dir)
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.minhashServingFold(s, s"$gen/bands", s"$gen/fps",
+          c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi"), delta)
+      }
+      Dedup.minhashPairsFrom(pinnedBands, pinnedFps, c)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // partition-local small-file REPACK on the dedup layout — the
+    // compaction primitive is layout-generic (ServingLayout.compact ran
+    // first on the IVF cells): a fragmented deploy (two parallel
+    // range-sliced appends → 2 files per bucket) takes the era-1 fold,
+    // the repack rewrites the still-crowded buckets through the fold's
+    // own primitive (content-identical), and the era-2 lifecycle folds
+    // onto the compacted layout — graded ≡ the never-compacted lifecycle
+    // oracle verbatim
+    "ext_minhash_serving_compact" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = minhashServingState(s, dir)
+      val base = TempDirs.create("graft_mhsrvcmp")
+      val bandsPath = base.resolve("bands").toString
+      val fpsPath = base.resolve("fps").toString
+      val b0 = s.read.parquet(state.resolve("bands").toString).localCheckpoint(true)
+      b0.where(col("id") % 2 === 0).repartition(col("pbucket"))
+        .write.partitionBy("pbucket").mode("append").parquet(bandsPath)
+      b0.where(col("id") % 2 =!= 0).repartition(col("pbucket"))
+        .write.partitionBy("pbucket").mode("append").parquet(bandsPath)
+      val f0 = s.read.parquet(state.resolve("fps").toString).localCheckpoint(true)
+      f0.where(col("id") % 2 === 0).repartition(col("fbucket"))
+        .write.partitionBy("fbucket").mode("append").parquet(fpsPath)
+      f0.where(col("id") % 2 =!= 0).repartition(col("fbucket"))
+        .write.partitionBy("fbucket").mode("append").parquet(fpsPath)
+      // era 1 folds in place, the repack normalizes the crowded buckets
+      val delta1 = docsChangelogDelta(s, dir)
+      Dedup.minhashServingFold(s, bandsPath, fpsPath,
+        c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
+      graft.ext.ServingLayout.compact(s, bandsPath, "pbucket")
+      graft.ext.ServingLayout.compact(s, fpsPath, "fbucket")
+      // era 2: the lifecycle folds onto the compacted layout
+      val sets = lifecycleDeltaSets(s, dir)
+      minhashServingLifecycleFoldAt(s, dir, base, sets)
+      Dedup.minhashPairsServing(s, bandsPath, fpsPath,
+        postLifecycleCorpus(postEra1Corpus(s, dir), sets))
         .orderBy("id_a", "id_b")
     }),
 
@@ -4774,6 +5041,18 @@ object SparkEntry {
     "ext_index_freshness" -> ExtOracle.indexFreshnessSql,
     "ext_minhash_ingest" -> ExtOracle.minhashIngestSql,
     "ext_minhash_forget" -> ExtOracle.minhashForgetSql,
+    // the serving-layout dedup rows: layout + in-placeness must be
+    // result-invisible, so the pruned probe and the in-place forget grade
+    // against the existing oracles VERBATIM; the CDC folds against the
+    // changelog-composed post-delta scratch chain
+    "ext_minhash_pruned" -> ExtOracle.minhashIngestSql,
+    "ext_cdc_minhash_serving_fold" -> ExtOracle.cdcMinhashDeltaSql,
+    "ext_cdc_minhash_serving_fold_stream" -> ExtOracle.cdcMinhashDeltaSql,
+    "ext_minhash_serving_forget" -> ExtOracle.minhashForgetSql,
+    "ext_cdc_minhash_serving_lifecycle" -> ExtOracle.cdcMinhashLifecycleSql,
+    "ext_cdc_minhash_serving_lifecycle_stream" -> ExtOracle.cdcMinhashLifecycleSql,
+    "ext_minhash_serving_grace_read" -> ExtOracle.dedupMinhashSql,
+    "ext_minhash_serving_compact" -> ExtOracle.cdcMinhashLifecycleSql,
     "ext_simhash" -> ExtOracle.simhashSql,
     "ext_simhash_pairs" -> ExtOracle.simhashPairsSql,
     "ext_simhash_ingest" -> ExtOracle.simhashIngestSql,

@@ -136,9 +136,13 @@ object ExtOracle {
   private def ngramConcat(toks: String, w: Int, i: String = "i"): String =
     (1 to w).map(o => s"$toks[$i+$o]").mkString(" || ' ' || ")
 
-  private val shingleCtes: String =
+  /** The shingle chain over an arbitrary corpus-shaped CTE `src`
+    * (doc_id, text) — the CDC-composed dedup oracles thread a post-delta
+    * corpus through the SAME chain; `shingleCtesOver("corpus")` is the
+    * historical text byte-for-byte. */
+  private def shingleCtesOver(src: String): String =
     s"""tok AS (
-       |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM corpus
+       |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM $src
        |), idx AS (
        |  SELECT unnest(range((SELECT max(len(toks)) FROM tok))) AS i
        |), sh AS (
@@ -146,6 +150,8 @@ object ExtOracle {
        |  FROM tok, idx
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |)""".stripMargin
+
+  private val shingleCtes: String = shingleCtesOver("corpus")
 
   /** ≙ Dedup.incrementalNew (existing = base documents, incoming = the
     * dup-planted corpus): survivors are the fingerprints the base table
@@ -2596,6 +2602,30 @@ object ExtOracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** CDC→DEDUP-index bridge oracle ≙ the ext_cdc_minhash_serving_fold
+    * rows: the changelog's update-after text rows replace the revised
+    * docs' text (planted copies keep their pre-delta text — copied before
+    * the feed ran) and the whole MinHash → bands → candidate → verify
+    * chain runs from scratch over that POST-delta corpus. Signatures are
+    * per-document pure, so swapping the delta ids' band/fingerprint rows
+    * inside the persisted layout must land exactly here. */
+  lazy val cdcMinhashDeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $corpusSql, cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), corpus2 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+       |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+       |), ${shingleCtesOver("corpus2")}, ${pairCtesOver("sh")}
+       |SELECT id_a, id_b, n_common, n_a, n_b
+       |FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** CDC→ANN-index bridge oracle ≙ the ext_cdc_ann_delta fold: the
     * changelog delta names the revised docs; each one is deterministically
     * RE-EMBEDDED (stub: vector reversal — a pure permutation, bit-exact on
@@ -2671,10 +2701,57 @@ object ExtOracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** ≙ ext_index_freshness over ALL FOUR maintained families: per-index
-    * state size (post-era-1 postings / cells / codes — the cell index
-    * holds one row per vector, the code index one row per (vector,
-    * subspace) so 4 N), folded vs feed HWM (changelog epoch seconds) and
+  /** ≙ the ext_cdc_minhash_serving_lifecycle folds — the FULL
+    * index-maintenance lifecycle on the dedup index: era-1 revisions,
+    * then the second window's deletes (rows out), sentinel-only inserts
+    * (content fetched by key, suffixed ' fresh'), and the further
+    * revision — and the whole banding chain run from scratch over that
+    * post-lifecycle corpus. Same corpus3 composition as the BM25/ANN
+    * lifecycle oracles, so the three families' graded corpora can never
+    * diverge. */
+  lazy val cdcMinhashLifecycleSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val lcCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
+    val off = graft.cdc.ChangeFeed.DocsInsertOffset
+    s"""WITH $corpusSql, cl1 AS MATERIALIZED (
+       |${docsCdc.changelogRowsSql}
+       |), cl2 AS MATERIALIZED (
+       |${lcCdc.changelogRowsSql}
+       |), c1d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2upd AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2ins AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
+       |), e2del AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
+       |), corpus3 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(u.text, d1.text, c.text) AS text
+       |  FROM corpus c
+       |  LEFT JOIN c1d d1 ON c.doc_id = d1.doc_id
+       |  LEFT JOIN e2upd u ON c.doc_id = u.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = c.doc_id)
+       |  UNION ALL
+       |  SELECT i.doc_id, d.text || ' fresh' AS text
+       |  FROM e2ins i JOIN documents d ON d.doc_id = i.doc_id - $off
+       |), ${shingleCtesOver("corpus3")}, ${pairCtesOver("sh")}
+       |SELECT id_a, id_b, n_common, n_a, n_b
+       |FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ ext_index_freshness over ALL FIVE maintained families: per-index
+    * state size (post-era-1 postings / cells / codes / LSH band rows —
+    * the cell index holds one row per vector, the code index one row per
+    * (vector, subspace) so 4 N, the LSH layout NumBands rows per doc that
+    * emits ≥ 1 shingle, i.e. ≥ ShingleLen tokens), folded vs feed HWM
+    * (changelog epoch seconds) and
     * the pending backlog by op class. The docs-feed indexes share the
     * composed era chains; the SERVING episode store tracks the ORDERS
     * changelog — one episode per o_orderstatus row, folded hwm = the max
@@ -2714,6 +2791,9 @@ object ExtOracle {
        |  SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
        |  UNION ALL
        |  SELECT 'ivfpq', (SELECT CAST(4 * count(*) AS BIGINT) FROM embeddings)
+       |  UNION ALL
+       |  SELECT 'minhash', (SELECT CAST(${Dedup.NumBands} * count(*) AS BIGINT)
+       |    FROM corpus2 WHERE len(string_split(text, ' ')) >= ${Dedup.ShingleLen})
        |), ocl AS MATERIALIZED (
        |${OrdersCdcOracle.changelogSql}
        |), ssc AS (

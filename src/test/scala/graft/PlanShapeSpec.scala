@@ -14,6 +14,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  /** File scans of an EXECUTED adaptive plan — descends through
+    * materialized query stages and reused exchanges (a plain `collect`
+    * over the plan tree does not enter them). */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scansOf(r.child)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case _ => Nil
+    }
+
   test("flagship changelog reads the feed source at most twice") {
     val scans = "Scan parquet".r.findAllIn(plan("cdc_changelog")).length
     assert(scans <= 2, s"pairs (1 agg pass) + sentinels (1 filtered scan), got $scans scans")
@@ -147,20 +163,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // read; a degenerated filter reads all 16.
     val df = SparkEntry.queries("ext_cdc_serving_pruned")(spark, dir)
     df.collect()
-    // descend through adaptive stages and reused exchanges — the episode
-    // scans live inside materialized QueryStageExec leaves
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.flatMap {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scansOf(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          scansOf(r.child)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scansOf(a.executedPlan)
-        case _ => Nil
-      }
     val scans = scansOf(df.queryExecution.executedPlan)
       .filter(_.metadata.get("Location").exists(_.contains("episodes")))
     assert(scans.nonEmpty, "expected episode-store scans in the executed plan")
@@ -170,6 +172,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         s"episode scan must runtime-prune to the slice's (even) buckets, " +
           s"read $read of 16")
     }
+  }
+
+  test("LSH serving probe prunes band AND fp buckets AT RUNTIME from the batch side") {
+    // the dedup index's serving layout is parquet-partitioned by band
+    // bucket (bands/) and fp bucket (fps/); the probe's own band /
+    // fingerprint rows are the genuine BUILD side of both inner joins
+    // (the real-lock shape — contrast the r12 right-outer hole). The
+    // graded row checkpoints the candidate stage, so the lock executes
+    // the stage DIRECTLY (same code path) with a 1-doc batch and reads
+    // the scans' runtime pruning metrics: one doc emits NumBands = 4
+    // band rows (≤ 4 of 16 band buckets) and 1 fingerprint row (1 of 16
+    // fp buckets); a missing or degenerated runtime filter reads every
+    // populated bucket.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = TempDirs.create("graft_mh_lock")
+    val bandsPath = base.resolve("bands").toString
+    val fpsPath = base.resolve("fps").toString
+    graft.ext.Dedup.writeServingLayout(docs, bandsPath, fpsPath)
+    // one planted EXACT copy: its base twin guarantees a candidate, so
+    // AQE cannot collapse the stage to EmptyRelation (which would erase
+    // the scans — and their metrics — from the final plan)
+    val batch = graft.ext.DocFeed.withDups(docs)
+      .where(org.apache.spark.sql.functions.col("doc_id") ===
+        (graft.ext.DocFeed.ExactDupOffset + 10L))
+    val cand = graft.ext.Dedup.minhashServingCandidates(
+      spark, bandsPath, fpsPath, batch)
+    cand.collect()
+    def prunedTo(tag: String, bound: Long): Unit = {
+      val scans = scansOf(cand.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains(tag)))
+      assert(scans.nonEmpty, s"expected $tag scans in the executed plan")
+      scans.foreach { f =>
+        val read = f.metrics.get("numPartitions").map(_.value)
+        assert(read.exists(_ <= bound),
+          s"$tag scan must runtime-prune to the probe's buckets, read $read")
+      }
+    }
+    prunedTo("bands", 4L)
+    prunedTo("fps", 1L)
   }
 
   test("compressed-index read prunes code partitions DYNAMICALLY from the probe side") {

@@ -465,6 +465,38 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       got == want
     }
 
+  property("in-place LSH serving fold over a random revise/delete/insert delta " +
+      "equals the scratch band rows + fingerprint registry of the post-delta corpus") =
+    Prop.forAll(genServingCase) { case (pre, revs, dels, inss) =>
+      val s = spark
+      import s.implicits._
+      val B = 8
+      val base = graft.TempDirs.create("graft_prop_mhf")
+      val preDf = pre.toDF("doc_id", "text")
+      val bandsPath = base.resolve("bands").toString
+      val fpsPath = base.resolve("fps").toString
+      Dedup.writeServingLayout(preDf, bandsPath, fpsPath, buckets = B)
+      val touched = (revs.map(_._1) ++ dels).toSet
+      val oldDocs = preDf.where(col("doc_id").isin(touched.toSeq.map(Long.box): _*))
+      val newDocs = (revs ++ inss).toDF("doc_id", "text")
+      Dedup.minhashServingFold(s, bandsPath, fpsPath, oldDocs, newDocs, buckets = B)
+      val revMap = revs.toMap
+      val post = (pre.filterNot(d => dels.contains(d._1))
+        .map { case (id, t) => (id, revMap.getOrElse(id, t)) } ++ inss)
+        .toDF("doc_id", "text")
+      val (wb, wf) = Dedup.minhashServingRows(post, buckets = B)
+      def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        df.select(cols.map(c => col(c).cast("string")): _*)
+          .collect().map(_.toSeq).toSet
+      val bc = Seq("pbucket", "band", "sig", "id")
+      val fc = Seq("fbucket", "sigfp", "id")
+      // explicit schemas: a delta can sweep EVERY partition (all-delete,
+      // or every survivor too short to shingle) and the emptied layout
+      // must read as n=0 state, never a schema-inference crash
+      rows(s.read.schema(wb.schema).parquet(bandsPath), bc) == rows(wb, bc) &&
+        rows(s.read.schema(wf.schema).parquet(fpsPath), fc) == rows(wf, fc)
+    }
+
   property("NFC normalization is idempotent and preserves canonical equivalence classes") =
     Prop.forAll(Gen.listOfN(6, genUni)) { texts =>
       val s = spark
