@@ -338,6 +338,41 @@ object SparkEntry {
       writeMinhashLayout(postEra1Corpus(s, dir), tmp)
     }
 
+  /** The deployed SimHash index over the HISTORY corpus in its serving
+    * layout (value band rows + membership registry) — the pruned ingest
+    * probe's pre-batch state, read in place. */
+  private def simhashServingHistState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_sh_srv_hist", s"$dir/documents.parquet") { tmp =>
+      Dedup.simhashWriteServingLayout(s.read.parquet(s"$dir/documents.parquet"),
+        tmp.resolve("vrows").toString, tmp.resolve("docs").toString)
+    }
+
+  /** The deployed SimHash index over the FULL pre-delta corpus — the
+    * state the CDC folds and the in-place forget start from; consumers
+    * COPY it (the folds mutate). */
+  private def simhashServingState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_sh_srv", s"$dir/documents.parquet") { tmp =>
+      Dedup.simhashWriteServingLayout(corpus(s, dir),
+        tmp.resolve("vrows").toString, tmp.resolve("docs").toString)
+    }
+
+  /** The SimHash layout as deployed AFTER the first maintenance cycle —
+    * scratch over [[postEra1Corpus]] ≡ the era-1 fold's landing state
+    * (the minhashServing2State precedent). Freshness reads its row
+    * counts in place. */
+  private def simhashServing2State(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_sh_srv2", s"$dir/documents.parquet") { tmp =>
+      Dedup.simhashWriteServingLayout(postEra1Corpus(s, dir),
+        tmp.resolve("vrows").toString, tmp.resolve("docs").toString)
+    }
+
+  /** Copy the two SimHash serving artifacts into `base`. */
+  private def copySimhashState(
+      state: java.nio.file.Path, base: java.nio.file.Path): Unit = {
+    TempDirs.copyInto(state.resolve("vrows"), base.resolve("vrows"))
+    TempDirs.copyInto(state.resolve("docs"), base.resolve("docs"))
+  }
+
   private val docsCfg = graft.cdc.CdcTableConfig("documents", Seq("doc_id"))
 
   /** The documents changelog's update-after text rows — the corpus DELTA
@@ -1861,9 +1896,9 @@ object SparkEntry {
     // DERIVED index state — per index, how big the deployed state is, how
     // far behind ITS feed it has folded (lag in changelog seconds), and
     // the pending maintenance backlog by op class (upserts / sentinel
-    // inserts / sentinel deletes). Covers ALL FIVE maintained families:
-    // bm25 postings, ivf cells, ivfpq codes and the LSH dedup layout
-    // track the documents feed
+    // inserts / sentinel deletes). Covers ALL SIX maintained families:
+    // bm25 postings, ivf cells, ivfpq codes and the minhash/simhash
+    // dedup layouts track the documents feed
     // (folded through era 1, era 2 pending); the SCD2 serving episode
     // store tracks the ORDERS feed (fully folded — lag 0, empty backlog,
     // derived from its own hwm, never a literal). The report an operator
@@ -1892,8 +1927,18 @@ object SparkEntry {
       val mhRows = s.read.parquet(
         minhashServing2State(s, dir).resolve("bands").toString)
         .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("minhash"))
+      // the simhash layout's state = BOTH artifacts (value band rows +
+      // membership registry) — the value table alone under-reports the
+      // bytes a fold maintains
+      val shState = simhashServing2State(s, dir)
+      val shRows = s.read.parquet(shState.resolve("vrows").toString)
+        .agg(count(lit(1)).as("__v"))
+        .crossJoin(s.read.parquet(shState.resolve("docs").toString)
+          .agg(count(lit(1)).as("__m")))
+        .select((col("__v") + col("__m")).as("state_rows"))
+        .withColumn("index_name", lit("simhash"))
       val docsIdx = bmRows.unionByName(ivfRows).unionByName(pqRows)
-        .unionByName(mhRows)
+        .unionByName(mhRows).unionByName(shRows)
         .crossJoin(broadcast(folded)).crossJoin(broadcast(feedH))
         .crossJoin(broadcast(pend))
         .select(col("index_name"), col("state_rows"),
@@ -2148,6 +2193,80 @@ object SparkEntry {
           c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi"), delta)
       }
       Dedup.minhashPairsFrom(pinnedBands, pinnedFps, c)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the SimHash index joins the serving-layout family at VALUE
+    // granularity (the rep-collapse carried into the layout): the batch's
+    // own value band rows broadcast against the sband-partitioned value
+    // table, value pairs hamming-verify by pure arithmetic, and the
+    // expansion + equal-value route read ONLY the candidate values'
+    // membership buckets — zero text IO end to end. Semantics ≡
+    // ext_simhash_ingest — same oracle, verbatim
+    "ext_simhash_pruned" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      val st = simhashServingHistState(s, dir)
+      Dedup.simhashServingProbe(s, st.resolve("vrows").toString,
+        st.resolve("docs").toString, batch)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the CDC delta folded IN PLACE into the value-granularity layout —
+    // a NEW fold flavor beside the per-doc-pure folds: membership rows
+    // fold per-doc, but a VALUE's band rows must exist iff ≥1 member
+    // remains, so each candidate value's liveness re-derives from the
+    // post-fold registry (pointed pruned read — a carried member count
+    // would double-adjust on replay). Graded ≡ the scratch SimHash chain
+    // over the post-delta corpus (changelog CTEs composed)
+    "ext_cdc_simhash_serving_fold" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val base = TempDirs.create("graft_shsrvf")
+      copySimhashState(simhashServingState(s, dir), base)
+      val delta = docsChangelogDelta(s, dir)
+      val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+      Dedup.simhashServingFold(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString, oldDocs, delta)
+      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin: 2 disjoint micro-batches; per-batch folds
+    // compose because liveness always re-derives from the CURRENT
+    // registry (a value shared across batches lands correctly whichever
+    // batch folds last). Same post-delta oracle
+    "ext_cdc_simhash_serving_fold_stream" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val base = TempDirs.create("graft_shsrvfst")
+      copySimhashState(simhashServingState(s, dir), base)
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsDeltaFeed(s, dir).resolve("delta").toString,
+        base.resolve("ckpt").toString) { batch =>
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+        val oldDocs = c.join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+        Dedup.simhashServingFold(s, base.resolve("vrows").toString,
+          base.resolve("docs").toString, oldDocs, b)
+      }
+      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SUBJECT DELETION in place on the value-granularity layout — the
+    // liveness wrinkle is exactly the GDPR edge: a value whose LAST
+    // member was the subject must leave the value table (its band
+    // buckets swept if emptied), while a survivor sharing the subject's
+    // fingerprint keeps pairing. Oracle = scratch over the survivors
+    "ext_simhash_serving_forget" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val base = TempDirs.create("graft_shsrvfgt")
+      copySimhashState(simhashServingState(s, dir), base)
+      val subject = store.where(col("doc_id") % 7 === 3)
+      Dedup.simhashServingFold(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString, subject, subject.where(lit(false)))
+      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2410,6 +2529,29 @@ object SparkEntry {
       val enc = s.read.parquet(state.resolve("codes").toString)
         .unionByName(Similarity.ivfPqEncode(e.where(!isHist), cents, cb)) // the fold
       Similarity.ivfPqSearch(enc, e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the compressed index's IN-PLACE subject deletion — the forget
+    // matrix's last serving-layout cell (ivf/bm25/minhash/episodes had
+    // theirs): the generalized code fold with an EMPTY new side drops the
+    // subject's code rows from only the coarse cells its vectors assign
+    // to (located by re-encoding at the frozen model — never a code
+    // scan), sweeping any cell it empties. Same oracle as the swap-style
+    // ext_ann_ivfpq_forget, verbatim: in-placeness is result-invisible
+    "ext_ann_ivfpq_serving_forget" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      val base = TempDirs.create("graft_pqsrvfgt")
+      TempDirs.copyInto(st.resolve("codes"), base.resolve("codes"))
+      val cents = s.read.parquet(st.resolve("cents").toString)
+      val cb = s.read.parquet(st.resolve("cb").toString)
+      val subject = e.where(col("vec_id") % 50 === 7)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfPqServingFold(s, base.resolve("codes").toString,
+        subject, subject.where(lit(false)), cents, cb)
+      Similarity.ivfPqSearch(s.read.parquet(base.resolve("codes").toString),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
         .orderBy("query_id", "rnk")
     }),
 
@@ -3154,6 +3296,38 @@ object SparkEntry {
       graft.cdc.ServingBridge.enrichAsOf(
         graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
         eps)
+        .orderBy("event_id")
+    }),
+
+    // READER ISOLATION on the serving episode store — the FOURTH
+    // foldIsolatedGen instance closes the grace-read matrix over the
+    // maintained layouts (sketch gens, IVF cells, BM25 artifact set,
+    // LSH artifact pair, and now the SCD2 store): a reader pins the
+    // MID-HWM generation (file index resolved), maintenance folds the
+    // window-2 episodes through the staged byte-copy + stamp+rename
+    // flip, and the pinned read EXECUTED AFTER THE FLIP still serves
+    // every request from the window-1 episode set on intact bytes —
+    // open episodes at the HWM stay open. Oracle = the serving chain
+    // with episodes cut at the HWM, visibly different from the folded
+    // store a fresh read serves
+    "ext_cdc_serving_grace_read" -> ((s, dir) => {
+      val mid = servingEpisodesMidLayout(s, dir)
+      val base = TempDirs.create("graft_srvepsgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        TempDirs.copyInto(mid.resolve("episodes"),
+          java.nio.file.Paths.get(stage.toUri.getPath).resolve("episodes"))
+      }
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      // the long-running reader resolves generation 1 HERE
+      val pinned = s.read.parquet(s"$gen1/episodes")
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        graft.cdc.ServingBridge.episodesServingFold(s, s"$gen/episodes",
+          servingWindow2Episodes(s, dir))
+      }
+      graft.cdc.ServingBridge.enrichAsOf(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
+        pinned.drop("bucket"))
         .orderBy("event_id")
     }),
 
@@ -5049,6 +5223,10 @@ object SparkEntry {
     "ext_cdc_minhash_serving_fold" -> ExtOracle.cdcMinhashDeltaSql,
     "ext_cdc_minhash_serving_fold_stream" -> ExtOracle.cdcMinhashDeltaSql,
     "ext_minhash_serving_forget" -> ExtOracle.minhashForgetSql,
+    "ext_simhash_pruned" -> ExtOracle.simhashIngestSql,
+    "ext_cdc_simhash_serving_fold" -> ExtOracle.cdcSimhashDeltaSql,
+    "ext_cdc_simhash_serving_fold_stream" -> ExtOracle.cdcSimhashDeltaSql,
+    "ext_simhash_serving_forget" -> ExtOracle.simhashForgetSql,
     "ext_cdc_minhash_serving_lifecycle" -> ExtOracle.cdcMinhashLifecycleSql,
     "ext_cdc_minhash_serving_lifecycle_stream" -> ExtOracle.cdcMinhashLifecycleSql,
     "ext_minhash_serving_grace_read" -> ExtOracle.dedupMinhashSql,
@@ -5105,6 +5283,7 @@ object SparkEntry {
     "ext_cdc_ivfpq_serving_lifecycle" -> ExtOracle.cdcIvfPqLifecycleSql,
     "ext_cdc_ivfpq_serving_lifecycle_stream" -> ExtOracle.cdcIvfPqLifecycleSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
+    "ext_ann_ivfpq_serving_forget" -> ExtOracle.annIvfPqForgetSql,
     "ext_ann_ivfpq_refresh" -> ExtOracle.annIvfPqRefreshSql,
     "ext_star_agg" -> ExtOracle.starAggSql,
     "ext_bpe_tokens" -> ExtOracle.bpeTokensSql,
@@ -5185,6 +5364,7 @@ object SparkEntry {
     "ext_cdc_serving_forget" -> ExtOracle.cdcServingForgetSql,
     "ext_cdc_serving_pruned" -> ExtOracle.cdcServingPrunedSql,
     "ext_cdc_serving_fold" -> ExtOracle.cdcServingJoinSql,
+    "ext_cdc_serving_grace_read" -> ExtOracle.cdcServingGraceSql,
     "ext_cdc_serving_fold_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,

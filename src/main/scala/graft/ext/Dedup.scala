@@ -1267,6 +1267,283 @@ object Dedup {
       .distinct()
   }
 
+  // -------------------------------------------------------------------
+  // The SimHash SERVING LAYOUT — the dedup family's second serving
+  // index, at VALUE granularity (the rep-collapse carried into the
+  // layout): two persisted artifacts,
+  //   vrows/ (sband, band, bv, simhash)  one row per (DISTINCT value,
+  //          band), partitioned by sband = md5(band#bv) mod buckets — a
+  //          (band, bv) group lives entirely in its partition, so cap
+  //          counting and replacement are bucket-local;
+  //   docs/  (vbucket, simhash, id)      the value→doc MEMBERSHIP
+  //          registry partitioned by the value's bucket — expansion and
+  //          the exact equal-value route are pointed pruned lookups.
+  // The new wrinkle vs the per-doc-pure layouts (minhash bands, IVF
+  // cells, postings): a vrows row is NOT per-doc pure — it must exist
+  // iff ≥ 1 member remains. The fold therefore derives each candidate
+  // value's LIVENESS from the post-fold registry (a pointed pruned
+  // read), never from a carried count — the replay-idempotence rule
+  // (no carried scalars) applied to row existence itself.
+  // -------------------------------------------------------------------
+
+  /** Band-bucket assignment for the value band rows — layout-internal. */
+  def simhashBandBucket(band: Column, bv: Column, buckets: Int = ServingBuckets): Column =
+    conv(substring(md5(concat_ws("#", band, bv).cast("binary")), 1, 4), 16, 10)
+      .cast("long") % buckets
+
+  /** Value-bucket assignment for the membership registry — a value's
+    * members live entirely in its bucket. */
+  def simhashValueBucket(v: Column, buckets: Int = ServingBuckets): Column =
+    pmod(v, lit(buckets.toLong))
+
+  /** The 4×8-bit band rows of a distinct-value frame (`simhash` column). */
+  private def simhashVbandsOf(values: DataFrame): DataFrame = values
+    .select(col("simhash"), posexplode(array((0 until SimHashBands).map(b =>
+      shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
+
+  private val simhashVrowsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bv",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("simhash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sband",
+      org.apache.spark.sql.types.LongType)))
+  private val simhashDocsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("simhash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vbucket",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The serving artifact rows of a document set — (value band rows over
+    * its DISTINCT fingerprint values, membership rows). Un-materialized
+    * (the probe's DPP contract — see [[minhashServingRows]]). */
+  def simhashServingRows(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = ServingBuckets): (DataFrame, DataFrame) = {
+    val fps = simhash(docs, textCol, idCol)
+    val vrows = simhashVbandsOf(fps.select("simhash").distinct())
+      .select(col("band"), col("bv"), col("simhash"),
+        simhashBandBucket(col("band"), col("bv"), buckets).as("sband"))
+    val members = fps.select(col("simhash"), col("doc_id").as("id"))
+      .withColumn("vbucket", simhashValueBucket(col("simhash"), buckets))
+    (vrows, members)
+  }
+
+  /** Write a document set's SimHash index in its serving layout. */
+  def simhashWriteServingLayout(
+      docs: DataFrame,
+      vrowsPath: String,
+      docsPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = ServingBuckets): Unit = {
+    val (vrows, members) = simhashServingRows(docs, textCol, idCol, buckets)
+    vrows.repartition(col("sband"))
+      .write.partitionBy("sband").mode("overwrite").parquet(vrowsPath)
+    members.repartition(col("vbucket"))
+      .write.partitionBy("vbucket").mode("overwrite").parquet(docsPath)
+  }
+
+  /** The pruned ingest probe's CANDIDATE stage over the persisted
+    * layout (un-materialized — the plan lock executes it and reads the
+    * scans' runtime pruning metrics): the batch's own value band rows
+    * broadcast against the sband-partitioned value table, value pairs
+    * verify by hamming arithmetic, and the expansion reads ONLY the
+    * candidate values' membership buckets. Semantics ≡ [[simhashIngest]]
+    * (value-granularity candidates, caps, equal-value route). */
+  def simhashServingCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      vrowsPath: String,
+      docsPath: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket,
+      buckets: Int = ServingBuckets): DataFrame = {
+    val (vb0, bm0) = simhashServingRows(batch, textCol, idCol, buckets)
+    val vb = vb0.localCheckpoint(true)
+    val bfps = bm0.localCheckpoint(true)
+    val storedV = spark.read.schema(simhashVrowsSchema).parquet(vrowsPath)
+    val probedV = storedV
+      .join(broadcast(vb0.select("sband", "band", "bv").distinct()),
+        Seq("sband", "band", "bv"))
+      .select("band", "bv", "simhash")
+    // probed groups' full value membership: stored values (bucket-pure,
+    // so complete within the pruned slice) ∪ the batch's own values
+    val vAll = probedV.unionByName(vb.select("band", "bv", "simhash")).distinct()
+    val keep = vAll.groupBy("band", "bv").agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") <= maxBucket).select("band", "bv")
+    val keptAll = vAll.join(keep, Seq("band", "bv"))
+    val probe = vb.select("band", "bv", "simhash").distinct()
+      .join(keep, Seq("band", "bv"))
+    val vpairs = probe.select(col("band"), col("bv"), col("simhash").as("__va"))
+      .join(keptAll.select(col("band"), col("bv"), col("simhash").as("__vb")),
+        Seq("band", "bv"))
+      .where(col("__va") =!= col("__vb")).select("__va", "__vb").distinct()
+      .where(hammingDistance(col("__va"), col("__vb")) <= SimHashMaxHamming)
+    // membership of every value a pair (or the equal-value route) can
+    // touch — ONE pointed pruned read of the candidate values' buckets
+    val candVals = vpairs.select(col("__va").as("simhash"))
+      .unionByName(vpairs.select(col("__vb").as("simhash")))
+      .unionByName(bfps.select("simhash"))
+      .distinct()
+      .withColumn("vbucket", simhashValueBucket(col("simhash"), buckets))
+    val storedM = spark.read.schema(simhashDocsSchema).parquet(docsPath)
+    val members = storedM
+      .join(broadcast(candVals.select("vbucket", "simhash")), Seq("vbucket", "simhash"))
+      .select(col("simhash"), col("id"))
+      .unionByName(bfps.select(col("simhash"), col("id")))
+    val cross = vpairs
+      .join(members.select(col("simhash").as("__va"), col("id").as("__ia")), Seq("__va"))
+      .join(members.select(col("simhash").as("__vb"), col("id").as("__ib")), Seq("__vb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        hammingDistance(col("__va"), col("__vb")).cast("long").as("hamming"))
+      .distinct()
+    val within = members.select(col("simhash"), col("id").as("id_a"))
+      .join(members.select(col("simhash"), col("id").as("id_b")), Seq("simhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    val pairs = cross.unionByName(within)
+    val batchIds = bfps.select(col("id"))
+    pairs.join(broadcast(batchIds.select(col("id").as("id_a"))), Seq("id_a"), "left_semi")
+      .unionByName(
+        pairs.join(broadcast(batchIds.select(col("id").as("id_b"))), Seq("id_b"), "left_semi")
+          .select("id_a", "id_b", "hamming"))
+      .distinct()
+  }
+
+  /** The pruned ingest probe (the graded read): candidates materialized
+    * once, nothing further to verify — hamming IS the verification. */
+  def simhashServingProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      vrowsPath: String,
+      docsPath: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket,
+      buckets: Int = ServingBuckets): DataFrame =
+    simhashServingCandidates(
+      spark, vrowsPath, docsPath, batch, textCol, idCol, maxBucket, buckets)
+      .localCheckpoint(true)
+
+  /** IN-PLACE partial maintenance of the SimHash serving layout. The
+    * membership registry folds per-doc-pure (anti-join + union confined
+    * to the candidate values' buckets). The value table's rows are NOT
+    * per-doc pure — a value's band rows must exist iff ≥ 1 member
+    * remains — so each candidate value's LIVENESS re-derives from the
+    * post-fold registry via a pointed pruned read (a carried member
+    * count would double-adjust on a replayed batch: the count-min
+    * sum-merge lesson applied to row EXISTENCE). Candidate values = the
+    * delta docs' old values (re-hashed pre-delta text — never an index
+    * scan) ∪ new values; both artifacts' reads and writes are confined
+    * to those values' buckets. */
+  def simhashServingFold(
+      spark: org.apache.spark.sql.SparkSession,
+      vrowsPath: String,
+      docsPath: String,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = ServingBuckets): Unit = {
+    val oldFps = simhash(oldDocs, textCol, idCol).localCheckpoint(true)
+    val newFps = simhash(newDocs, textCol, idCol).localCheckpoint(true)
+    val deltaIds = oldFps.select(col("doc_id").as("__did"))
+      .union(newFps.select(col("doc_id").as("__did"))).distinct()
+      .localCheckpoint(true)
+    val candVals = oldFps.select("simhash").union(newFps.select("simhash"))
+      .distinct().localCheckpoint(true)
+    // membership registry fold (per-doc pure)
+    val affectedVB = ServingLayout.affectedValues(
+      candVals.select(simhashValueBucket(col("simhash"), buckets)))
+    val storedM = spark.read.schema(simhashDocsSchema).parquet(docsPath)
+      .where(ServingLayout.partitionIn(
+        col("vbucket"), simhashDocsSchema("vbucket").dataType, affectedVB))
+    val replacementM = storedM
+      .join(deltaIds, col("id") === col("__did"), "left_anti")
+      .select("vbucket", "simhash", "id")
+      .unionByName(newFps.select(
+        simhashValueBucket(col("simhash"), buckets).as("vbucket"),
+        col("simhash"), col("doc_id").as("id")))
+      .localCheckpoint(true) // barrier: bytes leave the path being overwritten
+    replacementM.repartition(col("vbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("vbucket")
+      .parquet(docsPath)
+    ServingLayout.sweepEmptied(spark, docsPath, "vbucket", affectedVB, replacementM)
+    // value-table fold: liveness from the POST-fold registry
+    val affectedSB = ServingLayout.affectedValues(
+      simhashVbandsOf(candVals)
+        .select(simhashBandBucket(col("band"), col("bv"), buckets)))
+    val postM = spark.read.schema(simhashDocsSchema).parquet(docsPath)
+      .where(ServingLayout.partitionIn(
+        col("vbucket"), simhashDocsSchema("vbucket").dataType, affectedVB))
+    val alive = postM
+      .join(broadcast(candVals), Seq("simhash"), "left_semi")
+      .select("simhash").distinct().localCheckpoint(true)
+    val newVrows = simhashVbandsOf(alive)
+      .select(col("band"), col("bv"), col("simhash"),
+        simhashBandBucket(col("band"), col("bv"), buckets).as("sband"))
+    val storedV = spark.read.schema(simhashVrowsSchema).parquet(vrowsPath)
+      .where(ServingLayout.partitionIn(
+        col("sband"), simhashVrowsSchema("sband").dataType, affectedSB))
+    val replacementV = storedV
+      .join(candVals.select(col("simhash").as("__cv")),
+        col("simhash") === col("__cv"), "left_anti")
+      .select("sband", "band", "bv", "simhash")
+      .unionByName(newVrows.select("sband", "band", "bv", "simhash"))
+      .localCheckpoint(true) // barrier
+    replacementV.repartition(col("sband"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sband")
+      .parquet(vrowsPath)
+    ServingLayout.sweepEmptied(spark, vrowsPath, "sband", affectedSB, replacementV)
+  }
+
+  /** Verified near-dup pairs among the documents of a persisted SimHash
+    * serving layout — [[simhashNearDupPairs]] read from the two
+    * artifacts (value-granularity candidates from the value table,
+    * expansion + equal-value route from the membership registry). The
+    * read side of the maintenance rows: fold ∘ this must equal the
+    * scratch chain over the post-fold corpus. */
+  def simhashPairsServing(
+      spark: org.apache.spark.sql.SparkSession,
+      vrowsPath: String,
+      docsPath: String,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val vrows = spark.read.schema(simhashVrowsSchema).parquet(vrowsPath)
+    val keep = vrows.groupBy("band", "bv").agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") <= maxBucket).select("band", "bv")
+    val kept = vrows.join(keep, Seq("band", "bv"))
+    val vpairs = kept.select(col("band"), col("bv"), col("simhash").as("__va"))
+      .join(kept.select(col("band"), col("bv"), col("simhash").as("__vb")),
+        Seq("band", "bv"))
+      .where(col("__va") < col("__vb")).select("__va", "__vb").distinct()
+      .where(hammingDistance(col("__va"), col("__vb")) <= SimHashMaxHamming)
+    val members = spark.read.schema(simhashDocsSchema).parquet(docsPath)
+    val cross = vpairs
+      .join(members.select(col("simhash").as("__va"), col("id").as("__ia")), Seq("__va"))
+      .join(members.select(col("simhash").as("__vb"), col("id").as("__ib")), Seq("__vb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        hammingDistance(col("__va"), col("__vb")).cast("long").as("hamming"))
+    val within = members.select(col("simhash"), col("id").as("id_a"))
+      .join(members.select(col("simhash"), col("id").as("id_b")), Seq("simhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
   /** Audit of SimHash band buckets — one row per (band, byte-value)
     * bucket holding ≥ 2 documents: member count, distinct-value count
     * (post-collapse join breadth) and the action at `maxBucket`. */

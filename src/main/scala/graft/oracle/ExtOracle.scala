@@ -626,25 +626,84 @@ object ExtOracle {
        |ORDER BY lang""".stripMargin
 
   /** E1c ≙ Dedup.simhash (32-bit, distinct-token set, md5-derived hashes). */
-  /** Shared CTE chain ending in `sims(id, simhash)` — consumed by the
-    * fingerprint listing and the banded near-dup pair search. */
-  private val simhashCtes: String =
-    s"""$corpusSql, tok0 AS (
-       |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM corpus
-       |), tokd AS (
-       |  SELECT DISTINCT id, t FROM tok0
-       |), hh AS (
-       |  SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tokd
-       |), bits AS (
+  /** The SimHash chain (→ `sims(id, simhash)`) over an arbitrary
+    * corpus-shaped CTE — the CDC-composed and survivor-sliced oracles
+    * thread their own source; `simhashChainOver("corpus")` is the
+    * historical text byte-for-byte. */
+  /** @param sfx suffix for every CTE name — lets the chain coexist with
+    *        other chains in one WITH list (the freshness oracle composes
+    *        it beside the BM25 chain). */
+  private def simhashChainOver(src: String, sfx: String = ""): String =
+    s"""tok0$sfx AS (
+       |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM $src
+       |), tokd$sfx AS (
+       |  SELECT DISTINCT id, t FROM tok0$sfx
+       |), hh$sfx AS (
+       |  SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tokd$sfx
+       |), bits$sfx AS (
        |  SELECT id, j,
        |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
        |         THEN 1 ELSE 0 END AS b
-       |  FROM hh, range(${Dedup.SimHashBits}) r(j)
+       |  FROM hh$sfx, range(${Dedup.SimHashBits}) r(j)
        |  GROUP BY id, j
-       |), sims AS (
+       |), sims$sfx AS (
        |  SELECT id, CAST(sum(b * (1::BIGINT << j)) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY id
+       |  FROM bits$sfx GROUP BY id
        |)""".stripMargin
+
+  /** Shared CTE chain ending in `sims(id, simhash)` — consumed by the
+    * fingerprint listing and the banded near-dup pair search. */
+  private val simhashCtes: String = s"$corpusSql, ${simhashChainOver("corpus")}"
+
+  /** The banded-candidates + hamming-verify tail every simhash pair
+    * oracle shares (generated once so band width and threshold cannot
+    * diverge between variants). */
+  private val simhashPairsTail: String =
+    s"""sbands AS (
+       |  SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sims, range(${Dedup.SimHashBands}) r(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM sbands l JOIN sbands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sims a ON a.id = c.id_a
+       |JOIN sims b ON b.id = c.id_b
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimHashMaxHamming}""".stripMargin
+
+  /** ≙ the ext_cdc_simhash_serving_fold rows: the changelog delta applied
+    * to the corpus, the whole SimHash chain re-run from scratch over the
+    * post-delta text — what folding the delta's values/memberships into
+    * the persisted value-granularity layout must land on (fingerprints
+    * are per-document pure; value-row LIVENESS re-derives from the
+    * folded membership registry). */
+  lazy val cdcSimhashDeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $corpusSql, cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), corpus2 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+       |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+       |), ${simhashChainOver("corpus2")}, $simhashPairsTail
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ ext_simhash_serving_forget: subject deletion on the value-
+    * granularity layout ≡ the scratch chain over the surviving corpus —
+    * in particular a value whose LAST member was the subject must leave
+    * the value table (liveness), while a survivor sharing the subject's
+    * value keeps pairing. */
+  val simhashForgetSql: String =
+    s"""WITH $corpusSql, corpusv AS (
+       |  SELECT * FROM corpus WHERE doc_id % 7 <> 3
+       |), ${simhashChainOver("corpusv")}, $simhashPairsTail
+       |ORDER BY id_a, id_b""".stripMargin
 
   val simhashSql: String =
     s"""WITH $simhashCtes
@@ -2163,6 +2222,19 @@ object ExtOracle {
     OrdersCdcOracle.changelogSql, "o_orderstatus",
     graft.cdc.ServingBridge.DefaultResidues)
 
+  /** ≙ ext_cdc_serving_grace_read: the reader pinned to the MID-HWM
+    * generation of the episode store answers every request from the
+    * window-1 episode set alone — open episodes at the HWM stay open
+    * (the lead() recomputes within the filtered set, exactly what the
+    * mid layout stores), and window-1 changelog ids are the global ids'
+    * prefix (the resume contract's append-stability), so the filter
+    * composes with the full chain. Visibly different from the post-fold
+    * state a fresh read serves. */
+  lazy val cdcServingGraceSql: String = cdcServingSqlOver(
+    OrdersCdcOracle.changelogSql, "o_orderstatus",
+    graft.cdc.ServingBridge.DefaultResidues,
+    epsWhere = s"commit_time <= TIMESTAMP '${OrdersCdcOracle.ResumeMid}'")
+
   /** ≙ ext_cdc_serving_retention: the ORACLE serves every in-contract
     * request (serve_s at-or-after the mid-clock horizon) from the FULL
     * episode set — retention on the store must be invisible to them,
@@ -2746,11 +2818,13 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** ≙ ext_index_freshness over ALL FIVE maintained families: per-index
-    * state size (post-era-1 postings / cells / codes / LSH band rows —
-    * the cell index holds one row per vector, the code index one row per
-    * (vector, subspace) so 4 N, the LSH layout NumBands rows per doc that
-    * emits ≥ 1 shingle, i.e. ≥ ShingleLen tokens), folded vs feed HWM
+  /** ≙ ext_index_freshness over ALL SIX maintained families: per-index
+    * state size (post-era-1 postings / cells / codes / LSH band rows /
+    * SimHash artifacts — the cell index holds one row per vector, the
+    * code index one row per (vector, subspace) so 4 N, the LSH layout
+    * NumBands rows per doc that emits ≥ 1 shingle (≥ ShingleLen tokens),
+    * the SimHash layout SimHashBands rows per DISTINCT fingerprint plus
+    * one membership row per doc), folded vs feed HWM
     * (changelog epoch seconds) and
     * the pending backlog by op class. The docs-feed indexes share the
     * composed era chains; the SERVING episode store tracks the ORDERS
@@ -2774,7 +2848,8 @@ object ExtOracle {
          |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
          |  FROM corpus c LEFT JOIN c1d d ON c.doc_id = d.doc_id
          |), """.stripMargin
-    s"""WITH ${bm25Ctes(5, src = "corpus2", extraCtes = extra)}, sc AS (
+    s"""WITH ${bm25Ctes(5, src = "corpus2", extraCtes = extra)},
+       |${simhashChainOver("corpus2", sfx = "_f")}, sc AS (
        |  SELECT
        |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM cl1) AS folded_hwm_s,
        |    (SELECT CAST(max(epoch(commit_time)) AS BIGINT) FROM cl2) AS feed_hwm_s,
@@ -2794,6 +2869,9 @@ object ExtOracle {
        |  UNION ALL
        |  SELECT 'minhash', (SELECT CAST(${Dedup.NumBands} * count(*) AS BIGINT)
        |    FROM corpus2 WHERE len(string_split(text, ' ')) >= ${Dedup.ShingleLen})
+       |  UNION ALL
+       |  SELECT 'simhash', (SELECT CAST(${Dedup.SimHashBands} * count(DISTINCT simhash)
+       |      + count(*) AS BIGINT) FROM sims_f)
        |), ocl AS MATERIALIZED (
        |${OrdersCdcOracle.changelogSql}
        |), ssc AS (

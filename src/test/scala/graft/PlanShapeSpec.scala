@@ -213,6 +213,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     prunedTo("fps", 1L)
   }
 
+  test("SimHash serving probe prunes value-band AND membership buckets AT RUNTIME") {
+    // the value-granularity layout: a 1-doc probe touches ≤ 4 of 16 band
+    // buckets of the value table and a handful of membership buckets
+    // (its own value + any candidate partner values). The probe doc is a
+    // planted NEAR dup, so a hamming-distant-but-close partner value
+    // keeps BOTH the cross branch (vrows scan) and the equal/expansion
+    // branch (docs scan) alive through AQE
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = TempDirs.create("graft_sh_lock")
+    val vrowsPath = base.resolve("vrows").toString
+    val docsPath = base.resolve("docs").toString
+    graft.ext.Dedup.simhashWriteServingLayout(docs, vrowsPath, docsPath)
+    val batch = graft.ext.DocFeed.withDups(docs)
+      .where(org.apache.spark.sql.functions.col("doc_id") ===
+        (graft.ext.DocFeed.NearDupOffset + 11L))
+    def prunedTo(df: org.apache.spark.sql.DataFrame, tag: String, bound: Long): Unit = {
+      val scans = scansOf(df.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains(tag)))
+      assert(scans.nonEmpty, s"expected $tag scans in the executed plan")
+      scans.foreach { f =>
+        val read = f.metrics.get("numPartitions").map(_.value)
+        assert(read.exists(_ <= bound),
+          s"$tag scan must runtime-prune to the probe's buckets, read $read")
+      }
+    }
+    // near-dup probe: its word-soup partner values keep the cross branch
+    // (vrows scan) alive — the value table reads ≤ the doc's 4 band
+    // buckets. The membership read legitimately fans to the candidate
+    // PARTNER values' buckets (13 of 16 at this fixture's documented
+    // hamming density), so its non-vacuous lock is STRICTLY FEWER than
+    // all 16 — a degenerated runtime filter reads every bucket
+    val cand = graft.ext.Dedup.simhashServingCandidates(
+      spark, vrowsPath, docsPath, batch)
+    assert(cand.collect().nonEmpty, "the near-dup probe must surface candidates")
+    prunedTo(cand, "vrows", 4L)
+    prunedTo(cand, "docs", 15L)
+  }
+
   test("compressed-index read prunes code partitions DYNAMICALLY from the probe side") {
     // the IVF-PQ codes are parquet-partitioned by coarse cell; the
     // broadcast ADC table's probe assignment must reach the codes scan

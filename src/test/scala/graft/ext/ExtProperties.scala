@@ -497,6 +497,38 @@ object ExtProperties extends Properties("ext") with SparkFixture {
         rows(s.read.schema(wf.schema).parquet(fpsPath), fc) == rows(wf, fc)
     }
 
+  property("in-place simhash serving fold over a random revise/delete/insert delta " +
+      "equals the scratch value table + membership of the post-delta corpus") =
+    Prop.forAll(genServingCase) { case (pre, revs, dels, inss) =>
+      val s = spark
+      import s.implicits._
+      val B = 8
+      val base = graft.TempDirs.create("graft_prop_shf")
+      val preDf = pre.toDF("doc_id", "text")
+      val vrowsPath = base.resolve("vrows").toString
+      val docsPath = base.resolve("docs").toString
+      Dedup.simhashWriteServingLayout(preDf, vrowsPath, docsPath, buckets = B)
+      val touched = (revs.map(_._1) ++ dels).toSet
+      val oldDocs = preDf.where(col("doc_id").isin(touched.toSeq.map(Long.box): _*))
+      val newDocs = (revs ++ inss).toDF("doc_id", "text")
+      Dedup.simhashServingFold(s, vrowsPath, docsPath, oldDocs, newDocs, buckets = B)
+      val revMap = revs.toMap
+      val post = (pre.filterNot(d => dels.contains(d._1))
+        .map { case (id, t) => (id, revMap.getOrElse(id, t)) } ++ inss)
+        .toDF("doc_id", "text")
+      // the small vocabulary makes SHARED values likely, so the liveness
+      // arm (a candidate value kept alive by an untouched doc, or dropped
+      // with its last member) is exercised across the random cases
+      val (wv, wm) = Dedup.simhashServingRows(post, buckets = B)
+      def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        df.select(cols.map(c => col(c).cast("string")): _*)
+          .collect().map(_.toSeq).toSet
+      val vc = Seq("sband", "band", "bv", "simhash")
+      val mc = Seq("vbucket", "simhash", "id")
+      rows(s.read.schema(wv.schema).parquet(vrowsPath), vc) == rows(wv, vc) &&
+        rows(s.read.schema(wm.schema).parquet(docsPath), mc) == rows(wm, mc)
+    }
+
   property("NFC normalization is idempotent and preserves canonical equivalence classes") =
     Prop.forAll(Gen.listOfN(6, genUni)) { texts =>
       val s = spark
