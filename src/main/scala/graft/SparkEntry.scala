@@ -2100,6 +2100,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the FULL production loop in ONE graded row: the changelog delta
+    // folds the HISTORY layout in place, and the ARRIVING batch then
+    // probes the FOLDED layout through the pruned serving read — the
+    // continuously-maintained dedup index stays queryable and correct
+    // mid-maintenance (fold ∘ probe ≡ the ingest restriction of the
+    // post-delta scratch chain). The verify store is the post-delta
+    // corpus view: revised history partners must Jaccard against their
+    // CURRENT text
+    "ext_cdc_minhash_serving_probe" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val base = TempDirs.create("graft_mhsrvpb")
+      copyMinhashState(minhashServingHistState(s, dir), base)
+      val delta = docsChangelogDelta(s, dir)
+      val hist = s.read.parquet(s"$dir/documents.parquet")
+      val oldDocs = hist.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      Dedup.minhashServingFold(s, base.resolve("bands").toString,
+        base.resolve("fps").toString, oldDocs, delta)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      Dedup.minhashServingProbe(s, base.resolve("bands").toString,
+        base.resolve("fps").toString, batch, postDeltaCorpus(store, delta))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SUBJECT DELETION in place on the partitioned dedup layout (the
     // forget matrix × serving-layout matrix, dedup cell): the generalized
     // fold with an EMPTY new side is a per-bucket row filter touching
@@ -5223,6 +5247,7 @@ object SparkEntry {
     "ext_cdc_minhash_serving_fold" -> ExtOracle.cdcMinhashDeltaSql,
     "ext_cdc_minhash_serving_fold_stream" -> ExtOracle.cdcMinhashDeltaSql,
     "ext_minhash_serving_forget" -> ExtOracle.minhashForgetSql,
+    "ext_cdc_minhash_serving_probe" -> ExtOracle.cdcMinhashIngestSql,
     "ext_simhash_pruned" -> ExtOracle.simhashIngestSql,
     "ext_cdc_simhash_serving_fold" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_cdc_simhash_serving_fold_stream" -> ExtOracle.cdcSimhashDeltaSql,

@@ -1357,18 +1357,23 @@ object Dedup {
     * verify by hamming arithmetic, and the expansion reads ONLY the
     * candidate values' membership buckets. Semantics ≡ [[simhashIngest]]
     * (value-granularity candidates, caps, equal-value route). */
-  def simhashServingCandidates(
+  /** The probe's VALUE-PAIR stage alone, un-materialized — the banded
+    * join against the sband-partitioned value table (runtime partition
+    * filter from the broadcast batch side) plus the hamming cut. Exposed
+    * lazily so the plan lock can execute it and read the value scan's
+    * pruning metrics; [[simhashServingCandidates]] materializes it once
+    * (four consumers replanted the whole banded join and made the probe
+    * 6× slower than the whole-index ingest it mirrors). */
+  def simhashServingValuePairs(
       spark: org.apache.spark.sql.SparkSession,
       vrowsPath: String,
-      docsPath: String,
       batch: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
       buckets: Int = ServingBuckets): DataFrame = {
-    val (vb0, bm0) = simhashServingRows(batch, textCol, idCol, buckets)
+    val (vb0, _) = simhashServingRows(batch, textCol, idCol, buckets)
     val vb = vb0.localCheckpoint(true)
-    val bfps = bm0.localCheckpoint(true)
     val storedV = spark.read.schema(simhashVrowsSchema).parquet(vrowsPath)
     val probedV = storedV
       .join(broadcast(vb0.select("sband", "band", "bv").distinct()),
@@ -1382,19 +1387,44 @@ object Dedup {
     val keptAll = vAll.join(keep, Seq("band", "bv"))
     val probe = vb.select("band", "bv", "simhash").distinct()
       .join(keep, Seq("band", "bv"))
-    val vpairs = probe.select(col("band"), col("bv"), col("simhash").as("__va"))
+    probe.select(col("band"), col("bv"), col("simhash").as("__va"))
       .join(keptAll.select(col("band"), col("bv"), col("simhash").as("__vb")),
         Seq("band", "bv"))
       .where(col("__va") =!= col("__vb")).select("__va", "__vb").distinct()
       .where(hammingDistance(col("__va"), col("__vb")) <= SimHashMaxHamming)
+  }
+
+  def simhashServingCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      vrowsPath: String,
+      docsPath: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Long = DefaultMaxBucket,
+      buckets: Int = ServingBuckets): DataFrame = {
+    val (_, bm0) = simhashServingRows(batch, textCol, idCol, buckets)
+    val bfps = bm0.localCheckpoint(true)
+    val vpairs = simhashServingValuePairs(
+      spark, vrowsPath, batch, textCol, idCol, maxBucket, buckets)
+      .localCheckpoint(true) // candidate-pair-sized; four consumers below
     // membership of every value a pair (or the equal-value route) can
-    // touch — ONE pointed pruned read of the candidate values' buckets
+    // touch — pointed reads of the candidate values' buckets. The bucket
+    // set collects to a literal (≤ ServingBuckets — the affectedValues
+    // control-plane scalar), so the scan is STATICALLY partition-pruned;
+    // DPP is unavailable here (the dim side is materialized candidate
+    // data, not a filtered source). Left lazy so the final plan carries
+    // the pruned scan for the metric lock — it is a small pruned read
     val candVals = vpairs.select(col("__va").as("simhash"))
       .unionByName(vpairs.select(col("__vb").as("simhash")))
       .unionByName(bfps.select("simhash"))
       .distinct()
       .withColumn("vbucket", simhashValueBucket(col("simhash"), buckets))
+      .localCheckpoint(true)
+    val candBuckets = ServingLayout.affectedValues(candVals.select("vbucket"))
     val storedM = spark.read.schema(simhashDocsSchema).parquet(docsPath)
+      .where(ServingLayout.partitionIn(
+        col("vbucket"), simhashDocsSchema("vbucket").dataType, candBuckets))
     val members = storedM
       .join(broadcast(candVals.select("vbucket", "simhash")), Seq("vbucket", "simhash"))
       .select(col("simhash"), col("id"))

@@ -2698,6 +2698,30 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ≙ ext_cdc_minhash_serving_probe: the ingest RESTRICTION of the
+    * post-delta chain — the planted batch's pairs against (and within)
+    * the delta-folded corpus. Planted copies keep their pre-delta text
+    * (copied before the feed ran), so corpus2 is exactly the store the
+    * folded layout indexes plus the arriving batch. */
+  lazy val cdcMinhashIngestSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $corpusSql, cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), corpus2 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+       |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+       |), ${shingleCtesOver("corpus2")}, ${pairCtesOver("sh")}
+       |SELECT id_a, id_b, n_common, n_a, n_b
+       |FROM pairs
+       |WHERE id_a >= ${graft.ext.DocFeed.ExactDupOffset}
+       |   OR id_b >= ${graft.ext.DocFeed.ExactDupOffset}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** CDC→ANN-index bridge oracle ≙ the ext_cdc_ann_delta fold: the
     * changelog delta names the revised docs; each one is deterministically
     * RE-EMBEDDED (stub: vector reversal — a pure permutation, bit-exact on

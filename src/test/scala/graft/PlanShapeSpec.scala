@@ -238,16 +238,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
           s"$tag scan must runtime-prune to the probe's buckets, read $read")
       }
     }
-    // near-dup probe: its word-soup partner values keep the cross branch
-    // (vrows scan) alive — the value table reads ≤ the doc's 4 band
-    // buckets. The membership read legitimately fans to the candidate
-    // PARTNER values' buckets (13 of 16 at this fixture's documented
-    // hamming density), so its non-vacuous lock is STRICTLY FEWER than
-    // all 16 — a degenerated runtime filter reads every bucket
+    // the VALUE-PAIR stage (exposed lazily — the full probe materializes
+    // it): the value-table scan reads ≤ the probe doc's 4 band buckets
+    val vp = graft.ext.Dedup.simhashServingValuePairs(spark, vrowsPath, batch)
+    assert(vp.collect().nonEmpty, "the near-dup probe must surface value pairs")
+    prunedTo(vp, "vrows", 4L)
+    // the full probe's membership read is STATICALLY pruned to the
+    // candidate values' buckets; the fan-out is candidate-driven (13 of
+    // 16 at this fixture's documented hamming density), so the
+    // non-vacuous lock is STRICTLY FEWER than all 16 — a missing filter
+    // reads every bucket
     val cand = graft.ext.Dedup.simhashServingCandidates(
       spark, vrowsPath, docsPath, batch)
     assert(cand.collect().nonEmpty, "the near-dup probe must surface candidates")
-    prunedTo(cand, "vrows", 4L)
     prunedTo(cand, "docs", 15L)
   }
 
