@@ -366,6 +366,33 @@ object SparkEntry {
         tmp.resolve("vrows").toString, tmp.resolve("docs").toString)
     }
 
+  /** The embedding near-dup index over the HISTORY vectors (raw
+    * embeddings) — the pruned probe's pre-batch state, read in place. */
+  private def embDupServingHistState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ed_srv_hist", s"$dir/embeddings.parquet") { tmp =>
+      Dedup.embDupWriteServingLayout(embeddings(s, dir),
+        tmp.resolve("vecs").toString)
+    }
+
+  /** The embedding near-dup index over the FULL dup-planted vector set —
+    * the CDC fold / forget rows' pre-delta state; consumers COPY it. */
+  private def embDupServingState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ed_srv", s"$dir/embeddings.parquet") { tmp =>
+      Dedup.embDupWriteServingLayout(EmbFeed.withDups(embeddings(s, dir)),
+        tmp.resolve("vecs").toString)
+    }
+
+  /** The embdup fold rows' re-embed stub: the revised doc's new
+    * embedding COPIES its decade-base vector (vec_id − vec_id%10 — ids
+    * are dense from 0, so the base always exists). Deterministic and
+    * engine-exact by construction (no arithmetic at all), direction-
+    * changing, and pair-VISIBLE at the 0.9 threshold. */
+  private def embDupReembed(e: DataFrame, ids: DataFrame): DataFrame =
+    ids.select(col("doc_id").as("vec_id"))
+      .join(e.select(col("vec_id").as("__bid"), col("embedding").as("__bv")),
+        col("__bid") === col("vec_id") - pmod(col("vec_id"), lit(10L)))
+      .select(col("vec_id"), col("__bv").as("embedding"))
+
   /** Copy the two SimHash serving artifacts into `base`. */
   private def copySimhashState(
       state: java.nio.file.Path, base: java.nio.file.Path): Unit = {
@@ -3059,6 +3086,83 @@ object SparkEntry {
       Dedup.nearDuplicatesByEmbedding(EmbFeed.withDups(embeddings(s, dir)))
         .orderBy("id_a", "id_b")),
 
+    // the embedding near-dup index joins the serving-layout family —
+    // the dedup matrix's third index (shingle/MinHash, fingerprint/
+    // SimHash, vector/cosine): per-vector-pure rows partitioned by the
+    // random-hyperplane bucket, norms precomputed so the probe verifies
+    // by pure arithmetic over STORED rows. The batch's own buckets
+    // broadcast → runtime partition filter (PlanShapeSpec executes a
+    // 1-vector probe and reads the scan's metrics). Oracle = the ingest
+    // restriction of the existing pair chain
+    "ext_embdup_pruned" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val batch = EmbFeed.withDups(e).where(col("vec_id") >= EmbFeed.DupOffset)
+      Dedup.embDupServingProbe(s,
+        embDupServingHistState(s, dir).resolve("vecs").toString, batch)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the CDC delta folded IN PLACE into the bucket-partitioned vector
+    // layout: delta ids re-embed by the DECADE-BASE stub — the new
+    // embedding COPIES the vector of vec_id − vec_id%10 (a pure row
+    // copy: engine-exact, direction-CHANGING so buckets move, and
+    // pair-VISIBLE — the revised doc lands at cosine 1 with its base
+    // and the base's planted copy; the reversal stub's random
+    // directions pair with nothing at 0.9, which would make this fold
+    // result-invisible). Old rows located by re-bucketing pre-delta
+    // vectors; per-vector-pure rows swap within the affected buckets.
+    // Graded ≡ the scratch pair chain over the post-delta vector set
+    "ext_cdc_embdup_serving_fold" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edsrvf")
+      TempDirs.copyInto(embDupServingState(s, dir).resolve("vecs"),
+        base.resolve("vecs"))
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embDupServingFold(s, base.resolve("vecs").toString, oldVecs,
+        embDupReembed(e, deltaIds))
+      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin (the *_serving_fold × _stream convention): 2
+    // disjoint micro-batches, per-vector-pure folds compose. Same oracle
+    "ext_cdc_embdup_serving_fold_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edsrvfst")
+      TempDirs.copyInto(embDupServingState(s, dir).resolve("vecs"),
+        base.resolve("vecs"))
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsDeltaFeed(s, dir).resolve("delta").toString,
+        base.resolve("ckpt").toString) { batch =>
+        val ids = batch.select(col("doc_id")).distinct().localCheckpoint(true)
+        val oldVecs = e.join(ids, e("vec_id") === ids("doc_id"))
+          .select(e("vec_id"), e("embedding"))
+        Dedup.embDupServingFold(s, base.resolve("vecs").toString, oldVecs,
+          embDupReembed(e, ids))
+      }
+      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SUBJECT DELETION in place on the vector layout (the forget matrix's
+    // embedding-dedup cell): the generalized fold with an empty new side
+    // is a per-bucket row filter; the planted copies shift residues mod
+    // 7, so deletion hits dup pairs from both sides. Oracle = scratch
+    // over the survivors
+    "ext_embdup_serving_forget" -> ((s, dir) => {
+      val all = EmbFeed.withDups(embeddings(s, dir))
+      val base = TempDirs.create("graft_edsrvfgt")
+      TempDirs.copyInto(embDupServingState(s, dir).resolve("vecs"),
+        base.resolve("vecs"))
+      val subject = all.where(col("vec_id") % 7 === 3)
+      Dedup.embDupServingFold(s, base.resolve("vecs").toString,
+        subject, subject.where(lit(false)))
+      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
     // E1e' — the embedding family closed through the SAME connected-
     // components operator as the shingle family: cosine near-dup pairs →
     // min-label propagation → per-vector cluster (representative = min id)
@@ -5277,6 +5381,10 @@ object SparkEntry {
     "ext_hard_negatives" -> ExtOracle.hardNegativesSql,
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
+    "ext_embdup_pruned" -> ExtOracle.embDupIngestSql,
+    "ext_cdc_embdup_serving_fold" -> ExtOracle.cdcEmbDupDeltaSql,
+    "ext_cdc_embdup_serving_fold_stream" -> ExtOracle.cdcEmbDupDeltaSql,
+    "ext_embdup_serving_forget" -> ExtOracle.embDupForgetSql,
     "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_rank_eval" -> ExtOracle.rankEvalSql,

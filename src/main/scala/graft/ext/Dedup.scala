@@ -1592,6 +1592,130 @@ object Dedup {
       .select(col("band"), col("bv"), col("n_docs"), col("n_values"),
         when(col("n_values") <= maxBucket, lit("joined")).otherwise(lit("skipped")).as("action"))
 
+  // -------------------------------------------------------------------
+  // The EMBEDDING near-dup serving layout — the dedup family's third
+  // serving index, closing the matrix (shingle/MinHash, fingerprint/
+  // SimHash, vector/cosine): per-vector-pure rows (bucket, id, v, nrm)
+  // partitioned by the random-hyperplane bucket. Verification (exact
+  // cosine) is arithmetic over the stored rows — like SimHash, zero
+  // source IO at probe time. Bucket cardinality = 2^NumPlanes — a model
+  // constant, so the control-plane collects stay bounded.
+  // -------------------------------------------------------------------
+
+  private val embLayoutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The serving rows of a vector set — norm precomputed so probe-time
+    * verification is pure arithmetic over stored rows. Un-materialized
+    * (the probe's DPP contract — see [[minhashServingRows]]). */
+  def embDupServingRows(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.l2Norm(col(vecCol)).as("nrm"),
+      Similarity.bucket(col(vecCol)).as("bucket"))
+
+  /** Write a vector set's near-dup index in its serving layout. */
+  def embDupWriteServingLayout(
+      emb: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    embDupServingRows(emb, idCol, vecCol).repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** The PRUNED ingest probe: the arriving batch's own bucket
+    * assignments broadcast against the bucket-partitioned layout
+    * (runtime partition filter — only the batch's buckets are read),
+    * candidates verify by exact cosine against the STORED (v, nrm) —
+    * no source fetch. Pairs involving a batch vector, within the batch
+    * included. Left lazy: verification is the candidate join itself, so
+    * there is no fan-out to materialize, and the plan lock reads the
+    * scan's runtime pruning metrics straight off the returned frame. */
+  def embDupServingProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      threshold: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b0 = embDupServingRows(batch, idCol, vecCol)
+    val b = b0.localCheckpoint(true)
+    val stored = spark.read.schema(embLayoutSchema).parquet(path)
+    val probed = stored
+      .join(broadcast(b0.select("bucket").distinct()), Seq("bucket"))
+    val others = probed.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      .unionByName(b.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")))
+    b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(others, Seq("bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+  }
+
+  /** IN-PLACE partial maintenance — per-vector pure rows, so the
+    * generalized old ∪ new removal set + bucket-confined anti-join +
+    * union is the whole fold (old buckets from re-bucketing the
+    * pre-delta vectors at the frozen planes — never an index scan). */
+  def embDupServingFold(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      oldVecs: DataFrame,
+      newVecs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val newRows = embDupServingRows(newVecs, idCol, vecCol).localCheckpoint(true)
+    val affected = ServingLayout.affectedValues(
+      embDupServingRows(oldVecs, idCol, vecCol).select("bucket")
+        .union(newRows.select("bucket")))
+    val stored = spark.read.schema(embLayoutSchema).parquet(path)
+      .where(ServingLayout.partitionIn(
+        col("bucket"), embLayoutSchema("bucket").dataType, affected))
+    val deltaIds = oldVecs.select(col(idCol).as("__did"))
+      .union(newVecs.select(col(idCol).as("__did"))).distinct()
+    val replacement = stored
+      .join(deltaIds, col("id") === col("__did"), "left_anti")
+      .select("bucket", "id", "v", "nrm")
+      .unionByName(newRows.select("bucket", "id", "v", "nrm"))
+      .localCheckpoint(true) // barrier: bytes leave the path being overwritten
+    replacement.repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(path)
+    ServingLayout.sweepEmptied(spark, path, "bucket", affected, replacement)
+  }
+
+  /** Verified near-dup pairs among the layout's vectors — the read side
+    * of the maintenance rows ([[nearDuplicatesByEmbedding]] over stored
+    * rows: bucket self-join + exact cosine). */
+  def embDupPairsServing(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      threshold: Double = 0.9): DataFrame = {
+    val stored = spark.read.schema(embLayoutSchema).parquet(path)
+    val l = stored.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = stored.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** E1d — embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
     * are restricted to vectors sharing a random-hyperplane bucket
     * (one shuffle on the bucket key — never the corpus cross product),

@@ -1347,16 +1347,72 @@ object ExtOracle {
   /** Shared CTE chain ending in `epairs` = the embedding-cosine near-dup
     * pairs (LSH bucket join + exact cosine ≥ 0.9) — consumed by the pair
     * listing and the embedding-cluster assignment. */
-  private val embPairCtes: String =
-    s"""$embCorpusSql, sides AS (
+  /** The bucket-join + exact-cosine chain over an arbitrary
+    * (vec_id, embedding) CTE — the CDC-composed and survivor-sliced
+    * dedup oracles thread their own vector source;
+    * `embPairChainOver("embx")` is the historical text byte-for-byte. */
+  private def embPairChainOver(src: String): String =
+    s"""sides AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    ${bucketExprSql("embedding", 0 until graft.ext.Similarity.NumPlanes, p => p)} AS bucket
-       |  FROM embx
+       |  FROM $src
        |), epairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM sides a JOIN sides b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  WHERE ${cosineSql("a.v", "b.v")} >= 0.9
        |)""".stripMargin
+
+  private val embPairCtes: String =
+    s"""$embCorpusSql, ${embPairChainOver("embx")}"""
+
+  /** ≙ ext_embdup_pruned: the ingest restriction of the embedding pair
+    * chain — pairs involving a planted (+DupOffset) batch vector. */
+  val embDupIngestSql: String =
+    s"""WITH $embPairCtes
+       |SELECT id_a, id_b FROM epairs
+       |WHERE id_a >= ${graft.ext.EmbFeed.DupOffset}
+       |   OR id_b >= ${graft.ext.EmbFeed.DupOffset}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** ≙ the ext_cdc_embdup_serving_fold rows: the changelog delta's ids
+    * re-embed by the DECADE-BASE stub — the revised doc's new embedding
+    * COPIES the vector of vec_id − vec_id%10 (ids are dense from 0, so
+    * the base always exists). A pure row copy: engine-exact by
+    * construction, direction-changing (buckets move), and — unlike the
+    * reversal stub, whose random directions pair with NOTHING at cosine
+    * ≥ 0.9 — pair-VISIBLE: the revised doc lands at cosine 1 with its
+    * base and the base's planted copy, so the fold's new pairs are in
+    * the graded output (the r12 fold-must-differ-from-baseline rule). */
+  lazy val cdcEmbDupDeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $embCorpusSql, cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), postv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN d.doc_id IS NULL THEN e.embedding
+       |         ELSE b.embedding END AS embedding
+       |  FROM embx e
+       |  LEFT JOIN cdelta d ON e.vec_id = d.doc_id
+       |  LEFT JOIN embeddings b ON b.vec_id = e.vec_id - e.vec_id % 10
+       |), ${embPairChainOver("postv")}
+       |SELECT id_a, id_b FROM epairs
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ ext_embdup_serving_forget: subject deletion (vec_id % 7 = 3) on
+    * the per-vector-pure layout ≡ the scratch chain over the survivors
+    * (the planted +DupOffset copies shift residues mod 7, so deletion
+    * hits dup pairs from both sides). */
+  val embDupForgetSql: String =
+    s"""WITH $embCorpusSql, embv AS (
+       |  SELECT * FROM embx WHERE vec_id % 7 <> 3
+       |), ${embPairChainOver("embv")}
+       |SELECT id_a, id_b FROM epairs
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** E2h ≙ Similarity.hardNegatives over the dup-planted corpus (queries =
     * vec_id % 100 = 0 — every one of which, being % 20 = 0, HAS a planted

@@ -254,6 +254,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     prunedTo(cand, "docs", 15L)
   }
 
+  test("embedding near-dup probe prunes vector buckets AT RUNTIME from the batch side") {
+    // the per-vector layout is parquet-partitioned by the hyperplane
+    // bucket; a 1-vector probe (a planted scaled copy — same direction,
+    // same bucket, cosine 1 with its base keeps AQE from collapsing the
+    // stage) must read exactly its one bucket
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = TempDirs.create("graft_ed_lock")
+    val path = base.resolve("vecs").toString
+    graft.ext.Dedup.embDupWriteServingLayout(e, path)
+    val batch = graft.ext.EmbFeed.withDups(e)
+      .where(org.apache.spark.sql.functions.col("vec_id") ===
+        (graft.ext.EmbFeed.DupOffset + 20L))
+    val probe = graft.ext.Dedup.embDupServingProbe(spark, path, batch)
+    assert(probe.collect().nonEmpty, "the planted copy must pair with its base")
+    val scans = scansOf(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("vecs")))
+    assert(scans.nonEmpty, "expected layout scans in the executed plan")
+    scans.foreach { f =>
+      val read = f.metrics.get("numPartitions").map(_.value)
+      assert(read.exists(_ <= 1),
+        s"the 1-vector probe must read exactly its bucket, read $read")
+    }
+  }
+
   test("compressed-index read prunes code partitions DYNAMICALLY from the probe side") {
     // the IVF-PQ codes are parquet-partitioned by coarse cell; the
     // broadcast ADC table's probe assignment must reach the codes scan
