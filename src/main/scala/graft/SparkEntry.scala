@@ -1599,7 +1599,8 @@ object SparkEntry {
       Similarity.ivfServingFold(s, cellsPath, old1,
         old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")), cents)
       // repack the remaining crowded cells — content-identical
-      graft.ext.ServingLayout.compact(s, cellsPath, "cell")
+      graft.ext.ServingLayout.compact(s, cellsPath, "cell",
+        graft.ext.Similarity.cellsSchema)
       // era 2: the full lifecycle folds onto the compacted layout
       annServingLifecycleFoldAt(s, dir, cellsPath, cents,
         lifecycleDeltaSets(s, dir))
@@ -2349,8 +2350,8 @@ object SparkEntry {
       val delta1 = docsChangelogDelta(s, dir)
       Dedup.minhashServingFold(s, bandsPath, fpsPath,
         c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
-      graft.ext.ServingLayout.compact(s, bandsPath, "pbucket")
-      graft.ext.ServingLayout.compact(s, fpsPath, "fbucket")
+      graft.ext.ServingLayout.compact(s, bandsPath, "pbucket", Dedup.bandsSchema)
+      graft.ext.ServingLayout.compact(s, fpsPath, "fbucket", Dedup.fpsSchema)
       // era 2: the lifecycle folds onto the compacted layout
       val sets = lifecycleDeltaSets(s, dir)
       minhashServingLifecycleFoldAt(s, dir, base, sets)

@@ -562,7 +562,7 @@ object Dedup {
     * every partition leaves a footer-less directory, and the next read
     * must see a readable empty state, never a schema-inference crash (the
     * BM25 registry lesson). */
-  private val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("band",
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("sig",
@@ -571,7 +571,7 @@ object Dedup {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("pbucket",
       org.apache.spark.sql.types.LongType)))
-  private val fpsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val fpsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("sigfp",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("id",
@@ -783,7 +783,16 @@ object Dedup {
     * fingerprints are the same reconstruction, kept current by
     * [[minhashServingFold]]). The read side of every in-place maintenance
     * row: fold ∘ this must equal the scratch recompute over the post-fold
-    * corpus. */
+    * corpus.
+    *
+    * CONCURRENCY: [[minhashServingFold]] writes the two artifacts
+    * NON-atomically (bands, then fps) — a raw-path read racing a fold can
+    * see a folded fingerprint registry beside stale band rows. Reads
+    * concurrent with maintenance must resolve a pinned generation through
+    * [[graft.streaming.StateStream.statePath]] /
+    * [[graft.streaming.StateStream.foldIsolatedGen]] (the
+    * ext_minhash_serving_grace_read contract); raw paths are for
+    * single-writer, fold-quiesced reads only. */
   def minhashPairsServing(
       spark: org.apache.spark.sql.SparkSession,
       bandsPath: String,
@@ -1510,14 +1519,16 @@ object Dedup {
       .partitionBy("vbucket")
       .parquet(docsPath)
     ServingLayout.sweepEmptied(spark, docsPath, "vbucket", affectedVB, replacementM)
-    // value-table fold: liveness from the POST-fold registry
+    // value-table fold: liveness from the POST-fold registry — derived
+    // from the in-memory materialized replacement (what the write above
+    // landed for exactly the affected buckets), not a read-back of
+    // docsPath: on a strongly-consistent filesystem the two are
+    // identical, but an eventually-consistent store could serve
+    // pre-fold bytes to a read-after-write and resurrect dead values
     val affectedSB = ServingLayout.affectedValues(
       simhashVbandsOf(candVals)
         .select(simhashBandBucket(col("band"), col("bv"), buckets)))
-    val postM = spark.read.schema(simhashDocsSchema).parquet(docsPath)
-      .where(ServingLayout.partitionIn(
-        col("vbucket"), simhashDocsSchema("vbucket").dataType, affectedVB))
-    val alive = postM
+    val alive = replacementM
       .join(broadcast(candVals), Seq("simhash"), "left_semi")
       .select("simhash").distinct().localCheckpoint(true)
     val newVrows = simhashVbandsOf(alive)
@@ -1545,7 +1556,17 @@ object Dedup {
     * artifacts (value-granularity candidates from the value table,
     * expansion + equal-value route from the membership registry). The
     * read side of the maintenance rows: fold ∘ this must equal the
-    * scratch chain over the post-fold corpus. */
+    * scratch chain over the post-fold corpus.
+    *
+    * CONCURRENCY: [[simhashServingFold]] writes the two artifacts
+    * NON-atomically (registry, then value table) — and the liveness
+    * coupling (a value's band rows exist iff ≥ 1 member remains) makes a
+    * torn read semantically worse than staleness: live values with no
+    * members expand to nothing, stale values pair spuriously. Reads
+    * concurrent with maintenance must resolve a pinned generation through
+    * [[graft.streaming.StateStream.statePath]] /
+    * [[graft.streaming.StateStream.foldIsolatedGen]]; raw paths are for
+    * single-writer, fold-quiesced reads only. */
   def simhashPairsServing(
       spark: org.apache.spark.sql.SparkSession,
       vrowsPath: String,

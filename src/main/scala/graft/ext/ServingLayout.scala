@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 
 /** The shared control-plane edge of the in-place partitioned-layout folds
   * ([[Similarity.ivfServingFold]], [[Similarity.ivfPqServingFold]],
@@ -40,7 +40,7 @@ object ServingLayout {
     * the layout's partition-value cardinality (cells / buckets, model or
     * layout constants). */
   def compact(spark: SparkSession, path: String, partCol: String,
-      maxFiles: Int = 1): Unit = {
+      schema: StructType, maxFiles: Int = 1): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -54,8 +54,12 @@ object ServingLayout {
       }
       .map(_.getPath.getName.stripPrefix(s"$partCol=").toLong)
     if (crowded.isEmpty) return
-    val repacked = spark.read.parquet(path)
-      .where(col(partCol).isin(crowded.map(Long.box): _*))
+    // explicit layout schema, like every fold's registry read: the one
+    // read here must never depend on footer inference (the footer-less
+    // emptied-directory lesson), and the typed literal set below prunes
+    // statically against the DECLARED partition-column type
+    val repacked = spark.read.schema(schema).parquet(path)
+      .where(partitionIn(col(partCol), schema(partCol).dataType, crowded))
       .repartition(col(partCol))
       .localCheckpoint(true) // barrier: bytes leave the path being rewritten
     repacked.write.mode("overwrite")
@@ -74,7 +78,19 @@ object ServingLayout {
     * partition sweep set. The cdc_query_dpp literal-threshold
     * justification, written once here for every fold. */
   private[graft] def affectedValues(affected: DataFrame): Seq[Long] =
-    affected.distinct().collect().map(_.get(0).toString.toLong).toSeq.sorted
+    affected.distinct().collect().map { r =>
+      require(!r.isNullAt(0),
+        "affectedValues: NULL partition value in a fold's affected set — " +
+          "the layout or the fold input is malformed (partition keys are " +
+          "derived, never nullable)")
+      r.get(0) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"affectedValues: non-integral partition value '$other' " +
+            s"(${other.getClass.getName}) — serving-layout partition " +
+            "columns are integral by contract")
+      }
+    }.toSeq.sorted
 
   /** `partCol IN (values)` typed to the layout's partition-column type
     * (directory-name inference yields IntegerType for small values; a
@@ -85,7 +101,12 @@ object ServingLayout {
     if (vs.isEmpty) lit(false)
     else dt match {
       case IntegerType => c.isin(vs.map(_.toInt): _*)
-      case _ => c.isin(vs: _*)
+      case LongType => c.isin(vs: _*)
+      case other => throw new IllegalArgumentException(
+        s"partitionIn: unsupported partition-column type $other — add an " +
+          "explicit literal-typed branch; falling through would cast the " +
+          "partition ATTRIBUTE and silently lose the static pruning this " +
+          "helper exists to guarantee")
     }
 
   private[graft] def sweepEmptied(

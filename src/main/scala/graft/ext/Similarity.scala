@@ -371,6 +371,21 @@ object Similarity {
     * and append — history is never re-assigned (the missing member of the
     * incremental family alongside [[hllApplyBatch]] and
     * [[graft.ext.Cluster.applyPairsBatch]]). */
+  /** Explicit schema of the persisted cell layout (cell is the partition
+    * column) — for reads that must never depend on footer inference
+    * (the footer-less emptied-directory lesson), e.g.
+    * [[ServingLayout.compact]]. */
+  private[graft] val cellsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("neighbor_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("cn",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType)))
+
   def ivfIndex(
       emb: DataFrame,
       cents: DataFrame,

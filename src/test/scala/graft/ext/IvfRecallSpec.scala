@@ -237,14 +237,21 @@ class IvfRecallSpec extends AnyFunSuite with SparkFixture {
       s.read.parquet(layout).select($"cell".cast("long"), $"neighbor_id", $"payload")
         .as[(Long, Long, String)].collect().toSet
     val before = content()
-    ServingLayout.compact(s, layout, "cell")
+    val layoutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+    ServingLayout.compact(s, layout, "cell", layoutSchema)
     assert(files(0L).size == 1, "the crowded cell must repack to one file")
     assert(content() == before, "the repack must be content-identical")
     assert(files(1L) == cell1Before,
       "an uncrowded cell is outside the repack; its bytes must not move")
     // replay: nothing is crowded anymore — the repack must not touch disk
     val afterOnce = files(0L)
-    ServingLayout.compact(s, layout, "cell")
+    ServingLayout.compact(s, layout, "cell", layoutSchema)
     assert(files(0L) == afterOnce && files(1L) == cell1Before,
       "a replayed compaction over a clean layout must be a no-op")
   }
