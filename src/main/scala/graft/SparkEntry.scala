@@ -393,6 +393,60 @@ object SparkEntry {
         col("__bid") === col("vec_id") - pmod(col("vec_id"), lit(10L)))
       .select(col("vec_id"), col("__bv").as("embedding"))
 
+  /** The embedding near-dup layout after the first maintenance cycle —
+    * [[embDupServingState]]'s rows with the era-1 delta folded in place
+    * at the decade-base stub (the fold `ext_cdc_embdup_serving_fold`
+    * grades) — the state the era-2 lifecycle folds start from. Keyed on
+    * BOTH fixtures (delta ids come from the documents changelog). */
+  private def embDupServing2State(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_ed_srv2",
+      Seq(s"$dir/embeddings.parquet", s"$dir/documents.parquet")) { tmp =>
+      TempDirs.copyInto(embDupServingState(s, dir).resolve("vecs"),
+        tmp.resolve("vecs"))
+      val e = embeddings(s, dir)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embDupServingFold(s, tmp.resolve("vecs").toString, old1,
+        embDupReembed(e, d1))
+    }
+
+  /** The era-2 lifecycle's (removed, added) VECTOR sets for the embdup
+    * layout — the [[lifecycleVecSets]] twin with PAIR-visible stubs (the
+    * reversal/negation stubs' random directions pair with nothing at
+    * cosine 0.9 — the r13 stub-visibility rule): the re-revision COPIES
+    * the raw vector of its DELETED m=7 neighbor (vec_id − 1), which
+    * couples the two op classes — correct deletion ⇒ the copy pairs with
+    * nothing; a deletion bug would surface a spurious cosine-1 pair with
+    * the stale neighbor row. Sentinel inserts fetch the source vector by
+    * key VERBATIM (a cosine-1 pair with the living source — pure row
+    * copies are engine-exact by construction). Removed ids' CURRENT
+    * vectors are the post-era-1 view (decade-base copies where era 1
+    * revised, raw otherwise), which locates their stored buckets without
+    * an index scan. */
+  private def embDupLifecycleVecSets(s: SparkSession, dir: String,
+      sets: (DataFrame, DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val (upserts, ins, del) = sets
+    val e = embeddings(s, dir)
+    val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+    val updIds = upserts.select("doc_id").join(ins, Seq("doc_id"), "left_anti")
+    val touched = updIds.unionByName(del)
+    val oldVecs2 = e.join(touched, e("vec_id") === touched("doc_id"))
+      .join(d1.select(col("doc_id").as("__d1")), e("vec_id") === col("__d1"), "left")
+      .join(e.select(col("vec_id").as("__bid"), col("embedding").as("__bv")),
+        col("__bid") === e("vec_id") - pmod(e("vec_id"), lit(10L)))
+      .select(e("vec_id"),
+        when(col("__d1").isNotNull, col("__bv"))
+          .otherwise(e("embedding")).as("embedding"))
+    val updVecs = updIds.select(col("doc_id").as("vec_id"))
+      .join(e.select(col("vec_id").as("__nid"), col("embedding").as("__nv")),
+        col("__nid") === col("vec_id") - 1)
+      .select(col("vec_id"), col("__nv").as("embedding"))
+    val insVecs = e.join(ins, e("vec_id") === ins("doc_id") - ChangeFeed.DocsInsertOffset)
+      .select(ins("doc_id").as("vec_id"), e("embedding"))
+    (oldVecs2, updVecs.unionByName(insVecs))
+  }
+
   /** Copy the two SimHash serving artifacts into `base`. */
   private def copySimhashState(
       state: java.nio.file.Path, base: java.nio.file.Path): Unit = {
@@ -1788,6 +1842,56 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // fold → COMPACT → fold on the BM25 serving layout — the repack
+    // composing with the THREE-artifact generation unit (the most
+    // frequently folded layout in the lifecycle rows): postings and the
+    // doc registry deploy FRAGMENTED (two interleaved half-writes — the
+    // multi-writer shape; stats is a 1-row artifact the fold rewrites
+    // wholesale, nothing to repack), era 1 folds in place, the
+    // partition-local repack rewrites every still-crowded bucket to one
+    // file through the folds' own primitive, and the era-2 lifecycle
+    // folds onto the compacted artifacts — graded ≡ the never-compacted
+    // lifecycle chain verbatim (content identity is the repack's whole
+    // contract; RetrievalSpec pins 1 file/bucket and untouched bytes)
+    "ext_bm25_serving_compact" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvcmp")
+      val postingsPath = base.resolve("postings").toString
+      val doclenPath = base.resolve("doclen").toString
+      val p0 = s.read.parquet(state.resolve("postings").toString)
+        .localCheckpoint(true)
+      p0.where(col("doc_id") % 2 === 0).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(postingsPath)
+      p0.where(col("doc_id") % 2 =!= 0).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(postingsPath)
+      val l0 = s.read.parquet(state.resolve("doclen").toString)
+        .localCheckpoint(true)
+      l0.where(col("doc_id") % 2 === 0).repartition(col("dbucket"))
+        .write.partitionBy("dbucket").mode("append").parquet(doclenPath)
+      l0.where(col("doc_id") % 2 =!= 0).repartition(col("dbucket"))
+        .write.partitionBy("dbucket").mode("append").parquet(doclenPath)
+      TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
+      // era 1 folds in place, the repack normalizes the crowded buckets
+      val delta1 = docsChangelogDelta(s, dir)
+      bm25ServingFoldAt(s, dir, base,
+        c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
+      graft.ext.ServingLayout.compact(s, postingsPath, "bucket",
+        Retrieval.postingsSchema)
+      graft.ext.ServingLayout.compact(s, doclenPath, "dbucket",
+        Retrieval.registrySchema)
+      // era 2: the lifecycle folds onto the compacted layout
+      val (upserts, ins, del) = lifecycleDeltaSets(s, dir)
+      bm25ServingLifecycleFoldAt(s, dir, base, (upserts, ins, del))
+      val postC = postLifecycleCorpus(postEra1Corpus(s, dir), (upserts, ins, del))
+      Retrieval.bm25TopKServing(
+        s.read.parquet(postingsPath),
+        s.read.parquet(doclenPath),
+        s.read.parquet(base.resolve("stats").toString),
+        Retrieval.queryTerms(postC))
+        .orderBy("query_id", "rnk")
+    }),
+
     // the in-place lifecycle under the REAL streaming engine — the last
     // cell of the in-place matrix (batch/stream × delta/lifecycle): the
     // era-2 window arrives in 2 micro-batches and EACH batch's delta sets
@@ -1924,10 +2028,11 @@ object SparkEntry {
     // DERIVED index state — per index, how big the deployed state is, how
     // far behind ITS feed it has folded (lag in changelog seconds), and
     // the pending maintenance backlog by op class (upserts / sentinel
-    // inserts / sentinel deletes). Covers ALL SIX maintained families:
+    // inserts / sentinel deletes). Covers ALL SEVEN maintained families:
     // bm25 postings, ivf cells, ivfpq codes and the minhash/simhash
     // dedup layouts track the documents feed
-    // (folded through era 1, era 2 pending); the SCD2 serving episode
+    // (folded through era 1, era 2 pending), as does the embdup vector
+    // layout (the 7th family); the SCD2 serving episode
     // store tracks the ORDERS feed (fully folded — lag 0, empty backlog,
     // derived from its own hwm, never a literal). The report an operator
     // reads to decide WHEN to run the lifecycle fold — every number an
@@ -1965,8 +2070,11 @@ object SparkEntry {
           .agg(count(lit(1)).as("__m")))
         .select((col("__v") + col("__m")).as("state_rows"))
         .withColumn("index_name", lit("simhash"))
+      val edRows = s.read.parquet(
+        embDupServing2State(s, dir).resolve("vecs").toString)
+        .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("embdup"))
       val docsIdx = bmRows.unionByName(ivfRows).unionByName(pqRows)
-        .unionByName(mhRows).unionByName(shRows)
+        .unionByName(mhRows).unionByName(shRows).unionByName(edRows)
         .crossJoin(broadcast(folded)).crossJoin(broadcast(feedH))
         .crossJoin(broadcast(pend))
         .select(col("index_name"), col("state_rows"),
@@ -2248,6 +2356,51 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // a PROBE racing an in-place fold — the missing race of the
+    // serving-layout matrix (grace reads grade a reader pinned BEFORE a
+    // fold; this grades the ingest PROBE on both sides of one): the
+    // history layout deploys generationally, the probe RESOLVES
+    // generation 1, maintenance folds the era-1 delta through
+    // foldIsolatedGen (staged byte copy, folded, flipped), and BOTH
+    // probes then EXECUTE — the pre-resolved probe answers the
+    // consistent PRE-fold ingest pairs on graced gen-1 bytes (verified
+    // against the pre-delta corpus text, the state it raced ahead of),
+    // the re-resolved probe the POST-fold pairs against post-delta text.
+    // Each phase is a consistent answer; the un-generationed in-place
+    // race stays the documented trade (ServingLayout scaladoc) — this
+    // row grades the deployment regime that makes it safe
+    "ext_minhash_serving_probe_race" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val hist = s.read.parquet(s"$dir/documents.parquet")
+      val base = TempDirs.create("graft_mhsrvrace")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        copyMinhashState(minhashServingHistState(s, dir),
+          java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      // the probe resolves generation 1 HERE (before the fold flips)
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      val delta = docsChangelogDelta(s, dir)
+      val oldDocs = hist.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.minhashServingFold(s, s"$gen/bands", s"$gen/fps", oldDocs, delta)
+      }
+      // EXECUTED AFTER THE FLIP: the pre-resolved probe reads graced
+      // gen-1 bytes; a fresh resolve serves the folded generation
+      val pre = Dedup.minhashServingProbe(s, s"$gen1/bands", s"$gen1/fps",
+        batch, store)
+      val gen2 = graft.streaming.StateStream.statePath(s, layout)
+      val post = Dedup.minhashServingProbe(s, s"$gen2/bands", s"$gen2/fps",
+        batch, postDeltaCorpus(store, delta))
+      pre.select(lit("pre").as("phase"), col("id_a"), col("id_b"),
+          col("n_common"), col("n_a"), col("n_b"))
+        .unionByName(post.select(lit("post").as("phase"), col("id_a"),
+          col("id_b"), col("n_common"), col("n_a"), col("n_b")))
+        .orderBy("phase", "id_a", "id_b")
+    }),
+
     // the SimHash index joins the serving-layout family at VALUE
     // granularity (the rep-collapse carried into the layout): the batch's
     // own value band rows broadcast against the sband-partitioned value
@@ -2319,6 +2472,39 @@ object SparkEntry {
         base.resolve("docs").toString, subject, subject.where(lit(false)))
       Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
         base.resolve("docs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // READER ISOLATION on the value-granularity layout — the LAST
+    // multi-artifact layout without a graded grace read, and the one
+    // where a torn artifact pair is semantically WORST: the liveness
+    // coupling (value band rows exist iff >= 1 member remains) means a
+    // half-folded read serves live values that expand to nothing or
+    // stale values that pair spuriously — not mere staleness. A reader
+    // pins the gen-1 (vrows, docs) artifact SET, maintenance folds the
+    // era-1 delta through foldIsolatedGen (both artifacts staged,
+    // folded, flipped TOGETHER), and the pinned read EXECUTED AFTER THE
+    // FLIP answers the consistent PRE-fold pair set on graced bytes —
+    // oracle = the pre-delta simhash chain verbatim, visibly different
+    // from the post-fold state (ext_cdc_simhash_serving_fold's output)
+    "ext_simhash_serving_grace_read" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = simhashServingState(s, dir)
+      val base = TempDirs.create("graft_shsrvgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        copySimhashState(state, java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      // the long-running reader resolves the gen-1 artifact SET here
+      val pinnedVrows = s.read.parquet(s"$gen1/vrows")
+      val pinnedDocs = s.read.parquet(s"$gen1/docs")
+      val delta = docsChangelogDelta(s, dir)
+      val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.simhashServingFold(s, s"$gen/vrows", s"$gen/docs", oldDocs, delta)
+      }
+      Dedup.simhashPairsFrom(pinnedVrows, pinnedDocs)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3162,6 +3348,83 @@ object SparkEntry {
         subject, subject.where(lit(false)))
       Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
         .orderBy("id_a", "id_b")
+    }),
+
+    // the FULL two-era lifecycle replayed IN PLACE on the vector layout
+    // from the PRE-delta state — the row that brings the embedding
+    // near-dup family to parity with its four lifecycle-graded siblings:
+    // era-1 revisions re-embed by the decade-base copy stub; era-2
+    // deletes drop the docs' vector rows, sentinel inserts fetch the
+    // source vector by key VERBATIM (cosine-1 pair with the living
+    // source), and the re-revision copies its DELETED m=7 neighbor's raw
+    // vector — so a deletion bug would surface a spurious pair (the
+    // delete class is grade-guarded even though random m=7 vectors pair
+    // with nothing). Graded ≡ the scratch pair chain over the
+    // post-lifecycle vector set
+    "ext_cdc_embdup_serving_lifecycle" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edsrvlc")
+      TempDirs.copyInto(embDupServingState(s, dir).resolve("vecs"),
+        base.resolve("vecs"))
+      // era 1: revisions
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embDupServingFold(s, base.resolve("vecs").toString, old1,
+        embDupReembed(e, d1))
+      // era 2: deletes + sentinel inserts + the further re-embed
+      val (oldVecs2, newVecs) =
+        embDupLifecycleVecSets(s, dir, lifecycleDeltaSets(s, dir))
+      Dedup.embDupServingFold(s, base.resolve("vecs").toString, oldVecs2, newVecs)
+      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin (the *_serving_fold × _stream convention,
+    // ContractSpec-pinned): the era-2 window arrives in 2 micro-batches
+    // over the MEMOIZED post-era-1 layout and each batch's row-locally
+    // extracted delta sets fold in place — per-vector-pure rows, so
+    // per-batch folds over disjoint docs compose. Same oracle
+    "ext_cdc_embdup_serving_lifecycle_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_edsrvlcst")
+      TempDirs.copyInto(embDupServing2State(s, dir).resolve("vecs"),
+        base.resolve("vecs"))
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsLifecycleFeed(s, dir).resolve("w").toString,
+        base.resolve("ckpt").toString) { w =>
+        val (o, n) = embDupLifecycleVecSets(s, dir, lifecycleDeltaSetsFrom(w, s, dir))
+        Dedup.embDupServingFold(s, base.resolve("vecs").toString, o, n)
+      }
+      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // READER ISOLATION on the vector layout — the sixth foldIsolatedGen
+    // instance, completing the grace-read contract for the embdup family
+    // (single-artifact generation unit): a reader pins the gen-1 rows,
+    // maintenance folds the era-1 delta through the staged byte copy +
+    // stamp+rename flip, and the pinned read EXECUTED AFTER THE FLIP
+    // answers the consistent PRE-fold pair set on graced bytes — oracle
+    // = the pre-delta pair chain verbatim, visibly different from the
+    // post-fold state a fresh read serves (ext_cdc_embdup_serving_fold)
+    "ext_embdup_serving_grace_read" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edsrvgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        TempDirs.copyInto(embDupServingState(s, dir).resolve("vecs"),
+          java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      // the long-running reader resolves generation 1 HERE
+      val pinned = s.read.parquet(
+        graft.streaming.StateStream.statePath(s, layout))
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.embDupServingFold(s, gen, old1, embDupReembed(e, d1))
+      }
+      Dedup.embDupPairsFrom(pinned).orderBy("id_a", "id_b")
     }),
 
     // E1e' — the embedding family closed through the SAME connected-
@@ -5337,6 +5600,7 @@ object SparkEntry {
     "ext_cdc_bm25_serving_lifecycle" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_serving_lifecycle" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_ann_serving_compact" -> ExtOracle.cdcAnnLifecycleSql,
+    "ext_bm25_serving_compact" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_bm25_serving_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
     "ext_cdc_ann_serving_lifecycle_stream" -> ExtOracle.cdcAnnLifecycleSql,
     "ext_cdc_bm25_lifecycle_stream" -> ExtOracle.cdcBm25LifecycleSql,
@@ -5353,10 +5617,12 @@ object SparkEntry {
     "ext_cdc_minhash_serving_fold_stream" -> ExtOracle.cdcMinhashDeltaSql,
     "ext_minhash_serving_forget" -> ExtOracle.minhashForgetSql,
     "ext_cdc_minhash_serving_probe" -> ExtOracle.cdcMinhashIngestSql,
+    "ext_minhash_serving_probe_race" -> ExtOracle.minhashProbeRaceSql,
     "ext_simhash_pruned" -> ExtOracle.simhashIngestSql,
     "ext_cdc_simhash_serving_fold" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_cdc_simhash_serving_fold_stream" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_simhash_serving_forget" -> ExtOracle.simhashForgetSql,
+    "ext_simhash_serving_grace_read" -> ExtOracle.simhashPairsSql,
     "ext_cdc_minhash_serving_lifecycle" -> ExtOracle.cdcMinhashLifecycleSql,
     "ext_cdc_minhash_serving_lifecycle_stream" -> ExtOracle.cdcMinhashLifecycleSql,
     "ext_minhash_serving_grace_read" -> ExtOracle.dedupMinhashSql,
@@ -5386,6 +5652,9 @@ object SparkEntry {
     "ext_cdc_embdup_serving_fold" -> ExtOracle.cdcEmbDupDeltaSql,
     "ext_cdc_embdup_serving_fold_stream" -> ExtOracle.cdcEmbDupDeltaSql,
     "ext_embdup_serving_forget" -> ExtOracle.embDupForgetSql,
+    "ext_cdc_embdup_serving_lifecycle" -> ExtOracle.cdcEmbDupLifecycleSql,
+    "ext_cdc_embdup_serving_lifecycle_stream" -> ExtOracle.cdcEmbDupLifecycleSql,
+    "ext_embdup_serving_grace_read" -> ExtOracle.dedupEmbeddingSql,
     "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,
     "ext_ann_multiprobe" -> ExtOracle.annMultiprobeSql,
     "ext_rank_eval" -> ExtOracle.rankEvalSql,

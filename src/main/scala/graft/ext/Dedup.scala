@@ -558,6 +558,26 @@ object Dedup {
     md5(concat_ws("#", bandSigs: _*).cast("binary"))
   }
 
+  /** Row-count ceiling for CANDIDATE-derived broadcast dim sides in the
+    * serving probes. The batch's own band/fingerprint rows are
+    * batch-bounded, but the SimHash probe's candidate-VALUE set grows
+    * with the batch's PAIR fan-out — a hot boilerplate batch at 100×
+    * could push a pair-derived broadcast past driver memory. Above the
+    * gate the probe falls back to a merge-hinted shuffled join (the
+    * gatedEpisodeJoin precedent: the hint is REQUIRED — the planner
+    * re-broadcasts any small-estimated side otherwise), trading the
+    * runtime partition pruning for a bounded driver. */
+  val ProbeBroadcastLimit = 1000000L
+
+  /** The gated dim side: broadcast under the limit (keeping the
+    * un-checkpointed plan visible for runtime pruning), merge-hinted
+    * shuffled join above it. `n` is a control-plane count over an
+    * already-materialized batch/candidate frame (cheap, bounded by the
+    * frame it gates). */
+  private def gatedDim(dim: DataFrame, shuffledDim: DataFrame, n: Long,
+      limit: Long): DataFrame =
+    if (n <= limit) broadcast(dim) else shuffledDim.hint("merge")
+
   /** Explicit schemas of the two persisted artifacts: a fold that empties
     * every partition leaves a footer-less directory, and the next read
     * must see a readable empty state, never a schema-inference crash (the
@@ -624,9 +644,11 @@ object Dedup {
       idCol: String = "doc_id",
       num: Int = 3, den: Int = 5,
       maxBucket: Long = DefaultMaxBucket,
-      buckets: Int = ServingBuckets): DataFrame = {
+      buckets: Int = ServingBuckets,
+      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
     val cand = minhashServingCandidates(
-      spark, bandsPath, fpsPath, batch, textCol, idCol, maxBucket, buckets)
+      spark, bandsPath, fpsPath, batch, textCol, idCol, maxBucket, buckets,
+      broadcastLimit)
       .localCheckpoint(true)
     verifyByPointedLookup(cand, store, textCol, idCol, num, den)
   }
@@ -643,7 +665,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
-      buckets: Int = ServingBuckets): DataFrame = {
+      buckets: Int = ServingBuckets,
+      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
     // dim sides stay on the UN-checkpointed plan (DPP needs the batch's
     // literal filter visible — see minhashServingRows); the row-level
     // consumers read materialized copies so the batch isn't re-signed
@@ -654,11 +677,17 @@ object Dedup {
     // banded route: probed groups' stored members (pruned scan; the
     // broadcast side is distinct on the join keys, so the inner join is
     // the semi-join it reads as) ∪ the batch's own rows, then the ingest
-    // probe's cap + pair logic verbatim
+    // probe's cap + pair logic verbatim. The broadcast is GATED on the
+    // batch's band-row count (the checkpointed twin makes the count a
+    // cheap control-plane action); above the gate the probe shuffles
+    // with the merge hint instead — pruning lost, driver bounded
     val stored = spark.read.schema(bandsSchema).parquet(bandsPath)
+    val bandDim = gatedDim(
+      bb0.select("pbucket", "band", "sig").distinct(),
+      bb.select("pbucket", "band", "sig").distinct(),
+      bb.count(), broadcastLimit)
     val probedStored = stored
-      .join(broadcast(bb0.select("pbucket", "band", "sig").distinct()),
-        Seq("pbucket", "band", "sig"))
+      .join(bandDim, Seq("pbucket", "band", "sig"))
       .select("band", "sig", "id")
     val all = probedStored.unionByName(bb.select("band", "sig", "id"))
     val keep = all.groupBy("band", "sig").agg(count(lit(1)).as("__nb"))
@@ -672,9 +701,12 @@ object Dedup {
     // heat — batch fingerprints probe the partitioned registry (pruned)
     // and self-join for within-batch exact pairs
     val storedFps = spark.read.schema(fpsSchema).parquet(fpsPath)
+    val fpDim = gatedDim(
+      bf0.select(col("fbucket"), col("sigfp"), col("id").as("__bid")),
+      bf.select(col("fbucket"), col("sigfp"), col("id").as("__bid")),
+      bf.count(), broadcastLimit)
     val fpHits = storedFps
-      .join(broadcast(bf0.select(col("fbucket"), col("sigfp"),
-        col("id").as("__bid"))), Seq("fbucket", "sigfp"))
+      .join(fpDim, Seq("fbucket", "sigfp"))
       .select(col("__bid"), col("id").as("__oid"))
     val fpBatch = bf.select(col("sigfp"), col("id").as("__bid"))
       .join(bf.select(col("sigfp"), col("id").as("__oid")), Seq("sigfp"))
@@ -1380,13 +1412,17 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
-      buckets: Int = ServingBuckets): DataFrame = {
+      buckets: Int = ServingBuckets,
+      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
     val (vb0, _) = simhashServingRows(batch, textCol, idCol, buckets)
     val vb = vb0.localCheckpoint(true)
     val storedV = spark.read.schema(simhashVrowsSchema).parquet(vrowsPath)
+    val vbandDim = gatedDim(
+      vb0.select("sband", "band", "bv").distinct(),
+      vb.select("sband", "band", "bv").distinct(),
+      vb.count(), broadcastLimit)
     val probedV = storedV
-      .join(broadcast(vb0.select("sband", "band", "bv").distinct()),
-        Seq("sband", "band", "bv"))
+      .join(vbandDim, Seq("sband", "band", "bv"))
       .select("band", "bv", "simhash")
     // probed groups' full value membership: stored values (bucket-pure,
     // so complete within the pruned slice) ∪ the batch's own values
@@ -1411,11 +1447,13 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
-      buckets: Int = ServingBuckets): DataFrame = {
+      buckets: Int = ServingBuckets,
+      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
     val (_, bm0) = simhashServingRows(batch, textCol, idCol, buckets)
     val bfps = bm0.localCheckpoint(true)
     val vpairs = simhashServingValuePairs(
-      spark, vrowsPath, batch, textCol, idCol, maxBucket, buckets)
+      spark, vrowsPath, batch, textCol, idCol, maxBucket, buckets,
+      broadcastLimit)
       .localCheckpoint(true) // candidate-pair-sized; four consumers below
     // membership of every value a pair (or the equal-value route) can
     // touch — pointed reads of the candidate values' buckets. The bucket
@@ -1434,8 +1472,13 @@ object Dedup {
     val storedM = spark.read.schema(simhashDocsSchema).parquet(docsPath)
       .where(ServingLayout.partitionIn(
         col("vbucket"), simhashDocsSchema("vbucket").dataType, candBuckets))
+    // candVals is PAIR-derived (it grows with the batch's pair fan-out,
+    // not the batch) — the one dim side here that genuinely needs the
+    // gate; candVals is already checkpointed, so the count is cheap
+    val candDim0 = candVals.select("vbucket", "simhash")
+    val candDim = gatedDim(candDim0, candDim0, candVals.count(), broadcastLimit)
     val members = storedM
-      .join(broadcast(candVals.select("vbucket", "simhash")), Seq("vbucket", "simhash"))
+      .join(candDim, Seq("vbucket", "simhash"))
       .select(col("simhash"), col("id"))
       .unionByName(bfps.select(col("simhash"), col("id")))
     val cross = vpairs
@@ -1468,9 +1511,11 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
-      buckets: Int = ServingBuckets): DataFrame =
+      buckets: Int = ServingBuckets,
+      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame =
     simhashServingCandidates(
-      spark, vrowsPath, docsPath, batch, textCol, idCol, maxBucket, buckets)
+      spark, vrowsPath, docsPath, batch, textCol, idCol, maxBucket, buckets,
+      broadcastLimit)
       .localCheckpoint(true)
 
   /** IN-PLACE partial maintenance of the SimHash serving layout. The
@@ -1571,8 +1616,26 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       vrowsPath: String,
       docsPath: String,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    simhashPairsFrom(
+      spark.read.schema(simhashVrowsSchema).parquet(vrowsPath),
+      spark.read.schema(simhashDocsSchema).parquet(docsPath),
+      maxBucket)
+
+  /** [[simhashPairsServing]] over already-RESOLVED artifact frames — the
+    * pinned-generation reader's entry point (the [[minhashPairsFrom]]
+    * twin): a long-running reader resolves BOTH artifacts of one
+    * generation together, maintenance flips the pointer, and the pinned
+    * read still answers the cross-artifact-CONSISTENT pre-fold pair set
+    * on graced bytes. Consistency matters more here than for any
+    * sibling: the liveness coupling (a value's band rows exist iff ≥ 1
+    * member remains) makes a TORN pair semantically wrong in both
+    * directions — live values beside a folded registry expand to
+    * nothing, stale values pair spuriously. */
+  def simhashPairsFrom(
+      vrows: DataFrame,
+      members: DataFrame,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val vrows = spark.read.schema(simhashVrowsSchema).parquet(vrowsPath)
     val keep = vrows.groupBy("band", "bv").agg(count(lit(1)).as("__nv"))
       .where(col("__nv") <= maxBucket).select("band", "bv")
     val kept = vrows.join(keep, Seq("band", "bv"))
@@ -1581,7 +1644,6 @@ object Dedup {
         Seq("band", "bv"))
       .where(col("__va") < col("__vb")).select("__va", "__vb").distinct()
       .where(hammingDistance(col("__va"), col("__vb")) <= SimHashMaxHamming)
-    val members = spark.read.schema(simhashDocsSchema).parquet(docsPath)
     val cross = vpairs
       .join(members.select(col("simhash").as("__va"), col("id").as("__ia")), Seq("__va"))
       .join(members.select(col("simhash").as("__vb"), col("id").as("__ib")), Seq("__vb"))
@@ -1726,8 +1788,15 @@ object Dedup {
   def embDupPairsServing(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      threshold: Double = 0.9): DataFrame = {
-    val stored = spark.read.schema(embLayoutSchema).parquet(path)
+      threshold: Double = 0.9): DataFrame =
+    embDupPairsFrom(spark.read.schema(embLayoutSchema).parquet(path), threshold)
+
+  /** [[embDupPairsServing]] over an already-RESOLVED layout frame — the
+    * pinned-generation reader's entry point (the [[minhashPairsFrom]]
+    * twin): a long-running reader resolves one generation's rows,
+    * maintenance flips the pointer, and the pinned read still answers
+    * the consistent pre-fold pair set on graced bytes. */
+  def embDupPairsFrom(stored: DataFrame, threshold: Double = 0.9): DataFrame = {
     val l = stored.select(col("bucket"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val r = stored.select(col("bucket"), col("id").as("id_b"),

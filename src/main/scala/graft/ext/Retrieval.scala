@@ -145,12 +145,28 @@ object Retrieval {
     * footer-less directory, and the post-fold stats read must see the
     * empty registry as a readable (n = 0) state, never a schema-inference
     * crash. */
-  private val registrySchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val registrySchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dl",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dbucket",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Explicit schema of the persisted postings layout (bucket is the
+    * partition column) — for reads that must never depend on footer
+    * inference (the footer-less emptied-directory lesson), e.g.
+    * [[ServingLayout.compact]]. */
+  private[graft] val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
       org.apache.spark.sql.types.LongType)))
 
   /** The SERVING artifact set of the BM25 index — what a production

@@ -140,14 +140,18 @@ object ExtOracle {
     * (doc_id, text) — the CDC-composed dedup oracles thread a post-delta
     * corpus through the SAME chain; `shingleCtesOver("corpus")` is the
     * historical text byte-for-byte. */
-  private def shingleCtesOver(src: String): String =
-    s"""tok AS (
+  /** @param sfx suffix for every CTE name — lets the chain coexist with
+    *        another shingle chain in one WITH list (the probe-race oracle
+    *        composes the pre- and post-fold chains); "" keeps the
+    *        historical text byte-identical. */
+  private def shingleCtesOver(src: String, sfx: String = ""): String =
+    s"""tok$sfx AS (
        |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM $src
-       |), idx AS (
-       |  SELECT unnest(range((SELECT max(len(toks)) FROM tok))) AS i
-       |), sh AS (
+       |), idx$sfx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tok$sfx))) AS i
+       |), sh$sfx AS (
        |  SELECT DISTINCT id, ${shingleConcat("toks")} AS sh
-       |  FROM tok, idx
+       |  FROM tok$sfx, idx$sfx
        |  WHERE i <= len(toks) - ${Dedup.ShingleLen}
        |)""".stripMargin
 
@@ -175,31 +179,33 @@ object ExtOracle {
     * IDENTICAL chain over the surviving shingles — per-doc signatures
     * don't depend on other documents, so scratch-over-survivors is what a
     * filtered stored index must reproduce. */
-  private def pairCtesOver(shSrc: String): String =
-    s"""mh AS (
+  /** @param sfx CTE-name suffix, the [[shingleCtesOver]] convention —
+    *        "" keeps the historical text byte-identical. */
+  private def pairCtesOver(shSrc: String, sfx: String = ""): String =
+    s"""mh$sfx AS (
        |  SELECT id, h,
        |    min(substr(md5((h // 4)::VARCHAR || ':' || sh), (h % 4) * 8 + 1, 8)) AS mh
        |  FROM $shSrc, range(${Dedup.NumHashes}) hh(h)
        |  GROUP BY id, h
-       |), bands AS (
+       |), bands$sfx AS (
        |  SELECT id, (h // ${Dedup.BandSize}) AS band, string_agg(mh, '|' ORDER BY h) AS sig
-       |  FROM mh GROUP BY id, (h // ${Dedup.BandSize})
-       |), cand AS (
+       |  FROM mh$sfx GROUP BY id, (h // ${Dedup.BandSize})
+       |), cand$sfx AS (
        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-       |  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
-       |), common AS (
+       |  FROM bands$sfx l JOIN bands$sfx r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+       |), common$sfx AS (
        |  SELECT c.id_a, c.id_b, count(*) AS n_common
-       |  FROM cand c
+       |  FROM cand$sfx c
        |  JOIN $shSrc a ON a.id = c.id_a
        |  JOIN $shSrc b ON b.id = c.id_b AND b.sh = a.sh
        |  GROUP BY c.id_a, c.id_b
-       |), sizes AS (
+       |), sizes$sfx AS (
        |  SELECT id, count(*) AS n_sh FROM $shSrc GROUP BY id
-       |), pairs AS (
+       |), pairs$sfx AS (
        |  SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
-       |  FROM common c
-       |  JOIN sizes sa ON sa.id = c.id_a
-       |  JOIN sizes sb ON sb.id = c.id_b
+       |  FROM common$sfx c
+       |  JOIN sizes$sfx sa ON sa.id = c.id_a
+       |  JOIN sizes$sfx sb ON sb.id = c.id_b
        |  WHERE c.n_common * 5 >= (sa.n_sh + sb.n_sh - c.n_common) * 3
        |)""".stripMargin
 
@@ -1398,6 +1404,59 @@ object ExtOracle {
        |  FROM embx e
        |  LEFT JOIN cdelta d ON e.vec_id = d.doc_id
        |  LEFT JOIN embeddings b ON b.vec_id = e.vec_id - e.vec_id % 10
+       |), ${embPairChainOver("postv")}
+       |SELECT id_a, id_b FROM epairs
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ the ext_cdc_embdup_serving_lifecycle rows: the FULL two-era
+    * maintenance lifecycle on the vector layout, from the SAME CdcOracle
+    * changelog chains the cdc_* rows grade against. Era 1: revised docs
+    * re-embed by the DECADE-BASE copy stub. Era 2: deleted docs' rows
+    * drop; sentinel inserts fetch the source vector by key VERBATIM (a
+    * cosine-1 pair with the living source); the re-revision COPIES the
+    * raw vector of its deleted m=7 NEIGHBOR (vec_id − 1) — all pure row
+    * copies (engine-exact by construction), and the neighbor coupling
+    * makes the delete class grade-guarded: a fold that failed to drop
+    * the neighbor would surface a spurious cosine-1 pair (verified in
+    * DuckDB: inserts add pairs, re-revisions remove the decade pairs, a
+    * simulated deletion bug adds (id−1, id) pairs). */
+  lazy val cdcEmbDupLifecycleSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val lcCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
+    val off = graft.cdc.ChangeFeed.DocsInsertOffset
+    s"""WITH $embCorpusSql, cl1 AS MATERIALIZED (
+       |${docsCdc.changelogRowsSql}
+       |), cl2 AS MATERIALIZED (
+       |${lcCdc.changelogRowsSql}
+       |), e1d AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2upd AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2ins AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
+       |), e2del AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
+       |), postv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN u.doc_id IS NOT NULL THEN nb.embedding
+       |         WHEN d1.doc_id IS NOT NULL THEN db.embedding
+       |         ELSE e.embedding END AS embedding
+       |  FROM embx e
+       |  LEFT JOIN e2upd u ON e.vec_id = u.doc_id
+       |  LEFT JOIN e1d d1 ON e.vec_id = d1.doc_id
+       |  LEFT JOIN embeddings nb ON nb.vec_id = e.vec_id - 1
+       |  LEFT JOIN embeddings db ON db.vec_id = e.vec_id - e.vec_id % 10
+       |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = e.vec_id)
+       |  UNION ALL
+       |  SELECT i.doc_id AS vec_id, e.embedding
+       |  FROM e2ins i JOIN embeddings e ON e.vec_id = i.doc_id - $off
        |), ${embPairChainOver("postv")}
        |SELECT id_a, id_b FROM epairs
        |ORDER BY id_a, id_b""".stripMargin
@@ -2778,6 +2837,38 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ≙ ext_minhash_serving_probe_race: the TWO answers a probe racing a
+    * snapshot-isolated fold can correctly observe, each consistent —
+    * phase 'pre' is the ingest restriction over the PRE-fold corpus (what
+    * a probe that resolved generation 1 before the flip answers on graced
+    * bytes: [[minhashIngestSql]]'s rows), phase 'post' the restriction
+    * over the post-delta corpus (what a probe resolving after the flip
+    * answers: [[cdcMinhashIngestSql]]'s rows). The two chains compose in
+    * ONE WITH list via the CTE-suffix convention (sfx = "_p"). */
+  lazy val minhashProbeRaceSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val batchRestrict =
+      s"""WHERE id_a >= ${graft.ext.DocFeed.ExactDupOffset}
+         |   OR id_b >= ${graft.ext.DocFeed.ExactDupOffset}""".stripMargin
+    s"""WITH $corpusSql, ${shingleCtesOver("corpus")}, ${pairCtesOver("sh")},
+       |cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), corpus2 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+       |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+       |), ${shingleCtesOver("corpus2", "_p")}, ${pairCtesOver("sh_p", "_p")}
+       |SELECT 'pre' AS phase, id_a, id_b, n_common, n_a, n_b FROM pairs
+       |$batchRestrict
+       |UNION ALL
+       |SELECT 'post' AS phase, id_a, id_b, n_common, n_a, n_b FROM pairs_p
+       |$batchRestrict
+       |ORDER BY phase, id_a, id_b""".stripMargin
+  }
+
   /** CDC→ANN-index bridge oracle ≙ the ext_cdc_ann_delta fold: the
     * changelog delta names the revised docs; each one is deterministically
     * RE-EMBEDDED (stub: vector reversal — a pure permutation, bit-exact on
@@ -2898,7 +2989,7 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** ≙ ext_index_freshness over ALL SIX maintained families: per-index
+  /** ≙ ext_index_freshness over ALL SEVEN maintained families: per-index
     * state size (post-era-1 postings / cells / codes / LSH band rows /
     * SimHash artifacts — the cell index holds one row per vector, the
     * code index one row per (vector, subspace) so 4 N, the LSH layout
@@ -2952,6 +3043,10 @@ object ExtOracle {
        |  UNION ALL
        |  SELECT 'simhash', (SELECT CAST(${Dedup.SimHashBands} * count(DISTINCT simhash)
        |      + count(*) AS BIGINT) FROM sims_f)
+       |  UNION ALL
+       |  SELECT 'embdup', (SELECT CAST(count(*)
+       |      + count(*) FILTER (WHERE vec_id % 20 = 0) AS BIGINT)
+       |    FROM embeddings)
        |), ocl AS MATERIALIZED (
        |${OrdersCdcOracle.changelogSql}
        |), ssc AS (

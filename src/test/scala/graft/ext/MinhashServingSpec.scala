@@ -196,6 +196,39 @@ class MinhashServingSpec extends AnyFunSuite with graft.SparkFixture {
     assert(mtimes2 == mtimes, "a re-run that finds nothing crowded is a no-op")
   }
 
+  test("probe broadcast gate: a tripped gate falls back to merge-hinted " +
+      "shuffled joins with identical pairs") {
+    val s = spark
+    import s.implicits._
+    val B = 64
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val store = hist.unionByName(batch)
+    val base = graft.TempDirs.create("graft_mhgate_t")
+    val bandsPath = base.resolve("bands").toString
+    val fpsPath = base.resolve("fps").toString
+    Dedup.writeServingLayout(hist, bandsPath, fpsPath, buckets = B)
+    def pairs(limit: Long): Set[Seq[String]] =
+      Dedup.minhashServingProbe(s, bandsPath, fpsPath, batch, store,
+        buckets = B, broadcastLimit = limit)
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val gated = pairs(Long.MaxValue)
+    assert(gated.nonEmpty, "the planted exact dup must pair")
+    // the forced arm: candidates plan SMJ for the probe joins (the merge
+    // hint is REQUIRED — the planner would re-broadcast the small side
+    // on its size estimate otherwise, the r11 gated-join lesson)
+    val forced = Dedup.minhashServingCandidates(s, bandsPath, fpsPath, batch,
+      buckets = B, broadcastLimit = 0L)
+    forced.collect()
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"tripped gate must plan a shuffled probe join, got:\n$plan")
+    assert(pairs(0L) == gated, "both arms must produce identical pairs")
+  }
+
   test("a fold that empties EVERY partition leaves a readable empty layout " +
       "(explicit schemas — the footer-less directory lesson)") {
     val s = spark

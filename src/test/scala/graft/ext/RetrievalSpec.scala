@@ -253,4 +253,76 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       emptyStats(0).getLong(0) == 0L && emptyStats(0).getLong(1) == 0L,
       "an emptied corpus must publish (n = 0, avgdl = 0), not NULLs")
   }
+
+  test("postings/registry compaction: crowded buckets repack to one file " +
+      "with identical content; a later fold composes") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val B = 8 // few buckets so fragments overlap buckets
+    val pre = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val base = graft.TempDirs.create("graft_bm25cmp_t")
+    val postingsPath = base.resolve("postings").toString
+    val doclenPath = base.resolve("doclen").toString
+    val (p0, dl0, st0) = Retrieval.bm25ServingArtifacts(pre, buckets = B)
+    val p0c = p0.localCheckpoint(true)
+    // the multi-writer shape: two interleaved half-writes per artifact
+    p0c.where($"doc_id" % 2 === 1).repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(postingsPath)
+    p0c.where($"doc_id" % 2 === 0).repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(postingsPath)
+    val dl0c = dl0.localCheckpoint(true)
+    dl0c.where($"doc_id" % 2 === 1).repartition(col("dbucket"))
+      .write.partitionBy("dbucket").mode("append").parquet(doclenPath)
+    dl0c.where($"doc_id" % 2 === 0).repartition(col("dbucket"))
+      .write.partitionBy("dbucket").mode("append").parquet(doclenPath)
+    st0.write.parquet(base.resolve("stats").toString)
+    def dataFiles(root: String): Map[String, Int] =
+      Files.list(Paths.get(root)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .map { p =>
+          p.getFileName.toString -> Files.list(p).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .count { f =>
+              val n = f.getFileName.toString
+              Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+            }
+        }.toMap
+    assert(dataFiles(postingsPath).values.exists(_ > 1),
+      "construction must fragment a postings bucket")
+    def postingsSet(): Set[(Long, String, Long, Long, Long)] =
+      s.read.parquet(postingsPath)
+        .select($"bucket".cast("long"), $"term", $"doc_id", $"tf", $"df")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+    def dlSet(): Set[(Long, Long)] =
+      s.read.parquet(doclenPath).select($"doc_id", $"dl")
+        .as[(Long, Long)].collect().toSet
+    val (pBefore, dlBefore) = (postingsSet(), dlSet())
+    ServingLayout.compact(s, postingsPath, "bucket", Retrieval.postingsSchema)
+    ServingLayout.compact(s, doclenPath, "dbucket", Retrieval.registrySchema)
+    assert(dataFiles(postingsPath).values.forall(_ == 1),
+      "every crowded postings bucket repacks to 1 file")
+    assert(dataFiles(doclenPath).values.forall(_ == 1),
+      "every crowded registry bucket repacks to 1 file")
+    assert(postingsSet() == pBefore && dlSet() == dlBefore,
+      "the repack must be content-identical")
+    // a fold onto the compacted layout lands on scratch — the repack
+    // composes with the maintenance primitive
+    val newDocs = Seq((3L, "alpha beta")).toDF("doc_id", "text")
+    Retrieval.bm25ServingFold(s, postingsPath, doclenPath,
+      base.resolve("stats").toString,
+      pre.where($"doc_id" === 3L), newDocs, buckets = B)
+    val post = pre.where($"doc_id" =!= 3L).unionByName(newDocs)
+    val (ps, dls, _) = Retrieval.bm25ServingArtifacts(post, buckets = B)
+    assert(postingsSet() == ps
+        .select($"bucket".cast("long"), $"term", $"doc_id", $"tf", $"df")
+        .as[(Long, String, Long, Long, Long)].collect().toSet,
+      "fold-after-compact must equal scratch")
+    assert(dlSet() == dls.select($"doc_id", $"dl")
+        .as[(Long, Long)].collect().toSet,
+      "registry fold-after-compact must equal scratch")
+  }
 }

@@ -118,4 +118,29 @@ class SimhashServingSpec extends AnyFunSuite with graft.SparkFixture {
     assert(layoutRows(vrowsPath, docsPath) == scratchRows(post2.toDF2(s)),
       "replayed delete+insert must equal scratch over the post-delta corpus")
   }
+
+  test("probe broadcast gate: the pair-derived candidate-value dim falls " +
+      "back to merge-hinted shuffled joins with identical pairs") {
+    val s = spark
+    val shared = "alpha beta gamma delta epsilon"
+    val hist = Seq((1L, shared), (2L, "one two three four five"))
+    val batch = Seq((10L, shared))
+    val base = graft.TempDirs.create("graft_shgate_t")
+    val vrowsPath = base.resolve("vrows").toString
+    val docsPath = base.resolve("docs").toString
+    Dedup.simhashWriteServingLayout(hist.toDF2(s), vrowsPath, docsPath)
+    def pairsOf(limit: Long): Set[Seq[String]] =
+      Dedup.simhashServingProbe(s, vrowsPath, docsPath, batch.toDF2(s),
+        broadcastLimit = limit)
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val gated = pairsOf(Long.MaxValue)
+    assert(gated.nonEmpty, "the planted equal-fingerprint doc must pair")
+    val forced = Dedup.simhashServingCandidates(s, vrowsPath, docsPath,
+      batch.toDF2(s), broadcastLimit = 0L)
+    forced.collect()
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"tripped gate must plan a shuffled candidate join, got:\n$plan")
+    assert(pairsOf(0L) == gated, "both arms must produce identical pairs")
+  }
 }
