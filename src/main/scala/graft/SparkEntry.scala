@@ -2546,6 +2546,41 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // COMPACT → fold on the value-granularity layout: both artifacts
+    // deploy FRAGMENTED (two interleaved half-writes each), the
+    // partition-local repack rewrites every crowded sband/vbucket to one
+    // file (content-identical), and the era-1 fold then composes on the
+    // compacted artifacts — graded ≡ the never-compacted post-delta
+    // chain verbatim
+    "ext_simhash_serving_compact" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = simhashServingState(s, dir)
+      val base = TempDirs.create("graft_shsrvcmp")
+      val vrowsPath = base.resolve("vrows").toString
+      val docsPath = base.resolve("docs").toString
+      val v0 = s.read.parquet(state.resolve("vrows").toString)
+        .localCheckpoint(true)
+      v0.where(col("simhash") % 2 === 0).repartition(col("sband"))
+        .write.partitionBy("sband").mode("append").parquet(vrowsPath)
+      v0.where(col("simhash") % 2 =!= 0).repartition(col("sband"))
+        .write.partitionBy("sband").mode("append").parquet(vrowsPath)
+      val m0 = s.read.parquet(state.resolve("docs").toString)
+        .localCheckpoint(true)
+      m0.where(col("id") % 2 === 0).repartition(col("vbucket"))
+        .write.partitionBy("vbucket").mode("append").parquet(docsPath)
+      m0.where(col("id") % 2 =!= 0).repartition(col("vbucket"))
+        .write.partitionBy("vbucket").mode("append").parquet(docsPath)
+      graft.ext.ServingLayout.compact(s, vrowsPath, "sband",
+        Dedup.simhashVrowsSchema)
+      graft.ext.ServingLayout.compact(s, docsPath, "vbucket",
+        Dedup.simhashDocsSchema)
+      val delta = docsChangelogDelta(s, dir)
+      val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+      Dedup.simhashServingFold(s, vrowsPath, docsPath, oldDocs, delta)
+      Dedup.simhashPairsServing(s, vrowsPath, docsPath)
+        .orderBy("id_a", "id_b")
+    }),
+
     // E3a — token/quality statistics
     "ext_tokens" -> ((s, dir) =>
       TextOps.tokenStats(corpus(s, dir)).orderBy("doc_id")),
@@ -3235,6 +3270,44 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // fold → COMPACT → fold on the COMPRESSED code layout: the
+    // fragmented codes take the era-1 fold at the frozen model, the
+    // repack rewrites the still-crowded coarse cells (schema from the
+    // pristine deployment — the repack must never depend on the
+    // fragmented copy's footers), and the era-2 lifecycle folds onto the
+    // compacted layout — graded ≡ the never-compacted lifecycle oracle
+    "ext_ivfpq_serving_compact" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfPqServingState(s, dir)
+      val base = TempDirs.create("graft_ivfpqcmp")
+      val codesPath = base.resolve("codes").toString
+      val c0 = s.read.parquet(st.resolve("codes").toString)
+        .localCheckpoint(true)
+      c0.where(col("neighbor_id") % 2 === 0).repartition(col("ccell"))
+        .write.partitionBy("ccell").mode("append").parquet(codesPath)
+      c0.where(col("neighbor_id") % 2 =!= 0).repartition(col("ccell"))
+        .write.partitionBy("ccell").mode("append").parquet(codesPath)
+      val cents = s.read.parquet(st.resolve("cents").toString)
+        .localCheckpoint(true)
+      val cb = s.read.parquet(st.resolve("cb").toString).localCheckpoint(true)
+      // era 1 folds in place (affected ccells rewrite to 1 file)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+        .localCheckpoint(true)
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Similarity.ivfPqServingFold(s, codesPath, old1,
+        old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        cents, cb)
+      graft.ext.ServingLayout.compact(s, codesPath, "ccell",
+        s.read.parquet(st.resolve("codes").toString).schema)
+      // era 2: the lifecycle folds onto the compacted layout
+      pqServingLifecycleFoldAt(s, dir, codesPath, cents, cb,
+        lifecycleDeltaSets(s, dir))
+      Similarity.ivfPqSearch(s.read.parquet(codesPath),
+        e.where(col("vec_id") % 100 === 0), cents, cb, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // E2-PQ — product-quantization ANN: per-subspace codebooks + ADC
     // lookup-sum scoring (the memory-compressed exhaustive-scan path)
     "ext_ann_pq" -> ((s, dir) =>
@@ -3425,6 +3498,36 @@ object SparkEntry {
         Dedup.embDupServingFold(s, gen, old1, embDupReembed(e, d1))
       }
       Dedup.embDupPairsFrom(pinned).orderBy("id_a", "id_b")
+    }),
+
+    // fold → COMPACT → fold on the vector layout — the embdup member of
+    // the compaction matrix: a fragmented deploy takes the era-1 fold,
+    // the repack rewrites the still-crowded buckets (content-identical),
+    // and the era-2 lifecycle folds onto the compacted layout — graded
+    // ≡ the never-compacted lifecycle oracle verbatim
+    "ext_embdup_serving_compact" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edsrvcmp")
+      val vecsPath = base.resolve("vecs").toString
+      val v0 = s.read
+        .parquet(embDupServingState(s, dir).resolve("vecs").toString)
+        .localCheckpoint(true)
+      v0.where(col("id") % 2 === 0).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(vecsPath)
+      v0.where(col("id") % 2 =!= 0).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(vecsPath)
+      // era 1 folds in place, the repack normalizes the crowded buckets
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embDupServingFold(s, vecsPath, old1, embDupReembed(e, d1))
+      graft.ext.ServingLayout.compact(s, vecsPath, "bucket",
+        Dedup.embLayoutSchema)
+      // era 2: the lifecycle folds onto the compacted layout
+      val (o2, n2) = embDupLifecycleVecSets(s, dir, lifecycleDeltaSets(s, dir))
+      Dedup.embDupServingFold(s, vecsPath, o2, n2)
+      Dedup.embDupPairsServing(s, vecsPath)
+        .orderBy("id_a", "id_b")
     }),
 
     // E1e' — the embedding family closed through the SAME connected-
@@ -3720,6 +3823,33 @@ object SparkEntry {
       graft.cdc.ServingBridge.enrichAsOf(
         graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
         pinned.drop("bucket"))
+        .orderBy("event_id")
+    }),
+
+    // COMPACT → fold on the serving episode store — the last member of
+    // the compaction matrix (every partitioned layout family now runs
+    // through the shared repack in a graded row): the fragmented store
+    // repacks (schema from the pristine deployment), then the window-2
+    // fold composes on the compacted buckets — graded ≡ the one-shot
+    // fold's serving join verbatim
+    "ext_cdc_serving_compact" -> ((s, dir) => {
+      val state = servingEpisodesMidLayout(s, dir)
+      val base = TempDirs.create("graft_srvepscmp")
+      val epsPath = base.resolve("episodes").toString
+      val e0 = s.read.parquet(state.resolve("episodes").toString)
+        .localCheckpoint(true)
+      e0.where(col("ep_id") % 2 === 0).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(epsPath)
+      e0.where(col("ep_id") % 2 =!= 0).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(epsPath)
+      graft.ext.ServingLayout.compact(s, epsPath, "bucket",
+        s.read.parquet(state.resolve("episodes").toString).schema)
+      graft.cdc.ServingBridge.episodesServingFold(s, epsPath,
+        servingWindow2Episodes(s, dir))
+      val eps = s.read.parquet(epsPath).drop("bucket")
+      graft.cdc.ServingBridge.enrichAsOf(
+        graft.cdc.ServingBridge.servingRequests(events(s, dir), orders(s, dir)),
+        eps)
         .orderBy("event_id")
     }),
 
@@ -5620,6 +5750,7 @@ object SparkEntry {
     "ext_minhash_serving_probe_race" -> ExtOracle.minhashProbeRaceSql,
     "ext_simhash_pruned" -> ExtOracle.simhashIngestSql,
     "ext_cdc_simhash_serving_fold" -> ExtOracle.cdcSimhashDeltaSql,
+    "ext_simhash_serving_compact" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_cdc_simhash_serving_fold_stream" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_simhash_serving_forget" -> ExtOracle.simhashForgetSql,
     "ext_simhash_serving_grace_read" -> ExtOracle.simhashPairsSql,
@@ -5653,6 +5784,7 @@ object SparkEntry {
     "ext_cdc_embdup_serving_fold_stream" -> ExtOracle.cdcEmbDupDeltaSql,
     "ext_embdup_serving_forget" -> ExtOracle.embDupForgetSql,
     "ext_cdc_embdup_serving_lifecycle" -> ExtOracle.cdcEmbDupLifecycleSql,
+    "ext_embdup_serving_compact" -> ExtOracle.cdcEmbDupLifecycleSql,
     "ext_cdc_embdup_serving_lifecycle_stream" -> ExtOracle.cdcEmbDupLifecycleSql,
     "ext_embdup_serving_grace_read" -> ExtOracle.dedupEmbeddingSql,
     "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,
@@ -5684,6 +5816,7 @@ object SparkEntry {
     "ext_cdc_ivfpq_serving_fold" -> ExtOracle.cdcIvfPqDeltaSql,
     "ext_cdc_ivfpq_serving_fold_stream" -> ExtOracle.cdcIvfPqDeltaSql,
     "ext_cdc_ivfpq_serving_lifecycle" -> ExtOracle.cdcIvfPqLifecycleSql,
+    "ext_ivfpq_serving_compact" -> ExtOracle.cdcIvfPqLifecycleSql,
     "ext_cdc_ivfpq_serving_lifecycle_stream" -> ExtOracle.cdcIvfPqLifecycleSql,
     "ext_ann_ivfpq_forget" -> ExtOracle.annIvfPqForgetSql,
     "ext_ann_ivfpq_serving_forget" -> ExtOracle.annIvfPqForgetSql,
@@ -5767,6 +5900,7 @@ object SparkEntry {
     "ext_cdc_serving_forget" -> ExtOracle.cdcServingForgetSql,
     "ext_cdc_serving_pruned" -> ExtOracle.cdcServingPrunedSql,
     "ext_cdc_serving_fold" -> ExtOracle.cdcServingJoinSql,
+    "ext_cdc_serving_compact" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_grace_read" -> ExtOracle.cdcServingGraceSql,
     "ext_cdc_serving_fold_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,

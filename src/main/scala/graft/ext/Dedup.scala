@@ -1342,7 +1342,7 @@ object Dedup {
     .select(col("simhash"), posexplode(array((0 until SimHashBands).map(b =>
       shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
 
-  private val simhashVrowsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val simhashVrowsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("band",
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("bv",
@@ -1351,7 +1351,7 @@ object Dedup {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("sband",
       org.apache.spark.sql.types.LongType)))
-  private val simhashDocsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val simhashDocsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("simhash",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("id",
@@ -1685,7 +1685,7 @@ object Dedup {
   // constant, so the control-plane collects stay bounded.
   // -------------------------------------------------------------------
 
-  private val embLayoutSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val embLayoutSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("v",
