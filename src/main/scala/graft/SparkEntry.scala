@@ -660,6 +660,24 @@ object SparkEntry {
         Seq("doc_id"), "left_semi"), upserts)
   }
 
+  /** The era-2 lifecycle delta folded IN PLACE into the value-granularity
+    * SimHash layout — [[minhashServingLifecycleFoldAt]]'s shape: removed
+    * content (revised + deleted docs) reads its CURRENT text from the
+    * post-era-1 corpus view (fingerprints are deterministic in content,
+    * so re-hashing locates the stored value/membership rows); the
+    * upserts (revised text + fetched-and-suffixed inserts) are the new
+    * side. Value liveness re-derives inside the fold as always. */
+  private def simhashServingLifecycleFoldAt(s: SparkSession, dir: String,
+      base: java.nio.file.Path,
+      sets: (DataFrame, DataFrame, DataFrame)): Unit = {
+    val (upserts, ins, del) = sets
+    val post1 = postEra1Corpus(s, dir)
+    Dedup.simhashServingFold(s, base.resolve("vrows").toString,
+      base.resolve("docs").toString,
+      post1.join(upserts.select("doc_id").unionByName(del),
+        Seq("doc_id"), "left_semi"), upserts)
+  }
+
   /** The era-2 lifecycle folded IN PLACE into the ccell-partitioned CODE
     * layout at the frozen compressed model — [[annServingLifecycleFoldAt]]
     * on the artifact actually served at 100 TB. */
@@ -2458,6 +2476,75 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the FULL two-era lifecycle replayed IN PLACE on the
+    // value-granularity layout — the LAST index family without one:
+    // era-1 revisions fold, then era-2 deletes drop the docs' membership
+    // rows (values whose last member leaves are swept from the value
+    // table — the liveness coupling under the GDPR-shaped op), sentinel
+    // inserts fetch content by key and fingerprint it, the re-revision
+    // re-fingerprints. Graded ≡ the scratch SimHash chain over the
+    // post-lifecycle corpus (the same corpus3 composition the
+    // minhash/BM25/ANN lifecycle oracles thread)
+    "ext_cdc_simhash_serving_lifecycle" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val base = TempDirs.create("graft_shsrvlc")
+      copySimhashState(simhashServingState(s, dir), base)
+      // era 1: revisions
+      val delta1 = docsChangelogDelta(s, dir)
+      Dedup.simhashServingFold(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString,
+        c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
+      // era 2: deletes + sentinel inserts + the further revision
+      simhashServingLifecycleFoldAt(s, dir, base, lifecycleDeltaSets(s, dir))
+      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin: the era-2 window arrives in 2 micro-batches over
+    // the MEMOIZED post-era-1 layout (its fold is graded by
+    // ext_cdc_simhash_serving_fold) and each batch's row-locally
+    // extracted delta sets fold in place; per-batch folds compose because
+    // liveness always re-derives from the CURRENT registry. Same oracle
+    "ext_cdc_simhash_serving_lifecycle_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_shsrvlcst")
+      copySimhashState(simhashServing2State(s, dir), base)
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsLifecycleFeed(s, dir).resolve("w").toString,
+        base.resolve("ckpt").toString) { w =>
+        simhashServingLifecycleFoldAt(s, dir, base,
+          lifecycleDeltaSetsFrom(w, s, dir))
+      }
+      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the FULL production loop on the value-granularity layout — the
+    // ext_cdc_minhash_serving_probe twin: the changelog delta folds the
+    // HISTORY layout in place, and the ARRIVING batch then probes the
+    // FOLDED layout through the pruned serving read (fold ∘ probe ≡ the
+    // ingest restriction of the post-delta scratch chain; verification
+    // is fingerprint arithmetic, so revised history partners pair by
+    // their CURRENT stored values)
+    "ext_cdc_simhash_serving_probe" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val base = TempDirs.create("graft_shsrvpb")
+      val st = simhashServingHistState(s, dir)
+      TempDirs.copyInto(st.resolve("vrows"), base.resolve("vrows"))
+      TempDirs.copyInto(st.resolve("docs"), base.resolve("docs"))
+      val delta = docsChangelogDelta(s, dir)
+      val hist = s.read.parquet(s"$dir/documents.parquet")
+      val oldDocs = hist.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      Dedup.simhashServingFold(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString, oldDocs, delta)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      Dedup.simhashServingProbe(s, base.resolve("vrows").toString,
+        base.resolve("docs").toString, batch)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SUBJECT DELETION in place on the value-granularity layout — the
     // liveness wrinkle is exactly the GDPR edge: a value whose LAST
     // member was the subject must leave the value table (its band
@@ -3527,6 +3614,28 @@ object SparkEntry {
       val (o2, n2) = embDupLifecycleVecSets(s, dir, lifecycleDeltaSets(s, dir))
       Dedup.embDupServingFold(s, vecsPath, o2, n2)
       Dedup.embDupPairsServing(s, vecsPath)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the FULL production loop on the vector layout — the
+    // ext_cdc_minhash_serving_probe twin for the embdup family: the
+    // changelog delta folds the HISTORY layout in place (decade-base
+    // re-embeds), and the arriving batch of planted near-dup vectors
+    // then probes the FOLDED layout through the pruned serving read —
+    // fold ∘ probe ≡ the ingest restriction of the post-delta pair
+    // chain (verification is cosine arithmetic over stored rows)
+    "ext_cdc_embdup_serving_probe" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edsrvpb")
+      TempDirs.copyInto(embDupServingHistState(s, dir).resolve("vecs"),
+        base.resolve("vecs"))
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embDupServingFold(s, base.resolve("vecs").toString, oldVecs,
+        embDupReembed(e, deltaIds))
+      val batch = EmbFeed.withDups(e).where(col("vec_id") >= EmbFeed.DupOffset)
+      Dedup.embDupServingProbe(s, base.resolve("vecs").toString, batch)
         .orderBy("id_a", "id_b")
     }),
 
@@ -5751,6 +5860,9 @@ object SparkEntry {
     "ext_simhash_pruned" -> ExtOracle.simhashIngestSql,
     "ext_cdc_simhash_serving_fold" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_simhash_serving_compact" -> ExtOracle.cdcSimhashDeltaSql,
+    "ext_cdc_simhash_serving_lifecycle" -> ExtOracle.cdcSimhashLifecycleSql,
+    "ext_cdc_simhash_serving_lifecycle_stream" -> ExtOracle.cdcSimhashLifecycleSql,
+    "ext_cdc_simhash_serving_probe" -> ExtOracle.cdcSimhashIngestSql,
     "ext_cdc_simhash_serving_fold_stream" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_simhash_serving_forget" -> ExtOracle.simhashForgetSql,
     "ext_simhash_serving_grace_read" -> ExtOracle.simhashPairsSql,
@@ -5785,6 +5897,7 @@ object SparkEntry {
     "ext_embdup_serving_forget" -> ExtOracle.embDupForgetSql,
     "ext_cdc_embdup_serving_lifecycle" -> ExtOracle.cdcEmbDupLifecycleSql,
     "ext_embdup_serving_compact" -> ExtOracle.cdcEmbDupLifecycleSql,
+    "ext_cdc_embdup_serving_probe" -> ExtOracle.cdcEmbDupIngestSql,
     "ext_cdc_embdup_serving_lifecycle_stream" -> ExtOracle.cdcEmbDupLifecycleSql,
     "ext_embdup_serving_grace_read" -> ExtOracle.dedupEmbeddingSql,
     "ext_dedup_clusters_emb" -> ExtOracle.dedupClustersEmbSql,

@@ -700,6 +700,67 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ≙ the ext_cdc_simhash_serving_lifecycle rows: the FULL two-era
+    * maintenance lifecycle on the value-granularity layout — the same
+    * corpus3 composition as the minhash/BM25/ANN lifecycle oracles, run
+    * through the SimHash chain (deletes can empty a value's membership,
+    * dropping its band rows — the liveness contract under deletion). */
+  lazy val cdcSimhashLifecycleSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val lcCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
+    val off = graft.cdc.ChangeFeed.DocsInsertOffset
+    s"""WITH $corpusSql, cl1 AS MATERIALIZED (
+       |${docsCdc.changelogRowsSql}
+       |), cl2 AS MATERIALIZED (
+       |${lcCdc.changelogRowsSql}
+       |), c1d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2upd AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2ins AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
+       |), e2del AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
+       |), corpus3 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(u.text, d1.text, c.text) AS text
+       |  FROM corpus c
+       |  LEFT JOIN c1d d1 ON c.doc_id = d1.doc_id
+       |  LEFT JOIN e2upd u ON c.doc_id = u.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = c.doc_id)
+       |  UNION ALL
+       |  SELECT i.doc_id, d.text || ' fresh' AS text
+       |  FROM e2ins i JOIN documents d ON d.doc_id = i.doc_id - $off
+       |), ${simhashChainOver("corpus3")}, $simhashPairsTail
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ ext_cdc_simhash_serving_probe: the ingest restriction of the
+    * post-delta SimHash chain — pairs involving a planted batch doc,
+    * over the corpus with the era-1 revisions applied (what probing the
+    * FOLDED history layout answers). */
+  lazy val cdcSimhashIngestSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $corpusSql, cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), corpus2 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+       |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+       |), ${simhashChainOver("corpus2")}, $simhashPairsTail
+       |  AND (c.id_a >= ${graft.ext.DocFeed.ExactDupOffset}
+       |    OR c.id_b >= ${graft.ext.DocFeed.ExactDupOffset})
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** ≙ ext_simhash_serving_forget: subject deletion on the value-
     * granularity layout ≡ the scratch chain over the surviving corpus —
     * in particular a value whose LAST member was the subject must leave
@@ -1459,6 +1520,33 @@ object ExtOracle {
        |  FROM e2ins i JOIN embeddings e ON e.vec_id = i.doc_id - $off
        |), ${embPairChainOver("postv")}
        |SELECT id_a, id_b FROM epairs
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ ext_cdc_embdup_serving_probe: the ingest restriction of the
+    * post-delta embedding pair chain — pairs involving a planted
+    * (+DupOffset) batch vector, over the vectors with the era-1
+    * decade-base re-embeds applied (what probing the FOLDED history
+    * layout answers). */
+  lazy val cdcEmbDupIngestSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $embCorpusSql, cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), postv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN d.doc_id IS NULL THEN e.embedding
+       |         ELSE b.embedding END AS embedding
+       |  FROM embx e
+       |  LEFT JOIN cdelta d ON e.vec_id = d.doc_id
+       |  LEFT JOIN embeddings b ON b.vec_id = e.vec_id - e.vec_id % 10
+       |), ${embPairChainOver("postv")}
+       |SELECT id_a, id_b FROM epairs
+       |WHERE id_a >= ${graft.ext.EmbFeed.DupOffset}
+       |   OR id_b >= ${graft.ext.EmbFeed.DupOffset}
        |ORDER BY id_a, id_b""".stripMargin
   }
 
