@@ -25,6 +25,19 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"serving folds without a _stream twin: ${missing.toSeq.sorted}")
   }
 
+  test("every *_serving_compact row grades against its family's unchanged " +
+      "never-compacted oracle") {
+    // content identity is the repack's whole contract: a compact row that
+    // grew its OWN oracle text would be grading something else
+    val compacts = SparkEntry.oracleSql.keySet.filter(_.endsWith("_serving_compact"))
+    assert(compacts.size >= 7, s"expected a compact row per layout family, got $compacts")
+    compacts.foreach { k =>
+      val sql = SparkEntry.oracleSql(k)
+      assert(SparkEntry.oracleSql.exists { case (k2, s2) => k2 != k && s2 == sql },
+        s"$k must share its oracle verbatim with a non-compact family row")
+    }
+  }
+
   test("no oracle SQL carries a Scala null interpolation (the r7 " +
       "file-order val-initialization trap)") {
     // a val referencing a fragment declared LATER in its file interpolates
