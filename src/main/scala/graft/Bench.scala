@@ -66,6 +66,19 @@ object Bench {
     // failed (never a fake cheap timing).
     val passes = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt).getOrElse(3))
+    // HEAVY rows run ONE timed pass: the serving lifecycle/compact/race
+    // families re-copy layouts and re-fold per pass, and at 3 passes each
+    // the graded bench's wall clock outgrew the driver's window in round
+    // 14 (BENCH_r14.json rc=124 — a timeout kill, no perf artifact at
+    // all). A row whose FIRST pass exceeds this threshold keeps that one
+    // measurement (median = min = the single pass); the cheap majority
+    // keeps median-of-3. Nothing is lost analytically: drift verdicts
+    // already compare at quiet-machine MINS (the r12/r13 rule), and a
+    // >6 s row's signal is its plan shape, not a 3-pass median. 0 or a
+    // huge value disables (every row runs `passes` passes).
+    val heavySec = math.max(0.0,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "6").toDouble)
+        .getOrElse(6.0))
     // optional focus filter for bisecting a single query's variance
     // (comma-separated names); absent = the full graded surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -96,7 +109,10 @@ object Bench {
       // stop at the first failing pass — a deterministic failure shouldn't
       // pay its latency `passes` times
       val timings = scala.collection.mutable.ArrayBuffer.empty[Either[String, Double]]
-      while (timings.size < passes && !timings.lastOption.exists(_.isLeft)) {
+      while (timings.size < passes && !timings.lastOption.exists(_.isLeft)
+          // heavy-row cutoff: one pass was enough (see heavySec above)
+          && !(heavySec > 0 && timings.size == 1 &&
+            timings.head.exists(_ > heavySec))) {
         // Between passes (outside the timed region): sweep the PREVIOUS
         // pass's temp sinks, drop every block the last pass cached or
         // localCheckpoint'ed, and nudge a driver GC so ContextCleaner can
@@ -128,7 +144,7 @@ object Bench {
           // lower median for even pass counts — never reports a value
           // higher than both middle passes
           val ts = timings.collect { case Right(v) => v }.sorted
-          name -> Right((ts((ts.size - 1) / 2), ts.head))
+          name -> Right((ts((ts.size - 1) / 2), ts.head, ts.size))
       }
     }
 
@@ -150,10 +166,15 @@ object Bench {
     // "queries" carries the MEDIAN (the round-over-round comparable);
     // "queries_min" the per-query best pass.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"heavy_sec":$heavySec,"queries":${
         ok.map { case (k, v) => s"${q(k)}:${v._1}" }.mkString("{", ",", "}")
       },"queries_min":${
         ok.map { case (k, v) => s"${q(k)}:${v._2}" }.mkString("{", ",", "}")
+      },"single_pass":${
+        // heavy rows that stopped after pass 1 — their "median" is that
+        // one measurement; compare them at the min like every drift check
+        ok.collect { case (k, v) if v._3 == 1 && passes > 1 => q(k) }
+          .mkString("[", ",", "]")
       },"errors":${
         errs.map { case (k, m) => s"${q(k)}:${q(m)}" }.mkString("{", ",", "}")
       },"sf":${q(sfDir)}}"""

@@ -305,6 +305,21 @@ object SparkEntry {
         .parquet(tmp.resolve("codes").toString)
     }
 
+  /** Deploy `rows` into a partitioned layout FRAGMENTED (≥2 files in
+    * nearly every partition) in ONE write — the *_serving_compact rows'
+    * fixture for the real-world multi-task partition-write shape (AQE
+    * skew splits, parallel appenders): hashing the shuffle on
+    * (partition, id-parity) splits almost every partition's rows across
+    * two tasks, and each task writes its own file per directory. One
+    * 64-task write replaces the old two full-layout appends, which made
+    * the compact rows the bench's cost ceiling (r14 What's-wrong #3) —
+    * content is identical either way, and content identity is all the
+    * repack contract grades. */
+  private def deployFragmented(rows: DataFrame, path: String,
+      partCol: String, splitCol: org.apache.spark.sql.Column): Unit =
+    rows.repartition(64, col(partCol), pmod(splitCol, lit(2L)))
+      .write.partitionBy(partCol).mode("append").parquet(path)
+
   /** A corpus's LSH dedup index in its SERVING layout under `tmp`:
     * `bands/` + `fps/` ([[Dedup.writeServingLayout]]). */
   private def writeMinhashLayout(docs: DataFrame, tmp: java.nio.file.Path): Unit =
@@ -380,6 +395,25 @@ object SparkEntry {
     TempDirs.memoized("graft_ed_srv", s"$dir/embeddings.parquet") { tmp =>
       Dedup.embDupWriteServingLayout(EmbFeed.withDups(embeddings(s, dir)),
         tmp.resolve("vecs").toString)
+    }
+
+  /** The MULTI-TABLE embedding near-dup index (band rows + vector
+    * registry) over the near-dup-planted vector set — the pair-listing
+    * and fold rows' pre-delta state; consumers COPY it (folds mutate). */
+  private def embMultiServingState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_edm_srv", s"$dir/embeddings.parquet") { tmp =>
+      Dedup.embMultiWriteServingLayout(EmbFeed.withNearDups(embeddings(s, dir)),
+        tmp.resolve("trows").toString, tmp.resolve("vecs").toString)
+    }
+
+  /** The multi-table index over the HISTORY corpus (base + colinear
+    * copies, no near-dups) — the state a continuously ingesting pipeline
+    * holds when the planted NEAR-dup batch arrives; read in place by the
+    * pruned probe. */
+  private def embMultiServingHistState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_edm_srv_hist", s"$dir/embeddings.parquet") { tmp =>
+      Dedup.embMultiWriteServingLayout(EmbFeed.withDups(embeddings(s, dir)),
+        tmp.resolve("trows").toString, tmp.resolve("vecs").toString)
     }
 
   /** The embdup fold rows' re-embed stub: the revised doc's new
@@ -1655,12 +1689,7 @@ object SparkEntry {
       val cellsPath = base.resolve("cells").toString
       val cells0 = s.read.parquet(state.resolve("cells").toString)
         .localCheckpoint(true)
-      cells0.where(col("neighbor_id") % 2 === 0)
-        .repartition(col("cell")).write.partitionBy("cell")
-        .mode("append").parquet(cellsPath)
-      cells0.where(col("neighbor_id") % 2 =!= 0)
-        .repartition(col("cell")).write.partitionBy("cell")
-        .mode("append").parquet(cellsPath)
+      deployFragmented(cells0, cellsPath, "cell", col("neighbor_id"))
       val cents = s.read.parquet(state.resolve("centroids").toString)
         .localCheckpoint(true)
       // era 1: revisions fold in place (affected cells rewrite to 1 file)
@@ -1879,16 +1908,10 @@ object SparkEntry {
       val doclenPath = base.resolve("doclen").toString
       val p0 = s.read.parquet(state.resolve("postings").toString)
         .localCheckpoint(true)
-      p0.where(col("doc_id") % 2 === 0).repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(postingsPath)
-      p0.where(col("doc_id") % 2 =!= 0).repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(postingsPath)
+      deployFragmented(p0, postingsPath, "bucket", col("doc_id"))
       val l0 = s.read.parquet(state.resolve("doclen").toString)
         .localCheckpoint(true)
-      l0.where(col("doc_id") % 2 === 0).repartition(col("dbucket"))
-        .write.partitionBy("dbucket").mode("append").parquet(doclenPath)
-      l0.where(col("doc_id") % 2 =!= 0).repartition(col("dbucket"))
-        .write.partitionBy("dbucket").mode("append").parquet(doclenPath)
+      deployFragmented(l0, doclenPath, "dbucket", col("doc_id"))
       TempDirs.copyInto(state.resolve("stats"), base.resolve("stats"))
       // era 1 folds in place, the repack normalizes the crowded buckets
       val delta1 = docsChangelogDelta(s, dir)
@@ -2223,7 +2246,7 @@ object SparkEntry {
       val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
       Dedup.minhashServingFold(s, base.resolve("bands").toString,
         base.resolve("fps").toString, oldDocs, delta)
-      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+      Dedup.minhashPairsServingQuiesced(s, base.resolve("bands").toString,
         base.resolve("fps").toString, postDeltaCorpus(c, delta))
         .orderBy("id_a", "id_b")
     }),
@@ -2249,7 +2272,7 @@ object SparkEntry {
           base.resolve("fps").toString, oldDocs, b)
       }
       val delta = docsChangelogDelta(s, dir)
-      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+      Dedup.minhashPairsServingQuiesced(s, base.resolve("bands").toString,
         base.resolve("fps").toString, postDeltaCorpus(c, delta))
         .orderBy("id_a", "id_b")
     }),
@@ -2292,7 +2315,7 @@ object SparkEntry {
       val subject = store.where(col("doc_id") % 7 === 3)
       Dedup.minhashServingFold(s, base.resolve("bands").toString,
         base.resolve("fps").toString, subject, subject.where(lit(false)))
-      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+      Dedup.minhashPairsServingQuiesced(s, base.resolve("bands").toString,
         base.resolve("fps").toString, store.where(col("doc_id") % 7 =!= 3))
         .orderBy("id_a", "id_b")
     }),
@@ -2317,7 +2340,7 @@ object SparkEntry {
       // era 2: deletes + sentinel inserts + the further revision
       val sets = lifecycleDeltaSets(s, dir)
       minhashServingLifecycleFoldAt(s, dir, base, sets)
-      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+      Dedup.minhashPairsServingQuiesced(s, base.resolve("bands").toString,
         base.resolve("fps").toString,
         postLifecycleCorpus(postEra1Corpus(s, dir), sets))
         .orderBy("id_a", "id_b")
@@ -2336,7 +2359,7 @@ object SparkEntry {
         minhashServingLifecycleFoldAt(s, dir, base,
           lifecycleDeltaSetsFrom(w, s, dir))
       }
-      Dedup.minhashPairsServing(s, base.resolve("bands").toString,
+      Dedup.minhashPairsServingQuiesced(s, base.resolve("bands").toString,
         base.resolve("fps").toString,
         postLifecycleCorpus(postEra1Corpus(s, dir), lifecycleDeltaSets(s, dir)))
         .orderBy("id_a", "id_b")
@@ -2450,7 +2473,7 @@ object SparkEntry {
       val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
       Dedup.simhashServingFold(s, base.resolve("vrows").toString,
         base.resolve("docs").toString, oldDocs, delta)
-      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+      Dedup.simhashPairsServingQuiesced(s, base.resolve("vrows").toString,
         base.resolve("docs").toString)
         .orderBy("id_a", "id_b")
     }),
@@ -2471,7 +2494,7 @@ object SparkEntry {
         Dedup.simhashServingFold(s, base.resolve("vrows").toString,
           base.resolve("docs").toString, oldDocs, b)
       }
-      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+      Dedup.simhashPairsServingQuiesced(s, base.resolve("vrows").toString,
         base.resolve("docs").toString)
         .orderBy("id_a", "id_b")
     }),
@@ -2496,7 +2519,7 @@ object SparkEntry {
         c.join(delta1.select("doc_id"), Seq("doc_id"), "left_semi"), delta1)
       // era 2: deletes + sentinel inserts + the further revision
       simhashServingLifecycleFoldAt(s, dir, base, lifecycleDeltaSets(s, dir))
-      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+      Dedup.simhashPairsServingQuiesced(s, base.resolve("vrows").toString,
         base.resolve("docs").toString)
         .orderBy("id_a", "id_b")
     }),
@@ -2515,7 +2538,7 @@ object SparkEntry {
         simhashServingLifecycleFoldAt(s, dir, base,
           lifecycleDeltaSetsFrom(w, s, dir))
       }
-      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+      Dedup.simhashPairsServingQuiesced(s, base.resolve("vrows").toString,
         base.resolve("docs").toString)
         .orderBy("id_a", "id_b")
     }),
@@ -2557,7 +2580,7 @@ object SparkEntry {
       val subject = store.where(col("doc_id") % 7 === 3)
       Dedup.simhashServingFold(s, base.resolve("vrows").toString,
         base.resolve("docs").toString, subject, subject.where(lit(false)))
-      Dedup.simhashPairsServing(s, base.resolve("vrows").toString,
+      Dedup.simhashPairsServingQuiesced(s, base.resolve("vrows").toString,
         base.resolve("docs").toString)
         .orderBy("id_a", "id_b")
     }),
@@ -2595,6 +2618,94 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // a reader pinned ACROSS a COMPACTION — the one mutation whose no-op
+    // content contract would make a torn read silently fine on some
+    // partitions and half-repacked on others: the layout deploys
+    // FRAGMENTED into generation 1, the reader resolves gen 1, the
+    // repack of BOTH artifacts runs through foldIsolatedGen (staged byte
+    // copy, compacted, flipped), and the pinned read EXECUTED AFTER THE
+    // FLIP answers off the graced FRAGMENTED bytes while a fresh resolve
+    // reads the repacked files — both phases must answer the identical
+    // pair set (content identity is the repack's whole contract). Closes
+    // the isolation matrix: folds had grace reads and probe races,
+    // compaction had neither
+    "ext_minhash_compact_grace_read" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = minhashServingState(s, dir)
+      val base = TempDirs.create("graft_mhcmpgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        val p = stage.toUri.getPath
+        val b0 = s.read.schema(Dedup.bandsSchema)
+          .parquet(state.resolve("bands").toString).localCheckpoint(true)
+        deployFragmented(b0, s"$p/bands", "pbucket", col("id"))
+        val f0 = s.read.schema(Dedup.fpsSchema)
+          .parquet(state.resolve("fps").toString).localCheckpoint(true)
+        deployFragmented(f0, s"$p/fps", "fbucket", col("id"))
+      }
+      // the reader resolves the fragmented gen-1 artifact SET here
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        graft.ext.ServingLayout.compact(s, s"$gen/bands", "pbucket",
+          Dedup.bandsSchema)
+        graft.ext.ServingLayout.compact(s, s"$gen/fps", "fbucket",
+          Dedup.fpsSchema)
+      }
+      // EXECUTED AFTER THE FLIP: graced fragmented bytes vs repacked files
+      val pre = Dedup.minhashPairsServingQuiesced(s, s"$gen1/bands",
+        s"$gen1/fps", c)
+      val post = Dedup.minhashPairsServing(s, layout, c)
+      def tag(df: DataFrame, p: String) =
+        df.select(lit(p).as("phase"), col("id_a"), col("id_b"),
+          col("n_common"), col("n_a"), col("n_b"))
+      tag(pre, "pre").unionByName(tag(post, "post"))
+        .orderBy("phase", "id_a", "id_b")
+    }),
+
+    // a probe RACING a snapshot-isolated fold on the VALUE-granularity
+    // layout — the family where a torn artifact pair is semantically
+    // WORST (liveness coupling: stale values pair spuriously, live
+    // values expand to nothing), so its isolation contract deserves the
+    // graded race, not just the grace read: the history layout deploys
+    // generationally, the probe RESOLVES generation 1, maintenance folds
+    // the era-1 delta through foldIsolatedGen (both artifacts staged,
+    // folded, flipped together), and BOTH probes then EXECUTE — the
+    // pre-resolved probe answers the consistent PRE-fold ingest pairs on
+    // graced gen-1 bytes, the re-resolved probe the POST-fold pairs.
+    // Each phase is a consistent (vrows, docs) artifact SET — never the
+    // torn mix the raw in-place path could serve
+    "ext_simhash_serving_probe_race" -> ((s, dir) => {
+      val store = corpus(s, dir)
+      val base = TempDirs.create("graft_shsrvrace")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        copySimhashState(simhashServingHistState(s, dir),
+          java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      // the probe resolves generation 1 HERE (before the fold flips)
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      val batch = store.where(col("doc_id") >= DocFeed.ExactDupOffset)
+      val delta = docsChangelogDelta(s, dir)
+      val hist = s.read.parquet(s"$dir/documents.parquet")
+      val oldDocs = hist.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.simhashServingFold(s, s"$gen/vrows", s"$gen/docs", oldDocs, delta)
+      }
+      // EXECUTED AFTER THE FLIP: the pre-resolved probe reads graced
+      // gen-1 bytes; a fresh resolve serves the folded generation
+      val pre = Dedup.simhashServingProbe(s, s"$gen1/vrows", s"$gen1/docs",
+        batch)
+      val gen2 = graft.streaming.StateStream.statePath(s, layout)
+      val post = Dedup.simhashServingProbe(s, s"$gen2/vrows", s"$gen2/docs",
+        batch)
+      pre.select(lit("pre").as("phase"), col("id_a"), col("id_b"),
+          col("hamming"))
+        .unionByName(post.select(lit("post").as("phase"), col("id_a"),
+          col("id_b"), col("hamming")))
+        .orderBy("phase", "id_a", "id_b")
+    }),
+
     // partition-local small-file REPACK on the dedup layout — the
     // compaction primitive is layout-generic (ServingLayout.compact ran
     // first on the IVF cells): a fragmented deploy (two parallel
@@ -2610,15 +2721,9 @@ object SparkEntry {
       val bandsPath = base.resolve("bands").toString
       val fpsPath = base.resolve("fps").toString
       val b0 = s.read.parquet(state.resolve("bands").toString).localCheckpoint(true)
-      b0.where(col("id") % 2 === 0).repartition(col("pbucket"))
-        .write.partitionBy("pbucket").mode("append").parquet(bandsPath)
-      b0.where(col("id") % 2 =!= 0).repartition(col("pbucket"))
-        .write.partitionBy("pbucket").mode("append").parquet(bandsPath)
+      deployFragmented(b0, bandsPath, "pbucket", col("id"))
       val f0 = s.read.parquet(state.resolve("fps").toString).localCheckpoint(true)
-      f0.where(col("id") % 2 === 0).repartition(col("fbucket"))
-        .write.partitionBy("fbucket").mode("append").parquet(fpsPath)
-      f0.where(col("id") % 2 =!= 0).repartition(col("fbucket"))
-        .write.partitionBy("fbucket").mode("append").parquet(fpsPath)
+      deployFragmented(f0, fpsPath, "fbucket", col("id"))
       // era 1 folds in place, the repack normalizes the crowded buckets
       val delta1 = docsChangelogDelta(s, dir)
       Dedup.minhashServingFold(s, bandsPath, fpsPath,
@@ -2628,7 +2733,7 @@ object SparkEntry {
       // era 2: the lifecycle folds onto the compacted layout
       val sets = lifecycleDeltaSets(s, dir)
       minhashServingLifecycleFoldAt(s, dir, base, sets)
-      Dedup.minhashPairsServing(s, bandsPath, fpsPath,
+      Dedup.minhashPairsServingQuiesced(s, bandsPath, fpsPath,
         postLifecycleCorpus(postEra1Corpus(s, dir), sets))
         .orderBy("id_a", "id_b")
     }),
@@ -2647,16 +2752,10 @@ object SparkEntry {
       val docsPath = base.resolve("docs").toString
       val v0 = s.read.parquet(state.resolve("vrows").toString)
         .localCheckpoint(true)
-      v0.where(col("simhash") % 2 === 0).repartition(col("sband"))
-        .write.partitionBy("sband").mode("append").parquet(vrowsPath)
-      v0.where(col("simhash") % 2 =!= 0).repartition(col("sband"))
-        .write.partitionBy("sband").mode("append").parquet(vrowsPath)
+      deployFragmented(v0, vrowsPath, "sband", col("simhash"))
       val m0 = s.read.parquet(state.resolve("docs").toString)
         .localCheckpoint(true)
-      m0.where(col("id") % 2 === 0).repartition(col("vbucket"))
-        .write.partitionBy("vbucket").mode("append").parquet(docsPath)
-      m0.where(col("id") % 2 =!= 0).repartition(col("vbucket"))
-        .write.partitionBy("vbucket").mode("append").parquet(docsPath)
+      deployFragmented(m0, docsPath, "vbucket", col("id"))
       graft.ext.ServingLayout.compact(s, vrowsPath, "sband",
         Dedup.simhashVrowsSchema)
       graft.ext.ServingLayout.compact(s, docsPath, "vbucket",
@@ -2664,7 +2763,7 @@ object SparkEntry {
       val delta = docsChangelogDelta(s, dir)
       val oldDocs = c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
       Dedup.simhashServingFold(s, vrowsPath, docsPath, oldDocs, delta)
-      Dedup.simhashPairsServing(s, vrowsPath, docsPath)
+      Dedup.simhashPairsServingQuiesced(s, vrowsPath, docsPath)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3359,9 +3458,9 @@ object SparkEntry {
 
     // fold → COMPACT → fold on the COMPRESSED code layout: the
     // fragmented codes take the era-1 fold at the frozen model, the
-    // repack rewrites the still-crowded coarse cells (schema from the
-    // pristine deployment — the repack must never depend on the
-    // fragmented copy's footers), and the era-2 lifecycle folds onto the
+    // repack rewrites the still-crowded coarse cells (declared
+    // codesSchema — the repack must never depend on any copy's
+    // footers), and the era-2 lifecycle folds onto the
     // compacted layout — graded ≡ the never-compacted lifecycle oracle
     "ext_ivfpq_serving_compact" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -3370,10 +3469,7 @@ object SparkEntry {
       val codesPath = base.resolve("codes").toString
       val c0 = s.read.parquet(st.resolve("codes").toString)
         .localCheckpoint(true)
-      c0.where(col("neighbor_id") % 2 === 0).repartition(col("ccell"))
-        .write.partitionBy("ccell").mode("append").parquet(codesPath)
-      c0.where(col("neighbor_id") % 2 =!= 0).repartition(col("ccell"))
-        .write.partitionBy("ccell").mode("append").parquet(codesPath)
+      deployFragmented(c0, codesPath, "ccell", col("neighbor_id"))
       val cents = s.read.parquet(st.resolve("cents").toString)
         .localCheckpoint(true)
       val cb = s.read.parquet(st.resolve("cb").toString).localCheckpoint(true)
@@ -3386,7 +3482,7 @@ object SparkEntry {
         old1.select(col("vec_id"), reverse(col("embedding")).as("embedding")),
         cents, cb)
       graft.ext.ServingLayout.compact(s, codesPath, "ccell",
-        s.read.parquet(st.resolve("codes").toString).schema)
+        Similarity.codesSchema)
       // era 2: the lifecycle folds onto the compacted layout
       pqServingLifecycleFoldAt(s, dir, codesPath, cents, cb,
         lifecycleDeltaSets(s, dir))
@@ -3449,6 +3545,160 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the MULTI-TABLE near-dup index's full pair listing — the
+    // production configuration of the vector index (4 tables × 4
+    // planes, the topKCosineLshMulti config): band rows partitioned by
+    // the (table, bucket) key beside the id-bucketed vector registry,
+    // candidates from ANY table's bucket match, exact cosine over
+    // registry rows. The corpus plants NON-colinear near-dups
+    // (zero-tail copies) that the single 8-plane table PROVABLY misses
+    // (29/50 vs 49/50 — diffed in DuckDB) — multi-table recall as a
+    // graded fact, the r14 What's-missing #2 close
+    "ext_embdup_multiband" -> ((s, dir) => {
+      val st = embMultiServingState(s, dir)
+      Dedup.embMultiPairsServingQuiesced(s, st.resolve("trows").toString,
+        st.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the PRUNED multi-table ingest probe: the arriving near-dup batch's
+    // own (table, bucket) rows broadcast against the tbucket-partitioned
+    // band index (runtime partition filter), candidates fetch vectors
+    // from the registry's candidate buckets (statically pruned, gated
+    // dim), exact cosine verifies — zero source IO. Oracle = the ingest
+    // restriction of the multi-table chain
+    "ext_embdup_multiband_probe" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val batch = EmbFeed.withNearDups(e)
+        .where(col("vec_id") >= EmbFeed.NearDupOffset)
+      val st = embMultiServingHistState(s, dir)
+      Dedup.embMultiServingProbe(s, st.resolve("trows").toString,
+        st.resolve("vecs").toString, batch)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the CDC delta folded IN PLACE into BOTH multi-table artifacts
+    // (band rows re-bucket at the frozen planes, registry rows swap
+    // within their id buckets) — graded ≡ the scratch multi-table chain
+    // over the post-delta vector set (decade-base re-embed stub)
+    "ext_cdc_embdup_multiband_fold" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = embMultiServingState(s, dir)
+      val base = TempDirs.create("graft_edmsrvf")
+      TempDirs.copyInto(st.resolve("trows"), base.resolve("trows"))
+      TempDirs.copyInto(st.resolve("vecs"), base.resolve("vecs"))
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embMultiServingFold(s, base.resolve("trows").toString,
+        base.resolve("vecs").toString, oldVecs, embDupReembed(e, deltaIds))
+      Dedup.embMultiPairsServingQuiesced(s, base.resolve("trows").toString,
+        base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin of the multiband fold (the *_fold × _stream
+    // convention): 2 disjoint micro-batches through the real streaming
+    // engine; per-vector-pure rows in both artifacts, so per-batch folds
+    // over disjoint docs compose. Same post-delta oracle
+    "ext_cdc_embdup_multiband_fold_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = embMultiServingState(s, dir)
+      val base = TempDirs.create("graft_edmsrvfst")
+      TempDirs.copyInto(st.resolve("trows"), base.resolve("trows"))
+      TempDirs.copyInto(st.resolve("vecs"), base.resolve("vecs"))
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsDeltaFeed(s, dir).resolve("delta").toString,
+        base.resolve("ckpt").toString) { batch =>
+        val ids = batch.select(col("doc_id")).distinct().localCheckpoint(true)
+        val oldVecs = e.join(ids, e("vec_id") === ids("doc_id"))
+          .select(e("vec_id"), e("embedding"))
+        Dedup.embMultiServingFold(s, base.resolve("trows").toString,
+          base.resolve("vecs").toString, oldVecs, embDupReembed(e, ids))
+      }
+      Dedup.embMultiPairsServingQuiesced(s, base.resolve("trows").toString,
+        base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SUBJECT DELETION in place on both multi-table artifacts — the
+    // forget matrix's multiband cell: the generalized fold with an empty
+    // new side filters the subject's band rows AND registry rows within
+    // their own partitions. Oracle = scratch over the survivors
+    "ext_embdup_multiband_forget" -> ((s, dir) => {
+      val all = EmbFeed.withNearDups(embeddings(s, dir))
+      val st = embMultiServingState(s, dir)
+      val base = TempDirs.create("graft_edmfgt")
+      TempDirs.copyInto(st.resolve("trows"), base.resolve("trows"))
+      TempDirs.copyInto(st.resolve("vecs"), base.resolve("vecs"))
+      val subject = all.where(col("vec_id") % 7 === 3)
+      Dedup.embMultiServingFold(s, base.resolve("trows").toString,
+        base.resolve("vecs").toString, subject, subject.where(lit(false)))
+      Dedup.embMultiPairsServingQuiesced(s, base.resolve("trows").toString,
+        base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // READER ISOLATION on the multi-table layout — and the graded
+    // dogfood of the generation-resolving DEFAULT entry point
+    // (embMultiPairsServing over a layout ROOT): the reader's frame is
+    // built from the default API before the fold, maintenance folds
+    // BOTH artifacts through foldIsolatedGen, and the pinned read
+    // EXECUTED AFTER THE FLIP answers the consistent pre-fold pair set
+    // on graced bytes — oracle = the pre-delta multiband chain verbatim
+    "ext_embdup_multiband_grace_read" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = embMultiServingState(s, dir)
+      val base = TempDirs.create("graft_edmgr")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        val p = java.nio.file.Paths.get(stage.toUri.getPath)
+        TempDirs.copyInto(st.resolve("trows"), p.resolve("trows"))
+        TempDirs.copyInto(st.resolve("vecs"), p.resolve("vecs"))
+      }
+      // the long-running reader resolves generation 1 through the
+      // DEFAULT entry point HERE
+      val pinned = Dedup.embMultiPairsServing(s, layout)
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.embMultiServingFold(s, s"$gen/trows", s"$gen/vecs",
+          oldVecs, embDupReembed(e, deltaIds))
+      }
+      pinned.orderBy("id_a", "id_b")
+    }),
+
+    // fold → COMPACT on the multi-table layout — the eighth layout
+    // family joins the compaction matrix: both artifacts deploy
+    // fragmented, the era-1 fold composes, the partition-local repack
+    // rewrites the still-crowded buckets — graded ≡ the never-compacted
+    // fold oracle verbatim (the ContractSpec *_serving_compact pin)
+    "ext_embdup_multiband_serving_compact" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = embMultiServingState(s, dir)
+      val base = TempDirs.create("graft_edmcmp")
+      val trowsPath = base.resolve("trows").toString
+      val vecsPath = base.resolve("vecs").toString
+      val t0 = s.read.schema(Dedup.embTRowsSchema)
+        .parquet(st.resolve("trows").toString).localCheckpoint(true)
+      deployFragmented(t0, trowsPath, "tbucket", col("id"))
+      val v0 = s.read.schema(Dedup.embVecsSchema)
+        .parquet(st.resolve("vecs").toString).localCheckpoint(true)
+      deployFragmented(v0, vecsPath, "vbucket", col("id"))
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embMultiServingFold(s, trowsPath, vecsPath, oldVecs,
+        embDupReembed(e, deltaIds))
+      graft.ext.ServingLayout.compact(s, trowsPath, "tbucket",
+        Dedup.embTRowsSchema)
+      graft.ext.ServingLayout.compact(s, vecsPath, "vbucket",
+        Dedup.embVecsSchema)
+      Dedup.embMultiPairsServingQuiesced(s, trowsPath, vecsPath)
+        .orderBy("id_a", "id_b")
+    }),
+
     // the CDC delta folded IN PLACE into the bucket-partitioned vector
     // layout: delta ids re-embed by the DECADE-BASE stub — the new
     // embedding COPIES the vector of vec_id − vec_id%10 (a pure row
@@ -3469,7 +3719,7 @@ object SparkEntry {
         .select(e("vec_id"), e("embedding"))
       Dedup.embDupServingFold(s, base.resolve("vecs").toString, oldVecs,
         embDupReembed(e, deltaIds))
-      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+      Dedup.embDupPairsServingQuiesced(s, base.resolve("vecs").toString)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3489,7 +3739,7 @@ object SparkEntry {
         Dedup.embDupServingFold(s, base.resolve("vecs").toString, oldVecs,
           embDupReembed(e, ids))
       }
-      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+      Dedup.embDupPairsServingQuiesced(s, base.resolve("vecs").toString)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3506,7 +3756,7 @@ object SparkEntry {
       val subject = all.where(col("vec_id") % 7 === 3)
       Dedup.embDupServingFold(s, base.resolve("vecs").toString,
         subject, subject.where(lit(false)))
-      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+      Dedup.embDupPairsServingQuiesced(s, base.resolve("vecs").toString)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3536,7 +3786,7 @@ object SparkEntry {
       val (oldVecs2, newVecs) =
         embDupLifecycleVecSets(s, dir, lifecycleDeltaSets(s, dir))
       Dedup.embDupServingFold(s, base.resolve("vecs").toString, oldVecs2, newVecs)
-      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+      Dedup.embDupPairsServingQuiesced(s, base.resolve("vecs").toString)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3555,7 +3805,7 @@ object SparkEntry {
         val (o, n) = embDupLifecycleVecSets(s, dir, lifecycleDeltaSetsFrom(w, s, dir))
         Dedup.embDupServingFold(s, base.resolve("vecs").toString, o, n)
       }
-      Dedup.embDupPairsServing(s, base.resolve("vecs").toString)
+      Dedup.embDupPairsServingQuiesced(s, base.resolve("vecs").toString)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3587,6 +3837,41 @@ object SparkEntry {
       Dedup.embDupPairsFrom(pinned).orderBy("id_a", "id_b")
     }),
 
+    // a probe RACING a snapshot-isolated fold on the vector layout —
+    // completes the race matrix over all three dedup families (minhash
+    // r14, simhash + embdup this round): the probe resolves generation
+    // 1, the era-1 decade-base fold flips through foldIsolatedGen, and
+    // both probes execute — pre on graced gen-1 bytes (pre-fold ingest
+    // pairs), post on a fresh resolve (pairs against the re-embedded
+    // vectors). Single-artifact generation unit, same two-phase oracle
+    // composition (CTE suffix)
+    "ext_embdup_serving_probe_race" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edsrvrace")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        TempDirs.copyInto(embDupServingHistState(s, dir).resolve("vecs"),
+          java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      // the probe resolves generation 1 HERE (before the fold flips)
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.embDupServingFold(s, gen, oldVecs, embDupReembed(e, deltaIds))
+      }
+      val batch = EmbFeed.withDups(e).where(col("vec_id") >= EmbFeed.DupOffset)
+      // EXECUTED AFTER THE FLIP: graced gen-1 bytes vs the folded gen
+      val pre = Dedup.embDupServingProbe(s, gen1, batch)
+      val gen2 = graft.streaming.StateStream.statePath(s, layout)
+      val post = Dedup.embDupServingProbe(s, gen2, batch)
+      pre.select(lit("pre").as("phase"), col("id_a"), col("id_b"))
+        .unionByName(post.select(lit("post").as("phase"), col("id_a"),
+          col("id_b")))
+        .orderBy("phase", "id_a", "id_b")
+    }),
+
     // fold → COMPACT → fold on the vector layout — the embdup member of
     // the compaction matrix: a fragmented deploy takes the era-1 fold,
     // the repack rewrites the still-crowded buckets (content-identical),
@@ -3599,10 +3884,7 @@ object SparkEntry {
       val v0 = s.read
         .parquet(embDupServingState(s, dir).resolve("vecs").toString)
         .localCheckpoint(true)
-      v0.where(col("id") % 2 === 0).repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(vecsPath)
-      v0.where(col("id") % 2 =!= 0).repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(vecsPath)
+      deployFragmented(v0, vecsPath, "bucket", col("id"))
       // era 1 folds in place, the repack normalizes the crowded buckets
       val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
       val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
@@ -3613,7 +3895,7 @@ object SparkEntry {
       // era 2: the lifecycle folds onto the compacted layout
       val (o2, n2) = embDupLifecycleVecSets(s, dir, lifecycleDeltaSets(s, dir))
       Dedup.embDupServingFold(s, vecsPath, o2, n2)
-      Dedup.embDupPairsServing(s, vecsPath)
+      Dedup.embDupPairsServingQuiesced(s, vecsPath)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3938,7 +4220,7 @@ object SparkEntry {
     // COMPACT → fold on the serving episode store — the last member of
     // the compaction matrix (every partitioned layout family now runs
     // through the shared repack in a graded row): the fragmented store
-    // repacks (schema from the pristine deployment), then the window-2
+    // repacks (declared episodesSchema), then the window-2
     // fold composes on the compacted buckets — graded ≡ the one-shot
     // fold's serving join verbatim
     "ext_cdc_serving_compact" -> ((s, dir) => {
@@ -3947,12 +4229,9 @@ object SparkEntry {
       val epsPath = base.resolve("episodes").toString
       val e0 = s.read.parquet(state.resolve("episodes").toString)
         .localCheckpoint(true)
-      e0.where(col("ep_id") % 2 === 0).repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(epsPath)
-      e0.where(col("ep_id") % 2 =!= 0).repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(epsPath)
+      deployFragmented(e0, epsPath, "bucket", col("ep_id"))
       graft.ext.ServingLayout.compact(s, epsPath, "bucket",
-        s.read.parquet(state.resolve("episodes").toString).schema)
+        graft.cdc.ServingBridge.episodesSchema)
       graft.cdc.ServingBridge.episodesServingFold(s, epsPath,
         servingWindow2Episodes(s, dir))
       val eps = s.read.parquet(epsPath).drop("bucket")
@@ -5866,6 +6145,9 @@ object SparkEntry {
     "ext_cdc_simhash_serving_fold_stream" -> ExtOracle.cdcSimhashDeltaSql,
     "ext_simhash_serving_forget" -> ExtOracle.simhashForgetSql,
     "ext_simhash_serving_grace_read" -> ExtOracle.simhashPairsSql,
+    "ext_simhash_serving_probe_race" -> ExtOracle.simhashProbeRaceSql,
+    "ext_minhash_compact_grace_read" -> ExtOracle.minhashCompactGraceSql,
+    "ext_embdup_serving_probe_race" -> ExtOracle.embDupProbeRaceSql,
     "ext_cdc_minhash_serving_lifecycle" -> ExtOracle.cdcMinhashLifecycleSql,
     "ext_cdc_minhash_serving_lifecycle_stream" -> ExtOracle.cdcMinhashLifecycleSql,
     "ext_minhash_serving_grace_read" -> ExtOracle.dedupMinhashSql,
@@ -5892,6 +6174,13 @@ object SparkEntry {
     "ext_event_windows" -> ExtOracle.eventWindowsSql,
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
     "ext_embdup_pruned" -> ExtOracle.embDupIngestSql,
+    "ext_embdup_multiband" -> ExtOracle.embMultibandSql,
+    "ext_embdup_multiband_probe" -> ExtOracle.embMultibandIngestSql,
+    "ext_cdc_embdup_multiband_fold" -> ExtOracle.cdcEmbMultibandDeltaSql,
+    "ext_cdc_embdup_multiband_fold_stream" -> ExtOracle.cdcEmbMultibandDeltaSql,
+    "ext_embdup_multiband_forget" -> ExtOracle.embMultibandForgetSql,
+    "ext_embdup_multiband_grace_read" -> ExtOracle.embMultibandSql,
+    "ext_embdup_multiband_serving_compact" -> ExtOracle.cdcEmbMultibandDeltaSql,
     "ext_cdc_embdup_serving_fold" -> ExtOracle.cdcEmbDupDeltaSql,
     "ext_cdc_embdup_serving_fold_stream" -> ExtOracle.cdcEmbDupDeltaSql,
     "ext_embdup_serving_forget" -> ExtOracle.embDupForgetSql,

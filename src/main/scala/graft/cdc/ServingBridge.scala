@@ -118,6 +118,26 @@ object ServingBridge {
   def keyBucket(serveKey: Column, buckets: Int = 16): Column =
     pmod(serveKey, lit(buckets.toLong))
 
+  /** Explicit schema of the persisted episode store ([[timedEpisodes]]'s
+    * rows + the `bucket` partition key): fold/compact reads must never
+    * depend on footer inference, and the declared partition-column type
+    * drives [[graft.ext.ServingLayout.partitionIn]]'s static pruning.
+    * Pinned against [[timedEpisodes]]'s analyzed schema by
+    * ServingBridgeSpec. */
+  private[graft] val episodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("serve_key",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("status_asof",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ep_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("valid_from_s",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("valid_to_s",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType)))
+
   /** POINT-READ enrichment over the PERSISTED, key-bucket-PARTITIONED
     * episode store (the serving-store member of the pruned-layout family
     * beside the IVF cells and BM25 buckets): a selective request set
@@ -244,7 +264,7 @@ object ServingBridge {
       path: String,
       newEpisodes: DataFrame,
       buckets: Int = 16): Unit = {
-    val stored = spark.read.parquet(path)
+    val stored = spark.read.schema(episodesSchema).parquet(path)
     val newE = newEpisodes
       .select(col("serve_key"), col("status_asof"), col("ep_id"),
         col("valid_from_s"))
@@ -256,7 +276,7 @@ object ServingBridge {
     val affected = graft.ext.ServingLayout.affectedValues(
       keys.select(keyBucket(col("serve_key"), buckets).as("bucket")))
     val inBuckets = stored.where(graft.ext.ServingLayout.partitionIn(
-      col("bucket"), stored.schema("bucket").dataType, affected))
+      col("bucket"), episodesSchema("bucket").dataType, affected))
     val untouched = inBuckets.join(keys, Seq("serve_key"), "left_anti")
       .select("serve_key", "status_asof", "ep_id", "valid_from_s", "valid_to_s")
     val touched = inBuckets.join(keys, Seq("serve_key"), "left_semi")

@@ -558,7 +558,7 @@ object Dedup {
     md5(concat_ws("#", bandSigs: _*).cast("binary"))
   }
 
-  /** Row-count ceiling for CANDIDATE-derived broadcast dim sides in the
+  /** BYTE ceiling for CANDIDATE-derived broadcast dim sides in the
     * serving probes. The batch's own band/fingerprint rows are
     * batch-bounded, but the SimHash probe's candidate-VALUE set grows
     * with the batch's PAIR fan-out — a hot boilerplate batch at 100×
@@ -566,17 +566,30 @@ object Dedup {
     * gate the probe falls back to a merge-hinted shuffled join (the
     * gatedEpisodeJoin precedent: the hint is REQUIRED — the planner
     * re-broadcasts any small-estimated side otherwise), trading the
-    * runtime partition pruning for a bounded driver. */
-  val ProbeBroadcastLimit = 1000000L
+    * runtime partition pruning for a bounded driver. The gate is
+    * rows × an approximate per-row width declared at each call site —
+    * a raw row count bounded very different driver footprints between
+    * the dims (minhash sig strings vs simhash long triples). */
+  val ProbeBroadcastBytes: Long = 128L << 20
 
-  /** The gated dim side: broadcast under the limit (keeping the
-    * un-checkpointed plan visible for runtime pruning), merge-hinted
-    * shuffled join above it. `n` is a control-plane count over an
-    * already-materialized batch/candidate frame (cheap, bounded by the
-    * frame it gates). */
-  private def gatedDim(dim: DataFrame, shuffledDim: DataFrame, n: Long,
-      limit: Long): DataFrame =
-    if (n <= limit) broadcast(dim) else shuffledDim.hint("merge")
+  /** Approximate broadcast row widths per dim (JVM object overhead
+    * included) — declared once so every gate prices the dim it bounds:
+    * minhash band rows carry a ~32-char signature STRING, fp rows a
+    * 32-hex md5 string; the simhash dims are fixed-width long tuples. */
+  private val MinhashBandRowBytes = 96L
+  private val MinhashFpRowBytes = 96L
+  private val SimhashBandRowBytes = 40L
+  private val SimhashValueRowBytes = 32L
+
+  /** The gated dim side: broadcast while `rows × rowBytes` stays under
+    * the byte limit (keeping the un-checkpointed plan visible for
+    * runtime pruning), merge-hinted shuffled join above it. `rows` is a
+    * control-plane count over an already-materialized batch/candidate
+    * frame (cheap, bounded by the frame it gates). */
+  private def gatedDim(dim: DataFrame, shuffledDim: DataFrame, rows: Long,
+      rowBytes: Long, limitBytes: Long): DataFrame =
+    if (rows * rowBytes <= limitBytes) broadcast(dim)
+    else shuffledDim.hint("merge")
 
   /** Explicit schemas of the two persisted artifacts: a fold that empties
     * every partition leaves a footer-less directory, and the next read
@@ -645,10 +658,10 @@ object Dedup {
       num: Int = 3, den: Int = 5,
       maxBucket: Long = DefaultMaxBucket,
       buckets: Int = ServingBuckets,
-      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
+      broadcastBytes: Long = ProbeBroadcastBytes): DataFrame = {
     val cand = minhashServingCandidates(
       spark, bandsPath, fpsPath, batch, textCol, idCol, maxBucket, buckets,
-      broadcastLimit)
+      broadcastBytes)
       .localCheckpoint(true)
     verifyByPointedLookup(cand, store, textCol, idCol, num, den)
   }
@@ -666,7 +679,7 @@ object Dedup {
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
       buckets: Int = ServingBuckets,
-      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
+      broadcastBytes: Long = ProbeBroadcastBytes): DataFrame = {
     // dim sides stay on the UN-checkpointed plan (DPP needs the batch's
     // literal filter visible — see minhashServingRows); the row-level
     // consumers read materialized copies so the batch isn't re-signed
@@ -685,7 +698,7 @@ object Dedup {
     val bandDim = gatedDim(
       bb0.select("pbucket", "band", "sig").distinct(),
       bb.select("pbucket", "band", "sig").distinct(),
-      bb.count(), broadcastLimit)
+      bb.count(), MinhashBandRowBytes, broadcastBytes)
     val probedStored = stored
       .join(bandDim, Seq("pbucket", "band", "sig"))
       .select("band", "sig", "id")
@@ -704,7 +717,7 @@ object Dedup {
     val fpDim = gatedDim(
       bf0.select(col("fbucket"), col("sigfp"), col("id").as("__bid")),
       bf.select(col("fbucket"), col("sigfp"), col("id").as("__bid")),
-      bf.count(), broadcastLimit)
+      bf.count(), MinhashFpRowBytes, broadcastBytes)
     val fpHits = storedFps
       .join(fpDim, Seq("fbucket", "sigfp"))
       .select(col("__bid"), col("id").as("__oid"))
@@ -809,6 +822,29 @@ object Dedup {
     ServingLayout.sweepEmptied(spark, fpsPath, "fbucket", affectedF, replacementF)
   }
 
+  /** The DEFAULT pair-listing entry point over a GENERATIONED layout
+    * root (published via [[graft.streaming.StateStream.publishState]],
+    * folded via [[graft.streaming.StateStream.foldIsolatedGen]], holding
+    * `bands/` + `fps/` per generation): resolves the CURRENT generation
+    * once and reads its artifact SET — a reader can never observe a torn
+    * (bands, fps) mix under a concurrent fold, because the generation
+    * flip is atomic and superseded generations grace-retire. Raw
+    * artifact paths are the explicit opt-in
+    * ([[minhashPairsServingQuiesced]]) for single-writer, fold-quiesced
+    * maintenance loops. */
+  def minhashPairsServing(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutRoot: String,
+      store: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      num: Int = 3, den: Int = 5,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val gen = graft.streaming.StateStream.statePath(spark, layoutRoot)
+    minhashPairsServingQuiesced(spark, s"$gen/bands", s"$gen/fps",
+      store, textCol, idCol, num, den, maxBucket)
+  }
+
   /** Verified near-dup pairs among the documents of a persisted SERVING
     * layout — [[pairsFromIndex]] with the exact route read from the fp
     * REGISTRY instead of pivoted out of the index rows (the stored
@@ -817,15 +853,15 @@ object Dedup {
     * row: fold ∘ this must equal the scratch recompute over the post-fold
     * corpus.
     *
-    * CONCURRENCY: [[minhashServingFold]] writes the two artifacts
-    * NON-atomically (bands, then fps) — a raw-path read racing a fold can
-    * see a folded fingerprint registry beside stale band rows. Reads
-    * concurrent with maintenance must resolve a pinned generation through
-    * [[graft.streaming.StateStream.statePath]] /
-    * [[graft.streaming.StateStream.foldIsolatedGen]] (the
-    * ext_minhash_serving_grace_read contract); raw paths are for
-    * single-writer, fold-quiesced reads only. */
-  def minhashPairsServing(
+    * CONCURRENCY — the QUIESCED opt-in: [[minhashServingFold]] writes the
+    * two artifacts NON-atomically (bands, then fps) — a raw-path read
+    * racing a fold can see a folded fingerprint registry beside stale
+    * band rows. This entry is for single-writer, fold-quiesced loops
+    * only (the in-place maintenance rows, which own their copied state);
+    * anything concurrent with maintenance uses the generation-resolving
+    * default [[minhashPairsServing]] (the
+    * ext_minhash_serving_grace_read / probe_race contract). */
+  def minhashPairsServingQuiesced(
       spark: org.apache.spark.sql.SparkSession,
       bandsPath: String,
       fpsPath: String,
@@ -1413,14 +1449,14 @@ object Dedup {
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
       buckets: Int = ServingBuckets,
-      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
+      broadcastBytes: Long = ProbeBroadcastBytes): DataFrame = {
     val (vb0, _) = simhashServingRows(batch, textCol, idCol, buckets)
     val vb = vb0.localCheckpoint(true)
     val storedV = spark.read.schema(simhashVrowsSchema).parquet(vrowsPath)
     val vbandDim = gatedDim(
       vb0.select("sband", "band", "bv").distinct(),
       vb.select("sband", "band", "bv").distinct(),
-      vb.count(), broadcastLimit)
+      vb.count(), SimhashBandRowBytes, broadcastBytes)
     val probedV = storedV
       .join(vbandDim, Seq("sband", "band", "bv"))
       .select("band", "bv", "simhash")
@@ -1448,12 +1484,12 @@ object Dedup {
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
       buckets: Int = ServingBuckets,
-      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame = {
+      broadcastBytes: Long = ProbeBroadcastBytes): DataFrame = {
     val (_, bm0) = simhashServingRows(batch, textCol, idCol, buckets)
     val bfps = bm0.localCheckpoint(true)
     val vpairs = simhashServingValuePairs(
       spark, vrowsPath, batch, textCol, idCol, maxBucket, buckets,
-      broadcastLimit)
+      broadcastBytes)
       .localCheckpoint(true) // candidate-pair-sized; four consumers below
     // membership of every value a pair (or the equal-value route) can
     // touch — pointed reads of the candidate values' buckets. The bucket
@@ -1476,7 +1512,8 @@ object Dedup {
     // not the batch) — the one dim side here that genuinely needs the
     // gate; candVals is already checkpointed, so the count is cheap
     val candDim0 = candVals.select("vbucket", "simhash")
-    val candDim = gatedDim(candDim0, candDim0, candVals.count(), broadcastLimit)
+    val candDim = gatedDim(candDim0, candDim0, candVals.count(),
+      SimhashValueRowBytes, broadcastBytes)
     val members = storedM
       .join(candDim, Seq("vbucket", "simhash"))
       .select(col("simhash"), col("id"))
@@ -1512,10 +1549,10 @@ object Dedup {
       idCol: String = "doc_id",
       maxBucket: Long = DefaultMaxBucket,
       buckets: Int = ServingBuckets,
-      broadcastLimit: Long = ProbeBroadcastLimit): DataFrame =
+      broadcastBytes: Long = ProbeBroadcastBytes): DataFrame =
     simhashServingCandidates(
       spark, vrowsPath, docsPath, batch, textCol, idCol, maxBucket, buckets,
-      broadcastLimit)
+      broadcastBytes)
       .localCheckpoint(true)
 
   /** IN-PLACE partial maintenance of the SimHash serving layout. The
@@ -1603,16 +1640,17 @@ object Dedup {
     * read side of the maintenance rows: fold ∘ this must equal the
     * scratch chain over the post-fold corpus.
     *
-    * CONCURRENCY: [[simhashServingFold]] writes the two artifacts
-    * NON-atomically (registry, then value table) — and the liveness
-    * coupling (a value's band rows exist iff ≥ 1 member remains) makes a
-    * torn read semantically worse than staleness: live values with no
-    * members expand to nothing, stale values pair spuriously. Reads
-    * concurrent with maintenance must resolve a pinned generation through
-    * [[graft.streaming.StateStream.statePath]] /
-    * [[graft.streaming.StateStream.foldIsolatedGen]]; raw paths are for
-    * single-writer, fold-quiesced reads only. */
-  def simhashPairsServing(
+    * CONCURRENCY — the QUIESCED opt-in: [[simhashServingFold]] writes the
+    * two artifacts NON-atomically (registry, then value table) — and the
+    * liveness coupling (a value's band rows exist iff ≥ 1 member remains)
+    * makes a torn read semantically worse than staleness: live values
+    * with no members expand to nothing, stale values pair spuriously.
+    * This entry is for single-writer, fold-quiesced loops only (the
+    * in-place maintenance rows, which own their copied state); anything
+    * concurrent with maintenance uses the generation-resolving default
+    * [[simhashPairsServing]] (the ext_simhash_serving_grace_read /
+    * probe_race contract). */
+  def simhashPairsServingQuiesced(
       spark: org.apache.spark.sql.SparkSession,
       vrowsPath: String,
       docsPath: String,
@@ -1621,6 +1659,21 @@ object Dedup {
       spark.read.schema(simhashVrowsSchema).parquet(vrowsPath),
       spark.read.schema(simhashDocsSchema).parquet(docsPath),
       maxBucket)
+
+  /** The DEFAULT pair-listing entry point over a GENERATIONED layout
+    * root (holding `vrows/` + `docs/` per generation): resolves the
+    * CURRENT generation once and reads its artifact SET — the family
+    * where this matters most (the liveness coupling makes a torn pair
+    * wrong in both directions). Raw artifact paths are the explicit
+    * opt-in ([[simhashPairsServingQuiesced]]) for single-writer,
+    * fold-quiesced maintenance loops. */
+  def simhashPairsServing(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutRoot: String,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val gen = graft.streaming.StateStream.statePath(spark, layoutRoot)
+    simhashPairsServingQuiesced(spark, s"$gen/vrows", s"$gen/docs", maxBucket)
+  }
 
   /** [[simhashPairsServing]] over already-RESOLVED artifact frames — the
     * pinned-generation reader's entry point (the [[minhashPairsFrom]]
@@ -1784,12 +1837,34 @@ object Dedup {
 
   /** Verified near-dup pairs among the layout's vectors — the read side
     * of the maintenance rows ([[nearDuplicatesByEmbedding]] over stored
-    * rows: bucket self-join + exact cosine). */
-  def embDupPairsServing(
+    * rows: bucket self-join + exact cosine).
+    *
+    * CONCURRENCY — the QUIESCED opt-in: the vector layout is a single
+    * artifact, but [[embDupServingFold]]'s dynamic partition overwrite
+    * rewrites the affected buckets non-atomically — a raw-path read
+    * racing a fold can see half the delta applied. This entry is for
+    * single-writer, fold-quiesced loops only; anything concurrent with
+    * maintenance uses the generation-resolving default
+    * [[embDupPairsServing]] (the ext_embdup_serving_grace_read /
+    * probe_race contract). */
+  def embDupPairsServingQuiesced(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       threshold: Double = 0.9): DataFrame =
     embDupPairsFrom(spark.read.schema(embLayoutSchema).parquet(path), threshold)
+
+  /** The DEFAULT pair-listing entry point over a GENERATIONED layout
+    * root (each generation directory IS the vecs artifact): resolves the
+    * CURRENT generation once — a reader never observes a half-folded
+    * bucket set under a concurrent fold. Raw artifact paths are the
+    * explicit opt-in ([[embDupPairsServingQuiesced]]) for single-writer,
+    * fold-quiesced maintenance loops. */
+  def embDupPairsServing(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutRoot: String,
+      threshold: Double = 0.9): DataFrame =
+    embDupPairsServingQuiesced(spark,
+      graft.streaming.StateStream.statePath(spark, layoutRoot), threshold)
 
   /** [[embDupPairsServing]] over an already-RESOLVED layout frame — the
     * pinned-generation reader's entry point (the [[minhashPairsFrom]]
@@ -1804,6 +1879,265 @@ object Dedup {
     l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
       .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------------
+  // MULTI-TABLE embedding near-dup serving layout — the production
+  // configuration of the vector index. The single-table layout above is
+  // plane-limited: one flipped hyperplane sign hides a genuine cosine-0.9
+  // neighbor forever (the repo's own measurement: single-table recall ≈ 0
+  // on random vectors; ~58% on the planted zero-tail near-dups). Here the
+  // band rows are k=EmbTables independent 4-bit tables — the
+  // topKCosineLshMulti configuration — partitioned by a (table, bucket)
+  // key exactly like the MinHash band layout, beside an id-bucketed
+  // vector REGISTRY (norm precomputed): candidates come from any table's
+  // bucket match, verification is exact cosine over registry rows — zero
+  // source IO, and probe/fold read only the batch's (table, bucket) and
+  // the candidates' registry buckets.
+  // -------------------------------------------------------------------
+
+  /** The multi-table configuration (4 tables × 4 planes = the
+    * [[Similarity.topKCosineLshMulti]] default — multi-table recall
+    * 1−(1−p)^4 where a single fine-grained table's p collapses). */
+  val EmbTables = 4
+  val EmbPlanesPerTable = 4
+
+  /** Registry partition-value cardinality — a layout constant, so the
+    * fold/probe control-plane collects stay bounded. */
+  val EmbRegistryBuckets = 64
+
+  private[graft] val embTRowsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tbucket",
+      org.apache.spark.sql.types.LongType)))
+  private[graft] val embVecsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("vbucket",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Approximate broadcast row width of the candidate-id dim (two
+    * longs) — see [[ProbeBroadcastBytes]]. */
+  private val EmbIdRowBytes = 24L
+
+  /** The serving artifact ROWS of a vector set — (band rows, registry
+    * rows). Band row key `tbucket` = t·2^planes + table-t bucket (one
+    * Long partition key over tables × buckets); registry key = an
+    * id-derived hash bucket (the exact route must never pivot ids out of
+    * an index-wide scan — the minhash fp-registry shape). One derivation
+    * for build, probe and fold. NOT materialized here (the probe's DPP
+    * contract — see [[minhashServingRows]]). */
+  def embMultiServingRows(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val trows = emb.select(col(idCol).as("id"),
+      explode(array((0 until EmbTables).map(t =>
+        lit(t.toLong * (1L << EmbPlanesPerTable)) +
+          Similarity.tableBucket(col(vecCol), t, EmbPlanesPerTable)): _*))
+        .as("tbucket"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.l2Norm(col(vecCol)).as("nrm"),
+      pmod(col(idCol), lit(EmbRegistryBuckets.toLong)).as("vbucket"))
+    (trows, vecs)
+  }
+
+  /** Write a vector set's MULTI-TABLE near-dup index in its serving
+    * layout. */
+  def embMultiWriteServingLayout(
+      emb: DataFrame,
+      trowsPath: String,
+      vecsPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val (trows, vecs) = embMultiServingRows(emb, idCol, vecCol)
+    trows.repartition(col("tbucket"))
+      .write.partitionBy("tbucket").mode("overwrite").parquet(trowsPath)
+    vecs.repartition(col("vbucket"))
+      .write.partitionBy("vbucket").mode("overwrite").parquet(vecsPath)
+  }
+
+  /** The PRUNED multi-table ingest probe: the batch's own (table, bucket)
+    * rows broadcast against the tbucket-partitioned band index (runtime
+    * partition filter — only the batch's buckets of any table are read),
+    * the distinct candidate pairs fetch (v, nrm) from the registry's
+    * candidate buckets (statically pruned; the candidate-derived id dim
+    * is [[gatedDim]]-bounded — it grows with the pair fan-out, not the
+    * batch), and exact cosine verifies. Pairs involving a batch vector,
+    * within the batch included. */
+  def embMultiServingProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      trowsPath: String,
+      vecsPath: String,
+      batch: DataFrame,
+      threshold: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastBytes: Long = ProbeBroadcastBytes): DataFrame = {
+    val (_, bv0) = embMultiServingRows(batch, idCol, vecCol)
+    val bv = bv0.localCheckpoint(true)
+    val cand = embMultiServingCandidates(spark, trowsPath, batch, idCol, vecCol)
+      .localCheckpoint(true) // pair-sized; consumed by the id dim AND the verify join
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+      .withColumn("vbucket", pmod(col("id"), lit(EmbRegistryBuckets.toLong)))
+      .localCheckpoint(true)
+    val candBuckets = ServingLayout.affectedValues(candIds.select("vbucket"))
+    val storedV = spark.read.schema(embVecsSchema).parquet(vecsPath)
+      .where(ServingLayout.partitionIn(
+        col("vbucket"), embVecsSchema("vbucket").dataType, candBuckets))
+    // candIds is PAIR-derived — gated like the simhash candidate values
+    val idDim0 = candIds.select("vbucket", "id")
+    val idDim = gatedDim(idDim0, idDim0, candIds.count(),
+      EmbIdRowBytes, broadcastBytes)
+    val vsrc = storedV.join(idDim, Seq("vbucket", "id"))
+      .select("id", "v", "nrm")
+      .unionByName(bv.select("id", "v", "nrm"))
+    cand
+      .join(vsrc.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vsrc.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** The multi-table probe's CANDIDATE stage — the part that touches the
+    * band index — un-materialized, so the plan lock can execute it and
+    * read the tbucket scan's runtime pruning metrics (the checkpoint
+    * inside [[embMultiServingProbe]] erases the stage from the returned
+    * plan — the [[minhashServingCandidates]] convention). */
+  def embMultiServingCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      trowsPath: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (bt0, _) = embMultiServingRows(batch, idCol, vecCol)
+    val bt = bt0.localCheckpoint(true)
+    val storedT = spark.read.schema(embTRowsSchema).parquet(trowsPath)
+    // dim on the UN-checkpointed plan: DPP needs the batch's literal
+    // filter visible (the minhashServingRows convention)
+    val probedT = storedT
+      .join(broadcast(bt0.select("tbucket").distinct()), Seq("tbucket"))
+    val others = probedT.select(col("tbucket"), col("id").as("id_b"))
+      .unionByName(bt.select(col("tbucket"), col("id").as("id_b")))
+    bt.select(col("tbucket"), col("id").as("id_a"))
+      .join(others, Seq("tbucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+  }
+
+  /** IN-PLACE partial maintenance of BOTH multi-table artifacts —
+    * per-vector-pure rows in each, so the generalized old ∪ new removal
+    * set + partition-confined anti-join + union is the whole fold (old
+    * band rows from re-bucketing the pre-delta vectors at the frozen
+    * planes — never an index scan; registry buckets are id-derived).
+    * Replay-idempotent: no carried scalars, every artifact a pure
+    * function of (state rows, batch rows). */
+  def embMultiServingFold(
+      spark: org.apache.spark.sql.SparkSession,
+      trowsPath: String,
+      vecsPath: String,
+      oldVecs: DataFrame,
+      newVecs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val (newT0, newV0) = embMultiServingRows(newVecs, idCol, vecCol)
+    val newT = newT0.localCheckpoint(true)
+    val newV = newV0.localCheckpoint(true)
+    val (oldT, oldV) = embMultiServingRows(oldVecs, idCol, vecCol)
+    val deltaIds = oldVecs.select(col(idCol).as("__did"))
+      .union(newVecs.select(col(idCol).as("__did"))).distinct()
+      .localCheckpoint(true)
+    val affectedT = ServingLayout.affectedValues(
+      oldT.select("tbucket").union(newT.select("tbucket")))
+    val storedT = spark.read.schema(embTRowsSchema).parquet(trowsPath)
+      .where(ServingLayout.partitionIn(
+        col("tbucket"), embTRowsSchema("tbucket").dataType, affectedT))
+    val replT = storedT
+      .join(deltaIds, col("id") === col("__did"), "left_anti")
+      .select("tbucket", "id")
+      .unionByName(newT.select("tbucket", "id"))
+      .localCheckpoint(true) // barrier: bytes leave the path being overwritten
+    replT.repartition(col("tbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tbucket")
+      .parquet(trowsPath)
+    ServingLayout.sweepEmptied(spark, trowsPath, "tbucket", affectedT, replT)
+    val affectedV = ServingLayout.affectedValues(
+      oldV.select("vbucket").union(newV.select("vbucket")))
+    val storedV = spark.read.schema(embVecsSchema).parquet(vecsPath)
+      .where(ServingLayout.partitionIn(
+        col("vbucket"), embVecsSchema("vbucket").dataType, affectedV))
+    val replV = storedV
+      .join(deltaIds, col("id") === col("__did"), "left_anti")
+      .select("vbucket", "id", "v", "nrm")
+      .unionByName(newV.select("vbucket", "id", "v", "nrm"))
+      .localCheckpoint(true)
+    replV.repartition(col("vbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("vbucket")
+      .parquet(vecsPath)
+    ServingLayout.sweepEmptied(spark, vecsPath, "vbucket", affectedV, replV)
+  }
+
+  /** [[embMultiPairsServing]] over already-RESOLVED artifact frames —
+    * the pinned-generation reader's entry point: band-bucket self-join
+    * per tbucket → distinct candidate pairs → exact cosine over registry
+    * rows. */
+  def embMultiPairsFrom(
+      trows: DataFrame,
+      vecs: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val cand = trows.select(col("tbucket"), col("id").as("id_a"))
+      .join(trows.select(col("tbucket"), col("id").as("id_b")), Seq("tbucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Verified near-dup pairs of the multi-table layout — the QUIESCED
+    * raw-path read (single-writer maintenance loops only; the
+    * [[embDupPairsServingQuiesced]] concurrency contract — here the two
+    * artifacts also fold non-atomically). */
+  def embMultiPairsServingQuiesced(
+      spark: org.apache.spark.sql.SparkSession,
+      trowsPath: String,
+      vecsPath: String,
+      threshold: Double = 0.9): DataFrame =
+    embMultiPairsFrom(
+      spark.read.schema(embTRowsSchema).parquet(trowsPath),
+      spark.read.schema(embVecsSchema).parquet(vecsPath),
+      threshold)
+
+  /** The DEFAULT pair-listing entry point over a GENERATIONED layout
+    * root (holding `trows/` + `vecs/` per generation) — resolves the
+    * CURRENT generation once; the [[minhashPairsServing]] convention. */
+  def embMultiPairsServing(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutRoot: String,
+      threshold: Double = 0.9): DataFrame = {
+    val gen = graft.streaming.StateStream.statePath(spark, layoutRoot)
+    embMultiPairsServingQuiesced(spark, s"$gen/trows", s"$gen/vecs", threshold)
   }
 
   /** E1d — embedding-cosine near-duplicate pairs, LSH-bucketed: candidates

@@ -84,7 +84,13 @@ object ServingLayout {
           "the layout or the fold input is malformed (partition keys are " +
           "derived, never nullable)")
       r.get(0) match {
-        case n: java.lang.Number => n.longValue()
+        // ONLY the integral boxes: a boxed Double/Float/BigDecimal must
+        // hit the rejection below, never silently truncate through a
+        // generic Number.longValue (1.5 → 1L would mis-prune the fold)
+        case n: java.lang.Long => n.longValue()
+        case n: java.lang.Integer => n.longValue()
+        case n: java.lang.Short => n.longValue()
+        case n: java.lang.Byte => n.longValue()
         case other => throw new IllegalArgumentException(
           s"affectedValues: non-integral partition value '$other' " +
             s"(${other.getClass.getName}) — serving-layout partition " +

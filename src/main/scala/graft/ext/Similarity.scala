@@ -204,6 +204,18 @@ object Similarity {
     * collapses (P[collide] = (1-θ/π)^bits per table), while L coarse
     * tables give 1-(1-p)^L. The candidate set is the distinct union of
     * per-table bucket joins; still never a cross product. */
+  /** Table `t`'s LSH bucket (planes t·planesPerTable …, bit b = plane
+    * t·planesPerTable+b) — the per-table hash shared by the multi-table
+    * search, the table-count tuning curve, and the multi-table embdup
+    * SERVING layout ([[Dedup.embMultiServingRows]]): one derivation, so
+    * index build, probe and fold can never disagree on bucketing. */
+  def tableBucket(vecCol: Column, t: Int, planesPerTable: Int = 4): Column =
+    (0 until planesPerTable).map { b =>
+      val p = t * planesPerTable + b
+      val w = array((0 until Dim).map(j => lit(planeWeight(p, j).toFloat)): _*)
+      when(floatVectorDot(vecCol, w) > 0, lit(1L << b)).otherwise(lit(0L)): Column
+    }.reduce(_ + _)
+
   def topKCosineLshMulti(
       emb: DataFrame,
       queryPred: Column,
@@ -212,15 +224,8 @@ object Similarity {
       planesPerTable: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-
-    def tableBucket(t: Int): Column =
-      (0 until planesPerTable).map { b =>
-        val p = t * planesPerTable + b
-        val w = array((0 until Dim).map(j => lit(planeWeight(p, j).toFloat)): _*)
-        when(floatVectorDot(col(vecCol), w) > 0, lit(1L << b)).otherwise(lit(0L)): Column
-      }.reduce(_ + _)
-
-    val cand = lshScoredMatches(emb, queryPred, tables, tableBucket, idCol, vecCol)
+    val cand = lshScoredMatches(emb, queryPred, tables,
+        t => tableBucket(col(vecCol), t, planesPerTable), idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"), col("cos"))
       .distinct() // a pair found in several tables scores once
     rankTopK(cand, k)
@@ -262,17 +267,11 @@ object Similarity {
       tables: Int = 4,
       planesPerTable: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    def tableBucket(t: Int): Column =
-      (0 until planesPerTable).map { b =>
-        val p = t * planesPerTable + b
-        val w = array((0 until Dim).map(j => lit(planeWeight(p, j).toFloat)): _*)
-        when(floatVectorDot(col(vecCol), w) > 0, lit(1L << b)).otherwise(lit(0L)): Column
-      }.reduce(_ + _)
-    lshScoredMatches(emb, queryPred, tables, tableBucket, idCol, vecCol)
+      vecCol: String = "embedding"): DataFrame =
+    lshScoredMatches(emb, queryPred, tables,
+        t => tableBucket(col(vecCol), t, planesPerTable), idCol, vecCol)
       .groupBy("query_id", "neighbor_id")
       .agg((min(col("t")) + 1).as("tmin"), min(col("cos")).as("cos"))
-  }
 
   /** IVF-flat ANN: partition the corpus into `numCentroids` Voronoi cells
     * (nearest centroid by cosine), then each query scores only the cells
@@ -375,6 +374,22 @@ object Similarity {
     * column) — for reads that must never depend on footer inference
     * (the footer-less emptied-directory lesson), e.g.
     * [[ServingLayout.compact]]. */
+  /** Explicit schema of the persisted CODE layout ([[ivfPqEncode]]'s
+    * rows): the compact/fold reads must never depend on footer inference
+    * (the footer-less emptied-directory lesson), and the declared
+    * partition-column type drives [[ServingLayout.partitionIn]]'s static
+    * pruning. Pinned against [[ivfPqEncode]]'s analyzed schema by
+    * SimilaritySpec. */
+  private[graft] val codesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("neighbor_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ccell",
+      org.apache.spark.sql.types.LongType)))
+
   private[graft] val cellsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("neighbor_id",
       org.apache.spark.sql.types.LongType),
@@ -837,9 +852,9 @@ object Similarity {
       ivfPqEncode(oldVecs, cents, cb, subspaces, idCol, vecCol)
         .select("ccell")
         .union(newEnc.select("ccell")))
-    val stored0 = spark.read.parquet(codesPath)
-    val stored = stored0.where(ServingLayout.partitionIn(
-      col("ccell"), stored0.schema("ccell").dataType, affected))
+    val stored = spark.read.schema(codesSchema).parquet(codesPath)
+      .where(ServingLayout.partitionIn(
+        col("ccell"), codesSchema("ccell").dataType, affected))
     val deltaIds = oldVecs.select(col(idCol).as("__did"))
       .union(newVecs.select(col(idCol).as("__did"))).distinct()
     val replacement = stored

@@ -761,6 +761,60 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The banded-candidates CTEs of [[simhashPairsTail]] as NAMED,
+    * suffixable CTEs (sbands→cand over sims$sfx) — the probe-race oracle
+    * composes two of these in one WITH list; the tail variant stays
+    * byte-identical for the historical oracles. */
+  private def simhashBandCtesOver(sfx: String): String =
+    s"""sbands$sfx AS (
+       |  SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sims$sfx, range(${Dedup.SimHashBands}) r(b)
+       |), cand$sfx AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM sbands$sfx l JOIN sbands$sfx r
+       |    ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       |)""".stripMargin
+
+  /** One phase's SELECT of the probe-race oracle: the hamming-verified
+    * ingest restriction over the chain with suffix `sfx`, labeled. */
+  private def simhashPhaseSelect(label: String, sfx: String): String =
+    s"""SELECT '$label' AS phase, c.id_a, c.id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM cand$sfx c
+       |JOIN sims$sfx a ON a.id = c.id_a
+       |JOIN sims$sfx b ON b.id = c.id_b
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimHashMaxHamming}
+       |  AND (c.id_a >= ${graft.ext.DocFeed.ExactDupOffset}
+       |    OR c.id_b >= ${graft.ext.DocFeed.ExactDupOffset})""".stripMargin
+
+  /** ≙ ext_simhash_serving_probe_race: the TWO answers a probe racing a
+    * snapshot-isolated fold can correctly observe on the VALUE-granularity
+    * layout — the family where a torn artifact pair is semantically worst
+    * (liveness coupling), so the race contract matters most. Phase 'pre'
+    * = the ingest restriction over the PRE-fold corpus ([[simhashIngestSql]]'s
+    * rows — what a probe that resolved generation 1 answers on graced
+    * bytes), phase 'post' = the restriction over the post-delta corpus
+    * ([[cdcSimhashIngestSql]]'s rows — a fresh resolve). Composed in ONE
+    * WITH list via the CTE-suffix convention (sfx = "_p"). */
+  lazy val simhashProbeRaceSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $corpusSql, ${simhashChainOver("corpus")}, ${simhashBandCtesOver("")},
+       |cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), corpus2 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+       |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+       |), ${simhashChainOver("corpus2", "_p")}, ${simhashBandCtesOver("_p")}
+       |${simhashPhaseSelect("pre", "")}
+       |UNION ALL
+       |${simhashPhaseSelect("post", "_p")}
+       |ORDER BY phase, id_a, id_b""".stripMargin
+  }
+
   /** ≙ ext_simhash_serving_forget: subject deletion on the value-
     * granularity layout ≡ the scratch chain over the surviving corpus —
     * in particular a value whose LAST member was the subject must leave
@@ -1418,14 +1472,17 @@ object ExtOracle {
     * (vec_id, embedding) CTE — the CDC-composed and survivor-sliced
     * dedup oracles thread their own vector source;
     * `embPairChainOver("embx")` is the historical text byte-for-byte. */
-  private def embPairChainOver(src: String): String =
-    s"""sides AS (
+  /** @param sfx suffix for every CTE name — lets two pair chains (e.g.
+    *        the probe race's pre/post phases) coexist in one WITH list;
+    *        "" keeps the historical text byte-identical. */
+  private def embPairChainOver(src: String, sfx: String = ""): String =
+    s"""sides$sfx AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    ${bucketExprSql("embedding", 0 until graft.ext.Similarity.NumPlanes, p => p)} AS bucket
        |  FROM $src
-       |), epairs AS (
+       |), epairs$sfx AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sides a JOIN sides b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  FROM sides$sfx a JOIN sides$sfx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  WHERE ${cosineSql("a.v", "b.v")} >= 0.9
        |)""".stripMargin
 
@@ -1548,6 +1605,130 @@ object ExtOracle {
        |WHERE id_a >= ${graft.ext.EmbFeed.DupOffset}
        |   OR id_b >= ${graft.ext.EmbFeed.DupOffset}
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ ext.EmbFeed.withNearDups — [[embCorpusSql]]'s planted colinear
+    * copies ∪ NON-colinear near-duplicates (last three elements zeroed —
+    * pure truncation, engine-exact; cosine ≈ √(61/64) of the base but
+    * enough hyperplane-sign flips that single-table bucketing misses
+    * ~40% of the pairs the multi-table layout finds). */
+  private val embNearCorpusSql: String =
+    s"""$embCorpusSql, embn AS (
+       |  SELECT vec_id, embedding FROM embx
+       |  UNION ALL
+       |  SELECT vec_id + ${graft.ext.EmbFeed.NearDupOffset},
+       |    embedding[1:${graft.ext.Similarity.Dim - 3}] || [0.0, 0.0, 0.0]::FLOAT[]
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |)""".stripMargin
+
+  /** The MULTI-TABLE bucket-join + exact-cosine chain over an arbitrary
+    * (vec_id, embedding) CTE — k=${graft.ext.Dedup.EmbTables} independent
+    * 4-plane tables (planes t·4…t·4+3, the topKCosineLshMulti
+    * configuration), a pair qualifying in ANY table (the DISTINCT);
+    * tbucket = t·2^planes + table bucket mirrors
+    * [[graft.ext.Dedup.embMultiServingRows]] exactly. */
+  private def embMultiPairChainOver(src: String, sfx: String = ""): String = {
+    val ppt = graft.ext.Dedup.EmbPlanesPerTable
+    val selects = (0 until graft.ext.Dedup.EmbTables).map { t =>
+      s"""  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    ${t.toLong * (1L << ppt)}::BIGINT
+         |    + ${bucketExprSql("embedding", t * ppt until (t + 1) * ppt, p => p - t * ppt)} AS tbucket
+         |  FROM $src""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""msides$sfx AS (
+       |$selects
+       |), mpairs$sfx AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM msides$sfx a JOIN msides$sfx b
+       |    ON a.tbucket = b.tbucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.v", "b.v")} >= 0.9
+       |)""".stripMargin
+  }
+
+  /** ≙ ext_embdup_multiband: the full pair listing of the multi-table
+    * serving layout over the near-dup-planted corpus. */
+  val embMultibandSql: String =
+    s"""WITH $embNearCorpusSql, ${embMultiPairChainOver("embn")}
+       |SELECT id_a, id_b FROM mpairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** ≙ ext_embdup_multiband_probe: the ingest restriction — pairs
+    * involving a planted (+NearDupOffset) batch vector. The graded
+    * recall fact: the single-table chain finds 29 of these 50 base
+    * pairs, this one 49 (diffed in DuckDB — the stub-visibility rule). */
+  val embMultibandIngestSql: String =
+    s"""WITH $embNearCorpusSql, ${embMultiPairChainOver("embn")}
+       |SELECT id_a, id_b FROM mpairs
+       |WHERE id_a >= ${graft.ext.EmbFeed.NearDupOffset}
+       |   OR id_b >= ${graft.ext.EmbFeed.NearDupOffset}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** ≙ ext_cdc_embdup_multiband_fold: the changelog delta folded IN
+    * PLACE into BOTH multi-table artifacts — the decade-base re-embed
+    * stub threaded through the multi-table chain (the cdcEmbDupDeltaSql
+    * composition over the near-dup corpus). */
+  lazy val cdcEmbMultibandDeltaSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH $embNearCorpusSql, cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), postnv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN d.doc_id IS NULL THEN e.embedding
+       |         ELSE b.embedding END AS embedding
+       |  FROM embn e
+       |  LEFT JOIN cdelta d ON e.vec_id = d.doc_id
+       |  LEFT JOIN embeddings b ON b.vec_id = e.vec_id - e.vec_id % 10
+       |), ${embMultiPairChainOver("postnv")}
+       |SELECT id_a, id_b FROM mpairs
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ≙ ext_embdup_multiband_forget: subject deletion (vec_id % 7 = 3) on
+    * both multi-table artifacts ≡ the scratch multi-table chain over the
+    * survivors (per-vector-pure rows in band index AND registry). */
+  val embMultibandForgetSql: String =
+    s"""WITH $embNearCorpusSql, embnv AS (
+       |  SELECT * FROM embn WHERE vec_id % 7 <> 3
+       |), ${embMultiPairChainOver("embnv")}
+       |SELECT id_a, id_b FROM mpairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** ≙ ext_embdup_serving_probe_race — the race matrix's third dedup
+    * family: phase 'pre' is the ingest restriction of the pre-fold pair
+    * chain ([[embDupIngestSql]]'s rows — the probe that resolved
+    * generation 1, answering on graced bytes), phase 'post' the
+    * restriction over the decade-base-re-embedded vectors
+    * ([[cdcEmbDupIngestSql]]'s rows — a fresh resolve after the flip).
+    * One WITH list via the CTE-suffix convention (sfx = "_p"). */
+  lazy val embDupProbeRaceSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val off = graft.ext.EmbFeed.DupOffset
+    def phase(label: String, sfx: String): String =
+      s"""SELECT '$label' AS phase, id_a, id_b FROM epairs$sfx
+         |WHERE id_a >= $off OR id_b >= $off""".stripMargin
+    s"""WITH $embCorpusSql, ${embPairChainOver("embx")},
+       |cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), postv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN d.doc_id IS NULL THEN e.embedding
+       |         ELSE b.embedding END AS embedding
+       |  FROM embx e
+       |  LEFT JOIN cdelta d ON e.vec_id = d.doc_id
+       |  LEFT JOIN embeddings b ON b.vec_id = e.vec_id - e.vec_id % 10
+       |), ${embPairChainOver("postv", "_p")}
+       |${phase("pre", "")}
+       |UNION ALL
+       |${phase("post", "_p")}
+       |ORDER BY phase, id_a, id_b""".stripMargin
   }
 
   /** ≙ ext_embdup_serving_forget: subject deletion (vec_id % 7 = 3) on
@@ -2956,6 +3137,23 @@ object ExtOracle {
        |$batchRestrict
        |ORDER BY phase, id_a, id_b""".stripMargin
   }
+
+  /** ≙ ext_minhash_compact_grace_read: a reader pinned ACROSS a
+    * compaction — the one mutation whose content-identity contract makes
+    * both phases answer the SAME pair set (what the row grades: the
+    * pinned generation's bytes survive the repack intact, and the fresh
+    * resolve reads identical content off the repacked files). MATERIALIZED
+    * so the pair chain runs once, not once per phase ("BOTH" is a
+    * reserved word — hence `phased`). */
+  lazy val minhashCompactGraceSql: String =
+    s"""WITH $corpusSql, ${shingleCtesOver("corpus")}, ${pairCtesOver("sh")},
+       |phased AS MATERIALIZED (
+       |  SELECT id_a, id_b, n_common, n_a, n_b FROM pairs
+       |)
+       |SELECT 'pre' AS phase, id_a, id_b, n_common, n_a, n_b FROM phased
+       |UNION ALL
+       |SELECT 'post' AS phase, id_a, id_b, n_common, n_a, n_b FROM phased
+       |ORDER BY phase, id_a, id_b""".stripMargin
 
   /** CDC→ANN-index bridge oracle ≙ the ext_cdc_ann_delta fold: the
     * changelog delta names the revised docs; each one is deterministically

@@ -278,6 +278,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("multi-table near-dup probe prunes (table, bucket) AND registry " +
+      "buckets AT RUNTIME") {
+    // the band index is parquet-partitioned by tbucket (4 tables × 16
+    // buckets); a 1-vector probe emits exactly 4 band rows (one per
+    // table), so the candidate stage must read ≤ 4 of the 64 tbucket
+    // partitions. The registry read in the full probe is STATICALLY
+    // pruned to the candidates' id buckets — few for one probe vector
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = TempDirs.create("graft_edm_lock")
+    val trowsPath = base.resolve("trows").toString
+    val vecsPath = base.resolve("vecs").toString
+    graft.ext.Dedup.embMultiWriteServingLayout(e, trowsPath, vecsPath)
+    // a planted zero-tail NEAR dup: close enough to pair (keeps AQE from
+    // collapsing the stage) but non-colinear — the multi-table case
+    val batch = graft.ext.EmbFeed.withNearDups(e)
+      .where(org.apache.spark.sql.functions.col("vec_id") ===
+        (graft.ext.EmbFeed.NearDupOffset + 20L))
+    def prunedTo(df: org.apache.spark.sql.DataFrame, tag: String, bound: Long): Unit = {
+      val scans = scansOf(df.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains(tag)))
+      assert(scans.nonEmpty, s"expected $tag scans in the executed plan")
+      scans.foreach { f =>
+        val read = f.metrics.get("numPartitions").map(_.value)
+        assert(read.exists(_ <= bound),
+          s"$tag scan must prune to the probe's buckets, read $read")
+      }
+    }
+    val cand = graft.ext.Dedup.embMultiServingCandidates(spark, trowsPath, batch)
+    assert(cand.collect().nonEmpty, "the planted near dup must surface a candidate")
+    prunedTo(cand, "trows", 4L)
+    // the registry read is CANDIDATE-derived: a 1-vector probe in 4
+    // COARSE 4-bit tables fans out to ~4×(n/16) candidate ids, whose
+    // id-hash buckets legitimately cover most of the 64 at fixture
+    // density (~58 observed) — the non-vacuous lock is STRICTLY FEWER
+    // than all 64 (the simhash membership-read precedent): a
+    // degenerated partitionIn literal reads every one
+    val probe = graft.ext.Dedup.embMultiServingProbe(
+      spark, trowsPath, vecsPath, batch)
+    assert(probe.collect().nonEmpty, "the planted near dup must pair with its base")
+    prunedTo(probe, "vecs", 63L)
+  }
+
   test("compressed-index read prunes code partitions DYNAMICALLY from the probe side") {
     // the IVF-PQ codes are parquet-partitioned by coarse cell; the
     // broadcast ADC table's probe assignment must reach the codes scan

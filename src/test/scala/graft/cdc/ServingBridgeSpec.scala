@@ -56,6 +56,18 @@ class ServingBridgeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the declared episodesSchema pins timedEpisodes + keyBucket's " +
+      "analyzed schema (fold/compact reads never footer-infer)") {
+    val eps = ServingBridge.timedEpisodes(changelog, "o_orderkey", "o_orderstatus")
+      .withColumn("bucket", ServingBridge.keyBucket(col("serve_key")))
+    assert(
+      eps.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
+        ServingBridge.episodesSchema.fields.map(f => (f.name, f.dataType))
+          .sortBy(_._1).toSeq,
+      s"episodesSchema drifted from timedEpisodes: ${eps.schema} vs " +
+        s"${ServingBridge.episodesSchema}")
+  }
+
   test("over-limit episode tables degrade to a shuffled serve_key equi-join " +
       "with identical results") {
     val cl = changelog.localCheckpoint(true)

@@ -213,7 +213,7 @@ class MinhashServingSpec extends AnyFunSuite with graft.SparkFixture {
     Dedup.writeServingLayout(hist, bandsPath, fpsPath, buckets = B)
     def pairs(limit: Long): Set[Seq[String]] =
       Dedup.minhashServingProbe(s, bandsPath, fpsPath, batch, store,
-        buckets = B, broadcastLimit = limit)
+        buckets = B, broadcastBytes = limit)
         .collect().map(_.toSeq.map(String.valueOf)).toSet
     val gated = pairs(Long.MaxValue)
     assert(gated.nonEmpty, "the planted exact dup must pair")
@@ -221,7 +221,7 @@ class MinhashServingSpec extends AnyFunSuite with graft.SparkFixture {
     // hint is REQUIRED — the planner would re-broadcast the small side
     // on its size estimate otherwise, the r11 gated-join lesson)
     val forced = Dedup.minhashServingCandidates(s, bandsPath, fpsPath, batch,
-      buckets = B, broadcastLimit = 0L)
+      buckets = B, broadcastBytes = 0L)
     forced.collect()
     val plan = forced.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"),

@@ -57,6 +57,18 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the declared codesSchema pins ivfPqEncode's analyzed schema " +
+      "(compact/fold reads must never depend on footer inference)") {
+    val df = corpus(12, Nil)
+    val (cents, cb) = Similarity.ivfPqModel(df)
+    val enc = Similarity.ivfPqEncode(df, cents, cb).schema
+    assert(
+      enc.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
+        Similarity.codesSchema.fields.map(f => (f.name, f.dataType))
+          .sortBy(_._1).toSeq,
+      s"codesSchema drifted from ivfPqEncode: $enc vs ${Similarity.codesSchema}")
+  }
+
   test("codebook-only refresh: refit at frozen coarse cells equals the model " +
       "trained directly on the survivors' residuals") {
     val df = corpus(40, Nil)

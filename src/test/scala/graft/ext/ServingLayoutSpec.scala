@@ -29,6 +29,17 @@ class ServingLayoutSpec extends AnyFunSuite with graft.SparkFixture {
     assert(vals == Seq(1L, 3L, 7L))
   }
 
+  test("affectedValues REJECTS non-integral boxed partition values instead " +
+      "of truncating them through Number.longValue") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException] {
+      ServingLayout.affectedValues(Seq(1.5d).toDF("b").select($"b"))
+    }
+    assert(e.getMessage.contains("non-integral"),
+      s"a boxed Double must hit the integral-contract rejection, got: $e")
+  }
+
   test("partitionIn prunes an INFERRED-IntegerType partition column statically") {
     val s = spark
     import s.implicits._

@@ -131,12 +131,12 @@ class SimhashServingSpec extends AnyFunSuite with graft.SparkFixture {
     Dedup.simhashWriteServingLayout(hist.toDF2(s), vrowsPath, docsPath)
     def pairsOf(limit: Long): Set[Seq[String]] =
       Dedup.simhashServingProbe(s, vrowsPath, docsPath, batch.toDF2(s),
-        broadcastLimit = limit)
+        broadcastBytes = limit)
         .collect().map(_.toSeq.map(String.valueOf)).toSet
     val gated = pairsOf(Long.MaxValue)
     assert(gated.nonEmpty, "the planted equal-fingerprint doc must pair")
     val forced = Dedup.simhashServingCandidates(s, vrowsPath, docsPath,
-      batch.toDF2(s), broadcastLimit = 0L)
+      batch.toDF2(s), broadcastBytes = 0L)
     forced.collect()
     val plan = forced.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"),
