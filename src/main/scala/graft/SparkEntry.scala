@@ -112,6 +112,24 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp.resolve("ranks").toString)
     }
 
+  /** The persisted incremental-triangle state (history edge index +
+    * per-node counters over the g%50≠0 orders) shared by
+    * ext_triangles_incremental — named so [[warmFixtures]] can build it
+    * untimed (its one-shot build dwarfs the fold it exists to price). */
+  private def triangleHistoryState(
+      s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_tri_state", s"$dir/lineitem.parquet") { tmp =>
+      val pm = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("g"),
+          col("l_partkey").cast("long").as("m"))
+      val oldEdges = graft.ext.Graph.coOccurrenceEdges(
+        pm.where(col("g") % 50 =!= 0), "g", "m",
+        maxGroupSize = graft.ext.Graph.CoPurchaseGroupCap)
+      oldEdges.write.mode("overwrite").parquet(tmp.resolve("edges").toString)
+      graft.ext.Graph.triangleStats(s.read.parquet(tmp.resolve("edges").toString))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+
   /** Fully-populated orders changelog sink over the DEFAULT feed (to
     * 1996-01-01) — fixture for rows whose graded subject is what happens
     * AFTER the populate (forget, state folds). Mutating consumers COPY
@@ -414,6 +432,27 @@ object SparkEntry {
     TempDirs.memoized("graft_edm_srv_hist", s"$dir/embeddings.parquet") { tmp =>
       Dedup.embMultiWriteServingLayout(EmbFeed.withDups(embeddings(s, dir)),
         tmp.resolve("trows").toString, tmp.resolve("vecs").toString)
+    }
+
+  /** The multi-table layout after the first maintenance cycle —
+    * [[embMultiServingState]] with the era-1 delta folded in place at
+    * the decade-base stub (the fold ext_cdc_embdup_multiband_fold
+    * grades) — the state the era-2 lifecycle's streamed twin starts
+    * from. Keyed on BOTH fixtures (delta ids come from the documents
+    * changelog). */
+  private def embMultiServing2State(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_edm_srv2",
+      Seq(s"$dir/embeddings.parquet", s"$dir/documents.parquet")) { tmp =>
+      TempDirs.copyInto(embMultiServingState(s, dir).resolve("trows"),
+        tmp.resolve("trows"))
+      TempDirs.copyInto(embMultiServingState(s, dir).resolve("vecs"),
+        tmp.resolve("vecs"))
+      val e = embeddings(s, dir)
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embMultiServingFold(s, tmp.resolve("trows").toString,
+        tmp.resolve("vecs").toString, old1, embDupReembed(e, d1))
     }
 
   /** The embdup fold rows' re-embed stub: the revised doc's new
@@ -986,6 +1025,40 @@ object SparkEntry {
   }
 
   /** Flagship: full CDC changelog pipeline on sf0.001 (rows>0 by construction). */
+  /** Build every NAMED memoized fixture (serving layouts, deployed
+    * indexes, changelog sinks/feeds, incremental states) — called by
+    * Bench's UNTIMED warmup so no graded row's timed pass absorbs a
+    * first-use fixture build. These are fixtures, not the graded work:
+    * each memoizes per fixture file, survives the between-query sweep,
+    * and the maintenance rows copy them per invocation. Under
+    * median-of-3 the build landed in pass 1 and the median stayed warm;
+    * under the heavy-row SINGLE pass the first user's one measurement
+    * was the build + the query (ext_triangles_incremental read 23.7 s
+    * for a 5 s fold in the first adaptive run). Idempotent — a re-call
+    * is a set of cheap marker checks. */
+  def warmFixtures(s: SparkSession, dir: String): Unit = {
+    multiTableSinks(s, dir); fullFeedSink(s, dir); retentionFullSink(s, dir)
+    preRaceMidSink(s, dir); preRaceStreamedState(s, dir)
+    pageRankHistoryState(s, dir); triangleHistoryState(s, dir)
+    ivfIncrementalState(s, dir); ivfDeployState(s, dir); ivfDeploy2State(s, dir)
+    ivfServingState(s, dir); ivfServingState2(s, dir)
+    ivfPqServingState(s, dir); ivfPqServingHistState(s, dir)
+    ivfPqServingState2(s, dir); ivfPqDeploy2State(s, dir)
+    bm25DeployState(s, dir); bm25Deploy2State(s, dir)
+    bm25ServingState(s, dir); bm25ServingState2(s, dir)
+    servingEpisodesLayout(s, dir); servingEpisodesMidLayout(s, dir)
+    minhashServingHistState(s, dir); minhashServingState(s, dir)
+    minhashServing2State(s, dir)
+    simhashServingHistState(s, dir); simhashServingState(s, dir)
+    simhashServing2State(s, dir)
+    embDupServingHistState(s, dir); embDupServingState(s, dir)
+    embDupServing2State(s, dir)
+    embMultiServingState(s, dir); embMultiServingHistState(s, dir)
+    embMultiServing2State(s, dir)
+    docsChangelogSink(s, dir); docsDeltaFeed(s, dir)
+    docsLifecycleFeed(s, dir); docsLifecycleSink(s, dir)
+  }
+
   def entry(spark: SparkSession): DataFrame =
     ChangelogBuilder.withIds(
       ChangelogBuilder.build(feed(spark, "/root/testdata/sf0.001"), ordersCfg), ordersCfg)
@@ -3621,6 +3694,55 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the FULL two-era lifecycle replayed IN PLACE on both multi-table
+    // artifacts — the 8th family reaches lifecycle parity: era-1
+    // decade-base re-embeds, era-2 deletes drop band AND registry rows,
+    // sentinel inserts fetch the source vector by key, the re-revision
+    // copies its DELETED m=7 neighbor's raw vector (the delete class
+    // stays grade-guarded). Graded ≡ the scratch multi-table chain over
+    // the post-lifecycle vector set
+    "ext_cdc_embdup_multiband_lifecycle" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = embMultiServingState(s, dir)
+      val base = TempDirs.create("graft_edmlc")
+      TempDirs.copyInto(st.resolve("trows"), base.resolve("trows"))
+      TempDirs.copyInto(st.resolve("vecs"), base.resolve("vecs"))
+      val trowsPath = base.resolve("trows").toString
+      val vecsPath = base.resolve("vecs").toString
+      // era 1: revisions
+      val d1 = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val old1 = e.join(d1, e("vec_id") === d1("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      Dedup.embMultiServingFold(s, trowsPath, vecsPath, old1,
+        embDupReembed(e, d1))
+      // era 2: deletes + sentinel inserts + the further re-embed
+      val (o2, n2) = embDupLifecycleVecSets(s, dir, lifecycleDeltaSets(s, dir))
+      Dedup.embMultiServingFold(s, trowsPath, vecsPath, o2, n2)
+      Dedup.embMultiPairsServingQuiesced(s, trowsPath, vecsPath)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the streamed twin over the MEMOIZED post-era-1 layout: the era-2
+    // window arrives in 2 micro-batches and each batch's row-locally
+    // extracted delta sets fold both artifacts in place — per-vector-pure
+    // rows, so per-batch folds over disjoint docs compose. Same oracle
+    "ext_cdc_embdup_multiband_lifecycle_stream" -> ((s, dir) => {
+      val base = TempDirs.create("graft_edmlcst")
+      val st = embMultiServing2State(s, dir)
+      TempDirs.copyInto(st.resolve("trows"), base.resolve("trows"))
+      TempDirs.copyInto(st.resolve("vecs"), base.resolve("vecs"))
+      graft.streaming.StateStream.foldAvailableNow(
+        s, docsLifecycleFeed(s, dir).resolve("w").toString,
+        base.resolve("ckpt").toString) { w =>
+        val (o, n) = embDupLifecycleVecSets(s, dir, lifecycleDeltaSetsFrom(w, s, dir))
+        Dedup.embMultiServingFold(s, base.resolve("trows").toString,
+          base.resolve("vecs").toString, o, n)
+      }
+      Dedup.embMultiPairsServingQuiesced(s, base.resolve("trows").toString,
+        base.resolve("vecs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SUBJECT DELETION in place on both multi-table artifacts — the
     // forget matrix's multiband cell: the generalized fold with an empty
     // new side filters the subject's band rows AND registry rows within
@@ -5858,20 +5980,14 @@ object SparkEntry {
       // counter table), as a real incremental deployment's would — the
       // fold's plan reads two small scans, not history's whole lineage.
       // The state is a pure function of the fixture, so it MEMOIZES on
-      // disk (keyed by fixture identity): the first invocation builds it,
-      // repeat invocations — the bench's median-of-3 in particular — time
-      // ONLY the fold, which is the incremental operator being priced
-      // (the from-scratch cost is ext_triangles' row).
+      // disk ([[triangleHistoryState]], keyed by fixture identity; built
+      // untimed by warmFixtures): invocations time ONLY the fold, which
+      // is the incremental operator being priced (the from-scratch cost
+      // is ext_triangles' row).
       // 2% of orders arrive as the increment — the shape incremental
       // maintenance exists for (ΔE ≪ E; at a 20% "batch" the fold costs
       // as much as recomputing, which is the wrong demonstration)
-      val state = TempDirs.memoized("graft_tri_state",
-        s"$dir/lineitem.parquet") { tmp =>
-        val oldEdges = edgesOf(pm.where(col("g") % 50 =!= 0))
-        oldEdges.write.mode("overwrite").parquet(tmp.resolve("edges").toString)
-        graft.ext.Graph.triangleStats(s.read.parquet(tmp.resolve("edges").toString))
-          .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
-      }
+      val state = triangleHistoryState(s, dir)
       val edgeIndex = s.read.parquet(state.resolve("edges").toString)
       graft.ext.Graph.triangleApplyBatch(
         edgeIndex,
@@ -6179,6 +6295,8 @@ object SparkEntry {
     "ext_cdc_embdup_multiband_fold" -> ExtOracle.cdcEmbMultibandDeltaSql,
     "ext_cdc_embdup_multiband_fold_stream" -> ExtOracle.cdcEmbMultibandDeltaSql,
     "ext_embdup_multiband_forget" -> ExtOracle.embMultibandForgetSql,
+    "ext_cdc_embdup_multiband_lifecycle" -> ExtOracle.cdcEmbMultibandLifecycleSql,
+    "ext_cdc_embdup_multiband_lifecycle_stream" -> ExtOracle.cdcEmbMultibandLifecycleSql,
     "ext_embdup_multiband_grace_read" -> ExtOracle.embMultibandSql,
     "ext_embdup_multiband_serving_compact" -> ExtOracle.cdcEmbMultibandDeltaSql,
     "ext_cdc_embdup_serving_fold" -> ExtOracle.cdcEmbDupDeltaSql,

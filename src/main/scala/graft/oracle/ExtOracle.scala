@@ -1687,6 +1687,53 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ≙ the ext_cdc_embdup_multiband_lifecycle rows: the FULL two-era
+    * maintenance lifecycle on BOTH multi-table artifacts — the
+    * [[cdcEmbDupLifecycleSql]] composition (era-1 decade-base re-embeds,
+    * era-2 deletes / sentinel-insert fetches / deleted-neighbor-copy
+    * re-revisions — the delete class stays grade-guarded) threaded over
+    * the NEAR-dup-planted corpus through the multi-table chain. */
+  lazy val cdcEmbMultibandLifecycleSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val lcCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsLifecycleSpec, Seq("doc_id"), "documents")
+    val off = graft.cdc.ChangeFeed.DocsInsertOffset
+    s"""WITH $embNearCorpusSql, cl1 AS MATERIALIZED (
+       |${docsCdc.changelogRowsSql}
+       |), cl2 AS MATERIALIZED (
+       |${lcCdc.changelogRowsSql}
+       |), e1d AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl1 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2upd AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), e2ins AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND new_value = 'NEW RECORD'
+       |), e2del AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl2 WHERE column_name IS NULL AND old_value = 'DELETED RECORD'
+       |), postnv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN u.doc_id IS NOT NULL THEN nb.embedding
+       |         WHEN d1.doc_id IS NOT NULL THEN db.embedding
+       |         ELSE e.embedding END AS embedding
+       |  FROM embn e
+       |  LEFT JOIN e2upd u ON e.vec_id = u.doc_id
+       |  LEFT JOIN e1d d1 ON e.vec_id = d1.doc_id
+       |  LEFT JOIN embeddings nb ON nb.vec_id = e.vec_id - 1
+       |  LEFT JOIN embeddings db ON db.vec_id = e.vec_id - e.vec_id % 10
+       |  WHERE NOT EXISTS (SELECT 1 FROM e2del x WHERE x.doc_id = e.vec_id)
+       |  UNION ALL
+       |  SELECT i.doc_id AS vec_id, e.embedding
+       |  FROM e2ins i JOIN embeddings e ON e.vec_id = i.doc_id - $off
+       |), ${embMultiPairChainOver("postnv")}
+       |SELECT id_a, id_b FROM mpairs
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** ≙ ext_embdup_multiband_forget: subject deletion (vec_id % 7 = 3) on
     * both multi-table artifacts ≡ the scratch multi-table chain over the
     * survivors (per-vector-pure rows in band index AND registry). */
