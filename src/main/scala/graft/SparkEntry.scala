@@ -2187,8 +2187,18 @@ object SparkEntry {
       val edRows = s.read.parquet(
         embDupServing2State(s, dir).resolve("vecs").toString)
         .agg(count(lit(1)).as("state_rows")).withColumn("index_name", lit("embdup"))
+      // the multi-table layout's state = band rows (EmbTables per vector)
+      // + the registry — both artifacts, the simhash convention
+      val edmState = embMultiServing2State(s, dir)
+      val edmRows = s.read.parquet(edmState.resolve("trows").toString)
+        .agg(count(lit(1)).as("__t"))
+        .crossJoin(s.read.parquet(edmState.resolve("vecs").toString)
+          .agg(count(lit(1)).as("__w")))
+        .select((col("__t") + col("__w")).as("state_rows"))
+        .withColumn("index_name", lit("embmulti"))
       val docsIdx = bmRows.unionByName(ivfRows).unionByName(pqRows)
         .unionByName(mhRows).unionByName(shRows).unionByName(edRows)
+        .unionByName(edmRows)
         .crossJoin(broadcast(folded)).crossJoin(broadcast(feedH))
         .crossJoin(broadcast(pend))
         .select(col("index_name"), col("state_rows"),
@@ -3692,6 +3702,45 @@ object SparkEntry {
       Dedup.embMultiPairsServingQuiesced(s, base.resolve("trows").toString,
         base.resolve("vecs").toString)
         .orderBy("id_a", "id_b")
+    }),
+
+    // a NEAR-DUP probe racing a snapshot-isolated fold on the
+    // multi-table layout — the 8th family's race row (2-artifact
+    // generation unit like minhash): the probe resolves generation 1 of
+    // the HISTORY deployment, the era-1 decade-base fold flips both
+    // artifacts through foldIsolatedGen, and both probes execute — pre
+    // on graced gen-1 bytes, post on a fresh resolve
+    "ext_embdup_multiband_probe_race" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = TempDirs.create("graft_edmrace")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        val p = java.nio.file.Paths.get(stage.toUri.getPath)
+        val st = embMultiServingHistState(s, dir)
+        TempDirs.copyInto(st.resolve("trows"), p.resolve("trows"))
+        TempDirs.copyInto(st.resolve("vecs"), p.resolve("vecs"))
+      }
+      // the probe resolves generation 1 HERE (before the fold flips)
+      val gen1 = graft.streaming.StateStream.statePath(s, layout)
+      val deltaIds = docsChangelogDelta(s, dir).select(col("doc_id")).distinct()
+      val oldVecs = e.join(deltaIds, e("vec_id") === deltaIds("doc_id"))
+        .select(e("vec_id"), e("embedding"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Dedup.embMultiServingFold(s, s"$gen/trows", s"$gen/vecs",
+          oldVecs, embDupReembed(e, deltaIds))
+      }
+      val batch = EmbFeed.withNearDups(e)
+        .where(col("vec_id") >= EmbFeed.NearDupOffset)
+      // EXECUTED AFTER THE FLIP: graced gen-1 bytes vs the folded gen
+      val pre = Dedup.embMultiServingProbe(s, s"$gen1/trows", s"$gen1/vecs",
+        batch)
+      val gen2 = graft.streaming.StateStream.statePath(s, layout)
+      val post = Dedup.embMultiServingProbe(s, s"$gen2/trows", s"$gen2/vecs",
+        batch)
+      pre.select(lit("pre").as("phase"), col("id_a"), col("id_b"))
+        .unionByName(post.select(lit("post").as("phase"), col("id_a"),
+          col("id_b")))
+        .orderBy("phase", "id_a", "id_b")
     }),
 
     // the FULL two-era lifecycle replayed IN PLACE on both multi-table
@@ -6296,6 +6345,7 @@ object SparkEntry {
     "ext_cdc_embdup_multiband_fold_stream" -> ExtOracle.cdcEmbMultibandDeltaSql,
     "ext_embdup_multiband_forget" -> ExtOracle.embMultibandForgetSql,
     "ext_cdc_embdup_multiband_lifecycle" -> ExtOracle.cdcEmbMultibandLifecycleSql,
+    "ext_embdup_multiband_probe_race" -> ExtOracle.embMultibandProbeRaceSql,
     "ext_cdc_embdup_multiband_lifecycle_stream" -> ExtOracle.cdcEmbMultibandLifecycleSql,
     "ext_embdup_multiband_grace_read" -> ExtOracle.embMultibandSql,
     "ext_embdup_multiband_serving_compact" -> ExtOracle.cdcEmbMultibandDeltaSql,

@@ -1687,6 +1687,40 @@ object ExtOracle {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ≙ ext_embdup_multiband_probe_race: the two consistent answers of a
+    * near-dup probe racing the era-1 fold on the multi-table layout —
+    * phase 'pre' the ingest restriction over the pre-fold corpus
+    * ([[embMultibandIngestSql]]'s rows, graced gen-1 bytes), phase
+    * 'post' over the decade-base-re-embedded vectors (the
+    * [[cdcEmbMultibandDeltaSql]] postnv chain, fresh resolve). One WITH
+    * list via the CTE-suffix convention. */
+  lazy val embMultibandProbeRaceSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    val off = graft.ext.EmbFeed.NearDupOffset
+    def phase(label: String, sfx: String): String =
+      s"""SELECT '$label' AS phase, id_a, id_b FROM mpairs$sfx
+         |WHERE id_a >= $off OR id_b >= $off""".stripMargin
+    s"""WITH $embNearCorpusSql, ${embMultiPairChainOver("embn")},
+       |cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), postnv AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN d.doc_id IS NULL THEN e.embedding
+       |         ELSE b.embedding END AS embedding
+       |  FROM embn e
+       |  LEFT JOIN cdelta d ON e.vec_id = d.doc_id
+       |  LEFT JOIN embeddings b ON b.vec_id = e.vec_id - e.vec_id % 10
+       |), ${embMultiPairChainOver("postnv", "_p")}
+       |${phase("pre", "")}
+       |UNION ALL
+       |${phase("post", "_p")}
+       |ORDER BY phase, id_a, id_b""".stripMargin
+  }
+
   /** ≙ the ext_cdc_embdup_multiband_lifecycle rows: the FULL two-era
     * maintenance lifecycle on BOTH multi-table artifacts — the
     * [[cdcEmbDupLifecycleSql]] composition (era-1 decade-base re-embeds,
@@ -3379,6 +3413,11 @@ object ExtOracle {
        |  UNION ALL
        |  SELECT 'embdup', (SELECT CAST(count(*)
        |      + count(*) FILTER (WHERE vec_id % 20 = 0) AS BIGINT)
+       |    FROM embeddings)
+       |  UNION ALL
+       |  SELECT 'embmulti', (SELECT CAST((${Dedup.EmbTables} + 1) * (count(*)
+       |      + count(*) FILTER (WHERE vec_id % 20 = 0)
+       |      + count(*) FILTER (WHERE vec_id % 10 = 0)) AS BIGINT)
        |    FROM embeddings)
        |), ocl AS MATERIALIZED (
        |${OrdersCdcOracle.changelogSql}
