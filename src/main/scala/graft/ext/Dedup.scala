@@ -2096,7 +2096,16 @@ object Dedup {
   /** [[embMultiPairsServing]] over already-RESOLVED artifact frames —
     * the pinned-generation reader's entry point: band-bucket self-join
     * per tbucket → distinct candidate pairs → exact cosine over registry
-    * rows. */
+    * rows.
+    *
+    * SCALE NOTE: the per-bucket quadratic term is 16× coarser per table
+    * than the single-table layout's (4-bit vs 8-bit buckets) — that IS
+    * the recall trade (union of k coarse tables beats one fine one).
+    * The candidate term stays bucket-confined, never all-pairs; a
+    * production FULL listing over skewed data would add the minhash
+    * maxBucket cap + hot-bucket audit pattern, while the batch-bounded
+    * [[embMultiServingProbe]] is the path sized for continuous
+    * ingestion. */
   def embMultiPairsFrom(
       trows: DataFrame,
       vecs: DataFrame,
