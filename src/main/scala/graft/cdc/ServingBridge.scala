@@ -118,6 +118,27 @@ object ServingBridge {
   def keyBucket(serveKey: Column, buckets: Int = 16): Column =
     pmod(serveKey, lit(buckets.toLong))
 
+  /** The DEFAULT point-in-time enrichment over a GENERATIONED episode
+    * store root (holding `episodes/` per generation): resolves the
+    * CURRENT generation once through
+    * [[graft.streaming.StateStream.statePath]] — a request batch never
+    * reads a half-folded bucket set under a concurrent fold (the
+    * ext_cdc_serving_grace contract as API shape; the
+    * [[graft.ext.Dedup.minhashPairsServing]] convention). Raw episode
+    * frames ([[enrichAsOf]]) remain the single-writer, fold-quiesced
+    * opt-in. */
+  def enrichAsOfPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutRoot: String,
+      requests: DataFrame,
+      broadcastLimit: Long = BroadcastEpisodeLimit): DataFrame = {
+    val gen = graft.streaming.StateStream.statePath(spark, layoutRoot)
+    enrichAsOf(requests,
+      spark.read.schema(episodesSchema).parquet(s"$gen/episodes")
+        .drop("bucket"),
+      broadcastLimit)
+  }
+
   /** Explicit schema of the persisted episode store ([[timedEpisodes]]'s
     * rows + the `bucket` partition key): fold/compact reads must never
     * depend on footer inference, and the declared partition-column type

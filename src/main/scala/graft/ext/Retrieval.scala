@@ -244,6 +244,35 @@ object Retrieval {
       .select("query_id", "rnk", "doc_id", "score_micro")
   }
 
+  /** Explicit schema of the persisted 1-row stats artifact. */
+  private[graft] val statsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("avgdl",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The DEFAULT serving search over a GENERATIONED layout root (holding
+    * `postings/` + `doclen/` + `stats/` per generation — the 3-artifact
+    * generation unit): resolves the CURRENT generation once through
+    * [[graft.streaming.StateStream.statePath]], so a query can never
+    * score new postings against old stats under a concurrent fold (the
+    * ext_bm25_serving_grace_read contract as API shape; the
+    * [[graft.ext.Dedup.minhashPairsServing]] convention). Raw artifact
+    * frames ([[bm25TopKServing]]) remain the single-writer,
+    * fold-quiesced opt-in. */
+  def bm25TopKServingPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutRoot: String,
+      queries: DataFrame,
+      k: Int = 5, buckets: Int = 16): DataFrame = {
+    val gen = graft.streaming.StateStream.statePath(spark, layoutRoot)
+    bm25TopKServing(
+      spark.read.schema(postingsSchema).parquet(s"$gen/postings"),
+      spark.read.schema(registrySchema).parquet(s"$gen/doclen"),
+      spark.read.schema(statsSchema).parquet(s"$gen/stats"),
+      queries, k, buckets)
+  }
+
   /** IN-PLACE partial maintenance of the bucket-PARTITIONED serving
     * postings (the BM25 twin of
     * [[graft.ext.Similarity.ivfServingFold]]): a delta — revisions

@@ -515,6 +515,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The DEFAULT IVF search over a GENERATIONED cell-layout root (each
+    * generation directory IS the cell index): resolves the CURRENT
+    * generation once through
+    * [[graft.streaming.StateStream.statePath]] — a query never reads a
+    * half-folded cell set under a concurrent fold (the
+    * ext_ann_serving_grace_read contract as API shape; the
+    * [[graft.ext.Dedup.minhashPairsServing]] convention). The centroid
+    * MODEL is frozen outside the generation — refresh/refit replace
+    * generations wholesale. Raw index frames ([[ivfSearch]]) remain the
+    * single-writer, fold-quiesced opt-in. */
+  def ivfSearchPinned(
+      spark: SparkSession,
+      layoutRoot: String,
+      queries: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      probes: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfSearch(
+      spark.read.schema(cellsSchema).parquet(
+        graft.streaming.StateStream.statePath(spark, layoutRoot)),
+      queries, cents, k, probes, idCol, vecCol)
+
   /** RANKED probe assignment for the query side: (cell, query_id, qv, qn,
     * prnk) with prnk = 1-based probe rank (1 = nearest centroid). Computed
     * once at the maximum budget, a probe-tuning curve derives every

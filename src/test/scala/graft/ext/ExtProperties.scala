@@ -532,6 +532,43 @@ object ExtProperties extends Properties("ext") with SparkFixture {
       rows(s.read.schema(want.schema).parquet(vecsPath)) == rows(want)
     }
 
+  property("in-place MULTI-TABLE embdup fold over a random revise/delete/insert " +
+      "delta equals the scratch band rows + registry of the post-delta vectors") =
+    Prop.forAll(genServingCase) { case (pre, revs, dels, inss) =>
+      val s = spark
+      import s.implicits._
+      def vec(id: Long, t: String): Seq[Float] =
+        Seq.tabulate(graft.ext.Similarity.Dim)(j =>
+          if (j == 0) 1f + (id % 3)
+          else ((id * 7 + t.length * 3 + j) % 5 - 2).toFloat)
+      val base = graft.TempDirs.create("graft_prop_edmf")
+      val trowsPath = base.resolve("trows").toString
+      val vecsPath = base.resolve("vecs").toString
+      val preVecs = pre.map { case (id, t) => (id, vec(id, t)) }
+        .toDF("vec_id", "embedding")
+      Dedup.embMultiWriteServingLayout(preVecs, trowsPath, vecsPath)
+      val touched = (revs.map(_._1) ++ dels).toSet
+      val oldVecs = preVecs.where(col("vec_id").isin(touched.toSeq.map(Long.box): _*))
+      val newVecs = (revs.map { case (id, t) => (id, vec(id, t + "!")) } ++
+        inss.map { case (id, t) => (id, vec(id, t)) }).toDF("vec_id", "embedding")
+      Dedup.embMultiServingFold(s, trowsPath, vecsPath, oldVecs, newVecs)
+      val revMap = revs.toMap
+      val post = (pre.filterNot(d => dels.contains(d._1))
+        .map { case (id, t) => (id, revMap.get(id).map(nt => vec(id, nt + "!"))
+          .getOrElse(vec(id, t))) } ++
+        inss.map { case (id, t) => (id, vec(id, t)) }).toDF("vec_id", "embedding")
+      val (wantT, wantV) = Dedup.embMultiServingRows(post)
+      def trows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("tbucket").cast("long").cast("string"), col("id").cast("string"))
+          .collect().map(_.toSeq).toSet
+      def vrows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vbucket").cast("long").cast("string"), col("id").cast("string"),
+            col("v").cast("string"), col("nrm").cast("string"))
+          .collect().map(_.toSeq).toSet
+      trows(s.read.schema(Dedup.embTRowsSchema).parquet(trowsPath)) == trows(wantT) &&
+        vrows(s.read.schema(Dedup.embVecsSchema).parquet(vecsPath)) == vrows(wantV)
+    }
+
   property("in-place simhash serving fold over a random revise/delete/insert delta " +
       "equals the scratch value table + membership of the post-delta corpus") =
     Prop.forAll(genServingCase) { case (pre, revs, dels, inss) =>

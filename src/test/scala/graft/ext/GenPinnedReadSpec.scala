@@ -85,6 +85,112 @@ class GenPinnedReadSpec extends AnyFunSuite with graft.SparkFixture {
       "a fresh default read must answer the post-fold pair set")
   }
 
+  test("bm25 pinned search under a concurrent fold answers a consistent " +
+      "3-artifact generation (postings, doclen, stats flip together)") {
+    val s = spark
+    import s.implicits._
+    // the df cap keeps only df×2 ≤ n terms: pre-fold "gamma delta" lives
+    // in doc 1 alone (df=1, kept → the query hits doc 1); the fold gives
+    // doc 2 the same bigram (df=2, cut) — certainly result-visible
+    val pre = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "one two three four"))
+    val post = Seq(pre(0), (2L, "gamma delta epsilon zeta"), pre(2))
+    def artifacts(c: Seq[(Long, String)]) = Retrieval.bm25ServingArtifacts(c.toDF2(s))
+    val root = graft.TempDirs.create("graft_pin_bm").resolve("layout").toString
+    StateStream.publishState(s, root) { stage =>
+      val p = stage.toUri.getPath
+      val (po, dl, st) = artifacts(pre)
+      po.repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$p/postings")
+      dl.repartition(col("dbucket")).write.partitionBy("dbucket").parquet(s"$p/doclen")
+      st.write.parquet(s"$p/stats")
+    }
+    val queries = Seq((99L, "gamma delta")).toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    def expect(c: Seq[(Long, String)]) = {
+      val (po, dl, st) = artifacts(c)
+      rows(Retrieval.bm25TopKServing(po, dl, st, queries))
+    }
+    val pinned = Retrieval.bm25TopKServingPinned(s, root, queries)
+    val old2 = pre.toDF2(s).where(col("doc_id") === 2L)
+    val new2 = post.toDF2(s).where(col("doc_id") === 2L)
+    StateStream.foldIsolatedGen(s, root) { gen =>
+      Retrieval.bm25ServingFold(s, s"$gen/postings", s"$gen/doclen",
+        s"$gen/stats", old2, new2)
+    }
+    assert(rows(pinned) == expect(pre),
+      "the pre-resolved pinned search must answer the pre-fold index")
+    assert(rows(Retrieval.bm25TopKServingPinned(s, root, queries)) == expect(post),
+      "a fresh pinned search must answer the post-fold index")
+    assert(expect(pre) != expect(post), "the fold must be result-visible")
+  }
+
+  test("ivf pinned search under a concurrent fold answers a consistent " +
+      "cell generation (frozen centroid model outside the generation)") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(Similarity.Dim)(j =>
+        ((((seed * 1000003L + j) * 2654435761L >>> 13) & 0xffff).toFloat / 65536.0f))
+    val pre = Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2)), (3L, vec(3)),
+      (4L, vec(0)))  // 4 is a copy of 0 — the query's certain neighbor
+    val emb = pre.toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(0)), (1L, vec(1))).toDF("cid", "centv")
+      .withColumn("centn", Similarity.l2Norm(col("centv")))
+      .localCheckpoint(true)
+    val root = graft.TempDirs.create("graft_pin_ivf").resolve("layout").toString
+    StateStream.publishState(s, root) { stage =>
+      Similarity.ivfIndex(emb, cents).repartition(col("cell"))
+        .write.partitionBy("cell").parquet(stage.toUri.getPath)
+    }
+    val queries = emb.where(col("vec_id") === 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    def expect(e: org.apache.spark.sql.DataFrame) =
+      rows(Similarity.ivfSearch(Similarity.ivfIndex(e, cents), queries, cents, k = 2))
+    val pinned = Similarity.ivfSearchPinned(s, root, queries, cents, k = 2)
+    // the fold DELETES vector 4 (the copy) — certainly result-visible
+    val subject = emb.where(col("vec_id") === 4L)
+    StateStream.foldIsolatedGen(s, root) { gen =>
+      Similarity.ivfServingFold(s, gen, subject, subject.where(lit(false)), cents)
+    }
+    assert(rows(pinned) == expect(emb),
+      "the pre-resolved pinned search must answer the pre-fold cells")
+    assert(rows(Similarity.ivfSearchPinned(s, root, queries, cents, k = 2)) ==
+      expect(emb.where(col("vec_id") =!= 4L)),
+      "a fresh pinned search must answer the post-fold cells")
+  }
+
+  test("episode pinned enrichment under a concurrent fold answers a " +
+      "consistent store generation") {
+    val s = spark
+    import s.implicits._
+    val cdc = graft.cdc.ServingBridge
+    val preEps = Seq((5L, "OPEN", 10L, 100L, None: Option[Long]))
+      .toDF("serve_key", "status_asof", "ep_id", "valid_from_s", "valid_to_s")
+      .withColumn("bucket", cdc.keyBucket(col("serve_key")))
+    val root = graft.TempDirs.create("graft_pin_eps").resolve("layout").toString
+    StateStream.publishState(s, root) { stage =>
+      preEps.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(s"${stage.toUri.getPath}/episodes")
+    }
+    val requests = Seq((1L, 5L, 150L)).toDF("event_id", "serve_key", "serve_s")
+    def served(df: org.apache.spark.sql.DataFrame): Option[String] =
+      df.collect().headOption.flatMap(r => Option(r.getString(3)))
+    val pinned = cdc.enrichAsOfPinned(s, root, requests)
+    // the fold appends a later episode that CLOSES the stored open one
+    // before the request instant — result-visible at serve_s = 150
+    val newEps = Seq((5L, "CLOSED", 11L, 120L))
+      .toDF("serve_key", "status_asof", "ep_id", "valid_from_s")
+    StateStream.foldIsolatedGen(s, root) { gen =>
+      cdc.episodesServingFold(s, s"$gen/episodes", newEps)
+    }
+    assert(served(pinned) == Some("OPEN"),
+      "the pre-resolved pinned read must serve the pre-fold episode")
+    assert(served(cdc.enrichAsOfPinned(s, root, requests)) == Some("CLOSED"),
+      "a fresh pinned read must serve the post-fold episode")
+  }
+
   test("embdup default entry under a concurrent fold: the generation dir " +
       "IS the vecs artifact") {
     val s = spark
