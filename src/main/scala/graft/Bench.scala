@@ -56,11 +56,22 @@ object Bench {
         // hash so every row is actually computed
         df.select(hash(df.columns.toSeq.map(col): _*).as("h")).agg(sum("h")).collect()
       }
-      // build every named memoized FIXTURE untimed: under the heavy-row
-      // single pass, a first-use fixture build would otherwise be the
-      // whole measurement (see SparkEntry.warmFixtures)
-      SparkEntry.warmFixtures(spark, sfDir)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      // diagnose, never die: a warmup failure must not prevent the
+      // per-query errors report below — but a SILENT one would leave
+      // heavy rows timing cold fixture builds with no trace
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] table warmup failed (continuing): $e")
+    }
+    // build every named memoized FIXTURE untimed: under the heavy-row
+    // single pass, a first-use fixture build would otherwise be the
+    // whole measurement (see SparkEntry.warmFixtures). Own try — a
+    // table-warmup failure above must not also skip fixture warming.
+    try SparkEntry.warmFixtures(spark, sfDir)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fixture warmup failed (continuing): $e")
+    }
 
     // Median of 3 passes per query (plus min, reported separately): a
     // single noisy pass — GC pause, first-touch page fault, competing

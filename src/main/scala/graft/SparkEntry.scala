@@ -424,6 +424,23 @@ object SparkEntry {
         tmp.resolve("trows").toString, tmp.resolve("vecs").toString)
     }
 
+  /** [[embMultiServingState]] published as GENERATION 1 under a layout
+    * root — the full pair-listing row reads it through the
+    * generation-resolving DEFAULT entry point
+    * ([[graft.ext.Dedup.embMultiPairsServing]]): default-API dogfood on
+    * the listing row, the grace-read rows' convention. Read in place
+    * (the row never mutates it). */
+  private def embMultiServingGenState(s: SparkSession, dir: String): java.nio.file.Path =
+    TempDirs.memoized("graft_edm_srv_gen", s"$dir/embeddings.parquet") { tmp =>
+      graft.streaming.StateStream.publishState(
+        s, tmp.resolve("layout").toString) { stage =>
+        val p = java.nio.file.Paths.get(stage.toUri.getPath)
+        val st = embMultiServingState(s, dir)
+        TempDirs.copyInto(st.resolve("trows"), p.resolve("trows"))
+        TempDirs.copyInto(st.resolve("vecs"), p.resolve("vecs"))
+      }
+    }
+
   /** The multi-table index over the HISTORY corpus (base + colinear
     * copies, no near-dups) — the state a continuously ingesting pipeline
     * holds when the planted NEAR-dup batch arrives; read in place by the
@@ -1054,7 +1071,7 @@ object SparkEntry {
     embDupServingHistState(s, dir); embDupServingState(s, dir)
     embDupServing2State(s, dir)
     embMultiServingState(s, dir); embMultiServingHistState(s, dir)
-    embMultiServing2State(s, dir)
+    embMultiServing2State(s, dir); embMultiServingGenState(s, dir)
     docsChangelogSink(s, dir); docsDeltaFeed(s, dir)
     docsLifecycleFeed(s, dir); docsLifecycleSink(s, dir)
   }
@@ -1945,6 +1962,46 @@ object SparkEntry {
       Retrieval.bm25TopKServing(pinnedPost, pinnedDl, pinnedStats,
         Retrieval.queryTerms(c))
         .orderBy("query_id", "rnk")
+    }),
+
+    // a search RACING a snapshot-isolated fold on the THREE-artifact
+    // layout — extends the race matrix beyond the dedup families with
+    // the family where a torn read is numerically WORST (new postings
+    // scored against old (n, avgdl) stats / stale df): the pinned
+    // DEFAULT search resolves generation 1 at construction, maintenance
+    // folds the era-1 delta through foldIsolatedGen (postings, registry
+    // and stats staged, folded, flipped together), and BOTH searches
+    // then EXECUTE — the pre-resolved one answers the consistent
+    // pre-fold index on graced gen-1 bytes, a fresh resolve the folded
+    // generation (queries re-derived from the post-delta corpus, so the
+    // fold is result-visible). Oracle composes the pre and post BM25
+    // chains in ONE WITH list (CTE-suffix convention)
+    "ext_bm25_serving_probe_race" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val state = bm25ServingState(s, dir)
+      val base = TempDirs.create("graft_bm25srvrace")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        copyBm25State(state, java.nio.file.Paths.get(stage.toUri.getPath))
+      }
+      // the long-running searcher constructs its read from the pinned
+      // DEFAULT entry point HERE — generation 1 resolves at construction
+      val pre = Retrieval.bm25TopKServingPinned(s, layout,
+        Retrieval.queryTerms(c))
+      val delta = docsChangelogDelta(s, dir)
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Retrieval.bm25ServingFold(s, s"$gen/postings", s"$gen/doclen",
+          s"$gen/stats",
+          c.join(delta.select("doc_id"), Seq("doc_id"), "left_semi"), delta)
+      }
+      // EXECUTED AFTER THE FLIP: graced gen-1 bytes vs the folded gen
+      val post = Retrieval.bm25TopKServingPinned(s, layout,
+        Retrieval.queryTerms(postDeltaCorpus(c, delta)))
+      def tag(df: DataFrame, p: String) =
+        df.select(lit(p).as("phase"), col("query_id"), col("rnk"),
+          col("doc_id"), col("score_micro"))
+      tag(pre, "pre").unionByName(tag(post, "post"))
+        .orderBy("phase", "query_id", "rnk")
     }),
 
     "ext_bm25_serving_forget" -> ((s, dir) => {
@@ -3638,9 +3695,12 @@ object SparkEntry {
     // (29/50 vs 49/50 — diffed in DuckDB) — multi-table recall as a
     // graded fact, the r14 What's-missing #2 close
     "ext_embdup_multiband" -> ((s, dir) => {
-      val st = embMultiServingState(s, dir)
-      Dedup.embMultiPairsServingQuiesced(s, st.resolve("trows").toString,
-        st.resolve("vecs").toString)
+      // default-API dogfood: the listing resolves the CURRENT generation
+      // of a layout root (embMultiPairsServing), like its grace-read
+      // sibling — the raw-path Quiesced read stays the single-writer
+      // opt-in of the fold rows that own their copied state
+      val layout = embMultiServingGenState(s, dir).resolve("layout").toString
+      Dedup.embMultiPairsServing(s, layout)
         .orderBy("id_a", "id_b")
     }),
 
@@ -6544,6 +6604,7 @@ object SparkEntry {
     // the serving layout and pruned read must be result-invisible
     "ext_bm25_pruned" -> ExtOracle.bm25Sql,
     "ext_bm25_serving_grace_read" -> ExtOracle.bm25Sql,
+    "ext_bm25_serving_probe_race" -> ExtOracle.bm25ProbeRaceSql,
     "ext_bm25_incremental" -> ExtOracle.bm25Sql,
     "ext_bm25_forget" -> ExtOracle.bm25ForgetSql,
     // in-place serving-layout forget ≡ the swap-style forget, oracles verbatim

@@ -588,7 +588,10 @@ object Dedup {
     * frame (cheap, bounded by the frame it gates). */
   private def gatedDim(dim: DataFrame, shuffledDim: DataFrame, rows: Long,
       rowBytes: Long, limitBytes: Long): DataFrame =
-    if (rows * rowBytes <= limitBytes) broadcast(dim)
+    // division, not rows*rowBytes: the gate exists to bound PATHOLOGICAL
+    // fan-out, exactly where a Long product could wrap negative and
+    // wrongly broadcast an over-limit dim
+    if (rowBytes > 0 && rows <= limitBytes / rowBytes) broadcast(dim)
     else shuffledDim.hint("merge")
 
   /** Explicit schemas of the two persisted artifacts: a fold that empties
@@ -1789,6 +1792,11 @@ object Dedup {
     val stored = spark.read.schema(embLayoutSchema).parquet(path)
     val probed = stored
       .join(broadcast(b0.select("bucket").distinct()), Seq("bucket"))
+      // a batch that REVISES an already-stored id must verify against the
+      // batch's vector, never the stale stored one: the batch row wins
+      // (broadcast anti-join on the batch-bounded id dim) — no disjoint-id
+      // precondition on probe batches
+      .join(broadcast(b.select("id")), Seq("id"), "left_anti")
     val others = probed.select(col("bucket"), col("id").as("id_b"),
         col("v").as("vb"), col("nrm").as("nb"))
       .unionByName(b.select(col("bucket"), col("id").as("id_b"),
@@ -1850,8 +1858,10 @@ object Dedup {
   def embDupPairsServingQuiesced(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      threshold: Double = 0.9): DataFrame =
-    embDupPairsFrom(spark.read.schema(embLayoutSchema).parquet(path), threshold)
+      threshold: Double = 0.9,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    embDupPairsFrom(spark.read.schema(embLayoutSchema).parquet(path),
+      threshold, maxBucket)
 
   /** The DEFAULT pair-listing entry point over a GENERATIONED layout
     * root (each generation directory IS the vecs artifact): resolves the
@@ -1862,24 +1872,62 @@ object Dedup {
   def embDupPairsServing(
       spark: org.apache.spark.sql.SparkSession,
       layoutRoot: String,
-      threshold: Double = 0.9): DataFrame =
+      threshold: Double = 0.9,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
     embDupPairsServingQuiesced(spark,
-      graft.streaming.StateStream.statePath(spark, layoutRoot), threshold)
+      graft.streaming.StateStream.statePath(spark, layoutRoot), threshold,
+      maxBucket)
 
   /** [[embDupPairsServing]] over an already-RESOLVED layout frame — the
     * pinned-generation reader's entry point (the [[minhashPairsFrom]]
     * twin): a long-running reader resolves one generation's rows,
     * maintenance flips the pointer, and the pinned read still answers
-    * the consistent pre-fold pair set on graced bytes. */
-  def embDupPairsFrom(stored: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val l = stored.select(col("bucket"), col("id").as("id_a"),
+    * the consistent pre-fold pair set on graced bytes.
+    *
+    * Skew guard (the minhash [[candidatePairs]] pattern): a hyperplane
+    * bucket with more than `maxBucket` members is SKIPPED from the
+    * self-join (at 100 TB one skewed bucket makes it quadratic in the
+    * hot bucket) and reported by [[embDupBucketAudit]] — never silent.
+    * IDENTICAL vectors inside a skipped bucket still pair via the exact
+    * route (self-join keyed on the vector value — linear in members,
+    * quadratic only in true duplicates), so exact duplicates are never
+    * lost no matter how hot their bucket is. */
+  def embDupPairsFrom(stored: DataFrame, threshold: Double = 0.9,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val keep = stored.groupBy("bucket").agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") <= maxBucket).select("bucket")
+    val kept = stored.join(keep, Seq("bucket"))
+    val l = kept.select(col("bucket"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val r = stored.select(col("bucket"), col("id").as("id_b"),
+    val r = kept.select(col("bucket"), col("id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
+    val cross = l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
       .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
+    // exact route: identical vectors share a bucket by construction, so
+    // confining the value-keyed self-join to skipped rows is lossless —
+    // and each pair lives in exactly one bucket, so no cross/exact overlap
+    val skipped = stored.join(keep, Seq("bucket"), "left_anti")
+    val exact = skipped.select(col("v"), col("id").as("id_a"))
+      .join(skipped.select(col("v"), col("id").as("id_b")), Seq("v"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    cross.unionByName(exact)
   }
+
+  /** Audit of the single-table embedding listing's hyperplane buckets —
+    * one row per bucket holding ≥ 2 vectors: member count and whether
+    * [[embDupPairsFrom]] joins or skips it at `maxBucket`. Empty means
+    * the cap is inert on this layout; identical vectors inside skipped
+    * buckets still pair via the exact route (the "no silent caps"
+    * contract). */
+  def embDupBucketAudit(stored: DataFrame,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    stored.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .where(col("n_vecs") >= 2)
+      .select(col("bucket"), col("n_vecs"),
+        when(col("n_vecs") <= maxBucket, lit("joined"))
+          .otherwise(lit("skipped")).as("action"))
 
   // -------------------------------------------------------------------
   // MULTI-TABLE embedding near-dup serving layout — the production
@@ -1998,6 +2046,9 @@ object Dedup {
       EmbIdRowBytes, broadcastBytes)
     val vsrc = storedV.join(idDim, Seq("vbucket", "id"))
       .select("id", "v", "nrm")
+      // batch row wins for a REVISED stored id (a stale stored vector must
+      // never pass the cosine check) — no disjoint-id precondition
+      .join(broadcast(bv.select("id")), Seq("id"), "left_anti")
       .unionByName(bv.select("id", "v", "nrm"))
     cand
       .join(vsrc.select(col("id").as("id_a"), col("v").as("va"),
@@ -2101,21 +2152,37 @@ object Dedup {
     * SCALE NOTE: the per-bucket quadratic term is 16× coarser per table
     * than the single-table layout's (4-bit vs 8-bit buckets) — that IS
     * the recall trade (union of k coarse tables beats one fine one).
-    * The candidate term stays bucket-confined, never all-pairs; a
-    * production FULL listing over skewed data would add the minhash
-    * maxBucket cap + hot-bucket audit pattern, while the batch-bounded
-    * [[embMultiServingProbe]] is the path sized for continuous
-    * ingestion. */
+    * The candidate term stays bucket-confined, never all-pairs, and the
+    * minhash skew guard applies: a tbucket past `maxBucket` members is
+    * SKIPPED from the self-join and reported by [[embMultiBucketAudit]].
+    * IDENTICAL vectors land in the same tbucket in EVERY table, so the
+    * exact route (value-keyed self-join over skipped-bucket members'
+    * registry rows) keeps exact duplicates lossless no matter how hot
+    * their buckets are; the batch-bounded [[embMultiServingProbe]]
+    * remains the path sized for continuous ingestion. */
   def embMultiPairsFrom(
       trows: DataFrame,
       vecs: DataFrame,
-      threshold: Double = 0.9): DataFrame = {
-    val cand = trows.select(col("tbucket"), col("id").as("id_a"))
-      .join(trows.select(col("tbucket"), col("id").as("id_b")), Seq("tbucket"))
+      threshold: Double = 0.9,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val keep = trows.groupBy("tbucket").agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") <= maxBucket).select("tbucket")
+    val kept = trows.join(keep, Seq("tbucket"))
+    val cand = kept.select(col("tbucket"), col("id").as("id_a"))
+      .join(kept.select(col("tbucket"), col("id").as("id_b")), Seq("tbucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
-    cand
+    // exact route: ids appearing in ANY skipped tbucket re-pair by vector
+    // VALUE over their registry rows — identical vectors share all four
+    // tbuckets, so both members of an exact-dup pair reach this join
+    val skippedIds = trows.join(keep, Seq("tbucket"), "left_anti")
+      .select("id").distinct()
+    val skippedV = vecs.join(skippedIds, Seq("id"))
+    val exact = skippedV.select(col("v"), col("id").as("id_a"))
+      .join(skippedV.select(col("v"), col("id").as("id_b")), Seq("v"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    cand.unionByName(exact).distinct()
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
@@ -2123,6 +2190,18 @@ object Dedup {
       .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Audit of the multi-table listing's (table, bucket) band buckets —
+    * one row per tbucket holding ≥ 2 ids: member count and whether
+    * [[embMultiPairsFrom]] joins or skips it at `maxBucket` (identical
+    * vectors inside skipped buckets still pair via the exact route). */
+  def embMultiBucketAudit(trows: DataFrame,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    trows.groupBy("tbucket").agg(count(lit(1)).as("n_ids"))
+      .where(col("n_ids") >= 2)
+      .select(col("tbucket"), col("n_ids"),
+        when(col("n_ids") <= maxBucket, lit("joined"))
+          .otherwise(lit("skipped")).as("action"))
 
   /** Verified near-dup pairs of the multi-table layout — the QUIESCED
     * raw-path read (single-writer maintenance loops only; the
@@ -2132,11 +2211,12 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       trowsPath: String,
       vecsPath: String,
-      threshold: Double = 0.9): DataFrame =
+      threshold: Double = 0.9,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
     embMultiPairsFrom(
       spark.read.schema(embTRowsSchema).parquet(trowsPath),
       spark.read.schema(embVecsSchema).parquet(vecsPath),
-      threshold)
+      threshold, maxBucket)
 
   /** The DEFAULT pair-listing entry point over a GENERATIONED layout
     * root (holding `trows/` + `vecs/` per generation) — resolves the
@@ -2144,9 +2224,11 @@ object Dedup {
   def embMultiPairsServing(
       spark: org.apache.spark.sql.SparkSession,
       layoutRoot: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val gen = graft.streaming.StateStream.statePath(spark, layoutRoot)
-    embMultiPairsServingQuiesced(spark, s"$gen/trows", s"$gen/vecs", threshold)
+    embMultiPairsServingQuiesced(spark, s"$gen/trows", s"$gen/vecs", threshold,
+      maxBucket)
   }
 
   /** E1d — embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
@@ -2158,15 +2240,14 @@ object Dedup {
       emb: DataFrame,
       threshold: Double = 0.9,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val withB = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.l2Norm(col(vecCol)).as("nrm"),
       Similarity.bucket(col(vecCol)).as("bucket"))
-    val l = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val r = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
-      .select("id_a", "id_b")
+    // same capped listing as the serving layout's read side — one code
+    // path carries the hot-bucket guard for both
+    embDupPairsFrom(withB, threshold, maxBucket)
   }
 }

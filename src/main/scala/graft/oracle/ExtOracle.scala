@@ -3139,6 +3139,35 @@ object ExtOracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** ≙ ext_bm25_serving_probe_race: the TWO answers a search racing a
+    * snapshot-isolated fold can correctly observe on the THREE-artifact
+    * layout — the family where a torn read is numerically worst (new
+    * postings scored against old (n, avgdl) stats / stale df). Phase
+    * 'pre' is the whole-corpus BM25 chain (what a pinned search that
+    * resolved generation 1 before the flip answers on graced bytes —
+    * [[bm25Sql]]'s rows); phase 'post' the chain over the era-1
+    * post-delta corpus (a fresh resolve: [[cdcBm25DeltaSql]]'s rows,
+    * queries re-derived from the post-delta text). Composed in ONE WITH
+    * list via the CTE-suffix convention (sfx = "_p"). */
+  lazy val bm25ProbeRaceSql: String = {
+    val docsCdc = new CdcOracle(
+      graft.cdc.ChangeFeed.docsSpec, Seq("doc_id"), "documents")
+    s"""WITH ${bm25Ctes(5)},
+       |cl AS MATERIALIZED (
+       |${docsCdc.changelogSql}
+       |), cdelta AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, new_value AS text
+       |  FROM cl WHERE column_name = 'text' AND new_value IS NOT NULL
+       |), corpus2 AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(d.text, c.text) AS text
+       |  FROM corpus c LEFT JOIN cdelta d ON c.doc_id = d.doc_id
+       |), ${bm25ChainOver(5, src = "corpus2", sfx = "_p")}
+       |SELECT 'pre' AS phase, query_id, rnk, doc_id, score_micro FROM bmr
+       |UNION ALL
+       |SELECT 'post' AS phase, query_id, rnk, doc_id, score_micro FROM bmr_p
+       |ORDER BY phase, query_id, rnk""".stripMargin
+  }
+
   /** CDC→DEDUP-index bridge oracle ≙ the ext_cdc_minhash_serving_fold
     * rows: the changelog's update-after text rows replace the revised
     * docs' text (planted copies keep their pre-delta text — copied before
@@ -5136,51 +5165,59 @@ object ExtOracle {
     * fractions). `extraCtes` (inserted between the corpus CTEs and the
     * chain) + `src` let the CDC-delta composition index a DERIVED corpus
     * (post-delta text) while reusing the whole chain. */
-  private def bm25Ctes(depth: Int, corpusWhere: String = "TRUE",
-      src: String = "corpus", extraCtes: String = ""): String =
-    s"""$corpusSql, ${extraCtes}tk AS (
+  /** The BM25 chain AFTER the corpus CTE, parameterized by CTE-name
+    * SUFFIX (the r13 composition convention: sfx = "" keeps the
+    * historical text byte-identical) so a pre-fold and a post-fold chain
+    * can share ONE WITH list ([[bm25ProbeRaceSql]]). */
+  private def bm25ChainOver(depth: Int, corpusWhere: String = "TRUE",
+      src: String = "corpus", sfx: String = ""): String =
+    s"""tk$sfx AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src
        |  WHERE $corpusWhere
-       |), idx AS (
-       |  SELECT unnest(range((SELECT max(len(toks)) FROM tk))) AS i
-       |), bg AS MATERIALIZED (
+       |), idx$sfx AS (
+       |  SELECT unnest(range((SELECT max(len(toks)) FROM tk$sfx))) AS i
+       |), bg$sfx AS MATERIALIZED (
        |  SELECT doc_id, i AS pos, ${ngramConcat("toks", 2)} AS term
-       |  FROM tk, idx WHERE i <= len(toks) - 2
-       |), post AS MATERIALIZED (
-       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2
-       |), dl AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bg GROUP BY 1
-       |), stats AS (
+       |  FROM tk$sfx, idx$sfx WHERE i <= len(toks) - 2
+       |), post$sfx AS MATERIALIZED (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bg$sfx GROUP BY 1, 2
+       |), dl$sfx AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bg$sfx GROUP BY 1
+       |), stats$sfx AS (
        |  SELECT CAST((SELECT count(*) FROM $src WHERE $corpusWhere) AS BIGINT) AS n,
        |         CAST(count(*) // (SELECT count(*) FROM $src WHERE $corpusWhere) AS BIGINT)
        |           AS avgdl
-       |  FROM bg
-       |), dfq AS (
-       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1
-       |), qt AS (
-       |  SELECT DISTINCT doc_id AS query_id, term FROM bg
+       |  FROM bg$sfx
+       |), dfq$sfx AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post$sfx GROUP BY 1
+       |), qt$sfx AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM bg$sfx
        |  WHERE pos < 6 AND doc_id % 100 = 3 AND doc_id < ${graft.ext.DocFeed.ExactDupOffset}
-       |), scored AS (
-       |  SELECT qt.query_id, p.doc_id,
+       |), scored$sfx AS (
+       |  SELECT qt$sfx.query_id, p.doc_id,
        |    CAST(sum((((s.n * 2 - d.df * 2 + 1) * 1000000 // (d.df * 2 + 1))
        |          * p.tf * 22 * s.avgdl)
        |        // (p.tf * s.avgdl * 10 + s.avgdl * 3 + dl.dl * 9)) AS BIGINT)
        |      AS score_micro
-       |  FROM qt
-       |  JOIN post p USING (term)
-       |  JOIN dfq d USING (term)
-       |  JOIN dl ON dl.doc_id = p.doc_id
-       |  CROSS JOIN stats s
+       |  FROM qt$sfx
+       |  JOIN post$sfx p USING (term)
+       |  JOIN dfq$sfx d USING (term)
+       |  JOIN dl$sfx dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN stats$sfx s
        |  WHERE d.df * ${graft.ext.Retrieval.DfCapShareOfN} <= s.n
        |  GROUP BY 1, 2
-       |), bmr AS (
+       |), bmr$sfx AS (
        |  SELECT query_id, doc_id, score_micro, rnk FROM (
        |    SELECT query_id, doc_id, score_micro,
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY score_micro DESC, doc_id) AS rnk
-       |    FROM scored) r0
+       |    FROM scored$sfx) r0
        |  WHERE rnk <= $depth
        |)""".stripMargin
+
+  private def bm25Ctes(depth: Int, corpusWhere: String = "TRUE",
+      src: String = "corpus", extraCtes: String = ""): String =
+    s"""$corpusSql, $extraCtes${bm25ChainOver(depth, corpusWhere, src)}""".stripMargin
 
   /** E2-ret ≙ ext.Retrieval.bm25TopK over queryTerms (top-5). */
   val bm25Sql: String =

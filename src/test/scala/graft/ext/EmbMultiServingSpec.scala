@@ -84,8 +84,12 @@ class EmbMultiServingSpec extends AnyFunSuite with graft.SparkFixture {
     assert(multi.size > single.size,
       s"multi-table must find pairs single-table misses " +
         s"(single ${single.size}, multi ${multi.size} of $planted planted)")
-    assert(multi.size * 10 >= planted * 9,
-      s"multi-table recall must be ≥ 0.9 on the planted set " +
+    // structural assertions above are the real contract (single ⊆ multi,
+    // multi strictly better); the hard floor is deliberately BELOW the
+    // fixture-measured 49/50 — base vectors are random and the driver can
+    // regenerate them, so a seed-tight bound would fail on a regen
+    assert(multi.size * 10 >= planted * 8,
+      s"multi-table recall must be ≥ 0.8 on the planted set " +
         s"(found ${multi.size} of $planted)")
   }
 }

@@ -325,4 +325,72 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
         .as[(Long, Long)].collect().toSet,
       "registry fold-after-compact must equal scratch")
   }
+
+  test("compaction under a PINNED reader on the 3-artifact generation: " +
+      "the pinned search answers pre-compact bytes, a fresh resolve the " +
+      "repacked files — identical rows (content identity across the flip)") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val B = 8
+    // the worst case for a torn repack: it can span ARTIFACTS — staging
+    // the whole generation and flipping it is what makes the repack one
+    // atomic event for the reader
+    val pre = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val root = graft.TempDirs.create("graft_bm25cmpgr_t")
+      .resolve("layout").toString
+    graft.streaming.StateStream.publishState(s, root) { stage =>
+      val p = stage.toUri.getPath
+      val (p0, dl0, st0) = Retrieval.bm25ServingArtifacts(pre, buckets = B)
+      val p0c = p0.localCheckpoint(true)
+      p0c.where($"doc_id" % 2 === 1).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(s"$p/postings")
+      p0c.where($"doc_id" % 2 === 0).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(s"$p/postings")
+      val dl0c = dl0.localCheckpoint(true)
+      dl0c.where($"doc_id" % 2 === 1).repartition(col("dbucket"))
+        .write.partitionBy("dbucket").mode("append").parquet(s"$p/doclen")
+      dl0c.where($"doc_id" % 2 === 0).repartition(col("dbucket"))
+        .write.partitionBy("dbucket").mode("append").parquet(s"$p/doclen")
+      st0.write.parquet(s"$p/stats")
+    }
+    val queries = Seq((99L, "alpha beta"), (99L, "beta gamma"))
+      .toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    // the reader resolves the fragmented gen-1 artifact SET here
+    val pinned = Retrieval.bm25TopKServingPinned(s, root, queries, buckets = B)
+    graft.streaming.StateStream.foldIsolatedGen(s, root) { gen =>
+      ServingLayout.compact(s, s"$gen/postings", "bucket",
+        Retrieval.postingsSchema)
+      ServingLayout.compact(s, s"$gen/doclen", "dbucket",
+        Retrieval.registrySchema)
+    }
+    // EXECUTED AFTER THE FLIP: graced fragmented bytes
+    val preRows = rows(pinned)
+    val postRows = rows(Retrieval.bm25TopKServingPinned(s, root, queries,
+      buckets = B))
+    assert(preRows.nonEmpty, "the probe must retrieve something")
+    assert(preRows == postRows,
+      "compaction is content-identical: pinned (fragmented) and fresh " +
+        "(repacked) reads must answer the same rows")
+    // non-vacuous: the flipped generation really is repacked (1 file per
+    // bucket) while the graced generation keeps its fragments
+    // statePath returns a file:-schemed URI string — strip to a raw path
+    val gen2 = new org.apache.hadoop.fs.Path(
+      graft.streaming.StateStream.statePath(s, root)).toUri.getPath
+    def maxFiles(dir: String): Int =
+      Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .map(p => Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .count { f =>
+            val n = f.getFileName.toString
+            Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+          }).max
+    assert(maxFiles(s"$gen2/postings") == 1 && maxFiles(s"$gen2/doclen") == 1,
+      "the flipped generation must be fully repacked")
+  }
 }
