@@ -1908,6 +1908,54 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // a pinned search RACING a snapshot-isolated fold on the CELL
+    // layout — the ANN member of the race matrix (with the BM25 and
+    // episode rows this round, every generational family's race is
+    // graded, not just spec-pinned): the pinned DEFAULT search
+    // (ivfSearchPinned) resolves generation 1 at construction,
+    // maintenance folds a revision batch through foldIsolatedGen at the
+    // FROZEN model, and both searches EXECUTE after the flip — pre
+    // answers the deployed index on graced gen-1 bytes, a fresh resolve
+    // the folded cells. The revision stub is DETERMINISTICALLY
+    // result-visible: each %100=50 id re-embeds as a pure row copy of
+    // its vec_id−50 QUERY's vector, so post-fold it shares the query's
+    // cell and lands at cosine 1 — the query's new top-1 by
+    // construction (a subject-deletion fold graded vacuous here: no
+    // deleted id reached a top-3)
+    "ext_ivf_serving_probe_race" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val st = ivfServingState(s, dir)
+      val base = TempDirs.create("graft_ivfrace")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        s.read.parquet(st.resolve("cells").toString)
+          .repartition(col("cell")).write.partitionBy("cell")
+          .parquet(stage.toString)
+      }
+      val cents = s.read.parquet(st.resolve("centroids").toString)
+        .localCheckpoint(true)
+      val queries = e.where(col("vec_id") % 100 === 0)
+      // the long-running searcher constructs its read from the pinned
+      // DEFAULT entry point HERE — generation 1 resolves at construction
+      val pre = Similarity.ivfSearchPinned(s, layout, queries, cents, k = 3)
+      val oldV = e.where(col("vec_id") % 100 === 50)
+        .select(col("vec_id"), col("embedding"))
+      val newV = e.where(col("vec_id") % 100 === 50)
+        .join(e.select((col("vec_id") + 50L).as("vec_id"),
+          col("embedding").as("__qv")), Seq("vec_id"))
+        .select(col("vec_id"), col("__qv").as("embedding"))
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        Similarity.ivfServingFold(s, gen, oldV, newV, cents)
+      }
+      // EXECUTED AFTER THE FLIP: graced gen-1 bytes vs the folded gen
+      val post = Similarity.ivfSearchPinned(s, layout, queries, cents, k = 3)
+      def tag(df: DataFrame, p: String) =
+        df.select(lit(p).as("phase"), col("query_id"), col("neighbor_id"),
+          col("rnk"))
+      tag(pre, "pre").unionByName(tag(post, "post"))
+        .orderBy("phase", "query_id", "rnk")
+    }),
+
     // SUBJECT DELETION executed IN PLACE on the partitioned serving
     // layouts — the forget matrix meeting the serving-layout matrix: the
     // generalized fold with an EMPTY new side is a per-partition row
@@ -4469,6 +4517,44 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // an enrichment RACING a snapshot-isolated fold on the SCD2 episode
+    // store — the serving-bridge member of the race matrix (with the
+    // IVF and BM25 rows this round, every generational family's race is
+    // now graded, not just spec-pinned): the pinned DEFAULT enrichment
+    // (enrichAsOfPinned) resolves the mid-HWM generation 1 at
+    // construction, maintenance folds the window-2 episodes through
+    // foldIsolatedGen, and both enrichments EXECUTE after the flip —
+    // pre serves every request from the window-1 episode set on graced
+    // bytes (open episodes at the HWM stay open), a fresh resolve from
+    // the folded full-history store
+    "ext_cdc_serving_probe_race" -> ((s, dir) => {
+      val mid = servingEpisodesMidLayout(s, dir)
+      val base = TempDirs.create("graft_srvepsrace")
+      val layout = base.resolve("layout").toString
+      graft.streaming.StateStream.publishState(s, layout) { stage =>
+        TempDirs.copyInto(mid.resolve("episodes"),
+          java.nio.file.Paths.get(stage.toUri.getPath).resolve("episodes"))
+      }
+      // both phases serve the SAME request batch (checkpoint: the
+      // request derivation must not replant per phase)
+      val req = graft.cdc.ServingBridge
+        .servingRequests(events(s, dir), orders(s, dir)).localCheckpoint(true)
+      // the long-running server constructs its read from the pinned
+      // DEFAULT entry point HERE — generation 1 resolves at construction
+      val pre = graft.cdc.ServingBridge.enrichAsOfPinned(s, layout, req)
+      graft.streaming.StateStream.foldIsolatedGen(s, layout) { gen =>
+        graft.cdc.ServingBridge.episodesServingFold(s, s"$gen/episodes",
+          servingWindow2Episodes(s, dir))
+      }
+      // EXECUTED AFTER THE FLIP: graced gen-1 bytes vs the folded gen
+      val post = graft.cdc.ServingBridge.enrichAsOfPinned(s, layout, req)
+      def tag(df: DataFrame, p: String) =
+        df.select(lit(p).as("phase"), col("event_id"), col("serve_key"),
+          col("serve_s"), col("status_asof"), col("ep_id"))
+      tag(pre, "pre").unionByName(tag(post, "post"))
+        .orderBy("phase", "event_id")
+    }),
+
     // COMPACT → fold on the serving episode store — the last member of
     // the compaction matrix (every partitioned layout family now runs
     // through the shared repack in a graded row): the fragmented store
@@ -6555,6 +6641,7 @@ object SparkEntry {
     "ext_cdc_serving_fold" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_compact" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_grace_read" -> ExtOracle.cdcServingGraceSql,
+    "ext_cdc_serving_probe_race" -> ExtOracle.cdcServingRaceSql,
     "ext_cdc_serving_fold_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_join_stream" -> ExtOracle.cdcServingJoinSql,
     "ext_cdc_serving_multi_stream" -> ExtOracle.cdcServingMultiSql,
@@ -6634,6 +6721,7 @@ object SparkEntry {
     "ext_bm25_serving_forget" -> ExtOracle.bm25ForgetSql,
     "ext_ann_serving_forget" -> ExtOracle.annIvfForgetSql,
     "ext_ann_serving_grace_read" -> ExtOracle.annIvfSql,
+    "ext_ivf_serving_probe_race" -> ExtOracle.annIvfRaceSql,
     "ext_hybrid_rrf" -> ExtOracle.hybridRrfSql,
     "ext_token_rarity" -> ExtOracle.tokenRaritySql,
     "ext_lm_fluency" -> ExtOracle.lmFluencySql,

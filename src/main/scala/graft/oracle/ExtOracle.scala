@@ -1027,6 +1027,73 @@ object ExtOracle {
     * (vec_id % 100 = 0) never intersect the forget set (% 50 = 7). */
   val annIvfForgetSql: String = annIvfSqlWith("TRUE", "c.vec_id % 50 <> 7")
 
+  /** ≙ ext_ivf_serving_probe_race: the TWO answers a pinned search
+    * racing a snapshot-isolated fold can correctly observe on the cell
+    * layout — phase 'pre' the search over the deployed pre-fold index
+    * ([[annIvfSql]]'s rows, graced gen-1 bytes), phase 'post' over the
+    * revision-folded cells at the FROZEN model. The revision stub is
+    * DETERMINISTICALLY result-visible: each %100=50 id re-embeds as a
+    * pure row copy of its vec_id−50 QUERY's vector (engine-exact), so
+    * post-fold it shares the query's cell (same vector ⇒ same frozen-
+    * centroid assignment ⇒ guaranteed candidate) and lands at cosine 1
+    * — the query's new top-1 by construction, never a
+    * fixture-regeneration gamble (the subject-deletion variant was
+    * vacuous: no %50 residue reached a top-3). Queries themselves are
+    * untouched, so the probed qcell set is shared; only the candidate
+    * assignment + rerank fork. */
+  lazy val annIvfRaceSql: String = {
+    val R = IvfRounds
+    val extra =
+      s"""postv AS (
+         |  SELECT e.vec_id, CASE WHEN b.vec_id IS NOT NULL THEN b.v ELSE e.v END AS v
+         |  FROM allv e LEFT JOIN allv b
+         |    ON e.vec_id % 100 = 50 AND b.vec_id = e.vec_id - 50
+         |),""".stripMargin
+    s"""WITH ${ivfChainCtes("TRUE", extra, "allv")}, sc_p AS (
+       |  SELECT a.vec_id, c.cid, ${cosineSql("a.v", "c.cv")} AS s FROM postv a, cent$R c
+       |), r_p AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM sc_p
+       |), cell_p AS (
+       |  SELECT vec_id, cid AS cell FROM r_p WHERE rn = 1
+       |), qcell AS (
+       |  SELECT vec_id, cid AS cell FROM r$R WHERE rn <= 2 AND vec_id % 100 = 0
+       |), cnd AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qcell q JOIN cell$R c ON q.cell = c.cell
+       |  WHERE q.vec_id <> c.vec_id
+       |), s2 AS (
+       |  SELECT cnd.query_id, cnd.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
+       |  FROM cnd
+       |  JOIN allv a ON a.vec_id = cnd.query_id
+       |  JOIN allv b ON b.vec_id = cnd.neighbor_id
+       |), rpre AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s2
+       |), cnd_p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qcell q JOIN cell_p c ON q.cell = c.cell
+       |  WHERE q.vec_id <> c.vec_id
+       |), s2_p AS (
+       |  SELECT cnd_p.query_id, cnd_p.neighbor_id, ${cosineSql("a.v", "b.v")} AS cos
+       |  FROM cnd_p
+       |  JOIN allv a ON a.vec_id = cnd_p.query_id
+       |  JOIN postv b ON b.vec_id = cnd_p.neighbor_id
+       |), rpost AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s2_p
+       |)
+       |SELECT 'pre' AS phase, query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM rpre WHERE rnk <= 3
+       |UNION ALL
+       |SELECT 'post' AS phase, query_id, neighbor_id, rnk::INTEGER AS rnk
+       |FROM rpost WHERE rnk <= 3
+       |ORDER BY phase, query_id, rnk""".stripMargin
+  }
+
   /** ≙ the ext_ivf_cell_audit occupancy report: centroids trained on
     * history (vec_id % 20 <> 3), the WHOLE corpus assigned at those
     * frozen centroids (the chain's final assign), occupancy split into
@@ -2731,6 +2798,59 @@ object ExtOracle {
     OrdersCdcOracle.changelogSql, "o_orderstatus",
     graft.cdc.ServingBridge.DefaultResidues,
     epsWhere = s"commit_time <= TIMESTAMP '${OrdersCdcOracle.ResumeMid}'")
+
+  /** ≙ ext_cdc_serving_probe_race: the TWO answers a pinned enrichment
+    * racing a snapshot-isolated window-2 fold can correctly observe —
+    * phase 'pre' serves every request from the mid-HWM episode set
+    * ([[cdcServingGraceSql]]'s rows, graced gen-1 bytes: open episodes
+    * at the HWM stay open), phase 'post' from the folded full-history
+    * store ([[cdcServingJoinSql]]'s rows, a fresh resolve). One WITH
+    * list: cl and the request side are shared (MATERIALIZED — two
+    * consumers), only the episode chain forks on the HWM filter. */
+  lazy val cdcServingRaceSql: String =
+    s"""WITH cl AS MATERIALIZED (
+       |${OrdersCdcOracle.changelogSql}
+       |), eps0 AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS serve_key, new_value AS status_asof,
+       |         changelog_id AS ep_id,
+       |         CAST(epoch(commit_time) AS BIGINT) AS valid_from_s
+       |  FROM cl WHERE column_name = 'o_orderstatus'
+       |), eps AS (
+       |  SELECT *, lead(valid_from_s) OVER (PARTITION BY serve_key ORDER BY ep_id)
+       |    AS valid_to_s
+       |  FROM eps0
+       |), eps0_g AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS serve_key, new_value AS status_asof,
+       |         changelog_id AS ep_id,
+       |         CAST(epoch(commit_time) AS BIGINT) AS valid_from_s
+       |  FROM cl WHERE column_name = 'o_orderstatus'
+       |    AND commit_time <= TIMESTAMP '${OrdersCdcOracle.ResumeMid}'
+       |), eps_g AS (
+       |  SELECT *, lead(valid_from_s) OVER (PARTITION BY serve_key ORDER BY ep_id)
+       |    AS valid_to_s
+       |  FROM eps0_g
+       |), nn AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS n FROM orders),
+       |req AS MATERIALIZED (
+       |  SELECT CAST(event_id AS BIGINT) AS event_id,
+       |    CAST((event_id % (n // 10)) * 10
+       |      + (${graft.cdc.ServingBridge.residueCaseSql(graft.cdc.ServingBridge.DefaultResidues)})
+       |      AS BIGINT) AS serve_key,
+       |    CAST(788918400 + ((epoch_ns(ts) // 1000000000) % n) AS BIGINT) AS serve_s
+       |  FROM events CROSS JOIN nn
+       |  WHERE event_type = 'purchase'
+       |)
+       |SELECT 'pre' AS phase, r.event_id, r.serve_key, r.serve_s,
+       |       e.status_asof, e.ep_id
+       |FROM req r LEFT JOIN eps_g e
+       |  ON e.serve_key = r.serve_key AND e.valid_from_s <= r.serve_s
+       | AND (e.valid_to_s IS NULL OR r.serve_s < e.valid_to_s)
+       |UNION ALL
+       |SELECT 'post' AS phase, r.event_id, r.serve_key, r.serve_s,
+       |       e.status_asof, e.ep_id
+       |FROM req r LEFT JOIN eps e
+       |  ON e.serve_key = r.serve_key AND e.valid_from_s <= r.serve_s
+       | AND (e.valid_to_s IS NULL OR r.serve_s < e.valid_to_s)
+       |ORDER BY phase, event_id""".stripMargin
 
   /** ≙ ext_cdc_serving_retention: the ORACLE serves every in-contract
     * request (serve_s at-or-after the mid-clock horizon) from the FULL
