@@ -38,6 +38,21 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("the probe-race matrix covers every generational serving family") {
+    // a reader racing a snapshot-isolated fold is graded (two-phase
+    // pre/post row), not just spec-pinned, for each family that
+    // publishes generations — dropping one would silently demote its
+    // isolation contract back to scaladoc
+    val expected = Seq(
+      "ext_minhash_serving_probe_race", "ext_simhash_serving_probe_race",
+      "ext_embdup_serving_probe_race", "ext_embdup_multiband_probe_race",
+      "ext_bm25_serving_probe_race", "ext_ivf_serving_probe_race",
+      "ext_cdc_serving_probe_race")
+    val missing = expected.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"generational families without a graded probe race: $missing")
+  }
+
   test("no oracle SQL carries a Scala null interpolation (the r7 " +
       "file-order val-initialization trap)") {
     // a val referencing a fragment declared LATER in its file interpolates
